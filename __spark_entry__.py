@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (the reference pipeline's operator
+shape on lineitem) at sf0.001. ``queries()`` exposes every implemented
+operator from SURVEY.md §2 (+ §2.8 extensions); ``oracle_sql()`` gives the
+DuckDB ANSI-SQL twin for each SQL-expressible one.
+
+Cross-engine determinism rules used throughout (so value hashes match):
+- sums over doubles go through DECIMAL (exact, associative — partition-order
+  independent) and the final value is cast to DOUBLE, which is bit-identical
+  across engines (verified: both use correctly-rounded decimal->double);
+- emitted doubles are otherwise single IEEE ops over exact integers;
+- every rank/row_number has a full deterministic tie-break;
+- timestamps are compared/aggregated in UTC (sessions are prepped).
 """
 
 from __future__ import annotations
@@ -13,26 +20,420 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from data_engineer_interview_task_spark.operators import (
+    dedup,
+    multimodal,
+    relational,
+    similarity,
+    text,
+)
+from data_engineer_interview_task_spark.functions.dates import previous_week_exprs
+from data_engineer_interview_task_spark.sources import read_table
+
+from pyspark.sql import functions as F
+
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return relational.flagship_pipeline(spark, SF0001)
+
+
+# ---------------------------------------------------------------------------
+# reference-surface queries (SURVEY §2)
+# ---------------------------------------------------------------------------
+
+
+def _unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 row 8 (melt, W:53): wide part metrics -> long (metric, value)."""
+    part = read_table(spark, sf_dir, "part")
+    wide = part.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").alias("retailprice"),
+    )
+    return wide.unpivot(
+        ids=["p_partkey"],
+        values=["size", "retailprice"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+def _filter_isin_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 rows 9+12 (isin filter W:54, projection W:64)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_returnflag").isin("A", "R")).select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+
+
+def _const_cols_rename_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 rows 10-12 (constant cols W:59, rename W:61, reorder W:64)."""
+    nation = read_table(spark, sf_dir, "nation")
+    return (
+        nation.withColumnRenamed("n_name", "country")
+        .withColumn("week_start", F.lit("2021-01-04"))
+        .withColumn("week_end", F.lit("2021-01-10"))
+        .select("country", "week_start", "week_end", "n_nationkey")
+    )
+
+
+def _group_count_distinct_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 rows 14-15 (groupby+nunique W:76, HAVING W:79)."""
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.countDistinct("o_orderstatus").alias("n_status"))
+        .filter(F.col("n_status") < 3)
+    )
+
+
+def _semi_join_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 row 16: the collect+isin pattern (W:82-85) as a left-semi
+    join — distributed, no driver roundtrip."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    big = orders.filter(F.col("o_totalprice") > 300000).select("o_orderkey")
+    return li.join(
+        big.withColumnRenamed("o_orderkey", "l_orderkey"), "l_orderkey", "left_semi"
+    ).select("l_orderkey", "l_linenumber", "l_extendedprice")
+
+
+def _rank_window_tiebreak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 rows 17-20: the verified ranking window (W:90-112) on
+    lineitem — 'N' plays vpn's role in the tie-break."""
+    from pyspark.sql import Window
+
+    li = read_table(spark, sf_dir, "lineitem")
+    prio = F.when(F.col("l_returnflag") == "N", 0).otherwise(1)
+    # testdata lineitem can repeat (l_orderkey, l_linenumber), so the flag
+    # joins the tie-break to keep the total order genuinely total
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.col("l_quantity").desc(), prio.desc(), F.col("l_linenumber").asc(),
+        F.col("l_returnflag").asc(),
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.row_number().over(w).cast("int").alias("ranking"),
+    )
+
+
+def _previous_week_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 row 22 (W:19-28) applied per order date — injectable
+    "today", JVM-side date arithmetic."""
+    orders = read_table(spark, sf_dir, "orders")
+    ws, we = previous_week_exprs(F.col("o_orderdate"))
+    return orders.select(
+        "o_orderkey",
+        ws.alias("week_start"),
+        we.alias("week_end"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2 / §2.8."""
+    return {
+        # reference surface
+        "flagship_pipeline": relational.flagship_pipeline,
+        "unpivot_part_metrics": _unpivot_part_metrics,
+        "filter_isin_projection": _filter_isin_projection,
+        "const_cols_rename_project": _const_cols_rename_project,
+        "group_count_distinct_having": _group_count_distinct_having,
+        "semi_join_filter": _semi_join_filter,
+        "rank_window_tiebreak": _rank_window_tiebreak,
+        "previous_week_dates": _previous_week_dates,
+        # analytics / joins / windows at scale
+        "pricing_summary": relational.pricing_summary,
+        "revenue_by_nation": relational.revenue_by_nation,
+        "top_orders_per_customer": relational.top_orders_per_customer,
+        "asof_join_events_orders": relational.asof_join_events_orders,
+        "weekly_event_rollup": relational.weekly_event_rollup,
+        "sessionize_events": relational.sessionize_events,
+        # dedup
+        "exact_dedup": dedup.exact_dedup,
+        "canonical_docs": dedup.canonical_docs,
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,  # rows-only (engine hash)
+        "simhash_signatures": dedup.simhash_signatures,  # rows-only (engine hash)
+        # similarity search
+        "similarity_topk": similarity.brute_force_topk,
+        "similarity_topk_lsh": similarity.srp_lsh_topk,  # rows-only (approx)
+        "embedding_near_dup": similarity.embedding_near_dup_pairs,
+        # text analysis
+        "text_quality": text.text_quality,
+        "token_counts": text.token_counts,
+        "lang_id": text.lang_id,
+        "doc_fingerprints": text.doc_fingerprints,
+        # multimodal plumbing
+        "multimodal_meta": multimodal.multimodal_meta,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB ANSI-SQL twins. Omitted: minhash_lsh_pairs, simhash_signatures
+    (engine-specific hash family), similarity_topk_lsh (approximate)."""
+    shingles_cte = """
+d AS (
+  SELECT doc_id,
+         CASE WHEN len(string_split(text, ' ')) >= 3
+              THEN list_distinct(list_transform(
+                     range(len(string_split(text, ' ')) - 2),
+                     i -> string_split(text, ' ')[i+1] || ' ' ||
+                          string_split(text, ' ')[i+2] || ' ' ||
+                          string_split(text, ' ')[i+3]))
+              ELSE [text] END AS shingles
+  FROM documents
+)"""
+    dot64 = (
+        "list_sum(list_transform(range(64), "
+        "i -> CAST(CAST({a}[i+1] AS DOUBLE) * CAST({b}[i+1] AS DOUBLE) "
+        "AS DECIMAL(28,14))))"
+    )
+    return {
+        "flagship_pipeline": """
+WITH base AS (
+  SELECT l_suppkey, l_returnflag,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-01-01'
+  GROUP BY l_suppkey, l_returnflag
+), keep AS (
+  SELECT DISTINCT l_suppkey FROM (
+    SELECT l_suppkey, total_qty, COUNT(DISTINCT l_returnflag) AS n_flags
+    FROM base GROUP BY l_suppkey, total_qty
+    HAVING COUNT(DISTINCT l_returnflag) < 3
+  )
+)
+SELECT b.l_suppkey, b.l_returnflag,
+       CAST(b.total_qty AS DOUBLE) AS total_qty,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY b.l_suppkey
+         ORDER BY b.total_qty DESC,
+                  CASE WHEN b.l_returnflag = 'N' THEN 0 ELSE 1 END DESC,
+                  b.l_returnflag ASC) AS INTEGER) AS ranking
+FROM base b WHERE b.l_suppkey IN (SELECT l_suppkey FROM keep)
+""",
+        "unpivot_part_metrics": """
+SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+UNION ALL
+SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS value FROM part
+""",
+        "filter_isin_projection": """
+SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+FROM lineitem WHERE l_returnflag IN ('A', 'R')
+""",
+        "const_cols_rename_project": """
+SELECT n_name AS country, '2021-01-04' AS week_start,
+       '2021-01-10' AS week_end, n_nationkey
+FROM nation
+""",
+        "group_count_distinct_having": """
+SELECT o_custkey, COUNT(DISTINCT o_orderstatus) AS n_status
+FROM orders GROUP BY o_custkey HAVING COUNT(DISTINCT o_orderstatus) < 3
+""",
+        "semi_join_filter": """
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 300000)
+""",
+        "rank_window_tiebreak": """
+SELECT l_orderkey, l_linenumber, l_returnflag,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY l_orderkey
+         ORDER BY l_quantity DESC,
+                  CASE WHEN l_returnflag = 'N' THEN 0 ELSE 1 END DESC,
+                  l_linenumber ASC, l_returnflag ASC) AS INTEGER) AS ranking
+FROM lineitem
+""",
+        "previous_week_dates": """
+SELECT o_orderkey,
+       strftime(date_trunc('week', o_orderdate) - INTERVAL 7 DAY, '%Y-%m-%d') AS week_start,
+       strftime(date_trunc('week', o_orderdate) - INTERVAL 1 DAY, '%Y-%m-%d') AS week_end
+FROM orders
+""",
+        "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                     (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6)))
+            AS DOUBLE) AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+        "revenue_by_nation": """
+SELECT r_name, n_name,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                     (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6)))
+            AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+""",
+        "top_orders_per_customer": """
+SELECT o_custkey, o_orderkey,
+       o_totalprice,
+       CAST(rk AS INTEGER) AS rk
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders
+) WHERE rk <= 3
+""",
+        "asof_join_events_orders": """
+WITH od AS (
+  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, e.user_id, od.o_orderkey
+FROM events e
+ASOF LEFT JOIN od ON e.user_id = od.o_custkey AND e.ts >= od.o_orderdate
+""",
+        "weekly_event_rollup": """
+SELECT date_trunc('week', ts) AS week_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+""",
+        "sessionize_events": """
+WITH o AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), s AS (
+  SELECT *, CAST(SUM(is_new) OVER (
+      PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM o
+)
+SELECT user_id, session_seq, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM s GROUP BY user_id, session_seq
+""",
+        "exact_dedup": """
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+FROM documents GROUP BY text
+""",
+        "canonical_docs": """
+SELECT doc_id, fp FROM (
+  SELECT doc_id, md5(text) AS fp,
+         ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) AS rn
+  FROM documents
+) WHERE rn = 1
+""",
+        "ngram_jaccard_pairs": f"""
+WITH {shingles_cte},
+e AS (SELECT doc_id, unnest(shingles) AS sh FROM d),
+s AS (SELECT doc_id, len(shingles) AS n_sh FROM d),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+  FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, shared AS shared_shingles,
+       CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) AS jaccard
+FROM p
+JOIN s sa ON sa.doc_id = doc_a
+JOIN s sb ON sb.doc_id = doc_b
+WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.5
+""",
+        "similarity_topk": f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS q FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, embedding AS c FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         CAST({dot64.format(a='q', b='c')} AS DOUBLE) AS dot,
+         CAST({dot64.format(a='q', b='q')} AS DOUBLE) AS qn,
+         CAST({dot64.format(a='c', b='c')} AS DOUBLE) AS cn
+  FROM c, q WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY dot * abs(dot) / (qn * cn) DESC,
+                                     neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 10
+""",
+        "embedding_near_dup": f"""
+WITH a AS (SELECT vec_id AS id_a, embedding AS va, label FROM embeddings),
+b AS (SELECT vec_id AS id_b, embedding AS vb, label FROM embeddings),
+j AS (
+  SELECT a.label, id_a, id_b,
+         CAST({dot64.format(a='va', b='vb')} AS DOUBLE) AS dot,
+         CAST({dot64.format(a='va', b='va')} AS DOUBLE) AS na,
+         CAST({dot64.format(a='vb', b='vb')} AS DOUBLE) AS nb
+  FROM a JOIN b ON a.label = b.label AND id_a < id_b
+)
+SELECT label, id_a, id_b FROM j
+WHERE dot * abs(dot) / (na * nb) >= 0.35 * 0.35
+""",
+        "text_quality": """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         / len(string_split(text, ' ')) AS distinct_ratio,
+       CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS DOUBLE)
+         / len(string_split(text, ' ')) AS avg_token_len,
+       CAST(len(list_filter(string_split(text, ' '),
+                t -> t IN ('the','a','of','and','to','in'))) AS DOUBLE)
+         / len(string_split(text, ' ')) AS stopword_ratio
+FROM documents
+""",
+        "token_counts": """
+SELECT token, COUNT(*) AS n FROM (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+) WHERE token <> '' GROUP BY token
+""",
+        "lang_id": """
+WITH sc AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split(text,' '), t -> t = 'the')) AS s_en,
+         len(list_filter(string_split(text,' '), t -> t = 'el'))  AS s_es,
+         len(list_filter(string_split(text,' '), t -> t = 'der')) AS s_de,
+         len(list_filter(string_split(text,' '), t -> t = 'le'))  AS s_fr
+  FROM documents
+)
+SELECT doc_id, lang AS labeled_lang,
+       CASE WHEN s_en > 0 THEN 'en'
+            WHEN s_es > 0 AND s_es > s_en THEN 'es'
+            WHEN s_de > 0 AND s_de > s_en AND s_de > s_es THEN 'de'
+            WHEN s_fr > 0 AND s_fr > s_en AND s_fr > s_es AND s_fr > s_de THEN 'fr'
+            ELSE 'und' END AS predicted_lang
+FROM sc
+""",
+        "doc_fingerprints": """
+SELECT doc_id,
+       md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint,
+       substring(md5(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 16) AS fingerprint64
+FROM documents
+""",
+        "multimodal_meta": """
+SELECT doc_id, 'text/plain' AS modality,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents
+""",
+    }

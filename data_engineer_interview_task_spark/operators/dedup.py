@@ -1,0 +1,230 @@
+"""Deduplication operators over the ``documents`` table — the LLM-training-
+data-pipeline surface (SURVEY.md §2.8), absent from the reference (its only
+dedup-adjacent op is the countDistinct at ``dags/google_trends_to_bigquery
+.py:76``). All designed around blocking: never compare all pairs; generate
+candidate pairs through a key (exact hash, shingle, MinHash band, SimHash
+prefix) so the join is an equi-join Spark can shuffle/broadcast efficiently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import read_table
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by full text: keep the smallest doc_id per distinct text,
+    report the group size. Hash-aggregate on the text key — at 100 TB,
+    group on a fingerprint (md5) instead of the full payload so the shuffle
+    carries 16 bytes per row, not the document (see ``canonical_docs``)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).alias("dup_count"),
+    ).select("doc_id", "dup_count")
+
+
+def canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path exact dedup: fingerprint-first. Group by md5(text) so the
+    exchange carries a fixed-width key; survivor = min doc_id per
+    fingerprint via one window."""
+    docs = read_table(spark, sf_dir, "documents")
+    fp = docs.withColumn("fp", F.md5("text"))
+    w = Window.partitionBy("fp").orderBy(F.col("doc_id").asc())
+    return (
+        fp.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "fp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling + n-gram Jaccard near-dup
+# ---------------------------------------------------------------------------
+
+
+def _shingles(toks_col, text_col, n: int = 3):
+    """Distinct word n-gram shingles as array<string> — pure column
+    expressions (codegen'd), no UDF.
+
+    ``toks_col`` MUST be a materialized column (``withColumn("toks",
+    split(...))``), not an inline ``split(...)`` expression: Catalyst does
+    no common-subexpression elimination inside lambda bodies, so an inline
+    split would re-tokenize the document for every element_at call
+    (~300x per row — measured 12s -> <1s on 5k docs when materialized)."""
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks_col) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks_col, i + j + 1) for j in range(n)])
+    )
+    # guard degenerate texts shorter than n tokens
+    return F.array_distinct(
+        F.when(F.size(toks_col) >= n, grams).otherwise(F.array(text_col))
+    )
+
+
+def _shingled_docs(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
+    return (
+        read_table(spark, sf_dir, "documents")
+        .withColumn("toks", F.split(F.col("text"), " "))
+        .select("doc_id", _shingles(F.col("toks"), F.col("text"), n).alias("shingles"))
+    )
+
+
+def ngram_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Near-dup pairs by word-``n``-gram Jaccard similarity ≥ ``threshold``.
+
+    Shape: shingle -> explode -> self-equi-join on shingle (the blocking
+    step: only docs sharing ≥1 shingle ever meet) -> count shared shingles
+    per pair -> Jaccard = shared / (|A| + |B| - shared).
+
+    Scale notes: the explode output is (shingle, doc) — the join is a plain
+    shuffle hash join on the shingle key. Hot shingles (boilerplate) skew
+    the join; at 100 TB drop shingles above a document-frequency cap first
+    (cheap pre-aggregation) — the standard stopword-shingle guard. Jaccard
+    is computed from exact integer counts, so the DuckDB oracle hash-matches
+    without float tricks.
+    """
+    docs = _shingled_docs(spark, sf_dir, n)
+    sizes = docs.select("doc_id", F.size("shingles").alias("n_sh"))
+    pairs = (
+        docs.select("doc_id", F.explode("shingles").alias("sh"))
+        .alias("a")
+        .join(
+            docs.select("doc_id", F.explode("shingles").alias("sh")).alias("b"),
+            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+    return (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(jac >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("shared").alias("shared_shingles"),
+            # raw IEEE division of exact integers: cross-engine bit-identical
+            jac.alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup (the sub-quadratic scale path)
+# ---------------------------------------------------------------------------
+
+
+def minhash_lsh_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + banded LSH near-dup: shingle -> ``num_hashes`` minhash
+    signature -> split into ``bands`` bands -> docs colliding on any band
+    become candidates -> verify candidates with exact shingle Jaccard.
+
+    Hash family: xxhash64(shingle, seed=i) per hash index — JVM-side,
+    vectorized, deterministic. Everything stays aggregations + equi-joins:
+
+      explode(shingles) -> ONE groupBy(doc) computing all ``num_hashes``
+      min-hashes as aggregate columns (no seed explosion — a 32x smaller
+      shuffle than the naive (doc, seed) layout) -> per band, key =
+      xxhash64(band, its signature slice) -> self-join on band key.
+
+    Cost is O(docs x shingles) map-side + near-linear joins — the
+    sub-quadratic path vs. ``ngram_jaccard_pairs``'s full inverted index.
+    Not SQL-oracle-able (hash functions differ across engines); verified by
+    tests asserting it finds the same pairs as the exact Jaccard operator
+    at the same threshold (recall check).
+    """
+    rows_per_band = num_hashes // bands
+    docs = _shingled_docs(spark, sf_dir, n)
+    exploded = docs.select("doc_id", F.explode("shingles").alias("sh"))
+    sigs_wide = exploded.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64("sh", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
+    )
+    band_cols = [
+        F.xxhash64(
+            F.lit(b), *[F.col(f"h{b * rows_per_band + j}") for j in range(rows_per_band)]
+        ).alias(f"b{b}")
+        for b in range(bands)
+    ]
+    sigs = (
+        sigs_wide.select("doc_id", *band_cols)
+        .unpivot(
+            ids=["doc_id"],
+            values=[f"b{b}" for b in range(bands)],
+            variableColumnName="band",
+            valueColumnName="band_key",
+        )
+        .select("doc_id", "band", "band_key")
+    )
+    cand = (
+        sigs.alias("a")
+        .join(
+            sigs.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # verify candidates with exact Jaccard (array_intersect on shingle sets)
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter / union
+    return (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .filter(jac >= jaccard_threshold)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup
+# ---------------------------------------------------------------------------
+
+
+def simhash_signatures(spark: SparkSession, sf_dir: str, bits: int = 32) -> DataFrame:
+    """Per-document SimHash signature over word tokens.
+
+    token -> xxhash64 -> per bit position b: vote +1 if bit set else -1 ->
+    signature bit b = (vote sum > 0). Entirely explode + groupBy + bit
+    arithmetic — one exchange on (doc_id). Near-dup candidates are docs
+    whose signatures differ in few bits; pair generation at scale blocks on
+    signature prefix (see tests). Engine-specific hash -> no SQL oracle.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    bitpos = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b")
+    votes = (
+        toks.select("doc_id", "h", bitpos)
+        .withColumn("vote", F.when(F.expr("(shiftright(h, b) & 1) = 1"), 1).otherwise(-1))
+        .groupBy("doc_id", "b")
+        .agg(F.sum("vote").alias("v"))
+        .withColumn("bit", F.when(F.col("v") > 0, F.lit(1)).otherwise(F.lit(0)))
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(F.expr("bit * shiftleft(1L, b)")).cast("long").alias("simhash")
+    )

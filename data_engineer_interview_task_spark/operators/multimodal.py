@@ -1,0 +1,108 @@
+"""Multimodal column handling (SURVEY.md §2.8): images/audio/video as opaque
+``binary`` payloads + typed metadata, with decode / feature-extraction as
+Arrow-batched pandas functions over ``mapInPandas``.
+
+The real decode step needs image/audio libraries that are not in this
+container, so it is STUBBED (``NotImplementedError``) behind a deterministic
+fake decoder; everything Spark-side — schema, partitioning, UDF signature,
+Arrow batch shape — is real and tested. The testdata has no binary table, so
+``attach_payload`` manufactures a payload column from ``documents.text``
+(utf-8 bytes) to exercise the plumbing end-to-end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..sources import read_table
+
+#: Output schema of the feature extractor — explicit, like any production
+#: multimodal pipeline (schema drift in pandas-UDF outputs is a silent killer).
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("sha1", StringType()),
+        StructField("modality", StringType()),
+    ]
+)
+
+PAYLOAD_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("modality", StringType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def attach_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manufacture a binary payload column + typed metadata from documents.
+    In production this is the parquet/lance scan of (payload: binary,
+    metadata struct) — payloads stay opaque bytes until a pandas stage."""
+    docs = read_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "utf-8")
+    return docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.lit("text/plain").alias("modality"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+    )
+
+
+def decode_image(payload: bytes) -> object:
+    """Decode an image payload to pixels. STUB: the container has no image
+    codec libraries; a real deployment plugs Pillow/torchvision in here.
+    Kept as the single seam between Spark plumbing and codec code."""
+    raise NotImplementedError(
+        "image decode requires codec libs not present in this environment; "
+        "see fake_decode() for the deterministic test double"
+    )
+
+
+def fake_decode(payload: bytes) -> bytes:
+    """Deterministic stand-in for decode: identity on bytes. Lets the full
+    mapInPandas pipeline run and be asserted on without codecs."""
+    return payload
+
+
+def extract_features(df: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads via
+    ``mapInPandas`` — the canonical multimodal pattern: binary in, narrow
+    typed features out, executed per Arrow batch so Python touches columns,
+    never rows. Partitioning is preserved (no shuffle); at 100 TB you
+    ``repartition`` upstream only to right-size batches for codec memory."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = pdf["payload"].map(fake_decode)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": decoded.map(len).astype("int64"),
+                    "sha1": decoded.map(lambda b: hashlib.sha1(b).hexdigest()),
+                    "modality": pdf["modality"],
+                }
+            )
+
+    return df.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable metadata pass: payload byte length per doc computed
+    JVM-side (octet_length of the utf-8 payload) — proves the binary
+    column plumbing without Python."""
+    return attach_payload(spark, sf_dir).select("doc_id", "modality", "n_bytes")

@@ -1,0 +1,239 @@
+"""Relational operators over the driver testdata star schema.
+
+Includes (a) the flagship query — the reference pipeline's exact operator
+shape transplanted onto ``lineitem`` (SURVEY.md §7 phase 0), (b) classic
+analytic queries exercising joins/aggregation at scale, (c) generic
+operators the reference lacks (top-k per group, as-of join, sessionization)
+that a real deployment of this pipeline would need.
+
+Determinism note: double-typed aggregates are promoted to DECIMAL before
+summation wherever a DuckDB oracle checks the value hash — decimal addition
+is exact and associative, so results are bit-identical across engines and
+partitionings. Plain double sums are kept for bench-only fast paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import read_table
+
+
+def flagship_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference pipeline's shape on lineitem (SURVEY §7 phase 0):
+
+    country -> l_suppkey, search_term -> l_returnflag, interest -> total
+    quantity. Stages: date-window filter (≈W:54's isin filter + W:19-28
+    week window) -> per-(supplier, flag) aggregate -> the W:70-87
+    same-interest drop (groupBy+countDistinct+HAVING+semi-join) -> the
+    W:90-112 ranking window with deterministic tie-break ('N' plays vpn's
+    tie-break role) -> final projection.
+
+    Exercises SURVEY §2 rows 9, 12, 14-16, 17-20 in one lazy lineage.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    base = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        )
+        .groupBy("l_suppkey", "l_returnflag")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("total_qty"))
+    )
+    # Same-interest drop: suppliers where every return flag has one identical
+    # total_qty would be dropped; implemented in the reference's literal
+    # grouped form (W:76-85) for edge-case fidelity.
+    keep = (
+        base.groupBy("l_suppkey", "total_qty")
+        .agg(F.countDistinct("l_returnflag").alias("n_flags"))
+        .filter(F.col("n_flags") < 3)
+        .select("l_suppkey")
+        .distinct()
+    )
+    kept = base.join(F.broadcast(keep), "l_suppkey", "left_semi")
+    n_priority = F.when(F.col("l_returnflag") == "N", 0).otherwise(1)
+    w = Window.partitionBy("l_suppkey").orderBy(
+        F.col("total_qty").desc(), n_priority.desc(), F.col("l_returnflag").asc()
+    )
+    return kept.select(
+        "l_suppkey",
+        "l_returnflag",
+        F.col("total_qty").cast("double").alias("total_qty"),
+        F.row_number().over(w).cast("int").alias("ranking"),
+    )
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary on lineitem: the canonical wide
+    aggregation. Map-side partial aggregation + AQE-coalesced exchange; at
+    100 TB the 6-group output is tiny, the scan dominates, and parquet
+    column pruning keeps it to 7 columns."""
+    li = read_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(
+                (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
+                .cast("decimal(28,6)")
+            ).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped multi-join: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈
+    region, revenue per nation. Dimension tables are broadcast (nation/region
+    always; customer within AQE's threshold at test SFs); the lineitem-orders
+    join is the only real shuffle, and AQE handles its sizing/skew."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(rev.cast("decimal(28,6)")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+def top_orders_per_customer(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Top-k per group: each customer's k most expensive orders.
+
+    ``row_number`` over (custkey / totalprice DESC, orderkey ASC) then
+    ``<= k``. At scale this is the rank-based top-k pattern: one hash
+    exchange on the group key, per-partition sort — no global sort. The
+    orderkey tie-break makes it deterministic."""
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_totalprice"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
+def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each event, the customer's most recent order at or
+    before the event time (events.user_id ≡ orders.o_custkey).
+
+    Spark lacks a native as-of join; the scalable composition is the
+    union-tag trick: tag both streams, union, and run ONE window pass per
+    key ordered by time — ``last(order over rows unbounded preceding)``
+    carries the latest order forward onto each event row. Cost: a single
+    hash exchange on the key (vs. the naive inequality-join + filter, which
+    is a range join that explodes at scale).
+
+    Orders are first deduped to one per (custkey, orderdate) — max orderkey
+    wins — so the "latest order" is well-defined when several orders share
+    a date (and the DuckDB ASOF JOIN oracle is deterministic too)."""
+    events = read_table(spark, sf_dir, "events")
+    orders = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    ev = events.select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_event"),
+        F.col("event_id"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+    )
+    od = orders.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_orderkey"),
+    )
+    # orders sort before events at identical t (is_event ASC) => "at or before"
+    w = (
+        Window.partitionBy("k")
+        .orderBy(F.col("t").asc(), F.col("is_event").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = ev.unionByName(od).withColumn(
+        "last_orderkey", F.last("o_orderkey", ignorenulls=True).over(w)
+    )
+    return (
+        tagged.filter(F.col("is_event") == 1)
+        .select(
+            F.col("event_id"),
+            F.col("k").alias("user_id"),
+            F.col("last_orderkey").alias("o_orderkey"),
+        )
+    )
+
+
+def weekly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the reference's weekly cadence (``@weekly`` at
+    ``dags/google_trends_to_bigquery.py:163``): per (ISO week, event_type)
+    count + exact value sum over events. ``to_date(date_trunc('week'))``
+    keeps the week key a DATE on both engines (DuckDB's date_trunc returns
+    DATE). See ``streaming.weekly`` for the Structured Streaming form with
+    watermarked late-data handling."""
+    events = read_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.to_date(F.date_trunc("week", F.col("ts"))).alias("week_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization of the events table: a new session starts
+    when a user's inter-event gap exceeds ``gap_minutes``. lag + cumulative
+    sum over one per-user window — single exchange on user_id, linear scan
+    per partition; the batch twin of a streaming session window."""
+    events = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    # microsecond-exact gap (unix_timestamp would truncate sub-second parts)
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    with_start = events.withColumn(
+        "is_new_session",
+        F.when(gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), 1).otherwise(0),
+    )
+    sessioned = with_start.withColumn(
+        "session_seq",
+        F.sum("is_new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("long"),
+    )
+    return (
+        sessioned.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )

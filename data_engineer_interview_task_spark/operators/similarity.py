@@ -1,0 +1,168 @@
+"""Similarity search over the ``embeddings`` table (``embedding:
+array<float>``, 64-dim) — SURVEY.md §2.8 extension surface.
+
+Two tiers, per the standard ANN architecture:
+
+- ``brute_force_topk``: exact cosine top-k, the correctness baseline. The
+  oracle-checked variant accumulates in DECIMAL so the DuckDB comparison is
+  bit-exact; the bench variant uses double.
+- ``srp_lsh_topk``: sign-random-projection (hyperplane) LSH — bucket
+  vectors by sign bits against deterministic pseudo-random hyperplanes,
+  probe only colliding buckets. Sub-linear candidate sets at scale; exact
+  re-rank inside the candidate set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector import (
+    cosine_expr,
+    dot_decimal_expr,
+    sq_norm_decimal_expr,
+)
+from ..sources import read_table
+
+
+def brute_force_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 5,
+    k: int = 10,
+    exact_decimal: bool = True,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for the first ``n_queries`` vectors
+    (vec_id < n_queries) against the whole table.
+
+    Plan: broadcast the tiny query set, cross-join against candidates
+    (broadcast nested loop — each executor scans its candidate slice once),
+    rank per query. At 100 TB the candidate scan is embarrassingly
+    parallel; k results per query flow to one final per-query top-k
+    (row_number + filter — Spark's TakeOrdered handles the small k).
+
+    ``exact_decimal=True`` ranks by a DECIMAL-accumulated cosine ordering
+    key (cross-engine bit-exact; backs the DuckDB oracle). Ordering by
+    cos² x sign keeps sqrt out of the comparison: rank by
+    sign(dot) * dot² / (|a|²|b|²) which is monotone in cosine.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    cands = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c"))
+    joined = cands.crossJoin(F.broadcast(queries)).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    if exact_decimal:
+        # DECIMAL-accumulated dot/norms (partition-order independent), then a
+        # handful of IEEE ops: key = dot*|dot| / (|q|^2 |c|^2), monotone in
+        # cosine. Squaring happens in double — decimal^2 would overflow p38.
+        dot = dot_decimal_expr(F.col("q"), F.col("c")).cast("double")
+        qn = sq_norm_decimal_expr(F.col("q")).cast("double")
+        cn = sq_norm_decimal_expr(F.col("c")).cast("double")
+        key = dot * F.abs(dot) / (qn * cn)
+        scored = joined.withColumn("ord_key", key)
+    else:
+        scored = joined.withColumn("ord_key", cosine_expr(F.col("q"), F.col("c")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("ord_key").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def srp_lsh_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 5,
+    k: int = 10,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k via multi-table sign-random-projection LSH.
+
+    Hyperplanes are deterministic pseudo-random vectors derived JVM-side
+    from xxhash64(table, plane, dimension), centered on zero — no
+    driver-side RNG, no UDF. Per table, bucket = the ``n_planes`` sign bits
+    of plane·vector; a candidate is any vector sharing a (table, bucket)
+    with the query (OR-amplification across ``n_tables`` tables raises
+    recall: P = 1-(1-p^b)^L). Exact cosine re-ranks the deduped candidates.
+
+    At scale: bucketing is one narrow map + an equi-join on (table, bucket)
+    — never all-pairs; candidate volume per query ~ L * N / 2^b, tuned by
+    (b, L) against the similarity profile of the corpus.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+
+    def plane_dot(vec):
+        # plane (t, p) component d: hash-derived uniform in [-0.5, 0.5)
+        idx = F.sequence(F.lit(0), F.lit(dim - 1))
+        terms = F.transform(
+            idx,
+            lambda d: F.element_at(vec, d + 1).cast("double")
+            * (
+                (F.xxhash64(F.col("t"), F.col("p"), d) % 10007).cast("double") / 10007.0
+                - 0.5
+            ),
+        )
+        return F.aggregate(terms, F.lit(0.0), lambda a, x: a + x)
+
+    tables = F.explode(F.sequence(F.lit(0), F.lit(n_tables - 1))).alias("t")
+    planes = F.explode(F.sequence(F.lit(0), F.lit(n_planes - 1))).alias("p")
+    sigs = (
+        emb.select("vec_id", "embedding", tables)
+        .select("vec_id", "embedding", "t", planes)
+        .withColumn("bit", F.when(plane_dot(F.col("embedding")) >= 0, 1).otherwise(0))
+        .groupBy("vec_id", "t")
+        .agg(F.sum(F.expr("bit * shiftleft(1L, p)")).alias("bucket"))
+    )
+    bucketed = emb.join(sigs, "vec_id").select("vec_id", "embedding", "t", "bucket")
+    queries = bucketed.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q"), "t", "bucket"
+    )
+    cands = bucketed.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c"), "t", "bucket"
+    )
+    pairs = (
+        cands.join(F.broadcast(queries), ["t", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        # a pair can collide in several tables — dedupe before re-ranking
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.first("q").alias("q"), F.first("c").alias("c"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        cosine_expr(F.col("q"), F.col("c")).desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def embedding_near_dup_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.35
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by ``label`` (the cluster
+    id) so the pair join is an equi-join on the block key instead of
+    all-pairs — the embedding analog of shingle blocking. Exact DECIMAL
+    cosine so the DuckDB oracle hash-matches."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "label")
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "label")
+    dot = dot_decimal_expr(F.col("va"), F.col("vb")).cast("double")
+    na = sq_norm_decimal_expr(F.col("va")).cast("double")
+    nb = sq_norm_decimal_expr(F.col("vb")).cast("double")
+    key = dot * F.abs(dot) / (na * nb)
+    return (
+        a.join(b, "label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_key", key)
+        .filter(F.col("cos_key") >= threshold * abs(threshold))
+        .select("label", "id_a", "id_b")
+    )

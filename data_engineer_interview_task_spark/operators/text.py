@@ -1,0 +1,118 @@
+"""Text-analysis operators over ``documents`` (SURVEY.md §2.8): quality
+scoring, token counting, language-ID heuristic, fingerprinting. All pure
+column expressions (whole-stage codegen; no Python in the hot path), each
+with an ANSI-SQL twin for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import read_table
+
+#: tiny deterministic stopword list for quality scoring
+STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "to", "in")
+
+#: language marker words for the n-gram/lexicon heuristic. The testdata text
+#: is synthetic English-vocabulary word salad, so markers are chosen from
+#: that vocabulary purely to make the heuristic deterministic and testable.
+LANG_MARKERS: tuple[tuple[str, str], ...] = (
+    ("en", "the"),
+    ("es", "el"),
+    ("de", "der"),
+    ("fr", "le"),
+)
+
+
+def _tokens(text_col):
+    return F.split(text_col, " ")
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features: char/token counts, distinct-token
+    ratio (repetitiveness), mean token length, stopword ratio. These are
+    the standard cheap quality filters for pretraining corpora; each is a
+    single pass over the tokens array — narrow, no shuffle at all."""
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "toks", _tokens(F.col("text"))
+    )
+    toks = F.col("toks")
+    n_toks = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    total_tok_len = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        n_toks.cast("long").alias("n_tokens"),
+        n_distinct.cast("long").alias("n_distinct_tokens"),
+        # raw IEEE divisions of exact integers — bit-identical across
+        # engines, unlike round(), whose half-case handling can differ
+        (n_distinct.cast("double") / n_toks).alias("distinct_ratio"),
+        (total_tok_len.cast("double") / n_toks).alias("avg_token_len"),
+        (stop_hits.cast("double") / n_toks).alias("stopword_ratio"),
+    )
+
+
+def token_counts(spark: SparkSession, sf_dir: str, min_count: int = 1) -> DataFrame:
+    """Corpus-level token frequency: explode -> hash-aggregate. The
+    classic vocabulary-building pass; partial aggregation makes the
+    exchange carry one row per (partition, token), so at 100 TB the
+    shuffle is bounded by vocabulary size x partitions, not corpus size."""
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(_tokens(F.col("text"))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: count marker-word hits per language, pick the
+    max (ties broken by marker order, 'en' first; no hits -> 'und').
+    A lexicon-profile classifier as a CASE-expression cascade — the shape
+    of real n-gram lang-ID (score profiles, argmax), kept SQL-expressible."""
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "toks", _tokens(F.col("text"))
+    )
+    toks = F.col("toks")
+
+    def marker_hits(marker: str):
+        # NB: the lambda must be unary — a second parameter would be bound
+        # to the array index by F.filter's (element, index) overload.
+        return F.size(F.filter(toks, lambda t: t == F.lit(marker)))
+
+    scores = {lang: marker_hits(marker) for lang, marker in LANG_MARKERS}
+    best = None
+    for lang, _ in LANG_MARKERS:
+        cond = scores[lang] > 0
+        for other, _ in LANG_MARKERS:
+            if other == lang:
+                break
+            cond = cond & (scores[lang] > scores[other])
+        best = F.when(cond, lang) if best is None else best.when(cond, lang)
+    pred = best.otherwise("und")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        pred.alias("predicted_lang"),
+    )
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic document fingerprints: md5 over whitespace-normalized
+    lowercase text (cross-engine stable), plus a 16-hex-digit prefix as a
+    compact 64-bit-equivalent key. The dedup-blocking fingerprint pass."""
+    docs = read_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    fp = F.md5(norm)
+    return docs.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.substring(fp, 1, 16).alias("fingerprint64"),
+    )

@@ -1,0 +1,53 @@
+"""Session tuning + plan inspection.
+
+The driver hands us an arbitrary ``SparkSession``; every query entry point
+calls :func:`prep_session` first so results are deterministic regardless of
+the ambient config (timezone for timestamp->pandas conversion, nanosecond
+parquet handling, AQE for runtime re-planning at scale).
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Runtime-settable confs applied to any session we receive. Everything here
+# is a deliberate scale/determinism choice:
+#  - UTC session tz: value-hash parity with the DuckDB oracle on timestamps.
+#  - nanosAsLong: driver testdata writes timestamp[ns] parquet (events.ts),
+#    which Spark 4 otherwise refuses to read; sources/ converts to micros.
+#  - AQE + coalesce + skew-join: runtime re-planning is the 100 TB story for
+#    shuffle sizing and skewed keys.
+#  - Arrow: vectorized Python<->JVM transfer for the few pandas-UDF paths.
+_SESSION_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # exact ANSI-interval/ansi off: keep permissive defaults for oracle parity
+    "spark.sql.parquet.aggregatePushdown": "true",
+}
+
+
+def prep_session(spark: SparkSession) -> SparkSession:
+    """Apply deterministic/tuning confs to an externally-provided session."""
+    for k, v in _SESSION_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Non-runtime conf on this build: keep going, defaults are sane.
+            pass
+    return spark
+
+
+def explain_str(df: DataFrame, mode: str = "formatted") -> str:
+    """Capture ``df.explain(mode)`` output as a string (for tests/CI checks
+    asserting on pushed filters, broadcast joins, codegen spans)."""
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()

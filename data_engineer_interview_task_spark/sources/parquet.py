@@ -1,0 +1,55 @@
+"""Parquet sources for the driver testdata star schema.
+
+Reference parity: the reference's only source is a Google Trends HTTP fetch
+(``dags/google_trends_to_bigquery.py:36-38``); our engine's canonical source
+is columnar parquet, which is what a 100 TB deployment reads. Readers return
+lazy DataFrames so Catalyst can push filters/projections into the scan
+(verify with ``plans.explain_str`` -> ``PushedFilters`` / ``ReadSchema``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans import prep_session
+
+#: Every driver-provided table (TESTDATA.md / FIXTURES.md §2).
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table as a lazy DataFrame.
+
+    ``events.ts`` is stored as parquet ``TIMESTAMP(NANOS)`` which Spark reads
+    (under ``nanosAsLong``) as epoch-nanos LongType; we convert to a proper
+    microsecond timestamp with *integer* division — double division would
+    lose precision above 2^53 nanos (~1970+104 days).
+    """
+    prep_session(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
+    """Load several tables at once; also registers each as a temp view so
+    ``spark.sql`` queries can reference them by name."""
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        df = read_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

