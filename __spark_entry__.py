@@ -22,10 +22,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 from data_engineer_interview_task_spark.operators import (
     dedup,
+    extended,
     multimodal,
     relational,
     similarity,
     text,
+    trends,
 )
 from data_engineer_interview_task_spark.functions.dates import previous_week_exprs
 from data_engineer_interview_task_spark.sources import read_table
@@ -134,6 +136,31 @@ def _previous_week_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _trends_pipeline_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENTIRE reference pipeline (W:45-112) end-to-end as one lazy
+    lineage, on a deterministic trends-wide matrix derived from nation:
+    25 countries x the 5 real search terms, interest = arithmetic on
+    (nationkey, term index) with every 5th country forced all-42 so the
+    same-interest drop rule (W:70-87) fires. Exercises SURVEY §2 rows
+    8-20 verbatim, including the unpivot and the vpn-last tie-break."""
+    nation = read_table(spark, sf_dir, "nation")
+
+    def interest(term: str, ti: int):
+        return F.when(F.col("n_nationkey") % 5 == 0, F.lit(42)).otherwise(
+            (F.col("n_nationkey") * (ti + 3) * 7 + len(term)) % 101
+        )
+
+    wide = nation.select(
+        F.col("n_name").alias("country"),
+        *[
+            interest(t, i).alias(t)
+            for i, t in enumerate(trends.DEFAULT_TERMS)
+        ],
+    )
+    out = trends.trends_pipeline(wide, "2021-01-04", "2021-01-10")
+    return out.withColumn("interest", F.col("interest").cast("long"))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -144,6 +171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # reference surface
         "flagship_pipeline": relational.flagship_pipeline,
+        "trends_pipeline_synthetic": _trends_pipeline_synthetic,
         "unpivot_part_metrics": _unpivot_part_metrics,
         "filter_isin_projection": _filter_isin_projection,
         "const_cols_rename_project": _const_cols_rename_project,
@@ -168,6 +196,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": similarity.brute_force_topk,
         "similarity_topk_lsh": similarity.srp_lsh_topk,  # rows-only (approx)
         "embedding_near_dup": similarity.embedding_near_dup_pairs,
+        # extended relational surface (absent from the reference, §2.7)
+        "rollup_order_counts": extended.rollup_order_counts,
+        "cube_lineitem_flags": extended.cube_lineitem_flags,
+        "nations_set_ops": extended.nations_set_ops,
+        "customers_without_orders": extended.customers_without_orders,
+        "nation_order_outer": extended.nation_order_outer,
+        "order_gaps_lead_lag": extended.order_gaps_lead_lag,
+        "extract_event_props": extended.extract_event_props,
+        "part_string_features": extended.part_string_features,
+        "orders_range_join": extended.orders_range_join,
+        "global_top_lineitems": extended.global_top_lineitems,
+        "supplier_stats": extended.supplier_stats,
         # text analysis
         "text_quality": text.text_quality,
         "token_counts": text.token_counts,
@@ -222,6 +262,114 @@ SELECT b.l_suppkey, b.l_returnflag,
                   CASE WHEN b.l_returnflag = 'N' THEN 0 ELSE 1 END DESC,
                   b.l_returnflag ASC) AS INTEGER) AS ranking
 FROM base b WHERE b.l_suppkey IN (SELECT l_suppkey FROM keep)
+""",
+        "trends_pipeline_synthetic": """
+WITH terms(search_term, ti) AS (
+  VALUES ('vpn', 0), ('hack', 1), ('cyber', 2), ('security', 3), ('wifi', 4)
+),
+long AS (
+  SELECT n_name AS country, '2021-01-04' AS week_start, '2021-01-10' AS week_end,
+         search_term,
+         CASE WHEN n_nationkey % 5 = 0 THEN 42
+              ELSE (n_nationkey * (ti + 3) * 7 + length(search_term)) % 101
+         END AS interest
+  FROM nation CROSS JOIN terms
+),
+keep AS (
+  SELECT DISTINCT country FROM (
+    SELECT country, interest, COUNT(DISTINCT search_term) AS c
+    FROM long GROUP BY country, interest HAVING COUNT(DISTINCT search_term) < 5
+  )
+)
+SELECT country, week_start, week_end, search_term,
+       CAST(interest AS BIGINT) AS interest,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY country, week_start
+         ORDER BY interest DESC,
+                  CASE WHEN search_term = 'vpn' THEN 0 ELSE 1 END DESC,
+                  search_term ASC) AS INTEGER) AS ranking
+FROM long WHERE country IN (SELECT country FROM keep)
+""",
+        "rollup_order_counts": """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+        "cube_lineitem_flags": """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+        "nations_set_ops": """
+(SELECT DISTINCT c_nationkey AS nationkey FROM customer
+ INTERSECT
+ SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+EXCEPT ALL
+(SELECT DISTINCT s_nationkey AS nationkey FROM supplier WHERE s_acctbal < 0)
+""",
+        "customers_without_orders": """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+""",
+        "nation_order_outer": """
+SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+       c.n_customers, s.n_suppliers
+FROM (SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers
+      FROM customer GROUP BY 1) c
+FULL OUTER JOIN
+     (SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers
+      FROM supplier GROUP BY 1) s
+USING (nationkey)
+""",
+        "order_gaps_lead_lag": """
+SELECT o_custkey, o_orderkey,
+       lag(o_orderkey) OVER w AS prev_orderkey,
+       lead(o_orderkey) OVER w AS next_orderkey,
+       CAST(date_diff('day', lag(o_orderdate) OVER w, o_orderdate) AS INTEGER)
+         AS days_since_prev,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_3_total
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+""",
+        "extract_event_props": """
+SELECT event_id, event_type,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events
+""",
+        "part_string_features": """
+SELECT p_partkey,
+       upper(p_name) AS name_upper,
+       substring(p_name, 1, 5) AS name_prefix,
+       string_split(p_name, ' ')[1] AS first_word,
+       CAST(length(p_name) AS BIGINT) AS name_len,
+       reverse(p_brand) AS brand_rev,
+       lpad(p_type, 12, '_') AS type_padded,
+       (p_name LIKE '%a%') AS has_a
+FROM part
+""",
+        "orders_range_join": """
+SELECT a.o_custkey AS custkey,
+       a.o_orderkey AS first_orderkey,
+       b.o_orderkey AS second_orderkey
+FROM orders a JOIN orders b
+  ON a.o_custkey = b.o_custkey
+ AND b.o_orderdate > a.o_orderdate
+ AND b.o_orderdate <= a.o_orderdate + INTERVAL 30 DAY
+""",
+        "global_top_lineitems": """
+SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC, l_returnflag ASC
+LIMIT 100
+""",
+        "supplier_stats": """
+SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers,
+       MIN(s_acctbal) AS min_bal, MAX(s_acctbal) AS max_bal,
+       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+FROM supplier GROUP BY s_nationkey
 """,
         "unpivot_part_metrics": """
 SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part

@@ -1,0 +1,203 @@
+"""Extended relational surface beyond the reference's 26 rows (SURVEY.md
+§2.7 lists these whole categories as absent from the reference): grouping
+sets, set operations, anti/outer joins, analytic window frames, JSON/string
+scalar functions, range joins, global top-k. A user migrating real
+workloads onto this engine needs them; each is oracle-checked against
+DuckDB and designed shuffle-consciously.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import read_table
+
+
+def rollup_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP (status, priority): the hierarchy-subtotal pattern.
+    Spark expands rollup into one aggregation over grouping sets — one
+    exchange, not one scan per level."""
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+        )
+    )
+
+
+def cube_lineitem_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE over the two lineitem status dimensions."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+    )
+
+
+def nations_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: nation keys that have customers INTERSECT those that
+    have suppliers, EXCEPT those with any 'F'-status order customers —
+    union/intersect/except as hash-based set operators."""
+    customer = read_table(spark, sf_dir, "customer")
+    supplier = read_table(spark, sf_dir, "supplier")
+    cust_nations = customer.select(F.col("c_nationkey").alias("nationkey")).distinct()
+    supp_nations = supplier.select(F.col("s_nationkey").alias("nationkey")).distinct()
+    negative_supp_nations = (
+        supplier.filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_nationkey").alias("nationkey"))
+        .distinct()
+    )
+    return cust_nations.intersect(supp_nations).exceptAll(negative_supp_nations)
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: customers with no in-progress ('P') order — ``left_anti``,
+    the distributed NOT EXISTS (null-safe, unlike SQL NOT IN with nulls)."""
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    p_orders = orders.filter(F.col("o_orderstatus") == "P").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return customer.join(p_orders, "c_custkey", "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+def nation_order_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join: per-nation customer count vs supplier count —
+    nations having only one side still appear (null-filled)."""
+    customer = read_table(spark, sf_dir, "customer")
+    supplier = read_table(spark, sf_dir, "supplier")
+    c = customer.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    s = supplier.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_suppliers")
+    )
+    return c.join(s, "nationkey", "full_outer").select(
+        "nationkey", "n_customers", "n_suppliers"
+    )
+
+
+def order_gaps_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic windows beyond ranking: lag/lead over each customer's order
+    history plus a 3-row moving sum (frame ROWS BETWEEN 2 PRECEDING AND
+    CURRENT ROW). One exchange on the partition key serves all three."""
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    frame = w.rowsBetween(-2, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("days_since_prev"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(frame)
+        .cast("double")
+        .alias("moving_3_total"),
+    )
+
+
+def extract_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar functions over the events.props column: extract a typed
+    field per row — JVM-side JSON path evaluation, no UDF."""
+    events = read_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+
+
+def part_string_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar-function surface on part names: case mapping,
+    substring, split-element, length, reverse, padding, LIKE."""
+    part = read_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("first_word"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.reverse(F.col("p_brand")).alias("brand_rev"),
+        F.lpad("p_type", 12, "_").alias("type_padded"),
+        F.col("p_name").like("%a%").alias("has_a"),
+    )
+
+
+def orders_range_join(spark: SparkSession, sf_dir: str, days: int = 30) -> DataFrame:
+    """Interval/range join: pairs of orders by the same customer at most
+    ``days`` days apart (strictly later second order).
+
+    The naive form is an inequality join — per-key quadratic blowup and a
+    broadcast-nested-loop plan at scale. This implementation decomposes it
+    into an equi-join: bucket both sides into ``days``-wide epochs, join on
+    (customer, bucket) with the left side exploded over {bucket, bucket+1}
+    (a window of width ``days`` can only span two adjacent buckets), then
+    re-check the exact range predicate. Everything stays a hash join."""
+    orders = read_table(spark, sf_dir, "orders")
+    # integer epoch-day, integer bucket — float division would risk off-by-
+    # one at bucket edges; o_orderdate is TIMESTAMP_NTZ in the parquet, and
+    # unix_micros takes TIMESTAMP, hence the cast (session tz is UTC)
+    bucket = F.expr(
+        f"(unix_micros(cast(o_orderdate as timestamp)) div 86400000000) div {days}"
+    )
+    a = orders.select(
+        F.col("o_orderkey").alias("first_orderkey"),
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").alias("first_date"),
+        F.explode(F.array(bucket, bucket + 1)).alias("bucket"),
+    )
+    b = orders.select(
+        F.col("o_orderkey").alias("second_orderkey"),
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").alias("second_date"),
+        bucket.alias("bucket"),
+    )
+    return (
+        a.join(b, ["custkey", "bucket"])
+        .filter(
+            (F.col("second_date") > F.col("first_date"))
+            & (F.col("second_date") <= F.col("first_date") + F.expr(f"INTERVAL {days} DAYS"))
+        )
+        .select("custkey", "first_orderkey", "second_orderkey")
+    )
+
+
+def global_top_lineitems(spark: SparkSession, sf_dir: str, k: int = 100) -> DataFrame:
+    """Global top-k with a total tie-break order: Spark plans
+    orderBy+limit as TakeOrderedAndProject — per-partition heaps + a
+    driver-side k-merge, never a full global sort."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy(
+            F.col("l_extendedprice").desc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+            F.col("l_returnflag").asc(),
+        )
+        .limit(k)
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
+    )
+
+
+def supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-function surface per nation over supplier balances:
+    count/min/max plus an exact mean derived from a DECIMAL sum (never a
+    double sum — partition-order dependent)."""
+    supplier = read_table(spark, sf_dir, "supplier")
+    dec_sum = F.sum(F.col("s_acctbal").cast("decimal(18,2)"))
+    return supplier.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.min("s_acctbal").alias("min_bal"),
+        F.max("s_acctbal").alias("max_bal"),
+        (dec_sum.cast("double") / F.count(F.lit(1))).alias("avg_bal"),
+    )
