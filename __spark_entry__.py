@@ -161,6 +161,19 @@ def _trends_pipeline_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("interest", F.col("interest").cast("long"))
 
 
+def _streaming_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming weekly rollup run to completion (availableNow
+    trigger, memory sink) and returned as a batch DataFrame. Rows-only
+    check: streaming plans aren't DuckDB-expressible, and window() aligns
+    to the epoch rather than ISO Mondays."""
+    import tempfile
+
+    from data_engineer_interview_task_spark.streaming import run_weekly_rollup_once
+
+    work = tempfile.mkdtemp(prefix="stream_rollup_")
+    return run_weekly_rollup_once(spark, sf_dir, work)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -213,8 +226,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": text.token_counts,
         "lang_id": text.lang_id,
         "doc_fingerprints": text.doc_fingerprints,
+        "term_doc_stats": text.term_doc_stats,
+        "pivot_status_by_flag": extended.pivot_status_by_flag,
         # multimodal plumbing
         "multimodal_meta": multimodal.multimodal_meta,
+        "multimodal_features": multimodal.multimodal_features,  # pandas-UDF path
+        # structured streaming (availableNow harness) — rows-only
+        "streaming_weekly_rollup": _streaming_weekly_rollup,
     }
 
 
@@ -583,5 +601,23 @@ FROM documents
 SELECT doc_id, 'text/plain' AS modality,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
 FROM documents
+""",
+        "multimodal_features": """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha256
+FROM documents
+""",
+        "term_doc_stats": """
+SELECT token, COUNT(DISTINCT doc_id) AS doc_freq, COUNT(*) AS term_freq
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+WHERE token <> '' GROUP BY token
+""",
+        "pivot_status_by_flag": """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_A,
+       CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS n_N,
+       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_R
+FROM lineitem GROUP BY l_linestatus
 """,
     }

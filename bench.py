@@ -61,11 +61,13 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()  # warm: plan + JIT + cache OS pages
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm: plan + JIT + OS page cache
+        best = float("inf")
+        for _ in range(2):  # best-of-2 damps GC/JIT jitter in local mode
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

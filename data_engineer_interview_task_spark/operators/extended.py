@@ -189,6 +189,25 @@ def global_top_lineitems(spark: SparkSession, sf_dir: str, k: int = 100) -> Data
     )
 
 
+def pivot_status_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (the inverse of SURVEY §2 row 8's unpivot): lineitem counts as
+    a (linestatus x returnflag) matrix. Explicit pivot values keep the
+    output schema static — at scale, never let pivot infer values with an
+    extra distinct-scan job."""
+    li = read_table(spark, sf_dir, "lineitem")
+    pivoted = (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.count(F.lit(1)))
+    )
+    # count yields null for absent combinations; normalize to 0 like the
+    # CASE-sum oracle formulation
+    return pivoted.select(
+        "l_linestatus",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(f"n_{c}") for c in ("A", "N", "R")],
+    )
+
+
 def supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate-function surface per nation over supplier balances:
     count/min/max plus an exact mean derived from a DECIMAL sum (never a

@@ -87,13 +87,22 @@ def extract_features(df: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
     ``repartition`` upstream only to right-size batches for codec memory."""
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # self-contained closure: no references to this package's module
+        # globals. cloudpickle serializes those by module name and Spark's
+        # Python WORKERS would then have to import the package — which
+        # fails whenever the driver process wasn't started in the repo
+        # directory. bytes(b) is the fake_decode identity stand-in.
+        import hashlib as _h
+
+        import pandas as _pd
+
         for pdf in batches:
-            decoded = pdf["payload"].map(fake_decode)
-            yield pd.DataFrame(
+            decoded = pdf["payload"].map(bytes)
+            yield _pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "n_bytes": decoded.map(len).astype("int64"),
-                    "sha1": decoded.map(lambda b: hashlib.sha1(b).hexdigest()),
+                    "sha1": decoded.map(lambda b: _h.sha1(b).hexdigest()),
                     "modality": pdf["modality"],
                 }
             )
@@ -106,3 +115,37 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM-side (octet_length of the utf-8 payload) — proves the binary
     column plumbing without Python."""
     return attach_payload(spark, sf_dir).select("doc_id", "modality", "n_bytes")
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched pandas feature extraction AS a checked query: sha256 +
+    byte length of each binary payload via ``mapInPandas``. sha256 is
+    deterministic across engines, so this is the rare Python-UDF path with
+    an exact DuckDB oracle — it proves the full Python<->JVM Arrow plumbing
+    end-to-end, not just the JVM expression surface."""
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("n_bytes", LongType()),
+            StructField("sha256", StringType()),
+        ]
+    )
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # self-contained (see extract_features): workers must not need to
+        # import this package
+        import hashlib as _h
+
+        import pandas as _pd
+
+        for pdf in batches:
+            decoded = pdf["payload"].map(bytes)
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": decoded.map(len).astype("int64"),
+                    "sha256": decoded.map(lambda b: _h.sha256(b).hexdigest()),
+                }
+            )
+
+    return attach_payload(spark, sf_dir).mapInPandas(_extract, schema=schema)

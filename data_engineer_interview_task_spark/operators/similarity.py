@@ -20,6 +20,8 @@ from pyspark.sql import functions as F
 from ..functions.vector import (
     cosine_expr,
     dot_decimal_expr,
+    dot_expr,
+    norm_expr,
     sq_norm_decimal_expr,
 )
 from ..sources import read_table
@@ -47,24 +49,34 @@ def brute_force_topk(
     sign(dot) * dot² / (|a|²|b|²) which is monotone in cosine.
     """
     emb = read_table(spark, sf_dir, "embeddings")
+    # norms are per-VECTOR: compute them once on each side before the pair
+    # join instead of per pair (array lambdas are interpreted, not
+    # codegen'd — per-pair norm recomputation tripled the hot-loop cost)
+    if exact_decimal:
+        norm_of = lambda c: sq_norm_decimal_expr(c).cast("double")  # noqa: E731
+    else:
+        norm_of = lambda c: norm_expr(c) * norm_expr(c)  # noqa: E731
     queries = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q"),
+        norm_of(F.col("embedding")).alias("qn"),
     )
-    cands = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c"))
+    cands = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c"),
+        norm_of(F.col("embedding")).alias("cn"),
+    )
     joined = cands.crossJoin(F.broadcast(queries)).filter(
         F.col("query_id") != F.col("neighbor_id")
     )
     if exact_decimal:
-        # DECIMAL-accumulated dot/norms (partition-order independent), then a
+        # DECIMAL-accumulated dot (partition-order independent), then a
         # handful of IEEE ops: key = dot*|dot| / (|q|^2 |c|^2), monotone in
         # cosine. Squaring happens in double — decimal^2 would overflow p38.
         dot = dot_decimal_expr(F.col("q"), F.col("c")).cast("double")
-        qn = sq_norm_decimal_expr(F.col("q")).cast("double")
-        cn = sq_norm_decimal_expr(F.col("c")).cast("double")
-        key = dot * F.abs(dot) / (qn * cn)
-        scored = joined.withColumn("ord_key", key)
     else:
-        scored = joined.withColumn("ord_key", cosine_expr(F.col("q"), F.col("c")))
+        dot = dot_expr(F.col("q"), F.col("c"))
+    scored = joined.withColumn("ord_key", dot * F.abs(dot) / (F.col("qn") * F.col("cn")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("ord_key").desc(), F.col("neighbor_id").asc()
     )
@@ -97,31 +109,43 @@ def srp_lsh_topk(
     — never all-pairs; candidate volume per query ~ L * N / 2^b, tuned by
     (b, L) against the similarity profile of the corpus.
     """
+    import hashlib
+
     emb = read_table(spark, sf_dir, "embeddings")
 
-    def plane_dot(vec):
-        # plane (t, p) component d: hash-derived uniform in [-0.5, 0.5)
-        idx = F.sequence(F.lit(0), F.lit(dim - 1))
-        terms = F.transform(
-            idx,
-            lambda d: F.element_at(vec, d + 1).cast("double")
-            * (
-                (F.xxhash64(F.col("t"), F.col("p"), d) % 10007).cast("double") / 10007.0
-                - 0.5
-            ),
-        )
-        return F.aggregate(terms, F.lit(0.0), lambda a, x: a + x)
+    def plane_weight(t: int, p: int, d: int) -> float:
+        # deterministic pseudo-random weight in [-0.5, 0.5), derived
+        # driver-side (planes are tiny constants — no reason to burn
+        # executor cycles hashing per element, and literal weights keep the
+        # whole dot product inside whole-stage codegen, unlike array
+        # lambdas which Spark evaluates interpreted)
+        h = int.from_bytes(hashlib.md5(f"{t}:{p}:{d}".encode()).digest()[:4], "big")
+        return h / 2**32 - 0.5
 
-    tables = F.explode(F.sequence(F.lit(0), F.lit(n_tables - 1))).alias("t")
-    planes = F.explode(F.sequence(F.lit(0), F.lit(n_planes - 1))).alias("p")
-    sigs = (
-        emb.select("vec_id", "embedding", tables)
-        .select("vec_id", "embedding", "t", planes)
-        .withColumn("bit", F.when(plane_dot(F.col("embedding")) >= 0, 1).otherwise(0))
-        .groupBy("vec_id", "t")
-        .agg(F.sum(F.expr("bit * shiftleft(1L, p)")).alias("bucket"))
+    # The projection `vectors x planes` is a matrix multiply; the Spark-
+    # native formulation is posexplode -> broadcast-join the (tiny, literal)
+    # plane-weight table -> hash aggregate. Everything stays in whole-stage
+    # codegen — array lambdas would be interpreted, and flat 2048-term
+    # expressions blow up janino compilation. Scales linearly in rows.
+    planes_df = spark.createDataFrame(
+        [
+            (t, p, d, plane_weight(t, p, d))
+            for t in range(n_tables)
+            for p in range(n_planes)
+            for d in range(dim)
+        ],
+        "t int, p int, d int, w double",
     )
-    bucketed = emb.join(sigs, "vec_id").select("vec_id", "embedding", "t", "bucket")
+    ex = emb.select("vec_id", F.posexplode("embedding").alias("d", "x"))
+    buckets = (
+        ex.join(F.broadcast(planes_df), "d")
+        .groupBy("vec_id", "t", "p")
+        .agg(F.sum(F.col("x").cast("double") * F.col("w")).alias("s"))
+        .withColumn("bit", F.when(F.col("s") >= 0, F.expr("shiftleft(1L, p)")).otherwise(F.lit(0)))
+        .groupBy("vec_id", "t")
+        .agg(F.sum("bit").cast("long").alias("bucket"))
+    )
+    bucketed = emb.join(buckets, "vec_id").select("vec_id", "embedding", "t", "bucket")
     queries = bucketed.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q"), "t", "bucket"
     )
@@ -153,12 +177,22 @@ def embedding_near_dup_pairs(
     all-pairs — the embedding analog of shingle blocking. Exact DECIMAL
     cosine so the DuckDB oracle hash-matches."""
     emb = read_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "label")
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "label")
+    # per-vector norms precomputed before the pair join (see brute_force_topk)
+    norm_of = lambda c: sq_norm_decimal_expr(c).cast("double")  # noqa: E731
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        norm_of(F.col("embedding")).alias("na"),
+        "label",
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        norm_of(F.col("embedding")).alias("nb"),
+        "label",
+    )
     dot = dot_decimal_expr(F.col("va"), F.col("vb")).cast("double")
-    na = sq_norm_decimal_expr(F.col("va")).cast("double")
-    nb = sq_norm_decimal_expr(F.col("vb")).cast("double")
-    key = dot * F.abs(dot) / (na * nb)
+    key = dot * F.abs(dot) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, "label")
         .filter(F.col("id_a") < F.col("id_b"))

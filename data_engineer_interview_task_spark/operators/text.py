@@ -104,6 +104,22 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def term_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF building blocks as exact integers: per token, document
+    frequency (distinct docs containing it) and total term frequency.
+    The idf itself (a log) is left to the caller: log implementations can
+    differ at the ULP level across engines, but these integer inputs are
+    exact everywhere. One explode + one aggregation."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    return pairs.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("doc_freq"),
+        F.count(F.lit(1)).alias("term_freq"),
+    )
+
+
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic document fingerprints: md5 over whitespace-normalized
     lowercase text (cross-engine stable), plus a 16-hex-digit prefix as a
