@@ -221,6 +221,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_range_join": extended.orders_range_join,
         "global_top_lineitems": extended.global_top_lineitems,
         "supplier_stats": extended.supplier_stats,
+        "daily_spine_ffill": extended.daily_spine_ffill,
+        "label_centroids": extended.label_centroids,
+        "sql_interface_shipping_priority": extended.sql_interface_shipping_priority,
+        "approx_distinct_parts": extended.approx_distinct_parts,  # rows-only (HLL)
         # text analysis
         "text_quality": text.text_quality,
         "token_counts": text.token_counts,
@@ -388,6 +392,47 @@ SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers,
        MIN(s_acctbal) AS min_bal, MAX(s_acctbal) AS max_bal,
        CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_bal
 FROM supplier GROUP BY s_nationkey
+""",
+        "daily_spine_ffill": """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         SUM(CAST(value AS DECIMAL(18,2))) AS day_value
+  FROM events GROUP BY 1, 2
+),
+spine AS (
+  SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM (SELECT user_id, CAST(MIN(day) AS TIMESTAMP) AS d0,
+               CAST(MAX(day) AS TIMESTAMP) AS d1
+        FROM daily GROUP BY user_id)
+)
+SELECT s.user_id, s.day,
+       (d.day_value IS NOT NULL) AS had_events,
+       CAST(last_value(d.day_value IGNORE NULLS) OVER (
+         PARTITION BY s.user_id ORDER BY s.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS filled_value
+FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+""",
+        "label_centroids": """
+SELECT label, CAST(i AS INTEGER) AS dim,
+       CAST(SUM(CAST(CAST(embedding[i + 1] AS DOUBLE) AS DECIMAL(20,9)))
+            AS DOUBLE) / COUNT(*) AS centroid,
+       COUNT(*) AS n_vectors
+FROM embeddings, (SELECT unnest(range(64)) AS i) t
+GROUP BY label, i
+""",
+        "sql_interface_shipping_priority": """
+SELECT l_orderkey,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+            (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6)))
+            AS DOUBLE) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate  > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
 """,
         "unpivot_part_metrics": """
 SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part

@@ -208,6 +208,104 @@ def pivot_status_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def daily_spine_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + forward fill: one row per (user, calendar
+    day) across each user's active span, carrying the last event's value
+    forward over gap days.
+
+    Spine generation is ``sequence(min_day, max_day)`` + explode (no
+    driver loop); the fill is ``last(value, ignorenulls)`` over an
+    unbounded-preceding window — a single exchange on user_id. The classic
+    gap-filling pattern for feature tables."""
+    events = read_table(spark, sf_dir, "events")
+    daily = (
+        events.groupBy(
+            "user_id", F.to_date("ts").alias("day")
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("day_value"))
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .withColumn("filled_value", F.last("day_value", ignorenulls=True).over(w))
+        .select(
+            "user_id",
+            "day",
+            F.col("day_value").isNotNull().alias("had_events"),
+            F.col("filled_value").cast("double").alias("filled_value"),
+        )
+    )
+
+
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid, one row per (label, dimension) — the
+    vector-aggregate shape behind IVF coarse quantizers and k-means steps.
+    posexplode -> hash aggregate; the mean is an exact DECIMAL sum divided
+    by the count (double sums would be partition-order dependent)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+    # scale 9, not 14: double->decimal rounding must agree across engines
+    # on a value that is EMITTED (DuckDB scales in floating point, so the
+    # last representable digit can round differently; at scale 9 the
+    # rounding boundary sits ~1e9 ulps above that noise)
+    return ex.groupBy("label", "dim").agg(
+        (
+            F.sum(F.col("x").cast("double").cast("decimal(20,9)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("centroid"),
+        F.count(F.lit(1)).alias("n_vectors"),
+    )
+
+
+def sql_interface_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped query issued through ``spark.sql`` over registered
+    temp views — the engine's SQL front door (same Catalyst plan as the
+    DataFrame form; proves both APIs are first-class)."""
+    from ..sources import load_tables
+
+    load_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
+    return spark.sql(
+        """
+        SELECT l_orderkey,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6)))
+                    AS DOUBLE) AS revenue,
+               o_orderdate, o_orderpriority
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15'
+          AND l_shipdate  > TIMESTAMP '1995-03-15'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        """
+    )
+
+
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (HLL sketch): distinct part count per
+    supplier, with the exact count alongside. At 100 TB the sketch avoids
+    the exact-distinct shuffle explosion; rows-only check (HLL estimates
+    are engine-specific by construction)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
 def supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate-function surface per nation over supplier balances:
     count/min/max plus an exact mean derived from a DECIMAL sum (never a
