@@ -174,6 +174,19 @@ def _streaming_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_weekly_rollup_once(spark, sf_dir, work)
 
 
+def _streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): gap-
+    based sessionization with O(users) state. Rows-only check; the exact
+    semantics are pinned by tests/test_streaming_sessions.py, which proves
+    the emitted sessions equal the batch operator's closed sessions."""
+    import tempfile
+
+    from data_engineer_interview_task_spark.streaming import run_sessionize_once
+
+    work = tempfile.mkdtemp(prefix="stream_sessions_")
+    return run_sessionize_once(spark, sf_dir, work)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -208,6 +221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "similarity_topk": similarity.brute_force_topk,
         "similarity_topk_lsh": similarity.srp_lsh_topk,  # rows-only (approx)
+        "similarity_topk_ivf": similarity.ivf_topk,  # rows-only (approx)
         "embedding_near_dup": similarity.embedding_near_dup_pairs,
         # extended relational surface (absent from the reference, §2.7)
         "rollup_order_counts": extended.rollup_order_counts,
@@ -237,6 +251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": multimodal.multimodal_features,  # pandas-UDF path
         # structured streaming (availableNow harness) — rows-only
         "streaming_weekly_rollup": _streaming_weekly_rollup,
+        "streaming_sessionize": _streaming_sessionize,
     }
 
 

@@ -19,22 +19,33 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
     "flagship_pipeline",
+    "trends_pipeline_synthetic",
     "pricing_summary",
     "revenue_by_nation",
+    "sql_interface_shipping_priority",
     "top_orders_per_customer",
     "rank_window_tiebreak",
     "semi_join_filter",
+    "rollup_order_counts",
+    "order_gaps_lead_lag",
+    "orders_range_join",
     "asof_join_events_orders",
     "sessionize_events",
+    "daily_spine_ffill",
     "weekly_event_rollup",
     "exact_dedup",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
+    "simhash_signatures",
     "similarity_topk",
     "similarity_topk_lsh",
+    "similarity_topk_ivf",
+    "label_centroids",
     "text_quality",
     "token_counts",
+    "term_doc_stats",
     "doc_fingerprints",
+    "multimodal_features",
 ]
 
 

@@ -169,6 +169,71 @@ def srp_lsh_topk(
     )
 
 
+def ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 5,
+    k: int = 10,
+    n_probe: int = 3,
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize vectors to centroid cells, probe only
+    the ``n_probe`` cells nearest each query, exact-rerank inside them.
+
+    The coarse quantizer here is the per-label centroid table (the
+    k-means-seeded cell structure; `extended.label_centroids` is the same
+    computation exposed as a query). Assignment and probing are broadcast
+    joins against the tiny centroid table; the big side is scanned once.
+    At 100 TB this is the standard sharded-ANN layout: partition the
+    corpus BY cell so a probe touches only n_probe/256ths of the data.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    # centroid per label cell: posexplode + mean, then re-assemble arrays
+    cents = (
+        emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.avg(F.col("x").cast("double")).alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("pairs"))
+        .select(
+            F.col("label").alias("cell"),
+            F.transform("pairs", lambda p: p["c"]).alias("centroid"),
+        )
+    )
+    # distance of each query to each cell centroid -> top n_probe cells
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    qcells = queries.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "q",
+        "cell",
+        cosine_expr(F.col("q"), F.col("centroid")).alias("cell_cos"),
+    )
+    w_cells = Window.partitionBy("query_id").orderBy(
+        F.col("cell_cos").desc(), F.col("cell").asc()
+    )
+    probed = qcells.withColumn("cr", F.row_number().over(w_cells)).filter(
+        F.col("cr") <= n_probe
+    ).select("query_id", "q", "cell")
+    # probe: candidates only from the chosen cells (equi-join on cell)
+    cands = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c"),
+        F.col("label").alias("cell"),
+    )
+    pairs = cands.join(F.broadcast(probed), "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        cosine_expr(F.col("q"), F.col("c")).desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def embedding_near_dup_pairs(
     spark: SparkSession, sf_dir: str, threshold: float = 0.35
 ) -> DataFrame:

@@ -1,0 +1,138 @@
+"""Custom stateful streaming operator: gap-based sessionization with
+``applyInPandasWithState`` — the arbitrary-state API the batch window trick
+(`relational.sessionize_events`) cannot express incrementally.
+
+State per user: the open session (start, last event ts, count, value sum).
+Each micro-batch appends events, closes sessions whose gap exceeded the
+threshold (emitting them), and keeps the still-open session in state.
+State size is O(users), independent of stream length — the property that
+makes this run forever on an unbounded stream.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..plans import prep_session
+from .weekly import EVENTS_SCHEMA
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", IntegerType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+#: open-session state: start_us, last_us, n_events, value_sum
+STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n", IntegerType()),
+        StructField("vsum", DoubleType()),
+    ]
+)
+
+
+def _sessionize_fn(gap_minutes: int):
+    """Build the per-group stateful function. Self-contained closure over
+    plain ints only — Spark workers must not need this package on their
+    import path."""
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(key, pdfs, state):
+        import pandas as _pd
+
+        (user_id,) = key
+        events = _pd.concat(list(pdfs), ignore_index=True)
+        events = events.sort_values(["ts", "event_id"])
+        ts_us = (events["ts"].astype("int64") // 1000).tolist()
+        vals = events["value"].tolist()
+
+        if state.exists:
+            start_us, last_us, n, vsum = state.get
+        else:
+            start_us = last_us = None
+            n, vsum = 0, 0.0
+
+        closed = []
+        for t, v in zip(ts_us, vals):
+            if last_us is not None and t - last_us > gap_us:
+                closed.append((start_us, last_us, n, vsum))
+                start_us, n, vsum = t, 0, 0.0
+            if start_us is None:
+                start_us = t
+            last_us = t
+            n += 1
+            vsum += float(v)
+
+        state.update((start_us, last_us, n, vsum))
+        if closed:
+            yield _pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start": _pd.to_datetime([c[0] for c in closed], unit="us"),
+                    "session_end": _pd.to_datetime([c[1] for c in closed], unit="us"),
+                    "n_events": [c[2] for c in closed],
+                    "total_value": [c[3] for c in closed],
+                }
+            )
+
+    return fn
+
+
+def sessionize_stream(
+    spark: SparkSession, source_dir: str, gap_minutes: int = 30
+) -> DataFrame:
+    """Streaming sessionizer over an events parquet directory. Emits each
+    session when a later event proves it closed (gap exceeded). The open
+    session per user stays in the state store across micro-batches."""
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(source_dir)
+    return (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_fn(gap_minutes),
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_sessionize_once(
+    spark: SparkSession, sf_dir: str, work_dir: str, gap_minutes: int = 30
+) -> DataFrame:
+    """availableNow harness: run the stateful sessionizer over the events
+    table once and return the emitted (closed) sessions as a batch frame."""
+    from ..sources import read_table
+
+    prep_session(spark)
+    src = f"{work_dir}/events_src"
+    read_table(spark, sf_dir, "events").write.mode("overwrite").parquet(src)
+    sink = f"mem_sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessionize_stream(spark, src, gap_minutes)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", f"{work_dir}/ckpt_{sink}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)

@@ -67,6 +67,21 @@ def test_lsh_topk_recall(spark, sf_dir):
     assert len(approx & exact) / len(exact) >= 0.5
 
 
+def test_ivf_topk_recall(spark, sf_dir):
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(spark, sf_dir, n_queries=5, k=10).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_topk(spark, sf_dir, n_queries=5, k=10, n_probe=3).collect()
+    }
+    # labels are random (not distance clusters) on this fixture, so probing
+    # 3/10 cells bounds recall near 0.3; assert sane shape + floor
+    assert len(ivf) == 50
+    assert len(ivf & exact) / len(exact) >= 0.15
+
+
 def test_decimal_cosine_is_partition_order_independent(spark, sf_dir):
     a = similarity.brute_force_topk(spark, sf_dir, n_queries=2, k=5)
     b = similarity.brute_force_topk(spark, sf_dir, n_queries=2, k=5).repartition(13)
