@@ -216,6 +216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": dedup.exact_dedup,
         "canonical_docs": dedup.canonical_docs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "near_dup_clusters": dedup.near_dup_clusters,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,  # rows-only (engine hash)
         "simhash_signatures": dedup.simhash_signatures,  # rows-only (engine hash)
         # similarity search
@@ -245,6 +246,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": text.lang_id,
         "doc_fingerprints": text.doc_fingerprints,
         "term_doc_stats": text.term_doc_stats,
+        "text_normalize": text.text_normalize,
+        "quality_filter": text.quality_filter,
+        "order_percentiles": extended.order_percentiles,
         "pivot_status_by_flag": extended.pivot_status_by_flag,
         # multimodal plumbing
         "multimodal_meta": multimodal.multimodal_meta,
@@ -583,6 +587,67 @@ FROM p
 JOIN s sa ON sa.doc_id = doc_a
 JOIN s sb ON sb.doc_id = doc_b
 WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.5
+""",
+        "near_dup_clusters": f"""
+WITH RECURSIVE {shingles_cte},
+e AS (SELECT doc_id, unnest(shingles) AS sh FROM d),
+s AS (SELECT doc_id, len(shingles) AS n_sh FROM d),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+  FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT doc_a, doc_b FROM p
+  JOIN s sa ON sa.doc_id = doc_a
+  JOIN s sb ON sb.doc_id = doc_b
+  WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.5
+),
+und AS (SELECT doc_a AS u, doc_b AS v FROM edges
+        UNION ALL SELECT doc_b, doc_a FROM edges),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT und.v, reach.r FROM reach JOIN und ON und.u = reach.id
+)
+SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+""",
+        "order_percentiles": """
+SELECT o_custkey, o_orderkey,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist()    OVER w AS cume,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC)
+""",
+        "text_normalize": """
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                           ' +', ' ', 'g')) AS norm_text,
+       CAST(length(text) AS BIGINT) AS n_chars_raw,
+       CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                       ' +', ' ', 'g'))) AS BIGINT) AS n_chars_norm
+FROM documents
+""",
+        "quality_filter": """
+WITH q AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS distinct_ratio,
+         CAST(len(list_filter(string_split(text, ' '),
+                  t -> t IN ('the','a','of','and','to','in'))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS stopword_ratio
+  FROM documents
+)
+SELECT doc_id,
+       (n_tokens >= 20 AND n_chars <= 10000) AS len_ok,
+       (distinct_ratio >= 0.45) AS diversity_ok,
+       (stopword_ratio <= 0.5) AS stopwords_ok,
+       ((n_tokens >= 20 AND n_chars <= 10000)
+        AND distinct_ratio >= 0.45 AND stopword_ratio <= 0.5) AS keep
+FROM q
 """,
         "similarity_topk": f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS q FROM embeddings WHERE vec_id < 5),

@@ -216,6 +216,70 @@ def minhash_lsh_pairs(
 
 
 # ---------------------------------------------------------------------------
+# near-dup clusters (connected components over the similarity graph)
+# ---------------------------------------------------------------------------
+
+
+def near_dup_clusters(
+    spark: SparkSession, sf_dir: str, n: int = 3, threshold: float = 0.5,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over the near-dup pair graph: every document
+    labeled with the smallest doc_id reachable through Jaccard-similar
+    pairs — the survivor-selection step of a dedup pipeline (keep one doc
+    per cluster).
+
+    Iterative min-label propagation: label(v) := min(label(v),
+    min(label(u) for u~v)), repeated until fixpoint. Each iteration is one
+    equi-join + hash aggregate (label propagation, the Pregel pattern on
+    DataFrames); the driver only orchestrates the loop and checks
+    convergence — per-iteration data never leaves the cluster. Converges
+    in O(diameter) iterations; near-dup graphs are tiny-diameter.
+    """
+    pairs = ngram_jaccard_pairs(spark, sf_dir, n=n, threshold=threshold).select(
+        "doc_a", "doc_b"
+    )
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    # undirected edge list (both directions) — localCheckpoint keeps the
+    # shingle join from being recomputed every iteration
+    edges = (
+        pairs.unionByName(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
+        )
+        .localCheckpoint()
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint()
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+# ---------------------------------------------------------------------------
 # SimHash near-dup
 # ---------------------------------------------------------------------------
 

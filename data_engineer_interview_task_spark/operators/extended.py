@@ -306,6 +306,24 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-analytic windows: percent_rank, cume_dist and
+    ntile(4) of each order within its customer's history — exact-ratio
+    outputs ((rank-1)/(n-1), k/n) over a total order, so cross-engine
+    deterministic without float tricks."""
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
 def supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate-function surface per nation over supplier balances:
     count/min/max plus an exact mean derived from a DECIMAL sum (never a

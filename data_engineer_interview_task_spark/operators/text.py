@@ -120,6 +120,43 @@ def term_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization pass of a cleaning pipeline: lowercase, strip
+    non-alphanumerics (keeping spaces), collapse whitespace, trim — plus
+    the char counts before/after (the cheap "how much was junk" signal)."""
+    docs = read_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9 ]", ""), r" +", " "
+        )
+    )
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length("text").cast("long").alias("n_chars_raw"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+    )
+
+
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed keep/drop decision over the quality features — the shape of
+    a production pretraining filter: explicit per-rule booleans (for audit
+    counts) plus the conjunction. Pure column logic over one pass."""
+    q = text_quality(spark, sf_dir)
+    rules = {
+        "len_ok": (F.col("n_tokens") >= 20) & (F.col("n_chars") <= 10_000),
+        "diversity_ok": F.col("distinct_ratio") >= 0.45,
+        "stopwords_ok": F.col("stopword_ratio") <= 0.5,
+    }
+    out = q.select(
+        "doc_id", *[expr.alias(name) for name, expr in rules.items()]
+    )
+    keep = None
+    for name in rules:
+        keep = F.col(name) if keep is None else keep & F.col(name)
+    return out.withColumn("keep", keep)
+
+
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic document fingerprints: md5 over whitespace-normalized
     lowercase text (cross-engine stable), plus a 16-hex-digit prefix as a

@@ -41,6 +41,24 @@ def test_simhash_near_dups_are_close(spark, sf_dir):
         assert ham(sigs[a], sigs[b]) <= 10, (a, b)
 
 
+def test_near_dup_clusters_invariants(spark, sf_dir):
+    clusters = {
+        r.doc_id: r.cluster_id for r in dedup.near_dup_clusters(spark, sf_dir).collect()
+    }
+    edges = _pairs(dedup.ngram_jaccard_pairs(spark, sf_dir, threshold=0.5))
+    # every similar pair ends up in the same cluster
+    for a, b in edges:
+        assert clusters[a] == clusters[b], (a, b)
+    # cluster id is the min member id
+    by_cluster = {}
+    for doc, c in clusters.items():
+        by_cluster.setdefault(c, []).append(doc)
+    for c, members in by_cluster.items():
+        assert c == min(members)
+    # non-trivial: at least one multi-doc cluster on this fixture
+    assert any(len(m) > 1 for m in by_cluster.values())
+
+
 def test_brute_force_topk_shape(spark, sf_dir):
     out = similarity.brute_force_topk(spark, sf_dir, n_queries=3, k=5).collect()
     by_q = {}
