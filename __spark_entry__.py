@@ -248,6 +248,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_doc_stats": text.term_doc_stats,
         "text_normalize": text.text_normalize,
         "quality_filter": text.quality_filter,
+        "token_estimate": text.token_estimate,
+        "chargram_minhash": text.chargram_minhash,
         "order_percentiles": extended.order_percentiles,
         "pivot_status_by_flag": extended.pivot_status_by_flag,
         # multimodal plumbing
@@ -648,6 +650,31 @@ SELECT doc_id,
        ((n_tokens >= 20 AND n_chars <= 10000)
         AND distinct_ratio >= 0.45 AND stopword_ratio <= 0.5) AS keep
 FROM q
+""",
+        "token_estimate": """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT)
+         AS bpe_ish_tokens,
+       CAST(length(text) AS DOUBLE)
+         / len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))
+         AS chars_per_token
+FROM documents
+""",
+        "chargram_minhash": """
+WITH h AS (
+  SELECT DISTINCT doc_id, unnest(
+    list_transform(range(greatest(length(text) - 7, 1)),
+                   i -> md5(substring(text, i + 1, 8)))) AS h
+  FROM documents
+),
+r AS (
+  SELECT doc_id, h,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h ASC) AS rn
+  FROM h
+)
+SELECT doc_id, string_agg(h, '|' ORDER BY h) AS sketch
+FROM r WHERE rn <= 4 GROUP BY doc_id
 """,
         "similarity_topk": f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS q FROM embeddings WHERE vec_id < 5),

@@ -6,7 +6,7 @@ with an ANSI-SQL twin for the DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources import read_table
@@ -155,6 +155,54 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name in rules:
         keep = F.col(name) if keep is None else keep & F.col(name)
     return out.withColumn("keep", keep)
+
+
+def token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways (the budget-estimation pass of a training
+    pipeline): whitespace tokens and a BPE-ish regex segmentation
+    (letter-runs / digit-runs / single punctuation — the shape of GPT-style
+    pre-tokenization), plus chars-per-token. Pure regexp column work."""
+    docs = read_table(spark, sf_dir, "documents")
+    bpe_pat = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+    ws = F.size(F.split("text", " "))
+    # idx=0 = whole match (Spark defaults to capture group 1)
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(bpe_pat), 0))
+    return docs.select(
+        "doc_id",
+        ws.cast("long").alias("ws_tokens"),
+        bpe.cast("long").alias("bpe_ish_tokens"),
+        (F.length("text").cast("double") / bpe).alias("chars_per_token"),
+    )
+
+
+def chargram_minhash(spark: SparkSession, sf_dir: str, k: int = 8, bottom: int = 4) -> DataFrame:
+    """Rolling-hash document fingerprint, winnowing-style: hash every
+    ``k``-char gram (md5 — cross-engine deterministic, unlike engine hash
+    functions) and keep the ``bottom`` lexicographically-smallest hashes as
+    the document's sketch. Bottom-k sketches are the order-independent
+    fingerprint family behind content-defined dedup: near-identical docs
+    share most of their smallest gram hashes.
+
+    Gram extraction uses one regexp with a lookahead-free trick: positions
+    come from a (doc x offset) explode of substring — all codegen'd."""
+    docs = read_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, greatest(length(text) - {k - 1}, 1)), "
+                f"i -> substring(text, i, {k}))"
+            )
+        ).alias("pos", "gram"),
+    )
+    hashed = grams.select("doc_id", F.md5("gram").alias("h")).distinct()
+    w = Window.partitionBy("doc_id").orderBy(F.col("h").asc())
+    return (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= bottom)
+        .groupBy("doc_id")
+        .agg(F.concat_ws("|", F.sort_array(F.collect_list("h"))).alias("sketch"))
+    )
 
 
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
