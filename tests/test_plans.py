@@ -65,3 +65,25 @@ def test_no_cartesian_in_near_dup(spark, sf_dir):
 
     plan = explain_str(ngram_jaccard_pairs(spark, sf_dir))
     assert "CartesianProduct" not in plan
+
+
+def test_range_join_is_hash_join(spark, sf_dir):
+    # the bucket decomposition must plan as an equi (hash/sort-merge) join,
+    # never a broadcast-nested-loop over the inequality
+    from data_engineer_interview_task_spark.operators.extended import orders_range_join
+
+    plan = explain_str(orders_range_join(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_join_single_window_pass(spark, sf_dir):
+    # union-tag as-of join: no join node at all for the events side — one
+    # window over the unioned stream
+    from data_engineer_interview_task_spark.operators.relational import (
+        asof_join_events_orders,
+    )
+
+    plan = explain_str(asof_join_events_orders(spark, sf_dir))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "Window" in plan

