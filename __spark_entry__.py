@@ -240,6 +240,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroids": extended.label_centroids,
         "sql_interface_shipping_priority": extended.sql_interface_shipping_priority,
         "approx_distinct_parts": extended.approx_distinct_parts,  # rows-only (HLL)
+        "quantity_percentiles": extended.quantity_percentiles,
+        "profile_lineitem": extended.profile_lineitem,
         # text analysis
         "text_quality": text.text_quality,
         "token_counts": text.token_counts,
@@ -413,6 +415,40 @@ SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers,
        MIN(s_acctbal) AS min_bal, MAX(s_acctbal) AS max_bal,
        CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_bal
 FROM supplier GROUP BY s_nationkey
+""",
+        "quantity_percentiles": """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.25) AS q25,
+       quantile_cont(l_quantity, 0.5)  AS median,
+       quantile_cont(l_quantity, 0.75) AS q75,
+       quantile_cont(l_quantity, 0.95) AS q95
+FROM lineitem GROUP BY l_returnflag
+""",
+        "profile_lineitem": """
+WITH one AS (
+  SELECT
+    CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS q_nulls,
+    COUNT(DISTINCT l_quantity) AS q_distinct,
+    MIN(CAST(l_quantity AS DOUBLE)) AS q_min, MAX(CAST(l_quantity AS DOUBLE)) AS q_max,
+    CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS p_nulls,
+    COUNT(DISTINCT l_extendedprice) AS p_distinct,
+    MIN(CAST(l_extendedprice AS DOUBLE)) AS p_min, MAX(CAST(l_extendedprice AS DOUBLE)) AS p_max,
+    CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS d_nulls,
+    COUNT(DISTINCT l_discount) AS d_distinct,
+    MIN(CAST(l_discount AS DOUBLE)) AS d_min, MAX(CAST(l_discount AS DOUBLE)) AS d_max,
+    CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_nulls,
+    COUNT(DISTINCT l_orderkey) AS o_distinct,
+    MIN(CAST(l_orderkey AS DOUBLE)) AS o_min, MAX(CAST(l_orderkey AS DOUBLE)) AS o_max
+  FROM lineitem
+)
+SELECT 'l_quantity' AS column, q_nulls AS n_nulls, q_distinct AS n_distinct,
+       q_min AS min_val, q_max AS max_val FROM one
+UNION ALL
+SELECT 'l_extendedprice', p_nulls, p_distinct, p_min, p_max FROM one
+UNION ALL
+SELECT 'l_discount', d_nulls, d_distinct, d_min, d_max FROM one
+UNION ALL
+SELECT 'l_orderkey', o_nulls, o_distinct, o_min, o_max FROM one
 """,
         "daily_spine_ffill": """
 WITH daily AS (

@@ -324,6 +324,56 @@ def order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (interpolating continuous quantile) of quantity
+    per return flag. Exact `percentile` — not approx_percentile — matches
+    DuckDB's quantile_cont bit-for-bit on integer-valued doubles (the
+    standard p*(n-1) linear interpolation both engines implement). At
+    100 TB exact percentile is a full sort per group; switch to
+    approx_percentile (t-digest) when the inputs are true continuous
+    doubles or groups are huge."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.25)").alias("q25"),
+        F.expr("percentile(l_quantity, 0.5)").alias("median"),
+        F.expr("percentile(l_quantity, 0.75)").alias("q75"),
+        F.expr("percentile(l_quantity, 0.95)").alias("q95"),
+    )
+
+
+def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling pass: one row per profiled column with null count,
+    distinct count, min and max — the validation step in front of any
+    ingestion pipeline. All stats come from ONE aggregation over one scan
+    (not a scan per column); the per-column rows are a static unpivot of
+    that single aggregate row."""
+    li = read_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_orderkey"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(F.col(c).cast("double")).alias(f"{c}__min"),
+            F.max(F.col(c).cast("double")).alias(f"{c}__max"),
+        ]
+    one = li.agg(*aggs)
+    per_col = [
+        one.select(
+            F.lit(c).alias("column"),
+            F.col(f"{c}__nulls").cast("long").alias("n_nulls"),
+            F.col(f"{c}__distinct").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_val"),
+            F.col(f"{c}__max").alias("max_val"),
+        )
+        for c in cols
+    ]
+    out = per_col[0]
+    for p in per_col[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate-function surface per nation over supplier balances:
     count/min/max plus an exact mean derived from a DECIMAL sum (never a
