@@ -187,6 +187,20 @@ def _streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_sessionize_once(spark, sf_dir, work)
 
 
+def _streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream join with watermarks on both sides (click -> purchase
+    within 1h per user). Rows-only: tests/test_streaming_join.py proves
+    pair-equality with the batch twin."""
+    import tempfile
+
+    from data_engineer_interview_task_spark.streaming import (
+        run_click_purchase_join_once,
+    )
+
+    work = tempfile.mkdtemp(prefix="stream_ssj_")
+    return run_click_purchase_join_once(spark, sf_dir, work)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -260,6 +274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # structured streaming (availableNow harness) — rows-only
         "streaming_weekly_rollup": _streaming_weekly_rollup,
         "streaming_sessionize": _streaming_sessionize,
+        "streaming_click_purchase_join": _streaming_click_purchase_join,
     }
 
 

@@ -1,9 +1,12 @@
 from .weekly import weekly_rollup_stream, run_weekly_rollup_once
 from .sessions import sessionize_stream, run_sessionize_once
+from .joins import click_purchase_stream_join, run_click_purchase_join_once
 
 __all__ = [
     "weekly_rollup_stream",
     "run_weekly_rollup_once",
     "sessionize_stream",
     "run_sessionize_once",
+    "click_purchase_stream_join",
+    "run_click_purchase_join_once",
 ]

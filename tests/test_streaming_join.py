@@ -1,0 +1,34 @@
+"""Stream-stream join vs its batch twin: identical pairs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_engineer_interview_task_spark.sources import read_table
+from data_engineer_interview_task_spark.streaming import run_click_purchase_join_once
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
+    streamed = run_click_purchase_join_once(spark, sf_dir, str(tmp_path / "ssj"))
+
+    events = read_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    batch = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    got = {(r.click_id, r.purchase_id) for r in streamed.collect()}
+    want = {(r.click_id, r.purchase_id) for r in batch.collect()}
+    assert got == want
+    assert len(got) > 0
