@@ -233,6 +233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters": dedup.near_dup_clusters,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,  # rows-only (engine hash)
         "simhash_signatures": dedup.simhash_signatures,  # rows-only (engine hash)
+        "simhash_near_dup_pairs": dedup.simhash_near_dup_pairs,  # rows-only (engine hash)
         # similarity search
         "similarity_topk": similarity.brute_force_topk,
         "similarity_topk_lsh": similarity.srp_lsh_topk,  # rows-only (approx)

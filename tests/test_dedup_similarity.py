@@ -36,9 +36,38 @@ def test_minhash_recall_vs_exact(spark, sf_dir):
 def test_simhash_near_dups_are_close(spark, sf_dir):
     sigs = {r.doc_id: r.simhash for r in dedup.simhash_signatures(spark, sf_dir).collect()}
     exact = _pairs(dedup.ngram_jaccard_pairs(spark, sf_dir, threshold=0.5))
-    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")  # noqa: E731
     for a, b in exact:
-        assert ham(sigs[a], sigs[b]) <= 10, (a, b)
+        assert ham(sigs[a], sigs[b]) <= 16, (a, b)
+    # signatures separate: a sample of non-dup pairs sits far away
+    ids = sorted(sigs)
+    import itertools
+
+    non_dup = [
+        p for p in itertools.combinations(ids[:40], 2) if p not in exact
+    ][:200]
+    import statistics
+
+    mean_random = statistics.mean(ham(sigs[a], sigs[b]) for a, b in non_dup)
+    assert mean_random > 16
+
+
+def test_simhash_pair_generation(spark, sf_dir):
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dedup.simhash_near_dup_pairs(spark, sf_dir).collect()
+    }
+    sigs = {r.doc_id: r.simhash for r in dedup.simhash_signatures(spark, sf_dir).collect()}
+    ham = lambda a, b: bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1")  # noqa: E731
+    # every reported hamming is correct and within threshold
+    for (a, b), h in got.items():
+        assert h == ham(a, b) and h <= 7, (a, b, h)
+    # pigeonhole completeness: EVERY pair with hamming <= 7 must be found
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if ham(a, b) <= 7:
+                assert (a, b) in got, (a, b, ham(a, b))
 
 
 def test_near_dup_clusters_invariants(spark, sf_dir):
