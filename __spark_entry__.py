@@ -266,6 +266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize": text.text_normalize,
         "quality_filter": text.quality_filter,
         "token_estimate": text.token_estimate,
+        "salted_token_counts": text.salted_token_counts,
         "chargram_minhash": text.chargram_minhash,
         "order_percentiles": extended.order_percentiles,
         "pivot_status_by_flag": extended.pivot_status_by_flag,
@@ -774,6 +775,11 @@ SELECT doc_id,
 FROM documents
 """,
         "token_counts": """
+SELECT token, COUNT(*) AS n FROM (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+) WHERE token <> '' GROUP BY token
+""",
+        "salted_token_counts": """
 SELECT token, COUNT(*) AS n FROM (
   SELECT unnest(string_split(text, ' ')) AS token FROM documents
 ) WHERE token <> '' GROUP BY token

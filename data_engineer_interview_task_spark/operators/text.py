@@ -120,6 +120,28 @@ def term_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def salted_token_counts(spark: SparkSession, sf_dir: str, n_salts: int = 16) -> DataFrame:
+    """Token frequency via explicit two-phase SALTED aggregation — the
+    skew-mitigation pattern for hot keys: phase 1 groups on (salt, token)
+    so one hot token spreads over ``n_salts`` reducers, phase 2 merges the
+    partials. The result is IDENTICAL to the direct aggregation (the
+    DuckDB oracle is the plain GROUP BY), only the physical distribution
+    changes. Spark's own partial aggregation handles mild skew already;
+    explicit salting is for keys so hot a single final-phase reducer
+    would still choke — and the same trick applies to skewed JOIN keys."""
+    docs = read_table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("token")
+    ).filter(F.col("token") != "")
+    salted = tokens.withColumn(
+        "salt", F.pmod(F.xxhash64("doc_id"), F.lit(n_salts))
+    )
+    partial = salted.groupBy("salt", "token").agg(
+        F.count(F.lit(1)).alias("partial_n")
+    )
+    return partial.groupBy("token").agg(F.sum("partial_n").alias("n"))
+
+
 def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalization pass of a cleaning pipeline: lowercase, strip
     non-alphanumerics (keeping spaces), collapse whitespace, trim — plus

@@ -40,6 +40,33 @@ def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
     assert one_year.count() == orders.filter(F.col("order_year") == 1995).count()
 
 
+def test_bucketed_join_avoids_shuffle(spark, sf_dir):
+    """Bucketing: pre-bucket both join sides on the key; the join then
+    reads co-located buckets with NO exchange on either side — the
+    100 TB answer for repeated joins on the same key."""
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("b_orders")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("b_lineitem")
+    try:
+        # disable auto-broadcast so the join strategy is driven by bucketing
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert j.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE b_orders")
+        spark.sql("DROP TABLE b_lineitem")
+
+
 def test_streaming_weekly_rollup_matches_batch(spark, sf_dir, tmp_path):
     got = run_weekly_rollup_once(spark, sf_dir, str(tmp_path / "stream"))
     batch = relational.weekly_event_rollup(spark, sf_dir)
