@@ -36,15 +36,22 @@ HEADLINE = [
     "exact_dedup",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
+    "near_dup_clusters",
     "simhash_signatures",
+    "simhash_near_dup_pairs",
     "similarity_topk",
     "similarity_topk_lsh",
     "similarity_topk_ivf",
     "label_centroids",
     "text_quality",
     "token_counts",
+    "salted_token_counts",
     "term_doc_stats",
+    "token_estimate",
+    "chargram_minhash",
     "doc_fingerprints",
+    "quantity_percentiles",
+    "profile_lineitem",
     "multimodal_features",
 ]
 

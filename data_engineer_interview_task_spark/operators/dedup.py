@@ -304,17 +304,28 @@ def simhash_signatures(spark: SparkSession, sf_dir: str, bits: int = 64) -> Data
         .select("doc_id", F.explode("shingles").alias("tok"))
         .withColumn("h", F.xxhash64("tok"))
     )
-    bitpos = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b")
-    votes = (
-        toks.select("doc_id", "h", bitpos)
-        .withColumn("vote", F.when(F.expr("(shiftright(h, b) & 1) = 1"), 1).otherwise(-1))
-        .groupBy("doc_id", "b")
-        .agg(F.sum("vote").alias("v"))
-        .withColumn("bit", F.when(F.col("v") > 0, F.lit(1)).otherwise(F.lit(0)))
+    # all `bits` votes in ONE groupBy as aggregate columns — exploding a
+    # (row x bit-position) pair table would multiply the shuffle by `bits`
+    # (measured 9.6s -> ~1s at sf0.1; same layout lesson as the minhash
+    # signature aggregation)
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(shiftright(h, {b}) & 1) = 1"), 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(bits)
+        ]
     )
-    return votes.groupBy("doc_id").agg(
-        F.sum(F.expr("bit * shiftleft(1L, b)")).cast("long").alias("simhash")
-    )
+    sig = None
+    for b in range(bits):
+        # shiftleft(1L, b) — a Python literal 1<<63 would overflow LongType;
+        # the JVM shift wraps to the sign bit, which two's-complement
+        # summation represents correctly
+        term = F.when(F.col(f"v{b}") > 0, F.expr(f"shiftleft(1L, {b})")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = term if sig is None else sig + term
+    return votes.select("doc_id", sig.cast("long").alias("simhash"))
 
 
 def simhash_near_dup_pairs(

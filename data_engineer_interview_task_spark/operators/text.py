@@ -208,16 +208,19 @@ def chargram_minhash(spark: SparkSession, sf_dir: str, k: int = 8, bottom: int =
     Gram extraction uses one regexp with a lookahead-free trick: positions
     come from a (doc x offset) explode of substring — all codegen'd."""
     docs = read_table(spark, sf_dir, "documents")
-    grams = docs.select(
+    # explode positions FIRST, then substring+md5 as ordinary projections:
+    # inside a transform() lambda they run interpreted (~7x slower measured
+    # at sf0.1); as post-explode projections they stay in codegen
+    positions = docs.select(
         "doc_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(1, greatest(length(text) - {k - 1}, 1)), "
-                f"i -> substring(text, i, {k}))"
-            )
-        ).alias("pos", "gram"),
+        "text",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length("text") - (k - 1), F.lit(1)))
+        ).alias("i"),
     )
-    hashed = grams.select("doc_id", F.md5("gram").alias("h")).distinct()
+    hashed = positions.select(
+        "doc_id", F.md5(F.expr(f"substring(text, i, {k})")).alias("h")
+    ).distinct()
     w = Window.partitionBy("doc_id").orderBy(F.col("h").asc())
     return (
         hashed.withColumn("rn", F.row_number().over(w))
