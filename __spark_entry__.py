@@ -231,6 +231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_docs": dedup.canonical_docs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "near_dup_clusters": dedup.near_dup_clusters,
+        "corpus_clean_pipeline": dedup.corpus_clean_pipeline,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,  # rows-only (engine hash)
         "simhash_signatures": dedup.simhash_signatures,  # rows-only (engine hash)
         "simhash_near_dup_pairs": dedup.simhash_near_dup_pairs,  # rows-only (engine hash)
@@ -666,6 +667,49 @@ reach(id, r) AS (
   SELECT und.v, reach.r FROM reach JOIN und ON und.u = reach.id
 )
 SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+""",
+        "corpus_clean_pipeline": f"""
+WITH RECURSIVE {shingles_cte},
+e AS (SELECT doc_id, unnest(shingles) AS sh FROM d),
+s AS (SELECT doc_id, len(shingles) AS n_sh FROM d),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+  FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT doc_a, doc_b FROM p
+  JOIN s sa ON sa.doc_id = doc_a
+  JOIN s sb ON sb.doc_id = doc_b
+  WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.5
+),
+und AS (SELECT doc_a AS u, doc_b AS v FROM edges
+        UNION ALL SELECT doc_b, doc_a FROM edges),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT und.v, reach.r FROM reach JOIN und ON und.u = reach.id
+),
+cl AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+q AS (
+  SELECT doc_id,
+         ((len(string_split(text, ' ')) >= 20 AND length(text) <= 10000)
+          AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+              / len(string_split(text, ' ')) >= 0.45
+          AND CAST(len(list_filter(string_split(text, ' '),
+                   t -> t IN ('the','a','of','and','to','in'))) AS DOUBLE)
+              / len(string_split(text, ' ')) <= 0.5) AS keep,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(length(text) AS BIGINT) AS n_chars
+  FROM documents
+),
+lab AS (
+  SELECT cl.doc_id, cl.cluster_id, q.n_tokens, q.n_chars
+  FROM cl JOIN q ON cl.doc_id = q.doc_id WHERE q.keep
+)
+SELECT doc_id, cluster_id, n_tokens, n_chars FROM (
+  SELECT *, MIN(doc_id) OVER (PARTITION BY cluster_id) AS m FROM lab
+) WHERE doc_id = m
 """,
         "order_percentiles": """
 SELECT o_custkey, o_orderkey,

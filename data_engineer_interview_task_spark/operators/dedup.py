@@ -282,6 +282,39 @@ def near_dup_clusters(
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data cleaning pipeline as ONE lazy query —
+    the extension-domain analog of the reference's 5-stage composition
+    (``dags/google_trends_to_bigquery.py:196``):
+
+      quality filter (keep rules) -> near-dup clustering -> keep one doc
+      per cluster (smallest id among quality survivors) -> per-survivor
+      stats.
+
+    Everything stays declarative: quality flags and cluster labels are the
+    operators above; the survivor rule is a min-over-cluster window. At
+    100 TB each stage is the shuffle documented in SCALE.md — composing
+    them adds no new exchange beyond the cluster join.
+    """
+    from ..operators import text as text_ops  # local import: avoid cycle
+
+    quality = text_ops.quality_filter(spark, sf_dir).select("doc_id", "keep")
+    clusters = near_dup_clusters(spark, sf_dir)
+    stats = text_ops.text_quality(spark, sf_dir).select(
+        "doc_id", "n_tokens", "n_chars"
+    )
+    labeled = quality.join(clusters, "doc_id").filter(F.col("keep"))
+    w = Window.partitionBy("cluster_id")
+    survivors = (
+        labeled.withColumn("min_kept", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("min_kept"))
+        .select("doc_id", "cluster_id")
+    )
+    return survivors.join(stats, "doc_id").select(
+        "doc_id", "cluster_id", "n_tokens", "n_chars"
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash near-dup
 # ---------------------------------------------------------------------------
