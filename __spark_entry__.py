@@ -759,19 +759,13 @@ SELECT doc_id,
 FROM documents
 """,
         "chargram_minhash": """
-WITH h AS (
-  SELECT DISTINCT doc_id, unnest(
-    list_transform(range(greatest(length(text) - 7, 1)),
-                   i -> md5(substring(text, i + 1, 8)))) AS h
-  FROM documents
-),
-r AS (
-  SELECT doc_id, h,
-         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h ASC) AS rn
-  FROM h
-)
-SELECT doc_id, string_agg(h, '|' ORDER BY h) AS sketch
-FROM r WHERE rn <= 4 GROUP BY doc_id
+SELECT doc_id,
+       array_to_string(
+         list_sort(list_distinct(
+           list_transform(range(greatest(length(text) - 7, 1)),
+                          i -> md5(substring(text, i + 1, 8)))))[1:4],
+         '|') AS sketch
+FROM documents
 """,
         "similarity_topk": f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS q FROM embeddings WHERE vec_id < 5),

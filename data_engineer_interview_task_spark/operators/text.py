@@ -6,7 +6,7 @@ with an ANSI-SQL twin for the DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources import read_table
@@ -220,13 +220,14 @@ def chargram_minhash(spark: SparkSession, sf_dir: str, k: int = 8, bottom: int =
     )
     hashed = positions.select(
         "doc_id", F.md5(F.expr(f"substring(text, i, {k})")).alias("h")
-    ).distinct()
-    w = Window.partitionBy("doc_id").orderBy(F.col("h").asc())
-    return (
-        hashed.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= bottom)
-        .groupBy("doc_id")
-        .agg(F.concat_ws("|", F.sort_array(F.collect_list("h"))).alias("sketch"))
+    )
+    # ONE aggregation: collect_set dedups per doc, sort, take the bottom-k
+    # slice — vs distinct + ranking window, this drops a whole shuffle
+    # (per-group state is bounded by grams-per-doc, fine for documents)
+    return hashed.groupBy("doc_id").agg(
+        F.concat_ws(
+            "|", F.slice(F.sort_array(F.collect_set("h")), 1, bottom)
+        ).alias("sketch")
     )
 
 
