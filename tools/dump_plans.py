@@ -1,0 +1,59 @@
+#!/usr/bin/env python
+"""Dump formatted physical plans for the key queries into docs/plans/ —
+reviewable evidence of plan quality (pushdown, broadcasts, exchange counts)
+without running Spark. Regenerate after plan-affecting changes:
+
+    python tools/dump_plans.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+KEY_QUERIES = [
+    "flagship_pipeline",
+    "trends_pipeline_synthetic",
+    "pricing_summary",
+    "revenue_by_nation",
+    "semi_join_filter",
+    "asof_join_events_orders",
+    "orders_range_join",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "similarity_topk",
+    "sessionize_events",
+    "daily_spine_ffill",
+]
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entry
+    from data_engineer_interview_task_spark.plans import explain_str
+
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "docs", "plans")
+    os.makedirs(out_dir, exist_ok=True)
+    qs = entry.queries()
+    for name in KEY_QUERIES:
+        plan = explain_str(qs[name](spark, "/root/testdata/sf0.01"))
+        with open(os.path.join(out_dir, f"{name}.txt"), "w") as f:
+            f.write(f"# {name} — formatted physical plan at sf0.01\n")
+            f.write("# regenerate: python tools/dump_plans.py\n\n")
+            f.write(plan)
+        print("wrote", name)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
