@@ -274,6 +274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal plumbing
         "multimodal_meta": multimodal.multimodal_meta,
         "multimodal_features": multimodal.multimodal_features,  # pandas-UDF path
+        "user_value_trend": multimodal.user_value_trend,  # rows-only (float fit)
         # structured streaming (availableNow harness) — rows-only
         "streaming_weekly_rollup": _streaming_weekly_rollup,
         "streaming_sessionize": _streaming_sessionize,

@@ -110,6 +110,51 @@ def extract_features(df: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
     return df.mapInPandas(_extract, schema=FEATURE_SCHEMA)
 
 
+def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map pandas UDF (``applyInPandas``): per-user least-squares
+    trend of event values over time — the 'fit a small model per group'
+    pattern (the third pandas-UDF API next to mapInPandas and
+    applyInPandasWithState). Each group arrives as one pandas frame;
+    closed-form slope/intercept via numpy. Closure is self-contained
+    (workers never import this package)."""
+    from pyspark.sql.types import DoubleType as _D
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("slope_per_day", _D()),
+            StructField("mean_value", _D()),
+        ]
+    )
+
+    def _fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as _np
+        import pandas as _pd
+
+        pdf = pdf.sort_values("ts")
+        t_days = (pdf["ts"].astype("int64") / 1e9 / 86400.0).to_numpy()
+        v = pdf["value"].to_numpy(dtype=float)
+        if len(v) >= 2 and _np.ptp(t_days) > 0:
+            t0 = t_days - t_days.mean()
+            slope = float((t0 * (v - v.mean())).sum() / (t0 * t0).sum())
+        else:
+            slope = 0.0
+        return _pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [len(v)],
+                "slope_per_day": [slope],
+                "mean_value": [float(v.mean())],
+            }
+        )
+
+    events = read_table(spark, sf_dir, "events")
+    return events.select("user_id", "ts", "value").groupBy("user_id").applyInPandas(
+        _fit, schema=schema
+    )
+
+
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checkable metadata pass: payload byte length per doc computed
     JVM-side (octet_length of the utf-8 payload) — proves the binary

@@ -64,6 +64,30 @@ def test_multimodal_feature_extraction(spark, sf_dir):
     assert got[some].modality == "text/plain"
 
 
+def test_user_value_trend(spark, sf_dir):
+    from data_engineer_interview_task_spark.sources import read_table
+
+    out = {r.user_id: r for r in multimodal.user_value_trend(spark, sf_dir).collect()}
+    # read_table, not raw spark.read: under nanosAsLong the raw ts is a long
+    events = read_table(spark, sf_dir, "events")
+    n_users = events.select("user_id").distinct().count()
+    assert len(out) == n_users
+    # cross-check one user against a driver-side closed-form fit
+    import numpy as np
+
+    some = sorted(out)[0]
+    rows = sorted(
+        events.filter(F.col("user_id") == some).select("ts", "value").collect(),
+        key=lambda r: r.ts,
+    )
+    t = np.array([r.ts.timestamp() / 86400.0 for r in rows])
+    v = np.array([r.value for r in rows])
+    t0 = t - t.mean()
+    want = float((t0 * (v - v.mean())).sum() / (t0 * t0).sum())
+    assert abs(out[some].slope_per_day - want) < 1e-6
+    assert out[some].n_events == len(rows)
+
+
 def test_decode_image_is_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG")
