@@ -21,10 +21,12 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from data_engineer_interview_task_spark.operators import (
+    cleaning,
     dedup,
     extended,
     multimodal,
     relational,
+    sampling,
     similarity,
     text,
     trends,
@@ -271,6 +273,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chargram_minhash": text.chargram_minhash,
         "order_percentiles": extended.order_percentiles,
         "pivot_status_by_flag": extended.pivot_status_by_flag,
+        # deterministic sampling / data mixing
+        "hash_sample": sampling.hash_sample,
+        "stratified_sample": sampling.stratified_sample,
+        "weighted_source_mix": sampling.weighted_source_mix,
+        "pack_token_shards": sampling.pack_token_shards,
+        # corpus cleaning beyond dedup
+        "repetition_stats": cleaning.repetition_stats,
+        "contamination_check": cleaning.contamination_check,
+        "pii_scrub": cleaning.pii_scrub,
         # multimodal plumbing
         "multimodal_meta": multimodal.multimodal_meta,
         "multimodal_features": multimodal.multimodal_features,  # pandas-UDF path
@@ -280,6 +291,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessionize": _streaming_sessionize,
         "streaming_click_purchase_join": _streaming_click_purchase_join,
     }
+
+
+def _weights_values() -> str:
+    """The sampling recipe as a SQL VALUES list — generated from the SAME
+    ``sampling.source_weights()`` the Spark query broadcasts, so the two
+    engines share one source of truth for the mixture config."""
+    return ", ".join(f"('{s}', '{h}')" for s, h in sampling.source_weights())
 
 
 def oracle_sql() -> dict[str, str]:
@@ -861,6 +879,95 @@ FROM documents
 SELECT token, COUNT(DISTINCT doc_id) AS doc_freq, COUNT(*) AS term_freq
 FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
 WHERE token <> '' GROUP BY token
+""",
+        "hash_sample": """
+SELECT doc_id, source, lang, md5(CAST(doc_id AS VARCHAR)) AS sample_key
+FROM documents
+WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
+""",
+        "stratified_sample": """
+SELECT doc_id, source, lang, CAST(rn AS INTEGER) AS rn FROM (
+  SELECT doc_id, source, lang,
+         ROW_NUMBER() OVER (PARTITION BY source, lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC,
+                                     doc_id ASC) AS rn
+  FROM documents
+) WHERE rn <= 3
+""",
+        "weighted_source_mix": f"""
+WITH w(source, w_hex) AS (VALUES {_weights_values()})
+SELECT d.source, w.w_hex, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+                          < w.w_hex THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM documents d LEFT JOIN w ON d.source = w.source
+GROUP BY d.source, w.w_hex
+""",
+        "pack_token_shards": """
+SELECT doc_id, source, n_tokens,
+       CAST(cum - n_tokens AS BIGINT) AS tokens_before,
+       CAST((cum - n_tokens) // 512 AS BIGINT) AS pack_id
+FROM (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (
+           PARTITION BY source ORDER BY doc_id ASC
+           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM documents
+)
+""",
+        "repetition_stats": """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(range(len(toks) - 1),
+                                  i -> toks[i+1] || ' ' || toks[i+2])
+              ELSE [] END AS g2,
+         CASE WHEN len(toks) >= 3
+              THEN list_transform(range(len(toks) - 2),
+                                  i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+              ELSE [] END AS g3
+  FROM t
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       CASE WHEN len(g2) > 0
+            THEN CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2)
+            ELSE 0.0 END AS dup_bigram_frac,
+       CASE WHEN len(g3) > 0
+            THEN CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3)
+            ELSE 0.0 END AS dup_trigram_frac,
+       CAST(list_max(list_transform(list_distinct(toks),
+                     t2 -> len(list_filter(toks, x -> x = t2)))) AS DOUBLE) / n
+         AS top_token_frac
+FROM g
+""",
+        "contamination_check": """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN len(string_split(text, ' ')) >= 5
+              THEN list_distinct(list_transform(
+                     range(len(string_split(text, ' ')) - 4),
+                     i -> string_split(text, ' ')[i+1] || ' ' ||
+                          string_split(text, ' ')[i+2] || ' ' ||
+                          string_split(text, ' ')[i+3] || ' ' ||
+                          string_split(text, ' ')[i+4] || ' ' ||
+                          string_split(text, ' ')[i+5]))
+              ELSE [text] END AS shingles
+  FROM documents
+),
+e AS (SELECT doc_id, unnest(shingles) AS sh FROM d)
+SELECT ev.doc_id AS eval_doc_id, tr.doc_id AS train_doc_id,
+       COUNT(*) AS n_shared_ngrams
+FROM e ev JOIN e tr ON ev.sh = tr.sh
+WHERE ev.doc_id % 50 = 0 AND tr.doc_id % 50 <> 0
+GROUP BY 1, 2
+""",
+        "pii_scrub": """
+SELECT c_custkey,
+       regexp_replace(c_name, '[0-9]+', '<ID>', 'g') AS masked_name,
+       CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS extracted_id,
+       CAST(len(regexp_extract_all(c_name, '[0-9]+')) AS BIGINT) AS n_digit_runs
+FROM customer
 """,
         "pivot_status_by_flag": """
 SELECT l_linestatus,

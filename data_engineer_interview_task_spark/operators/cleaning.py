@@ -1,0 +1,120 @@
+"""Corpus-cleaning operators beyond dedup (SURVEY.md §2.8): intra-document
+repetition signals (the Gopher-style quality rules), train/eval
+contamination detection, and PII-style redaction. The reference has no
+cleaning surface at all; these are the remaining table-stakes passes of a
+pretraining data pipeline, kept SQL-expressible so each has an exact DuckDB
+oracle.
+
+Perf rule observed throughout (see memory/spark-lambda-performance.md):
+``split()`` is materialized into a column BEFORE any lambda touches it —
+Catalyst does no CSE inside lambda bodies, and higher-order functions run
+interpreted, so every inline subexpression multiplies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import read_table
+
+#: eval split: every 50th doc (deterministic, id-stable across engines)
+EVAL_MODULUS = 50
+
+#: word n-gram size for contamination matching
+CONTAM_N = 5
+
+
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition signals (the Gopher/C4 rule family,
+    adapted to word n-grams): fraction of duplicate bigrams / trigrams and
+    the most-frequent-token share. All per-row array math — narrow, zero
+    shuffle, codegen'd except the (interpreted but tiny) n-gram lambdas.
+
+    Determinism: each emitted double is ONE IEEE division of exact
+    integers — bit-identical across engines. At 100 TB note: the
+    top-token count is O(tokens x distinct) per doc; for book-length docs
+    switch to explode + groupBy(doc, token) + max — same result, linear.
+    """
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "toks", F.split("text", " ")
+    )
+    toks = F.col("toks")
+    n = F.size(toks)
+
+    def grams(k: int):
+        idx = F.sequence(F.lit(0), F.size(toks) - k)
+        return F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
+            ),
+        )
+
+    def dup_frac(k: int):
+        g = F.when(n >= k, grams(k)).otherwise(F.array())
+        total = F.size(g)
+        dups = total - F.size(F.array_distinct(g))
+        return F.when(total > 0, dups.cast("double") / total).otherwise(
+            F.lit(0.0)
+        )
+
+    top_count = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda t: F.size(F.filter(toks, lambda x: x == t)),
+        )
+    )
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        dup_frac(2).alias("dup_bigram_frac"),
+        dup_frac(3).alias("dup_trigram_frac"),
+        (top_count.cast("double") / n).alias("top_token_frac"),
+    )
+
+
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination: which training docs share a word
+    ``CONTAM_N``-gram with a held-out eval doc (every ``EVAL_MODULUS``-th
+    doc_id)? The decontamination pass every published pretraining corpus
+    runs against its benchmarks.
+
+    Shape: shingle both splits -> explode -> equi-join on the shingle (the
+    same blocking trick as n-gram dedup: only docs sharing a gram ever
+    meet) -> count shared grams per (eval, train) pair. Scale: the eval
+    side is tiny by construction, so Spark broadcasts it — the corpus-side
+    scan never shuffles; skew-proof because no hot key exceeds the eval
+    set's size."""
+    from .dedup import _shingled_docs
+
+    sh = _shingled_docs(spark, sf_dir, CONTAM_N)
+    pairs = sh.select("doc_id", F.explode("shingles").alias("sh"))
+    is_eval = F.col("doc_id") % EVAL_MODULUS == 0
+    ev = pairs.filter(is_eval).withColumnRenamed("doc_id", "eval_doc_id")
+    tr = pairs.filter(~is_eval).withColumnRenamed("doc_id", "train_doc_id")
+    return (
+        tr.join(F.broadcast(ev), "sh")
+        .groupBy("eval_doc_id", "train_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+    )
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style redaction over ``customer``: mask numeric-identifier runs
+    in the name, extract the identifier for a keyed audit trail, count the
+    redactions. Pure regexp column work (codegen; the redaction regexes of
+    a real pipeline — emails, phones, SSNs — drop into the same shape).
+    Zero shuffle: map-only over the scan."""
+    cust = read_table(spark, sf_dir, "customer")
+    digits = r"[0-9]+"
+    return cust.select(
+        "c_custkey",
+        F.regexp_replace("c_name", digits, "<ID>").alias("masked_name"),
+        F.regexp_extract("c_name", f"({digits})", 1)
+        .cast("long")
+        .alias("extracted_id"),
+        F.size(F.regexp_extract_all(F.col("c_name"), F.lit(digits), 0))
+        .cast("long")
+        .alias("n_digit_runs"),
+    )

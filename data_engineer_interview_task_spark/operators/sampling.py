@@ -1,0 +1,141 @@
+"""Deterministic sampling / data-mixing operators over ``documents``
+(SURVEY.md §2.8 extension surface: the selection half of a training-data
+pipeline). The reference has no sampling at all (its weekly batch is ~1,250
+rows, ``dags/google_trends_to_bigquery.py:13,38``); at 100 TB, corpus
+selection IS the pipeline, and it must be *deterministic* so reruns and
+incremental loads agree.
+
+Every operator here keys randomness off ``md5`` of a stable id — md5 is
+bit-identical across engines (unlike ``xxhash64``/``hash``, which are
+engine-specific), so each query has an exact DuckDB oracle twin, and a rerun
+on any cluster size selects the same rows. No ``rand()``: seeded ``rand()``
+is partition-order dependent in Spark and would not survive a repartition,
+let alone an engine change.
+
+All pure column expressions — whole-stage codegen, no Python in the hot
+path; the only shuffles are the ones the semantics require (stratified
+ranking, per-source packing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import read_table
+
+#: Bernoulli keep-threshold on the first 8 hex digits of md5(doc_id):
+#: '40000000' / 2^32 = exactly 25%. Lexicographic compare works because
+#: lowercase hex orders like the integer it encodes.
+HASH_SAMPLE_THRESHOLD = "40000000"
+
+#: Per-stratum exact sample size for stratified_sample.
+STRATUM_N = 3
+
+#: Token capacity per pack for pack_token_shards (whitespace tokens).
+PACK_CAPACITY = 512
+
+
+def _sample_key(id_col):
+    """64-bit-equivalent uniform key: first 16 hex chars of md5(id)."""
+    return F.md5(id_col.cast("string"))
+
+
+def hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bernoulli sample (rate = 25%) of ``documents``: keep a
+    doc iff the md5 of its id falls below a fixed threshold. Embarrassingly
+    parallel — a pure filter with no shuffle, and the predicate pushes down
+    to the scan's partition workers; at 100 TB this is the *only* sampling
+    shape that is both rerun-stable and free of a global pass."""
+    docs = read_table(spark, sf_dir, "documents")
+    key = _sample_key(F.col("doc_id"))
+    return docs.filter(
+        F.substring(key, 1, 8) < HASH_SAMPLE_THRESHOLD
+    ).select("doc_id", "source", "lang", key.alias("sample_key"))
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-n-per-stratum sample: the smallest ``STRATUM_N`` docs per
+    (source, lang) by hashed order (md5 ties broken by doc_id — a total
+    order, so ranks are rerun-stable). One shuffle on the stratum key;
+    ``row_number`` keeps per-group state O(1). This is the 'balanced
+    evaluation subset' selector of a data pipeline — per-language /
+    per-domain quotas rather than corpus-proportional sampling."""
+    docs = read_table(spark, sf_dir, "documents")
+    key = _sample_key(F.col("doc_id"))
+    w = Window.partitionBy("source", "lang").orderBy(
+        key.asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select(
+            "doc_id", "source", "lang", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") <= STRATUM_N)
+        .select("doc_id", "source", "lang", F.col("rn").cast("int").alias("rn"))
+    )
+
+
+def source_weights(n_sources: int = 20) -> list[tuple[str, str]]:
+    """Deterministic per-source mixing weights as (source, hex threshold on
+    the first 4 md5 digits). Weight cycle 0.10/0.30/0.50/0.70/0.90 by source
+    index — the 'data mixture' config a training pipeline would load from a
+    recipe file. Thresholds are precomputed hex literals so BOTH engines
+    compare strings, with no float-parsing drift."""
+    out = []
+    for i in range(n_sources):
+        w = 0.10 + 0.20 * (i % 5)
+        out.append((f"src{i}", format(int(w * 65536), "04x")))
+    return out
+
+
+def weighted_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing: downsample each source to its recipe weight with the
+    same md5-threshold trick, then report per-source audit counts
+    (n_docs, n_kept). The weights table is a literal broadcast join — at
+    scale the recipe is tiny and the join never shuffles the corpus; the
+    audit aggregation carries one row per (partition, source)."""
+    docs = read_table(spark, sf_dir, "documents")
+    weights = spark.createDataFrame(
+        source_weights(), schema="source string, w_hex string"
+    )
+    key4 = F.substring(_sample_key(F.col("doc_id")), 1, 4)
+    return (
+        docs.join(F.broadcast(weights), "source", "left")
+        .withColumn("kept", key4 < F.col("w_hex"))
+        .groupBy("source", "w_hex")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
+        )
+    )
+
+
+def pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign each doc to a fixed-capacity token shard
+    (``PACK_CAPACITY`` whitespace tokens) by cumulative token count in
+    deterministic (doc_id) order, partitioned by source. pack_id =
+    floor(tokens-before-me / capacity) — the streaming-friendly variant of
+    greedy first-fit (a doc may straddle a boundary; the trainer's loader
+    splits it, which is what sequence packing does anyway).
+
+    Scale: the running sum is windowed PER SOURCE, so parallelism = number
+    of sources (at 100 TB, partition by (source, date-bucket) to bound any
+    one window's span — same two-level trick as salted aggregation)."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.size(F.split("text", " ")).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_cum = docs.select(
+        "doc_id", "source", toks.alias("n_tokens")
+    ).withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    before = F.col("cum_tokens") - F.col("n_tokens")
+    return with_cum.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        before.alias("tokens_before"),
+        F.expr(f"(cum_tokens - n_tokens) div {PACK_CAPACITY}").alias("pack_id"),
+    )

@@ -1,0 +1,134 @@
+"""Semantics tests for the sampling / data-mixing and cleaning operators
+(cross-engine value parity is covered by the DuckDB oracles; these pin the
+*meaning*: determinism, exact per-key replication, structural invariants)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineer_interview_task_spark.operators import cleaning, sampling
+from data_engineer_interview_task_spark.sources import read_table
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def test_hash_sample_deterministic_and_thresholded(spark, sf_dir):
+    got = sampling.hash_sample(spark, sf_dir).collect()
+    assert 0 < len(got)
+    for r in got:
+        assert r.sample_key == _md5(str(r.doc_id))
+        assert r.sample_key[:8] < sampling.HASH_SAMPLE_THRESHOLD
+    # exact replication driver-side: the kept set is a pure function of ids
+    all_ids = [
+        r.doc_id
+        for r in read_table(spark, sf_dir, "documents").select("doc_id").collect()
+    ]
+    want = {
+        i for i in all_ids if _md5(str(i))[:8] < sampling.HASH_SAMPLE_THRESHOLD
+    }
+    assert {r.doc_id for r in got} == want
+    # ~25% rate, binomial tolerance
+    assert abs(len(want) / len(all_ids) - 0.25) < 0.08
+
+
+def test_stratified_sample_quota_and_order(spark, sf_dir):
+    got = sampling.stratified_sample(spark, sf_dir).collect()
+    by_stratum: dict[tuple, list] = {}
+    for r in got:
+        by_stratum.setdefault((r.source, r.lang), []).append(r)
+    for rows in by_stratum.values():
+        assert 1 <= len(rows) <= sampling.STRATUM_N
+        assert sorted(r.rn for r in rows) == list(range(1, len(rows) + 1))
+        # rank order follows the hashed key
+        rows.sort(key=lambda r: r.rn)
+        keys = [(_md5(str(r.doc_id)), r.doc_id) for r in rows]
+        assert keys == sorted(keys)
+
+
+def test_weighted_source_mix_exact_counts(spark, sf_dir):
+    weights = dict(sampling.source_weights())
+    docs = [
+        (r.doc_id, r.source)
+        for r in read_table(spark, sf_dir, "documents")
+        .select("doc_id", "source")
+        .collect()
+    ]
+    want: dict[str, list[int]] = {}
+    for doc_id, source in docs:
+        n, k = want.setdefault(source, [0, 0])
+        want[source][0] = n + 1
+        want[source][1] = k + (_md5(str(doc_id))[:4] < weights[source])
+    got = sampling.weighted_source_mix(spark, sf_dir).collect()
+    assert len(got) == len(want)
+    for r in got:
+        assert [r.n_docs, r.n_kept] == want[r.source]
+        assert r.w_hex == weights[r.source]
+
+
+def test_pack_token_shards_invariants(spark, sf_dir):
+    rows = sampling.pack_token_shards(spark, sf_dir).collect()
+    by_source: dict[str, list] = {}
+    for r in rows:
+        assert r.pack_id == r.tokens_before // sampling.PACK_CAPACITY
+        by_source.setdefault(r.source, []).append(r)
+    for group in by_source.values():
+        group.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in group:
+            assert r.tokens_before == cum  # contiguous, gapless packing
+            cum += r.n_tokens
+        packs = [r.pack_id for r in group]
+        assert packs == sorted(packs)  # monotone in doc order
+
+
+def test_repetition_stats_closed_form(spark, sf_dir):
+    got = {r.doc_id: r for r in cleaning.repetition_stats(spark, sf_dir).collect()}
+    docs = read_table(spark, sf_dir, "documents").limit(5).collect()
+    for d in docs:
+        toks = d.text.split(" ")
+        r = got[d.doc_id]
+        assert r.n_tokens == len(toks)
+        g2 = [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+        want = (len(g2) - len(set(g2))) / len(g2) if g2 else 0.0
+        assert r.dup_bigram_frac == pytest.approx(want, abs=1e-12)
+        top = max(toks.count(t) for t in set(toks))
+        assert r.top_token_frac == pytest.approx(top / len(toks), abs=1e-12)
+
+
+def test_contamination_check_pairs_really_overlap(spark, sf_dir):
+    got = cleaning.contamination_check(spark, sf_dir).collect()
+    assert len(got) > 0
+    texts = {
+        r.doc_id: r.text
+        for r in read_table(spark, sf_dir, "documents").collect()
+    }
+
+    def grams(t: str) -> set[str]:
+        w = t.split(" ")
+        if len(w) < cleaning.CONTAM_N:
+            return {t}
+        return {
+            " ".join(w[i : i + cleaning.CONTAM_N])
+            for i in range(len(w) - cleaning.CONTAM_N + 1)
+        }
+
+    for r in got:
+        assert r.eval_doc_id % cleaning.EVAL_MODULUS == 0
+        assert r.train_doc_id % cleaning.EVAL_MODULUS != 0
+        shared = grams(texts[r.eval_doc_id]) & grams(texts[r.train_doc_id])
+        assert len(shared) == r.n_shared_ngrams > 0
+
+
+def test_pii_scrub_masks_all_digits(spark, sf_dir):
+    rows = cleaning.pii_scrub(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert not any(c.isdigit() for c in r.masked_name)
+        assert "<ID>" in r.masked_name
+        assert r.extracted_id == r.c_custkey  # Customer#%09d numbering
+        assert r.n_digit_runs == 1
