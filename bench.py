@@ -53,6 +53,13 @@ HEADLINE = [
     "quantity_percentiles",
     "profile_lineitem",
     "multimodal_features",
+    "hash_sample",
+    "stratified_sample",
+    "weighted_source_mix",
+    "pack_token_shards",
+    "repetition_stats",
+    "contamination_check",
+    "pii_scrub",
 ]
 
 
