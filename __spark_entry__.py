@@ -189,6 +189,18 @@ def _streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_sessionize_once(spark, sf_dir, work)
 
 
+def _streaming_first_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup (dropDuplicates under a watermark): emitted key set
+    equals SELECT DISTINCT regardless of arrival order, so this streaming
+    query is fully oracle-checkable."""
+    import tempfile
+
+    from data_engineer_interview_task_spark.streaming import run_first_events_once
+
+    work = tempfile.mkdtemp(prefix="stream_dedup_")
+    return run_first_events_once(spark, sf_dir, work)
+
+
 def _streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream join with watermarks on both sides (click -> purchase
     within 1h per user). Rows-only: tests/test_streaming_join.py proves
@@ -243,6 +255,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk_ivf": similarity.ivf_topk,  # rows-only (approx)
         "embedding_near_dup": similarity.embedding_near_dup_pairs,
         # extended relational surface (absent from the reference, §2.7)
+        "priority_class_by_status": extended.priority_class_by_status,
+        "promo_revenue_share": extended.promo_revenue_share,
         "rollup_order_counts": extended.rollup_order_counts,
         "cube_lineitem_flags": extended.cube_lineitem_flags,
         "nations_set_ops": extended.nations_set_ops,
@@ -289,6 +303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # structured streaming (availableNow harness) — rows-only
         "streaming_weekly_rollup": _streaming_weekly_rollup,
         "streaming_sessionize": _streaming_sessionize,
+        "streaming_first_events": _streaming_first_events,  # oracle (set-deterministic)
         "streaming_click_purchase_join": _streaming_click_purchase_join,
     }
 
@@ -879,6 +894,34 @@ FROM documents
 SELECT token, COUNT(DISTINCT doc_id) AS doc_freq, COUNT(*) AS term_freq
 FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
 WHERE token <> '' GROUP BY token
+""",
+        "streaming_first_events": """
+SELECT DISTINCT user_id, event_type FROM events
+""",
+        "priority_class_by_status": """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_linestatus
+""",
+        "promo_revenue_share": """
+WITH s AS (
+  SELECT
+    CAST(SUM(CASE WHEN p_type = 'PROMO'
+        THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                  (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6))
+        ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE) AS promo_revenue,
+    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                  (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6)))
+         AS DOUBLE) AS total_revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+)
+SELECT promo_revenue, total_revenue,
+       promo_revenue / total_revenue AS promo_share
+FROM s
 """,
         "hash_sample": """
 SELECT doc_id, source, lang, md5(CAST(doc_id AS VARCHAR)) AS sample_key

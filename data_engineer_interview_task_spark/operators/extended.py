@@ -386,3 +386,50 @@ def supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("s_acctbal").alias("max_bal"),
         (dec_sum.cast("double") / F.count(F.lit(1))).alias("avg_bal"),
     )
+
+
+def priority_class_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12's shape on the testdata schema: join lineitem->orders and
+    count urgent-class vs other-class orders per line status (l_linestatus
+    standing in for shipmode). The conditional-aggregation-after-join
+    pattern: one shuffle for the join (AQE picks the strategy), partial
+    aggregation bounds the exchange to groups x partitions."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(urgent, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14's shape: what fraction of revenue comes from PROMO parts?
+    Join lineitem->part, conditional DECIMAL sums (exact, order-independent),
+    and the share as ONE double division of the two exact sums — the only
+    cross-engine-stable way to emit a ratio. Part is a dimension table:
+    explicitly broadcast, so the fact scan never shuffles."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    disc_price = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (1 - F.col("l_discount").cast("decimal(18,2)"))
+    ).cast("decimal(28,6)")
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", disc_price).otherwise(
+            F.lit(0).cast("decimal(28,6)")
+        )
+    )
+    total = F.sum(disc_price)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            promo.cast("double").alias("promo_revenue"),
+            total.cast("double").alias("total_revenue"),
+            (promo.cast("double") / total.cast("double")).alias("promo_share"),
+        )
+    )

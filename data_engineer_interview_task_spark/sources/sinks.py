@@ -52,3 +52,47 @@ def write_partitioned(
         .partitionBy(*partition_cols)
         .parquet(path)
     )
+
+
+def upsert_to_table(
+    spark: SparkSession, df: DataFrame, table: str, keys: list[str]
+) -> None:
+    """Idempotent upsert into a catalog table: new rows replace existing
+    rows with the same key. The guard the reference's WRITE_APPEND lacks —
+    an Airflow task retry there double-loads the week
+    (``dags/google_trends_to_bigquery.py:150-158``); rerunning this is a
+    no-op.
+
+    Implementation: keep = existing LEFT-ANTI-JOIN incoming (on the keys),
+    then overwrite with keep UNION incoming. On a warehouse with a
+    transactional table format (Delta/Iceberg) this is ``MERGE INTO`` and
+    touches only matching files; plain-parquet Spark rewrites the table, so
+    at 100 TB partition the table and restrict the rewrite to the affected
+    partitions (dynamic partition overwrite)."""
+    if not spark.catalog.tableExists(table):
+        df.write.saveAsTable(table)
+        return
+    existing = spark.table(table)
+    keep = existing.join(df.select(*keys).distinct(), keys, "left_anti")
+    # localCheckpoint materializes to executor storage and CUTS LINEAGE, so
+    # the overwrite below no longer reads the table it replaces (Spark
+    # rejects a self-referencing overwrite) — and nothing goes through the
+    # driver, unlike a collect/recreate round-trip
+    merged = keep.unionByName(df).localCheckpoint()
+    merged.write.mode("overwrite").saveAsTable(table)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Export as JSON-lines — the interchange format training pipelines
+    feed tokenizers from. Spark's json sink writes one object per line,
+    sharded per partition (at scale: .repartition to bound shard count)."""
+    df.write.mode(mode).json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """Read JSON-lines with an explicit schema when given (always give one
+    at scale: schema inference is a full extra pass over the data)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)

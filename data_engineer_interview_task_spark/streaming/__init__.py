@@ -1,10 +1,13 @@
 from .weekly import weekly_rollup_stream, run_weekly_rollup_once
 from .sessions import sessionize_stream, run_sessionize_once
 from .joins import click_purchase_stream_join, run_click_purchase_join_once
+from .dedup import first_events_stream, run_first_events_once
 
 __all__ = [
     "weekly_rollup_stream",
     "run_weekly_rollup_once",
+    "first_events_stream",
+    "run_first_events_once",
     "sessionize_stream",
     "run_sessionize_once",
     "click_purchase_stream_join",

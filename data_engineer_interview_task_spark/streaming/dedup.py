@@ -1,0 +1,62 @@
+"""Streaming deduplication — ``dropDuplicates`` under a watermark.
+
+The streaming twin of the batch dedup family (``operators/dedup.py``): emit
+each (user_id, event_type) key the FIRST time it appears in the stream and
+suppress every later duplicate. This is the idempotent-ingest guard a
+production pipeline puts in front of an append-only sink (the reference's
+WRITE_APPEND BigQuery load, ``dags/google_trends_to_bigquery.py:150-158``,
+has no such guard — a DAG retry double-loads).
+
+State: one entry per distinct key — bounded by key cardinality, not stream
+length; the watermark lets Spark GC state for keys whose duplicates can no
+longer arrive. Because the EMITTED KEY SET equals ``SELECT DISTINCT``
+regardless of arrival order, this streaming query is exactly
+oracle-checkable — rare for a streaming op.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..plans import prep_session
+from .weekly import EVENTS_SCHEMA
+
+
+def first_events_stream(
+    spark: SparkSession, source_dir: str, watermark: str = "30 days"
+) -> DataFrame:
+    """readStream -> watermark -> dropDuplicates on the key columns.
+    Emits rows in append mode as they pass the state filter."""
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(source_dir)
+    return (
+        stream.withWatermark("ts", watermark)
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+
+
+def run_first_events_once(
+    spark: SparkSession, sf_dir: str, work_dir: str
+) -> DataFrame:
+    """availableNow harness: stream the events table through the dedup and
+    return the emitted keys as a batch DataFrame (same pattern as
+    ``run_weekly_rollup_once``)."""
+    from ..sources import read_table
+
+    prep_session(spark)
+    src = f"{work_dir}/events_src"
+    read_table(spark, sf_dir, "events").write.mode("overwrite").parquet(src)
+    sink = f"mem_firstev_{uuid.uuid4().hex[:8]}"
+    q = (
+        first_events_stream(spark, src)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", f"{work_dir}/ckpt_{sink}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)

@@ -98,3 +98,61 @@ def test_streaming_has_watermark(spark, sf_dir, tmp_path):
     stream_df = weekly_rollup_stream(spark, src)
     assert stream_df.isStreaming
     assert "watermark" in stream_df._jdf.queryExecution().logical().toString().lower()
+
+
+def test_streaming_first_events_equals_batch_distinct(spark, sf_dir, tmp_path):
+    from data_engineer_interview_task_spark.sources import read_table
+    from data_engineer_interview_task_spark.streaming import run_first_events_once
+
+    got = run_first_events_once(spark, sf_dir, str(tmp_path / "dedup"))
+    streamed = {(r.user_id, r.event_type) for r in got.collect()}
+    want = {
+        (r.user_id, r.event_type)
+        for r in read_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .collect()
+    }
+    assert streamed == want
+    # emitted exactly once per key
+    assert got.count() == len(want)
+
+
+def test_upsert_is_idempotent_and_replaces(spark, sf_dir, tmp_path):
+    from data_engineer_interview_task_spark.sources import read_table
+    from data_engineer_interview_task_spark.sources.sinks import upsert_to_table
+
+    table = "upsert_target_t"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    week1 = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.lit("2021-01-04").alias("week"), F.lit(1).alias("v")
+    )
+    upsert_to_table(spark, week1, table, ["n_nationkey", "week"])
+    n1 = spark.table(table).count()
+    # retry of the same load -> no duplicates (the WRITE_APPEND hazard)
+    upsert_to_table(spark, week1, table, ["n_nationkey", "week"])
+    assert spark.table(table).count() == n1
+    # restatement replaces matching keys, keeps the rest
+    restated = week1.limit(5).withColumn("v", F.lit(2))
+    upsert_to_table(spark, restated, table, ["n_nationkey", "week"])
+    got = spark.table(table)
+    assert got.count() == n1
+    assert got.filter(F.col("v") == 2).count() == 5
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_jsonl_round_trip_preserves_rows(spark, sf_dir, tmp_path):
+    from data_engineer_interview_task_spark.sources import read_table
+    from data_engineer_interview_task_spark.sources.sinks import (
+        read_jsonl,
+        write_jsonl,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, path)
+    back = read_jsonl(spark, path, schema=docs.schema)
+    assert back.schema == docs.schema
+    a = {tuple(r) for r in docs.collect()}
+    b = {tuple(r) for r in back.collect()}
+    assert a == b
