@@ -254,6 +254,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk_lsh": similarity.srp_lsh_topk,  # rows-only (approx)
         "similarity_topk_ivf": similarity.ivf_topk,  # rows-only (approx)
         "embedding_near_dup": similarity.embedding_near_dup_pairs,
+        "embedding_normalize": similarity.embedding_normalize,
+        "embedding_quantize": similarity.embedding_quantize,
         # extended relational surface (absent from the reference, §2.7)
         "priority_class_by_status": extended.priority_class_by_status,
         "promo_revenue_share": extended.promo_revenue_share,
@@ -263,6 +265,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": extended.customers_without_orders,
         "nation_order_outer": extended.nation_order_outer,
         "order_gaps_lead_lag": extended.order_gaps_lead_lag,
+        "order_value_extremes": extended.order_value_extremes,
+        "fuzzy_name_matches": extended.fuzzy_name_matches,
         "extract_event_props": extended.extract_event_props,
         "part_string_features": extended.part_string_features,
         "orders_range_join": extended.orders_range_join,
@@ -894,6 +898,53 @@ FROM documents
 SELECT token, COUNT(DISTINCT doc_id) AS doc_freq, COUNT(*) AS term_freq
 FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
 WHERE token <> '' GROUP BY token
+""",
+        "embedding_normalize": """
+WITH n AS (
+  SELECT vec_id, embedding,
+         sqrt(list_reduce(list_transform(embedding,
+              e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)),
+              (a, b) -> a + b)) AS norm
+  FROM embeddings
+)
+SELECT vec_id, CAST(i AS INTEGER) AS dim, norm,
+       CAST(embedding[i + 1] AS DOUBLE) / norm AS unit_val
+FROM n, (SELECT unnest(range(64)) AS i) t
+""",
+        "embedding_quantize": """
+WITH s AS (
+  SELECT vec_id, embedding,
+         CAST(list_min(embedding) AS DOUBLE) AS qmin,
+         CAST(list_max(embedding) AS DOUBLE) AS qmax
+  FROM embeddings
+)
+SELECT vec_id, CAST(i AS INTEGER) AS dim, qmin, qmax,
+       CASE WHEN qmax - qmin > 0
+            THEN CAST(floor((CAST(embedding[i + 1] AS DOUBLE) - qmin) * 255.0
+                            / (qmax - qmin)) AS BIGINT)
+            ELSE 0 END AS code
+FROM s, (SELECT unnest(range(64)) AS i) t
+""",
+        "order_value_extremes": """
+SELECT o_custkey, o_orderkey,
+       first_value(o_totalprice) OVER w AS first_price,
+       last_value(o_totalprice) OVER wf AS last_price,
+       nth_value(o_totalprice, 2) OVER wf AS second_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC),
+       wf AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+        "fuzzy_name_matches": """
+WITH names AS (
+  SELECT p_name, COUNT(*) AS n_parts, string_split(p_name, ' ')[1] AS w
+  FROM part GROUP BY p_name
+)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS distance,
+       a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+FROM names a JOIN names b ON a.w = b.w AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 4
 """,
         "streaming_first_events": """
 SELECT DISTINCT user_id, event_type FROM events

@@ -60,6 +60,12 @@ HEADLINE = [
     "repetition_stats",
     "contamination_check",
     "pii_scrub",
+    "priority_class_by_status",
+    "promo_revenue_share",
+    "embedding_normalize",
+    "embedding_quantize",
+    "order_value_extremes",
+    "fuzzy_name_matches",
 ]
 
 
@@ -82,10 +88,18 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    import gc
+
     qs = entry.queries()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
+        # drop references to prior queries' localCheckpoint RDDs and nudge
+        # both GCs, so executor storage pressure from query N doesn't tax
+        # query N+1's timing (measured: chargram_minhash 3.3s isolated vs
+        # 12s late in a 48-query session without this)
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm: plan + JIT + OS page cache
         best = float("inf")
         for _ in range(2):  # best-of-2 damps GC/JIT jitter in local mode

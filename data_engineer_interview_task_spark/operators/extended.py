@@ -433,3 +433,65 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             (promo.cast("double") / total.cast("double")).alias("promo_share"),
         )
     )
+
+
+def order_value_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window value-function surface: first_value / last_value / nth_value
+    over each customer's order history (full frame for last/nth — the
+    default running frame would make last_value mean 'current'). One
+    exchange on the partition key; every orderBy is a total order."""
+    from pyspark.sql import Window
+
+    orders = read_table(spark, sf_dir, "orders")
+    base = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    full = base.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first_value(F.col("o_totalprice")).over(base).alias("first_price"),
+        F.last_value(F.col("o_totalprice")).over(full).alias("last_price"),
+        F.nth_value(F.col("o_totalprice"), 2).over(full).alias("second_price"),
+    )
+
+
+def fuzzy_name_matches(spark: SparkSession, sf_dir: str, max_dist: int = 4) -> DataFrame:
+    """Fuzzy string matching with dedupe-first blocking: collapse part
+    names to distinct values (64 regardless of SF — the shuffle carries the
+    distinct names + counts, never the fact rows), block on the first word,
+    pair within blocks, keep levenshtein ≤ ``max_dist``. The entity-
+    resolution shape: at 100 TB the distinct-first step is what makes the
+    quadratic edit-distance affordable — it runs on the value domain, not
+    the row count."""
+    part = read_table(spark, sf_dir, "part")
+    names = (
+        part.groupBy("p_name")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .withColumn("w", F.split("p_name", " ").getItem(0))
+    )
+    a = names.select(
+        F.col("p_name").alias("name_a"),
+        F.col("n_parts").alias("n_parts_a"),
+        "w",
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"),
+        F.col("n_parts").alias("n_parts_b"),
+        "w",
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, "w")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .filter(dist <= max_dist)
+        .select(
+            "name_a",
+            "name_b",
+            dist.cast("int").alias("distance"),
+            "n_parts_a",
+            "n_parts_b",
+        )
+    )

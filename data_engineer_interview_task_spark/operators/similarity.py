@@ -265,3 +265,58 @@ def embedding_near_dup_pairs(
         .filter(F.col("cos_key") >= threshold * abs(threshold))
         .select("label", "id_a", "id_b")
     )
+
+
+def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-normalize embeddings, emitted in exploded scalar form
+    (vec_id, dim, unit_val) + the norm — the storage-prep pass before
+    cosine ANN (unit vectors turn cosine into plain dot). Determinism note:
+    the squared norm is a STRICT LEFT FOLD in doubles (``F.aggregate`` in
+    array order) — row-local, so partition-independent, and bit-identical
+    to DuckDB's ``list_reduce`` which folds the same way. (A DECIMAL cast
+    of each float product would NOT match: the engines round the
+    double->decimal conversion differently at the last ulp.)
+
+    Shape: map-only (norm is per-row array math), then posexplode;
+    zero shuffle."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    with_norm = emb.withColumn("norm", norm_expr(F.col("embedding")))
+    return with_norm.select(
+        "vec_id",
+        "norm",
+        F.posexplode("embedding").alias("dim", "e"),
+    ).select(
+        "vec_id",
+        F.col("dim").cast("int").alias("dim"),
+        "norm",
+        (F.col("e").cast("double") / F.col("norm")).alias("unit_val"),
+    )
+
+
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 scalar quantization (blockwise-quantization shape):
+    code = floor((x - min) * 255 / (max - min)) with the vector's own
+    min/max as the scale — the 4x storage cut applied before shipping
+    embeddings to an ANN index. Exploded scalar output keeps the oracle
+    exact: min/max/floor and the one multiply-divide chain are identical
+    IEEE ops in both engines. Map-only, zero shuffle."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    mn = F.array_min("embedding").cast("double")
+    mx = F.array_max("embedding").cast("double")
+    scaled = emb.select(
+        "vec_id",
+        mn.alias("qmin"),
+        mx.alias("qmax"),
+        F.posexplode("embedding").alias("dim", "e"),
+    )
+    span = F.col("qmax") - F.col("qmin")
+    code = F.when(span > 0,
+        F.floor((F.col("e").cast("double") - F.col("qmin")) * 255.0 / span)
+    ).otherwise(F.lit(0)).cast("long")
+    return scaled.select(
+        "vec_id",
+        F.col("dim").cast("int").alias("dim"),
+        "qmin",
+        "qmax",
+        code.alias("code"),
+    )

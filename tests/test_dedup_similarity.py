@@ -133,3 +133,59 @@ def test_decimal_cosine_is_partition_order_independent(spark, sf_dir):
     a = similarity.brute_force_topk(spark, sf_dir, n_queries=2, k=5)
     b = similarity.brute_force_topk(spark, sf_dir, n_queries=2, k=5).repartition(13)
     assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+
+
+def test_embedding_normalize_unit_norm(spark, sf_dir):
+    from data_engineer_interview_task_spark.operators import similarity
+
+    out = similarity.embedding_normalize(spark, sf_dir)
+    # each vector's normalized components sum-of-squares ~ 1
+    agg = (
+        out.groupBy("vec_id")
+        .agg(F.sum(F.col("unit_val") * F.col("unit_val")).alias("ss"))
+        .collect()
+    )
+    assert len(agg) > 0
+    for r in agg:
+        assert abs(r.ss - 1.0) < 1e-9
+
+
+def test_embedding_quantize_bounds_and_roundtrip(spark, sf_dir):
+    from data_engineer_interview_task_spark.operators import similarity
+    from data_engineer_interview_task_spark.sources import read_table
+
+    out = similarity.embedding_quantize(spark, sf_dir).collect()
+    emb = {
+        r.vec_id: r.embedding
+        for r in read_table(spark, sf_dir, "embeddings").collect()
+    }
+    for r in out[:2000]:
+        assert 0 <= r.code <= 255
+        x = float(emb[r.vec_id][r.dim])
+        span = r.qmax - r.qmin
+        # code k covers [qmin + k*span/255, qmin + (k+1)*span/255); the
+        # bin-center dequantization is off by at most half a step
+        deq = r.qmin + (r.code + 0.5) * span / 255.0
+        assert abs(deq - x) <= span / 510.0 + 1e-9
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_fuzzy_name_matches_blocked_and_bounded(spark, sf_dir):
+    from data_engineer_interview_task_spark.operators import extended
+
+    rows = extended.fuzzy_name_matches(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.name_a < r.name_b  # canonical pair orientation, no dupes
+        assert r.name_a.split(" ")[0] == r.name_b.split(" ")[0]  # blocked
+        assert r.distance == _lev(r.name_a, r.name_b) <= 4
+        assert r.n_parts_a > 0 and r.n_parts_b > 0
