@@ -240,6 +240,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_events_orders": relational.asof_join_events_orders,
         "weekly_event_rollup": relational.weekly_event_rollup,
         "sessionize_events": relational.sessionize_events,
+        "scd2_user_type_history": relational.scd2_user_type_history,
+        "funnel_conversion": relational.funnel_conversion,
         # dedup
         "exact_dedup": dedup.exact_dedup,
         "canonical_docs": dedup.canonical_docs,
@@ -276,6 +278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroids": extended.label_centroids,
         "sql_interface_shipping_priority": extended.sql_interface_shipping_priority,
         "approx_distinct_parts": extended.approx_distinct_parts,  # rows-only (HLL)
+        "approx_quantity_percentiles": extended.approx_quantity_percentiles,  # rows-only (sketch)
         "quantity_percentiles": extended.quantity_percentiles,
         "profile_lineitem": extended.profile_lineitem,
         # text analysis
@@ -898,6 +901,38 @@ FROM documents
 SELECT token, COUNT(DISTINCT doc_id) AS doc_freq, COUNT(*) AS term_freq
 FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
 WHERE token <> '' GROUP BY token
+""",
+        "scd2_user_type_history": """
+SELECT user_id, event_type, event_id, value,
+       ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       (lead(ts) OVER w IS NULL) AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts ASC, event_id ASC)
+""",
+        "funnel_conversion": """
+WITH wv AS (
+  SELECT user_id, event_type, ts,
+         MIN(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id) AS v_ts
+  FROM events
+), wc AS (
+  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > v_ts THEN ts END)
+              OVER (PARTITION BY user_id) AS c_ts
+  FROM wv
+), wp AS (
+  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > c_ts THEN ts END)
+              OVER (PARTITION BY user_id) AS p_ts
+  FROM wc
+), pu AS (
+  SELECT user_id, MAX(v_ts) AS v, MAX(c_ts) AS c, MAX(p_ts) AS p
+  FROM wp GROUP BY user_id
+)
+SELECT CAST(SUM(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(SUM(CASE WHEN c IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+       CAST(SUM(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_view_click_purchase
+FROM pu
 """,
         "embedding_normalize": """
 WITH n AS (

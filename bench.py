@@ -66,6 +66,8 @@ HEADLINE = [
     "embedding_quantize",
     "order_value_extremes",
     "fuzzy_name_matches",
+    "scd2_user_type_history",
+    "funnel_conversion",
 ]
 
 

@@ -495,3 +495,21 @@ def fuzzy_name_matches(spark: SparkSession, sf_dir: str, max_dist: int = 4) -> D
             "n_parts_b",
         )
     )
+
+
+def approx_quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentiles (approx_percentile): the one-pass,
+    bounded-memory path for 100 TB where exact percentile's full sort per
+    group is unaffordable. Accuracy knob = max relative error 1/10000.
+    Rows-only check: the sketch's merge order is engine-specific (the
+    exact twin is ``quantity_percentiles``)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    pct = F.percentile_approx(
+        "l_quantity", [0.25, 0.5, 0.75, 0.95], 10000
+    )
+    return li.groupBy("l_returnflag").agg(
+        pct.getItem(0).alias("q25"),
+        pct.getItem(1).alias("median"),
+        pct.getItem(2).alias("q75"),
+        pct.getItem(3).alias("q95"),
+    )

@@ -237,3 +237,70 @@ def sessionize_events(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
         )
     )
+
+
+def scd2_user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build: each event's value is
+    current for its (user, event_type) until the next event of that key —
+    emit validity intervals [valid_from, valid_to) with an is_current
+    flag. The warehouse history-table pattern, from the same single
+    window shuffle as lead(): O(1) state per row, total order inside
+    each key via (ts, event_id)."""
+    events = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return events.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        "value",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view -> click -> purchase): a user converts a stage
+    only with an event strictly after their previous stage's first
+    qualifying event. Three STACKED min-over-window expressions on the
+    same user partition — Catalyst plans them in ONE window node after one
+    exchange; the final stage counts distinct users per funnel depth.
+
+    The sequential dependency (click must follow the first view) is why
+    this isn't a plain conditional aggregation — and the stacked-window
+    form is what keeps it one shuffle instead of three join-backs."""
+    events = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    v = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    with_v = events.withColumn("v_ts", v)
+    c = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") > F.col("v_ts")),
+            F.col("ts"),
+        )
+    ).over(w)
+    with_c = with_v.withColumn("c_ts", c)
+    p = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("c_ts")),
+            F.col("ts"),
+        )
+    ).over(w)
+    per_user = (
+        with_c.withColumn("p_ts", p)
+        .groupBy("user_id")
+        .agg(
+            F.max(F.col("v_ts").isNotNull()).alias("viewed"),
+            F.max(F.col("c_ts").isNotNull()).alias("clicked"),
+            F.max(F.col("p_ts").isNotNull()).alias("purchased"),
+        )
+    )
+    return per_user.agg(
+        F.sum(F.when(F.col("viewed"), 1).otherwise(0)).alias("n_view"),
+        F.sum(F.when(F.col("clicked"), 1).otherwise(0)).alias("n_view_click"),
+        F.sum(F.when(F.col("purchased"), 1).otherwise(0)).alias(
+            "n_view_click_purchase"
+        ),
+    )

@@ -96,3 +96,16 @@ def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """CSV export with header — the lowest-common-denominator interchange
+    format. Timestamps serialize as ISO-8601; at scale prefer parquet
+    (CSV has no types, no predicate pushdown, no column pruning)."""
+    df.write.mode(mode).option("header", True).csv(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema) -> DataFrame:
+    """CSV read with a REQUIRED explicit schema: inference is a full extra
+    pass and silently mis-types empty/ambiguous columns."""
+    return spark.read.schema(schema).option("header", True).csv(path)

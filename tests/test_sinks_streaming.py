@@ -156,3 +156,61 @@ def test_jsonl_round_trip_preserves_rows(spark, sf_dir, tmp_path):
     a = {tuple(r) for r in docs.collect()}
     b = {tuple(r) for r in back.collect()}
     assert a == b
+
+
+def test_csv_round_trip_preserves_rows(spark, sf_dir, tmp_path):
+    from data_engineer_interview_task_spark.sources import read_table
+    from data_engineer_interview_task_spark.sources.sinks import read_csv, write_csv
+
+    nation = read_table(spark, sf_dir, "nation")
+    path = str(tmp_path / "nation_csv")
+    write_csv(nation, path)
+    back = read_csv(spark, path, nation.schema)
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in nation.collect()}
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    from data_engineer_interview_task_spark.sources.sinks import read_jsonl  # noqa: F401
+
+    path = str(tmp_path / "evolving")
+    spark.range(3).selectExpr("id", "id * 2 AS a").write.parquet(f"{path}/v=1")
+    spark.range(3).selectExpr(
+        "id", "id * 2 AS a", "'x' AS b"
+    ).write.parquet(f"{path}/v=2")
+    merged = spark.read.option("mergeSchema", True).parquet(path)
+    assert set(merged.columns) == {"id", "a", "b", "v"}
+    # old files read with the evolved schema: missing column -> nulls
+    assert merged.filter("v = 1 AND b IS NULL").count() == 3
+    assert merged.filter("v = 2 AND b = 'x'").count() == 3
+
+
+def test_incremental_rollup_equals_full_recompute(spark, sf_dir):
+    """Incremental aggregation maintenance: merging yesterday's rollup with
+    the new partition's partial rollup must equal a full recompute — the
+    reason the weekly rollup stores SUM/COUNT (algebraic aggregates), never
+    AVG. This is the 100 TB daily-load pattern: touch only the delta."""
+    from data_engineer_interview_task_spark.operators import relational
+    from data_engineer_interview_task_spark.sources import read_table
+
+    events = read_table(spark, sf_dir, "events")
+    cutoff = "2024-01-15"
+    old = events.filter(F.col("ts") < cutoff)
+    delta = events.filter(F.col("ts") >= cutoff)
+    assert delta.count() > 0 and old.count() > 0
+
+    def rollup(df):
+        return df.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total"),
+        )
+
+    merged = (
+        rollup(old)
+        .unionByName(rollup(delta))
+        .groupBy("day", "event_type")
+        .agg(F.sum("n").alias("n"), F.sum("total").alias("total"))
+    )
+    full = rollup(events)
+    a = {(r.day, r.event_type): (r.n, r.total) for r in merged.collect()}
+    b = {(r.day, r.event_type): (r.n, r.total) for r in full.collect()}
+    assert a == b
