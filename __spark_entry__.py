@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from data_engineer_interview_task_spark.operators import (
     cleaning,
+    clustering,
     dedup,
     extended,
     multimodal,
@@ -258,6 +259,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": similarity.embedding_near_dup_pairs,
         "embedding_normalize": similarity.embedding_normalize,
         "embedding_quantize": similarity.embedding_quantize,
+        "kmeans_assignments": clustering.kmeans_assignments,
+        "kmeans_cluster_sizes": clustering.kmeans_cluster_sizes,
         # extended relational surface (absent from the reference, §2.7)
         "priority_class_by_status": extended.priority_class_by_status,
         "promo_revenue_share": extended.promo_revenue_share,
@@ -269,6 +272,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_gaps_lead_lag": extended.order_gaps_lead_lag,
         "order_value_extremes": extended.order_value_extremes,
         "fuzzy_name_matches": extended.fuzzy_name_matches,
+        "global_row_numbers": extended.global_row_numbers,
+        "zorder_key": extended.zorder_key,
         "extract_event_props": extended.extract_event_props,
         "part_string_features": extended.part_string_features,
         "orders_range_join": extended.orders_range_join,
@@ -292,6 +297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_estimate": text.token_estimate,
         "salted_token_counts": text.salted_token_counts,
         "chargram_minhash": text.chargram_minhash,
+        "doc_commonness": text.doc_commonness,
         "order_percentiles": extended.order_percentiles,
         "pivot_status_by_flag": extended.pivot_status_by_flag,
         # deterministic sampling / data mixing
@@ -313,6 +319,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_first_events": _streaming_first_events,  # oracle (set-deterministic)
         "streaming_click_purchase_join": _streaming_click_purchase_join,
     }
+
+
+def _zorder_expr(var: str, shift_base: int) -> str:
+    """SQL for spreading the low 8 bits of ``var`` to every-other bit
+    position — generated so the Spark expression and the oracle share one
+    definition of the interleave."""
+    return " + ".join(
+        f"(({var} >> {i}) & 1) * {1 << (2 * i + shift_base)}" for i in range(8)
+    )
+
+
+def _kmeans_sql() -> str:
+    """CTE chain mirroring clustering.py's two-round deterministic Lloyd:
+    per-label init centroids -> assign -> update -> assign. Shares the
+    bit-identity rules: DECIMAL(20,9) means, list_reduce left-fold
+    distances, (d, cl) total-order argmin."""
+    cent = (
+        "SELECT {key} AS cl, i AS dim, "
+        "CAST(SUM(CAST(CAST(embedding[i+1] AS DOUBLE) AS DECIMAL(20,9))) "
+        "AS DOUBLE) / COUNT(*) AS c "
+        "FROM {src}, (SELECT unnest(range(64)) AS i) t GROUP BY {key}, i"
+    )
+    assign = """
+a{r} AS (
+  SELECT vec_id, embedding, cl,
+         list_reduce(list_transform(range(64),
+           i -> (CAST(embedding[i+1] AS DOUBLE) - cent[i+1]) *
+                (CAST(embedding[i+1] AS DOUBLE) - cent[i+1])),
+           (a, b) -> a + b) AS d
+  FROM e CROSS JOIN c{r}
+),
+s{r} AS (
+  SELECT vec_id, embedding, cl AS cluster FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY d ASC, cl ASC) AS rk
+    FROM a{r}
+  ) WHERE rk = 1
+)"""
+    return f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+c0d AS ({cent.format(key="label", src="embeddings")}),
+c0 AS (SELECT cl, list(c ORDER BY dim ASC) AS cent FROM c0d GROUP BY cl),
+{assign.format(r=0)},
+c1d AS ({cent.format(key="cluster", src="s0")}),
+c1 AS (SELECT cl, list(c ORDER BY dim ASC) AS cent FROM c1d GROUP BY cl),
+{assign.format(r=1)}
+"""
 
 
 def _weights_values() -> str:
@@ -901,6 +954,44 @@ FROM documents
 SELECT token, COUNT(DISTINCT doc_id) AS doc_freq, COUNT(*) AS term_freq
 FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
 WHERE token <> '' GROUP BY token
+""",
+        "kmeans_assignments": _kmeans_sql()
+        + """
+SELECT vec_id, CAST(cluster AS INTEGER) AS cluster FROM s1
+""",
+        "kmeans_cluster_sizes": _kmeans_sql()
+        + """
+SELECT CAST(cluster AS INTEGER) AS cluster, COUNT(*) AS n_vectors
+FROM s1 GROUP BY cluster
+""",
+        "global_row_numbers": """
+SELECT doc_id, source,
+       CAST(ROW_NUMBER() OVER (ORDER BY doc_id ASC) AS BIGINT) AS row_num
+FROM documents
+""",
+        "zorder_key": f"""
+WITH b AS (
+  SELECT o_orderkey,
+         CAST(o_custkey % 256 AS BIGINT) AS cust_bucket,
+         CAST(dayofyear(o_orderdate) % 256 AS BIGINT) AS day_bucket
+  FROM orders
+)
+SELECT o_orderkey, cust_bucket, day_bucket,
+       CAST({_zorder_expr('cust_bucket', 0)}
+            + {_zorder_expr('day_bucket', 1)} AS BIGINT) AS zkey
+FROM b
+""",
+        "doc_commonness": """
+WITH tt AS (
+  SELECT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+  ) WHERE token <> ''
+),
+f AS (SELECT token, COUNT(*) AS freq FROM tt GROUP BY token)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       CAST(SUM(freq) AS BIGINT) AS total_freq,
+       CAST(SUM(freq) AS DOUBLE) / COUNT(*) AS mean_token_freq
+FROM tt JOIN f USING (token) GROUP BY doc_id
 """,
         "scd2_user_type_history": """
 SELECT user_id, event_type, event_id, value,

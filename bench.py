@@ -68,6 +68,10 @@ HEADLINE = [
     "fuzzy_name_matches",
     "scd2_user_type_history",
     "funnel_conversion",
+    "kmeans_assignments",
+    "global_row_numbers",
+    "zorder_key",
+    "doc_commonness",
 ]
 
 

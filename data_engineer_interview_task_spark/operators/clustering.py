@@ -1,0 +1,99 @@
+"""Deterministic distributed k-means (Lloyd's algorithm) over the
+``embeddings`` table — the iterative-ML-algorithm surface (SURVEY.md §2.8).
+The reference has nothing iterative; at 100 TB the pattern is: centroids
+are TINY (k x dims) and broadcast each round, the corpus is scanned once
+per round with a map-side argmin, and the update is one partial-aggregated
+groupBy — no shuffle ever carries vectors to a single node.
+
+Every arithmetic step is chosen for cross-engine bit-identity, which makes
+the WHOLE two-round algorithm oracle-checkable (rare for iterative ML):
+- centroid means: DECIMAL(20,9) sums / count, emitted as double (the
+  label_centroids rule — scale 9 keeps double->decimal rounding agreed);
+- distances: strict left-fold double sums in array order (row-local, equal
+  to DuckDB's list_reduce bit-for-bit);
+- argmin: row_number with a total tie-break (distance, then cluster id).
+
+Init = per-label centroids (deterministic; k-means|| sampling would be
+engine-specific). Rounds are unrolled statically — each round is one
+broadcast join + one aggregation, the classic Spark iteration shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import read_table
+
+#: unrolled Lloyd rounds: assign -> update -> assign
+N_UPDATE_ROUNDS = 1
+
+
+def _centroid_arrays(assigned: DataFrame, cluster_col: str) -> DataFrame:
+    """(cluster, centroid array<double>) via posexplode + exact decimal
+    means + ordered re-assembly. The sort_array(collect_list(struct))
+    re-assembly is deterministic: dim is unique within a group."""
+    ex = assigned.select(
+        F.col(cluster_col).alias("cl"),
+        F.posexplode("embedding").alias("dim", "x"),
+    )
+    means = ex.groupBy("cl", "dim").agg(
+        (
+            F.sum(F.col("x").cast("double").cast("decimal(20,9)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+    return means.groupBy("cl").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("dim", "c"))),
+            lambda s: s.getField("c"),
+        ).alias("cent")
+    )
+
+
+def _assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the k centroids, one
+    squared-distance fold per (vector, centroid), argmin per vector with a
+    total tie-break. Map-side except the k-way row_number window."""
+    paired = emb.crossJoin(F.broadcast(centroids))
+    diff_sq = F.zip_with(
+        "embedding",
+        "cent",
+        lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+    )
+    dist = F.aggregate(diff_sq, F.lit(0.0), lambda acc, x: acc + x)
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("d").asc(), F.col("cl").asc()
+    )
+    return (
+        paired.withColumn("d", dist)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "embedding", F.col("cl").alias("cluster"))
+    )
+
+
+def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-round deterministic Lloyd: init from per-label centroids,
+    assign, update centroids from the assignment, re-assign. Emits the
+    final (vec_id, cluster)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    cent = _centroid_arrays(
+        emb.withColumn("cluster", F.col("label")), "cluster"
+    )
+    assigned = _assign(emb.select("vec_id", "embedding"), cent)
+    for _ in range(N_UPDATE_ROUNDS):
+        cent = _centroid_arrays(assigned, "cluster")
+        assigned = _assign(emb.select("vec_id", "embedding"), cent)
+    return assigned.select(
+        "vec_id", F.col("cluster").cast("int").alias("cluster")
+    )
+
+
+def kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final cluster cardinalities — the convergence diagnostic."""
+    return (
+        kmeans_assignments(spark, sf_dir)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )

@@ -513,3 +513,69 @@ def approx_quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         pct.getItem(2).alias("q75"),
         pct.getItem(3).alias("q95"),
     )
+
+
+def global_row_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global row numbering WITHOUT the single-partition window
+    anti-pattern. ``row_number() OVER (ORDER BY ...)`` with no PARTITION BY
+    funnels 100 TB through one task; instead: range-partition by the sort
+    key, number within each partition (parallel windows), then add each
+    partition's cumulative offset via a tiny broadcast join — the classic
+    two-phase zipWithIndex, expressed declaratively. Deterministic because
+    the sort key (doc_id) is unique and repartitionByRange splits on it."""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    parts = docs.repartitionByRange(8, F.col("doc_id")).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    in_part = Window.partitionBy("pid").orderBy(F.col("doc_id").asc())
+    numbered = parts.withColumn("rn_local", F.row_number().over(in_part))
+    # per-partition counts -> exclusive prefix sum; ~8 rows, broadcastable
+    off_w = (
+        Window.orderBy(F.col("pid").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = (
+        parts.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("offset", F.sum("cnt").over(off_w) - F.col("cnt"))
+        .select("pid", "offset")
+    )
+    return (
+        numbered.join(F.broadcast(offsets), "pid")
+        .select(
+            "doc_id",
+            "source",
+            (F.col("rn_local") + F.col("offset")).cast("long").alias("row_num"),
+        )
+    )
+
+
+def zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key: interleave the low 8 bits of two
+    dimensions (customer bucket, order day-of-year) so a sort on the key
+    co-locates rows close in BOTH dimensions — the data-clustering trick
+    behind multi-column file skipping (each file's min/max then covers a
+    small rectangle, and scans with predicates on either column prune).
+    Pure bit arithmetic, codegen, zero shuffle; writing sorted-by-zkey is
+    the deployment step."""
+    orders = read_table(spark, sf_dir, "orders")
+    x = (F.col("o_custkey") % 256).cast("long")
+    y = F.dayofyear("o_orderdate").cast("long") % 256
+
+    def interleave(col, shift_base: int):
+        # spread 8 bits to even positions: classic bit-twiddling via
+        # per-bit shifts (8 terms, folded constant-wise by Catalyst)
+        spread = F.lit(0).cast("long")
+        for i in range(8):
+            bit = F.shiftright(col, i).bitwiseAND(F.lit(1))
+            spread = spread + (bit * F.lit(1 << (2 * i + shift_base))).cast("long")
+        return spread
+
+    return orders.select(
+        "o_orderkey",
+        x.alias("cust_bucket"),
+        y.alias("day_bucket"),
+        (interleave(x, 0) + interleave(y, 1)).alias("zkey"),
+    )

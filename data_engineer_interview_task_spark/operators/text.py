@@ -243,3 +243,30 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp.alias("fingerprint"),
         F.substring(fp, 1, 16).alias("fingerprint64"),
     )
+
+
+def doc_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality surrogate with EXACT arithmetic: per document,
+    the mean corpus frequency of its tokens (how 'common' its vocabulary
+    is — the integer-domain cousin of unigram log-likelihood, whose log()
+    is ULP-unsafe across engines). Two aggregations: corpus token
+    frequencies (vocabulary-bounded shuffle), then a broadcast join of the
+    frequency table onto the exploded tokens and a per-doc mean of exact
+    integers. At 100 TB the frequency table is Zipf-bounded (vocab ~1e7)
+    and still broadcastable; if not, it's a plain shuffle join on token."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    freqs = toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    return (
+        toks.join(F.broadcast(freqs), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("freq").alias("total_freq"),
+            (F.sum("freq").cast("double") / F.count(F.lit(1))).alias(
+                "mean_token_freq"
+            ),
+        )
+    )

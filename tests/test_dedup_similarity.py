@@ -189,3 +189,42 @@ def test_fuzzy_name_matches_blocked_and_bounded(spark, sf_dir):
         assert r.name_a.split(" ")[0] == r.name_b.split(" ")[0]  # blocked
         assert r.distance == _lev(r.name_a, r.name_b) <= 4
         assert r.n_parts_a > 0 and r.n_parts_b > 0
+
+
+def test_kmeans_assignments_are_argmin_of_updated_centroids(spark, sf_dir):
+    import numpy as np
+
+    from data_engineer_interview_task_spark.operators import clustering
+    from data_engineer_interview_task_spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings").collect()
+    X = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb}
+    labels = {r.vec_id: r.label for r in emb}
+    got = {
+        r.vec_id: r.cluster
+        for r in clustering.kmeans_assignments(spark, sf_dir).collect()
+    }
+    assert set(got) == set(X)
+
+    def centroids(assign):
+        out = {}
+        for cl in set(assign.values()):
+            pts = [X[v] for v in X if assign[v] == cl]
+            out[cl] = np.mean(pts, axis=0)
+        return out
+
+    def assign_round(cents):
+        res = {}
+        for v, x in X.items():
+            best = min(
+                cents, key=lambda cl: (float(np.sum((x - cents[cl]) ** 2)), cl)
+            )
+            res[v] = best
+        return res
+
+    want = assign_round(centroids(assign_round(centroids(labels))))
+    mismatches = sum(1 for v in X if got[v] != want[v])
+    # numpy means differ from the exact decimal means at the last ulp, so
+    # allow a whisker of borderline vectors; the oracle pins exactness
+    assert mismatches <= 2
+    assert len(set(got.values())) > 1
