@@ -313,6 +313,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": multimodal.multimodal_meta,
         "multimodal_features": multimodal.multimodal_features,  # pandas-UDF path
         "user_value_trend": multimodal.user_value_trend,  # rows-only (float fit)
+        "multimodal_frame_sample": multimodal.sample_frames,  # pandas fan-out, oracle
+        "orders_above_global_avg": extended.orders_above_global_avg,
+        "order_date_features": extended.order_date_features,
         # structured streaming (availableNow harness) — rows-only
         "streaming_weekly_rollup": _streaming_weekly_rollup,
         "streaming_sessionize": _streaming_sessionize,
@@ -938,6 +941,30 @@ SELECT doc_id,
        md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint,
        substring(md5(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 16) AS fingerprint64
 FROM documents
+""",
+        "multimodal_frame_sample": """
+SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+       sha256(text || '#' || CAST(i AS VARCHAR)) AS frame_sha
+FROM documents, (SELECT unnest(range(4)) AS i) t
+""",
+        "orders_above_global_avg": """
+WITH a AS (
+  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+           AS avg_price
+  FROM orders
+)
+SELECT o_orderkey, o_custkey, o_totalprice, avg_price
+FROM orders, a WHERE o_totalprice > avg_price
+""",
+        "order_date_features": """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS BIGINT) AS yr,
+       CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+       CAST(month(o_orderdate) AS BIGINT) AS mon,
+       CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+       CAST(isodow(o_orderdate) AS BIGINT) AS iso_dow,
+       strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end
+FROM orders
 """,
         "multimodal_meta": """
 SELECT doc_id, 'text/plain' AS modality,

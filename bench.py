@@ -72,6 +72,9 @@ HEADLINE = [
     "global_row_numbers",
     "zorder_key",
     "doc_commonness",
+    "multimodal_frame_sample",
+    "orders_above_global_avg",
+    "order_date_features",
 ]
 
 

@@ -579,3 +579,41 @@ def zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         y.alias("day_bucket"),
         (interleave(x, 0) + interleave(y, 1)).alias("zkey"),
     )
+
+
+def orders_above_global_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery pattern: orders above the global average price.
+    The average is ONE exact value (decimal sum / count, emitted double)
+    computed once and broadcast-cross-joined onto the scan — at 100 TB
+    that's a two-job plan (tiny agg, then map-side filter), never a
+    per-row subquery."""
+    orders = read_table(spark, sf_dir, "orders")
+    avg_row = orders.agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_price")
+    )
+    return (
+        orders.crossJoin(F.broadcast(avg_row))
+        .filter(F.col("o_totalprice") > F.col("avg_price"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "avg_price")
+    )
+
+
+def order_date_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime scalar surface: year/quarter/month/ISO week/ISO weekday/
+    month-end, all JVM-side. ISO weekday is derived from dayofweek
+    (Spark has no isodow); month-end is emitted as a formatted string so
+    both engines serialize identically."""
+    orders = read_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.year(d).cast("long").alias("yr"),
+        F.quarter(d).cast("long").alias("qtr"),
+        F.month(d).cast("long").alias("mon"),
+        F.weekofyear(d).cast("long").alias("iso_week"),
+        ((F.dayofweek(d) + 5) % 7 + 1).cast("long").alias("iso_dow"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+    )

@@ -194,3 +194,61 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return attach_payload(spark, sf_dir).mapInPandas(_extract, schema=schema)
+
+
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """Resize an image payload. STUB like ``decode_image`` — the single
+    seam where Pillow/torchvision plugs in; the Spark-side plumbing
+    (batching, schema, 1-in-1-out mapInPandas shape) is exercised through
+    ``fake_resize``."""
+    raise NotImplementedError(
+        "image resize requires codec libs not present in this environment; "
+        "see fake_resize() for the deterministic test double"
+    )
+
+
+def fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic resize stand-in: RGB byte buffer of exactly
+    width*height*3 bytes, content derived from the payload hash — correct
+    output SIZE semantics so downstream schema/memory accounting is real."""
+    seed = hashlib.sha256(payload).digest()
+    need = width * height * 3
+    return (seed * (need // len(seed) + 1))[:need]
+
+
+def sample_frames(spark: SparkSession, sf_dir: str, n_frames: int = 4) -> DataFrame:
+    """Frame sampling for video payloads: ONE input row fans out to
+    ``n_frames`` rows via ``mapInPandas`` (the explode-shaped pandas UDF —
+    decode once per payload, emit a row per sampled frame). The fake
+    'frame' is sha256(text + '#' + idx), deterministic in both engines, so
+    even this Python fan-out path is fully oracle-checked. At 100 TB:
+    batch size bounds decoder memory; partitioning is preserved (no
+    shuffle) and frame rows inherit the payload's partition."""
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("frame_idx", LongType()),
+            StructField("frame_sha", StringType()),
+        ]
+    )
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # self-contained closure (workers never import this package)
+        import hashlib as _h
+
+        import pandas as _pd
+
+        k = n_frames  # captured by value via cloudpickle
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_sha": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                for i in range(k):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_sha"].append(
+                        _h.sha256(f"{text}#{i}".encode()).hexdigest()
+                    )
+            yield _pd.DataFrame(out)
+
+    return docs.mapInPandas(_sample, schema=schema)

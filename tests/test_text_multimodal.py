@@ -91,3 +91,29 @@ def test_user_value_trend(spark, sf_dir):
 def test_decode_image_is_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG")
+
+
+def test_resize_is_stubbed_with_correct_fake_shape():
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_image(b"\x89PNG", 8, 8)
+    out = multimodal.fake_resize(b"payload", 16, 9)
+    assert len(out) == 16 * 9 * 3
+    assert out == multimodal.fake_resize(b"payload", 16, 9)  # deterministic
+
+
+def test_frame_sample_fan_out(spark, sf_dir):
+    import hashlib
+
+    from data_engineer_interview_task_spark.sources import read_table
+
+    got = multimodal.sample_frames(spark, sf_dir, n_frames=3).collect()
+    docs = {r.doc_id: r.text for r in read_table(spark, sf_dir, "documents").collect()}
+    assert len(got) == 3 * len(docs)
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    some = sorted(by_doc)[0]
+    frames = sorted(by_doc[some], key=lambda r: r.frame_idx)
+    assert [f.frame_idx for f in frames] == [0, 1, 2]
+    want = hashlib.sha256(f"{docs[some]}#1".encode()).hexdigest()
+    assert frames[1].frame_sha == want
