@@ -316,6 +316,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_sample": multimodal.sample_frames,  # pandas fan-out, oracle
         "orders_above_global_avg": extended.orders_above_global_avg,
         "order_date_features": extended.order_date_features,
+        "price_histogram": extended.price_histogram,
+        "price_quantity_corr": extended.price_quantity_corr,
         # structured streaming (availableNow harness) — rows-only
         "streaming_weekly_rollup": _streaming_weekly_rollup,
         "streaming_sessionize": _streaming_sessionize,
@@ -965,6 +967,36 @@ SELECT o_orderkey,
        CAST(isodow(o_orderdate) AS BIGINT) AS iso_dow,
        strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end
 FROM orders
+""",
+        "price_histogram": """
+WITH b AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders)
+SELECT CAST(least(floor((o_totalprice - lo) * 20 / (hi - lo)), 19) AS BIGINT)
+         AS bin,
+       lo, hi, COUNT(*) AS n_orders
+FROM orders, b
+GROUP BY 1, lo, hi
+""",
+        "price_quantity_corr": """
+WITH a AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) *
+                       CAST(l_extendedprice AS DECIMAL(18,2))
+                       AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) *
+                       CAST(l_quantity AS DECIMAL(18,2))
+                       AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                       CAST(l_extendedprice AS DECIMAL(18,2))
+                       AS DECIMAL(28,6))) AS DOUBLE) AS syy
+  FROM lineitem
+)
+SELECT n,
+       (CAST(n AS DOUBLE) * sxy - sx * sy)
+         / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+            * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) AS corr_qty_price
+FROM a
 """,
         "multimodal_meta": """
 SELECT doc_id, 'text/plain' AS modality,

@@ -75,6 +75,8 @@ HEADLINE = [
     "multimodal_frame_sample",
     "orders_above_global_avg",
     "order_date_features",
+    "price_histogram",
+    "price_quantity_corr",
 ]
 
 

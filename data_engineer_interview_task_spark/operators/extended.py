@@ -617,3 +617,62 @@ def order_date_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.dayofweek(d) + 5) % 7 + 1).cast("long").alias("iso_dow"),
         F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
     )
+
+
+def price_histogram(spark: SparkSession, sf_dir: str, n_bins: int = 20) -> DataFrame:
+    """Fixed-width histogram of order prices: one pass for min/max (tiny
+    agg, broadcast), one pass to bin and count — the profiling shape that
+    scales as two map-side-combined aggregations. Bin edges derive from
+    exact min/max doubles; the bin index is one IEEE multiply-divide chain
+    + floor, identical in both engines; the top edge folds into the last
+    bin (the standard closed-right histogram convention)."""
+    orders = read_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    binned = orders.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.floor(
+                (F.col("o_totalprice") - F.col("lo"))
+                * n_bins
+                / (F.col("hi") - F.col("lo"))
+            ),
+            F.lit(n_bins - 1),
+        )
+        .cast("long")
+        .alias("bin"),
+        "lo",
+        "hi",
+    )
+    return binned.groupBy("bin", "lo", "hi").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+def price_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation with EXACT moment accumulation: the five sums
+    (x, y, xy, x^2, y^2) accumulate in DECIMAL (order-independent), and the
+    correlation is assembled from their double casts in one fixed IEEE
+    expression — unlike builtin corr(), whose double running sums are
+    partition-order dependent and engine-specific. One aggregation, one
+    output row; the assembly arithmetic is identical text in both engines."""
+    li = read_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    agg = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum((x * y).cast("decimal(28,6)")).cast("double").alias("sxy"),
+        F.sum((x * x).cast("decimal(28,6)")).cast("double").alias("sxx"),
+        F.sum((y * y).cast("decimal(28,6)")).cast("double").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx")) * F.sqrt(
+        n * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    return agg.select(
+        "n",
+        (num / den).alias("corr_qty_price"),
+    )

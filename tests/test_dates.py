@@ -45,3 +45,50 @@ def test_column_expr_matches_python_spark(spark):
     rows = df.select("today", ws.alias("ws"), we.alias("we")).collect()
     for r in rows:
         assert (r.ws, r.we) == previous_week_dates(r.today)
+
+
+def test_previous_week_property(spark):
+    """Property test: for ANY date, the previous-week window is a
+    Monday..Sunday span of exactly 7 days that ends strictly before the
+    input date's own week — and the column expressions agree with the pure
+    function on every generated date."""
+    import datetime as dt
+
+    from hypothesis import given, settings, strategies as st
+
+    from data_engineer_interview_task_spark.functions.dates import (
+        previous_week_dates,
+    )
+
+    @given(
+        st.dates(min_value=dt.date(1990, 1, 1), max_value=dt.date(2100, 12, 28))
+    )
+    @settings(max_examples=300, deadline=None)
+    def check(today):
+        ws, we = previous_week_dates(today)
+        monday = dt.date.fromisoformat(ws)
+        sunday = dt.date.fromisoformat(we)
+        assert monday.weekday() == 0
+        assert sunday.weekday() == 6
+        assert (sunday - monday).days == 6
+        assert sunday < today - dt.timedelta(days=today.weekday() - 0)
+        assert (today - monday).days <= 13
+
+    check()
+
+    # spark column twin agrees on a sampled batch (one JVM round-trip,
+    # not one per hypothesis example)
+    import datetime as dt2
+
+    days = [dt2.date(2021, 1, 4) + dt2.timedelta(days=i * 37) for i in range(40)]
+    df = spark.createDataFrame([(d,) for d in days], "today date")
+    from pyspark.sql import functions as F
+
+    from data_engineer_interview_task_spark.functions.dates import (
+        previous_week_exprs,
+    )
+
+    ws_c, we_c = previous_week_exprs(F.col("today"))
+    got = df.select("today", ws_c.alias("ws"), we_c.alias("we")).collect()
+    for r in got:
+        assert (r.ws, r.we) == previous_week_dates(r.today)
