@@ -253,7 +253,16 @@ def near_dup_clusters(
         )
         .localCheckpoint()
     )
-    labels = docs.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint()
+    # propagate ONLY over edge endpoints: isolated docs (the overwhelming
+    # majority of a deduped corpus) can never change label, so keeping
+    # them out shrinks every per-iteration join/count from |corpus| rows
+    # to |V(edges)| rows; they rejoin with label = own id at the end
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("label"))
+        .localCheckpoint()
+    )
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.doc_id)
@@ -279,7 +288,13 @@ def near_dup_clusters(
         labels = new_labels
         if changed == 0:
             break
-    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+    return (
+        docs.join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("label"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
 
 
 def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
