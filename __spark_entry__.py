@@ -243,6 +243,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": relational.sessionize_events,
         "scd2_user_type_history": relational.scd2_user_type_history,
         "funnel_conversion": relational.funnel_conversion,
+        "rolling_7day_user_value": relational.rolling_7day_user_value,
+        "nation_revenue_share": relational.nation_revenue_share,
         # dedup
         "exact_dedup": dedup.exact_dedup,
         "canonical_docs": dedup.canonical_docs,
@@ -305,6 +307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": sampling.stratified_sample,
         "weighted_source_mix": sampling.weighted_source_mix,
         "pack_token_shards": sampling.pack_token_shards,
+        "dataset_splits": sampling.dataset_splits,
         # corpus cleaning beyond dedup
         "repetition_stats": cleaning.repetition_stats,
         "contamination_check": cleaning.contamination_check,
@@ -1051,6 +1054,41 @@ SELECT doc_id, COUNT(*) AS n_tokens,
        CAST(SUM(freq) AS BIGINT) AS total_freq,
        CAST(SUM(freq) AS DOUBLE) / COUNT(*) AS mean_token_freq
 FROM tt JOIN f USING (token) GROUP BY doc_id
+""",
+        "dataset_splits": """
+SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc'
+              THEN 'train'
+            WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+              THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY 1
+""",
+        "rolling_7day_user_value": """
+SELECT event_id, user_id, ts,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+         PARTITION BY user_id ORDER BY epoch_s ASC
+         RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS trailing_7d_value
+FROM (SELECT *, CAST(epoch_us(ts) AS DOUBLE) / 1000000.0 AS epoch_s
+      FROM events)
+""",
+        "nation_revenue_share": """
+WITH pn AS (
+  SELECT n_name,
+         SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                  (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6)))
+           AS rev_dec
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  GROUP BY n_name
+),
+t AS (SELECT SUM(rev_dec) AS total_dec FROM pn)
+SELECT n_name, CAST(rev_dec AS DOUBLE) AS revenue,
+       CAST(rev_dec AS DOUBLE) / CAST(total_dec AS DOUBLE) AS revenue_share
+FROM pn, t
 """,
         "scd2_user_type_history": """
 SELECT user_id, event_type, event_id, value,

@@ -77,6 +77,9 @@ HEADLINE = [
     "order_date_features",
     "price_histogram",
     "price_quantity_corr",
+    "dataset_splits",
+    "rolling_7day_user_value",
+    "nation_revenue_share",
 ]
 
 

@@ -304,3 +304,62 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_view_click_purchase"
         ),
     )
+
+
+def rolling_7day_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per event, the sum of the user's event values in
+    the trailing 7 DAYS (event-time range, not row count — the frame the
+    ROWS variants can't express when event density varies). Spark's
+    rangeBetween needs a numeric orderBy, so the frame runs on epoch
+    seconds; one exchange on user_id. The fraud/engagement trailing-window
+    shape."""
+    events = read_table(spark, sf_dir, "events")
+    sec = F.unix_micros(F.col("ts")).cast("double") / 1_000_000.0
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("epoch_s").asc())
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return (
+        events.withColumn("epoch_s", sec)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .over(w)
+            .cast("double")
+            .alias("trailing_7d_value"),
+        )
+    )
+
+
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of global revenue. The naive
+    form is a window SUM over an EMPTY partition — a single-task funnel at
+    scale; here the global total is a one-row aggregate broadcast back
+    onto the per-nation rollup, producing identical values with unbounded
+    parallelism. Shares are one IEEE division of two exact decimal sums."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (1 - F.col("l_discount").cast("decimal(18,2)"))).cast("decimal(28,6)")
+    per_nation = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(rev).alias("rev_dec"))
+    )
+    total = per_nation.agg(F.sum("rev_dec").alias("total_dec"))
+    return (
+        per_nation.crossJoin(F.broadcast(total))
+        .select(
+            "n_name",
+            F.col("rev_dec").cast("double").alias("revenue"),
+            (F.col("rev_dec").cast("double") / F.col("total_dec").cast("double"))
+            .alias("revenue_share"),
+        )
+    )

@@ -139,3 +139,25 @@ def pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         before.alias("tokens_before"),
         F.expr(f"(cum_tokens - n_tokens) div {PACK_CAPACITY}").alias("pack_id"),
     )
+
+
+def dataset_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (~80/10/10) off the same md5 key
+    as ``hash_sample``: the split a doc lands in is a pure function of its
+    id — stable across reruns, engines, partitionings, and additions of
+    new docs (old docs never migrate). Emits per-split audit counts; the
+    doc-level label is the same expression un-aggregated. Zero-shuffle
+    labeling + one tiny aggregation."""
+    docs = read_table(spark, sf_dir, "documents")
+    key4 = F.substring(_sample_key(F.col("doc_id")), 1, 4)
+    # 4 hex digits = 65536 buckets: [0, 0xcccc) train, [0xcccc, 0xe666) val
+    split = (
+        F.when(key4 < "cccc", "train")
+        .when(key4 < "e666", "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"))
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

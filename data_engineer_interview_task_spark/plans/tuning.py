@@ -35,6 +35,15 @@ _SESSION_CONFS: dict[str, str] = {
     # default (measured: fact-dim join 2.2s -> 1.9s at sf0.1; at cluster
     # scale it removes an exchange of the large side entirely)
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # collect_set/collect_list run as ObjectHashAggregate, which silently
+    # falls back to SORT-BASED aggregation past 128 groups per partition —
+    # the default turns every sketch aggregation (chargram bottom-k,
+    # minhash signatures, centroid assembly) into a sort. Our per-group
+    # state is bounded and small (grams-per-doc / k centroids), so a high
+    # threshold is safe; measured 2.5-3.1s -> 2.4s stable on the chargram
+    # sketch at sf0.1. At 100 TB keep state bounded per group before
+    # raising this (it exists to cap memory for giant groups).
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold": "1000000",
 }
 
 

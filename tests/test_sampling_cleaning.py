@@ -132,3 +132,42 @@ def test_pii_scrub_masks_all_digits(spark, sf_dir):
         assert "<ID>" in r.masked_name
         assert r.extracted_id == r.c_custkey  # Customer#%09d numbering
         assert r.n_digit_runs == 1
+
+
+def test_dataset_splits_cover_and_proportion(spark, sf_dir):
+    got = {r.split: r.n_docs for r in sampling.dataset_splits(spark, sf_dir).collect()}
+    total = sum(got.values())
+    n_docs = read_table(spark, sf_dir, "documents").count()
+    assert total == n_docs
+    assert set(got) == {"train", "val", "test"}
+    assert 0.7 < got["train"] / total < 0.9
+    assert got["val"] / total < 0.2 and got["test"] / total < 0.2
+
+
+def test_rolling_7day_window_matches_python(spark, sf_dir):
+    from data_engineer_interview_task_spark.operators import relational
+
+    rows = relational.rolling_7day_user_value(spark, sf_dir).collect()
+    events = sorted(
+        read_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "ts", "value")
+        .collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    got = {r.event_id: r.trailing_7d_value for r in rows}
+    by_user: dict[int, list] = {}
+    for e in events:
+        by_user.setdefault(e.user_id, []).append(e)
+    import decimal
+
+    checked = 0
+    for user, evs in list(by_user.items())[:20]:
+        for i, e in enumerate(evs):
+            want = sum(
+                (decimal.Decimal(str(round(o.value, 2))) for o in evs
+                 if 0 <= (e.ts - o.ts).total_seconds() <= 604800),
+                decimal.Decimal(0),
+            )
+            assert abs(got[e.event_id] - float(want)) < 1e-9, (user, i)
+            checked += 1
+    assert checked > 100
