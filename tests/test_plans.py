@@ -87,3 +87,48 @@ def test_asof_join_single_window_pass(spark, sf_dir):
     plan = explain_str(asof_join_events_orders(spark, sf_dir))
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     assert "Window" in plan
+
+
+def test_hash_sample_has_no_exchange(spark, sf_dir):
+    from data_engineer_interview_task_spark.operators import sampling
+
+    plan = explain_str(sampling.hash_sample(spark, sf_dir))
+    assert "Exchange" not in plan  # pure map-side filter
+
+
+def test_weighted_mix_and_contamination_broadcast(spark, sf_dir):
+    from data_engineer_interview_task_spark.operators import cleaning, sampling
+
+    for df in (
+        sampling.weighted_source_mix(spark, sf_dir),
+        cleaning.contamination_check(spark, sf_dir),
+    ):
+        plan = explain_str(df)
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+
+def test_global_row_numbers_has_no_global_sort_window(spark, sf_dir):
+    from data_engineer_interview_task_spark.operators import extended
+
+    plan = explain_str(extended.global_row_numbers(spark, sf_dir))
+    # the anti-pattern would plan a Window with an empty partition spec
+    # (single task); the two-phase form only windows on pid
+    assert "BroadcastHashJoin" in plan
+    for line in plan.splitlines():
+        if "Window" in line and "partition" in line.lower():
+            assert "pid" in line
+
+
+def test_funnel_is_single_window_exchange(spark, sf_dir):
+    from data_engineer_interview_task_spark.operators import relational
+
+    plan = explain_str(relational.funnel_conversion(spark, sf_dir))
+    # three stacked stage expressions must NOT plan three exchanges on
+    # user_id: count hashpartitioning(user_id) exchanges
+    n_user_exchanges = sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange hashpartitioning(user_id" in line
+    )
+    assert n_user_exchanges <= 1

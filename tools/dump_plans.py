@@ -26,6 +26,14 @@ KEY_QUERIES = [
     "similarity_topk",
     "sessionize_events",
     "daily_spine_ffill",
+    "hash_sample",
+    "weighted_source_mix",
+    "contamination_check",
+    "kmeans_assignments",
+    "global_row_numbers",
+    "nation_revenue_share",
+    "rolling_7day_user_value",
+    "funnel_conversion",
 ]
 
 
