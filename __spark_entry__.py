@@ -166,9 +166,9 @@ def _trends_pipeline_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _streaming_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming weekly rollup run to completion (availableNow
-    trigger, memory sink) and returned as a batch DataFrame. Rows-only
-    check: streaming plans aren't DuckDB-expressible, and window() aligns
-    to the epoch rather than ISO Mondays."""
+    trigger, memory sink) and returned as a batch DataFrame. Fully
+    oracle-checked: window("7 days") tumbling buckets are EPOCH-aligned,
+    which DuckDB replicates exactly with epoch_us integer arithmetic."""
     import tempfile
 
     from data_engineer_interview_task_spark.streaming import run_weekly_rollup_once
@@ -252,8 +252,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters": dedup.near_dup_clusters,
         "corpus_clean_pipeline": dedup.corpus_clean_pipeline,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,  # rows-only (engine hash)
-        "simhash_signatures": dedup.simhash_signatures,  # rows-only (engine hash)
-        "simhash_near_dup_pairs": dedup.simhash_near_dup_pairs,  # rows-only (engine hash)
+        "simhash_signatures": dedup.simhash_signatures,  # oracle (md5-derived bits)
+        "simhash_near_dup_pairs": dedup.simhash_near_dup_pairs,  # oracle (md5-derived bits)
         # similarity search
         "similarity_topk": similarity.brute_force_topk,
         "similarity_topk_lsh": similarity.srp_lsh_topk,  # rows-only (approx)
@@ -322,7 +322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_histogram": extended.price_histogram,
         "price_quantity_corr": extended.price_quantity_corr,
         # structured streaming (availableNow harness) — rows-only
-        "streaming_weekly_rollup": _streaming_weekly_rollup,
+        "streaming_weekly_rollup": _streaming_weekly_rollup,  # oracle (epoch-aligned windows)
         "streaming_sessionize": _streaming_sessionize,
         "streaming_first_events": _streaming_first_events,  # oracle (set-deterministic)
         "streaming_click_purchase_join": _streaming_click_purchase_join,
@@ -373,6 +373,54 @@ c0 AS (SELECT cl, list(c ORDER BY dim ASC) AS cent FROM c0d GROUP BY cl),
 c1d AS ({cent.format(key="cluster", src="s0")}),
 c1 AS (SELECT cl, list(c ORDER BY dim ASC) AS cent FROM c1d GROUP BY cl),
 {assign.format(r=1)}
+"""
+
+
+def _simhash_sig_sql() -> str:
+    """CTE chain producing (doc_id, simhash BIGINT) — bit-exact twin of
+    dedup.simhash_signatures: distinct word-trigram shingles -> md5-derived
+    signed 64-bit feature hash -> per-bit +/-1 votes -> sign bits packed
+    into a two's-complement long (bit 63's weight is the long MIN, exactly
+    Spark's wrapped shiftleft(1L, 63))."""
+    votes = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(64)
+    )
+    packed = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN {(1 << b) if b < 63 else -(1 << 63)} "
+        "ELSE 0 END"
+        for b in range(64)
+    )
+    return f"""
+d AS (
+  SELECT doc_id,
+         CASE WHEN len(string_split(text, ' ')) >= 3
+              THEN list_distinct(list_transform(
+                     range(len(string_split(text, ' ')) - 2),
+                     i -> string_split(text, ' ')[i+1] || ' ' ||
+                          string_split(text, ' ')[i+2] || ' ' ||
+                          string_split(text, ' ')[i+3]))
+              ELSE [text] END AS shingles
+  FROM documents
+),
+e AS (SELECT doc_id, unnest(shingles) AS tok FROM d),
+hh AS (
+  SELECT doc_id,
+         CAST(CAST(CAST('0x' || substring(md5(tok), 1, 8) AS BIGINT) AS HUGEINT)
+                * 4294967296
+              + CAST('0x' || substring(md5(tok), 9, 8) AS BIGINT)
+              - CASE WHEN CAST('0x' || substring(md5(tok), 1, 8) AS BIGINT)
+                          >= 2147483648
+                     THEN 18446744073709551616 ELSE 0 END
+              AS BIGINT) AS h
+  FROM e
+),
+v AS (
+  SELECT doc_id,
+         {votes}
+  FROM hh GROUP BY doc_id
+),
+sig AS (SELECT doc_id, CAST({packed} AS BIGINT) AS simhash FROM v)
 """
 
 
@@ -1017,6 +1065,27 @@ SELECT token, COUNT(DISTINCT doc_id) AS doc_freq, COUNT(*) AS term_freq
 FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
 WHERE token <> '' GROUP BY token
 """,
+        "simhash_signatures": "WITH "
+        + _simhash_sig_sql()
+        + """
+SELECT doc_id, simhash FROM sig
+""",
+        "simhash_near_dup_pairs": "WITH "
+        + _simhash_sig_sql()
+        + """,
+banded AS (
+  SELECT doc_id, simhash, t, (simhash >> (8 * t)) & 255 AS band_val
+  FROM sig, (SELECT unnest(range(8)) AS t) bands
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.simhash AS sig_a, b.simhash AS sig_b
+  FROM banded a JOIN banded b
+    ON a.t = b.t AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 7
+""",
         "kmeans_assignments": _kmeans_sql()
         + """
 SELECT vec_id, CAST(cluster AS INTEGER) AS cluster FROM s1
@@ -1168,6 +1237,15 @@ SELECT a.p_name AS name_a, b.p_name AS name_b,
        a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
 FROM names a JOIN names b ON a.w = b.w AND a.p_name < b.p_name
 WHERE levenshtein(a.p_name, b.p_name) <= 4
+""",
+        "streaming_weekly_rollup": """
+SELECT make_timestamp((epoch_us(ts) // 604800000000) * 604800000000)
+         AS week_start,
+       make_timestamp((epoch_us(ts) // 604800000000) * 604800000000
+                      + 604800000000) AS week_end,
+       event_type, COUNT(*) AS n_events,
+       SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+FROM events GROUP BY 1, 2, 3
 """,
         "streaming_first_events": """
 SELECT DISTINCT user_id, event_type FROM events

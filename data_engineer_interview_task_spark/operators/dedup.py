@@ -338,19 +338,34 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_signatures(spark: SparkSession, sf_dir: str, bits: int = 64) -> DataFrame:
     """Per-document SimHash signature over word-trigram shingles.
 
-    shingle -> xxhash64 -> per bit position b: vote +1 if bit set else -1
-    -> signature bit b = (vote sum > 0). Entirely explode + groupBy + bit
-    arithmetic — one exchange on (doc_id). Shingle features, not tokens:
-    measured on this corpus, token-set signatures barely separate (all
-    docs share the small vocabulary; near-dup hamming up to 53/64) while
-    shingle signatures separate cleanly (near-dups <= 10, random pairs
-    >= 20, mean 32). Engine-specific hash -> no SQL oracle; see
-    ``simhash_near_dup_pairs`` for blocking-based pair generation.
+    shingle -> 64-bit hash -> per bit position b: vote +1 if bit set else
+    -1 -> signature bit b = (vote sum > 0). Entirely explode + groupBy +
+    bit arithmetic — one exchange on (doc_id). Shingle features, not
+    tokens: measured on this corpus, token-set signatures barely separate
+    (all docs share the small vocabulary; near-dup hamming up to 53/64)
+    while shingle signatures separate cleanly (near-dups <= 10, random
+    pairs >= 20, mean 32).
+
+    The 64-bit feature hash is the first 16 hex chars of md5, parsed as
+    two 32-bit halves and packed with a wrapping shiftleft (the two's-
+    complement bit pattern) — unlike xxhash64, md5 is engine-independent,
+    which makes the ENTIRE simhash construction (and its banded pair
+    generation) DuckDB-oracle-checkable bit-for-bit. Cost: ~2x xxhash64
+    on the hash step (~0.5s at sf0.1) — swap one expression to trade the
+    oracle for speed in production.
     """
     toks = (
         _shingled_docs(spark, sf_dir, 3)
         .select("doc_id", F.explode("shingles").alias("tok"))
-        .withColumn("h", F.xxhash64("tok"))
+        .withColumn("m", F.md5("tok"))
+        .withColumn(
+            "h",
+            F.expr(
+                "shiftleft(CAST(conv(substring(m, 1, 8), 16, 10) AS BIGINT), 32)"
+                " | CAST(conv(substring(m, 9, 8), 16, 10) AS BIGINT)"
+            ),
+        )
+        .drop("m")
     )
     # all `bits` votes in ONE groupBy as aggregate columns — exploding a
     # (row x bit-position) pair table would multiply the shuffle by `bits`
