@@ -251,7 +251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "near_dup_clusters": dedup.near_dup_clusters,
         "corpus_clean_pipeline": dedup.corpus_clean_pipeline,
-        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,  # rows-only (engine hash)
+        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,  # oracle (md5 hash family)
         "simhash_signatures": dedup.simhash_signatures,  # oracle (md5-derived bits)
         "simhash_near_dup_pairs": dedup.simhash_near_dup_pairs,  # oracle (md5-derived bits)
         # similarity search
@@ -376,6 +376,80 @@ c1 AS (SELECT cl, list(c ORDER BY dim ASC) AS cent FROM c1d GROUP BY cl),
 """
 
 
+def _minhash_sql() -> str:
+    """Twin of dedup.minhash_lsh_pairs: one md5 per shingle split into two
+    64-bit halves, affine family g_i = (p1 + i*p2) mod 2^64 mapped to the
+    SIGNED long (matching Spark's wrapping arithmetic), 32 MIN columns,
+    8 md5 band keys, band-collision candidates, exact-Jaccard verify."""
+    m_unsigned = "18446744073709551616"
+    m_signbit = "9223372036854775808"
+
+    def signed_g(i: int) -> str:
+        g = f"(p1 + {i} * p2) % {m_unsigned}"
+        return (
+            f"MIN(CAST({g} - CASE WHEN {g} >= {m_signbit} "
+            f"THEN {m_unsigned} ELSE 0 END AS BIGINT)) AS h{i}"
+        )
+
+    mins = ",\n         ".join(signed_g(i) for i in range(32))
+    band_arms = "\n  UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({key}) AS band_key FROM sig".format(
+            b=b,
+            key=" || '|' || ".join(
+                f"CAST(h{b * 4 + j} AS VARCHAR)" for j in range(4)
+            ),
+        )
+        for b in range(8)
+    )
+    return f"""
+d AS (
+  SELECT doc_id,
+         CASE WHEN len(string_split(text, ' ')) >= 3
+              THEN list_distinct(list_transform(
+                     range(len(string_split(text, ' ')) - 2),
+                     i -> string_split(text, ' ')[i+1] || ' ' ||
+                          string_split(text, ' ')[i+2] || ' ' ||
+                          string_split(text, ' ')[i+3]))
+              ELSE [text] END AS shingles
+  FROM documents
+),
+e0 AS (SELECT doc_id, unnest(shingles) AS sh FROM d),
+e AS (
+  SELECT doc_id,
+         CAST(CAST('0x' || substring(md5(sh), 1, 8) AS BIGINT) AS HUGEINT)
+           * 4294967296 + CAST('0x' || substring(md5(sh), 9, 8) AS BIGINT)
+           AS p1,
+         CAST(CAST('0x' || substring(md5(sh), 17, 8) AS BIGINT) AS HUGEINT)
+           * 4294967296 + CAST('0x' || substring(md5(sh), 25, 8) AS BIGINT)
+           AS p2
+  FROM e0
+),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM e GROUP BY doc_id
+),
+bands AS (
+  {band_arms}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+         / (len(sa.shingles) + len(sb.shingles)
+            - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
+FROM cand
+JOIN d sa ON sa.doc_id = doc_a
+JOIN d sb ON sb.doc_id = doc_b
+WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+        / (len(sa.shingles) + len(sb.shingles)
+           - len(list_intersect(sa.shingles, sb.shingles))) >= 0.5
+"""
+
+
 def _simhash_sig_sql() -> str:
     """CTE chain producing (doc_id, simhash BIGINT) — bit-exact twin of
     dedup.simhash_signatures: distinct word-trigram shingles -> md5-derived
@@ -432,8 +506,10 @@ def _weights_values() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB ANSI-SQL twins. Omitted: minhash_lsh_pairs, simhash_signatures
-    (engine-specific hash family), similarity_topk_lsh (approximate)."""
+    """DuckDB ANSI-SQL twins. Omitted only where genuinely engine-specific:
+    approximate ANN rankings (similarity_topk_lsh/ivf), sketch internals
+    (HLL, KLL), stateful streaming (sessionize, stream-stream join), and
+    float model fits (user_value_trend)."""
     shingles_cte = """
 d AS (
   SELECT doc_id,
@@ -1065,6 +1141,7 @@ SELECT token, COUNT(DISTINCT doc_id) AS doc_freq, COUNT(*) AS term_freq
 FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
 WHERE token <> '' GROUP BY token
 """,
+        "minhash_lsh_pairs": "WITH " + _minhash_sql(),
         "simhash_signatures": "WITH "
         + _simhash_sig_sql()
         + """

@@ -157,29 +157,47 @@ def minhash_lsh_pairs(
     signature -> split into ``bands`` bands -> docs colliding on any band
     become candidates -> verify candidates with exact shingle Jaccard.
 
-    Hash family: xxhash64(shingle, seed=i) per hash index — JVM-side,
-    vectorized, deterministic. Everything stays aggregations + equi-joins:
+    Hash family: ONE md5 per shingle split into two 64-bit halves
+    (p1, p2), then the affine family g_i = p1 + i*p2 over wrapping
+    two's-complement longs (ansi off; DuckDB mirrors with HUGEINT
+    % 2^64) — the classic universal-hashing construction, 4x cheaper
+    than 32 independent md5 calls (0.9s vs 3.9s at sf0.1) and still
+    engine-independent, so the ENTIRE pipeline (signatures, band keys,
+    candidates, verified pairs) is DuckDB-oracle-checked bit-for-bit.
+    Everything stays aggregations + equi-joins:
 
       explode(shingles) -> ONE groupBy(doc) computing all ``num_hashes``
       min-hashes as aggregate columns (no seed explosion — a 32x smaller
       shuffle than the naive (doc, seed) layout) -> per band, key =
-      xxhash64(band, its signature slice) -> self-join on band key.
+      md5(its signature slice) -> self-join on band key.
 
     Cost is O(docs x shingles) map-side + near-linear joins — the
     sub-quadratic path vs. ``ngram_jaccard_pairs``'s full inverted index.
-    Not SQL-oracle-able (hash functions differ across engines); verified by
-    tests asserting it finds the same pairs as the exact Jaccard operator
-    at the same threshold (recall check).
     """
     rows_per_band = num_hashes // bands
     docs = _shingled_docs(spark, sf_dir, n)
-    exploded = docs.select("doc_id", F.explode("shingles").alias("sh"))
+    half = (
+        "shiftleft(CAST(conv(substring(m, {a}, 8), 16, 10) AS BIGINT), 32)"
+        " | CAST(conv(substring(m, {b}, 8), 16, 10) AS BIGINT)"
+    )
+    exploded = (
+        docs.select("doc_id", F.explode("shingles").alias("sh"))
+        .withColumn("m", F.md5("sh"))
+        .withColumn("p1", F.expr(half.format(a=1, b=9)))
+        .withColumn("p2", F.expr(half.format(a=17, b=25)))
+    )
     sigs_wide = exploded.groupBy("doc_id").agg(
-        *[F.min(F.xxhash64("sh", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
+        *[F.min(F.expr(f"p1 + {i}L * p2")).alias(f"h{i}") for i in range(num_hashes)]
     )
     band_cols = [
-        F.xxhash64(
-            F.lit(b), *[F.col(f"h{b * rows_per_band + j}") for j in range(rows_per_band)]
+        F.md5(
+            F.concat_ws(
+                "|",
+                *[
+                    F.col(f"h{b * rows_per_band + j}").cast("string")
+                    for j in range(rows_per_band)
+                ],
+            )
         ).alias(f"b{b}")
         for b in range(bands)
     ]
@@ -214,7 +232,9 @@ def minhash_lsh_pairs(
         cand.join(da, "doc_a")
         .join(db, "doc_b")
         .filter(jac >= jaccard_threshold)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        # raw IEEE division of exact ints (round() half-cases differ
+        # across engines; see the determinism rules)
+        .select("doc_a", "doc_b", (inter.cast("double") / union).alias("jaccard"))
     )
 
 
