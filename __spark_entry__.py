@@ -256,7 +256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup_pairs": dedup.simhash_near_dup_pairs,  # oracle (md5-derived bits)
         # similarity search
         "similarity_topk": similarity.brute_force_topk,
-        "similarity_topk_lsh": similarity.srp_lsh_topk,  # rows-only (approx)
+        "similarity_topk_lsh": similarity.srp_lsh_topk,  # oracle (deterministic buckets)
         "similarity_topk_ivf": similarity.ivf_topk,  # rows-only (approx)
         "embedding_near_dup": similarity.embedding_near_dup_pairs,
         "embedding_normalize": similarity.embedding_normalize,
@@ -373,6 +373,70 @@ c0 AS (SELECT cl, list(c ORDER BY dim ASC) AS cent FROM c0d GROUP BY cl),
 c1d AS ({cent.format(key="cluster", src="s0")}),
 c1 AS (SELECT cl, list(c ORDER BY dim ASC) AS cent FROM c1d GROUP BY cl),
 {assign.format(r=1)}
+"""
+
+
+def _srp_lsh_sql() -> str:
+    """Twin of similarity.srp_lsh_topk: the same 2048 literal hyperplane
+    weights (shared python source of truth), DECIMAL projection sums (sign
+    bits deterministic), bucket collision candidates across 8 tables,
+    exact left-fold-double cosine re-ranking."""
+    import hashlib as _h
+
+    def plane_weight(t: int, p: int, d: int) -> float:
+        h = int.from_bytes(_h.md5(f"{t}:{p}:{d}".encode()).digest()[:4], "big")
+        return h / 2**32 - 0.5
+
+    values = ", ".join(
+        f"({t}, {p}, {d}, {plane_weight(t, p, d)!r})"
+        for t in range(8)
+        for p in range(4)
+        for d in range(64)
+    )
+    fold = (
+        "list_reduce(list_transform(range(64), i -> "
+        "CAST({a}[i+1] AS DOUBLE) * CAST({b}[i+1] AS DOUBLE)), "
+        "(x, y) -> x + y)"
+    )
+    return f"""
+w(t, p, d, wt) AS (VALUES {values}),
+ex AS (
+  SELECT vec_id, embedding, i AS d, CAST(embedding[i + 1] AS DOUBLE) AS x
+  FROM embeddings, (SELECT unnest(range(64)) AS i) dims
+),
+proj AS (
+  SELECT vec_id, w.t, w.p,
+         SUM(CAST(floor(x * wt * 1000000000.0) AS BIGINT)) AS s
+  FROM ex JOIN w ON ex.d = w.d
+  GROUP BY vec_id, w.t, w.p
+),
+buckets AS (
+  SELECT vec_id, t,
+         CAST(SUM(CASE WHEN s >= 0 THEN 1 << p ELSE 0 END) AS BIGINT)
+           AS bucket
+  FROM proj GROUP BY vec_id, t
+),
+b2 AS (SELECT b.vec_id, e.embedding, b.t, b.bucket
+       FROM buckets b JOIN embeddings e ON b.vec_id = e.vec_id),
+pairs AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  q.embedding AS qe, c.embedding AS ce
+  FROM b2 q JOIN b2 c ON q.t = c.t AND q.bucket = c.bucket
+  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         {fold.format(a='qe', b='ce')}
+           / (sqrt({fold.format(a='qe', b='qe')})
+              * sqrt({fold.format(a='ce', b='ce')})) AS cos
+  FROM pairs
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 10
 """
 
 
@@ -1142,6 +1206,7 @@ FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
 WHERE token <> '' GROUP BY token
 """,
         "minhash_lsh_pairs": "WITH " + _minhash_sql(),
+        "similarity_topk_lsh": "WITH " + _srp_lsh_sql(),
         "simhash_signatures": "WITH "
         + _simhash_sig_sql()
         + """

@@ -140,7 +140,19 @@ def srp_lsh_topk(
     buckets = (
         ex.join(F.broadcast(planes_df), "d")
         .groupBy("vec_id", "t", "p")
-        .agg(F.sum(F.col("x").cast("double") * F.col("w")).alias("s"))
+        # FIXED-POINT projection sums: a double sum is partition-order
+        # dependent, so a projection near zero could flip its sign bit
+        # between runs/engines. floor(term * 1e9) -> exact long addition
+        # makes every bucket id deterministic (which lets this WHOLE
+        # approximate operator be oracle-checked exactly) at long-adder
+        # speed — DECIMAL accumulation here cost 5x (Decimal128 adds on
+        # 10M rows); floor matches across engines where plain
+        # double->bigint CAST does not (Spark truncates, DuckDB rounds)
+        .agg(
+            F.sum(
+                F.floor(F.col("x").cast("double") * F.col("w") * 1e9)
+            ).alias("s")
+        )
         .withColumn("bit", F.when(F.col("s") >= 0, F.expr("shiftleft(1L, p)")).otherwise(F.lit(0)))
         .groupBy("vec_id", "t")
         .agg(F.sum("bit").cast("long").alias("bucket"))
