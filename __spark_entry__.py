@@ -257,7 +257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "similarity_topk": similarity.brute_force_topk,
         "similarity_topk_lsh": similarity.srp_lsh_topk,  # oracle (deterministic buckets)
-        "similarity_topk_ivf": similarity.ivf_topk,  # rows-only (approx)
+        "similarity_topk_ivf": similarity.ivf_topk,  # oracle (deterministic probe)
         "embedding_near_dup": similarity.embedding_near_dup_pairs,
         "embedding_normalize": similarity.embedding_normalize,
         "embedding_quantize": similarity.embedding_quantize,
@@ -374,6 +374,15 @@ c1d AS ({cent.format(key="cluster", src="s0")}),
 c1 AS (SELECT cl, list(c ORDER BY dim ASC) AS cent FROM c1d GROUP BY cl),
 {assign.format(r=1)}
 """
+
+
+#: strict-left-fold double dot product over 64 dims — bit-identical to
+#: Spark's F.aggregate/zip_with (see embedding_normalize)
+_FOLD64 = (
+    "list_reduce(list_transform(range(64), "
+    "i -> CAST({a}[i+1] AS DOUBLE) * CAST({b}[i+1] AS DOUBLE)), "
+    "(x, y) -> x + y)"
+)
 
 
 def _srp_lsh_sql() -> str:
@@ -1207,6 +1216,49 @@ WHERE token <> '' GROUP BY token
 """,
         "minhash_lsh_pairs": "WITH " + _minhash_sql(),
         "similarity_topk_lsh": "WITH " + _srp_lsh_sql(),
+        "similarity_topk_ivf": f"""
+WITH cd AS (
+  SELECT label AS cell, i AS dim,
+         CAST(SUM(CAST(CAST(embedding[i + 1] AS DOUBLE) AS DECIMAL(20,9)))
+              AS DOUBLE) / COUNT(*) AS c
+  FROM embeddings, (SELECT unnest(range(64)) AS i) dims
+  GROUP BY label, i
+),
+cents AS (SELECT cell, list(c ORDER BY dim ASC) AS centroid FROM cd GROUP BY cell),
+q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+qcells AS (
+  SELECT query_id, qe, cell,
+         {_FOLD64.format(a="qe", b="centroid")}
+           / (sqrt({_FOLD64.format(a="qe", b="qe")})
+              * sqrt({_FOLD64.format(a="centroid", b="centroid")})) AS cell_cos
+  FROM q CROSS JOIN cents
+),
+probed AS (
+  SELECT query_id, qe, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cell_cos DESC, cell ASC) AS cr
+    FROM qcells
+  ) WHERE cr <= 3
+),
+pairs AS (
+  SELECT p.query_id, p.qe, e.vec_id AS neighbor_id, e.embedding AS ce
+  FROM embeddings e JOIN probed p ON e.label = p.cell
+  WHERE e.vec_id <> p.query_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         {_FOLD64.format(a="qe", b="ce")}
+           / (sqrt({_FOLD64.format(a="qe", b="qe")})
+              * sqrt({_FOLD64.format(a="ce", b="ce")})) AS cos
+  FROM pairs
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 10
+""",
         "simhash_signatures": "WITH "
         + _simhash_sig_sql()
         + """

@@ -199,11 +199,20 @@ def ivf_topk(
     corpus BY cell so a probe touches only n_probe/256ths of the data.
     """
     emb = read_table(spark, sf_dir, "embeddings")
-    # centroid per label cell: posexplode + mean, then re-assemble arrays
+    # centroid per label cell: posexplode + mean, then re-assemble arrays.
+    # DECIMAL mean, not avg(double): a double mean is partition-order
+    # dependent, and a centroid that wobbles at the last ulp can reorder
+    # the probed cells — decimal makes the whole probe deterministic and
+    # the operator exactly oracle-checkable (label_centroids rule)
     cents = (
         emb.select("label", F.posexplode("embedding").alias("dim", "x"))
         .groupBy("label", "dim")
-        .agg(F.avg(F.col("x").cast("double")).alias("c"))
+        .agg(
+            (
+                F.sum(F.col("x").cast("double").cast("decimal(20,9)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("c")
+        )
         .groupBy("label")
         .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("pairs"))
         .select(
