@@ -321,11 +321,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_date_features": extended.order_date_features,
         "price_histogram": extended.price_histogram,
         "price_quantity_corr": extended.price_quantity_corr,
-        # structured streaming (availableNow harness) — rows-only
+        # structured streaming (availableNow harness)
         "streaming_weekly_rollup": _streaming_weekly_rollup,  # oracle (epoch-aligned windows)
-        "streaming_sessionize": _streaming_sessionize,
+        "streaming_sessionize": _streaming_sessionize,  # oracle (closed sessions)
         "streaming_first_events": _streaming_first_events,  # oracle (set-deterministic)
-        "streaming_click_purchase_join": _streaming_click_purchase_join,
+        "streaming_click_purchase_join": _streaming_click_purchase_join,  # oracle (batch twin)
     }
 
 
@@ -1440,6 +1440,42 @@ SELECT make_timestamp((epoch_us(ts) // 604800000000) * 604800000000)
        event_type, COUNT(*) AS n_events,
        SUM(CAST(value AS DECIMAL(18,2))) AS total_value
 FROM events GROUP BY 1, 2, 3
+""",
+        "streaming_sessionize": """
+WITH o AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), s AS (
+  SELECT *, CAST(SUM(is_new) OVER (
+      PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM o
+), agg AS (
+  SELECT user_id, session_seq, MIN(ts) AS session_start, MAX(ts) AS session_end,
+         CAST(COUNT(*) AS INTEGER) AS n_events,
+         -- sequential left-fold double sum in event order, matching the
+         -- stateful operator's python accumulation bit-for-bit
+         list_reduce(list(value ORDER BY ts ASC, event_id ASC),
+                     (a, b) -> a + b) AS total_value
+  FROM s GROUP BY user_id, session_seq
+), last_seq AS (
+  SELECT user_id, MAX(session_seq) AS open_seq FROM agg GROUP BY user_id
+)
+SELECT a.user_id, a.session_start, a.session_end, a.n_events, a.total_value
+FROM agg a JOIN last_seq l
+  ON a.user_id = l.user_id AND a.session_seq <> l.open_seq
+""",
+        "streaming_click_purchase_join": """
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       c.ts AS click_ts, p.ts AS purchase_ts, p.value AS purchase_value
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
 """,
         "streaming_first_events": """
 SELECT DISTINCT user_id, event_type FROM events
