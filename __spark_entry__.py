@@ -265,6 +265,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_cluster_sizes": clustering.kmeans_cluster_sizes,
         # extended relational surface (absent from the reference, §2.7)
         "priority_class_by_status": extended.priority_class_by_status,
+        "big_order_customers": extended.big_order_customers,
+        "null_safe_event_join": extended.null_safe_event_join,
         "promo_revenue_share": extended.promo_revenue_share,
         "rollup_order_counts": extended.rollup_order_counts,
         "cube_lineitem_flags": extended.cube_lineitem_flags,
@@ -1479,6 +1481,30 @@ WHERE c.event_type = 'click' AND p.event_type = 'purchase'
 """,
         "streaming_first_events": """
 SELECT DISTINCT user_id, event_type FROM events
+""",
+        "big_order_customers": """
+WITH big AS (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_dec
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+)
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+       CAST(qty_dec AS DOUBLE) AS total_qty
+FROM big
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+""",
+        "null_safe_event_join": """
+WITH e AS (
+  SELECT event_id, event_type,
+         nullif(CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS k
+  FROM events
+)
+SELECT a.k, COUNT(*) AS n_pairs
+FROM (SELECT event_id, k FROM e WHERE event_type = 'error') a
+JOIN (SELECT event_id, k FROM e WHERE event_type = 'signup') b
+  ON a.k IS NOT DISTINCT FROM b.k
+GROUP BY a.k
 """,
         "priority_class_by_status": """
 SELECT l_linestatus,

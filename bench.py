@@ -80,6 +80,8 @@ HEADLINE = [
     "dataset_splits",
     "rolling_7day_user_value",
     "nation_revenue_share",
+    "big_order_customers",
+    "null_safe_event_join",
 ]
 
 

@@ -676,3 +676,55 @@ def price_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (num / den).alias("corr_qty_price"),
     )
+
+
+def big_order_customers(spark: SparkSession, sf_dir: str, min_qty: int = 150) -> DataFrame:
+    """TPC-H Q18's shape: customers whose single orders accumulate large
+    total quantities — aggregate-then-semi-join (the HAVING subquery
+    becomes a broadcastable key list, never a correlated per-row probe),
+    then re-join facts for the report. Two aggregations over lineitem,
+    both partial-aggregated; the heavy join keys on orderkey."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty_dec"))
+        .filter(F.col("qty_dec") > min_qty)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("qty_dec").cast("double").alias("total_qty"),
+        )
+    )
+
+
+def null_safe_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=>): correlate events by their optional
+    JSON property value, treating NULL as a joinable key — the semantics
+    plain '=' silently drops. Pairs each error event with signup events
+    carrying the SAME (possibly absent) property k, counting matches.
+    At scale: null-safe equality still hash-partitions (NULL hashes like
+    any key), so the join stays a plain shuffle/broadcast hash join."""
+    events = read_table(spark, sf_dir, "events")
+    # nullif(k, 0): treat the 0 sentinel as absent so NULL is a real,
+    # populated join group and the null-safe semantics are exercised
+    k = F.nullif(F.get_json_object("props", "$.k").cast("long"), F.lit(0))
+    errors = events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), k.alias("k")
+    )
+    signups = events.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"), k.alias("k")
+    )
+    return (
+        errors.join(signups, errors.k.eqNullSafe(signups.k))
+        .groupBy(errors.k.alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
