@@ -244,6 +244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_user_type_history": relational.scd2_user_type_history,
         "funnel_conversion": relational.funnel_conversion,
         "rolling_7day_user_value": relational.rolling_7day_user_value,
+        "user_event_sequences": relational.user_event_sequences,
         "nation_revenue_share": relational.nation_revenue_share,
         # dedup
         "exact_dedup": dedup.exact_dedup,
@@ -1328,6 +1329,11 @@ SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc'
             ELSE 'test' END AS split,
        COUNT(*) AS n_docs
 FROM documents GROUP BY 1
+""",
+        "user_event_sequences": """
+SELECT user_id, COUNT(*) AS n_events,
+       string_agg(event_type, '>' ORDER BY ts ASC, event_id ASC) AS sequence
+FROM events GROUP BY user_id
 """,
         "rolling_7day_user_value": """
 SELECT event_id, user_id, ts,

@@ -82,6 +82,7 @@ HEADLINE = [
     "nation_revenue_share",
     "big_order_customers",
     "null_safe_event_join",
+    "user_event_sequences",
 ]
 
 

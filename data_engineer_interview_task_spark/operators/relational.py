@@ -363,3 +363,29 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue_share"),
         )
     )
+
+
+def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED aggregation: each user's full event-type sequence in
+    (ts, event_id) order as one string — the behavior-sequence
+    construction a training pipeline feeds sequence models from.
+    collect_list gives no order guarantee, so the order is imposed by
+    sorting an array of (ts, event_id, type) structs AFTER collection
+    (struct comparison is lexicographic by field; the key is a total
+    order) — one exchange, deterministic at any parallelism."""
+    events = read_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("evs")
+        )
+        .select(
+            "user_id",
+            F.size("evs").cast("long").alias("n_events"),
+            F.concat_ws(
+                ">", F.transform("evs", lambda s: s.getField("event_type"))
+            ).alias("sequence"),
+        )
+    )
