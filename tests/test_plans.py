@@ -132,3 +132,31 @@ def test_funnel_is_single_window_exchange(spark, sf_dir):
         if "Exchange hashpartitioning(user_id" in line
     )
     assert n_user_exchanges <= 1
+
+
+def test_risky_determinism_is_partition_independent(spark, sf_dir):
+    """The queries whose determinism was hand-engineered (wrapping-long
+    minhash, sign-bit buckets, decimal centroids) must produce identical
+    results at different shuffle widths — the property the oracle gate
+    depends on."""
+    from data_engineer_interview_task_spark.operators import clustering, dedup
+
+    def snapshot():
+        return {
+            "kmeans": sorted(
+                tuple(r) for r in clustering.kmeans_assignments(spark, sf_dir).collect()
+            ),
+            "minhash": sorted(
+                tuple(r) for r in dedup.minhash_lsh_pairs(spark, sf_dir).collect()
+            ),
+        }
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = snapshot()
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        b = snapshot()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert a == b
