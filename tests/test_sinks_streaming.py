@@ -214,3 +214,56 @@ def test_incremental_rollup_equals_full_recompute(spark, sf_dir):
     a = {(r.day, r.event_type): (r.n, r.total) for r in merged.collect()}
     b = {(r.day, r.event_type): (r.n, r.total) for r in full.collect()}
     assert a == b
+
+
+def test_streaming_checkpoint_resume_exactly_once(spark, sf_dir, tmp_path):
+    """Two availableNow runs over a GROWING source with one checkpoint:
+    the second run must process only the new files (no re-emission of
+    batch-1 keys) and the union must equal the batch answer — the
+    exactly-once restart semantics the checkpoint exists for."""
+    import uuid
+
+    from data_engineer_interview_task_spark.sources import read_table
+    from data_engineer_interview_task_spark.streaming.dedup import (
+        first_events_stream,
+    )
+
+    events = read_table(spark, sf_dir, "events")
+    src = str(tmp_path / "growing_src")
+    ckpt = str(tmp_path / "ckpt")
+    sink = f"mem_resume_{uuid.uuid4().hex[:8]}"
+
+    def run_once():
+        q = (
+            first_events_stream(spark, src)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {(r.user_id, r.event_type) for r in spark.table(sink).collect()}
+
+    first_half = events.filter(F.col("event_id") % 2 == 0)
+    second_half = events.filter(F.col("event_id") % 2 == 1)
+    first_half.write.mode("overwrite").parquet(src)
+    got1 = run_once()
+    want1 = {
+        (r.user_id, r.event_type)
+        for r in first_half.select("user_id", "event_type").distinct().collect()
+    }
+    assert got1 == want1
+
+    # grow the source; the checkpoint must skip the already-seen files
+    second_half.write.mode("append").parquet(src)
+    got2 = run_once()
+    want_all = {
+        (r.user_id, r.event_type)
+        for r in events.select("user_id", "event_type").distinct().collect()
+    }
+    assert got2 == want_all
+    # memory sink accumulates across runs of the same query name: row
+    # count == distinct keys proves batch-1 keys were NOT re-emitted
+    assert spark.table(sink).count() == len(want_all)
