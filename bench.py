@@ -35,8 +35,11 @@ HEADLINE = [
     "weekly_event_rollup",
     "exact_dedup",
     "ngram_jaccard_pairs",
+    "ngram_jaccard_pairs_capped",
     "minhash_lsh_pairs",
     "near_dup_clusters",
+    "near_dup_clusters_lsh",
+    "corpus_clean_pipeline",
     "simhash_signatures",
     "simhash_near_dup_pairs",
     "similarity_topk",
@@ -126,17 +129,24 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_time",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total_time",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+    }
+    print(json.dumps(result))
+    # append to the per-query history so regressions the single total hides
+    # are visible (tools/bench_compare.py flags >1.3x vs the best prior run)
+    try:
+        hist = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_HISTORY.jsonl")
+        with open(hist, "a") as fh:
+            fh.write(json.dumps({"ts": round(time.time(), 1), "cpus": cpus,
+                                 **result}) + "\n")
+    except OSError:
+        pass  # history is best-effort; never fail the bench over it
     spark.stop()
 
 

@@ -90,7 +90,11 @@ def _shingled_docs(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    spark: SparkSession, sf_dir: str, n: int = 3, threshold: float = 0.5
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by word-``n``-gram Jaccard similarity ≥ ``threshold``.
 
@@ -99,11 +103,19 @@ def ngram_jaccard_pairs(
     per pair -> Jaccard = shared / (|A| + |B| - shared).
 
     Scale notes: the explode output is (shingle, doc) — the join is a plain
-    shuffle hash join on the shingle key. Hot shingles (boilerplate) skew
-    the join; at 100 TB drop shingles above a document-frequency cap first
-    (cheap pre-aggregation) — the standard stopword-shingle guard. Jaccard
-    is computed from exact integer counts, so the DuckDB oracle hash-matches
-    without float tricks.
+    shuffle hash join on the shingle key. Hot shingles (boilerplate) make
+    the self-join quadratic in per-shingle document frequency (O(Σ df²)):
+    ``max_shingle_df`` is the guard — when set, a cheap pre-aggregation
+    computes each shingle's df and shingles with ``df > max_shingle_df``
+    are dropped BEFORE the self-join (the standard stopword-shingle cap).
+    The df aggregation and the filter join share the shingle-hash
+    partitioning, so the guard adds no extra exchange over the index build.
+    Semantics under the cap: ``shared`` counts only non-hot shingles while
+    set sizes stay full, so Jaccard is underestimated for pairs whose
+    overlap is mostly boilerplate — exactly the pairs the guard exists to
+    stop dominating the join. Default ``None`` = exact (the oracle twin);
+    at 100 TB run with a cap around 10⁴. Jaccard is computed from exact
+    integer counts, so the DuckDB oracle hash-matches without float tricks.
     """
     docs = _shingled_docs(spark, sf_dir, n)
     sizes = docs.select("doc_id", F.size("shingles").alias("n_sh"))
@@ -114,6 +126,15 @@ def ngram_jaccard_pairs(
     exploded = docs.select(
         "doc_id", F.explode("shingles").alias("sh")
     ).select("doc_id", F.xxhash64("sh").alias("shh"))
+    if max_shingle_df is not None:
+        # shingles are array_distinct per doc, so count(*) per hash == df
+        keep = (
+            exploded.groupBy("shh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_shingle_df)
+            .select("shh")
+        )
+        exploded = exploded.join(keep, "shh")
     pairs = (
         exploded.alias("a")
         .join(
@@ -245,7 +266,8 @@ def minhash_lsh_pairs(
 
 def near_dup_clusters(
     spark: SparkSession, sf_dir: str, n: int = 3, threshold: float = 0.5,
-    max_iter: int = 20,
+    max_iter: int = 20, pair_source: str = "ngram",
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Connected components over the near-dup pair graph: every document
     labeled with the smallest doc_id reachable through Jaccard-similar
@@ -258,30 +280,63 @@ def near_dup_clusters(
     DataFrames); the driver only orchestrates the loop and checks
     convergence — per-iteration data never leaves the cluster. Converges
     in O(diameter) iterations; near-dup graphs are tiny-diameter.
+
+    ``pair_source`` picks the similarity-graph edge generator:
+      * ``"ngram"``  — exact inverted-index Jaccard (the small-scale oracle
+        twin; O(Σ df²) in per-shingle document frequency without a cap);
+      * ``"minhash"`` — banded MinHash-LSH candidates with exact-Jaccard
+        verification (``minhash_lsh_pairs``) — the sub-quadratic 100 TB
+        path and the default for the composed cleaning pipeline.
+    Both use the same ``threshold`` semantics (edges are exact-Jaccard-
+    verified in either path).
+
+    ``reliable_checkpoint``: the loop truncates lineage every iteration.
+    ``localCheckpoint`` (default) stores blocks on executors WITHOUT
+    lineage — fastest, but an executor loss on a real cluster kills the
+    job mid-loop. With ``reliable_checkpoint=True`` the loop uses
+    ``DataFrame.checkpoint()`` to the fault-tolerant checkpoint dir
+    (``spark.sparkContext.setCheckpointDir`` — e.g. HDFS/S3 on a
+    cluster; this helper sets a local default if unset), trading one
+    write+read of the (tiny) label table per iteration for resilience.
     """
-    pairs = ngram_jaccard_pairs(spark, sf_dir, n=n, threshold=threshold).select(
-        "doc_a", "doc_b"
-    )
+    if pair_source == "minhash":
+        pairs = minhash_lsh_pairs(
+            spark, sf_dir, n=n, jaccard_threshold=threshold
+        ).select("doc_a", "doc_b")
+    elif pair_source == "ngram":
+        pairs = ngram_jaccard_pairs(spark, sf_dir, n=n, threshold=threshold).select(
+            "doc_a", "doc_b"
+        )
+    else:  # pragma: no cover - guard
+        raise ValueError(f"unknown pair_source: {pair_source!r}")
+
+    if reliable_checkpoint and spark.sparkContext.getCheckpointDir() is None:
+        spark.sparkContext.setCheckpointDir(
+            f"{spark.conf.get('spark.sql.warehouse.dir', 'spark-warehouse')}"
+            "/_cc_checkpoints"
+        )
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return df.checkpoint() if reliable_checkpoint else df.localCheckpoint()
+
     docs = read_table(spark, sf_dir, "documents").select("doc_id")
-    # undirected edge list (both directions) — localCheckpoint keeps the
+    # undirected edge list (both directions) — checkpoint keeps the
     # shingle join from being recomputed every iteration
-    edges = (
+    edges = _ckpt(
         pairs.unionByName(
             pairs.select(
                 F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
             )
         )
-        .localCheckpoint()
     )
     # propagate ONLY over edge endpoints: isolated docs (the overwhelming
     # majority of a deduped corpus) can never change label, so keeping
     # them out shrinks every per-iteration join/count from |corpus| rows
     # to |V(edges)| rows; they rejoin with label = own id at the end
-    labels = (
+    labels = _ckpt(
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()
         .select("doc_id", F.col("doc_id").alias("label"))
-        .localCheckpoint()
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -289,7 +344,7 @@ def near_dup_clusters(
             .groupBy(F.col("doc_a").alias("doc_id"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        new_labels = _ckpt(
             labels.join(neighbor_min, "doc_id", "left")
             .select(
                 "doc_id",
@@ -297,7 +352,6 @@ def near_dup_clusters(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -317,7 +371,9 @@ def near_dup_clusters(
     )
 
 
-def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+def corpus_clean_pipeline(
+    spark: SparkSession, sf_dir: str, pair_source: str = "minhash"
+) -> DataFrame:
     """The composed training-data cleaning pipeline as ONE lazy query —
     the extension-domain analog of the reference's 5-stage composition
     (``dags/google_trends_to_bigquery.py:196``):
@@ -329,12 +385,16 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     Everything stays declarative: quality flags and cluster labels are the
     operators above; the survivor rule is a min-over-cluster window. At
     100 TB each stage is the shuffle documented in SCALE.md — composing
-    them adds no new exchange beyond the cluster join.
+    them adds no new exchange beyond the cluster join. The clustering
+    edge generator defaults to the sub-quadratic MinHash-LSH path
+    (``pair_source="minhash"``) so the composed pipeline does NOT inherit
+    the inverted-index O(Σ df²) hazard; pass ``"ngram"`` for the exact
+    small-scale variant.
     """
     from ..operators import text as text_ops  # local import: avoid cycle
 
     quality = text_ops.quality_filter(spark, sf_dir).select("doc_id", "keep")
-    clusters = near_dup_clusters(spark, sf_dir)
+    clusters = near_dup_clusters(spark, sf_dir, pair_source=pair_source)
     stats = text_ops.text_quality(spark, sf_dir).select(
         "doc_id", "n_tokens", "n_chars"
     )

@@ -39,8 +39,8 @@ def cube_lineitem_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def nations_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operations: nation keys that have customers INTERSECT those that
-    have suppliers, EXCEPT those with any 'F'-status order customers —
-    union/intersect/except as hash-based set operators."""
+    have suppliers, EXCEPT those with any negative-account-balance supplier
+    — union/intersect/except as hash-based set operators."""
     customer = read_table(spark, sf_dir, "customer")
     supplier = read_table(spark, sf_dir, "supplier")
     cust_nations = customer.select(F.col("c_nationkey").alias("nationkey")).distinct()

@@ -82,6 +82,42 @@ def upsert_to_table(
     merged.write.mode("overwrite").saveAsTable(table)
 
 
+def write_external(
+    df: DataFrame,
+    fmt: str,
+    mode: str = "append",
+    options: dict[str, str] | None = None,
+    table: str | None = None,
+    path: str | None = None,
+) -> None:
+    """The external-warehouse connector seam — the reference's BigQuery
+    load (``dags/google_trends_to_bigquery.py:150-158``) generalized to
+    Spark's DataSource V2 contract: every warehouse connector (BigQuery,
+    Snowflake, JDBC, Delta, Iceberg, Kafka, ...) plugs in as
+    ``format(name)`` + connector-specific ``options`` + ``mode``, with the
+    connector jar supplied by the cluster (``spark.jars.packages``).
+
+    Exactly one of ``table`` (catalog/warehouse table, ``saveAsTable``) or
+    ``path`` (object-store location, ``save``) must be given. The sandbox
+    has no external warehouse, so tests exercise this seam with built-in
+    formats (parquet/csv/json) — the call path is identical for a real
+    connector, e.g.::
+
+        write_external(ranked, "bigquery", mode="append",
+                       options={"table": "dataset.search_trends",
+                                "writeMethod": "direct"})
+
+    mirrors the reference's WRITE_APPEND disposition (create-if-absent is
+    the connector's job, as it is in the BigQuery client)."""
+    if (table is None) == (path is None):
+        raise ValueError("write_external: give exactly one of table= or path=")
+    writer = df.write.format(fmt).mode(mode).options(**(options or {}))
+    if table is not None:
+        writer.saveAsTable(table)
+    else:
+        writer.save(path)
+
+
 def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Export as JSON-lines — the interchange format training pipelines
     feed tokenizers from. Spark's json sink writes one object per line,

@@ -5,8 +5,20 @@
 State per user: the open session (start, last event ts, count, value sum).
 Each micro-batch appends events, closes sessions whose gap exceeded the
 threshold (emitting them), and keeps the still-open session in state.
-State size is O(users), independent of stream length — the property that
-makes this run forever on an unbounded stream.
+State size is O(users), independent of stream length.
+
+ORDERING ASSUMPTION (the price of NoTimeout + no watermark): events are
+sorted (ts, event_id) only WITHIN each micro-batch, so per-user arrival
+must be in event-time order ACROSS micro-batches — a cross-batch
+out-of-order event would be appended after a session it chronologically
+precedes and mis-sessionize. This holds in the availableNow harness (one
+batch sees all files) and for sources that partition by user and preserve
+per-key order (e.g. Kafka keyed by user_id). For genuinely out-of-order
+unbounded streams, put a watermark-delayed sort in front (buffer events
+`withWatermark("ts", delay)` and only feed the sessionizer rows older
+than the watermark) or add an event-time timeout that closes sessions on
+watermark advance; open sessions are otherwise held (never flushed) until
+a later event closes them.
 """
 
 from __future__ import annotations

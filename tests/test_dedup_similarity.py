@@ -70,6 +70,86 @@ def test_simhash_pair_generation(spark, sf_dir):
                 assert (a, b) in got, (a, b, ham(a, b))
 
 
+def test_shingle_df_cap_bounds_candidates(spark, sf_dir):
+    """The hot-shingle document-frequency guard: with the cap active,
+    dropped shingles can only REMOVE shared counts, so capped pairs are a
+    subset with pointwise-smaller Jaccard; a cap at/above the max df is a
+    no-op; and the inverted index the join runs on is provably bounded —
+    every surviving shingle key contributes at most cap*(cap-1)/2 join
+    rows (the O(Σ df²) hazard the guard exists to remove)."""
+    uncapped = {
+        (r.doc_a, r.doc_b): (r.shared_shingles, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(spark, sf_dir).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b): (r.shared_shingles, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(spark, sf_dir, max_shingle_df=4).collect()
+    }
+    assert set(capped) <= set(uncapped)
+    assert capped != uncapped, "cap=4 should bite on this fixture"
+    for pair, (shared, jac) in capped.items():
+        assert shared <= uncapped[pair][0]
+        assert jac <= uncapped[pair][1] + 1e-12
+    # a cap >= max observed df changes nothing
+    noop = {
+        (r.doc_a, r.doc_b): (r.shared_shingles, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(
+            spark, sf_dir, max_shingle_df=10**6
+        ).collect()
+    }
+    assert noop == uncapped
+    # direct bound on the join input: no surviving shingle hash exceeds cap
+    docs = dedup._shingled_docs(spark, sf_dir, 3)
+    df_tbl = (
+        docs.select("doc_id", F.explode("shingles").alias("sh"))
+        .select(F.xxhash64("sh").alias("shh"))
+        .groupBy("shh")
+        .count()
+    )
+    assert df_tbl.filter(F.col("count") > 4).count() > 0  # the cap had prey
+    cand_rows = df_tbl.filter(F.col("count") <= 4).select(
+        F.sum(F.expr("count * (count - 1) / 2"))
+    ).first()[0]
+    n_docs = docs.count()
+    assert cand_rows < n_docs * (n_docs - 1) / 2  # strictly sub-all-pairs
+
+
+def test_cluster_pair_sources_agree(spark, sf_dir):
+    """near_dup_clusters with the sub-quadratic MinHash-LSH pair source
+    must produce the same clustering as the exact inverted-index source on
+    this fixture (LSH recall is 100% here — every exact pair collides on
+    some band), proving the composed pipeline's default swap is semantics-
+    preserving at test scale."""
+    ngram = {
+        r.doc_id: r.cluster_id
+        for r in dedup.near_dup_clusters(spark, sf_dir).collect()
+    }
+    lsh = {
+        r.doc_id: r.cluster_id
+        for r in dedup.near_dup_clusters(
+            spark, sf_dir, pair_source="minhash"
+        ).collect()
+    }
+    assert ngram == lsh
+
+
+def test_reliable_checkpoint_mode_matches(spark, sf_dir):
+    """reliable_checkpoint=True (fault-tolerant DataFrame.checkpoint to the
+    checkpoint dir, the real-cluster mode) must be a pure execution-strategy
+    change: identical labels to the localCheckpoint default."""
+    default = {
+        r.doc_id: r.cluster_id
+        for r in dedup.near_dup_clusters(spark, sf_dir).collect()
+    }
+    reliable = {
+        r.doc_id: r.cluster_id
+        for r in dedup.near_dup_clusters(
+            spark, sf_dir, reliable_checkpoint=True
+        ).collect()
+    }
+    assert default == reliable
+
+
 def test_near_dup_clusters_invariants(spark, sf_dir):
     clusters = {
         r.doc_id: r.cluster_id for r in dedup.near_dup_clusters(spark, sf_dir).collect()

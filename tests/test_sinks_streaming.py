@@ -10,6 +10,7 @@ from data_engineer_interview_task_spark.operators import relational
 from data_engineer_interview_task_spark.sources import (
     append_to_table,
     read_table,
+    write_external,
     write_partitioned,
 )
 from data_engineer_interview_task_spark.streaming import run_weekly_rollup_once
@@ -24,6 +25,34 @@ def test_append_creates_then_appends(spark, sf_dir, tmp_path):
     append_to_table(spark, nation, table)  # append (reference W:150-158)
     assert spark.table(table).count() == 50
     spark.sql(f"DROP TABLE {table}")
+
+
+def test_write_external_connector_seam(spark, sf_dir, tmp_path):
+    """The format(...)/options/mode connector seam (reference's BigQuery
+    WRITE_APPEND analog): same call path a real warehouse connector takes,
+    exercised with built-in formats — csv options flow through, append mode
+    accumulates, and the table/path arg contract is enforced."""
+    nation = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    p = str(tmp_path / "ext_csv")
+    write_external(nation, "csv", mode="overwrite", path=p,
+                   options={"header": "true", "sep": "|"})
+    back = spark.read.option("header", True).option("sep", "|").csv(p)
+    assert back.count() == 25 and set(back.columns) == {"n_nationkey", "n_name"}
+    write_external(nation, "csv", mode="append", path=p,
+                   options={"header": "true", "sep": "|"})
+    assert spark.read.option("header", True).option("sep", "|").csv(p).count() == 50
+
+    t = "t_ext_seam"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    write_external(nation, "parquet", mode="append", table=t)
+    write_external(nation, "parquet", mode="append", table=t)
+    assert spark.table(t).count() == 50
+    spark.sql(f"DROP TABLE {t}")
+
+    with pytest.raises(ValueError, match="exactly one"):
+        write_external(nation, "parquet")
+    with pytest.raises(ValueError, match="exactly one"):
+        write_external(nation, "parquet", table=t, path=p)
 
 
 def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
@@ -220,9 +249,15 @@ def test_streaming_checkpoint_resume_exactly_once(spark, sf_dir, tmp_path):
     """Two availableNow runs over a GROWING source with one checkpoint:
     the second run must process only the new files (no re-emission of
     batch-1 keys) and the union must equal the batch answer — the
-    exactly-once restart semantics the checkpoint exists for."""
-    import uuid
+    exactly-once restart semantics the checkpoint exists for.
 
+    Sink choice matters: the memory sink is NOT fault-tolerant and Spark
+    rejects restarting it from an existing checkpoint ("This query does not
+    support recovering from checkpoint location"). The file (parquet) sink
+    commits files transactionally via the checkpoint's file-sink log, so it
+    both supports recovery AND makes re-emission observable: the output dir
+    accumulates across runs, so total rows == distinct keys proves batch-1
+    keys were written exactly once."""
     from data_engineer_interview_task_spark.sources import read_table
     from data_engineer_interview_task_spark.streaming.dedup import (
         first_events_stream,
@@ -231,20 +266,20 @@ def test_streaming_checkpoint_resume_exactly_once(spark, sf_dir, tmp_path):
     events = read_table(spark, sf_dir, "events")
     src = str(tmp_path / "growing_src")
     ckpt = str(tmp_path / "ckpt")
-    sink = f"mem_resume_{uuid.uuid4().hex[:8]}"
+    out = str(tmp_path / "out")
 
     def run_once():
         q = (
             first_events_stream(spark, src)
-            .writeStream.format("memory")
-            .queryName(sink)
+            .writeStream.format("parquet")
             .outputMode("append")
+            .option("path", out)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
-        return {(r.user_id, r.event_type) for r in spark.table(sink).collect()}
+        return {(r.user_id, r.event_type) for r in spark.read.parquet(out).collect()}
 
     first_half = events.filter(F.col("event_id") % 2 == 0)
     second_half = events.filter(F.col("event_id") % 2 == 1)
@@ -264,6 +299,6 @@ def test_streaming_checkpoint_resume_exactly_once(spark, sf_dir, tmp_path):
         for r in events.select("user_id", "event_type").distinct().collect()
     }
     assert got2 == want_all
-    # memory sink accumulates across runs of the same query name: row
+    # file sink accumulates across runs of the same checkpoint: total row
     # count == distinct keys proves batch-1 keys were NOT re-emitted
-    assert spark.table(sink).count() == len(want_all)
+    assert spark.read.parquet(out).count() == len(want_all)

@@ -105,3 +105,56 @@ def test_partial_country_kept(spark):
     long_df = trends.transform_data(wide, *WEEK, terms=("vpn", "hack"))
     kept = trends.filter_same_interest_countries(long_df, n_terms=5)
     assert kept.count() == 2
+
+
+def test_ingest_wide_matrix_from_pytrends_shape(spark):
+    """The live-ingestion seam (reference W:36-38 analog): a pandas frame
+    in the raw interest_by_region shape — countries in a named index, an
+    extra isPartial column, a NaN cell — promotes to the declared schema
+    and runs the full pipeline to the same golden answers."""
+    import pandas as pd
+
+    from data_engineer_interview_task_spark.sources import (
+        ingest_wide_matrix,
+        run_trends_ingest,
+        wide_matrix_schema,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "vpn": [37, 5, 80],
+            "hack": [37, 9, 60],
+            "cyber": [37, 5, 40],
+            "security": [37, 5, 20],
+            "wifi": [37.0, 5.0, float("nan")],  # float col w/ NaN: API shape
+            "isPartial": [False, False, True],  # pytrends noise column
+        },
+        index=pd.Index(["AllSame37", "FourSame", "Plain"], name="geoName"),
+    )
+    wide = ingest_wide_matrix(spark, pdf)
+    assert wide.schema == wide_matrix_schema()
+    assert wide.count() == 3
+    # NaN became a proper SQL NULL, not a float sentinel
+    assert wide.filter("country = 'Plain' AND wifi IS NULL").count() == 1
+
+    ranked = run_trends_ingest(spark, pdf, *WEEK)
+    got = {
+        (r.country, r.search_term): (r.interest, r.ranking)
+        for r in ranked.collect()
+    }
+    countries = {c for c, _ in got}
+    assert countries == {"FourSame", "Plain"}  # AllSame37 dropped (golden)
+    assert got[("FourSame", "hack")] == (9, 1)
+    assert got[("FourSame", "vpn")] == (5, 5)  # vpn LAST among the 5-ties
+    assert got[("Plain", "vpn")] == (80, 1)
+
+
+def test_ingest_wide_matrix_missing_term_raises(spark):
+    import pandas as pd
+    import pytest as _pytest
+
+    from data_engineer_interview_task_spark.sources import ingest_wide_matrix
+
+    pdf = pd.DataFrame({"country": ["X"], "vpn": [1]})
+    with _pytest.raises(ValueError, match="missing term columns"):
+        ingest_wide_matrix(spark, pdf)

@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Compare the latest bench run against the best prior run per query.
+
+Reads BENCH_HISTORY.jsonl (appended by bench.py), groups runs by scale
+factor, and for the most recent run flags every query slower than
+REGRESSION_FACTOR x its best prior time at the same sf — the per-query
+regressions a stable-looking total hides. Exit code 1 if any query
+regressed (so the verify recipe can gate on it); 0 otherwise.
+
+Usage: python tools/bench_compare.py [path-to-history] [--factor 1.3]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REGRESSION_FACTOR = 1.3
+#: ignore sub-threshold queries: at sf0.1 a 0.3s query jitters well past
+#: 1.3x from GC/JIT noise alone; regressions that matter move real time
+MIN_SECONDS = 0.5
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    factor = REGRESSION_FACTOR
+    for a in sys.argv[1:]:
+        if a.startswith("--factor"):
+            factor = float(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
+    path = args[0] if args else os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_HISTORY.jsonl",
+    )
+    if not os.path.exists(path):
+        print(f"bench_compare: no history at {path} (first run?) — nothing to compare")
+        return 0
+    runs = []
+    with open(path) as fh:
+        for line in fh:
+            line = line.strip()
+            if line:
+                runs.append(json.loads(line))
+    if not runs:
+        print("bench_compare: empty history — nothing to compare")
+        return 0
+    latest = runs[-1]
+    prior = [r for r in runs[:-1] if r.get("sf") == latest.get("sf")]
+    if not prior:
+        print(
+            f"bench_compare: first recorded run at sf={latest.get('sf')} "
+            f"(total {latest['value']}s over {len(latest['queries'])} queries) — baseline set"
+        )
+        return 0
+    best: dict[str, float] = {}
+    for r in prior:
+        for q, t in r["queries"].items():
+            if q not in best or t < best[q]:
+                best[q] = t
+    regressed = []
+    for q, t in latest["queries"].items():
+        if q in best and t > factor * best[q] and t >= MIN_SECONDS:
+            regressed.append((q, best[q], t))
+    prior_totals = min(r["value"] for r in prior)
+    print(
+        f"bench_compare: latest total {latest['value']}s vs best prior "
+        f"{prior_totals}s at sf={latest.get('sf')} ({len(prior)} prior runs)"
+    )
+    if regressed:
+        print(f"REGRESSIONS (> {factor}x best prior, >= {MIN_SECONDS}s):")
+        for q, b, t in sorted(regressed, key=lambda x: x[2] / x[1], reverse=True):
+            print(f"  {q}: {b}s -> {t}s ({t / b:.2f}x)")
+        return 1
+    print("no per-query regressions")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
