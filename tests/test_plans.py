@@ -160,3 +160,51 @@ def test_risky_determinism_is_partition_independent(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert a == b
+
+
+def test_chunk_documents_is_shuffle_free(spark, sf_dir):
+    """Chunking must stay a narrow map-side fan-out: zero exchanges, and
+    the scan reads only (doc_id, text)."""
+    from data_engineer_interview_task_spark.operators.text import chunk_documents
+
+    plan = explain_str(chunk_documents(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "text" in read_schema and "source" not in read_schema
+
+
+def test_vocab_join_is_broadcast(spark, sf_dir):
+    """The vocab table (top-k of a vocabulary-sized aggregate) must reach
+    the per-doc pass as a broadcast, never a corpus-side shuffle join."""
+    from data_engineer_interview_task_spark.operators.text import vocab_coverage
+
+    plan = explain_str(vocab_coverage(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_retention_cohorts_two_exchanges(spark, sf_dir):
+    """The collect_set formulation: one exchange keying users, one for the
+    final bounded rollup (the countDistinct may add an internal expand but
+    no further data-sized shuffle) — never the distinct + self-join shape
+    (4+ exchanges)."""
+    from data_engineer_interview_task_spark.operators.relational import (
+        retention_cohorts,
+    )
+
+    plan = explain_str(retention_cohorts(spark, sf_dir))
+    assert plan.count("Exchange") <= 4  # 2 logical; AQE shuffle-reads add reuse nodes
+    assert "Join" not in plan  # the join-free formulation
+
+
+def test_capped_ngram_filters_before_self_join(spark, sf_dir):
+    """With the df cap active the inverted-index self-join's inputs must
+    be df-filtered (the aggregate+filter appears BELOW the join), so no
+    hot key reaches the join."""
+    from data_engineer_interview_task_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    plan = explain_str(ngram_jaccard_pairs(spark, sf_dir, max_shingle_df=4))
+    # the df<=4 filter exists and sits in the plan (pre-join aggregate)
+    assert "(df#" in plan or "df <= 4" in plan.replace("(", " ").replace(")", " ") or "<= 4" in plan

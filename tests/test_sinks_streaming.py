@@ -302,3 +302,61 @@ def test_streaming_checkpoint_resume_exactly_once(spark, sf_dir, tmp_path):
     # file sink accumulates across runs of the same checkpoint: total row
     # count == distinct keys proves batch-1 keys were NOT re-emitted
     assert spark.read.parquet(out).count() == len(want_all)
+
+
+def test_streaming_foreach_batch_idempotent_upsert(spark, sf_dir, tmp_path):
+    """foreachBatch + keyed upsert: the exactly-once recipe for sinks with
+    no transactional streaming support (the external-warehouse case).
+    foreachBatch alone is at-least-once — a crash between sink write and
+    offset commit replays the batch — so the batch body must be
+    idempotent; upsert_to_table's keyed merge is exactly that. Proven by
+    (a) a growing source across two runs sharing one checkpoint and (b) a
+    manually replayed batch being a no-op."""
+    from data_engineer_interview_task_spark.sources import read_table
+    from data_engineer_interview_task_spark.sources.sinks import upsert_to_table
+    from data_engineer_interview_task_spark.streaming.dedup import (
+        first_events_stream,
+    )
+
+    events = read_table(spark, sf_dir, "events")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    table = "t_stream_upsert"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    keys = ["user_id", "event_type"]
+
+    captured = []
+
+    def load_batch(batch_df, batch_id):
+        captured.append(batch_df.select(*keys).collect())
+        upsert_to_table(spark, batch_df, table, keys)
+
+    def run_once():
+        q = (
+            first_events_stream(spark, src)
+            .writeStream.foreachBatch(load_batch)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    first_half = events.filter(F.col("event_id") % 2 == 0)
+    second_half = events.filter(F.col("event_id") % 2 == 1)
+    first_half.write.mode("overwrite").parquet(src)
+    run_once()
+    want1 = first_half.select(*keys).distinct().count()
+    assert spark.table(table).count() == want1
+
+    second_half.write.mode("append").parquet(src)
+    run_once()
+    want_all = events.select(*keys).distinct().count()
+    assert spark.table(table).count() == want_all
+
+    # simulate an at-least-once replay of batch 1: the keyed upsert makes
+    # the duplicate delivery a no-op
+    replay = spark.createDataFrame(captured[0], schema=spark.table(table).schema)
+    upsert_to_table(spark, replay, table, keys)
+    assert spark.table(table).count() == want_all
+    spark.sql(f"DROP TABLE {table}")

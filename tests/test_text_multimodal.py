@@ -117,3 +117,89 @@ def test_frame_sample_fan_out(spark, sf_dir):
     assert [f.frame_idx for f in frames] == [0, 1, 2]
     want = hashlib.sha256(f"{docs[some]}#1".encode()).hexdigest()
     assert frames[1].frame_sha == want
+
+
+def test_chunk_documents_reconstructs(spark, sf_dir):
+    """Chunking invariants: chunk 0 is the doc's first min(64, n) tokens,
+    chunk count = ceil(n/stride), and stitching each chunk's first
+    `stride` tokens (plus the last chunk's tail) reproduces the document
+    exactly — no token lost or duplicated by the windowing."""
+    import math
+
+    from data_engineer_interview_task_spark.operators.text import chunk_documents
+    from data_engineer_interview_task_spark.sources import read_table
+
+    chunks = chunk_documents(spark, sf_dir).collect()
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in read_table(spark, sf_dir, "documents").collect()
+    }
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, {})[r.chunk_id] = r
+    assert set(by_doc) == set(docs)
+    for doc_id, toks in list(docs.items())[:50]:
+        got = by_doc[doc_id]
+        n = len(toks)
+        assert len(got) == max(1, math.ceil(n / 48))
+        assert got[0].chunk_text.split(" ")[: min(64, n)] == toks[: min(64, n)]
+        rebuilt = []
+        for cid in sorted(got):
+            ctoks = got[cid].chunk_text.split(" ")
+            assert got[cid].n_tokens == len(ctoks) <= 64
+            rebuilt.extend(ctoks if cid == max(got) else ctoks[:48])
+        # overlap tokens beyond stride are re-context, drop the double-count
+        assert rebuilt[:n] == toks
+
+
+def test_vocab_coverage_bounds(spark, sf_dir):
+    from data_engineer_interview_task_spark.operators.text import vocab_coverage
+
+    rows = vocab_coverage(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_oov <= r.n_tokens
+        assert abs(r.oov_rate - r.n_oov / r.n_tokens) < 1e-12
+
+
+def test_heavy_hitters_ranked_per_source(spark, sf_dir):
+    from data_engineer_interview_task_spark.operators.text import (
+        heavy_hitters_per_source,
+    )
+
+    rows = heavy_hitters_per_source(spark, sf_dir).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r.rk)
+        assert [r.rk for r in rs] == list(range(1, len(rs) + 1))
+        counts = [r.cnt for r in rs]
+        assert counts == sorted(counts, reverse=True)
+
+
+def test_source_report_totals(spark, sf_dir):
+    from data_engineer_interview_task_spark.operators.cleaning import source_report
+    from data_engineer_interview_task_spark.sources import read_table
+
+    rows = source_report(spark, sf_dir).collect()
+    docs = read_table(spark, sf_dir, "documents")
+    assert sum(r.n_docs for r in rows) == docs.count()
+    for r in rows:
+        assert 0 < r.unique_text_ratio <= 1.0
+
+
+def test_retention_cohort_week_zero_is_cohort_size(spark, sf_dir):
+    """Every user appears in their own cohort at offset 0, so the offset-0
+    cell must equal the cohort's size and offsets are non-negative."""
+    from data_engineer_interview_task_spark.operators.relational import (
+        retention_cohorts,
+    )
+    from data_engineer_interview_task_spark.sources import read_table
+
+    rows = retention_cohorts(spark, sf_dir).collect()
+    assert all(r.week_offset >= 0 for r in rows)
+    zero = {r.cohort_week: r.n_users for r in rows if r.week_offset == 0}
+    events = read_table(spark, sf_dir, "events")
+    n_users = events.select("user_id").distinct().count()
+    assert sum(zero.values()) == n_users  # every user is in exactly one cohort

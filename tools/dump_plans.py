@@ -34,6 +34,14 @@ KEY_QUERIES = [
     "nation_revenue_share",
     "rolling_7day_user_value",
     "funnel_conversion",
+    # round 2 additions
+    "ngram_jaccard_pairs_capped",
+    "chunk_documents",
+    "vocab_coverage",
+    "heavy_hitters_per_source",
+    "source_report",
+    "retention_cohorts",
+    "wow_event_growth",
 ]
 
 
