@@ -1,5 +1,5 @@
 from .weekly import weekly_rollup_stream, run_weekly_rollup_once
-from .sessions import sessionize_stream, run_sessionize_once
+from .sessions import sessionize_stream, sessionize_stream_flushing, run_sessionize_once
 from .joins import click_purchase_stream_join, run_click_purchase_join_once
 from .dedup import first_events_stream, run_first_events_once
 
@@ -9,6 +9,7 @@ __all__ = [
     "first_events_stream",
     "run_first_events_once",
     "sessionize_stream",
+    "sessionize_stream_flushing",
     "run_sessionize_once",
     "click_purchase_stream_join",
     "run_click_purchase_join_once",

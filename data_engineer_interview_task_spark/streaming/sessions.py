@@ -16,9 +16,10 @@ batch sees all files) and for sources that partition by user and preserve
 per-key order (e.g. Kafka keyed by user_id). For genuinely out-of-order
 unbounded streams, put a watermark-delayed sort in front (buffer events
 `withWatermark("ts", delay)` and only feed the sessionizer rows older
-than the watermark) or add an event-time timeout that closes sessions on
-watermark advance; open sessions are otherwise held (never flushed) until
-a later event closes them.
+than the watermark). Open sessions are held (never flushed) until a later
+event closes them — use ``sessionize_stream_flushing`` (below) when every
+session must eventually emit: it adds an event-time timeout at
+(last event + gap) so the watermark itself closes idle sessions.
 """
 
 from __future__ import annotations
@@ -122,6 +123,97 @@ def sessionize_stream(
             stateStructType=STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def _sessionize_flush_fn(gap_minutes: int):
+    """Per-group stateful function for the WATERMARK-FLUSHING variant:
+    same gap logic, plus an event-time timeout at (last event + gap) so
+    the open session is emitted once the watermark proves no in-gap event
+    can still arrive. Self-contained closure (plain ints only)."""
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(key, pdfs, state):
+        import pandas as _pd
+
+        (user_id,) = key
+
+        def frame(sessions):
+            return _pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(sessions),
+                    "session_start": _pd.to_datetime(
+                        [s[0] for s in sessions], unit="us"
+                    ),
+                    "session_end": _pd.to_datetime(
+                        [s[1] for s in sessions], unit="us"
+                    ),
+                    "n_events": [s[2] for s in sessions],
+                    "total_value": [s[3] for s in sessions],
+                }
+            )
+
+        if state.hasTimedOut:
+            # watermark passed last_event + gap: the open session is closed
+            # by time itself — flush and clear
+            start_us, last_us, n, vsum = state.get
+            state.remove()
+            yield frame([(start_us, last_us, n, vsum)])
+            return
+
+        events = _pd.concat(list(pdfs), ignore_index=True)
+        events = events.sort_values(["ts", "event_id"])
+        ts_us = (events["ts"].astype("int64") // 1000).tolist()
+        vals = events["value"].tolist()
+
+        if state.exists:
+            start_us, last_us, n, vsum = state.get
+        else:
+            start_us = last_us = None
+            n, vsum = 0, 0.0
+
+        closed = []
+        for t, v in zip(ts_us, vals):
+            if last_us is not None and t - last_us > gap_us:
+                closed.append((start_us, last_us, n, vsum))
+                start_us, n, vsum = t, 0, 0.0
+            if start_us is None:
+                start_us = t
+            last_us = t
+            n += 1
+            vsum += float(v)
+
+        state.update((start_us, last_us, n, vsum))
+        # fire when the event-time watermark passes the gap horizon (ms)
+        state.setTimeoutTimestamp((last_us + gap_us) // 1000)
+        if closed:
+            yield frame(closed)
+
+    return fn
+
+
+def sessionize_stream_flushing(
+    spark: SparkSession, source_dir: str, gap_minutes: int = 30,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Streaming sessionizer WITH open-session flush: like
+    ``sessionize_stream`` but an event-time timeout emits each open
+    session once the watermark passes (last event + gap) — so on a true
+    unbounded stream every session is eventually emitted, not only those
+    closed by a later event. ``watermark_delay`` is the out-of-orderness
+    budget: events later than the watermark are the operator's blind spot
+    (the tradeoff the NoTimeout variant's docstring describes)."""
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(source_dir)
+    return (
+        stream.withWatermark("ts", watermark_delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_flush_fn(gap_minutes),
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
 
