@@ -125,10 +125,20 @@ def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
-def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
+def read_jsonl(
+    spark: SparkSession, path: str, schema=None, **options: str
+) -> DataFrame:
     """Read JSON-lines with an explicit schema when given (always give one
-    at scale: schema inference is a full extra pass over the data)."""
-    reader = spark.read
+    at scale: schema inference is a full extra pass over the data).
+
+    ``options`` pass through to the reader — the one that matters at
+    100 TB is malformed-row policy: the default PERMISSIVE mode nulls the
+    fields of a broken line and, if the schema carries a
+    ``_corrupt_record`` string column (+ ``columnNameOfCorruptRecord``),
+    quarantines the raw line there so one bad row never kills a
+    billion-row load (FAILFAST) or silently vanishes (DROPMALFORMED) —
+    count the quarantine column to alert on upstream corruption."""
+    reader = spark.read.options(**options)
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)

@@ -360,3 +360,50 @@ def test_streaming_foreach_batch_idempotent_upsert(spark, sf_dir, tmp_path):
     upsert_to_table(spark, replay, table, keys)
     assert spark.table(table).count() == want_all
     spark.sql(f"DROP TABLE {table}")
+
+
+def test_jsonl_corrupt_records_quarantined(spark, tmp_path):
+    """Malformed-row policy at ingestion: with an explicit schema carrying
+    a _corrupt_record column, PERMISSIVE mode parses every good line and
+    quarantines broken ones intact (raw text preserved for replay) —
+    one bad row must never kill or silently shrink a 100 TB load."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from data_engineer_interview_task_spark.sources.sinks import read_jsonl
+
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "ok"}\n'
+        '{"id": 2, "name": "also ok"}\n'
+        'this is not json at all\n'
+        '{"id": "not-a-number", "name": "bad type"}\n'
+    )
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    df = read_jsonl(
+        spark,
+        str(p),
+        schema,
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt_record",
+    ).cache()  # SPARK-21610: corrupt-column queries need the full rows
+    try:
+        assert df.count() == 4
+        good = df.filter(F.col("_corrupt_record").isNull())
+        bad = df.filter(F.col("_corrupt_record").isNotNull())
+        assert {r.id for r in good.collect()} == {1, 2}
+        raws = [r._corrupt_record for r in bad.collect()]
+        assert len(raws) == 2
+        assert "this is not json at all" in raws
+    finally:
+        df.unpersist()
