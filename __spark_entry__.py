@@ -30,6 +30,7 @@ from data_engineer_interview_task_spark.operators import (
     sampling,
     similarity,
     text,
+    tpch_shapes,
     trends,
 )
 from data_engineer_interview_task_spark.functions.dates import previous_week_exprs
@@ -177,6 +178,19 @@ def _streaming_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_weekly_rollup_once(spark, sf_dir, work)
 
 
+def _streaming_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window streaming aggregation (7-day window, 1-day slide):
+    each event contributes to 7 overlapping epoch-aligned windows. Fully
+    oracle-checked: DuckDB replicates the window membership by exploding 7
+    day-offsets per event with integer epoch arithmetic."""
+    import tempfile
+
+    from data_engineer_interview_task_spark.streaming import run_sliding_rollup_once
+
+    work = tempfile.mkdtemp(prefix="stream_sliding_")
+    return run_sliding_rollup_once(spark, sf_dir, work)
+
+
 def _streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): gap-
     based sessionization with O(users) state. Fully ORACLE-CHECKED: under
@@ -259,8 +273,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_report": cleaning.source_report,
         "retention_cohorts": relational.retention_cohorts,
         "wow_event_growth": relational.wow_event_growth,
+        # decision-support query-shape pack (TPC-H Q2/Q4/Q11/Q13/Q15/Q16/
+        # Q17/Q19/Q20/Q21/Q22 analogs — correlated-subquery decorrelation,
+        # nested semi/anti joins, disjunctive join predicates)
+        "min_cost_supplier": tpch_shapes.min_cost_supplier,
+        "late_order_priority_counts": tpch_shapes.late_order_priority_counts,
+        "important_parts_value": tpch_shapes.important_parts_value,
+        "customer_order_distribution": tpch_shapes.customer_order_distribution,
+        "top_revenue_suppliers": tpch_shapes.top_revenue_suppliers,
+        "supplier_count_by_part_attrs": tpch_shapes.supplier_count_by_part_attrs,
+        "small_quantity_revenue": tpch_shapes.small_quantity_revenue,
+        "disjunctive_part_revenue": tpch_shapes.disjunctive_part_revenue,
+        "excess_stock_suppliers": tpch_shapes.excess_stock_suppliers,
+        "waiting_orders_suppliers": tpch_shapes.waiting_orders_suppliers,
+        "idle_rich_customers": tpch_shapes.idle_rich_customers,
         # structured streaming (availableNow harness)
         "streaming_weekly_rollup": _streaming_weekly_rollup,  # oracle (epoch-aligned windows)
+        "streaming_sliding_rollup": _streaming_sliding_rollup,  # oracle (7d/1d sliding)
         "streaming_sessionize": _streaming_sessionize,  # oracle (closed sessions)
         "streaming_first_events": _streaming_first_events,  # oracle (set-deterministic)
         "streaming_click_purchase_join": _streaming_click_purchase_join,  # oracle (batch twin)
@@ -1085,6 +1114,168 @@ SELECT week_start, event_type, n_events, total_value,
 FROM weekly
 WINDOW w AS (PARTITION BY event_type ORDER BY week_start ASC)
 """,
+        # --- decision-support shape pack (TPC-H analogs) ---
+        "min_cost_supplier": """
+WITH offers AS (
+  SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, l_extendedprice
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  JOIN part     ON l_partkey = p_partkey
+  WHERE r_name = 'EUROPE' AND p_size < 15
+),
+mp AS (SELECT p_partkey AS mp_partkey, MIN(l_extendedprice) AS min_price
+       FROM offers GROUP BY 1)
+SELECT DISTINCT p_partkey, p_name, s_suppkey, s_name, s_acctbal, min_price
+FROM offers JOIN mp ON p_partkey = mp_partkey AND l_extendedprice = min_price
+""",
+        "late_order_priority_counts": """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority
+""",
+        "important_parts_value": """
+WITH vals AS (
+  SELECT l_partkey, CAST(l_extendedprice AS DECIMAL(18,2)) AS price_dec
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'
+),
+per_part AS (SELECT l_partkey, SUM(price_dec) AS value_dec FROM vals GROUP BY 1),
+total AS (SELECT SUM(price_dec) * CAST(0.001 AS DECIMAL(4,3)) AS threshold_dec
+          FROM vals)
+SELECT l_partkey, CAST(value_dec AS DOUBLE) AS part_value
+FROM per_part, total
+WHERE value_dec > threshold_dec
+""",
+        "customer_order_distribution": """
+WITH per_cust AS (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer
+  LEFT OUTER JOIN (SELECT o_custkey, o_orderkey FROM orders
+                   WHERE o_orderpriority <> '5-LOW') o
+    ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM per_cust GROUP BY c_count
+""",
+        "top_revenue_suppliers": """
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                  (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6)))
+           AS total_rev_dec
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(total_rev_dec AS DOUBLE) AS total_revenue
+FROM rev
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_rev_dec = (SELECT MAX(total_rev_dec) FROM rev)
+""",
+        "supplier_count_by_part_attrs": """
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type NOT LIKE 'ECONOMY%'
+  AND p_size IN (1, 2, 3, 4, 5, 6, 7, 8)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+""",
+        "small_quantity_revenue": """
+WITH b2_li AS (
+  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+         CAST(l_extendedprice AS DECIMAL(18,2)) AS price_dec
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#2'
+),
+stats AS (SELECT l_partkey AS s_partkey, CAST(SUM(qty) AS BIGINT) AS sum_qty,
+                 CAST(COUNT(*) AS BIGINT) AS n_li
+          FROM b2_li GROUP BY 1)
+SELECT CAST(SUM(price_dec) AS DOUBLE) / 7.0 AS avg_yearly,
+       CAST(COUNT(*) AS BIGINT) AS n_small
+FROM b2_li JOIN stats ON l_partkey = s_partkey
+WHERE 5 * qty * n_li < sum_qty
+""",
+        "disjunctive_part_revenue": """
+SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                     (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6)))
+            AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND (
+     (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+      AND l_quantity BETWEEN 1 AND 11)
+  OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+      AND l_quantity BETWEEN 10 AND 20)
+  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+      AND l_quantity BETWEEN 20 AND 30))
+""",
+        "excess_stock_suppliers": """
+SELECT s_suppkey, s_name, s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_3'
+  AND s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_partkey IN (SELECT p_partkey FROM part WHERE p_size < 10)
+    GROUP BY l_suppkey, l_partkey
+    HAVING CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) > 30)
+""",
+        "waiting_orders_suppliers": """
+WITH per_os AS (
+  SELECT l_orderkey, l_suppkey,
+         MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                  THEN 1 ELSE 0 END) AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY l_orderkey, l_suppkey
+),
+per_order AS (SELECT l_orderkey AS po_orderkey,
+                     CAST(COUNT(*) AS BIGINT) AS n_supp,
+                     CAST(SUM(late) AS BIGINT) AS n_late
+              FROM per_os GROUP BY 1)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM per_os
+JOIN per_order ON l_orderkey = po_orderkey
+JOIN supplier  ON l_suppkey = s_suppkey
+WHERE late = 1 AND n_supp > 1 AND n_late = 1
+GROUP BY s_name
+""",
+        "idle_rich_customers": """
+WITH coded AS (
+  SELECT c_custkey, substr(c_name, -1, 1) AS code, c_acctbal
+  FROM customer
+  WHERE substr(c_name, -1, 1) IN ('1', '3', '5', '7')
+),
+avg_row AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS avg_bal
+  FROM coded WHERE c_acctbal > 0
+)
+SELECT code, CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM coded, avg_row
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY code
+""",
         "ngram_jaccard_pairs_capped": f"""
 WITH {shingles_cte},
 e AS (SELECT doc_id, unnest(shingles) AS sh FROM d),
@@ -1580,6 +1771,16 @@ SELECT make_timestamp((epoch_us(ts) // 604800000000) * 604800000000)
        event_type, COUNT(*) AS n_events,
        SUM(CAST(value AS DECIMAL(18,2))) AS total_value
 FROM events GROUP BY 1, 2, 3
+""",
+        "streaming_sliding_rollup": """
+SELECT make_timestamp(((epoch_us(ts) // 86400000000) - k) * 86400000000)
+         AS win_start,
+       make_timestamp(((epoch_us(ts) // 86400000000) - k + 7) * 86400000000)
+         AS win_end,
+       event_type, COUNT(*) AS n_events,
+       SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+FROM events, (SELECT unnest(range(7)) AS k) offs
+GROUP BY 1, 2, 3
 """,
         "streaming_sessionize": """
 WITH o AS (

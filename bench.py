@@ -92,6 +92,18 @@ HEADLINE = [
     "big_order_customers",
     "null_safe_event_join",
     "user_event_sequences",
+    # decision-support shape pack (round 2)
+    "min_cost_supplier",
+    "late_order_priority_counts",
+    "important_parts_value",
+    "customer_order_distribution",
+    "top_revenue_suppliers",
+    "supplier_count_by_part_attrs",
+    "small_quantity_revenue",
+    "disjunctive_part_revenue",
+    "excess_stock_suppliers",
+    "waiting_orders_suppliers",
+    "idle_rich_customers",
 ]
 
 

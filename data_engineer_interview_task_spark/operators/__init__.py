@@ -1,3 +1,11 @@
-from . import trends, relational, dedup, similarity, text, multimodal
+from . import trends, relational, dedup, similarity, text, multimodal, tpch_shapes
 
-__all__ = ["trends", "relational", "dedup", "similarity", "text", "multimodal"]
+__all__ = [
+    "trends",
+    "relational",
+    "dedup",
+    "similarity",
+    "text",
+    "multimodal",
+    "tpch_shapes",
+]

@@ -1,4 +1,9 @@
-from .weekly import weekly_rollup_stream, run_weekly_rollup_once
+from .weekly import (
+    weekly_rollup_stream,
+    run_weekly_rollup_once,
+    sliding_rollup_stream,
+    run_sliding_rollup_once,
+)
 from .sessions import sessionize_stream, sessionize_stream_flushing, run_sessionize_once
 from .joins import click_purchase_stream_join, run_click_purchase_join_once
 from .dedup import first_events_stream, run_first_events_once
@@ -6,6 +11,8 @@ from .dedup import first_events_stream, run_first_events_once
 __all__ = [
     "weekly_rollup_stream",
     "run_weekly_rollup_once",
+    "sliding_rollup_stream",
+    "run_sliding_rollup_once",
     "first_events_stream",
     "run_first_events_once",
     "sessionize_stream",

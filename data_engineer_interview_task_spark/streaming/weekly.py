@@ -66,6 +66,60 @@ def weekly_rollup_stream(
     )
 
 
+def sliding_rollup_stream(
+    spark: SparkSession, source_dir: str, watermark: str = "14 days"
+) -> DataFrame:
+    """Streaming SLIDING-window rollup: per (7-day window advancing every
+    1 day, event_type) count + decimal-exact value sum. Unlike the tumbling
+    form, each event lands in 7 overlapping windows — Spark expands the
+    membership internally (no self-join, no explode) and the watermark
+    still bounds state to O(open windows x types): a window is finalized
+    once the watermark passes its end, exactly as in the tumbling case.
+    Windows are epoch-aligned on the 1-day slide, which is what makes the
+    batch/DuckDB twin expressible with pure integer epoch arithmetic."""
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(source_dir)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "7 days", "1 day"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_sliding_rollup_once(
+    spark: SparkSession, sf_dir: str, work_dir: str
+) -> DataFrame:
+    """availableNow harness for the sliding rollup (complete output mode →
+    every window appears, making the emitted set batch-deterministic and
+    therefore oracle-checkable)."""
+    from ..sources import read_table
+
+    prep_session(spark)
+    src = f"{work_dir}/events_src"
+    read_table(spark, sf_dir, "events").write.mode("overwrite").parquet(src)
+    sink = f"mem_sliding_{uuid.uuid4().hex[:8]}"
+    q = (
+        sliding_rollup_stream(spark, src)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", f"{work_dir}/ckpt_{sink}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
 def run_weekly_rollup_once(
     spark: SparkSession, sf_dir: str, work_dir: str
 ) -> DataFrame:

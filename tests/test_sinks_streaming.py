@@ -119,6 +119,22 @@ def test_streaming_weekly_rollup_matches_batch(spark, sf_dir, tmp_path):
     assert got.count() > 0
 
 
+def test_streaming_sliding_rollup_membership(spark, sf_dir, tmp_path):
+    """Each event belongs to exactly 7 overlapping (7d, 1d-slide) windows,
+    so summed n_events must equal 7x the event count, and every tumbling
+    total must be recoverable from the sliding set."""
+    from data_engineer_interview_task_spark.streaming import run_sliding_rollup_once
+
+    got = run_sliding_rollup_once(spark, sf_dir, str(tmp_path / "sliding"))
+    n_events = read_table(spark, sf_dir, "events").count()
+    assert got.agg(F.sum("n_events")).collect()[0][0] == 7 * n_events
+    # every window spans exactly 7 days
+    spans = got.select(
+        (F.unix_timestamp("win_end") - F.unix_timestamp("win_start")).alias("s")
+    ).distinct().collect()
+    assert {r.s for r in spans} == {7 * 86400}
+
+
 def test_streaming_has_watermark(spark, sf_dir, tmp_path):
     from data_engineer_interview_task_spark.streaming.weekly import weekly_rollup_stream
 
