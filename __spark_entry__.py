@@ -287,6 +287,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "excess_stock_suppliers": tpch_shapes.excess_stock_suppliers,
         "waiting_orders_suppliers": tpch_shapes.waiting_orders_suppliers,
         "idle_rich_customers": tpch_shapes.idle_rich_customers,
+        # corpus versioning + semi-structured (round 2)
+        "snapshot_diff": cleaning.snapshot_diff,
+        "variant_props_rollup": extended.variant_props_rollup,
+        "price_equidepth_histogram": extended.price_equidepth_histogram,
+        "recursive_week_spine": extended.recursive_week_spine,
+        "importance_sample": sampling.importance_sample,
+        "token_budget_mix": sampling.token_budget_mix,
         # structured streaming (availableNow harness)
         "streaming_weekly_rollup": _streaming_weekly_rollup,  # oracle (epoch-aligned windows)
         "streaming_sliding_rollup": _streaming_sliding_rollup,  # oracle (7d/1d sliding)
@@ -1275,6 +1282,93 @@ WHERE c_acctbal > avg_bal
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                   AND o_orderdate >= TIMESTAMP '1999-01-01')
 GROUP BY code
+""",
+        "snapshot_diff": """
+WITH v1 AS (SELECT doc_id, md5(text) AS fp1 FROM documents),
+v2 AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END)
+           AS fp2
+  FROM documents WHERE doc_id % 11 <> 0
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, md5('added ' || text) AS fp2
+  FROM documents WHERE doc_id % 13 = 0
+)
+SELECT doc_id,
+       CASE WHEN fp1 IS NULL THEN 'added'
+            WHEN fp2 IS NULL THEN 'removed'
+            WHEN fp1 <> fp2 THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+WHERE (CASE WHEN fp1 IS NULL THEN 'added'
+            WHEN fp2 IS NULL THEN 'removed'
+            WHEN fp1 <> fp2 THEN 'changed'
+            ELSE 'unchanged' END) <> 'unchanged'
+""",
+        "variant_props_rollup": """
+WITH k AS (SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k
+           FROM events)
+SELECT k % 10 AS k_bucket, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(k) AS BIGINT) AS sum_k, CAST(MAX(k) AS BIGINT) AS max_k
+FROM k GROUP BY 1
+""",
+        "price_equidepth_histogram": """
+WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM orders),
+b AS (
+  SELECT o_totalprice,
+         ((row_number() OVER (ORDER BY o_totalprice ASC, o_orderkey ASC)
+           - 1) * 8) // n_total AS bucket
+  FROM orders, n
+)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS bucket_value
+FROM b GROUP BY bucket
+""",
+        "recursive_week_spine": """
+WITH RECURSIVE bounds AS (
+  SELECT MIN(epoch_us(ts_o) // 604800000000) AS w_lo,
+         MAX(epoch_us(ts_o) // 604800000000) AS w_hi
+  FROM (SELECT CAST(o_orderdate AS TIMESTAMP) AS ts_o FROM orders)
+),
+wk(w) AS (
+  SELECT w_lo FROM bounds
+  UNION ALL
+  SELECT w + 1 FROM wk, bounds WHERE w + 1 <= w_hi
+),
+per_wk AS (
+  SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 604800000000 AS w_o,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1
+)
+SELECT make_timestamp(w * 604800000000) AS week_start,
+       COALESCE(n, CAST(0 AS BIGINT)) AS n_orders
+FROM wk LEFT JOIN per_wk ON w = w_o
+""",
+        "importance_sample": """
+SELECT doc_id, source, n_chars,
+       CASE WHEN n_chars < 200 THEN 'short' ELSE 'long' END AS stratum,
+       substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS sample_key8
+FROM documents
+WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+      < CASE WHEN n_chars < 200 THEN '40000000' ELSE '10000000' END
+""",
+        "token_budget_mix": """
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_toks,
+         CAST(SUM(n_toks) OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_toks
+  FROM t
+)
+SELECT doc_id, source, n_toks, cum_toks FROM c WHERE cum_toks <= 500
 """,
         "ngram_jaccard_pairs_capped": f"""
 WITH {shingles_cte},

@@ -104,6 +104,10 @@ HEADLINE = [
     "excess_stock_suppliers",
     "waiting_orders_suppliers",
     "idle_rich_customers",
+    # corpus versioning / semi-structured / distributions (round 2)
+    "snapshot_diff",
+    "variant_props_rollup",
+    "price_equidepth_histogram",
 ]
 
 

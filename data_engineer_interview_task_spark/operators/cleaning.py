@@ -154,3 +154,46 @@ def source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "unique_text_ratio"
         ),
     )
+
+
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-version diff: which documents were added, removed, or changed
+    between two snapshots — the audit step a continuously-refreshed
+    training corpus runs before every re-train (dataset versioning's
+    cheap, engine-native core).
+
+    The second snapshot is synthesized deterministically from the first
+    (drop ``doc_id % 11 == 0``, revise ``% 7 == 0``, add fresh ids for
+    ``% 13 == 0``), so the diff has a closed-form oracle at any SF. The
+    comparison itself is the production shape: reduce each side to
+    (doc_id, md5(text)) — 16-byte fingerprints, not full texts, cross the
+    shuffle — then one full-outer join on doc_id classifies every doc:
+    null left = added, null right = removed, differing fingerprints =
+    changed. Unchanged rows (the overwhelming bulk at 100 TB) are filtered
+    out BEFORE the result materializes, so output is O(churn), not
+    O(corpus)."""
+    docs = read_table(spark, sf_dir, "documents")
+    v1 = docs.select("doc_id", F.md5(F.col("text").cast("binary")).alias("fp1"))
+    kept = docs.filter(F.col("doc_id") % 11 != 0)
+    revised = kept.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" rev2"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    added = docs.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + F.lit(10000000)).alias("doc_id"),
+        F.concat(F.lit("added "), F.col("text")).alias("text"),
+    )
+    v2 = revised.unionByName(added).select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("fp2")
+    )
+    joined = v1.join(v2, "doc_id", "full_outer")
+    return joined.select(
+        "doc_id",
+        F.when(F.col("fp1").isNull(), F.lit("added"))
+        .when(F.col("fp2").isNull(), F.lit("removed"))
+        .when(F.col("fp1") != F.col("fp2"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    ).filter(F.col("status") != "unchanged")

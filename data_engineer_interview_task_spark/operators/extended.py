@@ -728,3 +728,126 @@ def null_safe_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(errors.k.alias("k"))
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+def variant_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics over the open VARIANT type (Spark 4):
+    ``parse_json`` turns the events.props JSON string into a binary
+    variant ONCE per row, then ``variant_get`` path extraction runs
+    against the decoded form — at scale this beats re-parsing the string
+    per ``get_json_object`` path (the shredded-variant scan path in
+    Parquet readers makes it a columnar pushdown, the way engines like
+    Snowflake treat semi-structured columns). Rolled up by k mod 10 so the
+    output is bounded and every aggregate is algebraic."""
+    events = read_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return (
+        events.select((k % 10).alias("k_bucket"), k.alias("k"))
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def price_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram over order totals (fixed-width lives in
+    ``price_histogram``): 8 near-equal-population buckets whose [min, max]
+    bounds are the empirical octile boundaries — the summary optimizers
+    build for selectivity estimation.
+
+    NOT ``ntile()`` over a global window: that funnels the whole table
+    through ONE task. Instead the two-phase global-numbering pattern
+    (``global_row_numbers``): range-partition on the total order
+    (price, orderkey), number within partitions in parallel, add broadcast
+    offsets — then the closed-form ``floor((rn-1)*8/n)`` maps positions to
+    buckets. Integer-exact, so the DuckDB twin (row_number + the same
+    formula) hash-matches; bucket populations differ from ANSI ntile's
+    remainder rule by at most rounding, which is irrelevant to the
+    histogram's purpose and keeps every operator distributed."""
+    orders = read_table(spark, sf_dir, "orders")
+    parts = orders.select("o_totalprice", "o_orderkey").repartitionByRange(
+        8, F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    ).withColumn("pid", F.spark_partition_id())
+    in_part = Window.partitionBy("pid").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    numbered = parts.withColumn("rn_local", F.row_number().over(in_part))
+    off_w = Window.orderBy(F.col("pid").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = (
+        parts.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("offset", F.sum("cnt").over(off_w) - F.col("cnt"))
+        .withColumn("n_total", F.sum("cnt").over(
+            off_w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ))
+        .select("pid", "offset", "n_total")
+    )
+    bucketed = numbered.join(F.broadcast(offsets), "pid").select(
+        "o_totalprice",
+        # pure integer arithmetic (div, not /): no float anywhere in the
+        # bucket assignment, so the oracle twin is trivially bit-identical
+        F.expr("((rn_local + offset - 1) * 8) div n_total").alias("bucket"),
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("bucket_value"),
+    )
+
+
+def recursive_week_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 ``WITH RECURSIVE``) generating the complete
+    weekly calendar spanned by the orders table, left-joined with per-week
+    order counts — the gap-free reporting spine (zero-order weeks appear
+    as 0, which a plain GROUP BY can never produce).
+
+    Weeks are epoch-aligned integers (``unix_micros div week``), so the
+    recursion is pure integer arithmetic with exact cross-engine parity.
+    PERF: Spark executes one job per recursion level, so recursing by 1
+    week costs hundreds of tiny jobs (~80s for a 7-year span). Instead the
+    recursion advances by 64-week anchors (≤ ~6 levels for decades) and
+    each anchor expands to its weeks with ``explode(sequence(...))`` — the
+    recursive-CTE fixpoint is still exercised, without per-row jobs.
+    SCALE: the recursion generates only the tiny spine (one row per week —
+    hundreds of rows for decades); the 100 TB side is the ordinary
+    aggregate it joins. Never recurse over data-sized sets — for those use
+    the iterative DataFrame loop (``near_dup_clusters``) where each step
+    is a checkpointed distributed job."""
+    orders = read_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_rws")
+    return spark.sql(
+        """
+WITH RECURSIVE bounds AS (
+  SELECT MIN(unix_micros(CAST(o_orderdate AS TIMESTAMP))
+             div 604800000000) AS w_lo,
+         MAX(unix_micros(CAST(o_orderdate AS TIMESTAMP))
+             div 604800000000) AS w_hi
+  FROM orders_rws
+),
+anchor(a) MAX RECURSION LEVEL 10000 AS (
+  SELECT w_lo FROM bounds
+  UNION ALL
+  SELECT a + 64 FROM anchor, bounds WHERE a + 64 <= w_hi
+),
+wk AS (
+  SELECT explode(sequence(a, least(a + 63, w_hi))) AS w
+  FROM anchor, bounds
+),
+per_wk AS (
+  SELECT unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 604800000000 AS w_o,
+         COUNT(*) AS n
+  FROM orders_rws GROUP BY 1
+)
+SELECT timestamp_micros(w * 604800000000) AS week_start,
+       COALESCE(n, CAST(0 AS BIGINT)) AS n_orders
+FROM wk LEFT JOIN per_wk ON w = w_o
+"""
+    )

@@ -161,3 +161,51 @@ def dataset_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+def importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance (rate-varying) Bernoulli sample: short documents keep a
+    25% rate, long ones 6.25% — the up-weight-the-rare-stratum shape used
+    to rebalance a length-skewed corpus without a shuffle. Same md5-keyed
+    determinism as ``hash_sample``; the only addition is that the keep
+    threshold is itself a column (CASE on the stratum), so the predicate
+    is still a pure scan-level filter at 100 TB."""
+    docs = read_table(spark, sf_dir, "documents")
+    key8 = F.substring(_sample_key(F.col("doc_id")), 1, 8)
+    thr = F.when(F.col("n_chars") < 200, F.lit("40000000")).otherwise(
+        F.lit("10000000")
+    )
+    return docs.filter(key8 < thr).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.when(F.col("n_chars") < 200, F.lit("short"))
+        .otherwise(F.lit("long"))
+        .alias("stratum"),
+        key8.alias("sample_key8"),
+    )
+
+
+def token_budget_mix(
+    spark: SparkSession, sf_dir: str, budget_tokens: int = 500
+) -> DataFrame:
+    """Token-budget data mixing: each source contributes documents — in a
+    deterministic md5-shuffled order — until its TOKEN budget (not doc
+    count) is filled; the cut is on the running token total. This is how
+    real mixture recipes are specified ("N tokens of source X per epoch").
+    One shuffle on the source key; per-group window state is O(1) (a
+    running sum), and the kept set is rerun-stable because the order key
+    (md5(doc_id), doc_id) is a total order."""
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "n_toks", F.size(F.split(F.col("text"), " ")).cast("long")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(_sample_key(F.col("doc_id")).asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_toks").over(w)
+    return (
+        docs.select("doc_id", "source", "n_toks", cum.alias("cum_toks"))
+        .filter(F.col("cum_toks") <= budget_tokens)
+    )

@@ -155,3 +155,28 @@ def read_csv(spark: SparkSession, path: str, schema) -> DataFrame:
     """CSV read with a REQUIRED explicit schema: inference is a full extra
     pass and silently mis-types empty/ambiguous columns."""
     return spark.read.schema(schema).option("header", True).csv(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC export — the columnar interchange format for Hive/Trino-centric
+    warehouses. Spark's native vectorized ORC writer keeps the same
+    predicate-pushdown + column-pruning contract as parquet (min/max
+    stripe statistics), so an ORC lake is a drop-in scan source."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC read via the native vectorized reader; schema comes from the
+    file footer (self-describing, unlike CSV/JSON)."""
+    return spark.read.orc(path)
+
+
+def read_text_corpus(spark: SparkSession, path: str) -> DataFrame:
+    """Raw-text ingestion seam: one line per document (`value` string) —
+    the lowest-level way a crawled/dumped corpus enters the engine before
+    any schema exists. Scale contract: splittable for uncompressed and
+    bzip2 files (gzip forces one partition per file — shard upstream);
+    downstream normally fingerprints into (doc_id, text) immediately via
+    ``monotonically_increasing_id`` being UNSTABLE across reruns, prefer
+    ``md5(value)`` content keys for rerun-stable identity."""
+    return spark.read.text(path)

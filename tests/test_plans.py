@@ -208,3 +208,22 @@ def test_capped_ngram_filters_before_self_join(spark, sf_dir):
     plan = explain_str(ngram_jaccard_pairs(spark, sf_dir, max_shingle_df=4))
     # the df<=4 filter exists and sits in the plan (pre-join aggregate)
     assert "(df#" in plan or "df <= 4" in plan.replace("(", " ").replace(")", " ") or "<= 4" in plan
+
+
+def test_equidepth_histogram_no_global_window(spark, sf_dir):
+    """The equi-depth bucketing must use the two-phase pattern, never a
+    single-partition global window (the 100 TB funnel)."""
+    from data_engineer_interview_task_spark.operators import extended
+
+    df = extended.price_equidepth_histogram(spark, sf_dir)
+    plan = explain_str(df)
+    # the DATA window must partition by pid (parallel); the only permitted
+    # single-partition stage is the ~8-row offsets aggregate, which windows
+    # over cnt/pid — assert no window over the data columns lacks pid
+    for line in plan.splitlines():
+        if "Window [" in line and "o_totalprice" in line:
+            assert "pid" in line, line
+    rows = {r.bucket: r.n_orders for r in df.collect()}
+    assert set(rows) == set(range(8))
+    # near-equal populations: max and min bucket sizes differ by <= 1
+    assert max(rows.values()) - min(rows.values()) <= 1

@@ -171,3 +171,41 @@ def test_rolling_7day_window_matches_python(spark, sf_dir):
             assert abs(got[e.event_id] - float(want)) < 1e-9, (user, i)
             checked += 1
     assert checked > 100
+
+
+def test_snapshot_diff_statuses(spark, sf_dir):
+    from data_engineer_interview_task_spark.operators.cleaning import snapshot_diff
+    from data_engineer_interview_task_spark.sources import read_table
+
+    diff = snapshot_diff(spark, sf_dir)
+    by = {r["status"]: r["n"] for r in diff.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    docs = read_table(spark, sf_dir, "documents")
+    n_removed = docs.filter(F.col("doc_id") % 11 == 0).count()
+    n_added = docs.filter(F.col("doc_id") % 13 == 0).count()
+    n_changed = docs.filter(
+        (F.col("doc_id") % 11 != 0) & (F.col("doc_id") % 7 == 0)
+    ).count()
+    assert by.get("removed", 0) == n_removed
+    assert by.get("added", 0) == n_added
+    assert by.get("changed", 0) == n_changed
+    # nothing else leaks through the unchanged filter
+    assert diff.count() == n_removed + n_added + n_changed
+
+
+def test_variant_rollup_matches_json_path(spark, sf_dir):
+    """VARIANT extraction must agree with the string JSON-path route."""
+    from data_engineer_interview_task_spark.operators.extended import (
+        variant_props_rollup,
+    )
+    from data_engineer_interview_task_spark.sources import read_table
+
+    got = {r.k_bucket: (r.n_events, r.sum_k) for r in
+           variant_props_rollup(spark, sf_dir).collect()}
+    ev = read_table(spark, sf_dir, "events").select(
+        F.get_json_object("props", "$.k").cast("bigint").alias("k")
+    )
+    want = {r.k_bucket: (r.n, r.s) for r in ev.groupBy(
+        (F.col("k") % 10).alias("k_bucket")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("k").alias("s")).collect()}
+    assert got == want

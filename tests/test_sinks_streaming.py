@@ -423,3 +423,38 @@ def test_jsonl_corrupt_records_quarantined(spark, tmp_path):
         assert "this is not json at all" in raws
     finally:
         df.unpersist()
+
+
+def test_orc_round_trip_preserves_rows(spark, sf_dir, tmp_path):
+    from data_engineer_interview_task_spark.sources.sinks import read_orc, write_orc
+
+    src = read_table(spark, sf_dir, "nation")
+    p = str(tmp_path / "nation_orc")
+    write_orc(src, p)
+    back = read_orc(spark, p)
+    assert back.schema == src.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+    # ORC scans keep the pushdown contract parquet has
+    from data_engineer_interview_task_spark.plans import explain_str
+
+    plan = explain_str(back.filter(F.col("n_nationkey") == 3).select("n_name"))
+    assert "n_nationkey" in plan and "ReadSchema" in plan
+
+
+def test_text_corpus_ingest_content_keys(spark, sf_dir, tmp_path):
+    from data_engineer_interview_task_spark.sources.sinks import read_text_corpus
+
+    docs = read_table(spark, sf_dir, "documents").limit(50)
+    p = str(tmp_path / "raw_txt")
+    docs.select("text").write.mode("overwrite").text(p)
+    raw = read_text_corpus(spark, p)
+    assert raw.columns == ["value"]
+    keyed = raw.select(F.md5(F.col("value").cast("binary")).alias("doc_key"), "value")
+    # content keys are rerun-stable: re-reading yields the identical key set
+    again = read_text_corpus(spark, p).select(
+        F.md5(F.col("value").cast("binary")).alias("doc_key")
+    )
+    assert {r.doc_key for r in keyed.select("doc_key").collect()} == {
+        r.doc_key for r in again.collect()
+    }
+    assert raw.count() == 50
