@@ -1863,7 +1863,7 @@ SELECT make_timestamp((epoch_us(ts) // 604800000000) * 604800000000)
        make_timestamp((epoch_us(ts) // 604800000000) * 604800000000
                       + 604800000000) AS week_end,
        event_type, COUNT(*) AS n_events,
-       SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM events GROUP BY 1, 2, 3
 """,
         "streaming_sliding_rollup": """
@@ -1872,7 +1872,7 @@ SELECT make_timestamp(((epoch_us(ts) // 86400000000) - k) * 86400000000)
        make_timestamp(((epoch_us(ts) // 86400000000) - k + 7) * 86400000000)
          AS win_end,
        event_type, COUNT(*) AS n_events,
-       SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM events, (SELECT unnest(range(7)) AS k) offs
 GROUP BY 1, 2, 3
 """,

@@ -15,8 +15,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-#: W:13 — the five fixed search terms.
-DEFAULT_TERMS: tuple[str, ...] = ("vpn", "hack", "cyber", "security", "wifi")
+#: W:13 — the five fixed search terms (canonical copy in ``..constants``,
+#: re-exported here for the public API).
+from ..constants import DEFAULT_TERMS
 
 FINAL_COLUMNS = ["country", "week_start", "week_end", "search_term", "interest"]
 

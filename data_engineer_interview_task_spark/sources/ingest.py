@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
-from ..operators.trends import DEFAULT_TERMS
+from ..constants import DEFAULT_TERMS
 
 
 def wide_matrix_schema(

@@ -54,7 +54,13 @@ def weekly_rollup_stream(
         .groupBy(F.window("ts", "7 days"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+            # accumulate exactly in decimal; EMIT as double (decimal->double
+            # is correctly rounded in both engines, while emitted raw
+            # decimals hash-mismatch the oracle: Spark sum -> decimal(28,2),
+            # DuckDB sum -> decimal(38,2) — CORRECTNESS_r02 caught this)
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
         )
         .select(
             F.col("window.start").alias("week_start"),
@@ -83,7 +89,11 @@ def sliding_rollup_stream(
         .groupBy(F.window("ts", "7 days", "1 day"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+            # decimal accumulation, double emit — same rationale as the
+            # tumbling form above.
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
         )
         .select(
             F.col("window.start").alias("win_start"),
