@@ -25,6 +25,7 @@ from data_engineer_interview_task_spark.operators import (
     clustering,
     dedup,
     extended,
+    maintenance,
     multimodal,
     relational,
     sampling,
@@ -287,6 +288,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "excess_stock_suppliers": tpch_shapes.excess_stock_suppliers,
         "waiting_orders_suppliers": tpch_shapes.waiting_orders_suppliers,
         "idle_rich_customers": tpch_shapes.idle_rich_customers,
+        "volume_shipping": tpch_shapes.volume_shipping,
+        "nation_market_share": tpch_shapes.nation_market_share,
+        "product_type_profit": tpch_shapes.product_type_profit,
+        "returned_item_customers": tpch_shapes.returned_item_customers,
+        "shipmode_priority_counts": tpch_shapes.shipmode_priority_counts,
+        "merge_changeset": maintenance.merge_changeset,
+        "referential_integrity_check": maintenance.referential_integrity_check,
+        "grouping_sets_report": maintenance.grouping_sets_report,
         # corpus versioning + semi-structured (round 2)
         "snapshot_diff": cleaning.snapshot_diff,
         "variant_props_rollup": extended.variant_props_rollup,
@@ -376,6 +385,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup
         "exact_dedup": dedup.exact_dedup,
         "canonical_docs": dedup.canonical_docs,
+        "duplicate_spans": dedup.duplicate_spans,
+        "span_dup_coverage": dedup.span_dup_coverage,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "near_dup_clusters": dedup.near_dup_clusters,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,  # oracle (md5 hash family)
@@ -1017,6 +1028,32 @@ SELECT doc_id, fp FROM (
   FROM documents
 ) WHERE rn = 1
 """,
+        "duplicate_spans": """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+spans AS (SELECT doc_id, array_to_string(t[i:i+7], ' ') AS span
+          FROM toks, unnest(range(1, len(t) - 6)) AS u(i))
+SELECT span, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occ
+FROM spans GROUP BY span
+HAVING COUNT(DISTINCT doc_id) >= 2
+""",
+        "span_dup_coverage": """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+spans AS (SELECT doc_id, array_to_string(t[i:i+7], ' ') AS span
+          FROM toks, unnest(range(1, len(t) - 6)) AS u(i)),
+dup AS (SELECT span FROM spans GROUP BY span
+        HAVING COUNT(DISTINCT doc_id) >= 2),
+per_doc_dup AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans
+                FROM spans WHERE span IN (SELECT span FROM dup)
+                GROUP BY doc_id),
+totals AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans
+           FROM spans GROUP BY doc_id)
+SELECT t.doc_id, n_spans,
+       COALESCE(n_dup_spans, CAST(0 AS BIGINT)) AS n_dup_spans,
+       CAST(COALESCE(n_dup_spans, 0) AS DOUBLE) / CAST(n_spans AS DOUBLE)
+         AS dup_frac
+FROM totals t LEFT JOIN per_doc_dup d ON t.doc_id = d.doc_id
+""",
         "ngram_jaccard_pairs": f"""
 WITH {shingles_cte},
 e AS (SELECT doc_id, unnest(shingles) AS sh FROM d),
@@ -1282,6 +1319,185 @@ WHERE c_acctbal > avg_bal
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                   AND o_orderdate >= TIMESTAMP '1999-01-01')
 GROUP BY code
+""",
+        "merge_changeset": """
+WITH changes AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END AS text,
+         (doc_id % 11 = 0) AS is_delete
+  FROM documents WHERE doc_id % 7 = 0 OR doc_id % 11 = 0
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, 'added ' || text AS text,
+         FALSE AS is_delete
+  FROM documents WHERE doc_id % 13 = 0
+),
+merged AS (
+  SELECT COALESCE(c.doc_id, b.doc_id) AS doc_id,
+         COALESCE(c.text, b.text) AS text,
+         CASE WHEN c.doc_id IS NULL THEN 'kept'
+              WHEN b.doc_id IS NULL THEN 'inserted'
+              ELSE 'updated' END AS action,
+         COALESCE(c.is_delete, FALSE) AS del
+  FROM documents b FULL OUTER JOIN changes c ON b.doc_id = c.doc_id
+)
+SELECT doc_id, md5(text) AS fp, action FROM merged WHERE NOT del
+""",
+        "referential_integrity_check": """
+SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS relation,
+       CAST(COUNT(*) AS BIGINT) AS child_rows,
+       CAST(COUNT(DISTINCT fk) AS BIGINT) AS distinct_keys,
+       CAST(SUM(CASE WHEN pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS orphan_rows
+FROM (SELECT l_orderkey AS fk FROM lineitem) c
+LEFT JOIN (SELECT DISTINCT o_orderkey AS pk FROM orders) p ON fk = pk
+UNION ALL
+SELECT 'lineitem.l_partkey->part.p_partkey',
+       CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT fk) AS BIGINT),
+       CAST(SUM(CASE WHEN pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM (SELECT l_partkey AS fk FROM lineitem) c
+LEFT JOIN (SELECT DISTINCT p_partkey AS pk FROM part) p ON fk = pk
+UNION ALL
+SELECT 'lineitem.l_suppkey->supplier.s_suppkey',
+       CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT fk) AS BIGINT),
+       CAST(SUM(CASE WHEN pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM (SELECT l_suppkey AS fk FROM lineitem) c
+LEFT JOIN (SELECT DISTINCT s_suppkey AS pk FROM supplier) p ON fk = pk
+UNION ALL
+SELECT 'orders.o_custkey->customer.c_custkey',
+       CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT fk) AS BIGINT),
+       CAST(SUM(CASE WHEN pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM (SELECT o_custkey AS fk FROM orders) c
+LEFT JOIN (SELECT DISTINCT c_custkey AS pk FROM customer) p ON fk = pk
+UNION ALL
+SELECT 'customer.c_nationkey->nation.n_nationkey',
+       CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT fk) AS BIGINT),
+       CAST(SUM(CASE WHEN pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM (SELECT c_nationkey AS fk FROM customer) c
+LEFT JOIN (SELECT DISTINCT n_nationkey AS pk FROM nation) p ON fk = pk
+UNION ALL
+SELECT 'supplier.s_nationkey->nation.n_nationkey',
+       CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT fk) AS BIGINT),
+       CAST(SUM(CASE WHEN pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM (SELECT s_nationkey AS fk FROM supplier) c
+LEFT JOIN (SELECT DISTINCT n_nationkey AS pk FROM nation) p ON fk = pk
+UNION ALL
+SELECT 'nation.n_regionkey->region.r_regionkey',
+       CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT fk) AS BIGINT),
+       CAST(SUM(CASE WHEN pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM (SELECT n_regionkey AS fk FROM nation) c
+LEFT JOIN (SELECT DISTINCT r_regionkey AS pk FROM region) p ON fk = pk
+""",
+        "grouping_sets_report": """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_price
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+""",
+        "volume_shipping": """
+WITH supp_n AS (
+  SELECT s_suppkey, n_name AS supp_nation
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name IN ('NATION_1', 'NATION_2')
+),
+cust_n AS (
+  SELECT c_custkey, n_name AS cust_nation
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  WHERE n_name IN ('NATION_1', 'NATION_2')
+)
+SELECT supp_nation, cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                     (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6)))
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN supp_n ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN cust_n ON o_custkey = c_custkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND supp_nation <> cust_nation
+GROUP BY supp_nation, cust_nation, l_year
+""",
+        "nation_market_share": """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       CAST(SUM(CASE WHEN n2.n_name = 'NATION_1'
+                     THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                               (1 - CAST(l_discount AS DECIMAL(18,2)))
+                               AS DECIMAL(28,6)) END) AS DOUBLE)
+       / CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                       (1 - CAST(l_discount AS DECIMAL(18,2)))
+                       AS DECIMAL(28,6))) AS DOUBLE) AS mkt_share
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region   ON n1.n_regionkey = r_regionkey
+WHERE r_name = 'AMERICA'
+  AND p_type LIKE 'PROMO%'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY o_year
+""",
+        "product_type_profit": """
+SELECT n_name AS supp_nation,
+       CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       CAST(SUM(CAST(
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+              (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6))
+         - CAST(l_quantity AS DECIMAL(18,0))
+           * CAST(p_retailprice AS DECIMAL(18,2))
+           * CAST(0.5 AS DECIMAL(2,1))
+         AS DECIMAL(38,6))) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+WHERE p_type LIKE 'STANDARD%'
+GROUP BY supp_nation, o_year
+""",
+        "returned_item_customers": """
+WITH per_cust AS (
+  SELECT o_custkey,
+         SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                  (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6)))
+           AS rev_dec
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1996-10-01'
+    AND o_orderdate <  TIMESTAMP '1997-01-01'
+  GROUP BY o_custkey
+),
+cut AS (SELECT MIN(v) AS cut_dec FROM (
+          SELECT DISTINCT rev_dec AS v FROM per_cust
+          ORDER BY v DESC LIMIT 20))
+SELECT c_custkey, c_name, n_name AS nation, c_acctbal,
+       CAST(rev_dec AS DOUBLE) AS revenue
+FROM per_cust, cut
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE rev_dec >= cut_dec
+""",
+        "shipmode_priority_counts": """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY l_linestatus
 """,
         "snapshot_diff": """
 WITH v1 AS (SELECT doc_id, md5(text) AS fp1 FROM documents),

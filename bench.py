@@ -104,6 +104,16 @@ HEADLINE = [
     "excess_stock_suppliers",
     "waiting_orders_suppliers",
     "idle_rich_customers",
+    "volume_shipping",
+    "nation_market_share",
+    "product_type_profit",
+    "returned_item_customers",
+    "shipmode_priority_counts",
+    "duplicate_spans",
+    "span_dup_coverage",
+    "merge_changeset",
+    "referential_integrity_check",
+    "grouping_sets_report",
     # corpus versioning / semi-structured / distributions (round 2)
     "snapshot_diff",
     "variant_props_rollup",

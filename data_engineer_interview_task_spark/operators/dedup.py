@@ -535,3 +535,97 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# exact substring (k-token span) dedup — Lee et al., "Deduplicating Training
+# Data Makes Language Models Better" (the ExactSubstr pass, re-expressed as
+# a distributed span-fingerprint aggregation instead of a suffix array)
+# ---------------------------------------------------------------------------
+
+
+def _token_spans(docs: DataFrame, k: int) -> DataFrame:
+    """(doc_id, span) for every k-token sliding window of every document.
+
+    The token array is materialized into a column BEFORE the lambda (the
+    dedup-module rule: no CSE inside transform() bodies), and the sequence
+    is guarded so documents shorter than k emit nothing — Spark's
+    ``sequence(0, negative)`` would DESCEND, not return empty."""
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    return (
+        toks.filter(F.size("toks") >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(toks) - {k}),"
+                    f" i -> array_join(slice(toks, i + 1, {k}), ' '))"
+                )
+            ).alias("span"),
+        )
+    )
+
+
+def duplicate_spans(
+    spark: SparkSession, sf_dir: str, k: int = 8, min_docs: int = 2
+) -> DataFrame:
+    """Every k-token span that occurs in >= min_docs distinct documents,
+    with its document frequency and total occurrence count.
+
+    SCALE: one explode (rows x ~tokens) and ONE hash aggregate. The
+    shuffle key is the span text (~50 bytes at k=8); at 100 TB swap the
+    group key for ``xxhash64(span)`` (or md5 for 128-bit safety) and carry
+    the text only through a second semi-joined pass for the survivors —
+    the aggregation itself never needs the raw text. Output is bounded by
+    the number of *duplicated* spans, a tiny fraction of the corpus."""
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        _token_spans(docs, k)
+        .groupBy("span")
+        .agg(
+            F.countDistinct("doc_id").alias("df_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .filter(F.col("df_docs") >= min_docs)
+    )
+
+
+def span_dup_coverage(
+    spark: SparkSession, sf_dir: str, k: int = 8, min_docs: int = 2
+) -> DataFrame:
+    """Per-document duplicated-span coverage: of a document's k-token
+    spans, how many also occur in another document — the per-doc signal
+    the ExactSubstr pass thresholds on before cutting.
+
+    Shape: spans -> duplicated-span set (one aggregate) -> ``left_semi``
+    back onto the span stream (existence only — a hot boilerplate span
+    never multiplies rows) -> two per-doc aggregates joined. The dup-span
+    set is NOT broadcast: it is corpus-sized in the worst case, so the
+    semi join shuffles on the span key like the aggregate before it —
+    same partitioning, AQE coalesces the exchange."""
+    docs = read_table(spark, sf_dir, "documents")
+    spans = _token_spans(docs, k)
+    dup = (
+        spans.groupBy("span")
+        .agg(F.countDistinct("doc_id").alias("df_docs"))
+        .filter(F.col("df_docs") >= min_docs)
+        .select("span")
+    )
+    per_doc_dup = (
+        spans.join(dup, "span", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_spans"))
+    )
+    totals = spans.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans"))
+    return (
+        totals.join(per_doc_dup, "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            "n_spans",
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            (
+                F.coalesce("n_dup_spans", F.lit(0)).cast("double")
+                / F.col("n_spans").cast("double")
+            ).alias("dup_frac"),
+        )
+    )

@@ -1,0 +1,155 @@
+"""Table-maintenance operators: MERGE-style changeset application,
+referential-integrity auditing, and multi-granularity GROUPING SETS
+reporting.
+
+The reference pipeline's only maintenance behavior is the BigQuery
+WRITE_APPEND + create-if-absent pair (``dags/google_trends_to_bigquery.py:
+150-158``); a production corpus additionally needs *in-place* evolution
+(upserts + deletes arriving as a change stream) and standing FK audits.
+Spark has no MERGE INTO against raw parquet, so the merge is expressed as
+the classic full-outer-join reconciliation — the exact plan a table format
+(Delta/Iceberg) would run under the hood, written declaratively so Catalyst
+sizes/broadcasts the change side.
+
+SCALE: the merge shuffles both sides ONCE on the key (the change side is
+usually tiny → broadcast; AQE decides). The FK audit joins each child
+table against only the parent's key column — dimension parents broadcast,
+the one fact-to-fact edge (lineitem→orders) shuffles on orderkey, the same
+partitioning every orderkey query in this repo reuses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import read_table
+
+
+def merge_upsert(
+    base: DataFrame,
+    changes: DataFrame,
+    key: str,
+    delete_col: str = "is_delete",
+) -> DataFrame:
+    """MERGE INTO base USING changes ON base.key = changes.key:
+    matched+delete → drop, matched → update, not-matched → insert.
+
+    Both sides are reduced to (key, payload) before the full-outer join;
+    the action column records what happened to each surviving row so the
+    caller can audit the merge without a second diff pass."""
+    b = base.select(F.col(key).alias("k"), F.struct(*base.columns).alias("b_row"))
+    c = changes.select(
+        F.col(key).alias("k"),
+        F.struct(*[col for col in changes.columns if col != delete_col]).alias("c_row"),
+        F.col(delete_col).alias("del"),
+    )
+    joined = b.join(c, "k", "full_outer")
+    return (
+        joined.filter(~F.coalesce(F.col("del"), F.lit(False)))
+        .select(
+            F.coalesce(F.col("c_row"), F.col("b_row")).alias("row"),
+            F.when(F.col("c_row").isNull(), F.lit("kept"))
+            .when(F.col("b_row").isNull(), F.lit("inserted"))
+            .otherwise(F.lit("updated"))
+            .alias("action"),
+        )
+    )
+
+
+def merge_changeset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a deterministic changeset to ``documents`` through
+    ``merge_upsert`` and fingerprint the result — the batch analog of a
+    CDC-upsert sink, with a closed-form oracle at any SF.
+
+    Changeset (same arithmetic family as ``cleaning.snapshot_diff``):
+    ``doc_id % 7 == 0`` → update (text + ' rev2'), ``doc_id % 11 == 0`` →
+    delete, ``doc_id % 13 == 0`` → insert as a fresh id. Deletes win over
+    updates for ids hitting both (77, 154, …): the delete flag rides the
+    same change row. Output carries md5 fingerprints, not texts, so the
+    result is O(corpus) narrow rows."""
+    docs = read_table(spark, sf_dir, "documents")
+    updates = docs.filter((F.col("doc_id") % 7 == 0) | (F.col("doc_id") % 11 == 0)).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" rev2")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        (F.col("doc_id") % 11 == 0).alias("is_delete"),
+    )
+    inserts = docs.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + F.lit(10000000)).alias("doc_id"),
+        F.concat(F.lit("added "), F.col("text")).alias("text"),
+        F.lit(False).alias("is_delete"),
+    )
+    changes = updates.unionByName(inserts)
+    merged = merge_upsert(
+        docs.select("doc_id", "text"), changes, key="doc_id"
+    )
+    return merged.select(
+        F.col("row.doc_id").alias("doc_id"),
+        F.md5(F.col("row.text").cast("binary")).alias("fp"),
+        "action",
+    )
+
+
+#: (child table, fk column, parent table, pk column) — the star schema's
+#: declared edges (TESTDATA.md).
+FK_EDGES: tuple[tuple[str, str, str, str], ...] = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def referential_integrity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per FK edge: child row count, DISTINCT child key count, and
+    orphan rows (child keys with no parent) — the standing data-quality
+    audit a pipeline runs after every ingest batch.
+
+    Each edge is a left join of the child's KEY COLUMN ONLY against the
+    parent's key column — column pruning reaches both scans, dimension
+    parents broadcast, and the union of seven 1-row aggregates costs seven
+    scans of single columns, not seven table scans."""
+    out: DataFrame | None = None
+    for child, fk, parent, pk in FK_EDGES:
+        c = read_table(spark, sf_dir, child).select(F.col(fk).alias("fk"))
+        p = read_table(spark, sf_dir, parent).select(F.col(pk).alias("pk")).distinct()
+        agg = (
+            c.join(p, c.fk == p.pk, "left_outer")
+            .agg(
+                F.lit(f"{child}.{fk}->{parent}.{pk}").alias("relation"),
+                F.count(F.lit(1)).alias("child_rows"),
+                F.countDistinct("fk").alias("distinct_keys"),
+                F.sum(F.col("pk").isNull().cast("bigint")).alias("orphan_rows"),
+            )
+        )
+        out = agg if out is None else out.unionByName(agg)
+    assert out is not None
+    return out
+
+
+def grouping_sets_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the reporting granularities a dashboard
+    wants in one pass: (returnflag, linestatus), (returnflag), and the
+    grand total, each row tagged with its grouping_id bitmask. One
+    partial-aggregate pass feeds all three granularities (Catalyst expands
+    the sets into a single Expand + hash aggregate — NOT three scans)."""
+    read_table(spark, sf_dir, "lineitem").createOrReplaceTempView("li_gsr")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               count(1) AS n_items,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_price
+        FROM li_gsr
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+        """
+    )

@@ -1,5 +1,5 @@
-"""Decision-support query shapes (TPC-H Q2/Q4/Q11/Q13/Q15/Q16/Q17/Q19/
-Q20/Q21/Q22 analogs) over the driver's TPC-H-ish tables.
+"""Decision-support query shapes (TPC-H Q2/Q4/Q7/Q8/Q9/Q10/Q11/Q12/Q13/
+Q15/Q16/Q17/Q19/Q20/Q21/Q22 analogs) over the driver's TPC-H-ish tables.
 
 These are the classic *correlated-subquery* and *nested-(anti/semi)-join*
 patterns a warehouse engine must decorrelate into joins and aggregations;
@@ -319,6 +319,218 @@ def waiting_orders_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sole_late.join(
         F.broadcast(supplier), sole_late.l_suppkey == supplier.s_suppkey
     ).select("s_name", "numwait")
+
+
+def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: bilateral trade volume — discounted revenue shipped between
+    two nations (supplier side vs. customer side, both directions), per ship
+    year. The five-way join is ordered so the two big facts meet last:
+    nation-filtered supplier keys broadcast into lineitem (cuts ~24/25 of
+    the fact early), nation-filtered customers shuffle-join orders on
+    custkey (orders-sized), and only then does the reduced lineitem join
+    the reduced orders on orderkey. Year extraction happens before the
+    final aggregate so the shuffle carries 3 small key columns."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    supplier = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+
+    pair = ("NATION_1", "NATION_2")
+    supp_n = (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .filter(F.col("n_name").isin(*pair))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust_n = (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .filter(F.col("n_name").isin(*pair))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    o = orders.join(cust_n, orders.o_custkey == cust_n.c_custkey).select(
+        "o_orderkey", "cust_nation"
+    )
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(supp_n), li.l_suppkey == supp_n.s_suppkey)
+        .select(
+            "l_orderkey",
+            "supp_nation",
+            F.year("l_shipdate").alias("l_year"),
+            _revenue().alias("rev_dec"),
+        )
+    )
+    return (
+        shipped.join(o, shipped.l_orderkey == o.o_orderkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("rev_dec").cast("double").alias("revenue"))
+    )
+
+
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape: NATION_1's market share of PROMO-part revenue sold to
+    AMERICA-region customers, per order year — the CASE-inside-aggregate
+    ratio pattern. Numerator and denominator are computed in ONE aggregate
+    pass (``sum(when(...))`` / ``sum``), both in exact DECIMAL; the single
+    IEEE division per output row is cross-engine deterministic. Part and
+    supplier-nation dims broadcast; customer⋈orders shuffles on custkey,
+    the combined fact joins on orderkey — same two-shuffle skeleton as Q7."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    supplier = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    part = read_table(spark, sf_dir, "part")
+
+    promo = part.filter(F.col("p_type").startswith("PROMO")).select("p_partkey")
+    supp_n = supplier.join(
+        F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    america_cust = (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "AMERICA")
+        .select("c_custkey")
+    )
+    o = (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(america_cust, orders.o_custkey == F.col("c_custkey"), "left_semi")
+        .select("o_orderkey", F.year("o_orderdate").alias("o_year"))
+    )
+    fact = (
+        li.join(F.broadcast(promo), li.l_partkey == F.col("p_partkey"), "left_semi")
+        .join(F.broadcast(supp_n), li.l_suppkey == F.col("s_suppkey"))
+        .select("l_orderkey", "supp_nation", _revenue().alias("rev_dec"))
+    )
+    return (
+        fact.join(o, fact.l_orderkey == o.o_orderkey)
+        .groupBy("o_year")
+        .agg(
+            (
+                F.sum(F.when(F.col("supp_nation") == "NATION_1", F.col("rev_dec"))).cast(
+                    "double"
+                )
+                / F.sum("rev_dec").cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape: profit by supplier nation and order year for one part
+    family. The dataset has no partsupp table, so supply cost is the
+    deterministic analog ``0.5 * p_retailprice * l_quantity`` (documented,
+    exact in DECIMAL — quantities and prices are scale≤2, so the scale-4
+    product and the 0.5 multiple are exact; both engines compute identical
+    decimals). Shape preserved from Q9: fact ⋈ broadcast(part ∩ family)
+    ⋈ broadcast(supplier⋈nation), then the orderkey shuffle join against
+    orders for the year, then one aggregate."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    supplier = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    part = read_table(spark, sf_dir, "part")
+
+    fam = part.filter(F.col("p_type").startswith("STANDARD")).select(
+        "p_partkey", _dec("p_retailprice").alias("retail_dec")
+    )
+    supp_n = supplier.join(
+        F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cost = (
+        (_dec("l_quantity") * F.col("retail_dec")).cast(_REV)
+        * F.lit("0.5").cast("decimal(2,1)")
+    ).cast(_REV)
+    fact = (
+        li.join(F.broadcast(fam), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(supp_n), li.l_suppkey == F.col("s_suppkey"))
+        .select(
+            "l_orderkey",
+            "supp_nation",
+            (_revenue() - cost).cast(_REV).alias("profit_dec"),
+        )
+    )
+    o = orders.select("o_orderkey", F.year("o_orderdate").alias("o_year"))
+    return (
+        fact.join(o, fact.l_orderkey == o.o_orderkey)
+        .groupBy("supp_nation", "o_year")
+        .agg(F.sum("profit_dec").cast("double").alias("sum_profit"))
+    )
+
+
+def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape: customers who returned the most revenue in 1996Q4 —
+    aggregate-then-top-N. The top-20 cut is made deterministic and
+    scale-safe without a single-partition global window: take the DISTINCT
+    exact-decimal revenue values (at most one per customer), TakeOrdered
+    the top 20 (per-partition top-20 then driver merge — never a full
+    sort), broadcast the minimum back as a threshold, and keep customers
+    at-or-above it. Ties at the boundary are *included* (rank-with-ties),
+    so the result set is bit-stable across engines and partitionings."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+
+    q4 = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    per_cust = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(q4, li.l_orderkey == q4.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum(_revenue()).alias("rev_dec"))
+    )
+    top_vals = (
+        per_cust.select("rev_dec")
+        .distinct()
+        .orderBy(F.col("rev_dec").desc())
+        .limit(20)
+        .agg(F.min("rev_dec").alias("cut_dec"))
+    )
+    return (
+        per_cust.crossJoin(F.broadcast(top_vals))
+        .filter(F.col("rev_dec") >= F.col("cut_dec"))
+        .join(F.broadcast(customer), per_cust.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("n_name").alias("nation"),
+            "c_acctbal",
+            F.col("rev_dec").cast("double").alias("revenue"),
+        )
+    )
+
+
+def shipmode_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape: for slow shipments (shipped >60 days after the order was
+    placed, ship year 1996), count critical- vs. non-critical-priority
+    orders per line status (the dataset's stand-in for ship mode). The
+    priority CASE collapses inside the aggregate — one orderkey shuffle
+    join, one 1-column-key aggregate, everything else codegen."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    o = orders.select("o_orderkey", "o_orderdate", "o_orderpriority")
+    slow = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).join(o, (li.l_orderkey == o.o_orderkey)
+           & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")))
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("bigint")
+    return slow.groupBy("l_linestatus").agg(
+        F.sum(crit).alias("high_line_count"),
+        F.sum(F.lit(1) - crit).alias("low_line_count"),
+    )
 
 
 def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -36,11 +36,22 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (under ``nanosAsLong``) as epoch-nanos LongType; we convert to a proper
     microsecond timestamp with *integer* division — double division would
     lose precision above 2^53 nanos (~1970+104 days).
+
+    Timestamp columns that arrive as ``TIMESTAMP_NTZ`` (parquet
+    ``isAdjustedToUTC=false``, which newer writers emit) are normalized to
+    the session-zoned ``TIMESTAMP`` type: the session timezone is pinned to
+    UTC (``plans/tuning.py``), so the cast is wall-clock-identical, and the
+    epoch-based functions (``unix_micros``, watermarks, window()) all
+    operate on the standard type either way. Downstream operators therefore
+    see ONE timestamp type regardless of writer vintage.
     """
     prep_session(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

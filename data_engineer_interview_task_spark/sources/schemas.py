@@ -27,13 +27,13 @@ EXPECTED_SCHEMAS: dict[str, str] = {
     ),
     "orders": (
         "struct<o_orderkey:bigint,o_custkey:bigint,o_orderstatus:string,"
-        "o_totalprice:double,o_orderdate:timestamp_ntz,o_orderpriority:string>"
+        "o_totalprice:double,o_orderdate:timestamp,o_orderpriority:string>"
     ),
     "lineitem": (
         "struct<l_orderkey:bigint,l_partkey:bigint,l_suppkey:bigint,"
         "l_linenumber:int,l_quantity:double,l_extendedprice:double,"
         "l_discount:double,l_tax:double,l_returnflag:string,"
-        "l_linestatus:string,l_shipdate:timestamp_ntz>"
+        "l_linestatus:string,l_shipdate:timestamp>"
     ),
     "events": (
         "struct<event_id:bigint,ts:timestamp,user_id:bigint,"

@@ -308,3 +308,32 @@ def test_kmeans_assignments_are_argmin_of_updated_centroids(spark, sf_dir):
     # allow a whisker of borderline vectors; the oracle pins exactness
     assert mismatches <= 2
     assert len(set(got.values())) > 1
+
+
+def test_duplicate_spans_invariants(spark, sf_dir):
+    from data_engineer_interview_task_spark.operators import dedup
+
+    rows = dedup.duplicate_spans(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.df_docs >= 2
+        assert r.n_occ >= r.df_docs
+        assert len(r.span.split(" ")) == 8
+
+
+def test_span_dup_coverage_bounds_and_total(spark, sf_dir):
+    from data_engineer_interview_task_spark.operators import dedup
+    from data_engineer_interview_task_spark.sources import read_table
+    from pyspark.sql import functions as F
+
+    df = dedup.span_dup_coverage(spark, sf_dir)
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_dup_spans <= r.n_spans
+        assert abs(r.dup_frac - r.n_dup_spans / r.n_spans) < 1e-12
+    # every doc with >= k tokens appears exactly once
+    docs = read_table(spark, sf_dir, "documents")
+    n_long = docs.filter(F.size(F.split("text", " ")) >= 8).count()
+    assert len(rows) == n_long
+    assert len({r.doc_id for r in rows}) == n_long

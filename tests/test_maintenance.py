@@ -1,0 +1,61 @@
+"""Maintenance operators: MERGE reconciliation, FK audit, grouping sets."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_engineer_interview_task_spark.operators import maintenance
+from data_engineer_interview_task_spark.plans import explain_str
+from data_engineer_interview_task_spark.sources import read_table
+
+
+def test_merge_changeset_actions_and_counts(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    n = docs.count()
+    n_del = docs.filter(F.col("doc_id") % 11 == 0).count()
+    n_ins = docs.filter(F.col("doc_id") % 13 == 0).count()
+    rows = maintenance.merge_changeset(spark, sf_dir).collect()
+    assert len(rows) == n - n_del + n_ins
+    by_action = {}
+    for r in rows:
+        by_action[r.action] = by_action.get(r.action, 0) + 1
+    assert by_action.get("inserted", 0) == n_ins
+    # updates are %7 rows not deleted by %11
+    n_upd = docs.filter((F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 11 != 0)).count()
+    assert by_action.get("updated", 0) == n_upd
+    # deleted ids are gone even when they also matched the update rule
+    ids = {r.doc_id for r in rows}
+    assert not any(i % 11 == 0 for i in ids if i < 10000000)
+
+
+def test_merge_upsert_delete_wins(spark):
+    base = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    changes = spark.createDataFrame(
+        [(2, "b2", False), (3, "c", False), (1, "x", True)],
+        ["k", "v", "is_delete"],
+    )
+    rows = {r.row.k: (r.row.v, r.action)
+            for r in maintenance.merge_upsert(base, changes, key="k").collect()}
+    assert rows == {2: ("b2", "updated"), 3: ("c", "inserted")}
+
+
+def test_referential_integrity_all_edges_clean(spark, sf_dir):
+    rows = maintenance.referential_integrity_check(spark, sf_dir).collect()
+    assert len(rows) == len(maintenance.FK_EDGES)
+    # driver testdata is referentially clean; child_rows sane
+    for r in rows:
+        assert r.orphan_rows == 0, r.relation
+        assert 0 < r.distinct_keys <= r.child_rows
+
+
+def test_grouping_sets_single_pass_and_totals(spark, sf_dir):
+    df = maintenance.grouping_sets_report(spark, sf_dir)
+    plan = explain_str(df)
+    assert "Expand" in plan  # one scan feeding all grouping sets
+    rows = df.collect()
+    grand = [r for r in rows if r.gid == 3]
+    assert len(grand) == 1
+    per_flag = [r for r in rows if r.gid == 1]
+    assert sum(r.n_items for r in per_flag) == grand[0].n_items
+    leaf = [r for r in rows if r.gid == 0]
+    assert sum(r.n_items for r in leaf) == grand[0].n_items

@@ -119,3 +119,76 @@ def test_idle_rich_customers_anti_join_plan(spark, sf_dir):
     assert "LeftAnti" in plan
     rows = df.collect()
     assert all(r.numcust > 0 for r in rows)
+
+
+def test_volume_shipping_plan_and_invariants(spark, sf_dir):
+    df = tpch_shapes.volume_shipping(spark, sf_dir)
+    plan = explain_str(df)
+    # supplier-nation dim broadcasts; the pair filter keeps only cross-pairs
+    assert "BroadcastHashJoin" in plan
+    rows = df.collect()
+    assert all(r.supp_nation != r.cust_nation for r in rows)
+    assert all(r.l_year in (1996, 1997) for r in rows)
+
+
+def test_nation_market_share_bounds(spark, sf_dir):
+    rows = tpch_shapes.nation_market_share(spark, sf_dir).collect()
+    assert rows
+    # a share of a positive total is within [0, 1] (NULL if no numerator)
+    assert all(r.mkt_share is None or 0.0 <= r.mkt_share <= 1.0 for r in rows)
+    assert all(r.o_year in (1996, 1997) for r in rows)
+
+
+def test_product_type_profit_matches_recompute(spark, sf_dir):
+    # recompute one (nation, year) group's profit from the base tables
+    df = tpch_shapes.product_type_profit(spark, sf_dir)
+    rows = df.collect()
+    assert rows
+    pick = min(rows, key=lambda r: (r.supp_nation, r.o_year))
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    supplier = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    orders = read_table(spark, sf_dir, "orders")
+    base = (
+        li.join(part.filter(F.col("p_type").startswith("STANDARD")), li.l_partkey == part.p_partkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(nation, supplier.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter((F.col("n_name") == pick.supp_nation) & (F.year("o_orderdate") == pick.o_year))
+        .collect()
+    )
+    expect = sum(
+        r.l_extendedprice * (1 - r.l_discount) - 0.5 * r.p_retailprice * r.l_quantity
+        for r in base
+    )
+    assert abs(expect - pick.sum_profit) < 1e-4 * max(1.0, abs(expect))
+
+
+def test_returned_item_customers_top_n_with_ties(spark, sf_dir):
+    df = tpch_shapes.returned_item_customers(spark, sf_dir)
+    plan = explain_str(df)
+    assert "TakeOrderedAndProject" in plan  # never a full global sort
+    rows = df.collect()
+    assert rows
+    # at most 20 DISTINCT revenue values survive (ties may exceed 20 rows)
+    assert len({r.revenue for r in rows}) <= 20
+    assert min(r.revenue for r in rows) > 0
+
+
+def test_shipmode_priority_counts_partition(spark, sf_dir):
+    rows = tpch_shapes.shipmode_priority_counts(spark, sf_dir).collect()
+    assert rows
+    # the two CASE branches partition each group's lineitems exactly
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    slow_total = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .count()
+    )
+    assert sum(r.high_line_count + r.low_line_count for r in rows) == slow_total
