@@ -234,6 +234,22 @@ def _streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFram
     return run_click_purchase_join_once(spark, sf_dir, work)
 
 
+def _streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join under watermarks. The harness appends
+    far-future flush rows (one file per batch, maxFilesPerTrigger=1) so the
+    watermark passes every real click's join window before the availableNow
+    drain — the emitted set then EQUALS the batch left join, which is the
+    oracle twin. Fully oracle-checked."""
+    import tempfile
+
+    from data_engineer_interview_task_spark.streaming import (
+        run_click_purchase_left_join_once,
+    )
+
+    work = tempfile.mkdtemp(prefix="stream_ssloj_")
+    return run_click_purchase_left_join_once(spark, sf_dir, work)
+
+
 def _ngram_jaccard_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ngram_jaccard_pairs with the hot-shingle document-frequency guard
     ACTIVE (df cap 4 — bites at both test SFs: max shingle df is 9 at
@@ -309,6 +325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessionize": _streaming_sessionize,  # oracle (closed sessions)
         "streaming_first_events": _streaming_first_events,  # oracle (set-deterministic)
         "streaming_click_purchase_join": _streaming_click_purchase_join,  # oracle (batch twin)
+        "streaming_left_outer_join": _streaming_left_outer_join,  # oracle (batch twin)
         # dedup additions / rebased pipeline (round 2)
         "ngram_jaccard_pairs_capped": _ngram_jaccard_pairs_capped,  # df-cap guard active
         "near_dup_clusters_lsh": _near_dup_clusters_lsh,  # sub-quadratic pair source
@@ -2127,6 +2144,16 @@ FROM events c JOIN events p
   ON c.user_id = p.user_id
  AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
 WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+""",
+        "streaming_left_outer_join": """
+SELECT c.user_id, c.event_id AS click_id, p.purchase_id,
+       c.ts AS click_ts, p.purchase_ts, p.purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+LEFT JOIN (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+                  value AS purchase_value
+           FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.purchase_ts > c.ts AND p.purchase_ts <= c.ts + INTERVAL 1 HOUR
 """,
         "streaming_first_events": """
 SELECT DISTINCT user_id, event_type FROM events

@@ -5,7 +5,12 @@ from .weekly import (
     run_sliding_rollup_once,
 )
 from .sessions import sessionize_stream, sessionize_stream_flushing, run_sessionize_once
-from .joins import click_purchase_stream_join, run_click_purchase_join_once
+from .joins import (
+    click_purchase_left_join,
+    click_purchase_stream_join,
+    run_click_purchase_join_once,
+    run_click_purchase_left_join_once,
+)
 from .dedup import first_events_stream, run_first_events_once
 
 __all__ = [
@@ -20,4 +25,6 @@ __all__ = [
     "run_sessionize_once",
     "click_purchase_stream_join",
     "run_click_purchase_join_once",
+    "click_purchase_left_join",
+    "run_click_purchase_left_join_once",
 ]

@@ -84,3 +84,114 @@ def run_click_purchase_join_once(
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+def click_purchase_left_join(
+    spark: SparkSession,
+    source_dir: str,
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """LEFT OUTER stream-stream join: every click, with its purchase if one
+    happened within ``within``, else NULL purchase columns.
+
+    Unlike the inner form, the null-extended rows can only be emitted once
+    the watermark proves no matching purchase can still arrive — Spark
+    holds each unmatched click in state until
+    ``watermark > click_ts + within`` and only then emits the NULL row.
+    The run harness appends far-future flush rows so that proof arrives
+    for every real click before the availableNow query drains (see
+    ``run_click_purchase_left_join_once``)."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.parquet(source_dir)
+    clicks = (
+        src.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        src.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within}")),
+        "leftOuter",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
+def run_click_purchase_left_join_once(
+    spark: SparkSession, sf_dir: str, work_dir: str
+) -> DataFrame:
+    """availableNow harness that makes the left-outer emission COMPLETE and
+    therefore equal to the batch left join (the oracle):
+
+    1. the real events land as batch 1 (one file),
+    2. two flush rows at max(ts)+10d/+20d land as two later files,
+    3. ``maxFilesPerTrigger=1`` forces one batch per file, so the
+       watermark advances past every real click's join window while the
+       query is still running — every held click flushes its NULL row
+       before the drain.
+
+    Files are processed in modification-time order; the writes are spaced
+    so the bulk file is strictly oldest. The flush rows use user_id = -1
+    and are filtered from the returned result."""
+    import time
+
+    from ..sources import read_table
+
+    prep_session(spark)
+    events = read_table(spark, sf_dir, "events")
+    src = f"{work_dir}/events_src"
+    events.repartition(1).write.mode("overwrite").parquet(src)
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    for i, days in enumerate((10, 20)):
+        time.sleep(1.1)  # distinct mtimes -> deterministic file order
+        # one sentinel per SIDE: the global watermark is the MIN across
+        # both sides' watermarks, so advancing only the click side would
+        # strand unmatched clicks within ~(watermark+within) of the last
+        # real purchase
+        flush = spark.createDataFrame(
+            [
+                (-(2 * i + 1), max_ts, -1, "click", 0.0, "{}"),
+                (-(2 * i + 2), max_ts, -1, "purchase", 0.0, "{}"),
+            ],
+            schema=EVENTS_SCHEMA,
+        ).withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {days} DAYS"))
+        flush.coalesce(1).write.mode("append").parquet(src)
+    sink = f"mem_ssloj_{uuid.uuid4().hex[:8]}"
+    q = (
+        # one batch per file: bulk first, then each flush row advances the
+        # watermark so held clicks emit their NULL rows before the drain
+        click_purchase_left_join(spark, src, max_files_per_trigger=1)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", f"{work_dir}/ckpt_{sink}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).filter(F.col("user_id") >= 0)

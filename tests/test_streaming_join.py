@@ -32,3 +32,35 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
     want = {(r.click_id, r.purchase_id) for r in batch.collect()}
     assert got == want
     assert len(got) > 0
+
+
+def test_left_outer_join_equals_batch_left_join(spark, sf_dir, tmp_path):
+    from data_engineer_interview_task_spark.streaming import (
+        run_click_purchase_left_join_once,
+    )
+    from data_engineer_interview_task_spark.sources import read_table
+
+    streamed = run_click_purchase_left_join_once(spark, sf_dir, str(tmp_path))
+    events = read_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    batch = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    )
+    got = {(r.click_id, r.purchase_id) for r in streamed.collect()}
+    want = {(r.click_id, r.purchase_id) for r in batch.collect()}
+    assert got == want
+    # the watermark flush emitted genuine NULL-extended rows
+    assert any(p is None for _, p in got)
