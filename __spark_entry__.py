@@ -234,6 +234,20 @@ def _streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFram
     return run_click_purchase_join_once(spark, sf_dir, work)
 
 
+def _schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet schema evolution (column add) under mergeSchema: two batch
+    writes with different schemas under one root, one merged read. Oracle =
+    the UNION ALL the merged scan must be equivalent to."""
+    import tempfile
+
+    from data_engineer_interview_task_spark.sources.ingest import (
+        schema_evolution_read,
+    )
+
+    work = tempfile.mkdtemp(prefix="schema_evo_")
+    return schema_evolution_read(spark, sf_dir, work)
+
+
 def _streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT OUTER stream-stream join under watermarks. The harness appends
     far-future flush rows (one file per batch, maxFilesPerTrigger=1) so the
@@ -309,6 +323,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "product_type_profit": tpch_shapes.product_type_profit,
         "returned_item_customers": tpch_shapes.returned_item_customers,
         "shipmode_priority_counts": tpch_shapes.shipmode_priority_counts,
+        "rolling_7day_distinct_users": relational.rolling_7day_distinct_users,
+        "schema_evolution_read": _schema_evolution_read,
         "merge_changeset": maintenance.merge_changeset,
         "referential_integrity_check": maintenance.referential_integrity_check,
         "grouping_sets_report": maintenance.grouping_sets_report,
@@ -1336,6 +1352,21 @@ WHERE c_acctbal > avg_bal
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                   AND o_orderdate >= TIMESTAMP '1999-01-01')
 GROUP BY code
+""",
+        "schema_evolution_read": """
+SELECT doc_id, CAST(NULL AS VARCHAR) AS lang, md5(text) AS fp FROM documents
+UNION ALL
+SELECT doc_id + 10000000 AS doc_id, lang, md5(text) AS fp FROM documents
+""",
+        "rolling_7day_distinct_users": """
+WITH pairs AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id
+               FROM events),
+days AS (SELECT DISTINCT day FROM pairs),
+contrib AS (SELECT day + k * INTERVAL 1 DAY AS report_day, user_id
+            FROM pairs, (SELECT unnest(range(7)) AS k) offs)
+SELECT report_day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users_7d
+FROM contrib WHERE report_day IN (SELECT day FROM days)
+GROUP BY report_day
 """,
         "merge_changeset": """
 WITH changes AS (

@@ -114,6 +114,7 @@ HEADLINE = [
     "merge_changeset",
     "referential_integrity_check",
     "grouping_sets_report",
+    "rolling_7day_distinct_users",
     # corpus versioning / semi-structured / distributions (round 2)
     "snapshot_diff",
     "variant_props_rollup",

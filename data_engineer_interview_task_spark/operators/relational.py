@@ -460,3 +460,35 @@ def wow_event_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(prev.isNotNull() & (prev != 0), (F.col("total_value") - prev) / prev)
         .alias("wow_growth"),
     )
+
+
+def rolling_7day_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per active day, the count of DISTINCT users seen in the trailing
+    7 days — the sliding-distinct metric (7-day active users) that a RANGE
+    window CANNOT express (count(distinct) over a frame is unsupported,
+    and collect_set over a frame holds per-row state).
+
+    Formulation: reduce to distinct (day, user) pairs FIRST (the only
+    corpus-sized shuffle), then explode each pair to the <=7 report days
+    it contributes to, and countDistinct per report day. The explode
+    multiplies the already-distinct day-user pairs (bounded: days x active
+    users x 7), never raw events; report days are clamped to days that
+    actually occur so the result has no phantom trailing days. SCALE: two
+    exchanges (pair distinct, day aggregate) — the same cost profile as
+    the weekly rollups; no per-user window state."""
+    events = read_table(spark, sf_dir, "events")
+    pairs = events.select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+    ).distinct()
+    days = pairs.select("day").distinct()
+    contrib = pairs.select(
+        F.explode(
+            F.expr("sequence(day, day + INTERVAL 6 DAYS, INTERVAL 1 DAY)")
+        ).alias("report_day"),
+        "user_id",
+    )
+    return (
+        contrib.join(days, contrib.report_day == days.day, "left_semi")
+        .groupBy("report_day")
+        .agg(F.countDistinct("user_id").alias("active_users_7d"))
+    )

@@ -82,3 +82,33 @@ def run_trends_ingest(
 
     wide = ingest_wide_matrix(spark, pdf, terms)
     return trends_pipeline(wide, week_start, week_end, terms)
+
+
+def schema_evolution_read(spark: SparkSession, sf_dir: str, work_dir: str) -> DataFrame:
+    """Schema-evolution round trip: two parquet batches written under ONE
+    table root with different schemas (v2 adds a ``lang`` column), read
+    back with ``mergeSchema`` — the append-only column-add evolution every
+    long-lived 100 TB corpus goes through.
+
+    v1 = (doc_id, text), v2 = (doc_id + 10M, text, lang). The merged read
+    must surface ``lang`` as NULL for v1 rows and preserve v2's values;
+    output carries md5 fingerprints so the result is narrow and has a
+    closed-form oracle. SCALE: mergeSchema unions footers at planning
+    time — the data itself is NOT rewritten, and column pruning still
+    reaches both file groups.
+    """
+    from pyspark.sql import functions as F
+
+    from .parquet import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    docs.select("doc_id", "text").write.mode("overwrite").parquet(
+        f"{work_dir}/evo/batch=v1"
+    )
+    docs.select(
+        (F.col("doc_id") + F.lit(10000000)).alias("doc_id"), "text", "lang"
+    ).write.mode("overwrite").parquet(f"{work_dir}/evo/batch=v2")
+    merged = spark.read.option("mergeSchema", "true").parquet(f"{work_dir}/evo")
+    return merged.select(
+        "doc_id", "lang", F.md5(F.col("text").cast("binary")).alias("fp")
+    )

@@ -56,3 +56,30 @@ def test_weekly_rollup_totals(spark, sf_dir):
     out = relational.weekly_event_rollup(spark, sf_dir)
     events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     assert out.agg(F.sum("n_events")).first()[0] == events
+
+
+def test_rolling_7day_distinct_users_brute_force(spark, sf_dir):
+    from collections import defaultdict
+
+    from data_engineer_interview_task_spark.operators import relational
+    from data_engineer_interview_task_spark.sources import read_table
+
+    got = {
+        r.report_day: r.active_users_7d
+        for r in relational.rolling_7day_distinct_users(spark, sf_dir).collect()
+    }
+    events = read_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).collect()
+    by_day = defaultdict(set)
+    for r in events:
+        by_day[r.day].add(r.user_id)
+    import datetime
+
+    want = {}
+    for day in by_day:
+        users = set()
+        for k in range(7):
+            users |= by_day.get(day - datetime.timedelta(days=k), set())
+        want[day] = len(users)
+    assert got == want
