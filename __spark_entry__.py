@@ -291,11 +291,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 / §2.8.
 
     Ordering is deliberate: the driver's correctness sweep processes the
-    registry in order (round 1 recorded exactly the first 50), so entries
-    WITHOUT a round-1 driver record — plus the round-2 additions and the
-    semantics-changed corpus_clean_pipeline — come first. The union of the
-    r01 and r02 driver records then covers every query."""
+    registry in order (rounds 1 and 2 each recorded exactly the first 50),
+    so entries WITHOUT a prior driver record come first — the round-3
+    additions, then the round-2 front. The union of the r01/r02/r03 driver
+    records then covers every query."""
     return {
+        # --- round-3 verification front: new operators without a driver
+        # correctness record yet
+        "volume_shipping": tpch_shapes.volume_shipping,
+        "nation_market_share": tpch_shapes.nation_market_share,
+        "product_type_profit": tpch_shapes.product_type_profit,
+        "returned_item_customers": tpch_shapes.returned_item_customers,
+        "shipmode_priority_counts": tpch_shapes.shipmode_priority_counts,
+        "duplicate_spans": dedup.duplicate_spans,
+        "span_dup_coverage": dedup.span_dup_coverage,
+        "merge_changeset": maintenance.merge_changeset,
+        "referential_integrity_check": maintenance.referential_integrity_check,
+        "grouping_sets_report": maintenance.grouping_sets_report,
+        "streaming_left_outer_join": _streaming_left_outer_join,  # oracle (batch twin)
+        "rolling_7day_distinct_users": relational.rolling_7day_distinct_users,
+        "schema_evolution_read": _schema_evolution_read,
         # --- round-2 verification front: r01-driver-unrecorded + new/changed
         # round-2 operator additions
         "chunk_documents": text.chunk_documents,
@@ -318,16 +333,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "excess_stock_suppliers": tpch_shapes.excess_stock_suppliers,
         "waiting_orders_suppliers": tpch_shapes.waiting_orders_suppliers,
         "idle_rich_customers": tpch_shapes.idle_rich_customers,
-        "volume_shipping": tpch_shapes.volume_shipping,
-        "nation_market_share": tpch_shapes.nation_market_share,
-        "product_type_profit": tpch_shapes.product_type_profit,
-        "returned_item_customers": tpch_shapes.returned_item_customers,
-        "shipmode_priority_counts": tpch_shapes.shipmode_priority_counts,
-        "rolling_7day_distinct_users": relational.rolling_7day_distinct_users,
-        "schema_evolution_read": _schema_evolution_read,
-        "merge_changeset": maintenance.merge_changeset,
-        "referential_integrity_check": maintenance.referential_integrity_check,
-        "grouping_sets_report": maintenance.grouping_sets_report,
         # corpus versioning + semi-structured (round 2)
         "snapshot_diff": cleaning.snapshot_diff,
         "variant_props_rollup": extended.variant_props_rollup,
@@ -341,7 +346,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessionize": _streaming_sessionize,  # oracle (closed sessions)
         "streaming_first_events": _streaming_first_events,  # oracle (set-deterministic)
         "streaming_click_purchase_join": _streaming_click_purchase_join,  # oracle (batch twin)
-        "streaming_left_outer_join": _streaming_left_outer_join,  # oracle (batch twin)
         # dedup additions / rebased pipeline (round 2)
         "ngram_jaccard_pairs_capped": _ngram_jaccard_pairs_capped,  # df-cap guard active
         "near_dup_clusters_lsh": _near_dup_clusters_lsh,  # sub-quadratic pair source
@@ -418,8 +422,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup
         "exact_dedup": dedup.exact_dedup,
         "canonical_docs": dedup.canonical_docs,
-        "duplicate_spans": dedup.duplicate_spans,
-        "span_dup_coverage": dedup.span_dup_coverage,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "near_dup_clusters": dedup.near_dup_clusters,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,  # oracle (md5 hash family)
