@@ -311,6 +311,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_left_outer_join": _streaming_left_outer_join,  # oracle (batch twin)
         "rolling_7day_distinct_users": relational.rolling_7day_distinct_users,
         "schema_evolution_read": _schema_evolution_read,
+        "user_event_transitions": relational.user_event_transitions,
+        "event_gap_histogram": relational.event_gap_histogram,
+        "table_checksum": maintenance.table_checksum,
         # --- round-2 verification front: r01-driver-unrecorded + new/changed
         # round-2 operator additions
         "chunk_documents": text.chunk_documents,
@@ -1354,6 +1357,39 @@ WHERE c_acctbal > avg_bal
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                   AND o_orderdate >= TIMESTAMP '1999-01-01')
 GROUP BY code
+""",
+        "user_event_transitions": """
+WITH t AS (SELECT user_id, event_type,
+                  lag(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts ASC, event_id ASC)
+                    AS prev_type
+           FROM events)
+SELECT prev_type, event_type AS next_type,
+       CAST(COUNT(*) AS BIGINT) AS n_transitions,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM t WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+""",
+        "event_gap_histogram": """
+WITH t AS (SELECT user_id, epoch_us(ts) // 1000000 AS cur_s,
+                  lag(epoch_us(ts) // 1000000) OVER (
+                    PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+                    AS prev_s
+           FROM events)
+SELECT LEAST((cur_s - prev_s) // 3600, CAST(48 AS BIGINT))
+         AS gap_bucket_hours,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM t WHERE prev_s IS NOT NULL
+GROUP BY gap_bucket_hours
+""",
+        "table_checksum": """
+SELECT doc_id % 32 AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       SUM(CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|'
+                                       || md5(text)), 1, 8) AS BIGINT)
+                AS DECIMAL(38,0))) AS checksum
+FROM documents GROUP BY bucket
 """,
         "schema_evolution_read": """
 SELECT doc_id, CAST(NULL AS VARCHAR) AS lang, md5(text) AS fp FROM documents

@@ -115,6 +115,9 @@ HEADLINE = [
     "referential_integrity_check",
     "grouping_sets_report",
     "rolling_7day_distinct_users",
+    "user_event_transitions",
+    "event_gap_histogram",
+    "table_checksum",
     # corpus versioning / semi-structured / distributions (round 2)
     "snapshot_diff",
     "variant_props_rollup",

@@ -153,3 +153,36 @@ def grouping_sets_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 (l_returnflag), ())
         """
     )
+
+
+def table_checksum(spark: SparkSession, sf_dir: str, buckets: int = 32) -> DataFrame:
+    """Order-insensitive content checksum per hash bucket — the
+    anti-entropy primitive for comparing two copies of a table (replica
+    audit, migration verification) without moving data: equal bucket
+    checksums <=> equal content with md5-collision-level confidence, and a
+    mismatch localizes to 1/``buckets`` of the table.
+
+    Each row hashes to a 32-bit integer (first 8 hex chars of
+    md5(doc_id | md5(text))) and the bucket checksum is the exact DECIMAL
+    sum — commutative, so partitioning and order are irrelevant, and
+    32 bits per row keeps even a 10^12-row sum inside DECIMAL(38,0).
+    One map-side-combined aggregate; no shuffle wider than ``buckets``
+    rows."""
+    docs = read_table(spark, sf_dir, "documents")
+    rh = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.col("doc_id"), F.md5(F.col("text").cast("binary")))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        docs.select((F.col("doc_id") % buckets).alias("bucket"), rh.alias("rh"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("rh").cast("decimal(38,0)")).alias("checksum"),
+        )
+    )

@@ -492,3 +492,63 @@ def rolling_7day_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("report_day")
         .agg(F.countDistinct("user_id").alias("active_users_7d"))
     )
+
+
+def user_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order (Markov) transition counts over each user's event
+    sequence: for every consecutive pair, count (prev_type -> next_type)
+    and the distinct users exhibiting it — the behavioral-model input a
+    sequence pipeline derives before training.
+
+    The per-user order is the verified total order (ts, event_id), so
+    ``lag`` is deterministic under any partitioning; one window exchange
+    on user_id, one small aggregate keyed by the type pair (bounded by
+    |event_type|^2)."""
+    events = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    t = events.select("user_id", "event_id", "ts", "event_type").withColumn(
+        "prev_type", F.lag("event_type").over(w)
+    )
+    return (
+        t.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+def event_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of inter-event gaps per user, in whole-hour buckets
+    capped at 48h — the activity-cadence profile (bot detection, session
+    tuning) computed with pure integer arithmetic so every engine buckets
+    identically: epoch MICROseconds -> integer-div seconds -> integer-div
+    hours -> LEAST(., 48). Same single user_id window exchange as the
+    transition counts; the aggregate output is <=49 rows."""
+    events = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    epoch_s = F.expr("unix_micros(ts) div 1000000")
+    t = (
+        events.select("user_id", "event_id", "ts")
+        .withColumn("cur_s", epoch_s)
+        .withColumn("prev_s", F.lag("cur_s").over(w))
+    )
+    return (
+        t.filter(F.col("prev_s").isNotNull())
+        .select(
+            F.least(
+                F.expr("(cur_s - prev_s) div 3600"), F.lit(48).cast("bigint")
+            ).alias("gap_bucket_hours"),
+            "user_id",
+        )
+        .groupBy("gap_bucket_hours")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )

@@ -59,3 +59,50 @@ def test_grouping_sets_single_pass_and_totals(spark, sf_dir):
     assert sum(r.n_items for r in per_flag) == grand[0].n_items
     leaf = [r for r in rows if r.gid == 0]
     assert sum(r.n_items for r in leaf) == grand[0].n_items
+
+
+def test_table_checksum_partition_invariant(spark, sf_dir):
+    from data_engineer_interview_task_spark.sources import read_table
+
+    base = {
+        r.bucket: (r.n_rows, r.checksum)
+        for r in maintenance.table_checksum(spark, sf_dir).collect()
+    }
+    assert sum(n for n, _ in base.values()) == read_table(
+        spark, sf_dir, "documents"
+    ).count()
+    # recompute on a repartitioned copy via the same expression: checksums
+    # must be identical (order/partitioning-insensitive)
+    docs = read_table(spark, sf_dir, "documents").repartition(13)
+    rh = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.col("doc_id"), F.md5(F.col("text").cast("binary")))),
+            1, 8,
+        ), 16, 10,
+    ).cast("bigint")
+    again = {
+        r.bucket: (r.n_rows, r.checksum)
+        for r in docs.select((F.col("doc_id") % 32).alias("bucket"), rh.alias("rh"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.sum(F.col("rh").cast("decimal(38,0)")).alias("checksum"))
+        .collect()
+    }
+    assert base == again
+    # a single-row mutation flips exactly that bucket's checksum
+    mutated = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 5, F.concat(F.col("text"), F.lit("!"))).otherwise(
+            F.col("text")
+        ),
+    )
+    mut = {
+        r.bucket: r.checksum
+        for r in mutated.select((F.col("doc_id") % 32).alias("bucket"), rh.alias("rh"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.sum(F.col("rh").cast("decimal(38,0)")).alias("checksum"))
+        .collect()
+    }
+    diff = [b for b in base if base[b][1] != mut[b]]
+    assert diff == [5 % 32]

@@ -83,3 +83,30 @@ def test_rolling_7day_distinct_users_brute_force(spark, sf_dir):
             users |= by_day.get(day - datetime.timedelta(days=k), set())
         want[day] = len(users)
     assert got == want
+
+
+def test_user_event_transitions_conservation(spark, sf_dir):
+    from data_engineer_interview_task_spark.operators import relational
+    from data_engineer_interview_task_spark.sources import read_table
+
+    rows = relational.user_event_transitions(spark, sf_dir).collect()
+    assert rows
+    # total transitions = total events - number of users (each user's
+    # sequence of n events yields n-1 transitions)
+    events = read_table(spark, sf_dir, "events")
+    n_events = events.count()
+    n_users = events.select("user_id").distinct().count()
+    assert sum(r.n_transitions for r in rows) == n_events - n_users
+
+
+def test_event_gap_histogram_bounds(spark, sf_dir):
+    from data_engineer_interview_task_spark.operators import relational
+    from data_engineer_interview_task_spark.sources import read_table
+
+    rows = relational.event_gap_histogram(spark, sf_dir).collect()
+    assert rows
+    assert all(0 <= r.gap_bucket_hours <= 48 for r in rows)
+    events = read_table(spark, sf_dir, "events")
+    n_events = events.count()
+    n_users = events.select("user_id").distinct().count()
+    assert sum(r.n_gaps for r in rows) == n_events - n_users
