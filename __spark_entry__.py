@@ -311,6 +311,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_left_outer_join": _streaming_left_outer_join,  # oracle (batch twin)
         "rolling_7day_distinct_users": relational.rolling_7day_distinct_users,
         "schema_evolution_read": _schema_evolution_read,
+        "funnel_conversion_windowed": relational.funnel_conversion_windowed,
+        "incremental_rollup_merge": relational.incremental_rollup_merge,
         "user_event_transitions": relational.user_event_transitions,
         "event_gap_histogram": relational.event_gap_histogram,
         "table_checksum": maintenance.table_checksum,
@@ -1357,6 +1359,38 @@ WHERE c_acctbal > avg_bal
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                   AND o_orderdate >= TIMESTAMP '1999-01-01')
 GROUP BY code
+""",
+        "funnel_conversion_windowed": """
+WITH wv AS (
+  SELECT user_id, event_type, ts,
+         MIN(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id) AS v_ts
+  FROM events
+), wc AS (
+  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > v_ts
+                      AND ts <= v_ts + INTERVAL 1 HOUR THEN ts END)
+              OVER (PARTITION BY user_id) AS c_ts
+  FROM wv
+), wp AS (
+  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > c_ts
+                      AND ts <= c_ts + INTERVAL 1 HOUR THEN ts END)
+              OVER (PARTITION BY user_id) AS p_ts
+  FROM wc
+), pu AS (
+  SELECT user_id, MAX(v_ts) AS v, MAX(c_ts) AS c, MAX(p_ts) AS p
+  FROM wp GROUP BY user_id
+)
+SELECT CAST(SUM(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(SUM(CASE WHEN c IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+       CAST(SUM(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_view_click_purchase
+FROM pu
+""",
+        "incremental_rollup_merge": """
+SELECT CAST(date_trunc('week', ts) AS DATE) AS week_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
 """,
         "user_event_transitions": """
 WITH t AS (SELECT user_id, event_type,

@@ -115,6 +115,8 @@ HEADLINE = [
     "referential_integrity_check",
     "grouping_sets_report",
     "rolling_7day_distinct_users",
+    "funnel_conversion_windowed",
+    "incremental_rollup_merge",
     "user_event_transitions",
     "event_gap_histogram",
     "table_checksum",

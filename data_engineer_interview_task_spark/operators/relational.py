@@ -552,3 +552,89 @@ def event_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+def funnel_conversion_windowed(
+    spark: SparkSession, sf_dir: str, within: str = "1 hour"
+) -> DataFrame:
+    """Time-boxed ordered funnel: each stage must follow the previous
+    stage's first qualifying event WITHIN ``within`` (view -> click within
+    1h -> purchase within another 1h) — the conversion-attribution window
+    marketers actually use, where an eventual click hours later does NOT
+    count. Same stacked-min-window shape as ``funnel_conversion`` (one
+    user_id exchange, one window node); only the CASE predicates gain the
+    horizon bound."""
+    events = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    horizon = F.expr(f"INTERVAL {within}")
+    v = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    with_v = events.withColumn("v_ts", v)
+    c = F.min(
+        F.when(
+            (F.col("event_type") == "click")
+            & (F.col("ts") > F.col("v_ts"))
+            & (F.col("ts") <= F.col("v_ts") + horizon),
+            F.col("ts"),
+        )
+    ).over(w)
+    with_c = with_v.withColumn("c_ts", c)
+    p = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("c_ts"))
+            & (F.col("ts") <= F.col("c_ts") + horizon),
+            F.col("ts"),
+        )
+    ).over(w)
+    per_user = (
+        with_c.withColumn("p_ts", p)
+        .groupBy("user_id")
+        .agg(
+            F.max(F.col("v_ts").isNotNull()).alias("viewed"),
+            F.max(F.col("c_ts").isNotNull()).alias("clicked"),
+            F.max(F.col("p_ts").isNotNull()).alias("purchased"),
+        )
+    )
+    return per_user.agg(
+        F.sum(F.when(F.col("viewed"), 1).otherwise(0)).alias("n_view"),
+        F.sum(F.when(F.col("clicked"), 1).otherwise(0)).alias("n_view_click"),
+        F.sum(F.when(F.col("purchased"), 1).otherwise(0)).alias(
+            "n_view_click_purchase"
+        ),
+    )
+
+
+def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for the weekly rollup: merge a
+    PREVIOUSLY MATERIALIZED aggregate (events before a cutoff) with the
+    new batch's partial aggregate — the update path that processes only
+    the delta instead of rescanning history.
+
+    Count and decimal SUM are commutative monoids, so
+    ``re-aggregate(state ∪ partial(delta)) == full recompute`` EXACTLY
+    (the oracle is the full rollup). The cutoff splits the fixed testdata
+    deterministically; in production the state side is the stored rollup
+    table. SCALE: the merge shuffle carries |weeks × types| + |delta
+    weeks × types| rows — aggregate-sized, not event-sized."""
+    events = read_table(spark, sf_dir, "events")
+    cutoff = F.lit("1996-01-15").cast("timestamp")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.to_date(F.date_trunc("week", F.col("ts"))).alias("week_start"),
+            "event_type",
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("value_dec"),
+        )
+
+    state = rollup(events.filter(F.col("ts") < cutoff))  # the stored rollup
+    delta = rollup(events.filter(F.col("ts") >= cutoff))  # the new batch
+    return (
+        state.unionByName(delta)
+        .groupBy("week_start", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("value_dec").cast("double").alias("total_value"),
+        )
+    )

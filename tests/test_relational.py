@@ -110,3 +110,29 @@ def test_event_gap_histogram_bounds(spark, sf_dir):
     n_events = events.count()
     n_users = events.select("user_id").distinct().count()
     assert sum(r.n_gaps for r in rows) == n_events - n_users
+
+
+def test_windowed_funnel_never_exceeds_unwindowed(spark, sf_dir):
+    from data_engineer_interview_task_spark.operators import relational
+
+    wide = relational.funnel_conversion(spark, sf_dir).collect()[0]
+    boxed = relational.funnel_conversion_windowed(spark, sf_dir).collect()[0]
+    assert boxed.n_view == wide.n_view  # stage 1 has no horizon
+    assert boxed.n_view_click <= wide.n_view_click
+    assert boxed.n_view_click_purchase <= wide.n_view_click_purchase
+    # funnel monotonicity within the boxed variant
+    assert boxed.n_view >= boxed.n_view_click >= boxed.n_view_click_purchase
+
+
+def test_incremental_rollup_merge_equals_full(spark, sf_dir):
+    from data_engineer_interview_task_spark.operators import relational
+
+    merged = {
+        (r.week_start, r.event_type): (r.n_events, r.total_value)
+        for r in relational.incremental_rollup_merge(spark, sf_dir).collect()
+    }
+    full = {
+        (r.week_start, r.event_type): (r.n_events, r.total_value)
+        for r in relational.weekly_event_rollup(spark, sf_dir).collect()
+    }
+    assert merged == full
