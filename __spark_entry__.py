@@ -316,6 +316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_event_transitions": relational.user_event_transitions,
         "event_gap_histogram": relational.event_gap_histogram,
         "table_checksum": maintenance.table_checksum,
+        "bucketed_join_rollup": maintenance.bucketed_join_rollup,
         # --- round-2 verification front: r01-driver-unrecorded + new/changed
         # round-2 operator additions
         "chunk_documents": text.chunk_documents,
@@ -1416,6 +1417,14 @@ SELECT LEAST((cur_s - prev_s) // 3600, CAST(48 AS BIGINT))
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
 FROM t WHERE prev_s IS NOT NULL
 GROUP BY gap_bucket_hours
+""",
+        "bucketed_join_rollup": """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                     (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6)))
+            AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
 """,
         "table_checksum": """
 SELECT doc_id % 32 AS bucket,

@@ -120,6 +120,7 @@ HEADLINE = [
     "user_event_transitions",
     "event_gap_histogram",
     "table_checksum",
+    "bucketed_join_rollup",
     # corpus versioning / semi-structured / distributions (round 2)
     "snapshot_diff",
     "variant_props_rollup",

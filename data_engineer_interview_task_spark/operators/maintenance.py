@@ -186,3 +186,81 @@ def table_checksum(spark: SparkSession, sf_dir: str, buckets: int = 32) -> DataF
             F.sum(F.col("rh").cast("decimal(38,0)")).alias("checksum"),
         )
     )
+
+
+def bucketed_join_rollup(
+    spark: SparkSession, sf_dir: str, buckets: int = 8
+) -> DataFrame:
+    """Co-located (bucketed) join: both fact tables are written bucketed +
+    sorted on the join key, so the subsequent join runs WITHOUT a shuffle
+    OR a sort — the layout investment that amortizes across every
+    downstream orderkey join. At 100 TB this is the difference between an
+    exchange of the whole fact table per query and zero; the plan test
+    pins the absence of the join-side Exchange.
+
+    The only remaining exchange is the final aggregate's (|priorities|
+    rows). Buckets here are 8 for the test warehouse; production sizing:
+    buckets ~ total size / (HDFS block x executors), fixed ACROSS tables
+    sharing the key so they co-locate."""
+    import shutil
+    from urllib.parse import urlparse
+
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    # idempotent re-run: drop catalog entries AND any orphaned location a
+    # previous session left behind (a fresh session's in-memory catalog
+    # forgets the table but the warehouse directory persists)
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for name in ("bkt_orders", "bkt_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(f"{wh}/{name}", ignore_errors=True)
+    # report the per-bucket sort order from the scan (one file per bucket,
+    # see the repartition below) so the SMJ drops its Sort nodes too;
+    # since Spark 3.0 this is behind a legacy flag because multi-file
+    # buckets made the ordering claim unsafe — our writer guarantees the
+    # single-file layout the flag assumes
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    # repartition on the bucket key first -> ONE file per bucket, which is
+    # the layout Spark requires to trust the per-bucket sort order (multi-
+    # file buckets force a defensive re-Sort under the join)
+    (
+        orders.select("o_orderkey", "o_orderpriority")
+        .repartition(buckets, "o_orderkey")
+        .write.format("parquet")
+        .bucketBy(buckets, "o_orderkey")
+        .sortBy("o_orderkey")
+        .mode("overwrite")
+        .saveAsTable("bkt_orders")
+    )
+    (
+        li.select(
+            "l_orderkey",
+            F.col("l_extendedprice").cast("decimal(18,2)").alias("price_dec"),
+            F.col("l_discount").cast("decimal(18,2)").alias("disc_dec"),
+        )
+        .repartition(buckets, "l_orderkey")
+        .write.format("parquet")
+        .bucketBy(buckets, "l_orderkey")
+        .sortBy("l_orderkey")
+        .mode("overwrite")
+        .saveAsTable("bkt_lineitem")
+    )
+    b_li = spark.table("bkt_lineitem")
+    b_orders = spark.table("bkt_orders")
+    rev = (
+        b_li.price_dec * (F.lit(1).cast("decimal(18,2)") - b_li.disc_dec)
+    ).cast("decimal(28,6)")
+    return (
+        # merge hint: at test SFs the orders side is under the broadcast
+        # threshold and Catalyst would BHJ (hiding the layout win this
+        # operator demonstrates); at production scale SMJ is what it picks
+        # anyway, and with both sides bucketed+sorted the SMJ needs
+        # neither Exchange nor Sort
+        b_li.hint("merge")
+        .join(b_orders, b_li.l_orderkey == b_orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+    )

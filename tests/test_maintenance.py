@@ -106,3 +106,19 @@ def test_table_checksum_partition_invariant(spark, sf_dir):
     }
     diff = [b for b in base if base[b][1] != mut[b]]
     assert diff == [5 % 32]
+
+
+def test_bucketed_join_has_no_join_exchange(spark, sf_dir):
+    df = maintenance.bucketed_join_rollup(spark, sf_dir)
+    plan = explain_str(df)
+    assert "SortMergeJoin" in plan
+    # bucketed+sorted one-file-per-bucket layout: the join needs neither
+    # an Exchange nor a Sort; the only exchange left is the final
+    # aggregate's
+    # tree-format node names ("Exchange (n)"); the details section
+    # re-lists nodes as "(n) Exchange" and must not double-count
+    assert plan.count("Exchange (") <= 1, plan
+    assert plan.count("Sort (") == 0, plan
+    rows = df.collect()
+    assert len(rows) == 5  # one per priority
+    assert all(r.n_items > 0 and r.revenue > 0 for r in rows)
