@@ -202,18 +202,17 @@ def bucketed_join_rollup(
     rows). Buckets here are 8 for the test warehouse; production sizing:
     buckets ~ total size / (HDFS block x executors), fixed ACROSS tables
     sharing the key so they co-locate."""
-    import shutil
-    from urllib.parse import urlparse
+    import tempfile
 
     orders = read_table(spark, sf_dir, "orders")
     li = read_table(spark, sf_dir, "lineitem")
-    # idempotent re-run: drop catalog entries AND any orphaned location a
-    # previous session left behind (a fresh session's in-memory catalog
-    # forgets the table but the warehouse directory persists)
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    # EXTERNAL tables under a fresh tempdir: no dependence on the session
+    # warehouse (the driver's cwd may not be writable) and no stale-
+    # location collisions across sessions; DROP clears the catalog name
+    # for re-registration within this session
+    base = tempfile.mkdtemp(prefix="bkt_join_")
     for name in ("bkt_orders", "bkt_lineitem"):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
-        shutil.rmtree(f"{wh}/{name}", ignore_errors=True)
     # report the per-bucket sort order from the scan (one file per bucket,
     # see the repartition below) so the SMJ drops its Sort nodes too;
     # since Spark 3.0 this is behind a legacy flag because multi-file
@@ -227,6 +226,7 @@ def bucketed_join_rollup(
         orders.select("o_orderkey", "o_orderpriority")
         .repartition(buckets, "o_orderkey")
         .write.format("parquet")
+        .option("path", f"{base}/bkt_orders")
         .bucketBy(buckets, "o_orderkey")
         .sortBy("o_orderkey")
         .mode("overwrite")
@@ -240,6 +240,7 @@ def bucketed_join_rollup(
         )
         .repartition(buckets, "l_orderkey")
         .write.format("parquet")
+        .option("path", f"{base}/bkt_lineitem")
         .bucketBy(buckets, "l_orderkey")
         .sortBy("l_orderkey")
         .mode("overwrite")
