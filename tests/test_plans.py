@@ -139,7 +139,12 @@ def test_risky_determinism_is_partition_independent(spark, sf_dir):
     minhash, sign-bit buckets, decimal centroids) must produce identical
     results at different shuffle widths — the property the oracle gate
     depends on."""
-    from data_engineer_interview_task_spark.operators import clustering, dedup
+    from data_engineer_interview_task_spark.operators import (
+        clustering,
+        dedup,
+        maintenance,
+        tpch_shapes,
+    )
 
     def snapshot():
         return {
@@ -148,6 +153,15 @@ def test_risky_determinism_is_partition_independent(spark, sf_dir):
             ),
             "minhash": sorted(
                 tuple(r) for r in dedup.minhash_lsh_pairs(spark, sf_dir).collect()
+            ),
+            # r3: commutative-checksum + TakeOrdered-threshold top-N must
+            # survive any shuffle width
+            "checksum": sorted(
+                tuple(r) for r in maintenance.table_checksum(spark, sf_dir).collect()
+            ),
+            "top_returns": sorted(
+                tuple(r)
+                for r in tpch_shapes.returned_item_customers(spark, sf_dir).collect()
             ),
         }
 
