@@ -15,25 +15,38 @@ from ..sources import read_table
 
 
 def rollup_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GROUP BY ROLLUP (status, priority): the hierarchy-subtotal pattern.
-    Spark expands rollup into one aggregation over grouping sets — one
-    exchange, not one scan per level."""
+    """GROUP BY ROLLUP (status, priority) via leaf-aggregate-then-rollup:
+    the Expand that rollup plants under the aggregate would replicate the
+    corpus once per level; aggregating to the (status, priority) leaf
+    FIRST (count/decimal-sum are commutative monoids) expands only
+    |status x priority| rows — bit-identical results, corpus scanned
+    once (same rewrite as ``maintenance.grouping_sets_report``)."""
     orders = read_table(spark, sf_dir, "orders")
+    leaf = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_part"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("price_dec"),
+    )
     return (
-        orders.rollup("o_orderstatus", "o_orderpriority")
+        leaf.rollup("o_orderstatus", "o_orderpriority")
         .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+            F.sum("n_part").alias("n_orders"),
+            F.sum("price_dec").cast("double").alias("total_price"),
         )
     )
 
 
 def cube_lineitem_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GROUP BY CUBE over the two lineitem status dimensions."""
+    """GROUP BY CUBE over the two lineitem status dimensions — same
+    leaf-first rewrite as the rollup above (cube's Expand is 4x, so the
+    saving doubles)."""
     li = read_table(spark, sf_dir, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).alias("n_items"),
-        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+    leaf = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_part"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty_dec"),
+    )
+    return leaf.cube("l_returnflag", "l_linestatus").agg(
+        F.sum("n_part").alias("n_items"),
+        F.sum("qty_dec").cast("double").alias("sum_qty"),
     )
 
 
