@@ -317,6 +317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_gap_histogram": relational.event_gap_histogram,
         "table_checksum": maintenance.table_checksum,
         "bucketed_join_rollup": maintenance.bucketed_join_rollup,
+        "similarity_topk_ivf_prebuilt": similarity.ivf_topk_prebuilt,
         # --- round-2 verification front: r01-driver-unrecorded + new/changed
         # round-2 operator additions
         "chunk_documents": text.chunk_documents,
@@ -742,7 +743,7 @@ d AS (
         "i -> CAST(CAST({a}[i+1] AS DOUBLE) * CAST({b}[i+1] AS DOUBLE) "
         "AS DECIMAL(28,14))))"
     )
-    return {
+    d = {
         "flagship_pipeline": """
 WITH base AS (
   SELECT l_suppkey, l_returnflag,
@@ -2416,3 +2417,7 @@ SELECT l_linestatus,
 FROM lineitem GROUP BY l_linestatus
 """,
     }
+    # the persisted-index IVF is bit-identical to the in-memory probe —
+    # one oracle serves both
+    d["similarity_topk_ivf_prebuilt"] = d["similarity_topk_ivf"]
+    return d

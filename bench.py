@@ -121,6 +121,7 @@ HEADLINE = [
     "event_gap_histogram",
     "table_checksum",
     "bucketed_join_rollup",
+    "similarity_topk_ivf_prebuilt",
     # corpus versioning / semi-structured / distributions (round 2)
     "snapshot_diff",
     "variant_props_rollup",

@@ -181,6 +181,30 @@ def srp_lsh_topk(
     )
 
 
+def _ivf_centroids(emb: DataFrame) -> DataFrame:
+    """Centroid per label cell: posexplode + mean, then re-assemble arrays.
+    DECIMAL mean, not avg(double): a double mean is partition-order
+    dependent, and a centroid that wobbles at the last ulp can reorder
+    the probed cells — decimal makes the whole probe deterministic and
+    the operator exactly oracle-checkable (label_centroids rule)."""
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(
+            (
+                F.sum(F.col("x").cast("double").cast("decimal(20,9)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("c")
+        )
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("pairs"))
+        .select(
+            F.col("label").alias("cell"),
+            F.transform("pairs", lambda p: p["c"]).alias("centroid"),
+        )
+    )
+
+
 def ivf_topk(
     spark: SparkSession,
     sf_dir: str,
@@ -199,27 +223,7 @@ def ivf_topk(
     corpus BY cell so a probe touches only n_probe/256ths of the data.
     """
     emb = read_table(spark, sf_dir, "embeddings")
-    # centroid per label cell: posexplode + mean, then re-assemble arrays.
-    # DECIMAL mean, not avg(double): a double mean is partition-order
-    # dependent, and a centroid that wobbles at the last ulp can reorder
-    # the probed cells — decimal makes the whole probe deterministic and
-    # the operator exactly oracle-checkable (label_centroids rule)
-    cents = (
-        emb.select("label", F.posexplode("embedding").alias("dim", "x"))
-        .groupBy("label", "dim")
-        .agg(
-            (
-                F.sum(F.col("x").cast("double").cast("decimal(20,9)")).cast("double")
-                / F.count(F.lit(1))
-            ).alias("c")
-        )
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("pairs"))
-        .select(
-            F.col("label").alias("cell"),
-            F.transform("pairs", lambda p: p["c"]).alias("centroid"),
-        )
-    )
+    cents = _ivf_centroids(emb)
     # distance of each query to each cell centroid -> top n_probe cells
     queries = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
@@ -340,4 +344,85 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qmin",
         "qmax",
         code.alias("code"),
+    )
+
+
+def ivf_index_build(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
+    """Persist the IVF index: the tiny centroid table plus the corpus laid
+    out ``partitionBy(cell)`` — the write-once layout that turns every
+    probe into a partition-pruned scan (a probe of n_probe cells reads
+    n_probe directories, not the corpus). The 100 TB deployment runs this
+    on ingest/compaction; queries amortize it forever."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    _ivf_centroids(emb).write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    (
+        emb.select("vec_id", "embedding", F.col("label").alias("cell"))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{index_dir}/vectors")
+    )
+
+
+def ivf_topk_prebuilt(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str | None = None,
+    n_queries: int = 5,
+    k: int = 10,
+    n_probe: int = 3,
+) -> DataFrame:
+    """IVF ANN against the PERSISTED index (``ivf_index_build``): probe
+    cells are chosen from the stored centroid table, the chosen cell ids
+    (index METADATA — n_queries x n_probe rows, not data) prune the
+    partitioned vector layout, and the exact re-rank runs only inside the
+    pruned partitions. Bit-identical to the in-memory ``ivf_topk`` (same
+    decimal centroid arithmetic, same tie-break order), so it shares its
+    oracle. The plan shows the cell filter as PartitionFilters on the
+    vectors scan — data files of unprobed cells are never opened."""
+    import tempfile
+
+    if index_dir is None:
+        index_dir = tempfile.mkdtemp(prefix="ivf_index_")
+        ivf_index_build(spark, sf_dir, index_dir)
+    cents = spark.read.parquet(f"{index_dir}/centroids")
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    qcells = queries.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "q",
+        "cell",
+        cosine_expr(F.col("q"), F.col("centroid")).alias("cell_cos"),
+    )
+    w_cells = Window.partitionBy("query_id").orderBy(
+        F.col("cell_cos").desc(), F.col("cell").asc()
+    )
+    probed = (
+        qcells.withColumn("cr", F.row_number().over(w_cells))
+        .filter(F.col("cr") <= n_probe)
+        .select("query_id", "q", "cell")
+    )
+    # index metadata, not data: the probed cell ids (<= n_queries*n_probe
+    # values) come to the driver to become a partition-pruning predicate
+    cells = sorted({r.cell for r in probed.select("cell").distinct().collect()})
+    vectors = (
+        spark.read.parquet(f"{index_dir}/vectors")
+        .filter(F.col("cell").isin(cells))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("c"),
+            "cell",
+        )
+    )
+    pairs = vectors.join(F.broadcast(probed), "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        cosine_expr(F.col("q"), F.col("c")).desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
     )

@@ -337,3 +337,18 @@ def test_span_dup_coverage_bounds_and_total(spark, sf_dir):
     n_long = docs.filter(F.size(F.split("text", " ")) >= 8).count()
     assert len(rows) == n_long
     assert len({r.doc_id for r in rows}) == n_long
+
+
+def test_ivf_prebuilt_equals_inmemory_and_prunes(spark, sf_dir, tmp_path):
+    from data_engineer_interview_task_spark.operators import similarity
+    from data_engineer_interview_task_spark.plans import explain_str
+
+    similarity.ivf_index_build(spark, sf_dir, str(tmp_path))
+    pre = similarity.ivf_topk_prebuilt(spark, sf_dir, str(tmp_path))
+    mem = similarity.ivf_topk(spark, sf_dir)
+    assert sorted(map(tuple, pre.collect())) == sorted(map(tuple, mem.collect()))
+    # the probed cell ids must reach the vectors scan as partition filters
+    plan = explain_str(pre)
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters", 1)[1].split("\n", 1)[0]
+    assert "cell" in seg, seg
