@@ -241,3 +241,17 @@ def test_equidepth_histogram_no_global_window(spark, sf_dir):
     assert set(rows) == set(range(8))
     # near-equal populations: max and min bucket sizes differ by <= 1
     assert max(rows.values()) - min(rows.values()) <= 1
+
+
+def test_topk_per_group_uses_window_group_limit(spark, sf_dir):
+    """rank<=k filters must trigger WindowGroupLimit (partial map-side
+    top-k BEFORE the exchange — at scale this prunes each partition to k
+    rows per group pre-shuffle). Regression guard: rewriting the filter
+    in a form Catalyst can't match would silently lose the pruning."""
+    import __spark_entry__ as e
+
+    df = e.queries()["top_orders_per_customer"](spark, sf_dir)
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in physical
+    assert "Partial" in physical.split("WindowGroupLimit")[-1] or \
+        physical.count("WindowGroupLimit") >= 2
