@@ -318,6 +318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_checksum": maintenance.table_checksum,
         "bucketed_join_rollup": maintenance.bucketed_join_rollup,
         "similarity_topk_ivf_prebuilt": similarity.ivf_topk_prebuilt,
+        "scd2_as_of": relational.scd2_as_of,
         # --- round-2 verification front: r01-driver-unrecorded + new/changed
         # round-2 operator additions
         "chunk_documents": text.chunk_documents,
@@ -1361,6 +1362,19 @@ WHERE c_acctbal > avg_bal
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                   AND o_orderdate >= TIMESTAMP '1999-01-01')
 GROUP BY code
+""",
+        "scd2_as_of": """
+WITH hist AS (
+  SELECT user_id, event_type, value,
+         ts AS valid_from,
+         lead(ts) OVER w AS valid_to
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts ASC, event_id ASC)
+)
+SELECT user_id, event_type, value AS value_as_of, valid_from, valid_to
+FROM hist
+WHERE valid_from <= TIMESTAMP '2024-01-15'
+  AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15')
 """,
         "funnel_conversion_windowed": """
 WITH wv AS (

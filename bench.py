@@ -122,6 +122,7 @@ HEADLINE = [
     "table_checksum",
     "bucketed_join_rollup",
     "similarity_topk_ivf_prebuilt",
+    "scd2_as_of",
     # corpus versioning / semi-structured / distributions (round 2)
     "snapshot_diff",
     "variant_props_rollup",

@@ -638,3 +638,29 @@ def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("value_dec").cast("double").alias("total_value"),
         )
     )
+
+
+def scd2_as_of(
+    spark: SparkSession, sf_dir: str, as_of: str = "2024-01-15"
+) -> DataFrame:
+    """Temporal AS-OF resolution over the SCD2 history: each (user,
+    event_type)'s value effective at the probe instant — the time-travel
+    read a warehouse serves from its history table.
+
+    Interval semantics are [valid_from, valid_to): a NULL valid_to means
+    still-current. Implemented as a filter on the history (no extra
+    shuffle beyond the history build's window exchange); at 100 TB the
+    as_of predicate prunes history partitions when the table is laid out
+    by valid_from date."""
+    hist = scd2_user_type_history(spark, sf_dir)
+    probe = F.lit(as_of).cast("timestamp")
+    return hist.filter(
+        (F.col("valid_from") <= probe)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > probe))
+    ).select(
+        "user_id",
+        "event_type",
+        F.col("value").alias("value_as_of"),
+        "valid_from",
+        "valid_to",
+    )

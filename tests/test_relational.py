@@ -136,3 +136,24 @@ def test_incremental_rollup_merge_equals_full(spark, sf_dir):
         for r in relational.weekly_event_rollup(spark, sf_dir).collect()
     }
     assert merged == full
+
+
+def test_scd2_as_of_unique_and_correct(spark, sf_dir):
+    import datetime
+
+    from data_engineer_interview_task_spark.operators import relational
+    from data_engineer_interview_task_spark.sources import read_table
+
+    rows = relational.scd2_as_of(spark, sf_dir).collect()
+    assert rows
+    keys = [(r.user_id, r.event_type) for r in rows]
+    assert len(keys) == len(set(keys))  # at most one current value per key
+    probe = datetime.datetime(2024, 1, 15)
+    # brute-force: the as-of value is the latest event at or before probe
+    events = read_table(spark, sf_dir, "events").collect()
+    latest = {}
+    for e in sorted(events, key=lambda e: (e.ts, e.event_id)):
+        if e.ts <= probe:
+            latest[(e.user_id, e.event_type)] = e.value
+    got = {(r.user_id, r.event_type): r.value_as_of for r in rows}
+    assert got == latest
