@@ -319,6 +319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_join_rollup": maintenance.bucketed_join_rollup,
         "similarity_topk_ivf_prebuilt": similarity.ivf_topk_prebuilt,
         "scd2_as_of": relational.scd2_as_of,
+        "incremental_minhash_dedup": dedup.incremental_minhash_dedup,
         # --- round-2 verification front: r01-driver-unrecorded + new/changed
         # round-2 operator additions
         "chunk_documents": text.chunk_documents,
@@ -1995,6 +1996,28 @@ FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
 WHERE token <> '' GROUP BY token
 """,
         "minhash_lsh_pairs": "WITH " + _minhash_sql(),
+        # incremental batch-vs-corpus dedup: same CTE chain, pair selection
+        # crosses the batch (doc_id % 17 == 0) against the corpus split
+        "incremental_minhash_dedup": "WITH "
+        + _minhash_ctes()
+        + """,
+cand2 AS (
+  SELECT DISTINCT b.doc_id AS batch_doc, a.doc_id AS corpus_doc
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key
+   AND a.doc_id % 17 <> 0 AND b.doc_id % 17 = 0
+)
+SELECT batch_doc, corpus_doc,
+       CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+         / (len(sa.shingles) + len(sb.shingles)
+            - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
+FROM cand2
+JOIN d sa ON sa.doc_id = corpus_doc
+JOIN d sb ON sb.doc_id = batch_doc
+WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+      / (len(sa.shingles) + len(sb.shingles)
+         - len(list_intersect(sa.shingles, sb.shingles))) >= 0.5
+""",
         "similarity_topk_lsh": "WITH " + _srp_lsh_sql(),
         "similarity_topk_ivf": f"""
 WITH cd AS (

@@ -123,6 +123,7 @@ HEADLINE = [
     "bucketed_join_rollup",
     "similarity_topk_ivf_prebuilt",
     "scd2_as_of",
+    "incremental_minhash_dedup",
     # corpus versioning / semi-structured / distributions (round 2)
     "snapshot_diff",
     "variant_props_rollup",

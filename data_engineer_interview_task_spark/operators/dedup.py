@@ -176,6 +176,51 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _minhash_band_keys(
+    docs: DataFrame, num_hashes: int = 32, bands: int = 8
+) -> DataFrame:
+    """(doc_id, band, band_key) for shingled docs — the md5-affine MinHash
+    signature split into banded keys (see ``minhash_lsh_pairs`` for the
+    hash-family rationale). Shared by the self-join pair query and the
+    incremental batch-vs-index dedup."""
+    rows_per_band = num_hashes // bands
+    half = (
+        "shiftleft(CAST(conv(substring(m, {a}, 8), 16, 10) AS BIGINT), 32)"
+        " | CAST(conv(substring(m, {b}, 8), 16, 10) AS BIGINT)"
+    )
+    exploded = (
+        docs.select("doc_id", F.explode("shingles").alias("sh"))
+        .withColumn("m", F.md5("sh"))
+        .withColumn("p1", F.expr(half.format(a=1, b=9)))
+        .withColumn("p2", F.expr(half.format(a=17, b=25)))
+    )
+    sigs_wide = exploded.groupBy("doc_id").agg(
+        *[F.min(F.expr(f"p1 + {i}L * p2")).alias(f"h{i}") for i in range(num_hashes)]
+    )
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                *[
+                    F.col(f"h{b * rows_per_band + j}").cast("string")
+                    for j in range(rows_per_band)
+                ],
+            )
+        ).alias(f"b{b}")
+        for b in range(bands)
+    ]
+    return (
+        sigs_wide.select("doc_id", *band_cols)
+        .unpivot(
+            ids=["doc_id"],
+            values=[f"b{b}" for b in range(bands)],
+            variableColumnName="band",
+            valueColumnName="band_key",
+        )
+        .select("doc_id", "band", "band_key")
+    )
+
+
 def minhash_lsh_pairs(
     spark: SparkSession,
     sf_dir: str,
@@ -205,43 +250,8 @@ def minhash_lsh_pairs(
     Cost is O(docs x shingles) map-side + near-linear joins — the
     sub-quadratic path vs. ``ngram_jaccard_pairs``'s full inverted index.
     """
-    rows_per_band = num_hashes // bands
     docs = _shingled_docs(spark, sf_dir, n)
-    half = (
-        "shiftleft(CAST(conv(substring(m, {a}, 8), 16, 10) AS BIGINT), 32)"
-        " | CAST(conv(substring(m, {b}, 8), 16, 10) AS BIGINT)"
-    )
-    exploded = (
-        docs.select("doc_id", F.explode("shingles").alias("sh"))
-        .withColumn("m", F.md5("sh"))
-        .withColumn("p1", F.expr(half.format(a=1, b=9)))
-        .withColumn("p2", F.expr(half.format(a=17, b=25)))
-    )
-    sigs_wide = exploded.groupBy("doc_id").agg(
-        *[F.min(F.expr(f"p1 + {i}L * p2")).alias(f"h{i}") for i in range(num_hashes)]
-    )
-    band_cols = [
-        F.md5(
-            F.concat_ws(
-                "|",
-                *[
-                    F.col(f"h{b * rows_per_band + j}").cast("string")
-                    for j in range(rows_per_band)
-                ],
-            )
-        ).alias(f"b{b}")
-        for b in range(bands)
-    ]
-    sigs = (
-        sigs_wide.select("doc_id", *band_cols)
-        .unpivot(
-            ids=["doc_id"],
-            values=[f"b{b}" for b in range(bands)],
-            variableColumnName="band",
-            valueColumnName="band_key",
-        )
-        .select("doc_id", "band", "band_key")
-    )
+    sigs = _minhash_band_keys(docs, num_hashes, bands)
     cand = (
         sigs.alias("a")
         .join(
@@ -627,5 +637,93 @@ def span_dup_coverage(
                 F.coalesce("n_dup_spans", F.lit(0)).cast("double")
                 / F.col("n_spans").cast("double")
             ).alias("dup_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup: new batch vs. a persisted corpus index
+# ---------------------------------------------------------------------------
+
+
+def minhash_index_build(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    n: int = 3,
+    modulus: int = 17,
+) -> None:
+    """Persist the MinHash-LSH index of the CORPUS split (``doc_id %
+    modulus != 0``): banded signature keys plus the shingle sets needed
+    for exact verification. This is the artifact a 100 TB deployment
+    maintains continuously — each crawl batch dedups against it WITHOUT
+    recomputing anything over the corpus."""
+    docs = _shingled_docs(spark, sf_dir, n).filter(F.col("doc_id") % modulus != 0)
+    _minhash_band_keys(docs).write.mode("overwrite").parquet(
+        f"{index_dir}/band_keys"
+    )
+    docs.select("doc_id", "shingles").write.mode("overwrite").parquet(
+        f"{index_dir}/shingles"
+    )
+
+
+def incremental_minhash_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str | None = None,
+    n: int = 3,
+    modulus: int = 17,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Dedup an incoming BATCH (``doc_id % modulus == 0``) against the
+    persisted corpus index: compute band keys for the batch only, equi-join
+    them against the STORED band keys, and exact-verify candidates against
+    the STORED shingle sets — corpus work is O(matching candidates), never
+    a recompute or a corpus self-join.
+
+    SCALE: the batch side is small by definition (one crawl increment);
+    its band keys broadcast into the index join, so the only corpus-sized
+    IO is a scan of the band-key index (at 100 TB: bucket the stored keys
+    by band_key so the join becomes co-located, or range-partition and
+    push the batch's key set down as a filter). Output columns
+    (batch_doc, corpus_doc, jaccard) — the batch rows to drop before
+    appending the remainder to the corpus and its index."""
+    import tempfile
+
+    if index_dir is None:
+        index_dir = tempfile.mkdtemp(prefix="minhash_index_")
+        minhash_index_build(spark, sf_dir, index_dir, n=n, modulus=modulus)
+    batch = _shingled_docs(spark, sf_dir, n).filter(F.col("doc_id") % modulus == 0)
+    batch_keys = _minhash_band_keys(batch)
+    index_keys = spark.read.parquet(f"{index_dir}/band_keys")
+    cand = (
+        index_keys.alias("a")
+        .join(
+            F.broadcast(batch_keys.alias("b")),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key")),
+        )
+        .select(
+            F.col("b.doc_id").alias("batch_doc"),
+            F.col("a.doc_id").alias("corpus_doc"),
+        )
+        .distinct()
+    )
+    corpus_sh = spark.read.parquet(f"{index_dir}/shingles").select(
+        F.col("doc_id").alias("corpus_doc"), F.col("shingles").alias("sh_a")
+    )
+    batch_sh = batch.select(
+        F.col("doc_id").alias("batch_doc"), F.col("shingles").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.join(corpus_sh, "corpus_doc")
+        .join(F.broadcast(batch_sh), "batch_doc")
+        .filter(inter / union >= jaccard_threshold)
+        .select(
+            "batch_doc",
+            "corpus_doc",
+            (inter.cast("double") / union).alias("jaccard"),
         )
     )
