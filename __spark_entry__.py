@@ -320,6 +320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk_ivf_prebuilt": similarity.ivf_topk_prebuilt,
         "scd2_as_of": relational.scd2_as_of,
         "incremental_minhash_dedup": dedup.incremental_minhash_dedup,
+        "quality_score_model": text.quality_score_model,
         # --- round-2 verification front: r01-driver-unrecorded + new/changed
         # round-2 operator additions
         "chunk_documents": text.chunk_documents,
@@ -1363,6 +1364,20 @@ WHERE c_acctbal > avg_bal
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                   AND o_orderdate >= TIMESTAMP '1999-01-01')
 GROUP BY code
+""",
+        "quality_score_model": """
+WITH f AS (
+  SELECT doc_id,
+         CAST(n_chars AS DOUBLE) AS x_chars,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS x_toks,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS x_ttr
+  FROM documents
+)
+SELECT doc_id,
+       0.001 * x_chars + 0.01 * x_toks + 2.0 * x_ttr AS quality_score,
+       (0.001 * x_chars + 0.01 * x_toks + 2.0 * x_ttr) >= 1.5 AS keep
+FROM f
 """,
         "scd2_as_of": """
 WITH hist AS (

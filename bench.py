@@ -124,6 +124,7 @@ HEADLINE = [
     "similarity_topk_ivf_prebuilt",
     "scd2_as_of",
     "incremental_minhash_dedup",
+    "quality_score_model",
     # corpus versioning / semi-structured / distributions (round 2)
     "snapshot_diff",
     "variant_props_rollup",

@@ -381,3 +381,42 @@ def heavy_hitters_per_source(
         .filter(F.col("rk") <= k)
         .select("source", F.col("rk").cast("int").alias("rk"), "tok", "cnt")
     )
+
+
+def quality_score_model(
+    spark: SparkSession, sf_dir: str, threshold: float = 1.5
+) -> DataFrame:
+    """Model scoring at corpus scale: a (tiny, broadcast-in-the-plan)
+    linear quality model applied as pure column arithmetic — the
+    classifier-filter stage every pretraining pipeline runs after
+    heuristic cleaning, here with literal weights standing in for a
+    trained model's coefficients.
+
+    Deterministic-by-construction: features are integer counts and one
+    exact ratio, the score is a fixed-association double expression with
+    NO transcendentals (log/exp differ in the last ulp across libm
+    implementations; polynomial scoring does not), so the oracle
+    hash-matches bit-for-bit. SCALE: map-only — no shuffle, whole-stage
+    codegen end to end; at 100 TB swap the literal weights for a
+    broadcast coefficients row without changing the plan shape."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    d = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("x_chars"),
+        F.size(toks).cast("double").alias("x_toks"),
+        (
+            F.size(F.array_distinct(toks)).cast("double")
+            / F.size(toks).cast("double")
+        ).alias("x_ttr"),  # type-token ratio (lexical diversity)
+    )
+    score = (
+        F.lit(0.001) * F.col("x_chars")
+        + F.lit(0.01) * F.col("x_toks")
+        + F.lit(2.0) * F.col("x_ttr")
+    )
+    return d.select(
+        "doc_id",
+        score.alias("quality_score"),
+        (score >= F.lit(threshold)).alias("keep"),
+    )

@@ -203,3 +203,18 @@ def test_retention_cohort_week_zero_is_cohort_size(spark, sf_dir):
     events = read_table(spark, sf_dir, "events")
     n_users = events.select("user_id").distinct().count()
     assert sum(zero.values()) == n_users  # every user is in exactly one cohort
+
+
+def test_quality_score_model_is_map_only(spark, sf_dir):
+    from data_engineer_interview_task_spark.operators import text
+    from data_engineer_interview_task_spark.plans import explain_str
+
+    df = text.quality_score_model(spark, sf_dir)
+    plan = explain_str(df)
+    assert "Exchange" not in plan  # pure map-side scoring
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r.keep == (r.quality_score >= 1.5)
+        assert r.quality_score > 0
