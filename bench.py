@@ -133,7 +133,28 @@ HEADLINE = [
 
 
 def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+        help="testdata dir (also settable via SPARK_GRAFT_SF_DIR)",
+    )
+    ap.add_argument(
+        "--queries",
+        default=None,
+        help="comma-separated subset of HEADLINE to run (default: all)",
+    )
+    ap.add_argument(
+        "--repeats", type=int, default=2, help="timed runs per query (best-of)"
+    )
+    args = ap.parse_args()
+    sf_dir = args.sf_dir
+    headline = HEADLINE if args.queries is None else args.queries.split(",")
+    unknown = set(headline) - set(HEADLINE)
+    if unknown:
+        raise SystemExit(f"not headline queries: {sorted(unknown)}")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
     from pyspark.sql import SparkSession
@@ -155,7 +176,7 @@ def main() -> None:
 
     qs = entry.queries()
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         fn = qs[name]
         # drop references to prior queries' localCheckpoint RDDs and nudge
         # both GCs, so executor storage pressure from query N doesn't tax
@@ -165,7 +186,7 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm: plan + JIT + OS page cache
         best = float("inf")
-        for _ in range(2):  # best-of-2 damps GC/JIT jitter in local mode
+        for _ in range(args.repeats):  # best-of-N damps GC/JIT jitter in local mode
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)

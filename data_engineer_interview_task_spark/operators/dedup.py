@@ -68,14 +68,28 @@ def _shingles(toks_col, text_col, n: int = 3):
     )
 
 
+def shingle_documents(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingles) for a (doc_id, text) frame: distinct word-n-gram
+    shingles via ``ml.feature.NGram`` (Scala-side sliding window; ~10x
+    faster than an equivalent ``transform()`` lambda, which Spark
+    evaluates interpreted, outside whole-stage codegen). Short docs
+    (<n tokens) fall back to the whole text as a single shingle so they
+    can still pair up. DataFrame-level so index maintenance can shingle
+    an arbitrary incoming batch, not just a testdata table."""
+    from pyspark.ml.feature import NGram
+
+    toks = docs.withColumn("toks", F.split(F.col("text"), " "))
+    grams = NGram(n=n, inputCol="toks", outputCol="grams").transform(toks)
+    shingles = F.when(
+        F.size("toks") >= n, F.array_distinct("grams")
+    ).otherwise(F.array(F.col("text")))
+    return grams.select("doc_id", shingles.alias("shingles"))
+
+
 def _shingled_docs(
     spark: SparkSession, sf_dir: str, n: int, checkpoint: bool = True
 ) -> DataFrame:
-    """Distinct word-n-gram shingles per document via ``ml.feature.NGram``
-    (Scala-side sliding window; ~10x faster than an equivalent
-    ``transform()`` lambda, which Spark evaluates interpreted, outside
-    whole-stage codegen). Short docs (<n tokens) fall back to the whole
-    text as a single shingle so they can still pair up.
+    """``shingle_documents`` over the testdata documents table.
 
     ``checkpoint``: most consumers reference this frame 2-3 times (both
     join sides + sizes); localCheckpoint materializes the shingling once
@@ -86,16 +100,7 @@ def _shingled_docs(
     stage — so True is the right default everywhere; the flag exists for
     memory-constrained executors where storing shingle blocks is worse
     than recompute."""
-    from pyspark.ml.feature import NGram
-
-    docs = read_table(spark, sf_dir, "documents").withColumn(
-        "toks", F.split(F.col("text"), " ")
-    )
-    grams = NGram(n=n, inputCol="toks", outputCol="grams").transform(docs)
-    shingles = F.when(
-        F.size("toks") >= n, F.array_distinct("grams")
-    ).otherwise(F.array(F.col("text")))
-    out = grams.select("doc_id", shingles.alias("shingles"))
+    out = shingle_documents(read_table(spark, sf_dir, "documents"), n)
     return out.localCheckpoint() if checkpoint else out
 
 
@@ -177,38 +182,66 @@ def ngram_jaccard_pairs(
 
 
 def _minhash_band_keys(
-    docs: DataFrame, num_hashes: int = 32, bands: int = 8
+    docs: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    hash_family: str = "md5",
 ) -> DataFrame:
-    """(doc_id, band, band_key) for shingled docs — the md5-affine MinHash
-    signature split into banded keys (see ``minhash_lsh_pairs`` for the
-    hash-family rationale). Shared by the self-join pair query and the
-    incremental batch-vs-index dedup."""
+    """(doc_id, band, band_key) for shingled docs — the MinHash signature
+    split into banded keys (see ``minhash_lsh_pairs`` for the hash-family
+    rationale). Shared by the self-join pair query and the incremental
+    batch-vs-index dedup.
+
+    ``hash_family``: "md5" (default) is the engine-independent oracle
+    family — one md5 per shingle split into two 64-bit halves, string
+    band keys via md5(signature slice). "xxhash64" is the production
+    family — Spark's JVM xxhash64 (no hex decode, 8-byte keys, long band
+    keys), 2-4x cheaper but not reproducible in the DuckDB oracle, so
+    its query variant is checked by pair-set equality against the md5
+    twin instead (tests/test_dedup_fast.py)."""
     rows_per_band = num_hashes // bands
-    half = (
-        "shiftleft(CAST(conv(substring(m, {a}, 8), 16, 10) AS BIGINT), 32)"
-        " | CAST(conv(substring(m, {b}, 8), 16, 10) AS BIGINT)"
-    )
-    exploded = (
-        docs.select("doc_id", F.explode("shingles").alias("sh"))
-        .withColumn("m", F.md5("sh"))
-        .withColumn("p1", F.expr(half.format(a=1, b=9)))
-        .withColumn("p2", F.expr(half.format(a=17, b=25)))
-    )
+    exploded = docs.select("doc_id", F.explode("shingles").alias("sh"))
+    if hash_family == "xxhash64":
+        # two independent 64-bit draws per shingle: seed the second by
+        # prepending a constant column (xxhash64 hashes the tuple)
+        exploded = exploded.withColumn("p1", F.xxhash64("sh")).withColumn(
+            "p2", F.xxhash64(F.lit(1), "sh")
+        )
+    elif hash_family == "md5":
+        half = (
+            "shiftleft(CAST(conv(substring(m, {a}, 8), 16, 10) AS BIGINT), 32)"
+            " | CAST(conv(substring(m, {b}, 8), 16, 10) AS BIGINT)"
+        )
+        exploded = (
+            exploded.withColumn("m", F.md5("sh"))
+            .withColumn("p1", F.expr(half.format(a=1, b=9)))
+            .withColumn("p2", F.expr(half.format(a=17, b=25)))
+        )
+    else:
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
     sigs_wide = exploded.groupBy("doc_id").agg(
         *[F.min(F.expr(f"p1 + {i}L * p2")).alias(f"h{i}") for i in range(num_hashes)]
     )
-    band_cols = [
-        F.md5(
-            F.concat_ws(
-                "|",
-                *[
-                    F.col(f"h{b * rows_per_band + j}").cast("string")
-                    for j in range(rows_per_band)
-                ],
-            )
-        ).alias(f"b{b}")
-        for b in range(bands)
-    ]
+    if hash_family == "xxhash64":
+        band_cols = [
+            F.xxhash64(
+                *[F.col(f"h{b * rows_per_band + j}") for j in range(rows_per_band)]
+            ).alias(f"b{b}")
+            for b in range(bands)
+        ]
+    else:
+        band_cols = [
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"h{b * rows_per_band + j}").cast("string")
+                        for j in range(rows_per_band)
+                    ],
+                )
+            ).alias(f"b{b}")
+            for b in range(bands)
+        ]
     return (
         sigs_wide.select("doc_id", *band_cols)
         .unpivot(
@@ -228,6 +261,8 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     jaccard_threshold: float = 0.5,
+    hash_family: str = "md5",
+    max_band_df: int | None = None,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup: shingle -> ``num_hashes`` minhash
     signature -> split into ``bands`` bands -> docs colliding on any band
@@ -249,9 +284,35 @@ def minhash_lsh_pairs(
 
     Cost is O(docs x shingles) map-side + near-linear joins — the
     sub-quadratic path vs. ``ngram_jaccard_pairs``'s full inverted index.
-    """
+
+    ``max_band_df`` is the skew guard on the band self-join — the minhash
+    analog of ``ngram_jaccard_pairs``'s hot-shingle cap: a band key shared
+    by ``df`` docs contributes df² candidate rows, so one near-constant
+    document cluster (boilerplate pages, templated spam) turns a band
+    bucket into a straggler. With the cap set, band keys with
+    ``df > max_band_df`` are dropped BEFORE the self-join, bounding every
+    bucket at cap². Recall semantics, stated honestly: a cluster of
+    NEAR-identical docs is hot in the bands where its members agree and
+    cold in the rest, so pairs survive through the uncapped bands; a
+    cluster of (near-)EXACT duplicates larger than the cap is hot in
+    every band and loses its pairs — which is correct pipeline order,
+    because exact/fingerprint dedup (``exact_dedup``/``canonical_docs``)
+    runs BEFORE LSH and has already collapsed those. The adversarial
+    property test (tests/test_dedup_fast.py) pins both directions.
+    Default ``None`` = uncapped (the oracle twin); at 100 TB run with a
+    cap around the expected cluster ceiling (10³-10⁴)."""
     docs = _shingled_docs(spark, sf_dir, n)
-    sigs = _minhash_band_keys(docs, num_hashes, bands)
+    sigs = _minhash_band_keys(docs, num_hashes, bands, hash_family)
+    if max_band_df is not None:
+        # per-(band, band_key) document frequency — shares the band-key
+        # hash partitioning with the self-join that follows
+        keep = (
+            sigs.groupBy("band", "band_key")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_band_df)
+            .select("band", "band_key")
+        )
+        sigs = sigs.join(keep, ["band", "band_key"])
     cand = (
         sigs.alias("a")
         .join(
@@ -435,7 +496,12 @@ def corpus_clean_pipeline(
 # ---------------------------------------------------------------------------
 
 
-def simhash_signatures(spark: SparkSession, sf_dir: str, bits: int = 64) -> DataFrame:
+def simhash_signatures(
+    spark: SparkSession,
+    sf_dir: str,
+    bits: int = 64,
+    hash_family: str = "md5",
+) -> DataFrame:
     """Per-document SimHash signature over word-trigram shingles.
 
     shingle -> 64-bit hash -> per bit position b: vote +1 if bit set else
@@ -451,8 +517,9 @@ def simhash_signatures(spark: SparkSession, sf_dir: str, bits: int = 64) -> Data
     complement bit pattern) — unlike xxhash64, md5 is engine-independent,
     which makes the ENTIRE simhash construction (and its banded pair
     generation) DuckDB-oracle-checkable bit-for-bit. Cost: ~2x xxhash64
-    on the hash step (~0.5s at sf0.1) — swap one expression to trade the
-    oracle for speed in production.
+    on the hash step (~0.5s at sf0.1) — ``hash_family="xxhash64"`` is
+    that swap (production family; not oracle-reproducible, so its pair
+    variant is equality-tested against the md5 twin instead).
     """
     toks = (
         # checkpoint kept even though this chain is single-consumer: A/B at
@@ -461,16 +528,23 @@ def simhash_signatures(spark: SparkSession, sf_dir: str, bits: int = 64) -> Data
         # the wide aggregation stage
         _shingled_docs(spark, sf_dir, 3)
         .select("doc_id", F.explode("shingles").alias("tok"))
-        .withColumn("m", F.md5("tok"))
-        .withColumn(
-            "h",
-            F.expr(
-                "shiftleft(CAST(conv(substring(m, 1, 8), 16, 10) AS BIGINT), 32)"
-                " | CAST(conv(substring(m, 9, 8), 16, 10) AS BIGINT)"
-            ),
-        )
-        .drop("m")
     )
+    if hash_family == "xxhash64":
+        toks = toks.withColumn("h", F.xxhash64("tok"))
+    elif hash_family == "md5":
+        toks = (
+            toks.withColumn("m", F.md5("tok"))
+            .withColumn(
+                "h",
+                F.expr(
+                    "shiftleft(CAST(conv(substring(m, 1, 8), 16, 10) AS BIGINT), 32)"
+                    " | CAST(conv(substring(m, 9, 8), 16, 10) AS BIGINT)"
+                ),
+            )
+            .drop("m")
+        )
+    else:
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
     # all `bits` votes in ONE groupBy as aggregate columns — exploding a
     # (row x bit-position) pair table would multiply the shuffle by `bits`
     # (measured 9.6s -> ~1s at sf0.1; same layout lesson as the minhash
@@ -501,6 +575,7 @@ def simhash_near_dup_pairs(
     bits: int = 64,
     bands: int = 8,
     max_hamming: int = 7,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """SimHash near-dup pairs: banded blocking + Hamming verification.
 
@@ -514,7 +589,7 @@ def simhash_near_dup_pairs(
     """
     band_width = bits // bands
     mask = (1 << band_width) - 1
-    sigs = simhash_signatures(spark, sf_dir, bits=bits)
+    sigs = simhash_signatures(spark, sf_dir, bits=bits, hash_family=hash_family)
     banded = sigs.select(
         "doc_id",
         "simhash",
@@ -659,41 +734,42 @@ def minhash_index_build(
     maintains continuously — each crawl batch dedups against it WITHOUT
     recomputing anything over the corpus."""
     docs = _shingled_docs(spark, sf_dir, n).filter(F.col("doc_id") % modulus != 0)
-    _minhash_band_keys(docs).write.mode("overwrite").parquet(
-        f"{index_dir}/band_keys"
-    )
-    docs.select("doc_id", "shingles").write.mode("overwrite").parquet(
+    _minhash_index_write(docs, index_dir, mode="overwrite")
+
+
+def _minhash_index_write(shingled: DataFrame, index_dir: str, mode: str) -> None:
+    _minhash_band_keys(shingled).write.mode(mode).parquet(f"{index_dir}/band_keys")
+    shingled.select("doc_id", "shingles").write.mode(mode).parquet(
         f"{index_dir}/shingles"
     )
 
 
-def incremental_minhash_dedup(
+def minhash_index_append(docs: DataFrame, index_dir: str, n: int = 3) -> None:
+    """Append an incoming batch (doc_id, text) INTO the persisted index —
+    the third leg of continuous corpus maintenance: build once, then per
+    crawl batch (1) dedup the batch against the index, (2) append the
+    surviving remainder here. Append-mode parquet writes touch no
+    existing file, so the operation is batch-sized, never corpus-sized;
+    the grown index is bit-equivalent to a one-shot rebuild over
+    corpus ∪ batch (tests/test_dedup_fast.py pins the round-trip)."""
+    sh = shingle_documents(docs, n).localCheckpoint()
+    _minhash_index_write(sh, index_dir, mode="append")
+
+
+def minhash_dedup_batch(
     spark: SparkSession,
-    sf_dir: str,
-    index_dir: str | None = None,
+    index_dir: str,
+    docs: DataFrame,
     n: int = 3,
-    modulus: int = 17,
     jaccard_threshold: float = 0.5,
 ) -> DataFrame:
-    """Dedup an incoming BATCH (``doc_id % modulus == 0``) against the
-    persisted corpus index: compute band keys for the batch only, equi-join
-    them against the STORED band keys, and exact-verify candidates against
-    the STORED shingle sets — corpus work is O(matching candidates), never
-    a recompute or a corpus self-join.
-
-    SCALE: the batch side is small by definition (one crawl increment);
-    its band keys broadcast into the index join, so the only corpus-sized
-    IO is a scan of the band-key index (at 100 TB: bucket the stored keys
-    by band_key so the join becomes co-located, or range-partition and
-    push the batch's key set down as a filter). Output columns
-    (batch_doc, corpus_doc, jaccard) — the batch rows to drop before
-    appending the remainder to the corpus and its index."""
-    import tempfile
-
-    if index_dir is None:
-        index_dir = tempfile.mkdtemp(prefix="minhash_index_")
-        minhash_index_build(spark, sf_dir, index_dir, n=n, modulus=modulus)
-    batch = _shingled_docs(spark, sf_dir, n).filter(F.col("doc_id") % modulus == 0)
+    """Dedup an arbitrary (doc_id, text) batch against the persisted
+    index: band keys for the batch only, equi-joined against the STORED
+    band keys; candidates exact-verified against the STORED shingle
+    sets. Corpus work is O(matching candidates). Output (batch_doc,
+    corpus_doc, jaccard) — the batch rows to drop before appending the
+    remainder via ``minhash_index_append``."""
+    batch = shingle_documents(docs, n).localCheckpoint()
     batch_keys = _minhash_band_keys(batch)
     index_keys = spark.read.parquet(f"{index_dir}/band_keys")
     cand = (
@@ -726,4 +802,59 @@ def incremental_minhash_dedup(
             "corpus_doc",
             (inter.cast("double") / union).alias("jaccard"),
         )
+    )
+
+
+_MINHASH_INDEX_CACHE: dict[tuple[str, int, int], str] = {}
+
+
+def _cached_minhash_index(
+    spark: SparkSession, sf_dir: str, n: int, modulus: int
+) -> str:
+    """Build the corpus index at most once per (sf_dir, n, modulus) per
+    process — the index is immutable, so repeated driver/bench sweeps
+    reuse it instead of leaving one full copy per call under /tmp
+    (ADVICE r3). Reuse is also the production semantics: the deployed
+    index is built on ingest and queried by every batch."""
+    import tempfile
+
+    key = (sf_dir, n, modulus)
+    path = _MINHASH_INDEX_CACHE.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="minhash_index_")
+        minhash_index_build(spark, sf_dir, path, n=n, modulus=modulus)
+        _MINHASH_INDEX_CACHE[key] = path
+    return path
+
+
+def incremental_minhash_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str | None = None,
+    n: int = 3,
+    modulus: int = 17,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Dedup an incoming BATCH (``doc_id % modulus == 0``) against the
+    persisted corpus index: compute band keys for the batch only, equi-join
+    them against the STORED band keys, and exact-verify candidates against
+    the STORED shingle sets — corpus work is O(matching candidates), never
+    a recompute or a corpus self-join.
+
+    SCALE: the batch side is small by definition (one crawl increment);
+    its band keys broadcast into the index join, so the only corpus-sized
+    IO is a scan of the band-key index (at 100 TB: bucket the stored keys
+    by band_key so the join becomes co-located, or range-partition and
+    push the batch's key set down as a filter). Output columns
+    (batch_doc, corpus_doc, jaccard) — the batch rows to drop before
+    appending the remainder to the corpus and its index (see
+    ``minhash_index_append`` / ``minhash_dedup_batch`` for the
+    continuous-maintenance loop over arbitrary batch frames)."""
+    if index_dir is None:
+        index_dir = _cached_minhash_index(spark, sf_dir, n, modulus)
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % modulus == 0
+    )
+    return minhash_dedup_batch(
+        spark, index_dir, docs, n=n, jaccard_threshold=jaccard_threshold
     )

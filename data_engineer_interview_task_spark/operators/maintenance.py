@@ -201,7 +201,10 @@ def table_checksum(spark: SparkSession, sf_dir: str, buckets: int = 32) -> DataF
 
 
 def bucketed_join_rollup(
-    spark: SparkSession, sf_dir: str, buckets: int = 8
+    spark: SparkSession,
+    sf_dir: str,
+    buckets: int = 8,
+    keep_layout: bool = False,
 ) -> DataFrame:
     """Co-located (bucketed) join: both fact tables are written bucketed +
     sorted on the join key, so the subsequent join runs WITHOUT a shuffle
@@ -213,67 +216,98 @@ def bucketed_join_rollup(
     The only remaining exchange is the final aggregate's (|priorities|
     rows). Buckets here are 8 for the test warehouse; production sizing:
     buckets ~ total size / (HDFS block x executors), fixed ACROSS tables
-    sharing the key so they co-locate."""
+    sharing the key so they co-locate.
+
+    Session hygiene (ADVICE r3): table names are unique per call (no
+    cross-session metastore races), the legacy scan-ordering conf is
+    restored, and the catalog entries + layout dir are cleaned up. That
+    requires materializing the (|priorities|-row, aggregate-sized) result
+    while the conf/layout are alive — ``keep_layout=True`` skips all of
+    it and returns the raw lazy plan instead, for the plan tests that
+    assert the zero-Exchange/zero-Sort shape; those own the cleanup."""
+    import shutil
     import tempfile
+    import uuid
 
     orders = read_table(spark, sf_dir, "orders")
     li = read_table(spark, sf_dir, "lineitem")
     # EXTERNAL tables under a fresh tempdir: no dependence on the session
-    # warehouse (the driver's cwd may not be writable) and no stale-
-    # location collisions across sessions; DROP clears the catalog name
-    # for re-registration within this session
+    # warehouse (the driver's cwd may not be writable); per-call unique
+    # names so concurrent sessions sharing a metastore can't race
     base = tempfile.mkdtemp(prefix="bkt_join_")
-    for name in ("bkt_orders", "bkt_lineitem"):
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
+    tag = uuid.uuid4().hex[:8]
+    t_orders, t_li = f"bkt_orders_{tag}", f"bkt_lineitem_{tag}"
     # report the per-bucket sort order from the scan (one file per bucket,
     # see the repartition below) so the SMJ drops its Sort nodes too;
     # since Spark 3.0 this is behind a legacy flag because multi-file
     # buckets made the ordering claim unsafe — our writer guarantees the
     # single-file layout the flag assumes
-    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
-    # repartition on the bucket key first -> ONE file per bucket, which is
-    # the layout Spark requires to trust the per-bucket sort order (multi-
-    # file buckets force a defensive re-Sort under the join)
-    (
-        orders.select("o_orderkey", "o_orderpriority")
-        .repartition(buckets, "o_orderkey")
-        .write.format("parquet")
-        .option("path", f"{base}/bkt_orders")
-        .bucketBy(buckets, "o_orderkey")
-        .sortBy("o_orderkey")
-        .mode("overwrite")
-        .saveAsTable("bkt_orders")
-    )
-    (
-        li.select(
-            "l_orderkey",
-            F.col("l_extendedprice").cast("decimal(18,2)").alias("price_dec"),
-            F.col("l_discount").cast("decimal(18,2)").alias("disc_dec"),
+    conf_key = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    # get(key, None) is None unless the conf was EXPLICITLY set — a bare
+    # get(key) would return the session default "false" and the restore
+    # would then pin it, changing the session's unset-vs-set state
+    prior = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "true")
+    try:
+        # repartition on the bucket key first -> ONE file per bucket, which
+        # is the layout Spark requires to trust the per-bucket sort order
+        # (multi-file buckets force a defensive re-Sort under the join)
+        (
+            orders.select("o_orderkey", "o_orderpriority")
+            .repartition(buckets, "o_orderkey")
+            .write.format("parquet")
+            .option("path", f"{base}/{t_orders}")
+            .bucketBy(buckets, "o_orderkey")
+            .sortBy("o_orderkey")
+            .mode("overwrite")
+            .saveAsTable(t_orders)
         )
-        .repartition(buckets, "l_orderkey")
-        .write.format("parquet")
-        .option("path", f"{base}/bkt_lineitem")
-        .bucketBy(buckets, "l_orderkey")
-        .sortBy("l_orderkey")
-        .mode("overwrite")
-        .saveAsTable("bkt_lineitem")
-    )
-    b_li = spark.table("bkt_lineitem")
-    b_orders = spark.table("bkt_orders")
-    rev = (
-        b_li.price_dec * (F.lit(1).cast("decimal(18,2)") - b_li.disc_dec)
-    ).cast("decimal(28,6)")
-    return (
-        # merge hint: at test SFs the orders side is under the broadcast
-        # threshold and Catalyst would BHJ (hiding the layout win this
-        # operator demonstrates); at production scale SMJ is what it picks
-        # anyway, and with both sides bucketed+sorted the SMJ needs
-        # neither Exchange nor Sort
-        b_li.hint("merge")
-        .join(b_orders, b_li.l_orderkey == b_orders.o_orderkey)
-        .groupBy("o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("n_items"),
-            F.sum(rev).cast("double").alias("revenue"),
+        (
+            li.select(
+                "l_orderkey",
+                F.col("l_extendedprice").cast("decimal(18,2)").alias("price_dec"),
+                F.col("l_discount").cast("decimal(18,2)").alias("disc_dec"),
+            )
+            .repartition(buckets, "l_orderkey")
+            .write.format("parquet")
+            .option("path", f"{base}/{t_li}")
+            .bucketBy(buckets, "l_orderkey")
+            .sortBy("l_orderkey")
+            .mode("overwrite")
+            .saveAsTable(t_li)
         )
-    )
+        b_li = spark.table(t_li)
+        b_orders = spark.table(t_orders)
+        rev = (
+            b_li.price_dec * (F.lit(1).cast("decimal(18,2)") - b_li.disc_dec)
+        ).cast("decimal(28,6)")
+        out = (
+            # merge hint: at test SFs the orders side is under the broadcast
+            # threshold and Catalyst would BHJ (hiding the layout win this
+            # operator demonstrates); at production scale SMJ is what it
+            # picks anyway, and with both sides bucketed+sorted the SMJ
+            # needs neither Exchange nor Sort
+            b_li.hint("merge")
+            .join(b_orders, b_li.l_orderkey == b_orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.sum(rev).cast("double").alias("revenue"),
+            )
+        )
+        if keep_layout:
+            return out
+        # aggregate-sized materialization (|priorities| rows), NOT a data
+        # collect — the price of leaving the session exactly as we found it
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        if not keep_layout:
+            if prior is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prior)
+            for name in (t_orders, t_li):
+                spark.sql(f"DROP TABLE IF EXISTS {name}")
+            shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)

@@ -612,12 +612,16 @@ def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Count and decimal SUM are commutative monoids, so
     ``re-aggregate(state ∪ partial(delta)) == full recompute`` EXACTLY
-    (the oracle is the full rollup). The cutoff splits the fixed testdata
-    deterministically; in production the state side is the stored rollup
-    table. SCALE: the merge shuffle carries |weeks × types| + |delta
-    weeks × types| rows — aggregate-sized, not event-sized."""
+    (the oracle is the full rollup). The cutoff 2024-01-15 falls mid-span
+    of the events table (2024-01-01..2024-01-30 at every SF), so BOTH the
+    state and the delta side are non-empty and the merge is exercised for
+    real — tests/test_sinks_streaming.py asserts the non-degeneracy so
+    regenerated testdata can't silently re-trivialize it (ADVICE r3). In
+    production the state side is the stored rollup table. SCALE: the
+    merge shuffle carries |weeks × types| + |delta weeks × types| rows —
+    aggregate-sized, not event-sized."""
     events = read_table(spark, sf_dir, "events")
-    cutoff = F.lit("1996-01-15").cast("timestamp")
+    cutoff = F.lit("2024-01-15").cast("timestamp")
 
     def rollup(df: DataFrame) -> DataFrame:
         return df.groupBy(

@@ -197,18 +197,29 @@ def token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def chargram_minhash(spark: SparkSession, sf_dir: str, k: int = 8, bottom: int = 4) -> DataFrame:
+def chargram_minhash(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 8,
+    bottom: int = 4,
+    hash_family: str = "md5",
+) -> DataFrame:
     """Rolling-hash document fingerprint, winnowing-style: hash every
-    ``k``-char gram (md5 — cross-engine deterministic, unlike engine hash
-    functions) and keep the ``bottom`` lexicographically-smallest hashes as
-    the document's sketch. Bottom-k sketches are the order-independent
+    ``k``-char gram and keep the ``bottom`` smallest hashes as the
+    document's sketch. Bottom-k sketches are the order-independent
     fingerprint family behind content-defined dedup: near-identical docs
     share most of their smallest gram hashes.
+
+    ``hash_family``: "md5" (default) is cross-engine deterministic —
+    lexicographically-smallest hex strings, DuckDB-oracle-checked.
+    "xxhash64" is the production family (JVM long hashes, numeric
+    bottom-k) — 2-4x cheaper on the hash step but engine-specific, so
+    it's sketch-overlap-tested against the md5 twin instead.
 
     Gram extraction uses one regexp with a lookahead-free trick: positions
     come from a (doc x offset) explode of substring — all codegen'd."""
     docs = read_table(spark, sf_dir, "documents")
-    # explode positions FIRST, then substring+md5 as ordinary projections:
+    # explode positions FIRST, then substring+hash as ordinary projections:
     # inside a transform() lambda they run interpreted (~7x slower measured
     # at sf0.1); as post-explode projections they stay in codegen
     positions = docs.select(
@@ -218,9 +229,13 @@ def chargram_minhash(spark: SparkSession, sf_dir: str, k: int = 8, bottom: int =
             F.sequence(F.lit(1), F.greatest(F.length("text") - (k - 1), F.lit(1)))
         ).alias("i"),
     )
-    hashed = positions.select(
-        "doc_id", F.md5(F.expr(f"substring(text, i, {k})")).alias("h")
-    )
+    gram = F.expr(f"substring(text, i, {k})")
+    if hash_family == "xxhash64":
+        hashed = positions.select("doc_id", F.xxhash64(gram).alias("h"))
+    elif hash_family == "md5":
+        hashed = positions.select("doc_id", F.md5(gram).alias("h"))
+    else:
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
     # ONE aggregation: collect_set dedups per doc, sort, take the bottom-k
     # slice — vs distinct + ranking window, this drops a whole shuffle
     # (per-group state is bounded by grams-per-doc, fine for documents)

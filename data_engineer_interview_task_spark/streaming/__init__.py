@@ -11,7 +11,12 @@ from .joins import (
     run_click_purchase_join_once,
     run_click_purchase_left_join_once,
 )
-from .dedup import first_events_stream, run_first_events_once
+from .dedup import (
+    first_events_stream,
+    first_events_stream_bounded,
+    run_first_events_bounded_once,
+    run_first_events_once,
+)
 
 __all__ = [
     "weekly_rollup_stream",
@@ -19,6 +24,8 @@ __all__ = [
     "sliding_rollup_stream",
     "run_sliding_rollup_once",
     "first_events_stream",
+    "first_events_stream_bounded",
+    "run_first_events_bounded_once",
     "run_first_events_once",
     "sessionize_stream",
     "sessionize_stream_flushing",

@@ -60,3 +60,53 @@ def run_first_events_once(
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+def first_events_stream_bounded(
+    spark: SparkSession, source_dir: str, watermark: str = "30 days"
+) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` (Spark 3.5+) — the BOUNDED-STATE
+    production form of ``first_events_stream``: state entries are GC'd
+    once their event time ages past the watermark, so state holds only
+    the keys of the trailing watermark window instead of every key ever
+    seen. The price is a weaker guarantee — only duplicates arriving
+    within the watermark delay of each other are suppressed — which is
+    the right trade for unbounded streams where exact forever-dedup
+    would mean unbounded state. With the default 30-day delay (>= the
+    event table's whole span) the emitted key set still equals SELECT
+    DISTINCT, so the registered query stays fully oracle-checkable;
+    tests/test_streaming_late_data.py pins the state bound itself with
+    a short watermark over a two-batch feed."""
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(source_dir)
+    return (
+        stream.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+
+
+def run_first_events_bounded_once(
+    spark: SparkSession,
+    sf_dir: str,
+    work_dir: str,
+    watermark: str = "30 days",
+) -> DataFrame:
+    """availableNow harness for the bounded-state dedup (same pattern as
+    ``run_first_events_once``)."""
+    from ..sources import read_table
+
+    prep_session(spark)
+    src = f"{work_dir}/events_src"
+    read_table(spark, sf_dir, "events").write.mode("overwrite").parquet(src)
+    sink = f"mem_firstev_wm_{uuid.uuid4().hex[:8]}"
+    q = (
+        first_events_stream_bounded(spark, src, watermark)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", f"{work_dir}/ckpt_{sink}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)

@@ -109,16 +109,45 @@ def test_table_checksum_partition_invariant(spark, sf_dir):
 
 
 def test_bucketed_join_has_no_join_exchange(spark, sf_dir):
-    df = maintenance.bucketed_join_rollup(spark, sf_dir)
-    plan = explain_str(df)
-    assert "SortMergeJoin" in plan
-    # bucketed+sorted one-file-per-bucket layout: the join needs neither
-    # an Exchange nor a Sort; the only exchange left is the final
-    # aggregate's
-    # tree-format node names ("Exchange (n)"); the details section
-    # re-lists nodes as "(n) Exchange" and must not double-count
-    assert plan.count("Exchange (") <= 1, plan
-    assert plan.count("Sort (") == 0, plan
-    rows = df.collect()
+    # keep_layout=True returns the raw lazy plan (the default path
+    # materializes + cleans up, which would hide the shape under test);
+    # this test therefore owns the conf restore
+    conf_key = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    prior = spark.conf.get(conf_key, None)
+    try:
+        df = maintenance.bucketed_join_rollup(spark, sf_dir, keep_layout=True)
+        plan = explain_str(df)
+        assert "SortMergeJoin" in plan
+        # bucketed+sorted one-file-per-bucket layout: the join needs
+        # neither an Exchange nor a Sort; the only exchange left is the
+        # final aggregate's
+        # tree-format node names ("Exchange (n)"); the details section
+        # re-lists nodes as "(n) Exchange" and must not double-count
+        assert plan.count("Exchange (") <= 1, plan
+        assert plan.count("Sort (") == 0, plan
+        rows = df.collect()
+    finally:
+        if prior is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prior)
+        for t in spark.catalog.listTables():
+            if t.name.startswith("bkt_"):
+                spark.sql(f"DROP TABLE IF EXISTS {t.name}")
     assert len(rows) == 5  # one per priority
     assert all(r.n_items > 0 and r.revenue > 0 for r in rows)
+
+
+def test_bucketed_join_default_path_restores_session(spark, sf_dir):
+    """The driver-facing default must leave the long-lived session exactly
+    as it found it: legacy conf unchanged, no leftover catalog tables
+    (ADVICE r3)."""
+    conf_key = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    prior = spark.conf.get(conf_key, None)
+    rows = maintenance.bucketed_join_rollup(spark, sf_dir).collect()
+    assert len(rows) == 5
+    assert spark.conf.get(conf_key, None) == prior
+    leftover = [
+        t.name for t in spark.catalog.listTables() if t.name.startswith("bkt_")
+    ]
+    assert leftover == []

@@ -1,0 +1,70 @@
+"""Registry-ordering hygiene (VERDICT r3 items 1 & 8).
+
+The driver's correctness sweep records exactly the first 50 entries of
+``__spark_entry__.queries()`` each round. Rounds 1-3 each reordered the
+registry to front-load new work, which displaced 22 queries from every
+sweep window and left one stale red record un-refreshed. This test pins
+the invariant that would have caught both process gaps:
+
+    first-50 registry names  ⊇  {never-driver-recorded} ∪ {driver-red}
+
+where a query counts as *attested* iff its LATEST driver record (highest
+CORRECTNESS_r*.json round) is fully green, or is the designed rows-only
+``err == "no_oracle"`` shape.
+"""
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+
+import __spark_entry__ as entry
+
+_REPO = os.path.dirname(os.path.abspath(os.path.join(__file__, "..")))
+
+
+def _latest_driver_records() -> dict[str, dict]:
+    latest: dict[str, dict] = {}
+    for path in sorted(
+        glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")),
+        key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
+    ):
+        with open(path) as f:
+            for name, rec in json.load(f).items():
+                latest[name] = rec
+    return latest
+
+
+def _attested(rec: dict) -> bool:
+    if rec.get("err") == "no_oracle":  # designed rows-only query
+        return True
+    return (
+        rec.get("err") is None
+        and rec.get("rows_match") is True
+        and rec.get("schema_match") is True
+        and rec.get("hash_match") is True
+    )
+
+
+def test_unattested_queries_are_in_driver_window():
+    registry = list(entry.queries())
+    assert len(registry) == len(set(registry)), "duplicate registry names"
+    latest = _latest_driver_records()
+    window = set(registry[:50])
+    unattested = [
+        name
+        for name in registry
+        if name not in latest or not _attested(latest[name])
+    ]
+    missed = [n for n in unattested if n not in window]
+    assert not missed, (
+        "queries with no green driver record must sit in the first-50 "
+        f"sweep window; displaced: {missed}"
+    )
+
+
+def test_oracle_names_match_registry():
+    registry = set(entry.queries())
+    oracles = set(entry.oracle_sql())
+    assert oracles <= registry, f"orphan oracles: {sorted(oracles - registry)}"

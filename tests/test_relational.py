@@ -126,6 +126,16 @@ def test_windowed_funnel_never_exceeds_unwindowed(spark, sf_dir):
 
 def test_incremental_rollup_merge_equals_full(spark, sf_dir):
     from data_engineer_interview_task_spark.operators import relational
+    from data_engineer_interview_task_spark.sources import read_table
+
+    # non-degeneracy guard (ADVICE r3): the operator's cutoff must split
+    # the events span for real — if regenerated testdata ever moves the
+    # span off 2024-01-15, the IVM merge silently degrades to a plain
+    # recompute and this test must fail loudly instead.
+    events = read_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15").cast("timestamp")
+    assert events.filter(F.col("ts") < cutoff).count() > 0
+    assert events.filter(F.col("ts") >= cutoff).count() > 0
 
     merged = {
         (r.week_start, r.event_type): (r.n_events, r.total_value)

@@ -64,3 +64,65 @@ def test_watermark_drops_too_late_rows(spark, tmp_path):
     jan1_weeks = [e for e in emitted if e[0] < "2024-01-10"]
     assert jan1_weeks, f"expected an emitted early window, got {emitted}"
     assert all(n == 1 for _, n in jan1_weeks), emitted
+
+
+def test_bounded_dedup_state_is_gcd_past_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark vs plain dropDuplicates: after the
+    watermark passes a key's expiry, the bounded variant evicts it while
+    the classic variant (no event-time in the key) holds every key
+    forever — the state-bound that makes the bounded form the production
+    default on unbounded streams (VERDICT r3 item 6)."""
+    from data_engineer_interview_task_spark.streaming.dedup import (
+        first_events_stream,
+        first_events_stream_bounded,
+    )
+
+    def run_once(stream_fn, src, ckpt, sink_dir):
+        q = (
+            stream_fn(spark, src, watermark="2 days")
+            .writeStream.format("parquet")
+            .option("path", sink_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return q
+
+    def state_rows(q):
+        progresses = [p for p in q.recentProgress if p.get("stateOperators")]
+        return progresses[-1]["stateOperators"][0]["numRowsTotal"]
+
+    results = {}
+    for name, fn in (
+        ("bounded", first_events_stream_bounded),
+        ("classic", first_events_stream),
+    ):
+        src = str(tmp_path / f"src_{name}")
+        ckpt = str(tmp_path / f"ckpt_{name}")
+        sink = str(tmp_path / f"sink_{name}")
+        # batch 1: 50 distinct old keys (Jan 1) + one recent key (Jan 10)
+        # advancing the watermark to Jan 8
+        olds = spark.createDataFrame(
+            [(i, dt.datetime(2024, 1, 1, 10), i, "click", 1.0, "{}") for i in range(50)]
+            + [(999, dt.datetime(2024, 1, 10, 10), 999, "click", 1.0, "{}")],
+            schema=EVENTS_SCHEMA,
+        )
+        olds.write.mode("overwrite").parquet(src)
+        run_once(fn, src, ckpt, sink)
+        # batch 2: one new key — triggers eviction under the Jan-8 watermark
+        spark.createDataFrame(
+            [(1000, dt.datetime(2024, 1, 10, 12), 1000, "click", 1.0, "{}")],
+            schema=EVENTS_SCHEMA,
+        ).write.mode("append").parquet(src)
+        q = run_once(fn, src, ckpt, sink)
+        results[name] = state_rows(q)
+        # both variants emitted every distinct key exactly once
+        emitted = spark.read.parquet(sink)
+        assert emitted.count() == 52
+        assert emitted.distinct().count() == 52
+    # the 50 expired keys are GC'd from bounded state but pinned forever
+    # in classic state
+    assert results["classic"] == 52, results
+    assert results["bounded"] <= 2, results
