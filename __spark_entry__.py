@@ -244,6 +244,24 @@ def _streaming_first_events_bounded(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def _streaming_running_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained per-user running aggregate (count + exact
+    decimal total) via arbitrary stateful streaming
+    (applyInPandasWithState; integer-cents state so the fold is exact),
+    run over a two-micro-batch feed and resolved to each user's LAST
+    emission — which provably equals the batch groupBy, the oracle. The
+    transformWithStateInPandas twin of the same fold is a documented
+    forward-compat seam (its state client needs protobuf, absent here;
+    tests skip-guard it)."""
+    from data_engineer_interview_task_spark.streaming import (
+        run_running_user_stats_once,
+    )
+
+    return run_running_user_stats_once(
+        spark, sf_dir, _work_dir("stream_running", sf_dir)
+    )
+
+
 def _streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream join with watermarks on both sides (click -> purchase
     within 1h per user). Fully ORACLE-CHECKED against the batch-twin SQL
@@ -372,6 +390,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs_fast": _minhash_lsh_pairs_fast,  # rows-only (xxhash64 family; equality-tested vs md5 twin)
         "minhash_lsh_pairs_banddf_capped": _minhash_lsh_pairs_banddf_capped,  # hot-band skew guard active
         "streaming_first_events_bounded": _streaming_first_events_bounded,  # oracle (bounded-state dedup)
+        "semantic_dedup": similarity.semantic_dedup,
+        "streaming_running_user_stats": _streaming_running_user_stats,  # oracle (running fold == batch groupBy)
+        "prefix_filter_jaccard_pairs": dedup.prefix_filter_jaccard_pairs,
+        "event_value_outliers": cleaning.event_value_outliers,
         # --- round-3 additions (all green in CORRECTNESS_r03.json)
         "volume_shipping": tpch_shapes.volume_shipping,
         "nation_market_share": tpch_shapes.nation_market_share,
@@ -1193,6 +1215,25 @@ JOIN s sa ON sa.doc_id = doc_a
 JOIN s sb ON sb.doc_id = doc_b
 WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.5
 """,
+        # prefix filtering is COMPLETE for Jaccard >= t (see the operator
+        # docstring), so its oracle IS the quadratic definition — the same
+        # SQL as the inverted-index path
+        "prefix_filter_jaccard_pairs": f"""
+WITH {shingles_cte},
+e AS (SELECT doc_id, unnest(shingles) AS sh FROM d),
+s AS (SELECT doc_id, len(shingles) AS n_sh FROM d),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+  FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, shared AS shared_shingles,
+       CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) AS jaccard
+FROM p
+JOIN s sa ON sa.doc_id = doc_a
+JOIN s sb ON sb.doc_id = doc_b
+WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.5
+""",
         "near_dup_clusters": f"""
 WITH RECURSIVE {shingles_cte},
 e AS (SELECT doc_id, unnest(shingles) AS sh FROM d),
@@ -1972,6 +2013,23 @@ j AS (
 SELECT label, id_a, id_b FROM j
 WHERE dot * abs(dot) / (na * nb) >= 0.35 * 0.35
 """,
+        "semantic_dedup": f"""
+WITH a AS (SELECT vec_id AS id_a, embedding AS va, label FROM embeddings),
+b AS (SELECT vec_id AS id_b, embedding AS vb, label FROM embeddings),
+j AS (
+  SELECT a.label, id_a, id_b,
+         CAST({dot64.format(a='va', b='vb')} AS DOUBLE) AS dot,
+         CAST({dot64.format(a='va', b='va')} AS DOUBLE) AS na,
+         CAST({dot64.format(a='vb', b='vb')} AS DOUBLE) AS nb
+  FROM a JOIN b ON a.label = b.label AND id_a < id_b
+),
+dom AS (
+  SELECT DISTINCT id_b FROM j
+  WHERE dot * abs(dot) / (na * nb) >= 0.35 * 0.35
+)
+SELECT vec_id, label FROM embeddings
+WHERE vec_id NOT IN (SELECT id_b FROM dom)
+""",
         "text_quality": """
 SELECT doc_id,
        CAST(length(text) AS BIGINT) AS n_chars,
@@ -2407,6 +2465,45 @@ SELECT DISTINCT user_id, event_type FROM events
 """,
         "streaming_first_events_bounded": """
 SELECT DISTINCT user_id, event_type FROM events
+""",
+        "streaming_running_user_stats": """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY user_id
+""",
+        "event_value_outliers": """
+WITH ev AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events
+),
+med AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+         quantile_cont(cents, 0.5) AS med_cents
+  FROM ev GROUP BY event_type
+),
+dev AS (
+  SELECT ev.event_type, cents, abs(cents - med_cents) AS adev
+  FROM ev JOIN med ON ev.event_type = med.event_type
+),
+mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad_cents
+  FROM dev GROUP BY event_type
+),
+flagged AS (
+  SELECT dev.event_type,
+         CAST(SUM(CASE WHEN adev > 3.0 * 1.4826 * mad_cents
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+  FROM dev JOIN mad ON dev.event_type = mad.event_type
+  GROUP BY dev.event_type
+)
+SELECT med.event_type, n_events,
+       med_cents / 100.0 AS median_value,
+       mad_cents / 100.0 AS mad_value,
+       n_outliers
+FROM med JOIN mad ON med.event_type = mad.event_type
+JOIN flagged ON med.event_type = flagged.event_type
 """,
         "big_order_customers": """
 WITH big AS (

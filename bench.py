@@ -129,6 +129,12 @@ HEADLINE = [
     "snapshot_diff",
     "variant_props_rollup",
     "price_equidepth_histogram",
+    # round 4: fast hash family, skew-capped LSH, prefix-filter join,
+    # semantic dedup
+    "minhash_lsh_pairs_fast",
+    "minhash_lsh_pairs_banddf_capped",
+    "prefix_filter_jaccard_pairs",
+    "semantic_dedup",
 ]
 
 

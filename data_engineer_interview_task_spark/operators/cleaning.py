@@ -197,3 +197,54 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("unchanged"))
         .alias("status"),
     ).filter(F.col("status") != "unchanged")
+
+
+def event_value_outliers(spark: SparkSession, sf_dir: str, k: float = 3.0) -> DataFrame:
+    """Robust per-type outlier audit: median + MAD (median absolute
+    deviation) of event values per event_type, and the count of events
+    beyond ``k * 1.4826 * MAD`` of the median — the robust z-score data-
+    quality gate (mean/stddev break under the very outliers being hunted;
+    median/MAD don't).
+
+    Determinism across engines: value is exactly 2-decimal-quantized in
+    the testdata, so all statistics run on integer CENTS. An exact
+    interpolating median of integers lands on .0 or .5 — exact in binary
+    — so the median, the MAD (a median of integer absolute deviations
+    shifted by that exact half), and every comparison bitwise-match
+    DuckDB's quantile_cont. Two aggregation exchanges (type-bounded) + a
+    broadcast join of the |types|-row stats table back onto events."""
+    events = read_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    ev = events.select("event_type", cents.alias("cents"))
+    med = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.percentile("cents", F.lit(0.5)).alias("med_cents"),
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "cents",
+        F.abs(F.col("cents") - F.col("med_cents")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad_cents")
+    )
+    flagged = (
+        dev.join(F.broadcast(mad), "event_type")
+        .withColumn(
+            "is_outlier",
+            F.col("adev") > F.lit(k) * 1.4826 * F.col("mad_cents"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum(F.when(F.col("is_outlier"), 1).otherwise(0)).alias("n_outliers"))
+    )
+    return (
+        med.join(mad, "event_type")
+        .join(flagged, "event_type")
+        .select(
+            "event_type",
+            "n_events",
+            (F.col("med_cents") / 100.0).alias("median_value"),
+            (F.col("mad_cents") / 100.0).alias("mad_value"),
+            F.col("n_outliers").cast("long").alias("n_outliers"),
+        )
+    )

@@ -858,3 +858,128 @@ def incremental_minhash_dedup(
     return minhash_dedup_batch(
         spark, index_dir, docs, n=n, jaccard_threshold=jaccard_threshold
     )
+
+
+# ---------------------------------------------------------------------------
+# prefix-filtering set-similarity join (PPJoin family — Xiao et al., WWW'08)
+# ---------------------------------------------------------------------------
+
+
+def prefix_filter_jaccard_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT Jaccard >= threshold pairs via prefix filtering — the third
+    sub-quadratic dedup family next to LSH banding and the df-capped
+    inverted index, and unlike LSH it is COMPLETE by theorem, not with
+    high probability.
+
+    Prefix-filter principle: fix one global total order over shingles
+    (here: ascending document frequency, rarest first, shingle string as
+    tie-break — both engines compare strings bytewise). If
+    J(A,B) >= t then A and B must share at least one shingle within
+    their PREFIXES, where prefix(A) = the first |A| - ceil(t*|A|) + 1
+    shingles of A in that order. Proof sketch: J >= t forces
+    |A∩B| >= ceil(t*|A|), so A cannot place all its intersection
+    behind its prefix. The candidate join therefore touches only prefix
+    tokens — and because prefixes are the RAREST shingles, the hot-key
+    quadratic blowup of the full inverted index never happens: the
+    boilerplate shingles that dominate df live at the END of the order
+    and are never joined on.
+
+    Three further standard prunes, all exactness-preserving:
+    - length filter: J >= t implies t*|A| <= |B| <= |A|/t — applied in
+      the candidate join;
+    - positional filter (the PP in PPJoin): a prefix match at per-doc
+      ranks (rk_a, rk_b) bounds the overlap by
+      min(|A|-rk_a, |B|-rk_b) + 1; J >= t needs overlap >=
+      ceil(t/(1+t)·(|A|+|B|)), so candidates whose BEST match can't
+      reach that are dropped before any array work (for the first shared
+      token the bound is maximal, so no true pair is lost);
+    - verification is one array_intersect over the (localCheckpointed)
+      shingle arrays, identical to the LSH verify step — only on the
+      doubly-pruned candidates.
+
+    Output/columns match ``ngram_jaccard_pairs`` exactly, and by the
+    completeness theorem so do the ROWS — the oracle IS the quadratic
+    definition, and tests pin pair-set equality against the inverted-
+    index path.
+
+    SCALE: df aggregation (vocab-bounded) + one per-doc window (ranking
+    shingles within a doc, partition = doc) + an equi-join on prefix
+    shingles only. For t=0.5 the prefix is ~half the doc, but candidate
+    volume is governed by the df of RARE shingles — empirically orders
+    of magnitude below the full index at web scale."""
+    docs = _shingled_docs(spark, sf_dir, n)
+    sizes = docs.select("doc_id", F.size("shingles").alias("n_sh"))
+    # 64-bit shingle hashes as df-count, order and join keys (the same
+    # 8-byte-key trade as ngram_jaccard_pairs — completeness needs only
+    # SOME global total order, so (df asc, hash asc) serves; the string
+    # itself never shuffles)
+    exploded = docs.select("doc_id", F.explode("shingles").alias("sh")).select(
+        "doc_id", F.xxhash64("sh").alias("shh")
+    )
+    df_tab = exploded.groupBy("shh").agg(F.count(F.lit(1)).alias("df"))
+    # per-doc rank in the global (df asc, shh asc) order; prefix length
+    # |A| - ceil(t|A|) + 1
+    w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("shh").asc())
+    ranked = (
+        exploded.join(df_tab, "shh")
+        .withColumn("rk", F.row_number().over(w))
+        .join(sizes, "doc_id")
+        .filter(F.col("rk") <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1)
+        .select("doc_id", "shh", "n_sh", "rk")
+        # explosive-join parallelism (see embedding_near_dup_pairs): the
+        # prefix table is broadcast-small, so without an explicit
+        # repartition the candidate self-join inherits the documents
+        # scan's single input split and runs one-task
+        .repartition(spark.sparkContext.defaultParallelism, "shh")
+        .localCheckpoint()
+    )
+    # overlap upper bound from this match's prefix positions
+    ubound = 1 + F.least(
+        F.col("a.n_sh") - F.col("a.rk"), F.col("b.n_sh") - F.col("b.rk")
+    )
+    # minimum overlap J >= t requires: ceil(t/(1+t) * (|A|+|B|))
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("a.n_sh") + F.col("b.n_sh"))
+    )
+    cand = (
+        ranked.alias("a")
+        .join(
+            ranked.alias("b"),
+            (F.col("a.shh") == F.col("b.shh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # length filter: t|A| <= |B| (and symmetrically |B| <= |A|/t)
+            & (F.col("b.n_sh") >= F.lit(threshold) * F.col("a.n_sh"))
+            & (F.col("a.n_sh") >= F.lit(threshold) * F.col("b.n_sh")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ubound.alias("ub"),
+            alpha.alias("alpha"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.max("ub").alias("ub"), F.first("alpha").alias("alpha"))
+        .filter(F.col("ub") >= F.col("alpha"))
+        .select("doc_a", "doc_b")
+    )
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter / union
+    return (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .filter(jac >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.cast("long").alias("shared_shingles"),
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+    )

@@ -311,3 +311,55 @@ def bucketed_join_rollup(
                 spark.sql(f"DROP TABLE IF EXISTS {name}")
             shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+def compact_table(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    target_files: int | None = None,
+) -> DataFrame:
+    """Small-files compaction — the table-maintenance pass every streaming
+    or per-batch append sink eventually needs: thousands of KB-sized
+    files turn a scan into an open()-bound crawl and blow up driver
+    split planning. Rewrites ``src_path`` into ``dst_path`` with
+    ``ceil(total_bytes / target_bytes)`` files (or an explicit
+    ``target_files``) and returns a one-row report.
+
+    Sizing reads the FILE SYSTEM's byte totals (HDFS-API via the JVM, so
+    it works on any Hadoop-compatible FS, not just local), not Spark
+    statistics — compaction must see physical layout, and row counts
+    alone mislead when files differ in compression. The rewrite is a
+    round-robin ``repartition(n)`` (even output sizes, no skew from the
+    input layout); row-identity is asserted by the test, and at 100 TB
+    this runs per partition-directory (compact yesterday's partition,
+    never the whole table) under the same API."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    fs_path = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = fs_path.getFileSystem(conf)
+    summary = fs.getContentSummary(fs_path)
+    total_bytes = summary.getLength()
+    df = spark.read.parquet(src_path)
+    n_before = df.select(F.input_file_name()).distinct().count()
+    if target_files is None:
+        target_files = max(1, -(-total_bytes // target_bytes))  # ceil div
+    df.repartition(int(target_files)).write.mode("overwrite").parquet(dst_path)
+    out = spark.read.parquet(dst_path)
+    n_after = out.select(F.input_file_name()).distinct().count()
+    dst_fs_path = jvm.org.apache.hadoop.fs.Path(dst_path)
+    bytes_after = dst_fs_path.getFileSystem(conf).getContentSummary(dst_fs_path).getLength()
+    return spark.createDataFrame(
+        [
+            (
+                int(n_before),
+                int(n_after),
+                int(total_bytes),
+                int(bytes_after),
+                int(out.count()),
+            )
+        ],
+        "files_before BIGINT, files_after BIGINT, bytes_before BIGINT, "
+        "bytes_after BIGINT, n_rows BIGINT",
+    )

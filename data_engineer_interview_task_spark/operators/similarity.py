@@ -265,29 +265,58 @@ def embedding_near_dup_pairs(
     """Embedding-cosine near-dup pairs, blocked by ``label`` (the cluster
     id) so the pair join is an equi-join on the block key instead of
     all-pairs — the embedding analog of shingle blocking. Exact DECIMAL
-    cosine so the DuckDB oracle hash-matches."""
+    cosine so the DuckDB oracle hash-matches.
+
+    Formulation: the per-PAIR dot product is a posexplode join + hash
+    aggregate, NOT an array-lambda fold. ``F.aggregate`` lambdas run
+    interpreted outside whole-stage codegen and are re-entered per pair
+    (measured 19.8s -> ~2s at sf0.1 on the semantic_dedup consumer);
+    exploding to (id, dim, x) rows and joining on (label, dim) keeps the
+    multiply + decimal-sum in codegen. DECIMAL addition is exact and
+    commutative, so the hash aggregate's arbitrary order produces the
+    bit-identical total the oracle's ordered list_sum fold produces.
+    Per-vector norms use the (tiny, |vectors|-sized) lambda fold — one
+    fold per vector, not per pair."""
     emb = read_table(spark, sf_dir, "embeddings")
-    # per-vector norms precomputed before the pair join (see brute_force_topk)
     norm_of = lambda c: sq_norm_decimal_expr(c).cast("double")  # noqa: E731
-    a = emb.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("va"),
-        norm_of(F.col("embedding")).alias("na"),
-        "label",
+    norms = emb.select(
+        "vec_id", "label", norm_of(F.col("embedding")).alias("nsq")
+    ).localCheckpoint()
+    # EXPLOSIVE-join parallelism: the embeddings table is one input split
+    # at test scale, and with the pair join broadcastable there is no
+    # exchange anywhere — so without this the 64x-fan-out join and its
+    # decimal aggregation run in ONE task regardless of cores (measured
+    # 27s -> 3s at sf0.1). Explicit repartition decouples the task count
+    # from input splits; AQE never coalesces a user-specified count.
+    par = spark.sparkContext.defaultParallelism
+    ex = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "x")
+    ).repartition(par, "label", "dim")
+    prod = (F.col("a.x").cast("double") * F.col("b.x").cast("double")).cast(
+        "decimal(28,14)"
     )
-    b = emb.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("vb"),
-        norm_of(F.col("embedding")).alias("nb"),
-        "label",
+    dots = (
+        ex.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.dim") == F.col("b.dim"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .groupBy(
+            F.col("a.label").alias("label"),
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+        )
+        .agg(F.sum(prod).cast("double").alias("dot"))
     )
-    dot = dot_decimal_expr(F.col("va"), F.col("vb")).cast("double")
-    key = dot * F.abs(dot) / (F.col("na") * F.col("nb"))
+    na = norms.select(F.col("vec_id").alias("id_a"), F.col("nsq").alias("na"))
+    nb = norms.select(F.col("vec_id").alias("id_b"), F.col("nsq").alias("nb"))
+    key = F.col("dot") * F.abs(F.col("dot")) / (F.col("na") * F.col("nb"))
     return (
-        a.join(b, "label")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_key", key)
-        .filter(F.col("cos_key") >= threshold * abs(threshold))
+        dots.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .filter(key >= threshold * abs(threshold))
         .select("label", "id_a", "id_b")
     )
 
@@ -439,4 +468,42 @@ def ivf_topk_prebuilt(
         pairs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def semantic_dedup(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.35
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    the embedding space, then drop items that are near-duplicates IN
+    EMBEDDING SPACE of another item in the same cluster — the dedup pass
+    that catches paraphrases and re-encodings that shingle-based methods
+    miss. Survivors = docs a training run keeps.
+
+    Survivor rule, stated precisely: within a cluster (``label`` — in
+    production the k-means cell, exactly as ``ivf_index_build`` lays
+    out), a vector is DROPPED iff some lower-id vector in the same
+    cluster has cosine >= threshold with it. This "dominated by any
+    lower id" rule is the parallel-deterministic variant of SemDeDup's
+    per-neighborhood keep-one: one equi-join on the cluster key + one
+    anti-join, no sequential greedy scan, rerun-stable (id order is the
+    tie-break, not arrival order). It can drop a chain slightly more
+    aggressively than sequential greedy (B~A and C~B with C!~A still
+    drops both B and C) — acceptable for training-data curation, where
+    over-dropping borderline semantic dups is the safe direction.
+
+    SCALE: the pair join is cluster-blocked (the embedding analog of
+    LSH banding — never all-pairs); the dominated set is duplicate-sized
+    and broadcasts into the anti-join. Cosine uses the exact DECIMAL
+    dot/norm ladder (``functions/vector.py``) so the DuckDB twin
+    hash-matches bit-for-bit."""
+    dominated = (
+        embedding_near_dup_pairs(spark, sf_dir, threshold)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    emb = read_table(spark, sf_dir, "embeddings")
+    return (
+        emb.join(F.broadcast(dominated), "vec_id", "left_anti")
+        .select("vec_id", "label")
     )

@@ -11,6 +11,12 @@ from .joins import (
     run_click_purchase_join_once,
     run_click_purchase_left_join_once,
 )
+from .stateful import (
+    run_running_user_stats_once,
+    running_user_stats_stream,
+    running_user_stats_stream_gs,
+    transform_with_state_available,
+)
 from .dedup import (
     first_events_stream,
     first_events_stream_bounded,
@@ -27,6 +33,10 @@ __all__ = [
     "first_events_stream_bounded",
     "run_first_events_bounded_once",
     "run_first_events_once",
+    "run_running_user_stats_once",
+    "running_user_stats_stream",
+    "running_user_stats_stream_gs",
+    "transform_with_state_available",
     "sessionize_stream",
     "sessionize_stream_flushing",
     "run_sessionize_once",

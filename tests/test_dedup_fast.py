@@ -201,3 +201,37 @@ def test_unknown_hash_family_raises(spark, sf_dir):
         dedup.simhash_signatures(spark, sf_dir, hash_family="fnv")
     with pytest.raises(ValueError):
         text.chargram_minhash(spark, sf_dir, hash_family="fnv")
+
+
+def test_prefix_filter_equals_inverted_index(spark, sf_dir):
+    """Prefix filtering is COMPLETE for Jaccard >= t — the pair set (and
+    values) must exactly equal the quadratic inverted-index path."""
+    full = {
+        (r.doc_a, r.doc_b): (r.shared_shingles, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(spark, sf_dir).collect()
+    }
+    pf = {
+        (r.doc_a, r.doc_b): (r.shared_shingles, r.jaccard)
+        for r in dedup.prefix_filter_jaccard_pairs(spark, sf_dir).collect()
+    }
+    assert full
+    assert pf == full
+
+
+def test_prefix_filter_skips_hot_shingles(spark, tmp_path):
+    """The candidate join must only touch PREFIX (rare) shingles: on the
+    adversarial corpus, background docs share no rare shingles with
+    anything, so only the genuine near-dup pairs and the exact-dup
+    cluster survive — and the pair set still exactly matches the
+    quadratic definition (completeness under adversarial df skew)."""
+    root = str(tmp_path)
+    _write_adversarial_corpus(spark, root)
+    full = {
+        (r.doc_a, r.doc_b) for r in dedup.ngram_jaccard_pairs(spark, root).collect()
+    }
+    pf = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.prefix_filter_jaccard_pairs(spark, root).collect()
+    }
+    assert pf == full
+    assert (100, 101) in pf and (200, 201) in pf

@@ -151,3 +151,25 @@ def test_bucketed_join_default_path_restores_session(spark, sf_dir):
         t.name for t in spark.catalog.listTables() if t.name.startswith("bkt_")
     ]
     assert leftover == []
+
+
+def test_compact_table_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
+    from data_engineer_interview_task_spark.sources import read_table
+
+    orders = read_table(spark, sf_dir, "orders")
+    src = str(tmp_path / "fragmented")
+    dst = str(tmp_path / "compacted")
+    # simulate a per-batch append sink: 64 tiny files
+    orders.repartition(64).write.parquet(src)
+    report = maintenance.compact_table(spark, src, dst, target_files=4).collect()[0]
+    assert report.files_before == 64
+    assert report.files_after == 4
+    assert report.n_rows == orders.count()
+    # row identity, not just count
+    a = spark.read.parquet(src).orderBy("o_orderkey").collect()
+    b = spark.read.parquet(dst).orderBy("o_orderkey").collect()
+    assert a == b
+    # auto-sizing path: huge target_bytes collapses to one file
+    dst1 = str(tmp_path / "one")
+    r1 = maintenance.compact_table(spark, src, dst1).collect()[0]
+    assert r1.files_after == 1

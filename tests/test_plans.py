@@ -255,3 +255,61 @@ def test_topk_per_group_uses_window_group_limit(spark, sf_dir):
     assert "WindowGroupLimit" in physical
     assert "Partial" in physical.split("WindowGroupLimit")[-1] or \
         physical.count("WindowGroupLimit") >= 2
+
+
+def test_semantic_dedup_plan_blocked_and_broadcast(spark, sf_dir):
+    """semantic_dedup must stay cluster-blocked (equi-join on label, never
+    a cartesian pair build) and its dominated-set anti-join must
+    broadcast (duplicate-sized side)."""
+    from data_engineer_interview_task_spark.operators import similarity
+
+    df = similarity.semantic_dedup(spark, sf_dir)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # the anti-join of the dominated set
+    rows = df.count()
+    assert 0 < rows < 2000  # strictly fewer than the corpus -> it dedups
+
+
+def test_prefix_filter_plan_no_cartesian_and_prefix_prunes(spark, sf_dir):
+    """The prefix-filter join must be an equi-join on prefix shingles
+    (no cartesian/BNLJ anywhere), and its candidate volume must be
+    strictly below the full inverted index's — the point of the prefix."""
+    from data_engineer_interview_task_spark.operators import dedup
+
+    df = dedup.prefix_filter_jaccard_pairs(spark, sf_dir)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # candidate volume: count candidate pairs both ways through the public
+    # surface (prefix candidates <= all-sharing-a-shingle candidates)
+    docs = dedup._shingled_docs(spark, sf_dir, 3)
+    ex = docs.select("doc_id", F.explode("shingles").alias("sh"))
+    full_cand = (
+        ex.alias("a")
+        .join(ex.alias("b"), (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+        .count()
+    )
+    sizes = docs.select("doc_id", F.size("shingles").alias("n_sh"))
+    df_tab = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("sh").asc())
+    ranked = (
+        ex.join(df_tab, "sh")
+        .withColumn("rk", F.row_number().over(w))
+        .join(sizes, "doc_id")
+        .filter(F.col("rk") <= F.col("n_sh") - F.ceil(F.lit(0.5) * F.col("n_sh")) + 1)
+        .select("doc_id", "sh")
+    )
+    prefix_cand = (
+        ranked.alias("a")
+        .join(ranked.alias("b"), (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+        .count()
+    )
+    assert prefix_cand < full_cand, (prefix_cand, full_cand)
