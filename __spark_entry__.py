@@ -394,6 +394,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_running_user_stats": _streaming_running_user_stats,  # oracle (running fold == batch groupBy)
         "prefix_filter_jaccard_pairs": dedup.prefix_filter_jaccard_pairs,
         "event_value_outliers": cleaning.event_value_outliers,
+        "asof_join_forward": relational.asof_join_forward,
+        "salted_skew_join_rollup": maintenance.salted_skew_join_rollup,
         # --- round-3 additions (all green in CORRECTNESS_r03.json)
         "volume_shipping": tpch_shapes.volume_shipping,
         "nation_market_share": tpch_shapes.nation_market_share,
@@ -1575,6 +1577,46 @@ SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items,
             AS DOUBLE) AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
+""",
+        # salting is a pure physical-layout trick: the oracle is the PLAIN
+        # (unsalted) join — any salting bug that duplicates or drops a fact
+        # row breaks the hash compare
+        "salted_skew_join_rollup": """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                     (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6)))
+            AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+        "asof_join_forward": """
+WITH od AS (
+  SELECT o_custkey AS k, o_orderdate AS t, MAX(o_orderkey) AS okey
+  FROM orders GROUP BY 1, 2
+),
+u AS (
+  SELECT user_id AS k, ts AS t, 1 AS is_event, event_id,
+         CAST(NULL AS BIGINT) AS okey, CAST(NULL AS TIMESTAMP) AS ot
+  FROM events
+  UNION ALL
+  SELECT k, t, 0 AS is_event, CAST(NULL AS BIGINT) AS event_id, okey,
+         t AS ot
+  FROM od
+),
+wnd AS (
+  SELECT *,
+         first_value(okey IGNORE NULLS) OVER
+           (PARTITION BY k ORDER BY t, is_event
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+           AS next_orderkey,
+         first_value(ot IGNORE NULLS) OVER
+           (PARTITION BY k ORDER BY t, is_event
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+           AS next_orderdate
+  FROM u
+)
+SELECT event_id, k AS user_id, next_orderkey, next_orderdate
+FROM wnd WHERE is_event = 1
 """,
         "table_checksum": f"""
 WITH h AS (SELECT doc_id % 32 AS bucket,

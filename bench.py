@@ -130,11 +130,14 @@ HEADLINE = [
     "variant_props_rollup",
     "price_equidepth_histogram",
     # round 4: fast hash family, skew-capped LSH, prefix-filter join,
-    # semantic dedup
+    # semantic dedup, robust outliers, salted join, forward as-of
     "minhash_lsh_pairs_fast",
     "minhash_lsh_pairs_banddf_capped",
     "prefix_filter_jaccard_pairs",
     "semantic_dedup",
+    "event_value_outliers",
+    "salted_skew_join_rollup",
+    "asof_join_forward",
 ]
 
 

@@ -363,3 +363,60 @@ def compact_table(
         "files_before BIGINT, files_after BIGINT, bytes_before BIGINT, "
         "bytes_after BIGINT, n_rows BIGINT",
     )
+
+
+def salted_skew_join_rollup(
+    spark: SparkSession, sf_dir: str, salts: int = 8
+) -> DataFrame:
+    """Manual key-salting for skewed shuffle joins — the classic remedy
+    when ONE join key carries a disproportionate share of the fact rows
+    and the dimension side is too large to broadcast: a plain shuffle
+    join puts the whole hot key in one task.
+
+    Construction (exactness-preserving by FK semantics): the fact side
+    (lineitem) gets a deterministic salt in [0, salts) — here
+    ``pmod(l_linenumber, salts)``, any fact-side column works; the dim
+    side (orders key->priority) is EXPLODED once per salt value, and the
+    join key becomes (orderkey, salt). Every fact row still meets
+    exactly ONE dim row (its order, at its salt), so the joined multiset
+    — and therefore the rollup — is IDENTICAL to the unsalted join (the
+    oracle is the plain-join SQL), while the hot key's rows now spread
+    over ``salts`` shuffle partitions. Cost: the dim shuffle grows
+    ``salts``-fold — cheap when dim << fact, which is precisely the
+    skew scenario.
+
+    Note AQE's skew-join handles this automatically for sort-merge joins
+    (enabled in ``plans/tuning.py``); the manual form remains necessary
+    for aggregation-free pipelines, stream-static joins, and engines/
+    modes where AQE can't split (and as the documented recipe the
+    automatic path implements). tests/test_plans.py asserts the join
+    keys really carry the salt."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    fact = li.select(
+        "l_orderkey",
+        F.pmod(F.col("l_linenumber"), F.lit(salts)).alias("salt"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price_dec"),
+        F.col("l_discount").cast("decimal(18,2)").alias("disc_dec"),
+    )
+    dim = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.explode(F.sequence(F.lit(0), F.lit(salts - 1))).alias("salt"),
+    )
+    rev = (
+        F.col("price_dec") * (F.lit(1).cast("decimal(18,2)") - F.col("disc_dec"))
+    ).cast("decimal(28,6)")
+    return (
+        fact.join(
+            dim,
+            (fact.l_orderkey == dim.o_orderkey) & (fact.salt == dim.salt),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+    )

@@ -189,6 +189,59 @@ def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: for each event, the customer's NEXT order
+    strictly after the event time — the attribution direction ("which
+    purchase did this click lead to") that the backward as-of
+    (``asof_join_events_orders``) can't answer.
+
+    Same union-tag single-window composition, mirrored: one hash
+    exchange on the key, ``first(order, ignorenulls)`` over the
+    FOLLOWING frame. Strictness falls out of the sort key: at identical
+    t, orders sort BEFORE events (is_event asc), so a same-instant order
+    is behind the event row and outside its following frame. Orders are
+    deduped to max orderkey per (custkey, date) so "next order" is
+    well-defined (and the oracle deterministic)."""
+    events = read_table(spark, sf_dir, "events")
+    orders = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    ev = events.select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_event"),
+        F.col("event_id"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("timestamp").alias("o_t"),
+    )
+    od = orders.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_orderkey"),
+        F.col("o_orderdate").alias("o_t"),
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy(F.col("t").asc(), F.col("is_event").asc())
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    tagged = (
+        ev.unionByName(od)
+        .withColumn("next_orderkey", F.first("o_orderkey", ignorenulls=True).over(w))
+        .withColumn("next_orderdate", F.first("o_t", ignorenulls=True).over(w))
+    )
+    return tagged.filter(F.col("is_event") == 1).select(
+        "event_id",
+        F.col("k").alias("user_id"),
+        "next_orderkey",
+        "next_orderdate",
+    )
+
+
 def weekly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the reference's weekly cadence (``@weekly`` at
     ``dags/google_trends_to_bigquery.py:163``): per (ISO week, event_type)

@@ -313,3 +313,20 @@ def test_prefix_filter_plan_no_cartesian_and_prefix_prunes(spark, sf_dir):
         .count()
     )
     assert prefix_cand < full_cand, (prefix_cand, full_cand)
+
+
+def test_salted_join_carries_salt_in_join_keys(spark, sf_dir):
+    """The salted join must actually join on (key, salt) — otherwise the
+    operator silently degrades to the plain join it exists to replace —
+    and each fact row must match exactly one exploded dim row (pinned by
+    the oracle's plain-join equality, re-asserted here on counts)."""
+    from data_engineer_interview_task_spark.operators import maintenance
+    from data_engineer_interview_task_spark.sources import read_table
+
+    df = maintenance.salted_skew_join_rollup(spark, sf_dir)
+    plan = explain_str(df)
+    join_section = plan[plan.find("Join") :]
+    assert "salt" in join_section.lower(), plan
+    rows = {r.o_orderpriority: r.n_items for r in df.collect()}
+    li = read_table(spark, sf_dir, "lineitem")
+    assert sum(rows.values()) == li.count()  # no dup/dropped fact rows
