@@ -219,6 +219,20 @@ def _streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_sessionize_once(spark, sf_dir, _work_dir("stream_sessions", sf_dir))
 
 
+def _streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUILT-IN session_window streaming aggregation run to completion
+    (availableNow, complete mode, memory sink): mergeable session state
+    finalized by the watermark — the declarative counterpart of the
+    applyInPandasWithState sessionizer. Fully ORACLE-CHECKED against the
+    same lag/cumsum island SQL as the batch ``session_window_rollup``
+    (identical merge rule: a gap of exactly the threshold starts a new
+    session); batch==stream equality additionally pinned by
+    tests/test_streaming_sessions.py."""
+    from data_engineer_interview_task_spark.streaming import run_session_window_once
+
+    return run_session_window_once(spark, sf_dir, _work_dir("stream_swin", sf_dir))
+
+
 def _streaming_first_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup (dropDuplicates under a watermark): emitted key set
     equals SELECT DISTINCT regardless of arrival order, so this streaming
@@ -391,11 +405,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs_banddf_capped": _minhash_lsh_pairs_banddf_capped,  # hot-band skew guard active
         "streaming_first_events_bounded": _streaming_first_events_bounded,  # oracle (bounded-state dedup)
         "semantic_dedup": similarity.semantic_dedup,
+        "semantic_dedup_scaled": similarity.semantic_dedup_scaled,  # srp-sub-bucketed cells (linear scale path)
         "streaming_running_user_stats": _streaming_running_user_stats,  # oracle (running fold == batch groupBy)
         "prefix_filter_jaccard_pairs": dedup.prefix_filter_jaccard_pairs,
         "event_value_outliers": cleaning.event_value_outliers,
         "asof_join_forward": relational.asof_join_forward,
         "salted_skew_join_rollup": maintenance.salted_skew_join_rollup,
+        "bloom_filtered_join_rollup": maintenance.bloom_filtered_join_rollup,  # runtime-filter prune, exact-join verified
+        "session_window_rollup": relational.session_window_rollup,  # built-in session_window (streamable form)
+        "streaming_session_window": _streaming_session_window,  # oracle (same island SQL as batch)
         # --- round-3 additions (all green in CORRECTNESS_r03.json)
         "volume_shipping": tpch_shapes.volume_shipping,
         "nation_market_share": tpch_shapes.nation_market_share,
@@ -611,23 +629,28 @@ _FOLD64 = (
 )
 
 
+def _srp_plane_values(n_tables: int, n_planes: int, dim: int = 64) -> str:
+    """SQL VALUES rows of the deterministic SRP hyperplane weights —
+    generated from the operator's own ``_srp_plane_weight`` so the Spark
+    plan and every oracle twin share one source of truth."""
+    from data_engineer_interview_task_spark.operators.similarity import (
+        _srp_plane_weight,
+    )
+
+    return ", ".join(
+        f"({t}, {p}, {d}, {_srp_plane_weight(t, p, d)!r})"
+        for t in range(n_tables)
+        for p in range(n_planes)
+        for d in range(dim)
+    )
+
+
 def _srp_lsh_sql() -> str:
     """Twin of similarity.srp_lsh_topk: the same 2048 literal hyperplane
     weights (shared python source of truth), DECIMAL projection sums (sign
     bits deterministic), bucket collision candidates across 8 tables,
     exact left-fold-double cosine re-ranking."""
-    import hashlib as _h
-
-    def plane_weight(t: int, p: int, d: int) -> float:
-        h = int.from_bytes(_h.md5(f"{t}:{p}:{d}".encode()).digest()[:4], "big")
-        return h / 2**32 - 0.5
-
-    values = ", ".join(
-        f"({t}, {p}, {d}, {plane_weight(t, p, d)!r})"
-        for t in range(8)
-        for p in range(4)
-        for d in range(64)
-    )
+    values = _srp_plane_values(n_tables=8, n_planes=4)
     fold = (
         "list_reduce(list_transform(range(64), i -> "
         "CAST({a}[i+1] AS DOUBLE) * CAST({b}[i+1] AS DOUBLE)), "
@@ -1164,6 +1187,29 @@ SELECT user_id, session_seq, COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM s GROUP BY user_id, session_seq
 """,
+        # session_window merges iff the next event starts STRICTLY before
+        # the running session's end, so a gap of exactly 30min starts a
+        # new session: >= here where sessionize_events uses >
+        "session_window_rollup": """
+WITH o AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), s AS (
+  SELECT *, CAST(SUM(is_new) OVER (
+      PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM o
+)
+SELECT user_id, MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM s GROUP BY user_id, session_seq
+""",
         "exact_dedup": """
 SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
 FROM documents GROUP BY text
@@ -1587,6 +1633,19 @@ SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items,
                      (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6)))
             AS DOUBLE) AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+        # the bloom prefilter is exactness-preserving (no false negatives;
+        # false positives die in the exact join) — the oracle is the PLAIN
+        # filtered join, so any fp that leaked through would hash-mismatch
+        "bloom_filtered_join_rollup": """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                     (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6)))
+            AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate <  TIMESTAMP '1995-04-01'
 GROUP BY o_orderpriority
 """,
         "asof_join_forward": """
@@ -2072,6 +2131,42 @@ dom AS (
 SELECT vec_id, label FROM embeddings
 WHERE vec_id NOT IN (SELECT id_b FROM dom)
 """,
+        "semantic_dedup_scaled": f"""
+WITH w(t, p, d, wt) AS (VALUES {_srp_plane_values(n_tables=2, n_planes=2)}),
+ex AS (
+  SELECT vec_id, i AS d, CAST(embedding[i + 1] AS DOUBLE) AS x
+  FROM embeddings, (SELECT unnest(range(64)) AS i) dims
+),
+proj AS (
+  SELECT vec_id, w.t, w.p,
+         SUM(CAST(floor(x * wt * 1000000000.0) AS BIGINT)) AS s
+  FROM ex JOIN w ON ex.d = w.d
+  GROUP BY vec_id, w.t, w.p
+),
+buckets AS (
+  SELECT vec_id, t,
+         CAST(SUM(CASE WHEN s >= 0 THEN 1 << p ELSE 0 END) AS BIGINT)
+           AS bucket
+  FROM proj GROUP BY vec_id, t
+),
+b2 AS (SELECT b.vec_id, b.t, b.bucket, e.label, e.embedding
+       FROM buckets b JOIN embeddings e ON b.vec_id = e.vec_id),
+j AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST({dot64.format(a='a.embedding', b='b.embedding')} AS DOUBLE) AS dot,
+         CAST({dot64.format(a='a.embedding', b='a.embedding')} AS DOUBLE) AS na,
+         CAST({dot64.format(a='b.embedding', b='b.embedding')} AS DOUBLE) AS nb
+  FROM b2 a JOIN b2 b
+    ON a.t = b.t AND a.bucket = b.bucket AND a.label = b.label
+       AND a.vec_id < b.vec_id
+),
+dom AS (
+  SELECT DISTINCT id_b FROM j
+  WHERE dot * abs(dot) / (na * nb) >= 0.35 * 0.35
+)
+SELECT vec_id, label FROM embeddings
+WHERE vec_id NOT IN (SELECT id_b FROM dom)
+""",
         "text_quality": """
 SELECT doc_id,
        CAST(length(text) AS BIGINT) AS n_chars,
@@ -2455,6 +2550,29 @@ SELECT make_timestamp(((epoch_us(ts) // 86400000000) - k) * 86400000000)
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM events, (SELECT unnest(range(7)) AS k) offs
 GROUP BY 1, 2, 3
+""",
+        # identical island SQL as the batch session_window_rollup: the
+        # availableNow+complete harness makes the streaming emitted set
+        # equal to the batch aggregation
+        "streaming_session_window": """
+WITH o AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), s AS (
+  SELECT *, CAST(SUM(is_new) OVER (
+      PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM o
+)
+SELECT user_id, MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM s GROUP BY user_id, session_seq
 """,
         "streaming_sessionize": """
 WITH o AS (

@@ -365,6 +365,90 @@ def compact_table(
     )
 
 
+def bloom_filtered_join_rollup(
+    spark: SparkSession, sf_dir: str, keep_plan: bool = False
+) -> DataFrame:
+    """Runtime bloom-filter join pruning — the 100 TB pattern for a
+    selective dim-side predicate joined against a huge fact: Catalyst's
+    ``InjectRuntimeFilter`` rule builds a bloom filter over the SURVIVING
+    dim keys (``bloom_filter_agg(xxhash64(key))``, partial-aggregatable,
+    merged map-side) and semi-filters the fact scan with
+    ``might_contain`` BEFORE the shuffle. At scale the win is shuffle
+    bytes: only fact rows whose key (probably) has a dim partner are
+    hashed/exchanged — a ~4% selective dim predicate cuts the fact
+    exchange ~25x for the price of one tiny subquery sketch, with zero
+    false negatives (bloom guarantees) and false positives removed by
+    the exact join, so the RESULT is bit-identical to the plain join
+    (which is exactly what the oracle runs).
+
+    This operator expresses the join DECLARATIVELY and turns the rule's
+    two size gates down for the toy SF (at 100 TB the defaults — dim
+    creation side <=10 MB, fact scan >=10 GB — pass on their own):
+    letting the optimizer inject beats hand-building the sketch because
+    the rule places the filter below the scan's own predicates and
+    shares one subquery across reuse. Broadcast is disabled inside the
+    conf window — the rule only fires for shuffle joins, the case that
+    matters (a broadcastable dim already prunes at the join itself);
+    that is precisely the production regime where the dim outgrows the
+    broadcast threshold. tests/test_plans.py asserts the fact scan
+    carries the injected ``might_contain`` below the join
+    (``keep_plan=True`` returns the lazy plan inside the window for it).
+
+    Conf hygiene: priors saved and restored in a ``finally`` (ADVICE r3
+    rule); the (|priorities|-row) result is materialized inside the
+    window via ``localCheckpoint`` because plans re-optimize lazily at
+    action time."""
+    # read FIRST: read_table re-applies prep_session's ambient tuning
+    # (incl. the 64 MB broadcast threshold), so the conf window must open
+    # after the last read_table call — confs bind at optimization time,
+    # not plan-construction time
+    dim = (
+        read_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_orderpriority")
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price_dec"),
+        F.col("l_discount").cast("decimal(18,2)").alias("disc_dec"),
+    )
+    confs = {
+        # rule gate: fact-side scan must look "big enough to bother"
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        # force the shuffle-join regime the rule targets
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    priors = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        rev = (
+            F.col("price_dec")
+            * (F.lit(1).cast("decimal(18,2)") - F.col("disc_dec"))
+        ).cast("decimal(28,6)")
+        out = (
+            li.join(dim, li.l_orderkey == dim.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.sum(rev).cast("double").alias("revenue"),
+            )
+        )
+        if keep_plan:
+            return out
+        return out.localCheckpoint(eager=True)
+    finally:
+        if not keep_plan:
+            for k, prior in priors.items():
+                if prior is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, prior)
+
+
 def salted_skew_join_rollup(
     spark: SparkSession, sf_dir: str, salts: int = 8
 ) -> DataFrame:

@@ -292,6 +292,50 @@ def sessionize_events(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -
     )
 
 
+def session_window_rollup(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = 30
+) -> DataFrame:
+    """Gap-based sessionization via Spark's BUILT-IN ``session_window``
+    aggregation — the declarative twin of ``sessionize_events`` (lag +
+    cumulative sum) and the formulation that carries unchanged into
+    Structured Streaming (``streaming/sessions.py`` runs this exact
+    groupBy under a watermark; the lag/cumsum form cannot stream, since
+    an unbounded window over event-time has no watermark semantics).
+
+    Physical shape: one exchange on the grouping key, then Spark's
+    session-merge iterator (UpdatingSessionsIterator) fuses overlapping
+    [ts, ts+gap) intervals per key in a single sorted pass — same cost
+    class as the window formulation, but with MERGEABLE partial sessions
+    (the property streaming state storage needs).
+
+    Merge semantics, pinned by the oracle: windows merge iff the next
+    event starts STRICTLY before the current session's end, so an
+    inter-event gap exactly equal to ``gap_minutes`` starts a NEW
+    session (the lag/cumsum operator keeps ties together — `>` vs `>=`;
+    microsecond event-time makes exact ties vanishingly rare, but the
+    twins are documented as differing there). ``session_end`` is
+    last-event + gap (the window bound), not last-event."""
+    events = read_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            "user_id", F.session_window("ts", f"{gap_minutes} minutes")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def scd2_user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Type-2 slowly-changing-dimension build: each event's value is
     current for its (user, event_type) until the next event of that key —

@@ -87,6 +87,68 @@ def brute_force_topk(
     )
 
 
+def _srp_plane_weight(t: int, p: int, d: int) -> float:
+    """Deterministic pseudo-random hyperplane weight in [-0.5, 0.5),
+    derived driver-side from md5(t:p:d) (planes are tiny constants — no
+    reason to burn executor cycles hashing per element, and literal
+    weights keep the whole dot product inside whole-stage codegen, unlike
+    array lambdas which Spark evaluates interpreted). Shared source of
+    truth with the DuckDB oracle twins, which embed the same literals."""
+    import hashlib
+
+    h = int.from_bytes(hashlib.md5(f"{t}:{p}:{d}".encode()).digest()[:4], "big")
+    return h / 2**32 - 0.5
+
+
+def _srp_bucket_df(
+    spark: SparkSession,
+    emb: DataFrame,
+    n_planes: int,
+    n_tables: int,
+    dim: int = 64,
+) -> DataFrame:
+    """Sign-random-projection bucket ids: (vec_id, t, bucket) with one row
+    per (vector, table). The projection `vectors x planes` is a matrix
+    multiply; the Spark-native formulation is posexplode -> broadcast-join
+    the (tiny, literal) plane-weight table -> hash aggregate. Everything
+    stays in whole-stage codegen — array lambdas would be interpreted, and
+    flat 2048-term expressions blow up janino compilation. Scales linearly
+    in rows; cost O(N * n_tables * n_planes * dim) map-side."""
+    planes_df = spark.createDataFrame(
+        [
+            (t, p, d, _srp_plane_weight(t, p, d))
+            for t in range(n_tables)
+            for p in range(n_planes)
+            for d in range(dim)
+        ],
+        "t int, p int, d int, w double",
+    )
+    ex = emb.select("vec_id", F.posexplode("embedding").alias("d", "x"))
+    return (
+        ex.join(F.broadcast(planes_df), "d")
+        .groupBy("vec_id", "t", "p")
+        # FIXED-POINT projection sums: a double sum is partition-order
+        # dependent, so a projection near zero could flip its sign bit
+        # between runs/engines. floor(term * 1e9) -> exact long addition
+        # makes every bucket id deterministic (which lets the whole
+        # approximate operator family be oracle-checked exactly) at
+        # long-adder speed — DECIMAL accumulation here cost 5x (Decimal128
+        # adds on 10M rows); floor matches across engines where plain
+        # double->bigint CAST does not (Spark truncates, DuckDB rounds)
+        .agg(
+            F.sum(
+                F.floor(F.col("x").cast("double") * F.col("w") * 1e9)
+            ).alias("s")
+        )
+        .withColumn(
+            "bit",
+            F.when(F.col("s") >= 0, F.expr("shiftleft(1L, p)")).otherwise(F.lit(0)),
+        )
+        .groupBy("vec_id", "t")
+        .agg(F.sum("bit").cast("long").alias("bucket"))
+    )
+
+
 def srp_lsh_topk(
     spark: SparkSession,
     sf_dir: str,
@@ -109,54 +171,8 @@ def srp_lsh_topk(
     — never all-pairs; candidate volume per query ~ L * N / 2^b, tuned by
     (b, L) against the similarity profile of the corpus.
     """
-    import hashlib
-
     emb = read_table(spark, sf_dir, "embeddings")
-
-    def plane_weight(t: int, p: int, d: int) -> float:
-        # deterministic pseudo-random weight in [-0.5, 0.5), derived
-        # driver-side (planes are tiny constants — no reason to burn
-        # executor cycles hashing per element, and literal weights keep the
-        # whole dot product inside whole-stage codegen, unlike array
-        # lambdas which Spark evaluates interpreted)
-        h = int.from_bytes(hashlib.md5(f"{t}:{p}:{d}".encode()).digest()[:4], "big")
-        return h / 2**32 - 0.5
-
-    # The projection `vectors x planes` is a matrix multiply; the Spark-
-    # native formulation is posexplode -> broadcast-join the (tiny, literal)
-    # plane-weight table -> hash aggregate. Everything stays in whole-stage
-    # codegen — array lambdas would be interpreted, and flat 2048-term
-    # expressions blow up janino compilation. Scales linearly in rows.
-    planes_df = spark.createDataFrame(
-        [
-            (t, p, d, plane_weight(t, p, d))
-            for t in range(n_tables)
-            for p in range(n_planes)
-            for d in range(dim)
-        ],
-        "t int, p int, d int, w double",
-    )
-    ex = emb.select("vec_id", F.posexplode("embedding").alias("d", "x"))
-    buckets = (
-        ex.join(F.broadcast(planes_df), "d")
-        .groupBy("vec_id", "t", "p")
-        # FIXED-POINT projection sums: a double sum is partition-order
-        # dependent, so a projection near zero could flip its sign bit
-        # between runs/engines. floor(term * 1e9) -> exact long addition
-        # makes every bucket id deterministic (which lets this WHOLE
-        # approximate operator be oracle-checked exactly) at long-adder
-        # speed — DECIMAL accumulation here cost 5x (Decimal128 adds on
-        # 10M rows); floor matches across engines where plain
-        # double->bigint CAST does not (Spark truncates, DuckDB rounds)
-        .agg(
-            F.sum(
-                F.floor(F.col("x").cast("double") * F.col("w") * 1e9)
-            ).alias("s")
-        )
-        .withColumn("bit", F.when(F.col("s") >= 0, F.expr("shiftleft(1L, p)")).otherwise(F.lit(0)))
-        .groupBy("vec_id", "t")
-        .agg(F.sum("bit").cast("long").alias("bucket"))
-    )
+    buckets = _srp_bucket_df(spark, emb, n_planes, n_tables, dim)
     bucketed = emb.join(buckets, "vec_id").select("vec_id", "embedding", "t", "bucket")
     queries = bucketed.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q"), "t", "bucket"
@@ -506,4 +522,92 @@ def semantic_dedup(
     return (
         emb.join(F.broadcast(dominated), "vec_id", "left_anti")
         .select("vec_id", "label")
+    )
+
+
+def semantic_dedup_scaled(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.35,
+    n_planes: int = 2,
+    n_tables: int = 2,
+) -> DataFrame:
+    """``semantic_dedup`` with the 100 TB cell-size guard: each ``label``
+    cluster is SUB-BUCKETED by sign-random-projection bits, so the pair
+    join's blocks are (label, srp_table, srp_bucket) instead of bare
+    ``label``. This is the production answer to the measured fixed-k
+    super-linearity (SCALE.md round-4 table: semantic_dedup ran 59x wall
+    at 10x data because the synthetic corpus keeps the cluster COUNT
+    fixed, so cluster SIZE — and the within-cluster pair count — grows
+    with N). Sub-bucketing bounds expected cell size at |cluster| /
+    2^n_planes with O(N * n_tables * n_planes * d) linear assignment
+    cost, restoring Sigma |cell|^2 = O(N) when n_planes grows ~log N —
+    exactly SemDeDup's "k proportional to N" rule implemented without a
+    k-means refit, and the embedding analog of MinHash banding.
+
+    Semantics trade, stated precisely: a vector is dropped iff some
+    lower-id vector in the same label cluster lands in the SAME srp
+    bucket in AT LEAST ONE of the ``n_tables`` sign tables AND has
+    cosine >= threshold. Near-identical vectors agree on sign bits with
+    probability (1 - theta/pi)^n_planes per table (OR-amplified across
+    tables), so recall degrades gracefully for borderline pairs while
+    true near-dups (theta -> 0) are essentially always caught — the
+    standard LSH recall/cost dial. Fixed-point projections make the
+    bucketing deterministic, so the WHOLE approximate operator is
+    oracle-checked exactly (same rule as ``srp_lsh_topk``).
+
+    Plan shape: linear bucketing map -> explosive-join pair dots blocked
+    on (label, t, bucket, dim) with an explicit repartition on the block
+    keys (single-split inputs otherwise run the fan-out join one-task —
+    SCALE.md round-4 lesson) -> per-(table, pair) threshold filter ->
+    distinct dominated ids -> broadcast anti-join. The per-pair dot is
+    the posexplode + DECIMAL hash-aggregate ladder of
+    ``embedding_near_dup_pairs`` (codegen'd, partition-order exact); a
+    pair colliding in both tables computes its dot twice — accepted at
+    n_tables=2 in exchange for skipping a candidate-dedup shuffle before
+    the heavy stage."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    buckets = _srp_bucket_df(spark, emb, n_planes, n_tables)
+    norm_of = lambda c: sq_norm_decimal_expr(c).cast("double")  # noqa: E731
+    norms = emb.select("vec_id", norm_of(F.col("embedding")).alias("nsq"))
+    par = spark.sparkContext.defaultParallelism
+    ex = (
+        emb.select(
+            "vec_id", "label", F.posexplode("embedding").alias("dim", "x")
+        )
+        .join(buckets, "vec_id")
+        .repartition(par, "label", "t", "bucket", "dim")
+    )
+    prod = (F.col("a.x").cast("double") * F.col("b.x").cast("double")).cast(
+        "decimal(28,14)"
+    )
+    dots = (
+        ex.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.dim") == F.col("b.dim"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .groupBy(
+            F.col("a.t").alias("t"),
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+        )
+        .agg(F.sum(prod).cast("double").alias("dot"))
+    )
+    na = norms.select(F.col("vec_id").alias("id_a"), F.col("nsq").alias("na"))
+    nb = norms.select(F.col("vec_id").alias("id_b"), F.col("nsq").alias("nb"))
+    key = F.col("dot") * F.abs(F.col("dot")) / (F.col("na") * F.col("nb"))
+    dominated = (
+        dots.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .filter(key >= threshold * abs(threshold))
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return emb.join(F.broadcast(dominated), "vec_id", "left_anti").select(
+        "vec_id", "label"
     )

@@ -4,7 +4,13 @@ from .weekly import (
     sliding_rollup_stream,
     run_sliding_rollup_once,
 )
-from .sessions import sessionize_stream, sessionize_stream_flushing, run_sessionize_once
+from .sessions import (
+    sessionize_stream,
+    sessionize_stream_flushing,
+    run_sessionize_once,
+    session_window_stream,
+    run_session_window_once,
+)
 from .joins import (
     click_purchase_left_join,
     click_purchase_stream_join,
@@ -40,6 +46,8 @@ __all__ = [
     "sessionize_stream",
     "sessionize_stream_flushing",
     "run_sessionize_once",
+    "session_window_stream",
+    "run_session_window_once",
     "click_purchase_stream_join",
     "run_click_purchase_join_once",
     "click_purchase_left_join",

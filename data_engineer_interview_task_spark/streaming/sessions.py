@@ -240,3 +240,68 @@ def run_sessionize_once(
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+def session_window_stream(
+    spark: SparkSession,
+    source_dir: str,
+    gap_minutes: int = 30,
+    watermark: str = "31 days",
+) -> DataFrame:
+    """Sessionization via the BUILT-IN ``session_window`` aggregation —
+    the declarative alternative to the applyInPandasWithState operators
+    above, and the exact streaming form of
+    ``relational.session_window_rollup`` (same groupBy, same merge
+    semantics: windows fuse iff the next event starts strictly before
+    the running session's end). Spark keeps MERGEABLE per-session state
+    and the watermark finalizes sessions once it passes their end —
+    state is O(open sessions), with none of the cross-batch ordering
+    assumption the custom sessionizer documents (late events within the
+    watermark re-merge their session declaratively)."""
+    from pyspark.sql import functions as F
+
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(source_dir)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", f"{gap_minutes} minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # decimal accumulation, double emit (cross-engine parity rule)
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_session_window_once(
+    spark: SparkSession, sf_dir: str, work_dir: str, gap_minutes: int = 30
+) -> DataFrame:
+    """availableNow harness for the built-in session-window aggregation
+    (complete output mode -> every session appears, making the emitted
+    set batch-deterministic and therefore oracle-checkable; the 31-day
+    watermark exceeds the fixture's 30-day span so no event is late)."""
+    from ..sources import read_table
+
+    prep_session(spark)
+    src = f"{work_dir}/events_src"
+    read_table(spark, sf_dir, "events").write.mode("overwrite").parquet(src)
+    sink = f"mem_swin_{uuid.uuid4().hex[:8]}"
+    q = (
+        session_window_stream(spark, src, gap_minutes)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", f"{work_dir}/ckpt_{sink}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)

@@ -383,3 +383,31 @@ def test_incremental_minhash_matches_cross_pairs(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert again == inc
+
+
+def test_semantic_dedup_scaled_is_conservative_and_bounds_cells(spark, sf_dir):
+    """Sub-bucketing only REMOVES edges from the dominance graph (every
+    (label, t, bucket) collision is also a same-label pair), so the
+    scaled variant's survivors must be a superset of the exact cells'
+    survivors — and the srp cells must genuinely be smaller than the
+    label clusters (the whole point of the scale guard)."""
+    exact = {r.vec_id for r in similarity.semantic_dedup(spark, sf_dir).collect()}
+    scaled = {
+        r.vec_id for r in similarity.semantic_dedup_scaled(spark, sf_dir).collect()
+    }
+    assert exact <= scaled
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    # still catches real near-dups on the fixture (not degenerate)
+    assert len(scaled) < n
+    buckets = similarity._srp_bucket_df(spark, emb, n_planes=2, n_tables=2)
+    max_cell = (
+        emb.select("vec_id", "label")
+        .join(buckets, "vec_id")
+        .groupBy("label", "t", "bucket")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    max_label = emb.groupBy("label").count().agg(F.max("count")).first()[0]
+    assert max_cell < max_label

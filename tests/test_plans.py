@@ -330,3 +330,33 @@ def test_salted_join_carries_salt_in_join_keys(spark, sf_dir):
     rows = {r.o_orderpriority: r.n_items for r in df.collect()}
     li = read_table(spark, sf_dir, "lineitem")
     assert sum(rows.values()) == li.count()  # no dup/dropped fact rows
+
+
+def test_bloom_runtime_filter_injected_below_join(spark, sf_dir):
+    """bloom_filtered_join_rollup's whole point is that Catalyst's
+    InjectRuntimeFilter puts a might_contain(bloom) prefilter on the
+    fact side BELOW the join: assert the injected filter and the sketch
+    aggregate both appear, and that the prefilter sits on the lineitem
+    (application) side, not the orders (creation) side. keep_plan=True
+    hands us the lazy plan inside the conf window; this test owns the
+    window cleanup."""
+    from data_engineer_interview_task_spark.operators import maintenance
+
+    keys = [
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "spark.sql.autoBroadcastJoinThreshold",
+    ]
+    priors = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        df = maintenance.bloom_filtered_join_rollup(spark, sf_dir, keep_plan=True)
+        plan = explain_str(df)
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan, plan
+        fact_side = plan[plan.find("might_contain"):]
+        assert "l_orderkey" in fact_side.split("\n")[0], plan
+    finally:
+        for k, prior in priors.items():
+            if prior is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, prior)

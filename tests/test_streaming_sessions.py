@@ -126,3 +126,18 @@ def test_flushing_sessionizer_emits_open_sessions_on_watermark(
     assert a.session_start == t0
     assert a.session_end == t0 + dt.timedelta(minutes=10)
     assert abs(a.total_value - 6.0) < 1e-9
+
+
+def test_builtin_session_window_stream_equals_batch(spark, sf_dir, tmp_path):
+    """The built-in session_window aggregation must emit, under the
+    availableNow+complete harness, exactly the batch
+    session_window_rollup result — merge rule and bounds included."""
+    from data_engineer_interview_task_spark.operators import relational
+    from data_engineer_interview_task_spark.streaming import run_session_window_once
+
+    streamed = run_session_window_once(spark, sf_dir, str(tmp_path))
+    batch = relational.session_window_rollup(spark, sf_dir)
+    cols = ["user_id", "session_start", "session_end", "n_events", "total_value"]
+    assert sorted(map(tuple, streamed.select(cols).collect())) == sorted(
+        map(tuple, batch.select(cols).collect())
+    )
