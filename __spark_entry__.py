@@ -414,6 +414,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_filtered_join_rollup": maintenance.bloom_filtered_join_rollup,  # runtime-filter prune, exact-join verified
         "session_window_rollup": relational.session_window_rollup,  # built-in session_window (streamable form)
         "streaming_session_window": _streaming_session_window,  # oracle (same island SQL as batch)
+        "ngram_containment_pairs": dedup.ngram_containment_pairs,  # asymmetric (excerpt) near-dup
+        "per_source_quality_cap": sampling.per_source_quality_cap,  # domain cap, best-first
+        "discounted_revenue": tpch_shapes.discounted_revenue,  # Q6 analog: pure pushdown scan-agg
         # --- round-3 additions (all green in CORRECTNESS_r03.json)
         "volume_shipping": tpch_shapes.volume_shipping,
         "nation_market_share": tpch_shapes.nation_market_share,
@@ -1263,6 +1266,24 @@ JOIN s sa ON sa.doc_id = doc_a
 JOIN s sb ON sb.doc_id = doc_b
 WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.5
 """,
+        "ngram_containment_pairs": f"""
+WITH {shingles_cte},
+e AS (SELECT doc_id, unnest(shingles) AS sh FROM d),
+s AS (SELECT doc_id, len(shingles) AS n_sh FROM d),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+  FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, shared AS shared_shingles,
+       CAST(shared AS DOUBLE) / sa.n_sh AS containment_a,
+       CAST(shared AS DOUBLE) / sb.n_sh AS containment_b
+FROM p
+JOIN s sa ON sa.doc_id = doc_a
+JOIN s sb ON sb.doc_id = doc_b
+WHERE greatest(CAST(shared AS DOUBLE) / sa.n_sh,
+               CAST(shared AS DOUBLE) / sb.n_sh) >= 0.6
+""",
         # prefix filtering is COMPLETE for Jaccard >= t (see the operator
         # docstring), so its oracle IS the quadratic definition — the same
         # SQL as the inverted-index path
@@ -1449,6 +1470,17 @@ WHERE p_brand <> 'Brand#1'
   AND p_size IN (1, 2, 3, 4, 5, 6, 7, 8)
   AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
 GROUP BY p_brand, p_type, p_size
+""",
+        "discounted_revenue": """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                     CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(28,6)))
+            AS DOUBLE) AS lost_revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate <  TIMESTAMP '1996-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
 """,
         "small_quantity_revenue": """
 WITH b2_li AS (
@@ -2727,6 +2759,16 @@ SELECT doc_id, source, lang, CAST(rn AS INTEGER) AS rn FROM (
                                      doc_id ASC) AS rn
   FROM documents
 ) WHERE rn <= 3
+""",
+        "per_source_quality_cap": """
+SELECT doc_id, source, n_chars,
+       CAST(quality_rank AS INTEGER) AS quality_rank FROM (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id ASC)
+           AS quality_rank
+  FROM documents
+) WHERE quality_rank <= 15
 """,
         "weighted_source_mix": f"""
 WITH w(source, w_hex) AS (VALUES {_weights_values()})

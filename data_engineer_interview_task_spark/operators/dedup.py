@@ -176,6 +176,59 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Asymmetric near-dup detection by shingle CONTAINMENT:
+    C(A|B) = |S(A) ∩ S(B)| / |S(A)|. Jaccard misses the
+    quote/snippet/superset case — a short doc wholly embedded in a long
+    one has tiny Jaccard but containment ~1 from the short side; this is
+    the curation pass that catches excerpt-level duplication (training
+    leakage through quoted passages) that symmetric measures can't.
+
+    Emits canonical pairs (doc_a < doc_b) with BOTH directions'
+    containment; a pair survives iff either direction clears
+    ``threshold``. Same inverted-index shape as ``ngram_jaccard_pairs``
+    (shingle-hash blocking, exact integer counts, IEEE division — fully
+    oracle-checkable); the same ``max_shingle_df``-style hot-key cap
+    applies at scale via the shared index (the capped variant is
+    registered on the Jaccard path; semantics transfer unchanged)."""
+    docs = _shingled_docs(spark, sf_dir, n)
+    sizes = docs.select("doc_id", F.size("shingles").alias("n_sh"))
+    exploded = docs.select(
+        "doc_id", F.explode("shingles").alias("sh")
+    ).select("doc_id", F.xxhash64("sh").alias("shh"))
+    pairs = (
+        exploded.alias("a")
+        .join(
+            exploded.alias("b"),
+            (F.col("a.shh") == F.col("b.shh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    cont_a = F.col("shared") / F.col("n_a")
+    cont_b = F.col("shared") / F.col("n_b")
+    return (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(F.greatest(cont_a, cont_b) >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("shared").alias("shared_shingles"),
+            cont_a.alias("containment_a"),
+            cont_b.alias("containment_b"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH near-dup (the sub-quadratic scale path)
 # ---------------------------------------------------------------------------

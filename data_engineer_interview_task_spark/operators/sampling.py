@@ -75,6 +75,44 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def per_source_quality_cap(
+    spark: SparkSession, sf_dir: str, cap: int = 15
+) -> DataFrame:
+    """Domain-cap curation: keep at most ``cap`` documents per source,
+    ranked by a quality priority (here length DESC — the stand-in for a
+    model quality score; ties broken by doc_id for a rerun-stable total
+    order). This is the standard guard against a handful of crawl domains
+    dominating a training mix — unlike ``stratified_sample`` (hash-random
+    quota), the cap keeps the BEST docs per domain, which is what an
+    over-represented-domain policy actually wants.
+
+    Shape: one shuffle on source + row_number with O(1) per-group state;
+    Spark plans the rank-filter as WindowGroupLimit (top-k per group
+    pushed below the full sort) so per-domain work is bounded by the cap,
+    not the domain size — the property that matters when one domain is
+    10^8 docs. Cap default 15 BITES at every test SF (25+ docs per
+    source), so the filter is exercised, not vacuous."""
+    docs = read_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.row_number().over(w).alias("quality_rank"),
+        )
+        .filter(F.col("quality_rank") <= cap)
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.col("quality_rank").cast("int").alias("quality_rank"),
+        )
+    )
+
+
 def source_weights(n_sources: int = 20) -> list[tuple[str, str]]:
     """Deterministic per-source mixing weights as (source, hex threshold on
     the first 4 md5 digits). Weight cycle 0.10/0.30/0.50/0.70/0.90 by source

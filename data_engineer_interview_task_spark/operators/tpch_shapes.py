@@ -46,6 +46,37 @@ def _revenue() -> F.Column:
     )
 
 
+def discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 shape (forecasting revenue change): one-pass filtered aggregate
+    over lineitem — revenue that would vanish if discounts in a band were
+    eliminated for a year's small-quantity orders.
+
+    The whole query is scan-local: every predicate (ship-year, discount
+    band, quantity cap) pushes to the parquet scan (PushedFilters), the
+    projection prunes to 4 columns, and the aggregate is a partial+final
+    sum with a 1-row exchange — the canonical 'filter pushdown + map-side
+    combine' probe. At 100 TB this is bounded by bytes actually read,
+    which date-partitioned layout cuts to 1/7th (partition pruning on the
+    ship-year predicate). Discount bounds compare the stored doubles
+    directly (bit-identical across engines); the product accumulates in
+    DECIMAL, emitted once as double."""
+    li = read_table(spark, sf_dir, "lineitem")
+    amount = (_dec("l_extendedprice") * _dec("l_discount")).cast(_REV)
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(amount).cast("double").alias("lost_revenue"),
+        )
+    )
+
+
 def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q2 shape: for each small part, the EUROPE supplier(s) offering the
     minimum price — the correlated-scalar-subquery-in-WHERE pattern,

@@ -411,3 +411,13 @@ def test_semantic_dedup_scaled_is_conservative_and_bounds_cells(spark, sf_dir):
     )
     max_label = emb.groupBy("label").count().agg(F.max("count")).first()[0]
     assert max_cell < max_label
+
+
+def test_containment_dominates_jaccard(spark, sf_dir):
+    """max(containment) >= jaccard for every pair (shared/min_size >=
+    shared/union_size), so at equal thresholds the containment pair set
+    must be a superset of the Jaccard pair set — and strictly larger on
+    a fixture with asymmetric overlaps."""
+    jac = _pairs(dedup.ngram_jaccard_pairs(spark, sf_dir, threshold=0.5))
+    cont = _pairs(dedup.ngram_containment_pairs(spark, sf_dir, threshold=0.5))
+    assert jac <= cont
