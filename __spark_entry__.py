@@ -219,6 +219,20 @@ def _streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_sessionize_once(spark, sf_dir, _work_dir("stream_sessions", sf_dir))
 
 
+def _streaming_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER stream-stream join (both-side watermark eviction, both
+    NULL-extension directions) — completes the inner/leftOuter/fullOuter
+    matrix. ORACLE-CHECKED: the both-side sentinel flush protocol makes
+    the emitted set equal the batch full join."""
+    from data_engineer_interview_task_spark.streaming import (
+        run_click_purchase_full_join_once,
+    )
+
+    return run_click_purchase_full_join_once(
+        spark, sf_dir, _work_dir("stream_ssfoj", sf_dir)
+    )
+
+
 def _streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BUILT-IN session_window streaming aggregation run to completion
     (availableNow, complete mode, memory sink): mergeable session state
@@ -417,6 +431,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_containment_pairs": dedup.ngram_containment_pairs,  # asymmetric (excerpt) near-dup
         "per_source_quality_cap": sampling.per_source_quality_cap,  # domain cap, best-first
         "discounted_revenue": tpch_shapes.discounted_revenue,  # Q6 analog: pure pushdown scan-agg
+        "kcenter_diversity_sample": clustering.kcenter_diversity_sample,  # greedy farthest-first coreset
+        "streaming_full_outer_join": _streaming_full_outer_join,  # oracle (batch full join twin)
         # --- round-3 additions (all green in CORRECTNESS_r03.json)
         "volume_shipping": tpch_shapes.volume_shipping,
         "nation_market_share": tpch_shapes.nation_market_share,
@@ -621,6 +637,48 @@ c1d AS ({cent.format(key="cluster", src="s0")}),
 c1 AS (SELECT cl, list(c ORDER BY dim ASC) AS cent FROM c1d GROUP BY cl),
 {assign.format(r=1)}
 """
+
+
+def _kcenter_sql(k: int = 8) -> str:
+    """Twin of clustering.kcenter_diversity_sample: replays the greedy
+    farthest-first trajectory step for step — DECIMAL dot/norm ladder,
+    the same ``(nsq + c_nsq) - 2*dot`` association, (md DESC, vec_id)
+    argmax tie-break. Generated as a k-step CTE chain (same unrolled
+    pattern as _kmeans_sql)."""
+    dot = (
+        "list_sum(list_transform(range(64), i -> "
+        "CAST(CAST({a}[i+1] AS DOUBLE) * CAST({b}[i+1] AS DOUBLE) "
+        "AS DECIMAL(28,14))))"
+    )
+    parts = [
+        "WITH e AS (SELECT vec_id, embedding, CAST("
+        + dot.format(a="embedding", b="embedding")
+        + " AS DOUBLE) AS nsq FROM embeddings)",
+        "c0 AS (SELECT vec_id, embedding, nsq FROM e ORDER BY vec_id ASC LIMIT 1)",
+        "m1 AS (SELECT e.vec_id, e.embedding, e.nsq, (e.nsq + c0.nsq) - 2.0*CAST("
+        + dot.format(a="e.embedding", b="c0.embedding")
+        + " AS DOUBLE) AS md FROM e CROSS JOIN c0)",
+    ]
+    for j in range(1, k - 1):
+        parts.append(
+            f"c{j} AS (SELECT vec_id, embedding, nsq FROM m{j} "
+            f"ORDER BY md DESC, vec_id ASC LIMIT 1)"
+        )
+        parts.append(
+            f"m{j + 1} AS (SELECT m{j}.vec_id, m{j}.embedding, m{j}.nsq, "
+            f"LEAST(m{j}.md, (m{j}.nsq + c{j}.nsq) - 2.0*CAST("
+            + dot.format(a=f"m{j}.embedding", b=f"c{j}.embedding")
+            + f" AS DOUBLE)) AS md FROM m{j} CROSS JOIN c{j})"
+        )
+    parts.append(
+        f"c{k - 1} AS (SELECT vec_id, embedding, nsq FROM m{k - 1} "
+        f"ORDER BY md DESC, vec_id ASC LIMIT 1)"
+    )
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({j} AS INTEGER) AS sel_rank, vec_id FROM c{j}"
+        for j in range(k)
+    )
+    return ",\n".join(parts) + "\n" + selects
 
 
 #: strict-left-fold double dot product over 64 dims — bit-identical to
@@ -2416,6 +2474,7 @@ SELECT vec_id, CAST(cluster AS INTEGER) AS cluster FROM s1
 SELECT CAST(cluster AS INTEGER) AS cluster, COUNT(*) AS n_vectors
 FROM s1 GROUP BY cluster
 """,
+        "kcenter_diversity_sample": _kcenter_sql(),
         "global_row_numbers": """
 SELECT doc_id, source,
        CAST(ROW_NUMBER() OVER (ORDER BY doc_id ASC) AS BIGINT) AS row_num
@@ -2647,6 +2706,17 @@ SELECT c.user_id, c.event_id AS click_id, p.purchase_id,
        c.ts AS click_ts, p.purchase_ts, p.purchase_value
 FROM (SELECT * FROM events WHERE event_type = 'click') c
 LEFT JOIN (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+                  value AS purchase_value
+           FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.purchase_ts > c.ts AND p.purchase_ts <= c.ts + INTERVAL 1 HOUR
+""",
+        "streaming_full_outer_join": """
+SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+       c.event_id AS click_id, p.purchase_id,
+       c.ts AS click_ts, p.purchase_ts, p.purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+FULL JOIN (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
                   value AS purchase_value
            FROM events WHERE event_type = 'purchase') p
   ON c.user_id = p.user_id

@@ -138,6 +138,14 @@ HEADLINE = [
     "event_value_outliers",
     "salted_skew_join_rollup",
     "asof_join_forward",
+    # round 4 (cont.): scaled-cell semantic dedup, Catalyst bloom runtime
+    # filter, built-in session windows, containment pairs, domain cap, Q6
+    "semantic_dedup_scaled",
+    "bloom_filtered_join_rollup",
+    "session_window_rollup",
+    "ngram_containment_pairs",
+    "per_source_quality_cap",
+    "discounted_revenue",
 ]
 
 

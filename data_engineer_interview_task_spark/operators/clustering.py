@@ -97,3 +97,62 @@ def kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cluster")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
     )
+
+
+def kcenter_diversity_sample(
+    spark: SparkSession, sf_dir: str, k: int = 8
+) -> DataFrame:
+    """Greedy k-center (farthest-first traversal) coreset over the
+    embeddings — the DIVERSITY selector of a training-data pipeline:
+    where ``semantic_dedup`` removes redundancy, k-center picks the k
+    items that maximize coverage of embedding space (2-approximation of
+    the optimal k-center cover, Gonzalez 1985), the standard seed set
+    for curriculum/eval-subset selection.
+
+    Iteration shape (the 100 TB story): the chosen set is TINY (k
+    vectors) and each round is one broadcast of the single newest center
+    + a map-side min-update of each vector's distance-to-chosen-set +
+    one global argmax (a 1-row driver fetch of selection METADATA — the
+    same legitimate collect class as the IVF probe cells). The corpus is
+    never shuffled; per-round cost is one linear scan, total O(k·N·d).
+    ``localCheckpoint`` truncates the per-round lineage so the plan does
+    not grow quadratically with k (the classic iterative-Spark trap).
+
+    Cross-engine exactness: squared distances use the DECIMAL dot/norm
+    ladder (norms and dots exact, combined as the IEEE expression
+    ``(nsq + c_nsq) - 2*dot`` with identical association in the DuckDB
+    twin), argmax ties broken by vec_id — the whole greedy trajectory is
+    bit-deterministic, so the oracle replays it step for step."""
+    from ..functions.vector import dot_decimal_expr, sq_norm_decimal_expr
+
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.withColumn(
+        "nsq", sq_norm_decimal_expr(F.col("embedding")).cast("double")
+    ).localCheckpoint()
+
+    first = base.orderBy(F.col("vec_id").asc()).limit(1).collect()[0]
+    chosen = [(0, first.vec_id)]
+    c_vals, c_nsq = list(first.embedding), float(first.nsq)
+
+    cur = None
+    for step in range(1, k):
+        c_lit = F.array(*[F.lit(float(v)).cast("double") for v in c_vals])
+        d_new = (F.col("nsq") + F.lit(c_nsq)) - F.lit(2.0) * dot_decimal_expr(
+            F.col("embedding"), c_lit
+        ).cast("double")
+        src = base if cur is None else cur
+        md = d_new if cur is None else F.least(F.col("md"), d_new)
+        cur = src.select(
+            "vec_id", "embedding", "nsq", md.alias("md")
+        ).localCheckpoint()
+        far = (
+            cur.orderBy(F.col("md").desc(), F.col("vec_id").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        chosen.append((step, far.vec_id))
+        c_vals, c_nsq = list(far.embedding), float(far.nsq)
+
+    return spark.createDataFrame(
+        chosen, "sel_rank int, vec_id long"
+    ).orderBy("sel_rank")

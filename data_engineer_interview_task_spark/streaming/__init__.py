@@ -12,8 +12,10 @@ from .sessions import (
     run_session_window_once,
 )
 from .joins import (
+    click_purchase_full_join,
     click_purchase_left_join,
     click_purchase_stream_join,
+    run_click_purchase_full_join_once,
     run_click_purchase_join_once,
     run_click_purchase_left_join_once,
 )
@@ -52,4 +54,6 @@ __all__ = [
     "run_click_purchase_join_once",
     "click_purchase_left_join",
     "run_click_purchase_left_join_once",
+    "click_purchase_full_join",
+    "run_click_purchase_full_join_once",
 ]

@@ -195,3 +195,101 @@ def run_click_purchase_left_join_once(
     )
     q.awaitTermination()
     return spark.table(sink).filter(F.col("user_id") >= 0)
+
+
+def click_purchase_full_join(
+    spark: SparkSession,
+    source_dir: str,
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """FULL OUTER stream-stream join — the last cell of the join-mode
+    matrix (inner / leftOuter / fullOuter): every click with its purchase
+    if one landed within ``within``, PLUS every purchase no click
+    explains. The purchase-side NULL rows are the 'attribution gap'
+    stream an ads pipeline alerts on.
+
+    State/eviction semantics are symmetric leftOuter: EACH side holds
+    its unmatched rows until the watermark proves no partner can arrive,
+    then emits its NULL-extended row. Since the null side determines
+    which id column survives, ``user_id`` is COALESCEd across sides.
+    Same bounded-state argument, now on both buffers."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.parquet(source_dir)
+    clicks = (
+        src.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        src.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within}")),
+        "fullOuter",
+    ).select(
+        F.coalesce(F.col("c_user"), F.col("p_user")).alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
+def run_click_purchase_full_join_once(
+    spark: SparkSession, sf_dir: str, work_dir: str
+) -> DataFrame:
+    """availableNow harness making the full-outer emission COMPLETE and
+    equal to the batch full join (the oracle) — same flush protocol as
+    the left-outer harness (both-side far-future sentinels, one batch
+    per file so the min-of-sides watermark passes every real row's join
+    window before the drain)."""
+    import time
+
+    from ..sources import read_table
+
+    prep_session(spark)
+    events = read_table(spark, sf_dir, "events")
+    src = f"{work_dir}/events_src"
+    events.repartition(1).write.mode("overwrite").parquet(src)
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    for i, days in enumerate((10, 20)):
+        time.sleep(1.1)  # distinct mtimes -> deterministic file order
+        flush = spark.createDataFrame(
+            [
+                (-(2 * i + 1), max_ts, -1, "click", 0.0, "{}"),
+                (-(2 * i + 2), max_ts, -1, "purchase", 0.0, "{}"),
+            ],
+            schema=EVENTS_SCHEMA,
+        ).withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {days} DAYS"))
+        flush.coalesce(1).write.mode("append").parquet(src)
+    sink = f"mem_ssfoj_{uuid.uuid4().hex[:8]}"
+    q = (
+        click_purchase_full_join(spark, src, max_files_per_trigger=1)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", f"{work_dir}/ckpt_{sink}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).filter(F.col("user_id") >= 0)

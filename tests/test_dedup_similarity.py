@@ -421,3 +421,23 @@ def test_containment_dominates_jaccard(spark, sf_dir):
     jac = _pairs(dedup.ngram_jaccard_pairs(spark, sf_dir, threshold=0.5))
     cont = _pairs(dedup.ngram_containment_pairs(spark, sf_dir, threshold=0.5))
     assert jac <= cont
+
+
+def test_kcenter_sample_invariants(spark, sf_dir):
+    """Greedy farthest-first: k distinct picks, seeded at the min vec_id,
+    and each pick genuinely lies in the corpus. The bit-exact trajectory
+    itself is pinned by the DuckDB oracle; this guards the Spark-side
+    loop (lineage truncation, argmax tie-break) under refactors."""
+    from data_engineer_interview_task_spark.operators import clustering
+
+    rows = clustering.kcenter_diversity_sample(spark, sf_dir, k=5).collect()
+    ids = [r.vec_id for r in sorted(rows, key=lambda r: r.sel_rank)]
+    assert len(ids) == 5 and len(set(ids)) == 5
+    emb_ids = {
+        r.vec_id
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id")
+        .collect()
+    }
+    assert set(ids) <= emb_ids
+    assert ids[0] == min(emb_ids)

@@ -64,3 +64,24 @@ def test_left_outer_join_equals_batch_left_join(spark, sf_dir, tmp_path):
     assert got == want
     # the watermark flush emitted genuine NULL-extended rows
     assert any(p is None for _, p in got)
+
+
+def test_full_outer_join_covers_both_null_directions(spark, sf_dir, tmp_path):
+    """The full-outer form must emit BOTH null-extension directions on
+    this fixture (unmatched clicks and unexplained purchases), and its
+    matched subset must equal the inner join's row set — degenerate
+    fixtures would silently reduce fullOuter to leftOuter."""
+    from data_engineer_interview_task_spark.streaming import (
+        run_click_purchase_full_join_once,
+        run_click_purchase_join_once,
+    )
+
+    full = run_click_purchase_full_join_once(spark, sf_dir, str(tmp_path / "fo"))
+    assert full.filter("purchase_id IS NULL").count() > 0
+    assert full.filter("click_id IS NULL").count() > 0
+    inner = run_click_purchase_join_once(spark, sf_dir, str(tmp_path / "in"))
+    matched = full.filter("click_id IS NOT NULL AND purchase_id IS NOT NULL")
+    cols = ["user_id", "click_id", "purchase_id"]
+    assert sorted(map(tuple, matched.select(cols).collect())) == sorted(
+        map(tuple, inner.select(cols).collect())
+    )
