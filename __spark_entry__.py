@@ -219,6 +219,30 @@ def _streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_sessionize_once(spark, sf_dir, _work_dir("stream_sessions", sf_dir))
 
 
+def _streaming_dedup_then_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful streaming (Spark 3.4+ multiple-stateful-operator
+    support): event-time dedup -> windowed aggregation in ONE query.
+    ORACLE-CHECKED: the dedup key (user, type, day) makes every survivor
+    identical, so the weekly count equals the batch DISTINCT aggregate."""
+    from data_engineer_interview_task_spark.streaming import (
+        run_dedup_then_rollup_once,
+    )
+
+    return run_dedup_then_rollup_once(spark, sf_dir, _work_dir("stream_ddrl", sf_dir))
+
+
+def _observed_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quality_filter with Spark's ``observe`` metrics attached (named
+    exact aggregates computed on the same pass — the zero-extra-scan
+    observability contract; tests/test_sampling_cleaning.py checks the
+    metric values). Row output is identical to quality_filter, so the
+    oracle is the same SQL."""
+    from data_engineer_interview_task_spark.operators import cleaning
+
+    df, _obs = cleaning.observed_quality_filter(spark, sf_dir)
+    return df
+
+
 def _streaming_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL OUTER stream-stream join (both-side watermark eviction, both
     NULL-extension directions) — completes the inner/leftOuter/fullOuter
@@ -433,6 +457,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "discounted_revenue": tpch_shapes.discounted_revenue,  # Q6 analog: pure pushdown scan-agg
         "kcenter_diversity_sample": clustering.kcenter_diversity_sample,  # greedy farthest-first coreset
         "streaming_full_outer_join": _streaming_full_outer_join,  # oracle (batch full join twin)
+        "observed_quality_filter": _observed_quality_filter,  # observe() metrics on the same pass
+        "grouped_linear_trend": extended.grouped_linear_trend,  # per-group closed-form OLS (exact moments)
+        "streaming_dedup_then_rollup": _streaming_dedup_then_rollup,  # chained stateful ops, oracle
         # --- round-3 additions (all green in CORRECTNESS_r03.json)
         "volume_shipping": tpch_shapes.volume_shipping,
         "nation_market_share": tpch_shapes.nation_market_share,
@@ -2154,6 +2181,28 @@ SELECT doc_id,
         AND distinct_ratio >= 0.45 AND stopword_ratio <= 0.5) AS keep
 FROM q
 """,
+        # identical rows to quality_filter — observe() only attaches
+        # same-pass metrics, it must not change the data
+        "observed_quality_filter": """
+WITH q AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS distinct_ratio,
+         CAST(len(list_filter(string_split(text, ' '),
+                  t -> t IN ('the','a','of','and','to','in'))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS stopword_ratio
+  FROM documents
+)
+SELECT doc_id,
+       (n_tokens >= 20 AND n_chars <= 10000) AS len_ok,
+       (distinct_ratio >= 0.45) AS diversity_ok,
+       (stopword_ratio <= 0.5) AS stopwords_ok,
+       ((n_tokens >= 20 AND n_chars <= 10000)
+        AND distinct_ratio >= 0.45 AND stopword_ratio <= 0.5) AS keep
+FROM q
+""",
         "token_estimate": """
 SELECT doc_id,
        CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
@@ -2622,6 +2671,40 @@ SELECT a.p_name AS name_a, b.p_name AS name_b,
        a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
 FROM names a JOIN names b ON a.w = b.w AND a.p_name < b.p_name
 WHERE levenshtein(a.p_name, b.p_name) <= 4
+""",
+        # exact BIGINT moment sums (day index x, integer cents y), one
+        # double division at the end — mirrors the Spark expression tree
+        "grouped_linear_trend": """
+WITH b AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT)
+           AS x,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+  FROM events
+),
+m AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(x) AS sx, SUM(x * x) AS sxx, SUM(y) AS sy, SUM(x * y) AS sxy
+  FROM b GROUP BY event_type
+)
+SELECT event_type, n,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0 AS slope_per_day,
+       CAST(sy * sxx - sx * sxy AS DOUBLE)
+         / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0 AS intercept
+FROM m
+""",
+        "streaming_dedup_then_rollup": """
+WITH dd AS (
+  SELECT DISTINCT user_id, event_type, date_trunc('day', ts) AS day
+  FROM events
+)
+SELECT make_timestamp((epoch_us(day) // 604800000000) * 604800000000)
+         AS week_start,
+       make_timestamp((epoch_us(day) // 604800000000) * 604800000000
+                      + 604800000000) AS week_end,
+       event_type, COUNT(*) AS n_user_days
+FROM dd GROUP BY 1, 2, 3
 """,
         "streaming_weekly_rollup": """
 SELECT make_timestamp((epoch_us(ts) // 604800000000) * 604800000000)

@@ -248,3 +248,36 @@ def event_value_outliers(spark: SparkSession, sf_dir: str, k: float = 3.0) -> Da
             F.col("n_outliers").cast("long").alias("n_outliers"),
         )
     )
+
+
+def observed_quality_filter(spark: SparkSession, sf_dir: str):
+    """Pipeline observability: run the quality keep/drop decision with
+    Spark's ``observe`` API attached — named aggregate metrics computed
+    ON THE SAME PASS as the action (zero extra scans, exact, and unlike
+    accumulators exactly-once per observed row even under task retries).
+    This is the production pattern for emitting data-quality counters
+    (rows in, rows kept, per-rule failure counts) from a 100 TB filter
+    job without a second aggregation job over the corpus.
+
+    Returns ``(df, observation)``: the caller triggers an action on
+    ``df`` and then reads ``observation.get`` — see
+    tests/test_sampling_cleaning.py for the contract (metrics equal the
+    recomputed aggregates exactly)."""
+    from pyspark.sql import Observation
+    from .text import quality_filter
+
+    q = quality_filter(spark, sf_dir)
+    obs = Observation("quality_metrics")
+    observed = q.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(~F.col("len_ok"), 1).otherwise(0)).alias("n_len_fail"),
+        F.sum(F.when(~F.col("diversity_ok"), 1).otherwise(0)).alias(
+            "n_diversity_fail"
+        ),
+        F.sum(F.when(~F.col("stopwords_ok"), 1).otherwise(0)).alias(
+            "n_stopwords_fail"
+        ),
+    )
+    return observed, obs

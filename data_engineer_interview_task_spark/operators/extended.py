@@ -864,3 +864,47 @@ SELECT timestamp_micros(w * 604800000000) AS week_start,
 FROM wk LEFT JOIN per_wk ON w = w_o
 """
     )
+
+
+def grouped_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group closed-form OLS fit (grouped model fitting without any
+    ML library): slope + intercept of daily event value against the day
+    index, one model per event_type — the drift/trend monitor of a
+    pipeline dashboard, and the template for any per-segment regression
+    at 100 TB: ONE partial-aggregated groupBy computing the five exact
+    moment sums (n, Sx, Sxx, Sy, Sxy), then the normal-equation solve on
+    the |groups|-row result. No iteration, no collect of data rows, and
+    the heavy pass is a plain map-side-combined aggregation.
+
+    Cross-engine exactness: x is an integer day index and y integer
+    CENTS (the event_value_outliers idiom), so every moment sum is exact
+    BIGINT arithmetic; slope/intercept are a single double division of
+    exact numerator/denominator (+ one /100 descale). Bounds: |n*Sxy| <=
+    ~1e5 rows * 30 days * 1e5 cents * 1e5 < 2^63 at bench SFs — at true
+    corpus scale promote the moment sums to DECIMAL(38)."""
+    events = read_table(spark, sf_dir, "events")
+    x = F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+    yc = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    base = events.select(
+        "event_type", x.cast("long").alias("x"), yc.alias("y")
+    )
+    m = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    s_num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    i_num = F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")
+    return m.select(
+        "event_type",
+        "n",
+        (s_num.cast("double") / den.cast("double") / F.lit(100.0)).alias(
+            "slope_per_day"
+        ),
+        (i_num.cast("double") / den.cast("double") / F.lit(100.0)).alias(
+            "intercept"
+        ),
+    )

@@ -26,8 +26,10 @@ from .stateful import (
     transform_with_state_available,
 )
 from .dedup import (
+    dedup_then_rollup_stream,
     first_events_stream,
     first_events_stream_bounded,
+    run_dedup_then_rollup_once,
     run_first_events_bounded_once,
     run_first_events_once,
 )
@@ -37,6 +39,8 @@ __all__ = [
     "run_weekly_rollup_once",
     "sliding_rollup_stream",
     "run_sliding_rollup_once",
+    "dedup_then_rollup_stream",
+    "run_dedup_then_rollup_once",
     "first_events_stream",
     "first_events_stream_bounded",
     "run_first_events_bounded_once",

@@ -110,3 +110,69 @@ def run_first_events_bounded_once(
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+def dedup_then_rollup_stream(
+    spark: SparkSession, source_dir: str, watermark: str = "31 days"
+) -> DataFrame:
+    """CHAINED stateful operators in one streaming query (Spark 3.4+):
+    event-time dedup feeding a windowed aggregation downstream — the
+    idempotent-ingest guard and the rollup it protects, fused into a
+    single always-on query instead of two jobs with an intermediate
+    topic. Spark runs both state stores under one watermark; the dedup's
+    output event-time column carries into the window operator.
+
+    Semantics (chosen deterministic): dedup key = (user_id, event_type,
+    day), i.e. daily per-user-per-type de-duplication — every kept row
+    of a key carries the identical (user_id, event_type, day) triple, so
+    WHICH physical row survives is irrelevant and the downstream weekly
+    count of user-type-days equals the batch DISTINCT aggregate exactly
+    (arrival-order independence is what makes this oracle-checkable).
+
+    State bounds: dedup state = O(active (user,type,day) keys inside the
+    watermark); window state = O(open windows x types)."""
+    from pyspark.sql import functions as F
+
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(source_dir)
+    daily = (
+        stream.select(
+            "user_id",
+            "event_type",
+            F.date_trunc("DAY", F.col("ts")).alias("day"),
+        )
+        .withWatermark("day", watermark)
+        .dropDuplicates(["user_id", "event_type", "day"])
+    )
+    return (
+        daily.groupBy(F.window("day", "7 days"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_user_days"))
+        .select(
+            F.col("window.start").alias("week_start"),
+            F.col("window.end").alias("week_end"),
+            "event_type",
+            "n_user_days",
+        )
+    )
+
+
+def run_dedup_then_rollup_once(
+    spark: SparkSession, sf_dir: str, work_dir: str
+) -> DataFrame:
+    """availableNow harness (complete mode -> every window emitted)."""
+    from ..sources import read_table
+
+    prep_session(spark)
+    src = f"{work_dir}/events_src"
+    read_table(spark, sf_dir, "events").write.mode("overwrite").parquet(src)
+    sink = f"mem_ddrl_{uuid.uuid4().hex[:8]}"
+    q = (
+        dedup_then_rollup_stream(spark, src)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", f"{work_dir}/ckpt_{sink}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)

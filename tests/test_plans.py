@@ -360,3 +360,19 @@ def test_bloom_runtime_filter_injected_below_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, prior)
+
+
+def test_bloom_rollup_restores_session_confs(spark, sf_dir):
+    """The materializing (default) path must leave the session confs
+    exactly as it found them — the ADVICE-r3 conf-hygiene rule."""
+    from data_engineer_interview_task_spark.operators import maintenance
+
+    keys = [
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "spark.sql.autoBroadcastJoinThreshold",
+    ]
+    priors = {k: spark.conf.get(k, None) for k in keys}
+    out = maintenance.bloom_filtered_join_rollup(spark, sf_dir)
+    assert out.count() > 0
+    for k, prior in priors.items():
+        assert spark.conf.get(k, None) == prior

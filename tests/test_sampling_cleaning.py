@@ -209,3 +209,19 @@ def test_variant_rollup_matches_json_path(spark, sf_dir):
         (F.col("k") % 10).alias("k_bucket")).agg(
         F.count(F.lit(1)).alias("n"), F.sum("k").alias("s")).collect()}
     assert got == want
+
+
+def test_observed_quality_filter_metrics_exact(spark, sf_dir):
+    """observe() metrics must equal independently recomputed aggregates —
+    the zero-extra-scan observability contract."""
+    from data_engineer_interview_task_spark.operators import cleaning
+
+    df, obs = cleaning.observed_quality_filter(spark, sf_dir)
+    rows = df.collect()
+    got = obs.get
+    assert got["n_docs"] == len(rows)
+    assert got["n_kept"] == sum(1 for r in rows if r.keep)
+    assert got["n_len_fail"] == sum(1 for r in rows if not r.len_ok)
+    assert got["n_diversity_fail"] == sum(1 for r in rows if not r.diversity_ok)
+    assert got["n_stopwords_fail"] == sum(1 for r in rows if not r.stopwords_ok)
+    assert 0 < got["n_kept"] < got["n_docs"]  # filter is non-degenerate

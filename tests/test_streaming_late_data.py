@@ -126,3 +126,36 @@ def test_bounded_dedup_state_is_gcd_past_watermark(spark, tmp_path):
     # in classic state
     assert results["classic"] == 52, results
     assert results["bounded"] <= 2, results
+
+
+def test_chained_dedup_rollup_suppresses_cross_batch_dups(spark, tmp_path):
+    """Chained stateful ops: a later micro-batch re-delivering the same
+    (user, type, day) must NOT inflate the downstream weekly count — the
+    dedup state store does its job ACROSS batches, inside one query."""
+    import time
+
+    from data_engineer_interview_task_spark.streaming.dedup import (
+        dedup_then_rollup_stream,
+    )
+
+    src = str(tmp_path / "src")
+    b1 = _mk_events(spark, [(1, 0), (1, 1), (2, 0), (8, 0)])  # 3 distinct days
+    b1.coalesce(1).write.mode("overwrite").parquet(src)
+    time.sleep(1.1)
+    # batch 2: same user/type/days again (pure duplicates) + one new day
+    b2 = _mk_events(spark, [(1, 5), (2, 9), (9, 0)])
+    b2.coalesce(1).write.mode("append").parquet(src)
+    q = (
+        dedup_then_rollup_stream(spark, src)
+        .writeStream.format("memory")
+        .queryName("mem_chain_dup")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .option("maxFilesPerTrigger", 1)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("mem_chain_dup")
+    # distinct (user=1, click, day) triples: Jan 1, 2, 8, 9 -> 4 user-days
+    assert out.agg(F.sum("n_user_days")).first()[0] == 4
