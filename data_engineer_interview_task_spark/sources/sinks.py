@@ -180,3 +180,24 @@ def read_text_corpus(spark: SparkSession, path: str) -> DataFrame:
     ``monotonically_increasing_id`` being UNSTABLE across reruns, prefer
     ``md5(value)`` content keys for rerun-stable identity."""
     return spark.read.text(path)
+
+
+def write_xml(
+    df: DataFrame, path: str, row_tag: str = "row", mode: str = "overwrite"
+) -> None:
+    """XML export (Spark 4 built-in xml source, the former spark-xml
+    package folded into core): one element per row under ``row_tag`` —
+    the interchange format enterprise feeds (news archives, patents,
+    Wikipedia dumps) still arrive in. Same sharding story as jsonl."""
+    df.write.format("xml").mode(mode).option("rowTag", row_tag).save(path)
+
+
+def read_xml(
+    spark: SparkSession, path: str, row_tag: str = "row", schema=None
+) -> DataFrame:
+    """XML read; give a schema at scale (inference is an extra full pass,
+    and XML inference is the costliest of the text formats)."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)

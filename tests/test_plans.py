@@ -376,3 +376,13 @@ def test_bloom_rollup_restores_session_confs(spark, sf_dir):
     assert out.count() > 0
     for k, prior in priors.items():
         assert spark.conf.get(k, None) == prior
+
+
+def test_per_source_cap_uses_window_group_limit(spark, sf_dir):
+    """The domain cap must plan as WindowGroupLimit (top-k pushed below
+    the per-group sort) so per-domain cost is bounded by the cap, not
+    the domain size — the claim its docstring makes."""
+    from data_engineer_interview_task_spark.operators import sampling
+
+    plan = explain_str(sampling.per_source_quality_cap(spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan
