@@ -167,3 +167,39 @@ def test_scd2_as_of_unique_and_correct(spark, sf_dir):
             latest[(e.user_id, e.event_type)] = e.value
     got = {(r.user_id, r.event_type): r.value_as_of for r in rows}
     assert got == latest
+
+
+def test_grouped_linear_trend_matches_numpy(spark, sf_dir):
+    """Independent check against numpy.polyfit (different algorithm:
+    least-squares via SVD vs exact normal equations) — agreement to 1e-7
+    relative confirms the moment-sum formulation, independently of the
+    DuckDB twin which shares our formula."""
+    import numpy as np
+
+    from data_engineer_interview_task_spark.operators import extended
+
+    got = {
+        r.event_type: (r.slope_per_day, r.intercept)
+        for r in extended.grouped_linear_trend(spark, sf_dir).collect()
+    }
+    import datetime as dt
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_type", "ts", "value")
+        .collect()
+    )
+    base = dt.date(2024, 1, 1)
+    by_type: dict = {}
+    for r in rows:
+        x = (r.ts.date() - base).days
+        y = round(float(r.value), 2)
+        by_type.setdefault(r.event_type, ([], []))
+        by_type[r.event_type][0].append(x)
+        by_type[r.event_type][1].append(y)
+    assert set(got) == set(by_type)
+    for t, (xs, ys) in by_type.items():
+        slope, intercept = np.polyfit(np.array(xs, float), np.array(ys), 1)
+        gs, gi = got[t]
+        assert abs(gs - slope) <= 1e-7 * max(1.0, abs(slope)), (t, gs, slope)
+        assert abs(gi - intercept) <= 1e-7 * max(1.0, abs(intercept))
