@@ -219,6 +219,19 @@ def _streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_sessionize_once(spark, sf_dir, _work_dir("stream_sessions", sf_dir))
 
 
+def _streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC enrichment join (stateless; static side broadcast,
+    re-evaluated per micro-batch) — the third join family next to
+    stream-stream and batch-batch. ORACLE-CHECKED: every stream row
+    passes through exactly once, so emitted rows == the batch left
+    join."""
+    from data_engineer_interview_task_spark.streaming import (
+        run_stream_static_enrich_once,
+    )
+
+    return run_stream_static_enrich_once(spark, sf_dir, _work_dir("stream_sse", sf_dir))
+
+
 def _streaming_dedup_then_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CHAINED stateful streaming (Spark 3.4+ multiple-stateful-operator
     support): event-time dedup -> windowed aggregation in ONE query.
@@ -460,6 +473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "observed_quality_filter": _observed_quality_filter,  # observe() metrics on the same pass
         "grouped_linear_trend": extended.grouped_linear_trend,  # per-group closed-form OLS (exact moments)
         "streaming_dedup_then_rollup": _streaming_dedup_then_rollup,  # chained stateful ops, oracle
+        "streaming_static_enrich": _streaming_static_enrich,  # stream-static broadcast join, oracle
         # --- round-3 additions (all green in CORRECTNESS_r03.json)
         "volume_shipping": tpch_shapes.volume_shipping,
         "nation_market_share": tpch_shapes.nation_market_share,
@@ -2693,6 +2707,18 @@ SELECT event_type, n,
        CAST(sy * sxx - sx * sxy AS DOUBLE)
          / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0 AS intercept
 FROM m
+""",
+        "streaming_static_enrich": """
+WITH us AS (
+  SELECT o_custkey AS user_id, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS lifetime_value
+  FROM orders GROUP BY 1
+)
+SELECT event_id, e.user_id, event_type,
+       COALESCE(us.n_orders, 0) AS n_orders,
+       COALESCE(us.lifetime_value, 0.0) AS lifetime_value
+FROM events e LEFT JOIN us ON e.user_id = us.user_id
 """,
         "streaming_dedup_then_rollup": """
 WITH dd AS (

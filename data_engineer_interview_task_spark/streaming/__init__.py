@@ -18,6 +18,8 @@ from .joins import (
     run_click_purchase_full_join_once,
     run_click_purchase_join_once,
     run_click_purchase_left_join_once,
+    run_stream_static_enrich_once,
+    stream_static_enrich,
 )
 from .stateful import (
     run_running_user_stats_once,
@@ -60,4 +62,6 @@ __all__ = [
     "run_click_purchase_left_join_once",
     "click_purchase_full_join",
     "run_click_purchase_full_join_once",
+    "stream_static_enrich",
+    "run_stream_static_enrich_once",
 ]

@@ -293,3 +293,75 @@ def run_click_purchase_full_join_once(
     )
     q.awaitTermination()
     return spark.table(sink).filter(F.col("user_id") >= 0)
+
+
+def stream_static_enrich(
+    spark: SparkSession, source_dir: str, sf_dir: str
+) -> DataFrame:
+    """STREAM-STATIC join — the enrichment shape: a live event stream
+    joined against a static (batch) dimension table, here per-user
+    lifetime order stats derived from ``orders``. No state store at all:
+    the static side is just a batch plan re-evaluated per micro-batch
+    (and broadcast when small — at 100 TB pin it with a storage-level
+    cache or a pre-bucketed layout), and the stream side needs no
+    watermark because nothing is buffered. This is the third join family
+    next to stream-stream (state both sides) and batch-batch; its
+    correctness condition is that the static side is IMMUTABLE for the
+    run — for slowly-changing dims, swap in the SCD2 AS-OF pattern
+    (`relational.scd2_as_of`) inside a foreachBatch refresh instead.
+
+    Aggregated-then-joined rather than row-joined so the static side is
+    users-sized, not orders-sized — the standard pre-aggregation before
+    a broadcast."""
+    from ..sources import read_table
+
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(source_dir)
+    user_stats = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("lifetime_value"),
+        )
+    )
+    return (
+        stream.select("event_id", "user_id", "event_type")
+        .join(F.broadcast(user_stats), "user_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.coalesce(F.col("n_orders"), F.lit(0).cast("long")).alias(
+                "n_orders"
+            ),
+            F.coalesce(F.col("lifetime_value"), F.lit(0.0)).alias(
+                "lifetime_value"
+            ),
+        )
+    )
+
+
+def run_stream_static_enrich_once(
+    spark: SparkSession, sf_dir: str, work_dir: str
+) -> DataFrame:
+    """availableNow harness: emitted rows == the batch left join, exactly
+    (stateless — every stream row passes through once)."""
+    from ..sources import read_table
+
+    prep_session(spark)
+    src = f"{work_dir}/events_src"
+    read_table(spark, sf_dir, "events").write.mode("overwrite").parquet(src)
+    sink = f"mem_sse_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_static_enrich(spark, src, sf_dir)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", f"{work_dir}/ckpt_{sink}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)

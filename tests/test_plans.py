@@ -386,3 +386,15 @@ def test_per_source_cap_uses_window_group_limit(spark, sf_dir):
 
     plan = explain_str(sampling.per_source_quality_cap(spark, sf_dir))
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_semantic_dedup_scaled_blocked_no_cartesian(spark, sf_dir):
+    """The scaled variant's pair join must stay an equi-join on the
+    (label, t, bucket, dim) block key — a refactor that loses a key
+    degrades it to a bigger-blocked (or cartesian) join silently."""
+    from data_engineer_interview_task_spark.operators import similarity
+
+    plan = explain_str(similarity.semantic_dedup_scaled(spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    # the explicit block-key repartition guards the one-task fan-out trap
+    assert "REPARTITION_BY_NUM" in plan or "hashpartitioning(label" in plan, plan
