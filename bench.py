@@ -146,6 +146,9 @@ HEADLINE = [
     "ngram_containment_pairs",
     "per_source_quality_cap",
     "discounted_revenue",
+    "kcenter_diversity_sample",
+    "grouped_linear_trend",
+    "observed_quality_filter",
 ]
 
 
