@@ -142,7 +142,9 @@ def test_risky_determinism_is_partition_independent(spark, sf_dir):
     from data_engineer_interview_task_spark.operators import (
         clustering,
         dedup,
+        extended,
         maintenance,
+        similarity,
         tpch_shapes,
     )
 
@@ -162,6 +164,23 @@ def test_risky_determinism_is_partition_independent(spark, sf_dir):
             "top_returns": sorted(
                 tuple(r)
                 for r in tpch_shapes.returned_item_customers(spark, sf_dir).collect()
+            ),
+            # r4: decimal-laddered SRP-sub-bucketed dedup, exact-moment
+            # OLS, and the collect-driven greedy k-center trajectory
+            # must all survive any shuffle width
+            "sem_scaled": sorted(
+                tuple(r)
+                for r in similarity.semantic_dedup_scaled(spark, sf_dir).collect()
+            ),
+            "ols": sorted(
+                tuple(r)
+                for r in extended.grouped_linear_trend(spark, sf_dir).collect()
+            ),
+            "kcenter": sorted(
+                tuple(r)
+                for r in clustering.kcenter_diversity_sample(
+                    spark, sf_dir, k=5
+                ).collect()
             ),
         }
 
