@@ -1,0 +1,115 @@
+"""Property tests for the round-4 semantics that have sharp boundary
+rules: the built-in session_window merge condition (exact-gap ties start
+a NEW session — `>=`, not `>`) and shingle-containment pairs — both
+against pure-python reference models over randomized inputs. The fixture
+oracles pin values on real data; these pin the RULES on adversarial
+cases the fixtures may never hit (exact 30-minute gaps, subset docs)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+GAP_MIN = 30
+BASE = dt.datetime(2024, 1, 1)
+
+# offsets in MINUTES, deliberately includes exact multiples of the gap
+OFFSETS = st.lists(
+    st.integers(min_value=0, max_value=300).map(lambda m: m),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _model_sessions(minutes):
+    """Python reference for session_window: sorted event times, new
+    session iff gap >= GAP_MIN; emits (start, end=last+gap, n)."""
+    ts = sorted(BASE + dt.timedelta(minutes=m) for m in set(minutes))
+    out, start, last, n = [], ts[0], ts[0], 1
+    for t in ts[1:]:
+        if (t - last).total_seconds() >= GAP_MIN * 60:
+            out.append((start, last + dt.timedelta(minutes=GAP_MIN), n))
+            start, last, n = t, t, 1
+        else:
+            last, n = t, n + 1
+    out.append((start, last + dt.timedelta(minutes=GAP_MIN), n))
+    return sorted(out)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(OFFSETS)
+def test_session_window_merge_rule_matches_model(spark, minutes):
+    df = spark.createDataFrame(
+        [(1, BASE + dt.timedelta(minutes=m)) for m in set(minutes)],
+        "user_id long, ts timestamp",
+    )
+    got = sorted(
+        (r.start, r.end, r.n)
+        for r in df.groupBy(F.session_window("ts", f"{GAP_MIN} minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("session_window.start").alias("start"),
+            F.col("session_window.end").alias("end"),
+            "n",
+        )
+        .collect()
+    )
+    assert got == _model_sessions(minutes)
+
+
+DOCS = st.lists(
+    st.lists(
+        st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]),
+        min_size=3,
+        max_size=9,
+    ),
+    min_size=2,
+    max_size=6,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(DOCS)
+def test_containment_pairs_match_model(spark, tmp_path_factory, token_docs):
+    """ngram_containment_pairs on a synthesized corpus == the quadratic
+    python definition (3-gram shingle sets, max-direction threshold)."""
+    from data_engineer_interview_task_spark.operators import dedup
+
+    tmp = tmp_path_factory.mktemp("cont")
+    rows = [
+        (i, " ".join(toks), "en", "src0", len(" ".join(toks)))
+        for i, toks in enumerate(token_docs)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+
+    def shingles(toks):
+        if len(toks) < 3:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    expected = set()
+    for a in range(len(token_docs)):
+        for b in range(a + 1, len(token_docs)):
+            sa, sb = shingles(token_docs[a]), shingles(token_docs[b])
+            shared = len(sa & sb)
+            if shared and max(shared / len(sa), shared / len(sb)) >= 0.6:
+                expected.add((a, b))
+
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.ngram_containment_pairs(spark, str(tmp)).collect()
+    }
+    assert got == expected
