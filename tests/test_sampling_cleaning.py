@@ -225,3 +225,46 @@ def test_observed_quality_filter_metrics_exact(spark, sf_dir):
     assert got["n_diversity_fail"] == sum(1 for r in rows if not r.diversity_ok)
     assert got["n_stopwords_fail"] == sum(1 for r in rows if not r.stopwords_ok)
     assert 0 < got["n_kept"] < got["n_docs"]  # filter is non-degenerate
+
+
+def test_curate_corpus_cli_smoke(tmp_path):
+    """The end-to-end curation CLI runs, writes JSONL, and reports
+    consistent metrics (rows written == after_source_cap <= survivors
+    <= docs_in)."""
+    import glob
+    import json
+    import subprocess
+    import sys
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = str(tmp_path / "curated")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(repo, "tools", "curate_corpus.py"),
+            "--sf-dir",
+            "/root/testdata/sf0.001",
+            "--out",
+            out,
+            "--cpus",
+            "4",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    metrics = json.loads(proc.stdout.strip().splitlines()[-1])
+    rows = [
+        json.loads(l)
+        for f in glob.glob(f"{out}/part-*.json")
+        for l in open(f)
+    ]
+    assert len(rows) == metrics["after_source_cap"]
+    assert (
+        0
+        < metrics["after_source_cap"]
+        <= metrics["dedup_quality_survivors"]
+        <= metrics["docs_in"]
+    )
