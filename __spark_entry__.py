@@ -485,6 +485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_then_rollup": _streaming_dedup_then_rollup,  # chained stateful ops, oracle
         "streaming_static_enrich": _streaming_static_enrich,  # stream-static broadcast join, oracle
         "chargram_minhash_fast": _chargram_minhash_fast,  # rows-only (xxhash64 family; shape-tested vs md5 twin)
+        "daily_spine_interpolate": extended.daily_spine_interpolate,  # linear gap interpolation (cents-exact anchors)
         # --- round-3 additions (all green in CORRECTNESS_r03.json)
         "volume_shipping": tpch_shapes.volume_shipping,
         "nation_market_share": tpch_shapes.nation_market_share,
@@ -1169,6 +1170,40 @@ SELECT s.user_id, s.day,
          PARTITION BY s.user_id ORDER BY s.day
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS filled_value
 FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+""",
+        "daily_spine_interpolate": """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS vc
+  FROM events GROUP BY 1, 2
+),
+spine AS (
+  SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM (SELECT user_id, CAST(MIN(day) AS TIMESTAMP) AS d0,
+               CAST(MAX(day) AS TIMESTAMP) AS d1
+        FROM daily GROUP BY user_id)
+),
+anch AS (
+  SELECT s.user_id, s.day, d.vc,
+         last_value(d.vc IGNORE NULLS) OVER wp AS vp,
+         last_value(CASE WHEN d.vc IS NOT NULL THEN s.day END IGNORE NULLS)
+           OVER wp AS dp,
+         first_value(d.vc IGNORE NULLS) OVER wn AS vn,
+         first_value(CASE WHEN d.vc IS NOT NULL THEN s.day END IGNORE NULLS)
+           OVER wn AS dn
+  FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+  WINDOW wp AS (PARTITION BY s.user_id ORDER BY s.day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY s.user_id ORDER BY s.day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, day, (vc IS NOT NULL) AS had_events,
+       (CASE WHEN date_diff('day', dp, dn) = 0 THEN CAST(vp AS DOUBLE)
+             ELSE CAST(vp AS DOUBLE)
+                  + CAST((vn - vp) * date_diff('day', dp, day) AS DOUBLE)
+                    / CAST(date_diff('day', dp, dn) AS DOUBLE)
+        END) / 100.0 AS interp_value
+FROM anch
 """,
         "label_centroids": """
 SELECT label, CAST(i AS INTEGER) AS dim,

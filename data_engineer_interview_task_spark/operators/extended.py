@@ -908,3 +908,70 @@ def grouped_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept"
         ),
     )
+
+
+def daily_spine_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + LINEAR interpolation — the companion to
+    ``daily_spine_ffill`` for quantities that drift rather than hold
+    (sensor readings, balances): each gap day gets the straight-line
+    value between its surrounding observed days,
+    v = v_prev + (v_next - v_prev) * k/span.
+
+    Shape: the same sequence-explode spine and ONE exchange on user_id;
+    prev/next anchors are two windows over the same partitioning (last
+    ignorenulls preceding, first ignorenulls following) — Spark plans
+    both in a single sort, no extra shuffle. Edge days are observed by
+    construction (the spine spans each user's min..max active day), so
+    every gap day has both anchors.
+
+    Exactness: anchors are integer cents and day offsets integers, so
+    (v_next - v_prev) * k is exact in double (< 2^53) and the one
+    division + addition + descale follow an identical association in the
+    DuckDB twin."""
+    events = read_table(spark, sf_dir, "events")
+    daily = events.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("vc")
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+            ).alias("day"),
+        )
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("vc").isNotNull(), F.col("day"))
+    joined = (
+        spine.join(daily, ["user_id", "day"], "left")
+        .withColumn("vp", F.last("vc", ignorenulls=True).over(wp))
+        .withColumn("dp", F.last(obs_day, ignorenulls=True).over(wp))
+        .withColumn("vn", F.first("vc", ignorenulls=True).over(wn))
+        .withColumn("dn", F.first(obs_day, ignorenulls=True).over(wn))
+    )
+    k = F.datediff(F.col("day"), F.col("dp"))
+    span = F.datediff(F.col("dn"), F.col("dp"))
+    interp = F.when(span == 0, F.col("vp").cast("double")).otherwise(
+        F.col("vp").cast("double")
+        + ((F.col("vn") - F.col("vp")) * k).cast("double")
+        / span.cast("double")
+    )
+    return joined.select(
+        "user_id",
+        "day",
+        F.col("vc").isNotNull().alias("had_events"),
+        (interp / F.lit(100.0)).alias("interp_value"),
+    )

@@ -203,3 +203,27 @@ def test_grouped_linear_trend_matches_numpy(spark, sf_dir):
         gs, gi = got[t]
         assert abs(gs - slope) <= 1e-7 * max(1.0, abs(slope)), (t, gs, slope)
         assert abs(gi - intercept) <= 1e-7 * max(1.0, abs(intercept))
+
+
+def test_daily_spine_interpolate_invariants(spark, sf_dir):
+    """On observed days the interpolated value equals the day's own sum;
+    on gap days it lies within [min, max] of its two anchors (linearity
+    bound). Exact values are pinned by the oracle; this guards the
+    window/anchor wiring."""
+    from data_engineer_interview_task_spark.operators import extended
+
+    rows = extended.daily_spine_interpolate(spark, sf_dir).collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    checked_gap = 0
+    for user_rows in by_user.values():
+        user_rows.sort(key=lambda r: r.day)
+        obs = [(i, r.interp_value) for i, r in enumerate(user_rows) if r.had_events]
+        for (i0, v0), (i1, v1) in zip(obs, obs[1:]):
+            lo, hi = min(v0, v1), max(v0, v1)
+            for j in range(i0 + 1, i1):
+                v = user_rows[j].interp_value
+                assert lo - 1e-9 <= v <= hi + 1e-9
+                checked_gap += 1
+    assert checked_gap > 0  # the fixture has real gaps
