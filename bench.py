@@ -149,6 +149,7 @@ HEADLINE = [
     "kcenter_diversity_sample",
     "grouped_linear_trend",
     "observed_quality_filter",
+    "daily_spine_interpolate",
 ]
 
 
