@@ -113,3 +113,72 @@ def test_containment_pairs_match_model(spark, tmp_path_factory, token_docs):
         for r in dedup.ngram_containment_pairs(spark, str(tmp)).collect()
     }
     assert got == expected
+
+
+ASOF_EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),  # user key
+        st.integers(min_value=0, max_value=20),  # day offset
+    ),
+    min_size=1,
+    max_size=8,
+)
+ASOF_ORDERS = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),
+        st.integers(min_value=0, max_value=20),
+    ),
+    min_size=0,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(ASOF_EVENTS, ASOF_ORDERS)
+def test_asof_forward_matches_model(spark, tmp_path_factory, events, orders):
+    """Forward as-of against a quadratic python model on random (user,
+    day) sets — DAY-granular event times make event==order instants
+    common, exercising the strictness rule (same-instant orders must NOT
+    attribute) far more often than the microsecond fixture can."""
+    from data_engineer_interview_task_spark.operators import relational
+
+    tmp = tmp_path_factory.mktemp("asof")
+    ev_rows = [
+        (i, BASE + dt.timedelta(days=d), k)
+        for i, (k, d) in enumerate(events)
+    ]
+    spark.createDataFrame(
+        ev_rows, "event_id long, ts timestamp, user_id long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+    od_rows = [
+        (100 + i, k, BASE + dt.timedelta(days=d))
+        for i, (k, d) in enumerate(orders)
+    ]
+    spark.createDataFrame(
+        od_rows or [(None, None, None)],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp",
+    ).filter("o_orderkey IS NOT NULL").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp}/orders.parquet")
+
+    # model: dedup orders to max key per (cust, date); next = strictly
+    # later date, smallest date wins
+    dedup_orders = {}
+    for okey, k, t in od_rows:
+        dedup_orders[(k, t)] = max(dedup_orders.get((k, t), -1), okey)
+    expected = {}
+    for eid, t, k in ev_rows:
+        later = [(ot, okey) for (ok, ot), okey in dedup_orders.items() if ok == k and ot > t]
+        expected[eid] = min(later) if later else (None, None)
+
+    got = {
+        r.event_id: (r.next_orderdate, r.next_orderkey)
+        for r in relational.asof_join_forward(spark, str(tmp)).collect()
+    }
+    assert set(got) == set(expected)
+    for eid, (ot, okey) in expected.items():
+        assert got[eid] == (ot, okey), (eid, got[eid], (ot, okey))
