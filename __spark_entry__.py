@@ -486,6 +486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_static_enrich": _streaming_static_enrich,  # stream-static broadcast join, oracle
         "chargram_minhash_fast": _chargram_minhash_fast,  # rows-only (xxhash64 family; shape-tested vs md5 twin)
         "daily_spine_interpolate": extended.daily_spine_interpolate,  # linear gap interpolation (cents-exact anchors)
+        "latest_event_per_user": extended.latest_event_per_user,  # top-1 per key via max_by (no sort)
         # --- round-3 additions (all green in CORRECTNESS_r03.json)
         "volume_shipping": tpch_shapes.volume_shipping,
         "nation_market_share": tpch_shapes.nation_market_share,
@@ -1170,6 +1171,15 @@ SELECT s.user_id, s.day,
          PARTITION BY s.user_id ORDER BY s.day
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS filled_value
 FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+""",
+        "latest_event_per_user": """
+SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+       event_type AS last_event_type, value AS last_value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
 """,
         "daily_spine_interpolate": """
 WITH daily AS (

@@ -975,3 +975,37 @@ def daily_spine_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vc").isNotNull().alias("had_events"),
         (interp / F.lit(100.0)).alias("interp_value"),
     )
+
+
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1-per-key via ``max_by`` over a total-order struct — the
+    AGGREGATE formulation of "latest row per user". The scale property
+    vs the window formulation (`row_number` = 1) is the SHUFFLE: the
+    aggregate runs in partial mode, so only one candidate row per
+    (partition, user) crosses the exchange, where the window form ships
+    EVERY event to its key's partition before ranking. (With a struct
+    ordering key Spark picks SortAggregate — struct buffers aren't
+    hash-aggregable — so each side still sorts ITS OWN slice; the win is
+    exchange bytes, not sort removal; tests/test_plans.py pins the
+    partial-before-Exchange shape.) Use the window form only when you
+    need ranks beyond 1 (then WindowGroupLimit bounds it).
+
+    Determinism: the ordering struct (ts, event_id) is a total order, so
+    max_by is single-valued; emitted value is the stored double
+    untouched."""
+    ev = read_table(spark, sf_dir, "events")
+    pick = F.max_by(
+        F.struct("ts", "event_id", "event_type", "value"),
+        F.struct("ts", "event_id"),
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(pick.alias("s"))
+        .select(
+            "user_id",
+            F.col("s.ts").alias("last_ts"),
+            F.col("s.event_id").alias("last_event_id"),
+            F.col("s.event_type").alias("last_event_type"),
+            F.col("s.value").alias("last_value"),
+        )
+    )

@@ -417,3 +417,29 @@ def test_semantic_dedup_scaled_blocked_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
     # the explicit block-key repartition guards the one-task fan-out trap
     assert "REPARTITION_BY_NUM" in plan or "hashpartitioning(label" in plan, plan
+
+
+def test_latest_event_per_user_aggregates_before_exchange(spark, sf_dir):
+    """The max_by formulation must plan as a PARTIAL aggregate below the
+    exchange (one candidate row per partition x user crosses the wire)
+    with no Window — the shuffle-bytes property that justifies it next
+    to the row_number form. Struct ordering keys force SortAggregate;
+    that is expected (see the operator docstring)."""
+    from data_engineer_interview_task_spark.operators import extended
+
+    plan = explain_str(extended.latest_event_per_user(spark, sf_dir))
+    assert "Window" not in plan, plan
+    # two aggregate instances (partial + final) around one exchange
+    n_aggs = plan.count("SortAggregate") + plan.count("HashAggregate")
+    assert n_aggs >= 2 and "Exchange" in plan, plan
+    # partial aggregation actually emitted: formatted mode prints parents
+    # first, so the FINAL aggregate must appear before the Exchange and a
+    # second (partial) instance after it
+    positions = [
+        i
+        for name in ("SortAggregate", "HashAggregate")
+        for i in range(len(plan))
+        if plan.startswith(name, i)
+    ]
+    exchange_at = plan.find("Exchange")
+    assert min(positions) < exchange_at < max(positions), plan
