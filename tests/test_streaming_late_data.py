@@ -159,3 +159,88 @@ def test_chained_dedup_rollup_suppresses_cross_batch_dups(spark, tmp_path):
     out = spark.table("mem_chain_dup")
     # distinct (user=1, click, day) triples: Jan 1, 2, 8, 9 -> 4 user-days
     assert out.agg(F.sum("n_user_days")).first()[0] == 4
+
+
+def test_chained_query_state_survives_checkpoint_restart(spark, tmp_path):
+    """TWO availableNow runs of a chained dedup->window query sharing one
+    checkpoint (parquet sink, append mode): the second run delivers a
+    DUPLICATE (user, type, day) for a window that is still open at
+    restart. If the dedup state store is restored, the window's final
+    count stays 1; a lost store would count 2. Also proves watermark +
+    window state restore: already-emitted windows must not re-emit."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from data_engineer_interview_task_spark.streaming.weekly import EVENTS_SCHEMA
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        daily = (
+            stream.select(
+                "user_id",
+                "event_type",
+                F.date_trunc("DAY", F.col("ts")).alias("day"),
+            )
+            .withWatermark("day", "1 day")
+            .dropDuplicates(["user_id", "event_type", "day"])
+        )
+        q = (
+            daily.groupBy(F.window("day", "1 day"), F.col("event_type"))
+            .agg(F.count(F.lit(1)).alias("n_user_days"))
+            .select(
+                F.col("window.start").alias("day_start"),
+                "event_type",
+                "n_user_days",
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: days 1,2,3 and a later day 12 (watermark lands at day 11:
+    # windows 1-3 emit; day-12 window stays OPEN with its dedup key in
+    # state)
+    _mk_events(spark, [(1, 0), (2, 0), (3, 0), (12, 0)]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    run_once()
+    emitted_1 = spark.read.parquet(out)
+    assert emitted_1.filter("n_user_days <> 1").count() == 0
+    days_1 = {r.day_start.day for r in emitted_1.collect()}
+    assert 12 not in days_1 and {1, 2, 3} <= days_1
+
+    # run 2, same checkpoint: a DUPLICATE of day 12 (within watermark,
+    # window still open), a new day 13, and a far sentinel to flush
+    time.sleep(1.1)
+    _mk_events(spark, [(12, 1), (13, 0)]).withColumn(
+        "event_id", F.col("event_id") + 100
+    ).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    _mk_events(spark, [(28, 0)]).withColumn(
+        "user_id", F.lit(-1).cast("long")
+    ).withColumn("event_id", F.lit(999).cast("long")).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+
+    final = spark.read.parquet(out).filter("day_start >= '2024-01-01'")
+    rows = {
+        r.day_start.day: r.n_user_days
+        for r in final.collect()
+        if r.day_start.day != 28
+    }
+    # restored dedup state: day 12 counted ONCE despite the re-delivery
+    assert rows == {1: 1, 2: 1, 3: 1, 12: 1, 13: 1}, rows
