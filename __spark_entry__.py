@@ -487,6 +487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chargram_minhash_fast": _chargram_minhash_fast,  # rows-only (xxhash64 family; shape-tested vs md5 twin)
         "daily_spine_interpolate": extended.daily_spine_interpolate,  # linear gap interpolation (cents-exact anchors)
         "latest_event_per_user": extended.latest_event_per_user,  # top-1 per key via max_by (no sort)
+        "pack_token_shards_scalable": sampling.pack_token_shards_scalable,  # two-level prefix-sum decomposition
         # --- round-3 additions (all green in CORRECTNESS_r03.json)
         "volume_shipping": tpch_shapes.volume_shipping,
         "nation_market_share": tpch_shapes.nation_market_share,
@@ -3012,6 +3013,21 @@ SELECT d.source, w.w_hex, COUNT(*) AS n_docs,
                           < w.w_hex THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
 FROM documents d LEFT JOIN w ON d.source = w.source
 GROUP BY d.source, w.w_hex
+""",
+        # the two-level decomposition is EXACTLY the one-window prefix
+        # sum (integer associativity), so both operators share this SQL
+        "pack_token_shards_scalable": """
+SELECT doc_id, source, n_tokens,
+       CAST(cum - n_tokens AS BIGINT) AS tokens_before,
+       CAST((cum - n_tokens) // 512 AS BIGINT) AS pack_id
+FROM (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (
+           PARTITION BY source ORDER BY doc_id ASC
+           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM documents
+)
 """,
         "pack_token_shards": """
 SELECT doc_id, source, n_tokens,

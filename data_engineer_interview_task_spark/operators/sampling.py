@@ -179,6 +179,74 @@ def pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pack_token_shards_scalable(
+    spark: SparkSession, sf_dir: str, bucket_span: int = 100
+) -> DataFrame:
+    """The TWO-LEVEL form of ``pack_token_shards`` — the decomposition
+    its docstring (and SCALE.md) prescribe for 100 TB, implemented and
+    proven identical: the single per-source running-sum window caps
+    parallelism at |sources|, so instead
+
+      1. bucket docs deterministically (``doc_id div bucket_span`` —
+         id-range buckets preserve the doc_id pack order);
+      2. LEVEL 1: per-(source, bucket) token totals — an aggregate-sized
+         frame — get a running-sum window over BUCKETS to become each
+         bucket's base offset (tiny: |sources × buckets| rows);
+      3. LEVEL 2: the within-bucket running sum is windowed on
+         (source, bucket) — parallelism = total buckets — and adds the
+         broadcast base.
+
+    tokens_before = base + within-bucket prefix reproduces the global
+    per-source prefix sum EXACTLY (integer addition is associative), so
+    pack ids are bit-identical to the one-window form — asserted by an
+    equality test, and the registered oracle is the SAME SQL as
+    ``pack_token_shards``. This is the generic recipe for any windowed
+    prefix sum whose key is too coarse: decompose into (coarse key,
+    fine bucket), prefix-sum the bucket TOTALS, then offset."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.size(F.split("text", " ")).cast("long")
+    base_rows = docs.select(
+        "doc_id",
+        "source",
+        toks.alias("n_tokens"),
+        (F.col("doc_id") / bucket_span).cast("long").alias("bkt"),
+    )
+    # level 1: bucket totals -> exclusive running base per (source, bkt)
+    w_bkt = (
+        Window.partitionBy("source")
+        .orderBy(F.col("bkt").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bases = (
+        base_rows.groupBy("source", "bkt")
+        .agg(F.sum("n_tokens").alias("bkt_tokens"))
+        .withColumn(
+            "base", F.sum("bkt_tokens").over(w_bkt) - F.col("bkt_tokens")
+        )
+        .select("source", "bkt", "base")
+    )
+    # level 2: within-bucket prefix + broadcast base
+    w_in = (
+        Window.partitionBy("source", "bkt")
+        .orderBy(F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    before = (
+        F.col("base") + F.sum("n_tokens").over(w_in) - F.col("n_tokens")
+    )
+    return (
+        base_rows.join(F.broadcast(bases), ["source", "bkt"])
+        .withColumn("tokens_before", before)
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            "tokens_before",
+            F.expr(f"tokens_before div {PACK_CAPACITY}").alias("pack_id"),
+        )
+    )
+
+
 def dataset_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split (~80/10/10) off the same md5 key
     as ``hash_sample``: the split a doc lands in is a pure function of its

@@ -268,3 +268,22 @@ def test_curate_corpus_cli_smoke(tmp_path):
         <= metrics["dedup_quality_survivors"]
         <= metrics["docs_in"]
     )
+
+
+def test_two_level_packing_identical_to_single_window(spark, sf_dir):
+    """The (bucket totals -> base offsets -> within-bucket prefix)
+    decomposition must reproduce the single-window pack assignment
+    BIT-EXACTLY — including with a bucket span small enough that every
+    source spans many buckets."""
+    from data_engineer_interview_task_spark.operators import sampling
+
+    one = sorted(map(tuple, sampling.pack_token_shards(spark, sf_dir).collect()))
+    two = sorted(
+        map(
+            tuple,
+            sampling.pack_token_shards_scalable(
+                spark, sf_dir, bucket_span=7
+            ).collect(),
+        )
+    )
+    assert one == two and len(one) > 0
