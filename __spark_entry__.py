@@ -488,6 +488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_spine_interpolate": extended.daily_spine_interpolate,  # linear gap interpolation (cents-exact anchors)
         "latest_event_per_user": extended.latest_event_per_user,  # top-1 per key via max_by (no sort)
         "pack_token_shards_scalable": sampling.pack_token_shards_scalable,  # two-level prefix-sum decomposition
+        "repetition_stats_long": cleaning.repetition_stats_long,  # linear explode+groupBy form (book-length docs)
         # --- round-3 additions (all green in CORRECTNESS_r03.json)
         "volume_shipping": tpch_shapes.volume_shipping,
         "nation_market_share": tpch_shapes.nation_market_share,
@@ -3041,6 +3042,34 @@ FROM (
            ROWS UNBOUNDED PRECEDING) AS cum
   FROM documents
 )
+""",
+        # same SQL as repetition_stats: the explode+groupBy long form
+        # must be value-identical to the array form
+        "repetition_stats_long": """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(range(len(toks) - 1),
+                                  i -> toks[i+1] || ' ' || toks[i+2])
+              ELSE [] END AS g2,
+         CASE WHEN len(toks) >= 3
+              THEN list_transform(range(len(toks) - 2),
+                                  i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+              ELSE [] END AS g3
+  FROM t
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       CASE WHEN len(g2) > 0
+            THEN CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2)
+            ELSE 0.0 END AS dup_bigram_frac,
+       CASE WHEN len(g3) > 0
+            THEN CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3)
+            ELSE 0.0 END AS dup_trigram_frac,
+       CAST(list_max(list_transform(list_distinct(toks),
+                     t2 -> len(list_filter(toks, x -> x = t2)))) AS DOUBLE) / n
+         AS top_token_frac
+FROM g
 """,
         "repetition_stats": """
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -74,6 +74,78 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def repetition_stats_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BOOK-LENGTH formulation ``repetition_stats``'s docstring
+    prescribes, implemented and proven identical: the per-row
+    ``top_token_frac`` scan is O(tokens × distinct) per doc — fine for
+    web pages, quadratic pain for books — so here every per-doc statistic
+    becomes an explode + hash aggregate: one (doc, gram) count pass per
+    gram size, all LINEAR in corpus tokens with map-side partials.
+
+    dup_frac = 1 - distinct/total per gram size; top_token_frac =
+    max per-token count / total. Exact integer counts feed the same
+    single IEEE division, so results are bit-identical to the array
+    formulation (equality-tested) and the registered oracle is the SAME
+    SQL. Cost model: three explodes of the corpus (tokens, bigrams,
+    trigrams) + aggregate-sized joins — trade three linear passes for
+    the per-row quadratic scan."""
+    from pyspark.ml.feature import NGram
+
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "toks", F.split("text", " ")
+    )
+    docs = NGram(n=2, inputCol="toks", outputCol="g2").transform(docs)
+    docs = NGram(n=3, inputCol="toks", outputCol="g3").transform(docs)
+    base = docs.select("doc_id", "toks", "g2", "g3")
+
+    def gram_stats(col: str, out_total: str, out_distinct: str) -> DataFrame:
+        return (
+            base.select("doc_id", F.explode_outer(col).alias("g"))
+            .groupBy("doc_id", "g")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("doc_id")
+            .agg(
+                F.sum(F.when(F.col("g").isNotNull(), F.col("c")).otherwise(0)).alias(
+                    out_total
+                ),
+                F.sum(
+                    F.when(F.col("g").isNotNull(), 1).otherwise(0)
+                ).alias(out_distinct),
+            )
+        )
+
+    tok = (
+        base.select("doc_id", F.explode("toks").alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.max("c").alias("top_count"),
+        )
+    )
+    g2 = gram_stats("g2", "t2", "d2")
+    g3 = gram_stats("g3", "t3", "d3")
+
+    def dup_frac(total: str, distinct: str):
+        t, d = F.col(total), F.col(distinct)
+        return F.when(t > 0, (t - d).cast("double") / t).otherwise(F.lit(0.0))
+
+    return (
+        tok.join(g2, "doc_id")
+        .join(g3, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            dup_frac("t2", "d2").alias("dup_bigram_frac"),
+            dup_frac("t3", "d3").alias("dup_trigram_frac"),
+            (F.col("top_count").cast("double") / F.col("n_tokens")).alias(
+                "top_token_frac"
+            ),
+        )
+    )
+
+
 def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval contamination: which training docs share a word
     ``CONTAM_N``-gram with a held-out eval doc (every ``EVAL_MODULUS``-th

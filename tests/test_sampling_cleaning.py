@@ -287,3 +287,15 @@ def test_two_level_packing_identical_to_single_window(spark, sf_dir):
         )
     )
     assert one == two and len(one) > 0
+
+
+def test_repetition_long_form_identical_to_array_form(spark, sf_dir):
+    """explode+groupBy (linear, book-safe) must equal the per-row array
+    scan bit-for-bit — same exact integer counts into one division."""
+    from data_engineer_interview_task_spark.operators import cleaning
+
+    a = sorted(map(tuple, cleaning.repetition_stats(spark, sf_dir).collect()))
+    b = sorted(
+        map(tuple, cleaning.repetition_stats_long(spark, sf_dir).collect())
+    )
+    assert a == b and len(a) > 0
