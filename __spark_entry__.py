@@ -489,6 +489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_event_per_user": extended.latest_event_per_user,  # top-1 per key via max_by (no sort)
         "pack_token_shards_scalable": sampling.pack_token_shards_scalable,  # two-level prefix-sum decomposition
         "repetition_stats_long": cleaning.repetition_stats_long,  # linear explode+groupBy form (book-length docs)
+        "count_min_heavy_hitters": text.count_min_heavy_hitters,  # CM sketch, md5 buckets => exactly oracle-checkable
         # --- round-3 additions (all green in CORRECTNESS_r03.json)
         "volume_shipping": tpch_shapes.volume_shipping,
         "nation_market_share": tpch_shapes.nation_market_share,
@@ -3042,6 +3043,39 @@ FROM (
            ROWS UNBOUNDED PRECEDING) AS cum
   FROM documents
 )
+""",
+        # count-min: md5-derived buckets are engine-neutral, so even the
+        # APPROXIMATE sketch structure hash-matches exactly
+        "count_min_heavy_hitters": f"""
+WITH t2 AS (
+  SELECT token FROM (
+    SELECT unnest(string_split(text, ' ')) AS token FROM documents
+  ) WHERE token <> ''
+),
+tc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n_true
+       FROM t2 GROUP BY token),
+dd AS (SELECT unnest(range(4)) AS d),
+cm AS (
+  SELECT d, token, md5(CAST(d AS VARCHAR) || ':' || token) AS m
+  FROM t2 CROSS JOIN dd
+),
+cells AS (
+  SELECT d, {_hex_u32('m', 1)} % 256 AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM cm GROUP BY 1, 2
+),
+cands AS (SELECT token, n_true FROM tc
+          ORDER BY n_true DESC, token ASC LIMIT 20),
+pm AS (
+  SELECT token, n_true, d,
+         md5(CAST(d AS VARCHAR) || ':' || token) AS m
+  FROM cands CROSS JOIN dd
+),
+probes AS (SELECT token, n_true, d, {_hex_u32('m', 1)} % 256 AS bucket
+           FROM pm)
+SELECT p.token, p.n_true, CAST(MIN(c.c) AS BIGINT) AS n_est
+FROM probes p JOIN cells c ON p.d = c.d AND p.bucket = c.bucket
+GROUP BY 1, 2
 """,
         # same SQL as repetition_stats: the explode+groupBy long form
         # must be value-identical to the array form

@@ -435,3 +435,70 @@ def quality_score_model(
         score.alias("quality_score"),
         (score >= F.lit(threshold)).alias("keep"),
     )
+
+
+def count_min_heavy_hitters(
+    spark: SparkSession,
+    sf_dir: str,
+    depth: int = 4,
+    width: int = 256,
+    top: int = 20,
+) -> DataFrame:
+    """Count-Min sketch token-frequency estimation — the bounded-memory
+    heavy-hitter family member beside HLL (distinct), KLL (quantiles)
+    and MinHash (similarity): a depth x width counter matrix replaces
+    the full token dictionary, with one-sided error (estimate >= truth,
+    overshoot <= corpus_tokens/width per row w.h.p., min over depth rows
+    tightens it). This is the `vocab_coverage` docstring's prescription
+    for when the key space itself explodes (n-gram hitters): sketch size
+    is FIXED regardless of vocabulary.
+
+    Implementation is pure DataFrame aggregation: each token explodes
+    into ``depth`` (row, md5-bucket) cells, one groupBy builds the
+    matrix (depth x width rows — aggregate-sized), and the estimate for
+    a candidate token is the MIN over its depth cells via a broadcast
+    join. md5-derived buckets make the whole sketch engine-neutral, so
+    the approximate structure is EXACTLY oracle-checkable — emitted next
+    to true counts so the one-sided error is visible (and tested:
+    estimate >= truth always).
+
+    At 100 TB: the token stream is never shuffled by token for the
+    sketch — the exchange carries depth x width partial counters per
+    partition. The true-count column here exists for the harness; a
+    production user queries the sketch alone."""
+    docs = read_table(spark, sf_dir, "documents")
+    tokens = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    rows = F.array(*[F.lit(i) for i in range(depth)])
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("d").cast("string"), F.col("token"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+    cells = (
+        tokens.withColumn("d", F.explode(rows))
+        .groupBy("d", bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    true_counts = tokens.groupBy("token").agg(F.count(F.lit(1)).alias("n_true"))
+    cands = true_counts.orderBy(
+        F.col("n_true").desc(), F.col("token").asc()
+    ).limit(top)
+    probes = cands.withColumn("d", F.explode(rows)).select(
+        "token", "n_true", "d", bucket.alias("bucket")
+    )
+    return (
+        cells.join(F.broadcast(probes), ["d", "bucket"])
+        .groupBy("token", "n_true")
+        .agg(F.min("c").alias("n_est"))
+        .select("token", "n_true", "n_est")
+    )

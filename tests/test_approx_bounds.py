@@ -97,3 +97,25 @@ def test_user_value_trend_matches_closed_form_all_users(spark):
         assert abs(out[uid].slope_per_day - want) <= 1e-9 * max(1.0, abs(want)), uid
         assert abs(out[uid].mean_value - float(v.mean())) <= 1e-9
         assert out[uid].n_events == len(rows)
+
+
+def test_count_min_one_sided_error(spark, sf_dir):
+    """CM guarantee: estimate >= truth for every candidate, and the
+    overshoot is bounded by corpus_tokens/width per row (loose check at
+    3x slack for the min-over-depth)."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_interview_task_spark.operators import text
+    from data_engineer_interview_task_spark.sources import read_table
+
+    rows = text.count_min_heavy_hitters(spark, sf_dir).collect()
+    assert rows
+    total_tokens = (
+        read_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("t"))
+        .filter("t <> ''")
+        .count()
+    )
+    for r in rows:
+        assert r.n_est >= r.n_true, (r.token, r.n_est, r.n_true)
+        assert r.n_est - r.n_true <= 3 * total_tokens / 256, r
