@@ -490,6 +490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_token_shards_scalable": sampling.pack_token_shards_scalable,  # two-level prefix-sum decomposition
         "repetition_stats_long": cleaning.repetition_stats_long,  # linear explode+groupBy form (book-length docs)
         "count_min_heavy_hitters": text.count_min_heavy_hitters,  # CM sketch, md5 buckets => exactly oracle-checkable
+        "hll_union_weekly_users": extended.hll_union_weekly_users,  # rows-only (mergeable-sketch rollup; error-bound test)
         # --- round-3 additions (all green in CORRECTNESS_r03.json)
         "volume_shipping": tpch_shapes.volume_shipping,
         "nation_market_share": tpch_shapes.nation_market_share,

@@ -1009,3 +1009,59 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s.value").alias("last_value"),
         )
     )
+
+
+def hll_union_weekly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE-sketch rollup (Datasketches HLL, Spark 3.5+): build one
+    HLL sketch per (day, event_type), then UNION the daily sketches into
+    weekly distinct-user estimates — the pre-aggregated-sketch-table
+    pattern that makes 100 TB distinct-count dashboards cheap: the daily
+    sketch build scans raw events ONCE ever; every coarser rollup
+    (week/month/arbitrary ranges) merges kilobyte sketches instead of
+    rescanning, something exact countDistinct fundamentally cannot do
+    (distinct counts are not additive; sketches are unionable).
+
+    Emitted next to the EXACT weekly distinct (computed independently)
+    so the driver's rows-only record still shows the error envelope;
+    tests/test_approx_bounds.py pins relative error <= 5% at lgK=12.
+    Registered rows-only: sketch internals are engine-specific."""
+    events = read_table(spark, sf_dir, "events")
+    day = F.date_trunc("DAY", F.col("ts")).alias("day")
+    week = (
+        F.timestamp_seconds(
+            (F.unix_timestamp("day") / F.lit(604800)).cast("long")
+            * F.lit(604800)
+        )
+    ).alias("week_start")
+    daily = events.select("user_id", "event_type", day).groupBy(
+        "day", "event_type"
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = (
+        daily.select("event_type", week, "sk")
+        .groupBy("week_start", "event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(
+                "approx_users"
+            )
+        )
+    )
+    exact = (
+        events.select(
+            "user_id",
+            "event_type",
+            F.date_trunc("DAY", F.col("ts")).alias("day"),
+        )
+        .select(
+            "user_id",
+            "event_type",
+            F.timestamp_seconds(
+                (F.unix_timestamp("day") / F.lit(604800)).cast("long")
+                * F.lit(604800)
+            ).alias("week_start"),
+        )
+        .groupBy("week_start", "event_type")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+    return merged.join(exact, ["week_start", "event_type"]).select(
+        "week_start", "event_type", "approx_users", "exact_users"
+    )

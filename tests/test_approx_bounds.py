@@ -119,3 +119,19 @@ def test_count_min_one_sided_error(spark, sf_dir):
     for r in rows:
         assert r.n_est >= r.n_true, (r.token, r.n_est, r.n_true)
         assert r.n_est - r.n_true <= 3 * total_tokens / 256, r
+
+
+def test_hll_union_rollup_error_bound(spark, sf_dir):
+    """Merged daily sketches must estimate weekly distinct users within
+    5% of the exact count (lgK=12 default => ~1.6% std error) — and the
+    exact column is itself independently computed, so the row also
+    sanity-checks the week bucketing."""
+    from data_engineer_interview_task_spark.operators import extended
+
+    rows = extended.hll_union_weekly_users(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.exact_users > 0
+        assert abs(r.approx_users - r.exact_users) <= max(
+            2, 0.05 * r.exact_users
+        ), (r.week_start, r.event_type, r.approx_users, r.exact_users)
