@@ -484,13 +484,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_linear_trend": extended.grouped_linear_trend,  # per-group closed-form OLS (exact moments)
         "streaming_dedup_then_rollup": _streaming_dedup_then_rollup,  # chained stateful ops, oracle
         "streaming_static_enrich": _streaming_static_enrich,  # stream-static broadcast join, oracle
-        "chargram_minhash_fast": _chargram_minhash_fast,  # rows-only (xxhash64 family; shape-tested vs md5 twin)
         "daily_spine_interpolate": extended.daily_spine_interpolate,  # linear gap interpolation (cents-exact anchors)
         "latest_event_per_user": extended.latest_event_per_user,  # top-1 per key via max_by (no sort)
         "pack_token_shards_scalable": sampling.pack_token_shards_scalable,  # two-level prefix-sum decomposition
         "repetition_stats_long": cleaning.repetition_stats_long,  # linear explode+groupBy form (book-length docs)
         "count_min_heavy_hitters": text.count_min_heavy_hitters,  # CM sketch, md5 buckets => exactly oracle-checkable
-        "hll_union_weekly_users": extended.hll_union_weekly_users,  # rows-only (mergeable-sketch rollup; error-bound test)
         # --- round-3 additions (all green in CORRECTNESS_r03.json)
         "volume_shipping": tpch_shapes.volume_shipping,
         "nation_market_share": tpch_shapes.nation_market_share,
@@ -631,6 +629,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_name_matches": extended.fuzzy_name_matches,
         "global_row_numbers": extended.global_row_numbers,
         "zorder_key": extended.zorder_key,
+        # --- deferred to the ROUND-5 attestation front (the 50-slot
+        # window is full of oracle-grade round-4 work; these two are
+        # rows-only — weakest driver-record class, correctness carried
+        # by their equality/bound tests — see tests/test_registry.py
+        # DEFERRED_TO_NEXT_ROUND)
+        "chargram_minhash_fast": _chargram_minhash_fast,  # rows-only (xxhash64 family; shape-tested vs md5 twin)
+        "hll_union_weekly_users": extended.hll_union_weekly_users,  # rows-only (mergeable-sketch rollup; error-bound test)
     }
 
 
