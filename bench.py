@@ -150,6 +150,11 @@ HEADLINE = [
     "grouped_linear_trend",
     "observed_quality_filter",
     "daily_spine_interpolate",
+    "latest_event_per_user",
+    "pack_token_shards_scalable",
+    "repetition_stats_long",
+    "count_min_heavy_hitters",
+    "hll_union_weekly_users",
 ]
 
 
