@@ -3050,7 +3050,8 @@ FROM (
   FROM documents
 )
 """,
-        # count-min: md5-derived buckets are engine-neutral, so even the
+        # count-min: ONE md5 per token sliced into four u32 rows (digits
+        # 8d+1..8d+8) — engine-neutral, so even the
         # APPROXIMATE sketch structure hash-matches exactly
         "count_min_heavy_hitters": f"""
 WITH t2 AS (
@@ -3062,22 +3063,21 @@ tc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n_true
        FROM t2 GROUP BY token),
 dd AS (SELECT unnest(range(4)) AS d),
 cm AS (
-  SELECT d, token, md5(CAST(d AS VARCHAR) || ':' || token) AS m
+  SELECT d, token, md5(token) AS m
   FROM t2 CROSS JOIN dd
 ),
 cells AS (
-  SELECT d, {_hex_u32('m', 1)} % 256 AS bucket,
+  SELECT d, ((strpos('0123456789abcdef', substring(m, CAST(d*8+1 AS INTEGER), 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substring(m, CAST(d*8+2 AS INTEGER), 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substring(m, CAST(d*8+3 AS INTEGER), 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substring(m, CAST(d*8+4 AS INTEGER), 1)) - 1) * 65536 + (strpos('0123456789abcdef', substring(m, CAST(d*8+5 AS INTEGER), 1)) - 1) * 4096 + (strpos('0123456789abcdef', substring(m, CAST(d*8+6 AS INTEGER), 1)) - 1) * 256 + (strpos('0123456789abcdef', substring(m, CAST(d*8+7 AS INTEGER), 1)) - 1) * 16 + (strpos('0123456789abcdef', substring(m, CAST(d*8+8 AS INTEGER), 1)) - 1) * 1) % 256 AS bucket,
          CAST(COUNT(*) AS BIGINT) AS c
   FROM cm GROUP BY 1, 2
 ),
 cands AS (SELECT token, n_true FROM tc
           ORDER BY n_true DESC, token ASC LIMIT 20),
 pm AS (
-  SELECT token, n_true, d,
-         md5(CAST(d AS VARCHAR) || ':' || token) AS m
+  SELECT token, n_true, d, md5(token) AS m
   FROM cands CROSS JOIN dd
 ),
-probes AS (SELECT token, n_true, d, {_hex_u32('m', 1)} % 256 AS bucket
+probes AS (SELECT token, n_true, d, ((strpos('0123456789abcdef', substring(m, CAST(d*8+1 AS INTEGER), 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substring(m, CAST(d*8+2 AS INTEGER), 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substring(m, CAST(d*8+3 AS INTEGER), 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substring(m, CAST(d*8+4 AS INTEGER), 1)) - 1) * 65536 + (strpos('0123456789abcdef', substring(m, CAST(d*8+5 AS INTEGER), 1)) - 1) * 4096 + (strpos('0123456789abcdef', substring(m, CAST(d*8+6 AS INTEGER), 1)) - 1) * 256 + (strpos('0123456789abcdef', substring(m, CAST(d*8+7 AS INTEGER), 1)) - 1) * 16 + (strpos('0123456789abcdef', substring(m, CAST(d*8+8 AS INTEGER), 1)) - 1) * 1) % 256 AS bucket
            FROM pm)
 SELECT p.token, p.n_true, CAST(MIN(c.c) AS BIGINT) AS n_est
 FROM probes p JOIN cells c ON p.d = c.d AND p.bucket = c.bucket

@@ -471,16 +471,15 @@ def count_min_heavy_hitters(
         docs.select(F.explode(F.split("text", " ")).alias("token"))
         .filter(F.col("token") != "")
     )
+    # ONE md5 per token supplies all `depth` hash rows: its 32 hex digits
+    # are four independent 8-digit u32 slices (d-th row reads digits
+    # [8d+1, 8d+8]) — 4x less hashing than a per-row md5(d:token), the
+    # standard slice-one-digest construction for small depth
+    assert depth <= 4, "one 128-bit md5 yields at most four u32 slices"
     rows = F.array(*[F.lit(i) for i in range(depth)])
     bucket = (
         F.conv(
-            F.substring(
-                F.md5(F.concat_ws(":", F.col("d").cast("string"), F.col("token"))),
-                1,
-                8,
-            ),
-            16,
-            10,
+            F.expr("substring(md5(token), d * 8 + 1, 8)"), 16, 10
         ).cast("long")
         % width
     )
