@@ -299,3 +299,35 @@ def test_repetition_long_form_identical_to_array_form(spark, sf_dir):
         map(tuple, cleaning.repetition_stats_long(spark, sf_dir).collect())
     )
     assert a == b and len(a) > 0
+
+
+def test_skew_report_cli_smoke(tmp_path):
+    """skew_report prints a JSON profile whose totals reconcile and whose
+    remedy tiers match the max/mean ratio."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(repo, "tools", "skew_report.py"),
+            "lineitem",
+            "l_orderkey",
+            "--sf-dir",
+            "/root/testdata/sf0.001",
+            "--cpus",
+            "4",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    rep = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert rep["total_rows"] == 6000 and rep["distinct_keys"] > 0
+    assert rep["max"] >= rep["p99"] >= rep["p50"] >= 1
+    assert rep["top_keys"][0]["rows"] == rep["max"]
+    assert ("none" in rep["remedy"]) == (rep["max_over_mean"] <= 4)
