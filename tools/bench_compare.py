@@ -1,19 +1,28 @@
 #!/usr/bin/env python
-"""Compare the latest bench run against the best prior run per query.
+"""Compare the latest bench run against prior runs per query.
 
 Reads BENCH_HISTORY.jsonl (appended by bench.py), groups runs by scale
 factor, and for the most recent run flags every query slower than
-REGRESSION_FACTOR x its best prior time at the same sf — the per-query
+REGRESSION_FACTOR x its baseline at the same sf — the per-query
 regressions a stable-looking total hides. Exit code 1 if any query
 regressed (so the verify recipe can gate on it); 0 otherwise.
 
+The default baseline is the MEDIAN of each query's prior times: one
+lucky run on a quiet machine used to poison the best-prior baseline and
+flag ambient drift (uniform ~1.3x swings on local[32] were repeatedly
+chased and never real — see CLAUDE.md round-4 notes). The median
+tolerates both lucky and contended outliers. ``--vs-best`` restores the
+strict comparator for release gating.
+
 Usage: python tools/bench_compare.py [path-to-history] [--factor 1.3]
+                                     [--vs-best]
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 
 REGRESSION_FACTOR = 1.3
@@ -25,6 +34,7 @@ MIN_SECONDS = 0.5
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     factor = REGRESSION_FACTOR
+    vs_best = "--vs-best" in sys.argv
     for a in sys.argv[1:]:
         if a.startswith("--factor"):
             factor = float(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
@@ -52,24 +62,29 @@ def main() -> int:
             f"(total {latest['value']}s over {len(latest['queries'])} queries) — baseline set"
         )
         return 0
-    best: dict[str, float] = {}
+    times: dict[str, list[float]] = {}
     for r in prior:
         for q, t in r["queries"].items():
-            if q not in best or t < best[q]:
-                best[q] = t
+            times.setdefault(q, []).append(t)
+    baseline = {
+        q: (min(ts) if vs_best else statistics.median(ts))
+        for q, ts in times.items()
+    }
+    mode = "best" if vs_best else "median"
     regressed = []
     for q, t in latest["queries"].items():
-        if q in best and t > factor * best[q] and t >= MIN_SECONDS:
-            regressed.append((q, best[q], t))
+        if q in baseline and t > factor * baseline[q] and t >= MIN_SECONDS:
+            regressed.append((q, baseline[q], t))
     prior_totals = min(r["value"] for r in prior)
     print(
         f"bench_compare: latest total {latest['value']}s vs best prior "
-        f"{prior_totals}s at sf={latest.get('sf')} ({len(prior)} prior runs)"
+        f"{prior_totals}s at sf={latest.get('sf')} ({len(prior)} prior runs, "
+        f"{mode} baseline)"
     )
     if regressed:
-        print(f"REGRESSIONS (> {factor}x best prior, >= {MIN_SECONDS}s):")
+        print(f"REGRESSIONS (> {factor}x {mode} prior, >= {MIN_SECONDS}s):")
         for q, b, t in sorted(regressed, key=lambda x: x[2] / x[1], reverse=True):
-            print(f"  {q}: {b}s -> {t}s ({t / b:.2f}x)")
+            print(f"  {q}: {b:.3f}s -> {t}s ({t / b:.2f}x)")
         return 1
     print("no per-query regressions")
     return 0
