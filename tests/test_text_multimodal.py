@@ -218,3 +218,42 @@ def test_quality_score_model_is_map_only(spark, sf_dir):
     for r in rows:
         assert r.keep == (r.quality_score >= 1.5)
         assert r.quality_score > 0
+
+
+def test_python_udtf_seam_matches_builtin_explode(spark, sf_dir):
+    """PySpark 4 UDTF surface (the lateral-join extension point for
+    logic that genuinely cannot be a column expression): a sentence-
+    splitting UDTF must agree with the preferred BUILT-IN formulation
+    (split + posexplode) — which is the repo's standing rule: UDTF/UDF
+    only where expressions can't go; this test documents the seam and
+    pins its semantics."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_idx: int, sentence: string")
+    class SentenceSplit:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, s in enumerate(text.split(". ")):
+                if s:
+                    yield i, s
+
+    spark.udtf.register("sentence_split", SentenceSplit)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    docs.createOrReplaceTempView("udtf_docs")
+    via_udtf = spark.sql(
+        """
+        SELECT d.doc_id, s.sent_idx, s.sentence
+        FROM udtf_docs d, LATERAL sentence_split(d.text) s
+        """
+    )
+    via_builtin = docs.select(
+        "doc_id",
+        F.posexplode(F.filter(F.split("text", "\\. "), lambda s: s != "")).alias(
+            "sent_idx", "sentence"
+        ),
+    )
+    assert sorted(map(tuple, via_udtf.collect())) == sorted(
+        map(tuple, via_builtin.collect())
+    )
