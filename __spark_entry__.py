@@ -1354,14 +1354,14 @@ SELECT user_id, session_seq, COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM s GROUP BY user_id, session_seq
 """,
-        # session_window merges iff the next event starts STRICTLY before
-        # the running session's end, so a gap of exactly 30min starts a
-        # new session: >= here where sessionize_events uses >
+        # session_window MERGES touching windows (an exact 30min gap
+        # stays one session — property-tested), so the island rule is the
+        # same strict > as sessionize_events
         "session_window_rollup": """
 WITH o AS (
   SELECT user_id, event_id, ts, value,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
               THEN 1 ELSE 0 END AS is_new
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
@@ -2816,14 +2816,15 @@ SELECT make_timestamp(((epoch_us(ts) // 86400000000) - k) * 86400000000)
 FROM events, (SELECT unnest(range(7)) AS k) offs
 GROUP BY 1, 2, 3
 """,
-        # identical island SQL as the batch session_window_rollup: the
-        # availableNow+complete harness makes the streaming emitted set
-        # equal to the batch aggregation
+        # identical island SQL as the batch session_window_rollup (same
+        # strict-> gap rule; touching windows merge): the availableNow+
+        # complete harness makes the streaming emitted set equal the batch
+        # aggregation
         "streaming_session_window": """
 WITH o AS (
   SELECT user_id, event_id, ts, value,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
               THEN 1 ELSE 0 END AS is_new
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)

@@ -308,13 +308,16 @@ def session_window_rollup(
     class as the window formulation, but with MERGEABLE partial sessions
     (the property streaming state storage needs).
 
-    Merge semantics, pinned by the oracle: windows merge iff the next
-    event starts STRICTLY before the current session's end, so an
-    inter-event gap exactly equal to ``gap_minutes`` starts a NEW
-    session (the lag/cumsum operator keeps ties together — `>` vs `>=`;
-    microsecond event-time makes exact ties vanishingly rare, but the
-    twins are documented as differing there). ``session_end`` is
-    last-event + gap (the window bound), not last-event."""
+    Merge semantics, pinned by the oracle AND a hypothesis property test
+    with exact-gap ties: TOUCHING windows merge — an event whose window
+    [t, t+gap) starts exactly at the running session's end joins it, so
+    a new session needs a gap STRICTLY greater than ``gap_minutes``.
+    That is the same `>` boundary as the lag/cumsum operator (an earlier
+    revision documented them as differing at ties; the property test's
+    falsifying example [0min, 30min] disproved that — fixture
+    microsecond times never produce exact ties, so only randomized
+    inputs could catch it). ``session_end`` is last-event + gap (the
+    window bound), not last-event."""
     events = read_table(spark, sf_dir, "events")
     return (
         events.groupBy(

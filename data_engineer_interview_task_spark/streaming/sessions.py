@@ -252,8 +252,10 @@ def session_window_stream(
     the declarative alternative to the applyInPandasWithState operators
     above, and the exact streaming form of
     ``relational.session_window_rollup`` (same groupBy, same merge
-    semantics: windows fuse iff the next event starts strictly before
-    the running session's end). Spark keeps MERGEABLE per-session state
+    semantics: touching windows merge — a new session needs a gap
+    STRICTLY greater than the gap duration; see the batch operator's
+    docstring for the property-tested boundary). Spark keeps MERGEABLE
+    per-session state
     and the watermark finalizes sessions once it passes their end —
     state is O(open sessions), with none of the cross-batch ordering
     assumption the custom sessionizer documents (late events within the

@@ -26,11 +26,16 @@ OFFSETS = st.lists(
 
 def _model_sessions(minutes):
     """Python reference for session_window: sorted event times, new
-    session iff gap >= GAP_MIN; emits (start, end=last+gap, n)."""
+    session iff gap is STRICTLY GREATER than GAP_MIN — touching windows
+    ([t, t+gap) meeting the session end exactly) MERGE, which this
+    suite's falsifying example [0, 30] proved against a >= model (the
+    originally documented rule was wrong; fixture microsecond times
+    never produce exact ties, so only the property test could catch
+    it); emits (start, end=last+gap, n)."""
     ts = sorted(BASE + dt.timedelta(minutes=m) for m in set(minutes))
     out, start, last, n = [], ts[0], ts[0], 1
     for t in ts[1:]:
-        if (t - last).total_seconds() >= GAP_MIN * 60:
+        if (t - last).total_seconds() > GAP_MIN * 60:
             out.append((start, last + dt.timedelta(minutes=GAP_MIN), n))
             start, last, n = t, t, 1
         else:
