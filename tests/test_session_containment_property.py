@@ -187,3 +187,99 @@ def test_asof_forward_matches_model(spark, tmp_path_factory, events, orders):
     assert set(got) == set(expected)
     for eid, (ot, okey) in expected.items():
         assert got[eid] == (ot, okey), (eid, got[eid], (ot, okey))
+
+
+RANGE_ORDERS = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),  # customer
+        st.integers(min_value=0, max_value=95),  # day offset — spans >3 buckets at days=30
+    ),
+    min_size=2,
+    max_size=10,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(RANGE_ORDERS)
+def test_range_join_bucket_decomposition_matches_model(
+    spark, tmp_path_factory, orders
+):
+    """orders_range_join's bucket trick (explode over {b, b+1}, re-check)
+    vs the quadratic definition on random day offsets — hammers the
+    bucket EDGES (offsets 29/30/31, 59/60/61 cross bucket boundaries at
+    days=30) and both range bounds (strictly-later, <= 30 days), which
+    the fixture's spread never concentrates on."""
+    from data_engineer_interview_task_spark.operators import extended
+
+    tmp = tmp_path_factory.mktemp("rj")
+    rows = [
+        (i, k, BASE + dt.timedelta(days=d)) for i, (k, d) in enumerate(orders)
+    ]
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderdate timestamp"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/orders.parquet")
+
+    expected = {
+        (k1, i, j)
+        for i, k1, t1 in rows
+        for j, k2, t2 in rows
+        if k1 == k2 and t1 < t2 <= t1 + dt.timedelta(days=30)
+    }
+    got = {
+        (r.custkey, r.first_orderkey, r.second_orderkey)
+        for r in extended.orders_range_join(spark, str(tmp)).collect()
+    }
+    assert got == expected
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(ASOF_EVENTS, ASOF_ORDERS)
+def test_asof_backward_matches_model(spark, tmp_path_factory, events, orders):
+    """BACKWARD as-of twin of the forward property test: latest order AT
+    OR BEFORE each event (same-instant orders DO attribute here — the
+    is_event sort-key rule, opposite of the forward strictness)."""
+    from data_engineer_interview_task_spark.operators import relational
+
+    tmp = tmp_path_factory.mktemp("asofb")
+    ev_rows = [
+        (i, BASE + dt.timedelta(days=d), k) for i, (k, d) in enumerate(events)
+    ]
+    spark.createDataFrame(
+        ev_rows, "event_id long, ts timestamp, user_id long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+    od_rows = [
+        (100 + i, k, BASE + dt.timedelta(days=d))
+        for i, (k, d) in enumerate(orders)
+    ]
+    spark.createDataFrame(
+        od_rows or [(None, None, None)],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp",
+    ).filter("o_orderkey IS NOT NULL").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp}/orders.parquet")
+
+    dedup_orders = {}
+    for okey, k, t in od_rows:
+        dedup_orders[(k, t)] = max(dedup_orders.get((k, t), -1), okey)
+    expected = {}
+    for eid, t, k in ev_rows:
+        at_or_before = [
+            (ot, okey)
+            for (ok, ot), okey in dedup_orders.items()
+            if ok == k and ot <= t
+        ]
+        expected[eid] = max(at_or_before)[1] if at_or_before else None
+
+    got = {
+        r.event_id: r.o_orderkey
+        for r in relational.asof_join_events_orders(spark, str(tmp)).collect()
+    }
+    assert got == expected
