@@ -283,3 +283,64 @@ def test_asof_backward_matches_model(spark, tmp_path_factory, events, orders):
         for r in relational.asof_join_events_orders(spark, str(tmp)).collect()
     }
     assert got == expected
+
+
+FUNNEL_EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=2),  # user
+        st.sampled_from(["view", "click", "purchase", "other"]),
+        st.integers(min_value=0, max_value=180),  # minute offset: 60 = exact horizon
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(FUNNEL_EVENTS)
+def test_windowed_funnel_matches_model(spark, tmp_path_factory, evs):
+    """Time-boxed funnel vs a python model on random event sets with
+    exact-horizon offsets (minute 60 after a stage = still within, the
+    <= bound; same-minute = excluded, the strict > bound)."""
+    from data_engineer_interview_task_spark.operators import relational
+
+    tmp = tmp_path_factory.mktemp("funnel")
+    rows = [
+        (i, BASE + dt.timedelta(minutes=m), k, typ, 1.0, "{}")
+        for i, (k, typ, m) in enumerate(evs)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+
+    H = dt.timedelta(hours=1)
+    by_user: dict = {}
+    for _, t, k, typ, _v, _p in rows:
+        by_user.setdefault(k, []).append((t, typ))
+    n_v = n_c = n_p = 0
+    for seq in by_user.values():
+        views = [t for t, ty in seq if ty == "view"]
+        if not views:
+            continue
+        n_v += 1
+        v = min(views)
+        clicks = [t for t, ty in seq if ty == "click" and v < t <= v + H]
+        if not clicks:
+            continue
+        n_c += 1
+        c = min(clicks)
+        if any(ty == "purchase" and c < t <= c + H for t, ty in seq):
+            n_p += 1
+
+    r = relational.funnel_conversion_windowed(spark, str(tmp)).first()
+    assert (r.n_view, r.n_view_click, r.n_view_click_purchase) == (
+        n_v,
+        n_c,
+        n_p,
+    )
