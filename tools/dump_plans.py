@@ -42,6 +42,33 @@ KEY_QUERIES = [
     "source_report",
     "retention_cohorts",
     "wow_event_growth",
+    # round 3/4 additions (operators whose returned plan IS the dataflow —
+    # materializing/collect-driven entries like bucketed_join_rollup or
+    # kcenter would dump a trivial post-materialization plan, so they are
+    # covered by tests/test_plans.py instead)
+    "volume_shipping",
+    "grouping_sets_report",
+    "funnel_conversion_windowed",
+    "rolling_7day_distinct_users",
+    "scd2_as_of",
+    "quality_score_model",
+    "prefix_filter_jaccard_pairs",
+    "semantic_dedup",
+    "semantic_dedup_scaled",
+    "salted_skew_join_rollup",
+    "asof_join_forward",
+    "event_value_outliers",
+    "session_window_rollup",
+    "ngram_containment_pairs",
+    "per_source_quality_cap",
+    "discounted_revenue",
+    "latest_event_per_user",
+    "grouped_linear_trend",
+    "daily_spine_interpolate",
+    "pack_token_shards_scalable",
+    "repetition_stats_long",
+    "count_min_heavy_hitters",
+    "hll_union_weekly_users",
 ]
 
 
