@@ -8,6 +8,7 @@ Usage: python tools/check_oracle.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 from decimal import Decimal
@@ -59,8 +60,12 @@ def main() -> int:
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
     for t in TABLES:
+        # driver testdata writes single files; Spark-written dirs (e.g.
+        # tools/make_sf.py output) hold part files under <table>.parquet/
+        path = f"{sf_dir}/{t}.parquet"
+        glob = f"{path}/*.parquet" if os.path.isdir(path) else path
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{glob}')"
         )
 
     qs, oracles = entry.queries(), entry.oracle_sql()
