@@ -667,12 +667,12 @@ def _zorder_expr(var: str, shift_base: int) -> str:
 def _kmeans_sql() -> str:
     """CTE chain mirroring clustering.py's two-round deterministic Lloyd:
     per-label init centroids -> assign -> update -> assign. Shares the
-    bit-identity rules: DECIMAL(20,9) means, list_reduce left-fold
+    bit-identity rules: fixed-point floor(x*1e9) means, list_reduce left-fold
     distances, (d, cl) total-order argmin."""
     cent = (
         "SELECT {key} AS cl, i AS dim, "
-        "CAST(SUM(CAST(CAST(embedding[i+1] AS DOUBLE) AS DECIMAL(20,9))) "
-        "AS DOUBLE) / COUNT(*) AS c "
+        "CAST(SUM(CAST(floor(CAST(embedding[i+1] AS DOUBLE) * 1000000000.0) "
+        "AS BIGINT)) AS DOUBLE) / COUNT(*) / 1000000000.0 AS c "
         "FROM {src}, (SELECT unnest(range(64)) AS i) t GROUP BY {key}, i"
     )
     assign = """
@@ -1226,8 +1226,9 @@ FROM anch
 """,
         "label_centroids": """
 SELECT label, CAST(i AS INTEGER) AS dim,
-       CAST(SUM(CAST(CAST(embedding[i + 1] AS DOUBLE) AS DECIMAL(20,9)))
-            AS DOUBLE) / COUNT(*) AS centroid,
+       CAST(SUM(CAST(floor(CAST(embedding[i + 1] AS DOUBLE)
+                          * 1000000000.0) AS BIGINT))
+            AS DOUBLE) / COUNT(*) / 1000000000.0 AS centroid,
        COUNT(*) AS n_vectors
 FROM embeddings, (SELECT unnest(range(64)) AS i) t
 GROUP BY label, i
@@ -2532,8 +2533,9 @@ WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
         "similarity_topk_ivf": f"""
 WITH cd AS (
   SELECT label AS cell, i AS dim,
-         CAST(SUM(CAST(CAST(embedding[i + 1] AS DOUBLE) AS DECIMAL(20,9)))
-              AS DOUBLE) / COUNT(*) AS c
+         CAST(SUM(CAST(floor(CAST(embedding[i + 1] AS DOUBLE)
+                            * 1000000000.0) AS BIGINT))
+              AS DOUBLE) / COUNT(*) / 1000000000.0 AS c
   FROM embeddings, (SELECT unnest(range(64)) AS i) dims
   GROUP BY label, i
 ),

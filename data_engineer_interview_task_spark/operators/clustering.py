@@ -7,8 +7,9 @@ groupBy — no shuffle ever carries vectors to a single node.
 
 Every arithmetic step is chosen for cross-engine bit-identity, which makes
 the WHOLE two-round algorithm oracle-checkable (rare for iterative ML):
-- centroid means: DECIMAL(20,9) sums / count, emitted as double (the
-  label_centroids rule — scale 9 keeps double->decimal rounding agreed);
+- centroid means: fixed-point floor(x*1e9) long sums / count / 1e9 (the
+  label_centroids rule — floor of a double product is tie-free across
+  engines where double->decimal casts round half-ties differently);
 - distances: strict left-fold double sums in array order (row-local, equal
   to DuckDB's list_reduce bit-for-bit);
 - argmin: row_number with a total tie-break (distance, then cluster id).
@@ -39,8 +40,9 @@ def _centroid_arrays(assigned: DataFrame, cluster_col: str) -> DataFrame:
     )
     means = ex.groupBy("cl", "dim").agg(
         (
-            F.sum(F.col("x").cast("double").cast("decimal(20,9)")).cast("double")
+            F.sum(F.floor(F.col("x").cast("double") * 1e9)).cast("double")
             / F.count(F.lit(1))
+            / 1e9
         ).alias("c")
     )
     return means.groupBy("cl").agg(

@@ -265,18 +265,22 @@ def daily_spine_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
 def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroid, one row per (label, dimension) — the
     vector-aggregate shape behind IVF coarse quantizers and k-means steps.
-    posexplode -> hash aggregate; the mean is an exact DECIMAL sum divided
-    by the count (double sums would be partition-order dependent)."""
+    posexplode -> hash aggregate; the mean is an exact FIXED-POINT sum
+    (floor(x*1e9) into long) divided by count then descaled — double sums
+    would be partition-order dependent, and a double->DECIMAL cast is
+    round-half-TIE sensitive across engines (Spark HALF_UP on the
+    shortest decimal repr vs DuckDB's binary-expansion rounding): the
+    sf1 sweep caught a 5e-12 centroid mismatch from exactly one such tie
+    in 1.28M casts, which driver-scale fixtures never hit. floor of the
+    same double product is tie-free and engine-identical (the SRP
+    projection lesson, applied to every centroid in the repo)."""
     emb = read_table(spark, sf_dir, "embeddings")
     ex = emb.select("label", F.posexplode("embedding").alias("dim", "x"))
-    # scale 9, not 14: double->decimal rounding must agree across engines
-    # on a value that is EMITTED (DuckDB scales in floating point, so the
-    # last representable digit can round differently; at scale 9 the
-    # rounding boundary sits ~1e9 ulps above that noise)
     return ex.groupBy("label", "dim").agg(
         (
-            F.sum(F.col("x").cast("double").cast("decimal(20,9)")).cast("double")
+            F.sum(F.floor(F.col("x").cast("double") * 1e9)).cast("double")
             / F.count(F.lit(1))
+            / 1e9
         ).alias("centroid"),
         F.count(F.lit(1)).alias("n_vectors"),
     )

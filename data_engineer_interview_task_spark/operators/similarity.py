@@ -199,17 +199,20 @@ def srp_lsh_topk(
 
 def _ivf_centroids(emb: DataFrame) -> DataFrame:
     """Centroid per label cell: posexplode + mean, then re-assemble arrays.
-    DECIMAL mean, not avg(double): a double mean is partition-order
-    dependent, and a centroid that wobbles at the last ulp can reorder
-    the probed cells — decimal makes the whole probe deterministic and
-    the operator exactly oracle-checkable (label_centroids rule)."""
+    FIXED-POINT mean (floor(x*1e9) long sums), not avg(double): a double
+    mean is partition-order dependent, and a centroid that wobbles at
+    the last ulp can reorder the probed cells — exact long addition
+    makes the whole probe deterministic and the operator exactly
+    oracle-checkable (label_centroids rule; see its docstring for why
+    decimal casts are tie-unsafe at scale)."""
     return (
         emb.select("label", F.posexplode("embedding").alias("dim", "x"))
         .groupBy("label", "dim")
         .agg(
             (
-                F.sum(F.col("x").cast("double").cast("decimal(20,9)")).cast("double")
+                F.sum(F.floor(F.col("x").cast("double") * 1e9)).cast("double")
                 / F.count(F.lit(1))
+                / 1e9
             ).alias("c")
         )
         .groupBy("label")
