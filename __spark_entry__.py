@@ -1703,12 +1703,12 @@ per_order AS (SELECT l_orderkey AS po_orderkey,
                      CAST(COUNT(*) AS BIGINT) AS n_supp,
                      CAST(SUM(late) AS BIGINT) AS n_late
               FROM per_os GROUP BY 1)
-SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+SELECT s_suppkey, s_name, CAST(COUNT(*) AS BIGINT) AS numwait
 FROM per_os
 JOIN per_order ON l_orderkey = po_orderkey
 JOIN supplier  ON l_suppkey = s_suppkey
 WHERE late = 1 AND n_supp > 1 AND n_late = 1
-GROUP BY s_name
+GROUP BY s_suppkey, s_name
 """,
         "idle_rich_customers": """
 WITH coded AS (

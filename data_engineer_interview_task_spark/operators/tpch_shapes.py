@@ -347,9 +347,13 @@ def waiting_orders_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_suppkey")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+    # emit the KEY alongside the display name: grouping by s_name alone
+    # silently merges distinct suppliers if the name↔key functional
+    # dependency ever breaks (the sf1 synthetic corpus did exactly that
+    # and caught the old name-grouped oracle off by 10x)
     return sole_late.join(
         F.broadcast(supplier), sole_late.l_suppkey == supplier.s_suppkey
-    ).select("s_name", "numwait")
+    ).select("s_suppkey", "s_name", "numwait")
 
 
 def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
