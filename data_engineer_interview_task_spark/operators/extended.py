@@ -539,12 +539,25 @@ def global_row_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
     key, number within each partition (parallel windows), then add each
     partition's cumulative offset via a tiny broadcast join — the classic
     two-phase zipWithIndex, expressed declaratively. Deterministic because
-    the sort key (doc_id) is unique and repartitionByRange splits on it."""
+    the sort key (doc_id) is unique and repartitionByRange splits on it.
+
+    The pid assignment is MATERIALIZED once (localCheckpoint): both
+    consumers (the numbering window and the offset aggregate) re-evaluate
+    their lineage otherwise, and repartitionByRange picks its boundaries
+    by SAMPLING — two evaluations over a multi-file input can draw
+    different boundaries, silently misaligning offsets against local
+    ranks (caught by the sf1 at-scale oracle sweep: single-file driver
+    fixtures always resampled identically, the 8-file sf1 corpus did
+    not). At 100 TB this is one cached pass over the (key, payload, pid)
+    projection — the price of using spark_partition_id, which is only
+    deterministic WITHIN one evaluation."""
     from pyspark.sql import Window
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
-    parts = docs.repartitionByRange(8, F.col("doc_id")).withColumn(
-        "pid", F.spark_partition_id()
+    parts = (
+        docs.repartitionByRange(8, F.col("doc_id"))
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
     )
     in_part = Window.partitionBy("pid").orderBy(F.col("doc_id").asc())
     numbered = parts.withColumn("rn_local", F.row_number().over(in_part))
