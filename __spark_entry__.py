@@ -26,6 +26,7 @@ from data_engineer_interview_task_spark.operators import (
     clustering,
     dedup,
     extended,
+    graph,
     maintenance,
     multimodal,
     relational,
@@ -277,6 +278,21 @@ def _streaming_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return run_click_purchase_full_join_once(
         spark, sf_dir, _work_dir("stream_ssfoj", sf_dir)
+    )
+
+
+def _streaming_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI stream-stream join (converted clicks, no purchase
+    payload) — completes the stream-stream join matrix next to inner /
+    leftOuter / fullOuter. ORACLE-CHECKED: under availableNow every
+    purchase is processed, so the emitted click set equals the batch
+    EXISTS semi join."""
+    from data_engineer_interview_task_spark.streaming import (
+        run_click_purchase_semi_join_once,
+    )
+
+    return run_click_purchase_semi_join_once(
+        spark, sf_dir, _work_dir("stream_sssj", sf_dir)
     )
 
 
@@ -636,6 +652,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # DEFERRED_TO_NEXT_ROUND)
         "chargram_minhash_fast": _chargram_minhash_fast,  # rows-only (xxhash64 family; shape-tested vs md5 twin)
         "hll_union_weekly_users": extended.hll_union_weekly_users,  # rows-only (mergeable-sketch rollup; error-bound test)
+        # --- late round-4 additions (oracle-checked by the local
+        # check_oracle sweep at both driver SFs; ALSO deferred to the
+        # round-5 driver window — see tests/test_registry.py
+        # ORACLE_DEFERRED_TO_NEXT_ROUND)
+        "supplier_pagerank": graph.supplier_pagerank,  # fixed-point iterative graph (oracle-exact)
+        "max_concurrent_sessions": relational.max_concurrent_sessions,
+        "quality_threshold_for_budget": sampling.quality_threshold_for_budget,
+        "edit_distance_pairs": dedup.edit_distance_pairs,
+        "streaming_semi_join": _streaming_semi_join,  # oracle (emitted set == batch EXISTS)
     }
 
 
@@ -3179,4 +3204,106 @@ FROM lineitem GROUP BY l_linestatus
     # the persisted-index IVF is bit-identical to the in-memory probe —
     # one oracle serves both
     d["similarity_topk_ivf_prebuilt"] = d["similarity_topk_ivf"]
+
+    # --- late round-4 additions -------------------------------------
+    # iterative fixed-point PageRank: the unrolled-CTE twin is generated
+    # next to the operator so both sides share one constant set
+    d["supplier_pagerank"] = graph.pagerank_oracle_sql()
+
+    # interval-concurrency sweep over gap sessions (closed intervals:
+    # +1 at start sorts before the microsecond-shifted -1)
+    d["max_concurrent_sessions"] = """
+WITH o AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), s AS (
+  SELECT *, SUM(is_new) OVER (
+      PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM o
+), sess AS (
+  SELECT MIN(ts) AS session_start, MAX(ts) AS session_end
+  FROM s GROUP BY user_id, session_seq
+), spanned AS (
+  SELECT session_start, session_end,
+         CAST(UNNEST(generate_series(CAST(session_start AS DATE),
+                                     CAST(session_end AS DATE),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM sess
+), clipped AS (
+  SELECT day,
+         GREATEST(session_start, CAST(day AS TIMESTAMP)) AS s,
+         LEAST(session_end,
+               CAST(day AS TIMESTAMP) + INTERVAL 1 DAY
+                 - INTERVAL 1 MICROSECOND) AS e
+  FROM spanned
+), bounds AS (
+  SELECT day, s AS ts, 1 AS delta FROM clipped
+  UNION ALL
+  SELECT day, e + INTERVAL 1 MICROSECOND AS ts, -1 AS delta FROM clipped
+), swept AS (
+  SELECT day, SUM(delta) OVER (
+      PARTITION BY day ORDER BY ts ASC, delta DESC
+      ROWS UNBOUNDED PRECEDING) AS active
+  FROM bounds
+)
+SELECT day, CAST(MAX(active) AS BIGINT) AS max_concurrent
+FROM swept GROUP BY day
+"""
+
+    # quality-CDF token-budget calibration (budget = total*3 DIV 10)
+    d["quality_threshold_for_budget"] = """
+WITH scored AS (
+  SELECT CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS score,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+  FROM documents
+), per_score AS (
+  SELECT score, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+  FROM scored GROUP BY score
+), total AS (
+  SELECT CAST(SUM(n_toks) * 3 // 10 AS BIGINT) AS budget FROM scored
+), cdf AS (
+  SELECT score, n_docs, n_tokens,
+         CAST(SUM(n_docs) OVER w AS BIGINT) AS cum_docs,
+         CAST(SUM(n_tokens) OVER w AS BIGINT) AS cum_tokens
+  FROM per_score
+  WINDOW w AS (ORDER BY score DESC ROWS UNBOUNDED PRECEDING)
+)
+SELECT c.score, c.n_docs, c.n_tokens, c.cum_docs, c.cum_tokens, t.budget,
+       (c.cum_tokens >= t.budget AND c.cum_tokens - c.n_tokens < t.budget)
+         AS selected
+FROM cdf c CROSS JOIN total t
+"""
+
+    # blocked exact edit distance (prefix blocks, df-capped)
+    d["edit_distance_pairs"] = """
+WITH b AS (
+  SELECT doc_id, text, substring(text, 1, 24) AS blk FROM documents
+), keep AS (
+  SELECT blk FROM b GROUP BY blk HAVING COUNT(*) <= 50
+), d2 AS (
+  SELECT b.* FROM b JOIN keep USING (blk)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_distance
+FROM d2 a JOIN d2 b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE levenshtein(a.text, b.text) <= 40
+"""
+
+    # stream-stream LEFT SEMI join == batch EXISTS under availableNow
+    d["streaming_semi_join"] = """
+SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts
+FROM events c
+WHERE c.event_type = 'click'
+  AND EXISTS (
+    SELECT 1 FROM events p
+    WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+      AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR)
+"""
     return d

@@ -1036,3 +1036,56 @@ def prefix_filter_jaccard_pairs(
             (inter.cast("double") / union).alias("jaccard"),
         )
     )
+
+
+def edit_distance_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    prefix_len: int = 24,
+    max_dist: int = 40,
+    max_block: int | None = 50,
+) -> DataFrame:
+    """Near-dup pairs by EXACT edit distance inside prefix blocks — the
+    character-level complement to the token-set families (Jaccard/MinHash/
+    SimHash): catches small in-place edits that shift every downstream
+    shingle.
+
+    Shape: block on the first ``prefix_len`` characters (template-derived
+    near-dups share their head), equi-join within blocks, then the O(len²)
+    Levenshtein ONLY on candidate pairs — the expensive verify never runs
+    outside a block. ``max_block`` is the hot-key guard (same role as
+    ``max_shingle_df``): blocks holding more docs than the cap — shared
+    boilerplate heads — are dropped before the self-join, keeping the
+    candidate count O(Σ block²) bounded. At 100 TB, widen the block key
+    (prefix + length bucket) rather than raising the cap.
+
+    Determinism: Levenshtein is the standard Wagner-Fischer distance in
+    both engines — exact integers, no ties to break.
+    """
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.substring("text", 1, prefix_len).alias("blk")
+    )
+    if max_block is not None:
+        keep = (
+            docs.groupBy("blk")
+            .agg(F.count(F.lit(1)).alias("bn"))
+            .filter(F.col("bn") <= max_block)
+            .select("blk")
+        )
+        docs = docs.join(keep, "blk")
+    a = docs.alias("a")
+    b = docs.alias("b")
+    dist = F.levenshtein(F.col("a.text"), F.col("b.text"))
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.cast("long").alias("edit_distance"),
+        )
+        .filter(F.col("edit_distance") <= max_dist)
+    )

@@ -768,3 +768,66 @@ def scd2_as_of(
         "valid_from",
         "valid_to",
     )
+
+
+def max_concurrent_sessions(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = 30
+) -> DataFrame:
+    """Peak concurrency per day: the maximum number of user sessions
+    (from ``sessionize_events``) simultaneously active at any instant of
+    each calendar day. The classic interval-concurrency sweep, done the
+    distributed way:
+
+    1. sessions are clipped to the days they span (``sequence`` explode —
+       sessions are gap-bounded, so the per-row fan-out is tiny);
+    2. each clipped interval becomes a +1 boundary at its start and a -1
+       boundary one microsecond after its (closed) end;
+    3. a running sum ordered by (ts, delta DESC) inside each day partition
+       yields the active count; its max is the answer.
+
+    The sweep window partitions by DAY, so at 100 TB every day sweeps in
+    parallel and no global single-partition sort exists (the same
+    two-phase idea as ``global_row_numbers``, with the calendar as the
+    natural range partitioner). Tie rule, pinned by the oracle: intervals
+    are CLOSED — a session starting at the exact microsecond another ends
+    counts as concurrent with it (+1 sorts before the -1, which is shifted
+    one microsecond past the closed end).
+
+    Determinism: the max of the running sum is invariant under permuting
+    equal (ts, delta) rows, so the output is total-order-free; counts are
+    exact BIGINTs.
+    """
+    sessions = sessionize_events(spark, sf_dir, gap_minutes=gap_minutes)
+    spanned = sessions.select(
+        "session_start",
+        "session_end",
+        F.explode(
+            F.sequence(F.to_date("session_start"), F.to_date("session_end"))
+        ).alias("day"),
+    )
+    day_start = F.col("day").cast("timestamp")
+    day_end = day_start + F.expr("INTERVAL 1 DAY") - F.expr("INTERVAL 1 MICROSECOND")
+    clipped = spanned.select(
+        "day",
+        F.greatest("session_start", day_start).alias("s"),
+        F.least("session_end", day_end).alias("e"),
+    )
+    bounds = clipped.select(
+        "day", F.col("s").alias("ts"), F.lit(1).alias("delta")
+    ).unionAll(
+        clipped.select(
+            "day",
+            (F.col("e") + F.expr("INTERVAL 1 MICROSECOND")).alias("ts"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy(F.col("ts").asc(), F.col("delta").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        bounds.withColumn("active", F.sum("delta").over(w))
+        .groupBy("day")
+        .agg(F.max("active").cast("long").alias("max_concurrent"))
+    )

@@ -315,3 +315,63 @@ def token_budget_mix(
         docs.select("doc_id", "source", "n_toks", cum.alias("cum_toks"))
         .filter(F.col("cum_toks") <= budget_tokens)
     )
+
+
+def quality_threshold_for_budget(
+    spark: SparkSession, sf_dir: str, budget_tenths: int = 3
+) -> DataFrame:
+    """Calibrate a quality cutoff against a token budget: the curation
+    question "what distinct-token-ratio threshold keeps roughly
+    ``budget_tenths``/10 of the corpus tokens?", answered with the full
+    quality CDF so the trade-off curve is visible, not just the cutoff.
+
+    Output: one row per DISTINCT quality score (distinct-token ratio from
+    ``text_quality``'s exact integer counts — a single IEEE division, so
+    bit-identical cross-engine and safely groupable), with the per-score
+    doc/token mass, the cumulative mass at-or-above that score, the exact
+    integer budget (``total_tokens * budget_tenths DIV 10``), and
+    ``selected`` marking the crossing row — the highest threshold whose
+    kept tokens first reach the budget.
+
+    Scale shape: per-doc scoring is map-only; the CDF groupBy reduces the
+    corpus to |distinct scores| rows BEFORE the ordered window, so the
+    global cumulative sum runs over the reduced set (range-partitionable
+    by score at extreme cardinalities) — never over the corpus. The budget
+    scalar is one broadcast row. All masses are exact BIGINTs.
+    """
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "toks", F.split(F.col("text"), " ")
+    )
+    n_toks = F.size("toks")
+    scored = docs.select(
+        (F.size(F.array_distinct("toks")).cast("double") / n_toks).alias("score"),
+        n_toks.cast("long").alias("n_toks"),
+    )
+    per_score = scored.groupBy("score").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+    )
+    total = scored.agg(
+        F.expr(f"sum(n_toks) * {budget_tenths} DIV 10").alias("budget")
+    )
+    w = (
+        Window.orderBy(F.col("score").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cdf = (
+        per_score.withColumn("cum_docs", F.sum("n_docs").over(w))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .crossJoin(F.broadcast(total))
+    )
+    return cdf.select(
+        "score",
+        "n_docs",
+        "n_tokens",
+        "cum_docs",
+        "cum_tokens",
+        "budget",
+        (
+            (F.col("cum_tokens") >= F.col("budget"))
+            & (F.col("cum_tokens") - F.col("n_tokens") < F.col("budget"))
+        ).alias("selected"),
+    )

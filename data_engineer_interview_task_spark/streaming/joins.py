@@ -365,3 +365,71 @@ def run_stream_static_enrich_once(
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+def click_purchase_semi_join(
+    spark: SparkSession,
+    source_dir: str,
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """LEFT SEMI stream-stream join: clicks that converted (a purchase by
+    the same user within ``within``), emitting each qualifying click ONCE
+    with no purchase payload — the existence-check member of the join
+    matrix (inner / leftOuter / fullOuter / leftSemi).
+
+    State story: like the inner join, but a buffered click can be dropped
+    from state as soon as its first match arrives (nothing more can change
+    its output), and unmatched clicks age out when the purchase-side
+    watermark passes their window — the cheapest stateful join of the
+    family. Under the availableNow harness every purchase is seen, so the
+    emitted set equals the batch EXISTS semi join exactly.
+    """
+    src = spark.readStream.schema(EVENTS_SCHEMA).parquet(source_dir)
+    clicks = (
+        src.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        src.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within}")),
+        "left_semi",
+    ).select(F.col("c_user").alias("user_id"), "click_id", "click_ts")
+
+
+def run_click_purchase_semi_join_once(
+    spark: SparkSession, sf_dir: str, work_dir: str
+) -> DataFrame:
+    """availableNow harness for the stream-stream LEFT SEMI join."""
+    from ..sources import read_table
+
+    prep_session(spark)
+    src = f"{work_dir}/events_src"
+    read_table(spark, sf_dir, "events").write.mode("overwrite").parquet(src)
+    sink = f"mem_sssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        click_purchase_semi_join(spark, src)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", f"{work_dir}/ckpt_{sink}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)

@@ -1,0 +1,153 @@
+"""Late-round-4 operator tests: PageRank (independent python-model replay),
+interval concurrency (independent instant-probe definition), quality-budget
+CDF invariants, and blocked edit-distance pairs vs a quadratic DP model.
+
+Each test checks the Spark operator against an INDEPENDENT formulation —
+not a restatement of the Spark lineage — so a shared misconception can't
+pass both sides (the DuckDB oracles already pin cross-engine parity; these
+pin the semantics).
+"""
+from __future__ import annotations
+
+import duckdb
+
+from data_engineer_interview_task_spark.operators import (
+    dedup,
+    graph,
+    relational,
+    sampling,
+)
+
+
+def _duck(sf_dir: str, table: str):
+    con = duckdb.connect()
+    return con.sql(f"SELECT * FROM '{sf_dir}/{table}.parquet'").df()
+
+
+def test_supplier_pagerank_matches_python_model(spark, sf_dir):
+    li = _duck(sf_dir, "lineitem")[["l_orderkey", "l_suppkey"]]
+    # python replay of the exact integer recurrence
+    edges = set()
+    for _, grp in li.groupby("l_orderkey"):
+        ss = sorted(set(grp["l_suppkey"]))
+        for i, u in enumerate(ss):
+            for v in ss[i + 1 :]:
+                edges.add((u, v))
+                edges.add((v, u))
+    from collections import defaultdict
+
+    adj = defaultdict(list)
+    for u, v in edges:
+        adj[u].append(v)
+    deg = {u: len(vs) for u, vs in adj.items()}
+    rank = {u: graph.PR_SCALE for u in deg}
+    teleport = (100 - graph.PR_DAMPING_PCT) * graph.PR_SCALE // 100
+    for _ in range(graph.PR_ITERATIONS):
+        inc = defaultdict(int)
+        for u, vs in adj.items():
+            c = rank[u] // deg[u]
+            for v in vs:
+                inc[v] += c
+        rank = {
+            u: teleport + graph.PR_DAMPING_PCT * inc[u] // 100 for u in deg
+        }
+    got = {
+        r["s_suppkey"]: (r["degree"], r["pr_scaled"])
+        for r in graph.supplier_pagerank(spark, sf_dir).collect()
+    }
+    assert got == {u: (deg[u], rank[u]) for u in deg}
+    # sanity on the fixed-point design: total mass stays within the
+    # truncation loss of the scale (each node floors twice per round)
+    total = sum(r for _, r in got.values())
+    assert abs(total - len(deg) * graph.PR_SCALE) < len(deg) * 200 * (
+        graph.PR_ITERATIONS + 1
+    )
+
+
+def test_max_concurrent_sessions_matches_instant_probe(spark, sf_dir):
+    import datetime as dt
+
+    sessions = relational.sessionize_events(spark, sf_dir).collect()
+    intervals = [(r["session_start"], r["session_end"]) for r in sessions]
+    # independent definition: within a day, the active count only rises at
+    # an interval start clipped to the day — i.e. at midnight (spanning
+    # sessions) or at an in-day session start. Probe exactly those
+    # instants against the raw closed intervals (quadratic, test-scale).
+    days = set()
+    for s, e in intervals:
+        d = s.date()
+        while d <= e.date():
+            days.add(d)
+            d += dt.timedelta(days=1)
+    want = {}
+    for day in days:
+        probes = [dt.datetime.combine(day, dt.time.min)] + [
+            s for s, _e in intervals if s.date() == day
+        ]
+        want[day] = max(
+            sum(1 for s2, e2 in intervals if s2 <= p <= e2) for p in probes
+        )
+    got = {
+        r["day"]: r["max_concurrent"]
+        for r in relational.max_concurrent_sessions(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_quality_threshold_budget_crossing_invariants(spark, sf_dir):
+    rows = (
+        sampling.quality_threshold_for_budget(spark, sf_dir)
+        .orderBy("score", ascending=False)
+        .collect()
+    )
+    assert rows, "empty CDF"
+    budget = rows[0]["budget"]
+    # cumulative columns are strictly increasing in CDF order and
+    # consistent with the per-score masses
+    run_docs = run_toks = 0
+    for r in rows:
+        run_docs += r["n_docs"]
+        run_toks += r["n_tokens"]
+        assert (r["cum_docs"], r["cum_tokens"]) == (run_docs, run_toks)
+        assert r["budget"] == budget
+    # exactly one selected row, and it is the crossing row
+    sel = [r for r in rows if r["selected"]]
+    assert len(sel) == 1
+    (s,) = sel
+    assert s["cum_tokens"] >= budget > s["cum_tokens"] - s["n_tokens"]
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_edit_distance_pairs_matches_quadratic_model(spark, sf_dir):
+    docs = _duck(sf_dir, "documents")[["doc_id", "text"]]
+    from collections import defaultdict
+
+    blocks = defaultdict(list)
+    for _, r in docs.iterrows():
+        blocks[r["text"][:24]].append((r["doc_id"], r["text"]))
+    want = set()
+    for members in blocks.values():
+        if len(members) > 50:
+            continue
+        for i, (ida, ta) in enumerate(members):
+            for idb, tb in members[i + 1 :]:
+                lo, hi = min(ida, idb), max(ida, idb)
+                d = _lev(ta, tb)
+                if d <= 40:
+                    want.add((lo, hi, d))
+    got = {
+        (r["doc_a"], r["doc_b"], r["edit_distance"])
+        for r in dedup.edit_distance_pairs(spark, sf_dir).collect()
+    }
+    assert got == want and want, "pair sets differ (or fixture has no pairs)"

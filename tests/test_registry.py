@@ -58,6 +58,19 @@ DEFERRED_TO_NEXT_ROUND = {
     "hll_union_weekly_users",
 }
 
+#: Oracle-grade queries added AFTER the round-4 window filled. Their
+#: correctness is verified this round by the local ``tools/check_oracle``
+#: sweep (the exact mirror of the driver's t2 gate) at both driver SFs —
+#: but the DRIVER record still has to come from the round-5 window, so
+#: round 5 must front-load these ahead of everything else.
+ORACLE_DEFERRED_TO_NEXT_ROUND = {
+    "supplier_pagerank",
+    "max_concurrent_sessions",
+    "quality_threshold_for_budget",
+    "edit_distance_pairs",
+    "streaming_semi_join",
+}
+
 
 def test_unattested_queries_are_in_driver_window():
     registry = list(entry.queries())
@@ -69,9 +82,8 @@ def test_unattested_queries_are_in_driver_window():
         for name in registry
         if name not in latest or not _attested(latest[name])
     ]
-    missed = [
-        n for n in unattested if n not in window and n not in DEFERRED_TO_NEXT_ROUND
-    ]
+    deferred = DEFERRED_TO_NEXT_ROUND | ORACLE_DEFERRED_TO_NEXT_ROUND
+    missed = [n for n in unattested if n not in window and n not in deferred]
     assert not missed, (
         "queries with no green driver record must sit in the first-50 "
         f"sweep window; displaced: {missed}"
@@ -82,6 +94,11 @@ def test_unattested_queries_are_in_driver_window():
     oracles = set(entry.oracle_sql())
     for name in DEFERRED_TO_NEXT_ROUND:
         assert name in registry and name not in oracles, name
+        assert name not in window, f"{name} fits the window; un-defer it"
+    # the late-addition deferrals must each HAVE an oracle (they are the
+    # strongest-checkable class; only the driver timestamp is missing)
+    for name in ORACLE_DEFERRED_TO_NEXT_ROUND:
+        assert name in registry and name in oracles, name
         assert name not in window, f"{name} fits the window; un-defer it"
 
 

@@ -85,3 +85,45 @@ def test_full_outer_join_covers_both_null_directions(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, matched.select(cols).collect())) == sorted(
         map(tuple, inner.select(cols).collect())
     )
+
+
+def test_semi_join_equals_batch_exists(spark, sf_dir, tmp_path):
+    from data_engineer_interview_task_spark.streaming import (
+        run_click_purchase_semi_join_once,
+    )
+
+    streamed = run_click_purchase_semi_join_once(
+        spark, sf_dir, str(tmp_path / "sssj")
+    )
+    events = read_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    batch = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("purchase_ts") > F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")
+            ),
+            "left_semi",
+        )
+    )
+    got = {r.click_id for r in streamed.collect()}
+    want = {r.click_id for r in batch.collect()}
+    assert got == want and got
+    # semi join must emit each qualifying click exactly once
+    assert streamed.count() == len(got)
