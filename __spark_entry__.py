@@ -661,6 +661,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_threshold_for_budget": sampling.quality_threshold_for_budget,
         "edit_distance_pairs": dedup.edit_distance_pairs,
         "streaming_semi_join": _streaming_semi_join,  # oracle (emitted set == batch EXISTS)
+        "supplier_triangles": graph.supplier_triangles,  # degree-oriented motif count vs naive 3-way-join oracle
+        "brand_assoc_rules": extended.brand_assoc_rules,
+        "user_value_ewma": relational.user_value_ewma,  # bit-exact ordered IEEE fold
+        "supplier_bfs_hops": graph.supplier_bfs_hops,  # bounded-hop shortest paths (unrolled Pregel)
+        "supplier_clustering_coeff": graph.supplier_clustering_coeff,
     }
 
 
@@ -3294,6 +3299,136 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_distance
 FROM d2 a JOIN d2 b ON a.blk = b.blk AND a.doc_id < b.doc_id
 WHERE levenshtein(a.text, b.text) <= 40
+"""
+
+    # triangle counts: the oracle is the NAIVE id-ordered 3-way join, so
+    # it cross-checks the degree-oriented wedge formulation
+    d["supplier_triangles"] = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+), und AS (
+  SELECT a.l_suppkey AS src, b.l_suppkey AS dst
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 5
+), e AS (
+  SELECT src AS u, dst AS v FROM und WHERE src < dst
+), tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.v
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT s_suppkey, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM (
+  SELECT a AS s_suppkey FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+GROUP BY s_suppkey
+"""
+
+    # bounded-hop BFS: unrolled min-relaxation rounds (hops are exact
+    # BIGINTs; rounds past the diameter are no-ops)
+    d["supplier_bfs_hops"] = """
+WITH edges AS (
+  SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+), d0 AS (
+  SELECT s_suppkey AS node, CAST(0 AS BIGINT) AS hop
+  FROM supplier WHERE s_suppkey % 7 = 0
+), d1 AS (
+  SELECT node, MIN(hop) AS hop FROM (
+    SELECT node, hop FROM d0
+    UNION ALL
+    SELECT e.dst, r.hop + 1 FROM edges e JOIN d0 r ON e.src = r.node
+  ) GROUP BY node
+), d2 AS (
+  SELECT node, MIN(hop) AS hop FROM (
+    SELECT node, hop FROM d1
+    UNION ALL
+    SELECT e.dst, r.hop + 1 FROM edges e JOIN d1 r ON e.src = r.node
+  ) GROUP BY node
+), d3 AS (
+  SELECT node, MIN(hop) AS hop FROM (
+    SELECT node, hop FROM d2
+    UNION ALL
+    SELECT e.dst, r.hop + 1 FROM edges e JOIN d2 r ON e.src = r.node
+  ) GROUP BY node
+)
+SELECT node AS s_suppkey, hop FROM d3
+"""
+
+    # local clustering coefficient from the naive triangle formulation
+    d["supplier_clustering_coeff"] = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+), und AS (
+  SELECT a.l_suppkey AS src, b.l_suppkey AS dst
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 5
+), deg AS (
+  SELECT src AS s_suppkey, CAST(COUNT(*) AS BIGINT) AS degree
+  FROM und GROUP BY src
+), e AS (
+  SELECT src AS u, dst AS v FROM und WHERE src < dst
+), tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.v
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+), pernode AS (
+  SELECT s_suppkey, CAST(COUNT(*) AS BIGINT) AS n FROM (
+    SELECT a AS s_suppkey FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY s_suppkey
+)
+SELECT d.s_suppkey, d.degree, COALESCE(t.n, 0) AS n_triangles,
+       CAST(2 * COALESCE(t.n, 0) AS DOUBLE) / (d.degree * (d.degree - 1))
+         AS clustering_coeff
+FROM deg d LEFT JOIN pernode t ON d.s_suppkey = t.s_suppkey
+WHERE d.degree >= 2
+"""
+
+    # market-basket rules over order baskets at brand granularity
+    d["brand_assoc_rules"] = """
+WITH baskets AS (
+  SELECT DISTINCT l.l_orderkey, p.p_brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+), totals AS (
+  SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_baskets FROM baskets
+), item AS (
+  SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS s_item FROM baskets GROUP BY p_brand
+), pairs AS (
+  SELECT a.p_brand AS antecedent, b.p_brand AS consequent,
+         CAST(COUNT(*) AS BIGINT) AS s_pair
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand <> b.p_brand
+  GROUP BY a.p_brand, b.p_brand
+  HAVING COUNT(*) >= 20
+)
+SELECT p.antecedent, p.consequent, p.s_pair,
+       ia.s_item AS s_ante, ic.s_item AS s_cons,
+       CAST(p.s_pair AS DOUBLE) / ia.s_item AS confidence,
+       CAST(p.s_pair * t.n_baskets AS DOUBLE) / (ia.s_item * ic.s_item) AS lift
+FROM pairs p
+JOIN item ia ON p.antecedent = ia.p_brand
+JOIN item ic ON p.consequent = ic.p_brand
+CROSS JOIN totals t
+"""
+
+    # per-user EWMA: the identical ordered IEEE fold on both engines
+    d["user_value_ewma"] = """
+WITH g AS (
+  SELECT user_id, list(value ORDER BY ts ASC, event_id ASC) AS vals
+  FROM events GROUP BY user_id
+)
+SELECT user_id, CAST(len(vals) AS BIGINT) AS n_events,
+       list_reduce(vals, (acc, x) -> (acc + x) / 2) AS ewma_value
+FROM g
 """
 
     # stream-stream LEFT SEMI join == batch EXISTS under availableNow

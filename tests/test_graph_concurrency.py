@@ -151,3 +151,116 @@ def test_edit_distance_pairs_matches_quadratic_model(spark, sf_dir):
         for r in dedup.edit_distance_pairs(spark, sf_dir).collect()
     }
     assert got == want and want, "pair sets differ (or fixture has no pairs)"
+
+
+def test_supplier_triangles_matches_naive_python(spark, sf_dir):
+    li = _duck(sf_dir, "lineitem")[["l_orderkey", "l_suppkey"]]
+    edges = set()
+    for _, grp in li.groupby("l_orderkey"):
+        ss = sorted(set(grp["l_suppkey"]))
+        for i, u in enumerate(ss):
+            for v in ss[i + 1 :]:
+                edges.add((u, v))
+    from collections import defaultdict
+
+    nbrs = defaultdict(set)
+    for u, v in edges:
+        nbrs[u].add(v)
+        nbrs[v].add(u)
+    want = defaultdict(int)
+    for u, v in edges:
+        for w in nbrs[u] & nbrs[v]:
+            want[u] += 1
+            want[v] += 1
+            want[w] += 1
+    # each triangle visits 3 of its edges above -> counted 3x per node
+    want = {k: c // 3 for k, c in want.items() if c}
+    got = {
+        r["s_suppkey"]: r["n_triangles"]
+        for r in graph.supplier_triangles(spark, sf_dir).collect()
+    }
+    assert got == want and want
+
+
+def test_brand_assoc_rules_invariants(spark, sf_dir):
+    from data_engineer_interview_task_spark.operators import extended
+
+    rows = extended.brand_assoc_rules(spark, sf_dir).collect()
+    assert rows
+    by_pair = {(r["antecedent"], r["consequent"]): r for r in rows}
+    for (a, c), r in by_pair.items():
+        assert 0 < r["confidence"] <= 1
+        assert r["s_pair"] <= min(r["s_ante"], r["s_cons"])
+        # pair support and lift are symmetric; confidence is not
+        mirror = by_pair.get((c, a))
+        if mirror is not None:
+            assert mirror["s_pair"] == r["s_pair"]
+            assert mirror["lift"] == r["lift"]
+
+
+def test_user_value_ewma_matches_python_fold(spark, sf_dir):
+    ev = _duck(sf_dir, "events").sort_values(["user_id", "ts", "event_id"])
+    want = {}
+    for uid, grp in ev.groupby("user_id"):
+        acc = None
+        for x in grp["value"]:
+            acc = float(x) if acc is None else (acc + float(x)) / 2
+        want[uid] = (len(grp), acc)
+    got = {
+        r["user_id"]: (r["n_events"], r["ewma_value"])
+        for r in relational.user_value_ewma(spark, sf_dir).collect()
+    }
+    assert got == want  # bit-exact: identical IEEE op sequence
+
+
+def _python_edges(sf_dir):
+    li = _duck(sf_dir, "lineitem")[["l_orderkey", "l_suppkey"]]
+    edges = set()
+    for _, grp in li.groupby("l_orderkey"):
+        ss = sorted(set(grp["l_suppkey"]))
+        for i, u in enumerate(ss):
+            for v in ss[i + 1 :]:
+                edges.add((u, v))
+    return edges
+
+
+def test_supplier_bfs_hops_matches_python_bfs(spark, sf_dir):
+    from collections import defaultdict
+
+    nbrs = defaultdict(set)
+    for u, v in _python_edges(sf_dir):
+        nbrs[u].add(v)
+        nbrs[v].add(u)
+    supp = _duck(sf_dir, "supplier")["s_suppkey"]
+    dist = {int(s): 0 for s in supp if s % 7 == 0}
+    frontier = set(dist)
+    for hop in (1, 2, 3):
+        nxt = set()
+        for u in frontier:
+            for v in nbrs[u]:
+                if v not in dist:
+                    dist[v] = hop
+                    nxt.add(v)
+        frontier = nxt
+    got = {
+        r["s_suppkey"]: r["hop"]
+        for r in graph.supplier_bfs_hops(spark, sf_dir).collect()
+    }
+    assert got == dist and got
+
+
+def test_clustering_coeff_bounds_and_consistency(spark, sf_dir):
+    rows = graph.supplier_clustering_coeff(spark, sf_dir).collect()
+    assert rows
+    tri = {
+        r["s_suppkey"]: r["n_triangles"]
+        for r in graph.supplier_triangles(spark, sf_dir).collect()
+    }
+    for r in rows:
+        assert r["degree"] >= 2
+        assert 0.0 <= r["clustering_coeff"] <= 1.0
+        assert r["n_triangles"] == tri.get(r["s_suppkey"], 0)
+        assert (
+            r["clustering_coeff"]
+            == 2 * r["n_triangles"] / (r["degree"] * (r["degree"] - 1))
+        )

@@ -69,6 +69,11 @@ ORACLE_DEFERRED_TO_NEXT_ROUND = {
     "quality_threshold_for_budget",
     "edit_distance_pairs",
     "streaming_semi_join",
+    "supplier_triangles",
+    "brand_assoc_rules",
+    "user_value_ewma",
+    "supplier_bfs_hops",
+    "supplier_clustering_coeff",
 }
 
 
