@@ -296,6 +296,18 @@ def _streaming_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _streaming_user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER-SENSITIVE stateful streaming fold (applyInPandasWithState):
+    per-user running EWMA maintained across two time-split micro-batches.
+    ORACLE-CHECKED with the SAME SQL as the batch ``user_value_ewma`` —
+    the streaming recurrence's last emission is bit-identical to the
+    batch F.aggregate fold (alpha=1/2 halvings are exact IEEE ops and the
+    addition order matches)."""
+    from data_engineer_interview_task_spark.streaming import run_user_ewma_once
+
+    return run_user_ewma_once(spark, sf_dir, _work_dir("stream_ewma", sf_dir))
+
+
 def _streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BUILT-IN session_window streaming aggregation run to completion
     (availableNow, complete mode, memory sink): mergeable session state
@@ -666,6 +678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_value_ewma": relational.user_value_ewma,  # bit-exact ordered IEEE fold
         "supplier_bfs_hops": graph.supplier_bfs_hops,  # bounded-hop shortest paths (unrolled Pregel)
         "supplier_clustering_coeff": graph.supplier_clustering_coeff,
+        "streaming_user_ewma": _streaming_user_ewma,  # order-sensitive stateful fold == batch EWMA
     }
 
 
@@ -3430,6 +3443,8 @@ SELECT user_id, CAST(len(vals) AS BIGINT) AS n_events,
        list_reduce(vals, (acc, x) -> (acc + x) / 2) AS ewma_value
 FROM g
 """
+    # the streaming recurrence's last emission == the batch fold
+    d["streaming_user_ewma"] = d["user_value_ewma"]
 
     # stream-stream LEFT SEMI join == batch EXISTS under availableNow
     d["streaming_semi_join"] = """

@@ -167,6 +167,7 @@ HEADLINE = [
     "supplier_bfs_hops",
     "supplier_clustering_coeff",
     "streaming_semi_join",
+    "streaming_user_ewma",
 ]
 
 

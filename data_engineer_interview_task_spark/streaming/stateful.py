@@ -243,3 +243,112 @@ def run_running_user_stats_once(
             (F.col("total_cents").cast("double") / 100.0).alias("total_value"),
         )
     )
+
+
+EWMA_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("ewma_value", DoubleType()),
+        StructField("batch_seq", LongType()),
+    ]
+)
+
+
+def user_ewma_stream_gs(spark: SparkSession, source_dir: str) -> DataFrame:
+    """Per-user RUNNING EWMA (alpha = 1/2) on ``applyInPandasWithState`` —
+    the ORDER-SENSITIVE stateful fold, one notch harder than the running
+    totals above: a sum tolerates any arrival order, a recurrence does
+    not. Two order guarantees make it exact anyway:
+
+    - within a micro-batch the group's rows are sorted by (ts, event_id)
+      before folding;
+    - across batches the harness feeds time-split files oldest-first
+      (file-source default), so batch N's events all precede batch N+1's.
+
+    With alpha = 1/2 every halving is an exact IEEE op and the addition
+    sequence equals the batch ``F.aggregate`` fold's, so the LAST emission
+    per user is bit-identical to ``relational.user_value_ewma`` — one
+    oracle serves the batch operator, the streaming operator, and the
+    DuckDB twin. State is (acc, n, seq) per user, entity-bounded.
+    Self-contained closure: workers never import this package."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stream = (
+        spark.readStream.schema(
+            "user_id BIGINT, event_id BIGINT, ts TIMESTAMP, value DOUBLE"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+
+    def fold(key, pdfs, state):
+        import pandas as _pd
+
+        acc, n, seq = state.get if state.exists else (0.0, 0, 0)
+        rows = _pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        for v in rows["value"]:
+            acc = float(v) if n == 0 else (acc + float(v)) / 2.0
+            n += 1
+        seq += 1
+        state.update((acc, n, seq))
+        yield _pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "ewma_value": [acc],
+                "batch_seq": [seq],
+            }
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=EWMA_SCHEMA,
+        stateStructType="acc DOUBLE, n BIGINT, seq BIGINT",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_user_ewma_once(
+    spark: SparkSession, sf_dir: str, work_dir: str
+) -> DataFrame:
+    """availableNow harness: the events table split at a time cutoff into
+    two files (maxFilesPerTrigger=1 ⇒ two micro-batches in time order —
+    the cross-batch recurrence is genuinely exercised); the final answer
+    per user is its LAST emission."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..sources import read_table
+
+    prep_session(spark)
+    events = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    src = f"{work_dir}/events_src"
+    cutoff = F.lit("2024-01-15").cast("timestamp")
+    events.filter(F.col("ts") < cutoff).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    events.filter(F.col("ts") >= cutoff).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    sink = f"mem_ewma_{uuid.uuid4().hex[:8]}"
+    q = (
+        user_ewma_stream_gs(spark, src)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", f"{work_dir}/ckpt_{sink}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    w = Window.partitionBy("user_id").orderBy(F.col("batch_seq").desc())
+    return (
+        spark.table(sink)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "ewma_value")
+    )

@@ -74,6 +74,7 @@ ORACLE_DEFERRED_TO_NEXT_ROUND = {
     "user_value_ewma",
     "supplier_bfs_hops",
     "supplier_clustering_coeff",
+    "streaming_user_ewma",
 }
 
 

@@ -118,3 +118,67 @@ def test_transform_with_state_seam_shape():
         "total_cents",
         "batch_seq",
     ]
+
+
+def test_streaming_ewma_equals_batch_fold_bitwise(spark, sf_dir, tmp_path):
+    from data_engineer_interview_task_spark.operators import relational
+    from data_engineer_interview_task_spark.streaming import run_user_ewma_once
+
+    streamed = run_user_ewma_once(spark, sf_dir, str(tmp_path / "ewma"))
+    got = {
+        r["user_id"]: (r["n_events"], r["ewma_value"])
+        for r in streamed.collect()
+    }
+    want = {
+        r["user_id"]: (r["n_events"], r["ewma_value"])
+        for r in relational.user_value_ewma(spark, sf_dir).collect()
+    }
+    # bit-identical: the recurrence folds in the same (ts, event_id)
+    # order with the same IEEE ops, across the micro-batch boundary
+    assert got == want and got
+
+
+def test_streaming_ewma_crosses_batch_boundary(spark, sf_dir, tmp_path):
+    """Every user active on both sides of the 2024-01-15 file split must
+    emit twice (batch_seq reaches 2) — proving the recurrence actually
+    resumed from state rather than restarting."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from data_engineer_interview_task_spark.sources import read_table
+    from data_engineer_interview_task_spark.streaming.stateful import (
+        user_ewma_stream_gs,
+    )
+
+    events = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    src = str(tmp_path / "ewma_src")
+    cutoff = F.lit("2024-01-15").cast("timestamp")
+    early = events.filter(F.col("ts") < cutoff)
+    late = events.filter(F.col("ts") >= cutoff)
+    assert early.count() > 0 and late.count() > 0
+    early.coalesce(1).write.mode("overwrite").parquet(src)
+    late.coalesce(1).write.mode("append").parquet(src)
+    sink = f"mem_ewma_t_{_uuid.uuid4().hex[:8]}"
+    q = (
+        user_ewma_stream_gs(spark, src)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(sink)
+    both_sides = set(
+        r["user_id"]
+        for r in early.select("user_id").intersect(late.select("user_id")).collect()
+    )
+    two_emissions = {
+        r["user_id"]
+        for r in out.groupBy("user_id").count().filter("count = 2").collect()
+    }
+    assert both_sides and both_sides <= two_emissions
