@@ -69,6 +69,15 @@ KEY_QUERIES = [
     "repetition_stats_long",
     "count_min_heavy_hitters",
     "hll_union_weekly_users",
+    "supplier_pagerank",
+    "supplier_triangles",
+    "supplier_bfs_hops",
+    "supplier_clustering_coeff",
+    "max_concurrent_sessions",
+    "quality_threshold_for_budget",
+    "edit_distance_pairs",
+    "brand_assoc_rules",
+    "user_value_ewma",
 ]
 
 
