@@ -679,6 +679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_bfs_hops": graph.supplier_bfs_hops,  # bounded-hop shortest paths (unrolled Pregel)
         "supplier_clustering_coeff": graph.supplier_clustering_coeff,
         "streaming_user_ewma": _streaming_user_ewma,  # order-sensitive stateful fold == batch EWMA
+        "consensus_near_dup_pairs": dedup.consensus_near_dup_pairs,  # >=2-of-3 family vote
     }
 
 
@@ -3445,6 +3446,22 @@ FROM g
 """
     # the streaming recurrence's last emission == the batch fold
     d["streaming_user_ewma"] = d["user_value_ewma"]
+
+    # consensus dedup: >=2-of-3 family vote, each family's full oracle
+    # embedded as a derived subquery (nested WITH is legal in a subquery)
+    _fam_parts = " UNION ALL ".join(
+        f"SELECT doc_a, doc_b FROM ({d[k]})"
+        for k in (
+            "ngram_jaccard_pairs",
+            "minhash_lsh_pairs",
+            "simhash_near_dup_pairs",
+        )
+    )
+    d["consensus_near_dup_pairs"] = (
+        "WITH fam AS (" + _fam_parts + ") "
+        "SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS n_votes "
+        "FROM fam GROUP BY doc_a, doc_b HAVING COUNT(*) >= 2"
+    )
 
     # stream-stream LEFT SEMI join == batch EXISTS under availableNow
     d["streaming_semi_join"] = """

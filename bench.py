@@ -168,6 +168,7 @@ HEADLINE = [
     "supplier_clustering_coeff",
     "streaming_semi_join",
     "streaming_user_ewma",
+    "consensus_near_dup_pairs",
 ]
 
 

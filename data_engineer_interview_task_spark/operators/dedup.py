@@ -1097,3 +1097,35 @@ def edit_distance_pairs(
         )
         .filter(F.col("edit_distance") <= max_dist)
     )
+
+
+def consensus_near_dup_pairs(
+    spark: SparkSession, sf_dir: str, min_votes: int = 2
+) -> DataFrame:
+    """Ensemble near-dup detection: a candidate pair is confirmed when at
+    least ``min_votes`` of the three independent dedup families flag it —
+    word-n-gram Jaccard (token-set overlap), MinHash-LSH (banded sketch +
+    exact verify), and SimHash (weighted-feature Hamming). The families
+    fail differently (Jaccard misses reordered boilerplate SimHash
+    catches; SimHash's pigeonhole bands miss pairs LSH recovers), so
+    voting trades a little recall for precision — the standard production
+    setting before destructive dedup at corpus scale.
+
+    Plan shape: one lazy union of the three family lineages with a
+    final (doc_a, doc_b) hash-aggregate vote count — each family keeps
+    its own sub-quadratic blocking; nothing new shuffles at pair
+    granularity beyond the flagged pairs themselves. All three emit
+    id-ordered (doc_a < doc_b) pairs, so votes align without
+    canonicalization.
+    """
+    fams = [
+        ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b"),
+        minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b"),
+        simhash_near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b"),
+    ]
+    u = fams[0].unionAll(fams[1]).unionAll(fams[2])
+    return (
+        u.groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_votes"))
+        .filter(F.col("n_votes") >= min_votes)
+    )

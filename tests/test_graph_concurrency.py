@@ -264,3 +264,28 @@ def test_clustering_coeff_bounds_and_consistency(spark, sf_dir):
             r["clustering_coeff"]
             == 2 * r["n_triangles"] / (r["degree"] * (r["degree"] - 1))
         )
+
+
+def test_consensus_pairs_vote_semantics(spark, sf_dir):
+    fams = {
+        "ngram": dedup.ngram_jaccard_pairs(spark, sf_dir),
+        "minhash": dedup.minhash_lsh_pairs(spark, sf_dir),
+        "simhash": dedup.simhash_near_dup_pairs(spark, sf_dir),
+    }
+    sets = {
+        k: {(r["doc_a"], r["doc_b"]) for r in df.select("doc_a", "doc_b").collect()}
+        for k, df in fams.items()
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): r["n_votes"]
+        for r in dedup.consensus_near_dup_pairs(spark, sf_dir).collect()
+    }
+    for pair, votes in got.items():
+        assert votes == sum(pair in s for s in sets.values()) and votes >= 2
+    # no >=2-vote pair missing
+    from itertools import combinations
+
+    for a, b in combinations(sets.values(), 2):
+        for pair in a & b:
+            assert pair in got
+    assert got

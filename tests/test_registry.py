@@ -75,6 +75,7 @@ ORACLE_DEFERRED_TO_NEXT_ROUND = {
     "supplier_bfs_hops",
     "supplier_clustering_coeff",
     "streaming_user_ewma",
+    "consensus_near_dup_pairs",
 }
 
 
