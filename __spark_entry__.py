@@ -680,6 +680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_clustering_coeff": graph.supplier_clustering_coeff,
         "streaming_user_ewma": _streaming_user_ewma,  # order-sensitive stateful fold == batch EWMA
         "consensus_near_dup_pairs": dedup.consensus_near_dup_pairs,  # >=2-of-3 family vote
+        "event_pattern_conversions": relational.event_pattern_conversions,  # regex sequence mining (MATCH_RECOGNIZE shape)
     }
 
 
@@ -3462,6 +3463,21 @@ FROM g
         "SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS n_votes "
         "FROM fam GROUP BY doc_a, doc_b HAVING COUNT(*) >= 2"
     )
+
+    # regex sequence mining: ordered one-char event codes, leftmost
+    # non-overlapping matches (alphabet disjoint from the terminator, so
+    # Java regex and RE2 produce identical counts)
+    d["event_pattern_conversions"] = """
+WITH g AS (
+  SELECT user_id,
+         string_agg(substring(event_type, 1, 1), '' ORDER BY ts ASC, event_id ASC) AS seq,
+         COUNT(*) AS n
+  FROM events GROUP BY user_id
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_events,
+       CAST(len(regexp_extract_all(seq, 'c[ve]*p')) AS BIGINT) AS n_conversions
+FROM g
+"""
 
     # stream-stream LEFT SEMI join == batch EXISTS under availableNow
     d["streaming_semi_join"] = """

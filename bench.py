@@ -169,6 +169,7 @@ HEADLINE = [
     "streaming_semi_join",
     "streaming_user_ewma",
     "consensus_near_dup_pairs",
+    "event_pattern_conversions",
 ]
 
 

@@ -868,3 +868,42 @@ def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("seq").cast("long").alias("n_events"),
         ewma.alias("ewma_value"),
     )
+
+
+def event_pattern_conversions(
+    spark: SparkSession, sf_dir: str, pattern: str = "c[ve]*p"
+) -> DataFrame:
+    """Sequence-pattern mining over each user's event stream — the
+    MATCH_RECOGNIZE-shaped capability: encode the ordered event types as
+    a one-char-per-event string and count non-overlapping regex matches
+    (default: click, any views/errors, then purchase — the loose
+    conversion path ``c[ve]*p``).
+
+    The encode-then-regex formulation keeps the whole operator in
+    JVM-side column expressions (collect_list → array_sort → transform →
+    concat_ws → regexp_extract_all): one exchange on user_id, per-user
+    state bounded by the user's event count, and the pattern language is
+    full regex rather than a bespoke DSL. Cross-engine: the event-code
+    alphabet is disjoint from the terminator, so the pattern compiles to
+    the same DFA matches under Java regex and RE2 — leftmost
+    non-overlapping counts agree exactly.
+
+    At 100 TB: identical shape to ``user_event_sequences`` (entity-
+    bounded arrays); for unbounded users, window the sequence by day and
+    sum the per-window counts (matches never span the boundary code).
+    """
+    events = read_table(spark, sf_dir, "events")
+    seq_arr = F.array_sort(
+        F.collect_list(
+            F.struct("ts", "event_id", F.substring("event_type", 1, 1).alias("c"))
+        )
+    )
+    grouped = events.groupBy("user_id").agg(seq_arr.alias("seq_arr"))
+    seq = F.concat_ws("", F.transform(F.col("seq_arr"), lambda x: x["c"]))
+    return grouped.select(
+        "user_id",
+        F.size("seq_arr").cast("long").alias("n_events"),
+        F.size(F.regexp_extract_all(seq, F.lit(pattern), 0))
+        .cast("long")
+        .alias("n_conversions"),
+    )

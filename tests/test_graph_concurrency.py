@@ -289,3 +289,18 @@ def test_consensus_pairs_vote_semantics(spark, sf_dir):
         for pair in a & b:
             assert pair in got
     assert got
+
+
+def test_event_pattern_conversions_matches_python_re(spark, sf_dir):
+    import re
+
+    ev = _duck(sf_dir, "events").sort_values(["user_id", "ts", "event_id"])
+    want = {}
+    for uid, grp in ev.groupby("user_id"):
+        seq = "".join(t[0] for t in grp["event_type"])
+        want[uid] = (len(seq), len(re.findall("c[ve]*p", seq)))
+    got = {
+        r["user_id"]: (r["n_events"], r["n_conversions"])
+        for r in relational.event_pattern_conversions(spark, sf_dir).collect()
+    }
+    assert got == want and any(v[1] > 0 for v in got.values())

@@ -76,6 +76,7 @@ ORACLE_DEFERRED_TO_NEXT_ROUND = {
     "supplier_clustering_coeff",
     "streaming_user_ewma",
     "consensus_near_dup_pairs",
+    "event_pattern_conversions",
 }
 
 
