@@ -681,6 +681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_user_ewma": _streaming_user_ewma,  # order-sensitive stateful fold == batch EWMA
         "consensus_near_dup_pairs": dedup.consensus_near_dup_pairs,  # >=2-of-3 family vote
         "event_pattern_conversions": relational.event_pattern_conversions,  # regex sequence mining (MATCH_RECOGNIZE shape)
+        "session_overlap_degree": relational.session_overlap_degree,  # interval-overlap via order statistics (oracle = quadratic IEJoin)
     }
 
 
@@ -3463,6 +3464,34 @@ FROM g
         "SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS n_votes "
         "FROM fam GROUP BY doc_a, doc_b HAVING COUNT(*) >= 2"
     )
+
+    # interval-overlap degree: oracle = the QUADRATIC interval self-join
+    # (the definition), cross-checking the sweep formulation
+    d["session_overlap_degree"] = """
+WITH o AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), s AS (
+  SELECT *, CAST(SUM(is_new) OVER (
+      PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM o
+), sess AS (
+  SELECT user_id, session_seq, MIN(ts) AS s, MAX(ts) AS e
+  FROM s GROUP BY user_id, session_seq
+)
+SELECT a.user_id, a.session_seq,
+       CAST(COUNT(b.user_id) AS BIGINT) AS n_overlaps
+FROM sess a
+LEFT JOIN sess b
+  ON a.s <= b.e AND b.s <= a.e
+ AND NOT (a.user_id = b.user_id AND a.session_seq = b.session_seq)
+GROUP BY a.user_id, a.session_seq
+"""
 
     # regex sequence mining: ordered one-char event codes, leftmost
     # non-overlapping matches (alphabet disjoint from the terminator, so

@@ -170,6 +170,7 @@ HEADLINE = [
     "streaming_user_ewma",
     "consensus_near_dup_pairs",
     "event_pattern_conversions",
+    "session_overlap_degree",
 ]
 
 

@@ -907,3 +907,81 @@ def event_pattern_conversions(
         .cast("long")
         .alias("n_conversions"),
     )
+
+
+def session_overlap_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join, collapsed to the per-interval aggregate: for
+    every session, how many OTHER sessions' [start, end] intervals
+    (closed) it overlaps. The naive answer is the quadratic interval
+    self-join; this operator computes it with NO pair join at all via two
+    order statistics:
+
+        n_overlaps(a) = #{starts <= end_a} - #{ends < start_a} - 1
+
+    (the two exclusion sets — "starts after a ends" and "ends before a
+    starts" — are provably disjoint, so inclusion-exclusion needs no
+    correction term). Each statistic is a rank lookup: union the
+    boundary values with the probe values, one ordered running count.
+    Work is O(n log n) in SESSIONS (already corpus-reduced), and the
+    output is linear even when the pair set is inherently quadratic
+    (fixed time span, growing corpus — exactly the sf1 shape).
+
+    The DuckDB oracle deliberately IS the quadratic interval join
+    (IEJoin), so the sweep formulation is cross-checked against the
+    definition. Tie rule, pinned by both: closed intervals — touching
+    sessions (one's end == the other's start, to the microsecond)
+    overlap.
+
+    Scale note: the two running counts use a global ordered window over
+    2n boundary rows here; at extreme session counts, range-partition by
+    time and add per-partition offsets (the ``global_row_numbers``
+    two-phase pattern — boundaries are time-ordered, so the calendar is
+    the natural range partitioner).
+    """
+    sess = sessionize_events(spark, sf_dir).select(
+        "user_id", "session_seq", "session_start", "session_end"
+    )
+
+    def rank_probe(bound_col: str, probe_col: str, probe_first_on_tie: bool):
+        bounds = sess.select(
+            F.col(bound_col).alias("val"),
+            F.lit(0).alias("is_probe"),
+            F.lit(None).cast("long").alias("user_id"),
+            F.lit(None).cast("long").alias("session_seq"),
+        )
+        probes = sess.select(
+            F.col(probe_col).alias("val"),
+            F.lit(1).alias("is_probe"),
+            "user_id",
+            "session_seq",
+        )
+        tie = F.col("is_probe").desc() if probe_first_on_tie else F.col("is_probe").asc()
+        w = (
+            Window.orderBy(F.col("val").asc(), tie)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return (
+            bounds.unionAll(probes)
+            .withColumn("cnt", F.sum(1 - F.col("is_probe")).over(w))
+            .filter(F.col("is_probe") == 1)
+            .select("user_id", "session_seq", "cnt")
+        )
+
+    # starts <= end_a: bounds (starts) sort BEFORE the probe at ties
+    starts_le = rank_probe("session_start", "session_end", probe_first_on_tie=False)
+    # ends < start_a: STRICT — the probe sorts before equal-valued ends
+    ends_lt = rank_probe("session_end", "session_start", probe_first_on_tie=True)
+    return (
+        starts_le.withColumnRenamed("cnt", "n_starts_le")
+        .join(
+            ends_lt.withColumnRenamed("cnt", "n_ends_lt"),
+            ["user_id", "session_seq"],
+        )
+        .select(
+            "user_id",
+            "session_seq",
+            (F.col("n_starts_le") - F.col("n_ends_lt") - 1)
+            .cast("long")
+            .alias("n_overlaps"),
+        )
+    )

@@ -304,3 +304,24 @@ def test_event_pattern_conversions_matches_python_re(spark, sf_dir):
         for r in relational.event_pattern_conversions(spark, sf_dir).collect()
     }
     assert got == want and any(v[1] > 0 for v in got.values())
+
+
+def test_session_overlap_degree_matches_quadratic_python(spark, sf_dir):
+    sessions = relational.sessionize_events(spark, sf_dir).collect()
+    iv = {
+        (r["user_id"], r["session_seq"]): (r["session_start"], r["session_end"])
+        for r in sessions
+    }
+    want = {
+        k: sum(
+            1
+            for k2, (s2, e2) in iv.items()
+            if k2 != k and s2 <= iv[k][1] and iv[k][0] <= e2
+        )
+        for k in iv
+    }
+    got = {
+        (r["user_id"], r["session_seq"]): r["n_overlaps"]
+        for r in relational.session_overlap_degree(spark, sf_dir).collect()
+    }
+    assert got == want and any(v > 0 for v in got.values())

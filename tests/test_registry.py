@@ -77,6 +77,7 @@ ORACLE_DEFERRED_TO_NEXT_ROUND = {
     "streaming_user_ewma",
     "consensus_near_dup_pairs",
     "event_pattern_conversions",
+    "session_overlap_degree",
 }
 
 
