@@ -682,6 +682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "consensus_near_dup_pairs": dedup.consensus_near_dup_pairs,  # >=2-of-3 family vote
         "event_pattern_conversions": relational.event_pattern_conversions,  # regex sequence mining (MATCH_RECOGNIZE shape)
         "session_overlap_degree": relational.session_overlap_degree,  # interval-overlap via order statistics (oracle = quadratic IEJoin)
+        "user_time_weighted_value": relational.user_time_weighted_value,  # exact cents-by-microseconds TWA
     }
 
 
@@ -3464,6 +3465,27 @@ FROM g
         "SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS n_votes "
         "FROM fam GROUP BY doc_a, doc_b HAVING COUNT(*) >= 2"
     )
+
+    # time-weighted average: exact cents x microseconds in DECIMAL(38,0)
+    d["user_time_weighted_value"] = """
+WITH s AS (
+  SELECT user_id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         epoch_us(ts) AS t_us,
+         epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts ASC, event_id ASC))
+           - epoch_us(ts) AS d_us
+  FROM events
+), a AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         SUM(CAST(cents * d_us AS DECIMAL(38,0))) AS num,
+         MAX(t_us) - MIN(t_us) AS span_us
+  FROM s GROUP BY user_id
+)
+SELECT user_id, n_events, CAST(span_us AS BIGINT) AS span_us,
+       CAST(num AS DOUBLE) / CAST(span_us AS DOUBLE) AS twa_cents
+FROM a WHERE span_us > 0
+"""
 
     # interval-overlap degree: oracle = the QUADRATIC interval self-join
     # (the definition), cross-checking the sweep formulation

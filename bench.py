@@ -171,6 +171,7 @@ HEADLINE = [
     "consensus_near_dup_pairs",
     "event_pattern_conversions",
     "session_overlap_degree",
+    "user_time_weighted_value",
 ]
 
 

@@ -985,3 +985,43 @@ def session_overlap_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_overlaps"),
         )
     )
+
+
+def user_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of each user's event value — the IoT /
+    financial-tick aggregate Spark has no built-in for: each value is
+    weighted by how long it was "held" (until the user's next event),
+    over the span [first event, last event]. Users with a single event
+    have no span and are excluded.
+
+    Exactness: weights are integer MICROSECONDS (unix_micros deltas) and
+    values integer CENTS (the repo's double→DECIMAL(18,2) rule), so the
+    numerator is an exact Σ cents·µs accumulated in DECIMAL(38,0) —
+    per-term products stay < 2⁶³, but a month-long span × thousands of
+    events overflows BIGINT in the SUM, hence the decimal accumulator.
+    The emitted average is one double division of two exactly-converted
+    operands. One exchange on user_id; lead() + groupBy share it.
+    """
+    events = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    d_us = F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))
+    stepped = events.select(
+        "user_id",
+        cents.alias("cents"),
+        F.unix_micros(F.col("ts")).alias("t_us"),
+        d_us.alias("d_us"),  # NULL for each user's last event
+    )
+    agg = stepped.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum((F.col("cents") * F.col("d_us")).cast("decimal(38,0)")).alias("num"),
+        (F.max("t_us") - F.min("t_us")).alias("span_us"),
+    )
+    return agg.filter(F.col("span_us") > 0).select(
+        "user_id",
+        "n_events",
+        F.col("span_us").cast("long").alias("span_us"),
+        (F.col("num").cast("double") / F.col("span_us").cast("double")).alias(
+            "twa_cents"
+        ),
+    )

@@ -325,3 +325,27 @@ def test_session_overlap_degree_matches_quadratic_python(spark, sf_dir):
         for r in relational.session_overlap_degree(spark, sf_dir).collect()
     }
     assert got == want and any(v > 0 for v in got.values())
+
+
+def test_user_time_weighted_value_matches_python(spark, sf_dir):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    ev = _duck(sf_dir, "events").sort_values(["user_id", "ts", "event_id"])
+    q = Decimal("0.01")
+    want = {}
+    for uid, grp in ev.groupby("user_id"):
+        ts = [t.value // 1000 for t in grp["ts"]]  # ns -> us
+        cents = [
+            int(Decimal(repr(v)).quantize(q, ROUND_HALF_UP) * 100)
+            for v in grp["value"]
+        ]
+        span = ts[-1] - ts[0]
+        if span <= 0:
+            continue
+        num = sum(c * (t2 - t1) for c, t1, t2 in zip(cents, ts, ts[1:]))
+        want[uid] = (len(ts), span, float(num) / float(span))
+    got = {
+        r["user_id"]: (r["n_events"], r["span_us"], r["twa_cents"])
+        for r in relational.user_time_weighted_value(spark, sf_dir).collect()
+    }
+    assert got == want and got

@@ -78,6 +78,7 @@ ORACLE_DEFERRED_TO_NEXT_ROUND = {
     "consensus_near_dup_pairs",
     "event_pattern_conversions",
     "session_overlap_degree",
+    "user_time_weighted_value",
 }
 
 
