@@ -683,6 +683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_pattern_conversions": relational.event_pattern_conversions,  # regex sequence mining (MATCH_RECOGNIZE shape)
         "session_overlap_degree": relational.session_overlap_degree,  # interval-overlap via order statistics (oracle = quadratic IEJoin)
         "user_time_weighted_value": relational.user_time_weighted_value,  # exact cents-by-microseconds TWA
+        "calendar_activity_spine": extended.calendar_activity_spine,  # Python DataSource spine, oracle-checked
     }
 
 
@@ -3465,6 +3466,24 @@ FROM g
         "SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS n_votes "
         "FROM fam GROUP BY doc_a, doc_b HAVING COUNT(*) >= 2"
     )
+
+    # the Python DataSource date spine, zero-filled against daily activity
+    d["calendar_activity_spine"] = """
+WITH spine AS (
+  SELECT CAST(UNNEST(generate_series(DATE '2024-01-01', DATE '2024-02-04',
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+), spine_i AS (
+  SELECT day, CAST(day - DATE '2024-01-01' AS BIGINT) AS day_index FROM spine
+), daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+  FROM events GROUP BY 1
+)
+SELECT s.day, s.day_index,
+       COALESCE(d.n_events, 0) AS n_events,
+       COALESCE(d.total_value, 0.0) AS total_value
+FROM spine_i s LEFT JOIN daily d ON s.day = d.day
+"""
 
     # time-weighted average: exact cents x microseconds in DECIMAL(38,0)
     d["user_time_weighted_value"] = """

@@ -172,6 +172,7 @@ HEADLINE = [
     "event_pattern_conversions",
     "session_overlap_degree",
     "user_time_weighted_value",
+    "calendar_activity_spine",
 ]
 
 

@@ -1155,3 +1155,40 @@ def brand_assoc_rules(
             ).alias("lift"),
         )
     )
+
+
+def calendar_activity_spine(
+    spark: SparkSession, sf_dir: str, days: int = 35
+) -> DataFrame:
+    """Calendar-complete daily activity: the Python DataSource API's
+    ``date_spine`` source (pure-Python executor-side generation, the
+    custom-connector extension point) LEFT-joined to the daily event
+    rollup, zero-filling days with no activity — the spine runs past the
+    fixture's last event so the zero-fill path is always exercised.
+    This promotes the DataSource seam to a first-class, oracle-checked
+    query: the spine feed itself participates in the hash compare.
+
+    Shape: the spine is tiny and broadcasts; the rollup is one
+    partial-aggregated groupBy(day). Exact counts; the value sum follows
+    the decimal→double rule.
+    """
+    from ..sources.pydatasource import register_date_spine_source
+
+    register_date_spine_source(spark)
+    spine = (
+        spark.read.format("date_spine")
+        .option("start", "2024-01-01")
+        .option("days", str(days))
+        .load()
+    )
+    events = read_table(spark, sf_dir, "events")
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("tv"),
+    )
+    return spine.join(daily, "day", "left").select(
+        "day",
+        "day_index",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.coalesce("tv", F.lit(0.0)).alias("total_value"),
+    )

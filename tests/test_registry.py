@@ -79,6 +79,7 @@ ORACLE_DEFERRED_TO_NEXT_ROUND = {
     "event_pattern_conversions",
     "session_overlap_degree",
     "user_time_weighted_value",
+    "calendar_activity_spine",
 }
 
 
