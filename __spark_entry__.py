@@ -684,6 +684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_overlap_degree": relational.session_overlap_degree,  # interval-overlap via order statistics (oracle = quadratic IEJoin)
         "user_time_weighted_value": relational.user_time_weighted_value,  # exact cents-by-microseconds TWA
         "calendar_activity_spine": extended.calendar_activity_spine,  # Python DataSource spine, oracle-checked
+        "recursive_supplier_reach": extended.recursive_supplier_reach,  # Spark 4 WITH RECURSIVE; oracle = the VERBATIM same SQL
     }
 
 
@@ -3466,6 +3467,9 @@ FROM g
         "SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS n_votes "
         "FROM fam GROUP BY doc_a, doc_b HAVING COUNT(*) >= 2"
     )
+
+    # Spark 4 recursive CTE: BOTH engines execute the identical text
+    d["recursive_supplier_reach"] = extended.RECURSIVE_REACH_SQL
 
     # the Python DataSource date spine, zero-filled against daily activity
     d["calendar_activity_spine"] = """

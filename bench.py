@@ -173,6 +173,7 @@ HEADLINE = [
     "session_overlap_degree",
     "user_time_weighted_value",
     "calendar_activity_spine",
+    "recursive_supplier_reach",
 ]
 
 

@@ -349,3 +349,40 @@ def test_user_time_weighted_value_matches_python(spark, sf_dir):
         for r in relational.user_time_weighted_value(spark, sf_dir).collect()
     }
     assert got == want and got
+
+
+def test_recursive_reach_matches_python_bfs(spark, sf_dir):
+    from collections import defaultdict
+
+    from data_engineer_interview_task_spark.operators import extended
+
+    li = _duck(sf_dir, "lineitem")[["l_orderkey", "l_suppkey"]]
+    support = defaultdict(int)
+    for _, grp in li.groupby("l_orderkey"):
+        ss = sorted(set(grp["l_suppkey"]))
+        for i, u in enumerate(ss):
+            for v in ss[i + 1 :]:
+                support[(u, v)] += 1
+    nbrs = defaultdict(set)
+    for (u, v), c in support.items():
+        if c >= 8:
+            nbrs[u].add(v)
+            nbrs[v].add(u)
+    seeds = {
+        int(s) for s in _duck(sf_dir, "supplier")["s_suppkey"] if s % 97 == 0
+    }
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for hop in (1, 2):
+        nxt = set()
+        for u in frontier:
+            for v in nbrs[u]:
+                if v not in dist:
+                    dist[v] = hop
+                    nxt.add(v)
+        frontier = nxt
+    got = {
+        r["s_suppkey"]: r["hop"]
+        for r in extended.recursive_supplier_reach(spark, sf_dir).collect()
+    }
+    assert got == dist and got

@@ -80,6 +80,7 @@ ORACLE_DEFERRED_TO_NEXT_ROUND = {
     "session_overlap_degree",
     "user_time_weighted_value",
     "calendar_activity_spine",
+    "recursive_supplier_reach",
 }
 
 
