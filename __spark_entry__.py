@@ -685,6 +685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_time_weighted_value": relational.user_time_weighted_value,  # exact cents-by-microseconds TWA
         "calendar_activity_spine": extended.calendar_activity_spine,  # Python DataSource spine, oracle-checked
         "recursive_supplier_reach": extended.recursive_supplier_reach,  # Spark 4 WITH RECURSIVE; oracle = the VERBATIM same SQL
+        "quality_canonical_docs": dedup.quality_canonical_docs,  # best-quality survivor per near-dup cluster
     }
 
 
@@ -3466,6 +3467,27 @@ FROM g
         "WITH fam AS (" + _fam_parts + ") "
         "SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS n_votes "
         "FROM fam GROUP BY doc_a, doc_b HAVING COUNT(*) >= 2"
+    )
+
+    # quality-aware survivor per cluster: compose the LSH-CC oracle with
+    # the quality argmax
+    d["quality_canonical_docs"] = (
+        "WITH clusters AS (SELECT * FROM (" + d["near_dup_clusters_lsh"] + ")), "
+        """q AS (
+  SELECT doc_id,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS quality
+  FROM documents
+), j AS (
+  SELECT c.cluster_id, c.doc_id, q.quality,
+         ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                            ORDER BY q.quality DESC, c.doc_id ASC) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY c.cluster_id) AS BIGINT)
+           AS cluster_size
+  FROM clusters c JOIN q ON c.doc_id = q.doc_id
+)
+SELECT cluster_id, doc_id AS survivor_id, cluster_size, quality
+FROM j WHERE rn = 1"""
     )
 
     # Spark 4 recursive CTE: BOTH engines execute the identical text

@@ -174,6 +174,7 @@ HEADLINE = [
     "user_time_weighted_value",
     "calendar_activity_spine",
     "recursive_supplier_reach",
+    "quality_canonical_docs",
 ]
 
 

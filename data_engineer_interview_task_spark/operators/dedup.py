@@ -1129,3 +1129,45 @@ def consensus_near_dup_pairs(
         .agg(F.count(F.lit(1)).cast("long").alias("n_votes"))
         .filter(F.col("n_votes") >= min_votes)
     )
+
+
+def quality_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection: one canonical document per
+    near-dup cluster, keeping the HIGHEST-quality member (distinct-token
+    ratio, doc_id tie-break) rather than the smallest id — the policy a
+    training pipeline actually wants (the near-dup survivors feed the
+    model; "first seen" is an accident of crawl order, "least
+    boilerplate" is a choice).
+
+    Composition: LSH-sourced connected components (sub-quadratic pair
+    graph) ⋈ the map-only quality features, then one per-cluster
+    argmax window. Everything reuses existing lineages; the only new
+    shuffle is the cluster-keyed window (clusters are tiny — bounded by
+    near-dup group size, not corpus size).
+    """
+    clusters = near_dup_clusters(spark, sf_dir, pair_source="minhash")
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "toks", F.split(F.col("text"), " ")
+    )
+    quality = docs.select(
+        "doc_id",
+        (
+            F.size(F.array_distinct("toks")).cast("double") / F.size("toks")
+        ).alias("quality"),
+    )
+    joined = clusters.join(quality, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    wc = Window.partitionBy("cluster_id")
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(wc).cast("long"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("survivor_id"),
+            "cluster_size",
+            "quality",
+        )
+    )

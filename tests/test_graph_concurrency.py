@@ -386,3 +386,33 @@ def test_recursive_reach_matches_python_bfs(spark, sf_dir):
         for r in extended.recursive_supplier_reach(spark, sf_dir).collect()
     }
     assert got == dist and got
+
+
+def test_quality_canonical_survivor_is_cluster_argmax(spark, sf_dir):
+    clusters = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.near_dup_clusters(
+            spark, sf_dir, pair_source="minhash"
+        ).collect()
+    }
+    docs = _duck(sf_dir, "documents")
+    q = {
+        int(r["doc_id"]): len(set(r["text"].split(" "))) / len(r["text"].split(" "))
+        for _, r in docs.iterrows()
+    }
+    from collections import defaultdict
+
+    members = defaultdict(list)
+    for d, c in clusters.items():
+        members[c].append(d)
+    want = {}
+    for c, ds in members.items():
+        best = min(ds, key=lambda d: (-q[d], d))
+        want[c] = (best, len(ds), q[best])
+    got = {
+        r["cluster_id"]: (r["survivor_id"], r["cluster_size"], r["quality"])
+        for r in dedup.quality_canonical_docs(spark, sf_dir).collect()
+    }
+    assert got == want
+    # at least one multi-doc cluster must pick a non-minimal id sometimes
+    assert any(sz > 1 for _s, sz, _q in got.values())

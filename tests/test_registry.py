@@ -81,6 +81,7 @@ ORACLE_DEFERRED_TO_NEXT_ROUND = {
     "user_time_weighted_value",
     "calendar_activity_spine",
     "recursive_supplier_reach",
+    "quality_canonical_docs",
 }
 
 
