@@ -686,6 +686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calendar_activity_spine": extended.calendar_activity_spine,  # Python DataSource spine, oracle-checked
         "recursive_supplier_reach": extended.recursive_supplier_reach,  # Spark 4 WITH RECURSIVE; oracle = the VERBATIM same SQL
         "quality_canonical_docs": dedup.quality_canonical_docs,  # best-quality survivor per near-dup cluster
+        "systematic_token_sample": sampling.systematic_token_sample,  # weighted sampling, zero RNG, exact integers
     }
 
 
@@ -3468,6 +3469,29 @@ FROM g
         "SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS n_votes "
         "FROM fam GROUP BY doc_a, doc_b HAVING COUNT(*) >= 2"
     )
+
+    # weighted systematic sampling on the cumulative token axis
+    d["systematic_token_sample"] = """
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS w
+  FROM documents
+), t AS (
+  SELECT source, SUM(w) AS src_tokens FROM d GROUP BY source
+), c AS (
+  SELECT d.doc_id, d.source, d.w,
+         SUM(d.w) OVER (PARTITION BY d.source
+                        ORDER BY md5(CAST(d.doc_id AS VARCHAR)) ASC,
+                                 d.doc_id ASC
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         GREATEST(t.src_tokens // 8, 1) AS step
+  FROM d JOIN t ON d.source = t.source
+)
+SELECT doc_id, source, w, CAST(cum AS BIGINT) AS cum,
+       CAST(cum // step - (cum - w) // step AS BIGINT) AS n_picks
+FROM c
+WHERE cum // step - (cum - w) // step > 0
+"""
 
     # quality-aware survivor per cluster: compose the LSH-CC oracle with
     # the quality argmax

@@ -175,6 +175,7 @@ HEADLINE = [
     "calendar_activity_spine",
     "recursive_supplier_reach",
     "quality_canonical_docs",
+    "systematic_token_sample",
 ]
 
 

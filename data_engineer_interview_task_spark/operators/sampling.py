@@ -375,3 +375,50 @@ def quality_threshold_for_budget(
             & (F.col("cum_tokens") - F.col("n_tokens") < F.col("budget"))
         ).alias("selected"),
     )
+
+
+def systematic_token_sample(
+    spark: SparkSession, sf_dir: str, per_source_target: int = 8
+) -> DataFrame:
+    """Weighted sampling WITHOUT randomness or transcendentals: per-source
+    SYSTEMATIC sampling by cumulative token weight. Docs are laid on each
+    source's token axis in a deterministic md5-shuffled order; every
+    ``step = source_tokens DIV target`` tokens, the doc under the grid
+    line is picked — selection probability is proportional to token
+    weight (the A-ES goal) with EXACT integer arithmetic (A-ES itself
+    needs log(), which no cross-engine oracle can hash-match).
+
+    A doc is picked iff a grid line falls inside its token interval:
+    ``cum DIV step > (cum - w) DIV step``. Long docs can cover several
+    lines; ``n_picks`` reports the multiplicity (mixture weight for an
+    up-sampling pipeline).
+
+    Scale shape: one window per SOURCE (parallel across sources, the
+    partitioner the mixture semantics already demand); the per-source
+    token total joins back as a broadcast. Rerun-stable and engine-exact:
+    the md5 order key and integer division have no ties to break.
+    """
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("w"),
+    )
+    totals = docs.groupBy("source").agg(F.sum("w").alias("src_tokens"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy(_sample_key(F.col("doc_id")).asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = docs.withColumn("cum", F.sum("w").over(w)).join(
+        F.broadcast(totals), "source"
+    )
+    step = F.expr(f"greatest(src_tokens DIV {per_source_target}, 1L)")
+    picks = (
+        F.expr("cum DIV step") - F.expr("(cum - w) DIV step")
+    )
+    return (
+        cum.withColumn("step", step)
+        .withColumn("n_picks", picks.cast("long"))
+        .filter(F.col("n_picks") > 0)
+        .select("doc_id", "source", "w", "cum", "n_picks")
+    )

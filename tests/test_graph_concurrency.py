@@ -416,3 +416,23 @@ def test_quality_canonical_survivor_is_cluster_argmax(spark, sf_dir):
     assert got == want
     # at least one multi-doc cluster must pick a non-minimal id sometimes
     assert any(sz > 1 for _s, sz, _q in got.values())
+
+
+def test_systematic_token_sample_properties(spark, sf_dir):
+    rows = sampling.systematic_token_sample(spark, sf_dir).collect()
+    assert rows
+    docs = _duck(sf_dir, "documents")
+    docs["w"] = docs["text"].str.split(" ").str.len()
+    by_src = docs.groupby("source")["w"].sum().to_dict()
+    from collections import defaultdict
+
+    picks = defaultdict(int)
+    for r in rows:
+        picks[r["source"]] += r["n_picks"]
+        # multiplicity bounded by the doc's own weight span
+        step = max(by_src[r["source"]] // 8, 1)
+        assert 1 <= r["n_picks"] <= r["w"] // step + 1
+    for src, total in by_src.items():
+        step = max(total // 8, 1)
+        # every grid line lands in exactly one doc interval
+        assert picks[src] == total // step

@@ -82,6 +82,7 @@ ORACLE_DEFERRED_TO_NEXT_ROUND = {
     "calendar_activity_spine",
     "recursive_supplier_reach",
     "quality_canonical_docs",
+    "systematic_token_sample",
 }
 
 

@@ -78,6 +78,13 @@ KEY_QUERIES = [
     "edit_distance_pairs",
     "brand_assoc_rules",
     "user_value_ewma",
+    "consensus_near_dup_pairs",
+    "event_pattern_conversions",
+    "session_overlap_degree",
+    "user_time_weighted_value",
+    "calendar_activity_spine",
+    "recursive_supplier_reach",
+    "quality_canonical_docs",
 ]
 
 
