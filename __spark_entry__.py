@@ -687,6 +687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recursive_supplier_reach": extended.recursive_supplier_reach,  # Spark 4 WITH RECURSIVE; oracle = the VERBATIM same SQL
         "quality_canonical_docs": dedup.quality_canonical_docs,  # best-quality survivor per near-dup cluster
         "systematic_token_sample": sampling.systematic_token_sample,  # weighted sampling, zero RNG, exact integers
+        "rolling_7day_median_value": cleaning.rolling_7day_median_value,  # exact rolling median (non-decomposable rolling stat)
     }
 
 
@@ -3469,6 +3470,30 @@ FROM g
         "SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS n_votes "
         "FROM fam GROUP BY doc_a, doc_b HAVING COUNT(*) >= 2"
     )
+
+    # rolling exact median: 7-window membership explode + quantile_cont
+    d["rolling_7day_median_value"] = """
+WITH e AS (
+  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         CAST(ts AS DATE) AS day
+  FROM events
+), b AS (
+  SELECT MIN(day) AS d0, MAX(day) AS d1 FROM e
+), spanned AS (
+  SELECT cents,
+         CAST(UNNEST(generate_series(CAST(day AS TIMESTAMP),
+                                     CAST(day AS TIMESTAMP) + INTERVAL 6 DAY,
+                                     INTERVAL 1 DAY)) AS DATE) AS win_end
+  FROM e
+), rolled AS (
+  SELECT win_end, CAST(COUNT(*) AS BIGINT) AS n_events,
+         quantile_cont(cents, 0.5) AS med_cents
+  FROM spanned GROUP BY win_end
+)
+SELECT r.win_end, r.n_events, r.med_cents / 100.0 AS median_value
+FROM rolled r CROSS JOIN b
+WHERE r.win_end >= b.d0 + 6 AND r.win_end <= b.d1
+"""
 
     # weighted systematic sampling on the cumulative token axis
     d["systematic_token_sample"] = """

@@ -176,6 +176,7 @@ HEADLINE = [
     "recursive_supplier_reach",
     "quality_canonical_docs",
     "systematic_token_sample",
+    "rolling_7day_median_value",
 ]
 
 

@@ -353,3 +353,45 @@ def observed_quality_filter(spark: SparkSession, sf_dir: str):
         ),
     )
     return observed, obs
+
+
+def rolling_7day_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling ROBUST statistic: the exact median of event values over
+    each trailing 7-day window (window end = the reported day). Rolling
+    means/sums decompose algebraically; a rolling MEDIAN does not — the
+    distributed form is membership explosion: each event contributes to
+    the 7 windows that contain it (a fixed ×7 fan-out, the same shape as
+    the sliding streaming rollup), then one exact percentile per window.
+
+    Exactness follows the ``event_value_outliers`` rule: integer CENTS,
+    so the interpolating median lands on halves — bitwise equal to
+    DuckDB's quantile_cont. Only windows fully inside the data span are
+    emitted (the first 6 days would be partial windows with different
+    semantics).
+    """
+    events = read_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    day = F.to_date("ts")
+    spanned = events.select(
+        cents.alias("cents"),
+        F.explode(F.sequence(day, F.date_add(day, 6))).alias("win_end"),
+    )
+    bounds = events.agg(
+        F.to_date(F.min("ts")).alias("d0"), F.to_date(F.max("ts")).alias("d1")
+    )
+    rolled = spanned.groupBy("win_end").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.percentile("cents", F.lit(0.5)).alias("med_cents"),
+    )
+    return (
+        rolled.crossJoin(F.broadcast(bounds))
+        .filter(
+            (F.col("win_end") >= F.date_add(F.col("d0"), 6))
+            & (F.col("win_end") <= F.col("d1"))
+        )
+        .select(
+            "win_end",
+            F.col("n_events").cast("long").alias("n_events"),
+            (F.col("med_cents") / 100.0).alias("median_value"),
+        )
+    )

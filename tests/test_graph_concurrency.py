@@ -436,3 +436,33 @@ def test_systematic_token_sample_properties(spark, sf_dir):
         step = max(total // 8, 1)
         # every grid line lands in exactly one doc interval
         assert picks[src] == total // step
+
+
+def test_rolling_median_matches_python_quantile(spark, sf_dir):
+    from decimal import ROUND_HALF_UP, Decimal
+    import datetime as dt
+
+    from data_engineer_interview_task_spark.operators import cleaning
+
+    ev = _duck(sf_dir, "events")
+    q = Decimal("0.01")
+    rows = [
+        (t.date(), int(Decimal(repr(v)).quantize(q, ROUND_HALF_UP) * 100))
+        for t, v in zip(ev["ts"], ev["value"])
+    ]
+    d0 = min(d for d, _ in rows)
+    d1 = max(d for d, _ in rows)
+    want = {}
+    day = d0 + dt.timedelta(days=6)
+    while day <= d1:
+        vals = sorted(c for d, c in rows if day - dt.timedelta(days=6) <= d <= day)
+        n = len(vals)
+        mid = (n - 1) / 2
+        lo, hi = vals[int(mid)], vals[int(mid + 0.5)]
+        want[day] = (n, (lo + hi) / 2 / 100.0)
+        day += dt.timedelta(days=1)
+    got = {
+        r["win_end"]: (r["n_events"], r["median_value"])
+        for r in cleaning.rolling_7day_median_value(spark, sf_dir).collect()
+    }
+    assert got == want and got

@@ -83,6 +83,7 @@ ORACLE_DEFERRED_TO_NEXT_ROUND = {
     "recursive_supplier_reach",
     "quality_canonical_docs",
     "systematic_token_sample",
+    "rolling_7day_median_value",
 }
 
 
