@@ -688,6 +688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_canonical_docs": dedup.quality_canonical_docs,  # best-quality survivor per near-dup cluster
         "systematic_token_sample": sampling.systematic_token_sample,  # weighted sampling, zero RNG, exact integers
         "rolling_7day_median_value": cleaning.rolling_7day_median_value,  # exact rolling median (non-decomposable rolling stat)
+        "event_dow_chi2": cleaning.event_dow_chi2,  # exact-integer chi-square contingency
     }
 
 
@@ -3470,6 +3471,25 @@ FROM g
         "SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS n_votes "
         "FROM fam GROUP BY doc_a, doc_b HAVING COUNT(*) >= 2"
     )
+
+    # chi-square cells from exact integer marginals (ISO weekday)
+    d["event_dow_chi2"] = """
+WITH cells AS (
+  SELECT event_type, CAST(isodow(ts) AS BIGINT) AS iso_dow,
+         CAST(COUNT(*) AS BIGINT) AS o
+  FROM events GROUP BY 1, 2
+), r AS (SELECT event_type, SUM(o) AS r FROM cells GROUP BY 1),
+c AS (SELECT iso_dow, SUM(o) AS c FROM cells GROUP BY 1),
+n AS (SELECT SUM(o) AS n FROM cells)
+SELECT cells.event_type, cells.iso_dow, cells.o AS observed,
+       CAST(CAST(n.n * cells.o - r.r * c.c AS DECIMAL(38,0))
+            * CAST(n.n * cells.o - r.r * c.c AS DECIMAL(38,0)) AS DOUBLE)
+         / CAST(n.n * r.r * c.c AS DOUBLE) AS chi2_contrib
+FROM cells
+JOIN r ON cells.event_type = r.event_type
+JOIN c ON cells.iso_dow = c.iso_dow
+CROSS JOIN n
+"""
 
     # rolling exact median: 7-window membership explode + quantile_cont
     d["rolling_7day_median_value"] = """

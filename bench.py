@@ -177,6 +177,7 @@ HEADLINE = [
     "quality_canonical_docs",
     "systematic_token_sample",
     "rolling_7day_median_value",
+    "event_dow_chi2",
 ]
 
 

@@ -395,3 +395,49 @@ def rolling_7day_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("med_cents") / 100.0).alias("median_value"),
         )
     )
+
+
+def event_dow_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence contingency: is event_type distribution
+    independent of ISO weekday? Emits one row per (event_type, iso_dow)
+    cell with the observed count and its exact chi-square contribution —
+    the statistical-hypothesis-testing surface (drift detection between
+    a categorical feature and a time axis).
+
+    Exact cross-engine arithmetic for a statistic that is normally
+    float soup: the contribution ``(N·o − r·c)² / (N·r·c)`` is formed
+    from EXACT integer marginals — the numerator in DECIMAL(38,0) (it
+    exceeds 2⁶³ once N·o passes ~3e9), the denominator in BIGINT — and
+    the division is ONE IEEE op over two correctly-rounded conversions,
+    so every cell hashes identically in DuckDB. Weekday convention
+    pinned to ISO (1=Monday..7): Spark ``weekday()+1`` == DuckDB
+    ``isodow()`` (``dayofweek`` disagrees between engines).
+
+    Shape: one groupBy for cells; marginals derive from the cell frame
+    (grouping the |types|×7 table, not the corpus) and broadcast back.
+    """
+    events = read_table(spark, sf_dir, "events")
+    cells = events.groupBy(
+        "event_type", (F.weekday("ts") + 1).cast("long").alias("iso_dow")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    r = cells.groupBy("event_type").agg(F.sum("o").alias("r"))
+    c = cells.groupBy("iso_dow").agg(F.sum("o").alias("c"))
+    n = cells.agg(F.sum("o").alias("n"))
+    j = (
+        cells.join(F.broadcast(r), "event_type")
+        .join(F.broadcast(c), "iso_dow")
+        .crossJoin(F.broadcast(n))
+    )
+    num = (
+        (F.col("n") * F.col("o") - F.col("r") * F.col("c"))
+        .cast("decimal(38,0)")
+    )
+    return j.select(
+        "event_type",
+        "iso_dow",
+        F.col("o").cast("long").alias("observed"),
+        (
+            (num * num).cast("double")
+            / (F.col("n") * F.col("r") * F.col("c")).cast("double")
+        ).alias("chi2_contrib"),
+    )

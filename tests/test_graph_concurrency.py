@@ -466,3 +466,32 @@ def test_rolling_median_matches_python_quantile(spark, sf_dir):
         for r in cleaning.rolling_7day_median_value(spark, sf_dir).collect()
     }
     assert got == want and got
+
+
+def test_event_dow_chi2_matches_python(spark, sf_dir):
+    from collections import Counter
+
+    from data_engineer_interview_task_spark.operators import cleaning
+
+    ev = _duck(sf_dir, "events")
+    cells = Counter(
+        (t, ts.isoweekday()) for t, ts in zip(ev["event_type"], ev["ts"])
+    )
+    r = Counter()
+    c = Counter()
+    for (t, d), o in cells.items():
+        r[t] += o
+        c[d] += o
+    n = sum(cells.values())
+    want = {
+        (t, d): (o, float((n * o - r[t] * c[d]) ** 2) / float(n * r[t] * c[d]))
+        for (t, d), o in cells.items()
+    }
+    got = {
+        (row["event_type"], row["iso_dow"]): (row["observed"], row["chi2_contrib"])
+        for row in cleaning.event_dow_chi2(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for k in got:
+        assert got[k][0] == want[k][0]
+        assert abs(got[k][1] - want[k][1]) < 1e-12 * max(1.0, want[k][1])

@@ -84,6 +84,7 @@ ORACLE_DEFERRED_TO_NEXT_ROUND = {
     "quality_canonical_docs",
     "systematic_token_sample",
     "rolling_7day_median_value",
+    "event_dow_chi2",
 }
 
 
