@@ -689,6 +689,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "systematic_token_sample": sampling.systematic_token_sample,  # weighted sampling, zero RNG, exact integers
         "rolling_7day_median_value": cleaning.rolling_7day_median_value,  # exact rolling median (non-decomposable rolling stat)
         "event_dow_chi2": cleaning.event_dow_chi2,  # exact-integer chi-square contingency
+        "nation_share_of_region": extended.nation_share_of_region,  # hierarchical share-of-parent ladder
+        "session_novelty": relational.session_novelty,  # set-valued window analytics (arrays through lag)
     }
 
 
@@ -3471,6 +3473,61 @@ FROM g
         "SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS n_votes "
         "FROM fam GROUP BY doc_a, doc_b HAVING COUNT(*) >= 2"
     )
+
+    # hierarchical share-of-parent ladder on the aggregated frame
+    d["nation_share_of_region"] = """
+WITH rev AS (
+  SELECT n.n_regionkey, r.r_name AS region, n.n_name AS nation,
+         SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS nat_rev
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n   ON c.c_nationkey = n.n_nationkey
+  JOIN region r   ON n.n_regionkey = r.r_regionkey
+  GROUP BY n.n_regionkey, r.r_name, n.n_name
+)
+SELECT region, nation,
+       CAST(nat_rev AS DOUBLE) AS nation_revenue,
+       CAST(nat_rev AS DOUBLE)
+         / CAST(SUM(nat_rev) OVER (PARTITION BY n_regionkey) AS DOUBLE)
+         AS share_of_region,
+       CAST(SUM(nat_rev) OVER (PARTITION BY n_regionkey) AS DOUBLE)
+         / CAST(SUM(nat_rev) OVER () AS DOUBLE)
+         AS region_share_of_global
+FROM rev
+"""
+
+    # set-valued window analytics: distinct-type sets through lag
+    d["session_novelty"] = """
+WITH o AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), s AS (
+  SELECT *, CAST(SUM(is_new) OVER (
+      PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM o
+), per_sess AS (
+  SELECT user_id, session_seq,
+         list_sort(list_distinct(list(event_type))) AS types
+  FROM s GROUP BY user_id, session_seq
+), lagged AS (
+  SELECT user_id, session_seq, types,
+         lag(types) OVER (PARTITION BY user_id
+                          ORDER BY session_seq ASC) AS prev_types
+  FROM per_sess
+)
+SELECT user_id, session_seq,
+       CAST(len(types) AS BIGINT) AS n_types,
+       CAST(len(list_intersect(types, prev_types)) AS BIGINT) AS n_shared,
+       CAST(len(list_intersect(types, prev_types)) AS DOUBLE)
+         / (len(types) + len(prev_types)
+            - len(list_intersect(types, prev_types))) AS jaccard_prev
+FROM lagged WHERE prev_types IS NOT NULL
+"""
 
     # chi-square cells from exact integer marginals (ISO weekday)
     d["event_dow_chi2"] = """

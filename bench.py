@@ -178,6 +178,8 @@ HEADLINE = [
     "systematic_token_sample",
     "rolling_7day_median_value",
     "event_dow_chi2",
+    "nation_share_of_region",
+    "session_novelty",
 ]
 
 

@@ -1243,3 +1243,55 @@ def recursive_supplier_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load_tables(spark, sf_dir, ("lineitem", "supplier"))
     return spark.sql(RECURSIVE_REACH_SQL)
+
+
+def nation_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical share-of-parent: each nation's order revenue, its
+    share of its REGION's total, and the region's share of the GLOBAL
+    total — the drill-down ratio ladder every BI layer needs. Computed
+    on the aggregated |nations|-row frame (two window sums over region /
+    global partitions of 25 rows), never the fact table; shares are
+    single IEEE divisions of exact decimal-sum-derived doubles... except
+    they are NOT divisions of doubles: both numerator and denominator
+    stay DECIMAL until the one final division-as-double, per the
+    cross-engine rule (decimal sums are exact, so the two operands
+    convert identically)."""
+    customer = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    orders = read_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    nation = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = read_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    rev = (
+        orders.join(
+            F.broadcast(customer.withColumnRenamed("c_custkey", "o_custkey")),
+            "o_custkey",
+        )
+        .groupBy("c_nationkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("nat_rev"))
+        .join(
+            F.broadcast(nation.withColumnRenamed("n_nationkey", "c_nationkey")),
+            "c_nationkey",
+        )
+        .join(
+            F.broadcast(region.withColumnRenamed("r_regionkey", "n_regionkey")),
+            "n_regionkey",
+        )
+    )
+    w_reg = Window.partitionBy("n_regionkey")
+    w_all = Window.partitionBy()
+    reg_rev = F.sum("nat_rev").over(w_reg)
+    glob_rev = F.sum("nat_rev").over(w_all)
+    return rev.select(
+        F.col("r_name").alias("region"),
+        F.col("n_name").alias("nation"),
+        F.col("nat_rev").cast("double").alias("nation_revenue"),
+        (F.col("nat_rev").cast("double") / reg_rev.cast("double")).alias(
+            "share_of_region"
+        ),
+        (reg_rev.cast("double") / glob_rev.cast("double")).alias(
+            "region_share_of_global"
+        ),
+    )

@@ -1025,3 +1025,51 @@ def user_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             "twa_cents"
         ),
     )
+
+
+def session_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SET-VALUED window analytics: for each user session (after the
+    first), the Jaccard similarity between this session's distinct
+    event-type set and the PREVIOUS session's — behavioral-drift
+    detection (a novelty score of 0 means a completely new behavior
+    mix; 1 means a repeat). Exact integer set arithmetic:
+    ``|A∩B| / (|A|+|B|−|A∩B|)`` over sorted distinct-type arrays
+    carried through a lag window — sets stay row-local, the only
+    exchange is the user_id window.
+
+    The shape to note: collect_set → array_sort → lag over a window —
+    arrays as first-class window values, which most SQL engines cannot
+    express (DuckDB's list type + lag makes the oracle possible)."""
+    events = read_table(spark, sf_dir, "events")
+    # tag events with session_seq via the identical lag/cumsum window
+    # rule as sessionize_events — one user_id exchange serves tagging,
+    # the per-session set aggregate, AND the lag window
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    tagged = events.withColumn(
+        "is_new", F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
+    ).withColumn(
+        "session_seq",
+        F.sum("is_new")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+    per_sess = tagged.groupBy("user_id", "session_seq").agg(
+        F.array_sort(F.collect_set("event_type")).alias("types")
+    )
+    ws = Window.partitionBy("user_id").orderBy(F.col("session_seq").asc())
+    # materialize the lag BEFORE filtering: a window expression referenced
+    # after a filter would re-evaluate over the filtered rows and shift
+    # every predecessor (caught by the oracle gate on first run)
+    lagged = per_sess.withColumn("prev_types", F.lag("types").over(ws)).filter(
+        F.col("prev_types").isNotNull()
+    )
+    inter = F.size(F.array_intersect(F.col("types"), F.col("prev_types")))
+    union = F.size("types") + F.size("prev_types") - inter
+    return lagged.select(
+        "user_id",
+        "session_seq",
+        F.size("types").cast("long").alias("n_types"),
+        inter.cast("long").alias("n_shared"),
+        (inter.cast("double") / union).alias("jaccard_prev"),
+    )

@@ -495,3 +495,41 @@ def test_event_dow_chi2_matches_python(spark, sf_dir):
     for k in got:
         assert got[k][0] == want[k][0]
         assert abs(got[k][1] - want[k][1]) < 1e-12 * max(1.0, want[k][1])
+
+
+def test_session_novelty_jaccard_python(spark, sf_dir):
+    sess = {}
+    for r in relational.sessionize_events(spark, sf_dir).collect():
+        sess[(r["user_id"], r["session_seq"])] = None
+    ev = _duck(sf_dir, "events").sort_values(["user_id", "ts", "event_id"])
+    import datetime as dt
+
+    from collections import defaultdict
+
+    types = defaultdict(set)
+    for uid, grp in ev.groupby("user_id"):
+        seq = 0
+        prev_ts = None
+        for _, row in grp.iterrows():
+            t = row["ts"]
+            if prev_ts is None or (t - prev_ts) > dt.timedelta(minutes=30):
+                seq += 1
+            prev_ts = t
+            types[(uid, seq)].add(row["event_type"])
+    want = {}
+    by_user = defaultdict(list)
+    for (uid, seq), s in sorted(types.items()):
+        by_user[uid].append((seq, s))
+    for uid, lst in by_user.items():
+        for (s1, a), (s2, b) in zip(lst, lst[1:]):
+            inter = len(a & b)
+            want[(uid, s2)] = (len(b), inter, inter / len(a | b))
+    got = {
+        (r["user_id"], r["session_seq"]): (
+            r["n_types"],
+            r["n_shared"],
+            r["jaccard_prev"],
+        )
+        for r in relational.session_novelty(spark, sf_dir).collect()
+    }
+    assert got == want and got

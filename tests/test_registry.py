@@ -85,6 +85,8 @@ ORACLE_DEFERRED_TO_NEXT_ROUND = {
     "systematic_token_sample",
     "rolling_7day_median_value",
     "event_dow_chi2",
+    "nation_share_of_region",
+    "session_novelty",
 }
 
 
