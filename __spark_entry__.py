@@ -691,6 +691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_dow_chi2": cleaning.event_dow_chi2,  # exact-integer chi-square contingency
         "nation_share_of_region": extended.nation_share_of_region,  # hierarchical share-of-parent ladder
         "session_novelty": relational.session_novelty,  # set-valued window analytics (arrays through lag)
+        "weighted_median_price": extended.weighted_median_price,  # weighted order statistic (exact, discrete)
     }
 
 
@@ -3473,6 +3474,32 @@ FROM g
         "SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS n_votes "
         "FROM fam GROUP BY doc_a, doc_b HAVING COUNT(*) >= 2"
     )
+
+    # weighted (lower) median via cumulative-weight crossing
+    d["weighted_median_price"] = """
+WITH li AS (
+  SELECT l_returnflag,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS price_cents,
+         CAST(l_quantity AS BIGINT) AS w
+  FROM lineitem
+), tot AS (
+  SELECT l_returnflag, SUM(w) AS total_w,
+         CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM li GROUP BY 1
+), cum AS (
+  SELECT li.l_returnflag, li.price_cents, t.total_w, t.n_rows,
+         SUM(li.w) OVER (PARTITION BY li.l_returnflag
+                         ORDER BY li.price_cents ASC
+                         ROWS UNBOUNDED PRECEDING) AS cum
+  FROM li JOIN tot t ON li.l_returnflag = t.l_returnflag
+)
+SELECT l_returnflag, n_rows,
+       CAST(total_w AS BIGINT) AS total_quantity,
+       MIN(price_cents) / 100.0 AS weighted_median_price
+FROM cum WHERE 2 * cum >= total_w
+GROUP BY l_returnflag, n_rows, total_w
+"""
 
     # hierarchical share-of-parent ladder on the aggregated frame
     d["nation_share_of_region"] = """

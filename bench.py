@@ -180,6 +180,7 @@ HEADLINE = [
     "event_dow_chi2",
     "nation_share_of_region",
     "session_novelty",
+    "weighted_median_price",
 ]
 
 

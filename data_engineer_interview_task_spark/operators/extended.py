@@ -1295,3 +1295,54 @@ def nation_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
             "region_share_of_global"
         ),
     )
+
+
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED order statistic: per returnflag, the quantity-weighted
+    (lower) median of extended price — "the price at which half the
+    shipped units are cheaper". Plain medians ignore how much each row
+    weighs; the weighted form is the inventory/finance version.
+
+    Exact distributed formulation: sort each group by (price, tiebreak),
+    run a cumulative weight sum, and pick the FIRST row where
+    ``2*cum >= total`` (the lower weighted median — a well-defined
+    DISCRETE statistic, so no interpolation and nothing to round). One
+    exchange: the group window carries the cumsum; the crossing pick is
+    a min over row_number. Weights and prices are exact integers/cents.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("price_cents"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    tot = li.groupBy("l_returnflag").agg(
+        F.sum("w").alias("total_w"), F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy(F.col("price_cents").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # ties on price: cumulating in price order makes the crossing row's
+    # PRICE unique regardless of tie order (equal prices are
+    # interchangeable under the cumsum), so the output is deterministic
+    cum = li.withColumn("cum", F.sum("w").over(wcum)).join(
+        F.broadcast(tot), "l_returnflag"
+    )
+    crossed = cum.filter(2 * F.col("cum") >= F.col("total_w"))
+    return (
+        crossed.groupBy("l_returnflag")
+        .agg(
+            F.min("price_cents").alias("med_cents"),
+            F.first("total_w").alias("total_w"),
+            F.first("n_rows").alias("n_rows"),
+        )
+        .select(
+            "l_returnflag",
+            "n_rows",
+            F.col("total_w").cast("long").alias("total_quantity"),
+            (F.col("med_cents") / 100.0).alias("weighted_median_price"),
+        )
+    )

@@ -533,3 +533,37 @@ def test_session_novelty_jaccard_python(spark, sf_dir):
         for r in relational.session_novelty(spark, sf_dir).collect()
     }
     assert got == want and got
+
+
+def test_weighted_median_matches_python(spark, sf_dir):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from data_engineer_interview_task_spark.operators import extended
+
+    li = _duck(sf_dir, "lineitem")[["l_returnflag", "l_extendedprice", "l_quantity"]]
+    q = Decimal("0.01")
+    want = {}
+    for flag, grp in li.groupby("l_returnflag"):
+        rows = sorted(
+            (
+                int(Decimal(repr(p)).quantize(q, ROUND_HALF_UP) * 100),
+                int(w),
+            )
+            for p, w in zip(grp["l_extendedprice"], grp["l_quantity"])
+        )
+        total = sum(w for _p, w in rows)
+        cum = 0
+        for p, w in rows:
+            cum += w
+            if 2 * cum >= total:
+                want[flag] = (len(rows), total, p / 100.0)
+                break
+    got = {
+        r["l_returnflag"]: (
+            r["n_rows"],
+            r["total_quantity"],
+            r["weighted_median_price"],
+        )
+        for r in extended.weighted_median_price(spark, sf_dir).collect()
+    }
+    assert got == want and got

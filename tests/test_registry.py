@@ -87,6 +87,7 @@ ORACLE_DEFERRED_TO_NEXT_ROUND = {
     "event_dow_chi2",
     "nation_share_of_region",
     "session_novelty",
+    "weighted_median_price",
 }
 
 
