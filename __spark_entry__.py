@@ -692,6 +692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_share_of_region": extended.nation_share_of_region,  # hierarchical share-of-parent ladder
         "session_novelty": relational.session_novelty,  # set-valued window analytics (arrays through lag)
         "weighted_median_price": extended.weighted_median_price,  # weighted order statistic (exact, discrete)
+        "time_grain_rollup": extended.time_grain_rollup,  # leaf-first calendar-hierarchy rollup
     }
 
 
@@ -3474,6 +3475,26 @@ FROM g
         "SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS n_votes "
         "FROM fam GROUP BY doc_a, doc_b HAVING COUNT(*) >= 2"
     )
+
+    # leaf-first calendar rollup: day leaves re-aggregate exactly
+    d["time_grain_rollup"] = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(value AS DECIMAL(18,2))) AS v
+  FROM events GROUP BY 1
+)
+SELECT 'day' AS grain, day AS period_start,
+       CAST(n AS BIGINT) AS n_events, CAST(v AS DOUBLE) AS total_value
+FROM daily
+UNION ALL
+SELECT 'week', CAST(date_trunc('week', day) AS DATE),
+       CAST(SUM(n) AS BIGINT), CAST(SUM(v) AS DOUBLE)
+FROM daily GROUP BY 2
+UNION ALL
+SELECT 'month', CAST(date_trunc('month', day) AS DATE),
+       CAST(SUM(n) AS BIGINT), CAST(SUM(v) AS DOUBLE)
+FROM daily GROUP BY 2
+"""
 
     # weighted (lower) median via cumulative-weight crossing
     d["weighted_median_price"] = """

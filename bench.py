@@ -181,6 +181,7 @@ HEADLINE = [
     "nation_share_of_region",
     "session_novelty",
     "weighted_median_price",
+    "time_grain_rollup",
 ]
 
 

@@ -1346,3 +1346,33 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("med_cents") / 100.0).alias("weighted_median_price"),
         )
     )
+
+
+def time_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-hierarchy rollup: event count + value total at DAY, ISO
+    WEEK, and MONTH grain in one result, built LEAF-FIRST (the r3
+    rollup/cube lesson): one corpus scan aggregates to the day leaves;
+    week and month re-aggregate the ~30-row daily frame — decimal sums
+    re-aggregate exactly, so the coarser grains are bit-identical to
+    direct aggregation, and the corpus is never scanned three times (nor
+    Expand-multiplied 3x as naive GROUPING SETS would).
+
+    Cross-engine: ``date_trunc('week')`` is ISO-Monday in both Spark and
+    DuckDB; values stay DECIMAL until each grain's final double cast.
+    """
+    events = read_table(spark, sf_dir, "events")
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("v"),
+    )
+
+    def grain(df, col, label):
+        return df.groupBy(col.alias("period_start")).agg(
+            F.sum("n").cast("long").alias("n_events"),
+            F.sum("v").cast("double").alias("total_value"),
+        ).select(F.lit(label).alias("grain"), "period_start", "n_events", "total_value")
+
+    day = grain(daily, F.col("day"), "day")
+    week = grain(daily, F.to_date(F.date_trunc("week", F.col("day"))), "week")
+    month = grain(daily, F.to_date(F.date_trunc("month", F.col("day"))), "month")
+    return day.unionAll(week).unionAll(month)

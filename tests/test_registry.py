@@ -88,6 +88,7 @@ ORACLE_DEFERRED_TO_NEXT_ROUND = {
     "nation_share_of_region",
     "session_novelty",
     "weighted_median_price",
+    "time_grain_rollup",
 }
 
 
