@@ -693,6 +693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_novelty": relational.session_novelty,  # set-valued window analytics (arrays through lag)
         "weighted_median_price": extended.weighted_median_price,  # weighted order statistic (exact, discrete)
         "time_grain_rollup": extended.time_grain_rollup,  # leaf-first calendar-hierarchy rollup
+        "order_revenue_allocation": relational.order_revenue_allocation,  # largest-remainder exact allocation
     }
 
 
@@ -3475,6 +3476,37 @@ FROM g
         "SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS n_votes "
         "FROM fam GROUP BY doc_a, doc_b HAVING COUNT(*) >= 2"
     )
+
+    # largest-remainder proportional allocation (sums exactly to total)
+    d["order_revenue_allocation"] = """
+WITH li AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS w
+  FROM lineitem
+), o AS (
+  SELECT o_orderkey AS l_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS total
+  FROM orders
+), j AS (
+  SELECT li.l_orderkey, li.l_linenumber, li.w, o.total,
+         SUM(li.w) OVER (PARTITION BY li.l_orderkey) AS sumw
+  FROM li JOIN o ON li.l_orderkey = o.l_orderkey
+), k AS (
+  SELECT l_orderkey, l_linenumber,
+         (total * w) // sumw AS base,
+         (total * w) % sumw AS rem_part,
+         total - SUM((total * w) // sumw)
+                   OVER (PARTITION BY l_orderkey) AS leftover
+  FROM j
+)
+SELECT l_orderkey, l_linenumber,
+       CAST(base + CASE WHEN ROW_NUMBER() OVER (
+                          PARTITION BY l_orderkey
+                          ORDER BY rem_part DESC, l_linenumber ASC)
+                        <= leftover THEN 1 ELSE 0 END AS BIGINT)
+         AS alloc_cents
+FROM k
+"""
 
     # leaf-first calendar rollup: day leaves re-aggregate exactly
     d["time_grain_rollup"] = """

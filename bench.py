@@ -182,6 +182,7 @@ HEADLINE = [
     "session_novelty",
     "weighted_median_price",
     "time_grain_rollup",
+    "order_revenue_allocation",
 ]
 
 

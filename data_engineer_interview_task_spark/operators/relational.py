@@ -1073,3 +1073,59 @@ def session_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.cast("long").alias("n_shared"),
         (inter.cast("double") / union).alias("jaccard_prev"),
     )
+
+
+def order_revenue_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact proportional allocation with LARGEST-REMAINDER rounding:
+    split each order's total price (integer cents) across its lineitems
+    proportionally to extended price, such that the per-item allocations
+    are integers AND sum EXACTLY to the order total — the controlled-
+    rounding problem every billing/attribution pipeline has, which naive
+    per-row rounding gets wrong by a few cents per group.
+
+    Method (Hamilton/largest-remainder): base_i = total·w_i DIV Σw;
+    the leftover ``total − Σ base_i`` cents (provably < n_items) go one
+    each to the items with the largest division remainders
+    (``(total·w_i) MOD Σw``, linenumber tie-break). All BIGINT — products
+    stay under 2⁶³ for cents-scale totals; the invariant
+    Σ alloc == total holds bit-exactly and is what the oracle hashes.
+
+    One exchange on the order key serves the group sums, the remainder
+    rank, and the output."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("w"),
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("total"),
+    )
+    wg = Window.partitionBy("l_orderkey")
+    j = (
+        li.join(orders, "l_orderkey")
+        .withColumn("sumw", F.sum("w").over(wg))
+        .withColumn("base", F.expr("(total * w) DIV sumw"))
+        .withColumn("rem_part", F.expr("(total * w) % sumw"))
+        .withColumn("leftover", F.col("total") - F.sum("base").over(wg))
+    )
+    wr = Window.partitionBy("l_orderkey").orderBy(
+        F.col("rem_part").desc(), F.col("l_linenumber").asc()
+    )
+    return (
+        j.withColumn("rk", F.row_number().over(wr))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (
+                F.col("base")
+                + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("alloc_cents"),
+        )
+    )

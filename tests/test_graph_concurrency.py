@@ -567,3 +567,42 @@ def test_weighted_median_matches_python(spark, sf_dir):
         for r in extended.weighted_median_price(spark, sf_dir).collect()
     }
     assert got == want and got
+
+
+def test_order_allocation_sums_to_total_and_proportional(spark, sf_dir):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    alloc = relational.order_revenue_allocation(spark, sf_dir).collect()
+    orders = _duck(sf_dir, "orders")
+    q = Decimal("0.01")
+    totals = {
+        int(k): int(Decimal(repr(v)).quantize(q, ROUND_HALF_UP) * 100)
+        for k, v in zip(orders["o_orderkey"], orders["o_totalprice"])
+    }
+    from collections import defaultdict
+
+    got = defaultdict(int)
+    for r in alloc:
+        got[r["l_orderkey"]] += r["alloc_cents"]
+    # the controlled-rounding invariant: exact sum per order, no drift
+    assert got and all(got[k] == totals[k] for k in got)
+    # proportionality: (orderkey, linenumber) REPEATS in the fixture, so
+    # compare at the (o, l) GROUP level — group alloc sum within
+    # group-row-count cents of the exact proportional share
+    li = _duck(sf_dir, "lineitem")
+    w = defaultdict(int)
+    nrows = defaultdict(int)
+    sumw = defaultdict(int)
+    for o, l, p in zip(
+        li["l_orderkey"], li["l_linenumber"], li["l_extendedprice"]
+    ):
+        cents = int(Decimal(repr(p)).quantize(q, ROUND_HALF_UP) * 100)
+        w[(int(o), int(l))] += cents
+        nrows[(int(o), int(l))] += 1
+        sumw[int(o)] += cents
+    got_kl = defaultdict(int)
+    for r in alloc:
+        got_kl[(r["l_orderkey"], r["l_linenumber"])] += r["alloc_cents"]
+    for k, a in got_kl.items():
+        exact = totals[k[0]] * w[k] / sumw[k[0]]
+        assert abs(a - exact) <= nrows[k]

@@ -89,6 +89,7 @@ ORACLE_DEFERRED_TO_NEXT_ROUND = {
     "session_novelty",
     "weighted_median_price",
     "time_grain_rollup",
+    "order_revenue_allocation",
 }
 
 
