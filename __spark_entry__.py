@@ -694,6 +694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_median_price": extended.weighted_median_price,  # weighted order statistic (exact, discrete)
         "time_grain_rollup": extended.time_grain_rollup,  # leaf-first calendar-hierarchy rollup
         "order_revenue_allocation": relational.order_revenue_allocation,  # largest-remainder exact allocation
+        "corpus_curation_v2": sampling.corpus_curation_v2,  # composed: quality-canonical dedup -> floor -> systematic sample
     }
 
 
@@ -3791,4 +3792,32 @@ WHERE c.event_type = 'click'
     WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
       AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR)
 """
+    # curation v2: composes the quality-canonical oracle with the
+    # systematic sampling grid over survivors
+    d["corpus_curation_v2"] = (
+        "WITH canon AS (SELECT * FROM ("
+        + d["quality_canonical_docs"]
+        + ")), "
+        + """surv AS (
+  SELECT c.cluster_id, c.survivor_id, c.cluster_size, c.quality,
+         d.source, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS w
+  FROM canon c JOIN documents d ON c.survivor_id = d.doc_id
+  WHERE c.quality >= 0.4
+), t AS (
+  SELECT source, SUM(w) AS src_tokens FROM surv GROUP BY source
+), cm AS (
+  SELECT s.survivor_id, s.source, s.cluster_id, s.cluster_size,
+         s.quality, s.w,
+         SUM(s.w) OVER (PARTITION BY s.source
+                        ORDER BY md5(CAST(s.survivor_id AS VARCHAR)) ASC,
+                                 s.survivor_id ASC
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         GREATEST(t.src_tokens // 8, 1) AS step
+  FROM surv s JOIN t ON s.source = t.source
+)
+SELECT survivor_id, source, cluster_id, cluster_size, quality, w,
+       CAST(cum // step - (cum - w) // step AS BIGINT) AS n_picks
+FROM cm WHERE cum // step - (cum - w) // step > 0"""
+    )
+
     return d

@@ -183,6 +183,7 @@ HEADLINE = [
     "weighted_median_price",
     "time_grain_rollup",
     "order_revenue_allocation",
+    "corpus_curation_v2",
 ]
 
 

@@ -422,3 +422,60 @@ def systematic_token_sample(
         .filter(F.col("n_picks") > 0)
         .select("doc_id", "source", "w", "cum", "n_picks")
     )
+
+
+def corpus_curation_v2(
+    spark: SparkSession,
+    sf_dir: str,
+    min_quality: float = 0.4,
+    per_source_target: int = 8,
+) -> DataFrame:
+    """End-to-end curation composition v2 — the session-3 primitives
+    chained into one lazy lineage: (1) near-dup clusters collapse to
+    their HIGHEST-quality canonical doc (``quality_canonical_docs``),
+    (2) a quality floor drops low-distinct-ratio survivors, (3) weighted
+    SYSTEMATIC sampling picks a token-proportional per-source subset of
+    what remains. Output carries full provenance (cluster, quality,
+    token weight, pick multiplicity) so the recipe is auditable.
+
+    Plan: the only corpus-scale work is the LSH clustering already
+    inside step 1; steps 2-3 run on the survivor frame. One lineage, no
+    driver round-trips."""
+    from . import dedup as _dedup
+
+    survivors = _dedup.quality_canonical_docs(spark, sf_dir).filter(
+        F.col("quality") >= min_quality
+    )
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("w"),
+    )
+    s = survivors.join(
+        docs.withColumnRenamed("doc_id", "survivor_id"), "survivor_id"
+    )
+    totals = s.groupBy("source").agg(F.sum("w").alias("src_tokens"))
+    wsrc = (
+        Window.partitionBy("source")
+        .orderBy(_sample_key(F.col("survivor_id")).asc(), F.col("survivor_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = s.withColumn("cum", F.sum("w").over(wsrc)).join(
+        F.broadcast(totals), "source"
+    )
+    step = F.expr(f"greatest(src_tokens DIV {per_source_target}, 1L)")
+    picks = F.expr("cum DIV step") - F.expr("(cum - w) DIV step")
+    return (
+        cum.withColumn("step", step)
+        .withColumn("n_picks", picks.cast("long"))
+        .filter(F.col("n_picks") > 0)
+        .select(
+            "survivor_id",
+            "source",
+            "cluster_id",
+            "cluster_size",
+            "quality",
+            "w",
+            "n_picks",
+        )
+    )

@@ -90,6 +90,7 @@ ORACLE_DEFERRED_TO_NEXT_ROUND = {
     "weighted_median_price",
     "time_grain_rollup",
     "order_revenue_allocation",
+    "corpus_curation_v2",
 }
 
 
