@@ -32,6 +32,15 @@ def main() -> None:
     ap.add_argument("--out", default="/tmp/curated_corpus")
     ap.add_argument("--cap", type=int, default=15)
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    ap.add_argument(
+        "--recipe",
+        choices=("v1", "v2"),
+        default="v1",
+        help="v1 = quality filter + LSH dedup + source cap + packing; "
+        "v2 = quality-CANONICAL dedup (best-quality survivor) + quality "
+        "floor + per-source systematic token sampling "
+        "(operators.sampling.corpus_curation_v2)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -55,6 +64,30 @@ def main() -> None:
 
     docs = read_table(spark, args.sf_dir, "documents")
     n_docs = docs.count()
+
+    if args.recipe == "v2":
+        from data_engineer_interview_task_spark.operators import sampling
+
+        picks = sampling.corpus_curation_v2(spark, args.sf_dir)
+        out_df = picks.join(
+            docs.select(
+                F.col("doc_id").alias("survivor_id"), "lang", "text"
+            ),
+            "survivor_id",
+        )
+        n_picked = out_df.count()
+        write_jsonl(out_df, args.out)
+        print(
+            json.dumps(
+                {
+                    "recipe": "v2",
+                    "docs_in": n_docs,
+                    "picked": n_picked,
+                    "out": args.out,
+                }
+            )
+        )
+        return
 
     # quality + near-dup survivors, one lazy lineage (LSH pair source)
     survivors = dedup.corpus_clean_pipeline(spark, args.sf_dir).select("doc_id")
