@@ -695,6 +695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_grain_rollup": extended.time_grain_rollup,  # leaf-first calendar-hierarchy rollup
         "order_revenue_allocation": relational.order_revenue_allocation,  # largest-remainder exact allocation
         "corpus_curation_v2": sampling.corpus_curation_v2,  # composed: quality-canonical dedup -> floor -> systematic sample
+        "customer_revenue_pareto": extended.customer_revenue_pareto,  # Lorenz curve + exact 80% crossing
     }
 
 
@@ -3819,5 +3820,30 @@ SELECT survivor_id, source, cluster_id, cluster_size, quality, w,
        CAST(cum // step - (cum - w) // step AS BIGINT) AS n_picks
 FROM cm WHERE cum // step - (cum - w) // step > 0"""
     )
+
+    # Lorenz concentration curve with an exact integer 80% crossing test
+    d["customer_revenue_pareto"] = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+           AS rev_cents
+  FROM orders GROUP BY o_custkey
+), t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_cust, SUM(rev_cents) AS tot_cents
+  FROM per_cust
+), c AS (
+  SELECT o_custkey, rev_cents,
+         SUM(rev_cents) OVER (ORDER BY rev_cents DESC, o_custkey ASC
+                              ROWS UNBOUNDED PRECEDING) AS cum_cents,
+         ROW_NUMBER() OVER (ORDER BY rev_cents DESC, o_custkey ASC) AS rank
+  FROM per_cust
+)
+SELECT c.o_custkey, c.rev_cents / 100.0 AS revenue,
+       CAST(c.rank AS DOUBLE) / t.n_cust AS cust_share,
+       CAST(c.cum_cents AS DOUBLE) / CAST(t.tot_cents AS DOUBLE) AS rev_share,
+       (5 * c.cum_cents >= 4 * t.tot_cents
+        AND 5 * (c.cum_cents - c.rev_cents) < 4 * t.tot_cents) AS crosses_p80
+FROM c CROSS JOIN t
+"""
 
     return d

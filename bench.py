@@ -184,6 +184,7 @@ HEADLINE = [
     "time_grain_rollup",
     "order_revenue_allocation",
     "corpus_curation_v2",
+    "customer_revenue_pareto",
 ]
 
 

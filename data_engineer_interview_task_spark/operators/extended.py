@@ -1376,3 +1376,51 @@ def time_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     week = grain(daily, F.to_date(F.date_trunc("week", F.col("day"))), "week")
     month = grain(daily, F.to_date(F.date_trunc("month", F.col("day"))), "month")
     return day.unionAll(week).unionAll(month)
+
+
+def customer_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz/Pareto concentration analysis: customers sorted by revenue
+    descending, with each customer's cumulative share of customers and
+    of revenue — the "what fraction of customers drive 80% of revenue"
+    curve, plus a flag on the 80% crossing row. The concentration-
+    diagnostics family (source skew in a training corpus follows the
+    same math as revenue skew here).
+
+    Shape: the corpus reduces to one row per customer (partial-agg);
+    the ordered cumulative windows run over that reduced frame (range-
+    partitionable by revenue at extreme customer counts). Exactness:
+    revenue stays integer CENTS through the cumsum; shares are single
+    IEEE divisions; the ordering tie-break (revenue desc, custkey asc)
+    is total.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+        .alias("rev_cents")
+    )
+    totals = per_cust.agg(
+        F.count(F.lit(1)).alias("n_cust"), F.sum("rev_cents").alias("tot_cents")
+    )
+    w = (
+        Window.orderBy(F.col("rev_cents").desc(), F.col("o_custkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        per_cust.withColumn("cum_cents", F.sum("rev_cents").over(w))
+        .withColumn("rank", F.row_number().over(
+            Window.orderBy(F.col("rev_cents").desc(), F.col("o_custkey").asc())
+        ))
+        .crossJoin(F.broadcast(totals))
+    )
+    return cum.select(
+        "o_custkey",
+        (F.col("rev_cents") / 100.0).alias("revenue"),
+        (F.col("rank").cast("double") / F.col("n_cust")).alias("cust_share"),
+        (F.col("cum_cents").cast("double") / F.col("tot_cents")).alias(
+            "rev_share"
+        ),
+        (
+            (5 * F.col("cum_cents") >= 4 * F.col("tot_cents"))
+            & (5 * (F.col("cum_cents") - F.col("rev_cents")) < 4 * F.col("tot_cents"))
+        ).alias("crosses_p80"),
+    )

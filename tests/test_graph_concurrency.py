@@ -606,3 +606,25 @@ def test_order_allocation_sums_to_total_and_proportional(spark, sf_dir):
     for k, a in got_kl.items():
         exact = totals[k[0]] * w[k] / sumw[k[0]]
         assert abs(a - exact) <= nrows[k]
+
+
+def test_pareto_crossing_and_monotonicity(spark, sf_dir):
+    from data_engineer_interview_task_spark.operators import extended
+
+    rows = (
+        extended.customer_revenue_pareto(spark, sf_dir)
+        .orderBy("cust_share")
+        .collect()
+    )
+    assert rows
+    # shares are monotone, end at 1.0, and revenue ordering is desc
+    prev_rev_share = 0.0
+    prev_rev = float("inf")
+    for r in rows:
+        assert r["rev_share"] >= prev_rev_share
+        assert r["revenue"] <= prev_rev
+        prev_rev_share, prev_rev = r["rev_share"], r["revenue"]
+    assert abs(rows[-1]["rev_share"] - 1.0) < 1e-12
+    # exactly one 80% crossing row, on the integer-exact rule
+    sel = [r for r in rows if r["crosses_p80"]]
+    assert len(sel) == 1

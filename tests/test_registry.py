@@ -91,6 +91,7 @@ ORACLE_DEFERRED_TO_NEXT_ROUND = {
     "time_grain_rollup",
     "order_revenue_allocation",
     "corpus_curation_v2",
+    "customer_revenue_pareto",
 }
 
 
