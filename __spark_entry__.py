@@ -454,18 +454,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 / §2.8.
 
     Ordering is deliberate: the driver's correctness sweep processes the
-    registry in order (rounds 1-3 each recorded exactly the first 50), so
-    entries WITHOUT a green driver record come first (VERDICT r3 item 1):
-    ``table_checksum`` (driver-red in r3 on a stale pre-ntz-fix record),
-    then the 22 queries no driver sweep has ever recorded, then round-4
-    additions. The union of the r01..r04 driver records then covers every
-    query. tests/test_registry.py pins this invariant."""
+    registry in order (each round records exactly the first 50), so
+    entries WITHOUT a green driver record come first (VERDICT r3 item 1 /
+    r4 items 1-2): the two-round driver-red ``table_checksum`` plus its
+    two bisection diagnostics, then the 30 queries round 4 registered
+    after its window filled, then round-5 additions. The union of the
+    r01..r05 driver records then covers every query.
+    tests/test_registry.py pins this invariant."""
     return {
-        # --- round-4 verification front, part 1: the one driver-red record
-        # (stale: taken before the read_table ntz fix landed; judge re-run
-        # passes it) and the 22 entries registry reordering had displaced
-        # from every driver first-50 window in rounds 1-3.
+        # --- ROUND-5 attestation front (VERDICT r4 items 1-2). Slot 1 is
+        # the two-round driver-red table_checksum plus its two diagnostic
+        # variants that bisect the divergence by stage (BIGINT transport /
+        # raw-hash probe); then the 28 oracle-grade + 2 rows-only queries
+        # registered after round 4's window filled (the exact sets pinned
+        # in tests/test_registry.py last round). Round-5 additions fill
+        # the remaining window slots as they land.
         "table_checksum": maintenance.table_checksum,
+        "table_checksum_bigint": maintenance.table_checksum_bigint,  # diagnostic: no DECIMAL column
+        "table_checksum_probe": maintenance.table_checksum_probe,  # diagnostic: no arithmetic fold
+        "supplier_pagerank": graph.supplier_pagerank,  # fixed-point iterative graph (oracle-exact)
+        "max_concurrent_sessions": relational.max_concurrent_sessions,
+        "quality_threshold_for_budget": sampling.quality_threshold_for_budget,
+        "edit_distance_pairs": dedup.edit_distance_pairs,
+        "streaming_semi_join": _streaming_semi_join,  # oracle (emitted set == batch EXISTS)
+        "supplier_triangles": graph.supplier_triangles,  # degree-oriented motif count vs naive 3-way-join oracle
+        "brand_assoc_rules": extended.brand_assoc_rules,
+        "user_value_ewma": relational.user_value_ewma,  # bit-exact ordered IEEE fold
+        "supplier_bfs_hops": graph.supplier_bfs_hops,  # bounded-hop shortest paths (unrolled Pregel)
+        "supplier_clustering_coeff": graph.supplier_clustering_coeff,
+        "streaming_user_ewma": _streaming_user_ewma,  # order-sensitive stateful fold == batch EWMA
+        "consensus_near_dup_pairs": dedup.consensus_near_dup_pairs,  # >=2-of-3 family vote
+        "event_pattern_conversions": relational.event_pattern_conversions,  # regex sequence mining (MATCH_RECOGNIZE shape)
+        "session_overlap_degree": relational.session_overlap_degree,  # interval-overlap via order statistics (oracle = quadratic IEJoin)
+        "user_time_weighted_value": relational.user_time_weighted_value,  # exact cents-by-microseconds TWA
+        "calendar_activity_spine": extended.calendar_activity_spine,  # Python DataSource spine, oracle-checked
+        "recursive_supplier_reach": extended.recursive_supplier_reach,  # Spark 4 WITH RECURSIVE; oracle = the VERBATIM same SQL
+        "quality_canonical_docs": dedup.quality_canonical_docs,  # best-quality survivor per near-dup cluster
+        "systematic_token_sample": sampling.systematic_token_sample,  # weighted sampling, zero RNG, exact integers
+        "rolling_7day_median_value": cleaning.rolling_7day_median_value,  # exact rolling median (non-decomposable rolling stat)
+        "event_dow_chi2": cleaning.event_dow_chi2,  # exact-integer chi-square contingency
+        "nation_share_of_region": extended.nation_share_of_region,  # hierarchical share-of-parent ladder
+        "session_novelty": relational.session_novelty,  # set-valued window analytics (arrays through lag)
+        "weighted_median_price": extended.weighted_median_price,  # weighted order statistic (exact, discrete)
+        "time_grain_rollup": extended.time_grain_rollup,  # leaf-first calendar-hierarchy rollup
+        "order_revenue_allocation": relational.order_revenue_allocation,  # largest-remainder exact allocation
+        "corpus_curation_v2": sampling.corpus_curation_v2,  # composed: quality-canonical dedup -> floor -> systematic sample
+        "customer_revenue_pareto": extended.customer_revenue_pareto,  # Lorenz curve + exact 80% crossing
+        "chargram_minhash_fast": _chargram_minhash_fast,  # rows-only (xxhash64 family; shape-tested vs md5 twin)
+        "hll_union_weekly_users": extended.hll_union_weekly_users,  # rows-only (mergeable-sketch rollup; error-bound test)
+        # --- round-5 additions land here (inside the first-50 window) ---
+        # --- round-4 verification front, part 1 (all green in
+        # CORRECTNESS_r04.json): the 22 entries registry reordering had
+        # displaced from every driver first-50 window in rounds 1-3.
         "token_estimate": text.token_estimate,
         "salted_token_counts": text.salted_token_counts,
         "chargram_minhash": text.chargram_minhash,
@@ -657,45 +697,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_name_matches": extended.fuzzy_name_matches,
         "global_row_numbers": extended.global_row_numbers,
         "zorder_key": extended.zorder_key,
-        # --- deferred to the ROUND-5 attestation front (the 50-slot
-        # window is full of oracle-grade round-4 work; these two are
-        # rows-only — weakest driver-record class, correctness carried
-        # by their equality/bound tests — see tests/test_registry.py
-        # DEFERRED_TO_NEXT_ROUND)
-        "chargram_minhash_fast": _chargram_minhash_fast,  # rows-only (xxhash64 family; shape-tested vs md5 twin)
-        "hll_union_weekly_users": extended.hll_union_weekly_users,  # rows-only (mergeable-sketch rollup; error-bound test)
-        # --- late round-4 additions (oracle-checked by the local
-        # check_oracle sweep at both driver SFs; ALSO deferred to the
-        # round-5 driver window — see tests/test_registry.py
-        # ORACLE_DEFERRED_TO_NEXT_ROUND)
-        "supplier_pagerank": graph.supplier_pagerank,  # fixed-point iterative graph (oracle-exact)
-        "max_concurrent_sessions": relational.max_concurrent_sessions,
-        "quality_threshold_for_budget": sampling.quality_threshold_for_budget,
-        "edit_distance_pairs": dedup.edit_distance_pairs,
-        "streaming_semi_join": _streaming_semi_join,  # oracle (emitted set == batch EXISTS)
-        "supplier_triangles": graph.supplier_triangles,  # degree-oriented motif count vs naive 3-way-join oracle
-        "brand_assoc_rules": extended.brand_assoc_rules,
-        "user_value_ewma": relational.user_value_ewma,  # bit-exact ordered IEEE fold
-        "supplier_bfs_hops": graph.supplier_bfs_hops,  # bounded-hop shortest paths (unrolled Pregel)
-        "supplier_clustering_coeff": graph.supplier_clustering_coeff,
-        "streaming_user_ewma": _streaming_user_ewma,  # order-sensitive stateful fold == batch EWMA
-        "consensus_near_dup_pairs": dedup.consensus_near_dup_pairs,  # >=2-of-3 family vote
-        "event_pattern_conversions": relational.event_pattern_conversions,  # regex sequence mining (MATCH_RECOGNIZE shape)
-        "session_overlap_degree": relational.session_overlap_degree,  # interval-overlap via order statistics (oracle = quadratic IEJoin)
-        "user_time_weighted_value": relational.user_time_weighted_value,  # exact cents-by-microseconds TWA
-        "calendar_activity_spine": extended.calendar_activity_spine,  # Python DataSource spine, oracle-checked
-        "recursive_supplier_reach": extended.recursive_supplier_reach,  # Spark 4 WITH RECURSIVE; oracle = the VERBATIM same SQL
-        "quality_canonical_docs": dedup.quality_canonical_docs,  # best-quality survivor per near-dup cluster
-        "systematic_token_sample": sampling.systematic_token_sample,  # weighted sampling, zero RNG, exact integers
-        "rolling_7day_median_value": cleaning.rolling_7day_median_value,  # exact rolling median (non-decomposable rolling stat)
-        "event_dow_chi2": cleaning.event_dow_chi2,  # exact-integer chi-square contingency
-        "nation_share_of_region": extended.nation_share_of_region,  # hierarchical share-of-parent ladder
-        "session_novelty": relational.session_novelty,  # set-valued window analytics (arrays through lag)
-        "weighted_median_price": extended.weighted_median_price,  # weighted order statistic (exact, discrete)
-        "time_grain_rollup": extended.time_grain_rollup,  # leaf-first calendar-hierarchy rollup
-        "order_revenue_allocation": relational.order_revenue_allocation,  # largest-remainder exact allocation
-        "corpus_curation_v2": sampling.corpus_curation_v2,  # composed: quality-canonical dedup -> floor -> systematic sample
-        "customer_revenue_pareto": extended.customer_revenue_pareto,  # Lorenz curve + exact 80% crossing
     }
 
 
@@ -1941,6 +1942,29 @@ WITH h AS (SELECT doc_id % 32 AS bucket,
 SELECT bucket,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
        SUM(CAST({_hex_u32('hx', 1)} AS DECIMAL(38,0))) AS checksum
+FROM h GROUP BY bucket
+""",
+        # diagnostic twins bisecting the two-round table_checksum driver
+        # divergence (VERDICT r4 item 1): same row hash, BIGINT transport
+        "table_checksum_bigint": f"""
+WITH h AS (SELECT doc_id % 32 AS bucket,
+                  md5(CAST(doc_id AS VARCHAR) || '|' || md5(text)) AS hx
+           FROM documents)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM({_hex_u32('hx', 1)}) % 4611686018427387904 AS BIGINT)
+         AS checksum_i64
+FROM h GROUP BY bucket
+""",
+        # ... and the no-arithmetic probe isolating the md5 stage itself
+        "table_checksum_probe": """
+WITH h AS (SELECT doc_id % 32 AS bucket,
+                  substring(md5(CAST(doc_id AS VARCHAR) || '|' || md5(text)), 1, 8) AS hx
+           FROM documents)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(hx) AS min_hx,
+       MAX(hx) AS max_hx
 FROM h GROUP BY bucket
 """,
         "schema_evolution_read": """
@@ -3621,8 +3645,8 @@ WITH cells AS (
 c AS (SELECT iso_dow, SUM(o) AS c FROM cells GROUP BY 1),
 n AS (SELECT SUM(o) AS n FROM cells)
 SELECT cells.event_type, cells.iso_dow, cells.o AS observed,
-       CAST(CAST(n.n * cells.o - r.r * c.c AS DECIMAL(38,0))
-            * CAST(n.n * cells.o - r.r * c.c AS DECIMAL(38,0)) AS DOUBLE)
+       CAST(n.n * cells.o - r.r * c.c AS DOUBLE)
+         * CAST(n.n * cells.o - r.r * c.c AS DOUBLE)
          / CAST(n.n * r.r * c.c AS DOUBLE) AS chi2_contrib
 FROM cells
 JOIN r ON cells.event_type = r.event_type

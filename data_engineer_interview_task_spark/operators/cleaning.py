@@ -406,9 +406,15 @@ def event_dow_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exact cross-engine arithmetic for a statistic that is normally
     float soup: the contribution ``(N·o − r·c)² / (N·r·c)`` is formed
-    from EXACT integer marginals — the numerator in DECIMAL(38,0) (it
-    exceeds 2⁶³ once N·o passes ~3e9), the denominator in BIGINT — and
-    the division is ONE IEEE op over two correctly-rounded conversions,
+    from EXACT integer marginals — every product is taken AFTER casting
+    the four marginals to DECIMAL(38,0) (N·o exceeds 2⁶³ once it passes
+    ~9e18, where a BIGINT product would silently wrap with ANSI off;
+    DuckDB's HUGEINT marginals are 128-bit exact already), keeping
+    ``num`` and ``N·r·c`` exact to 10³⁸ ≈ 10¹²-row marginals. The square
+    is then ONE IEEE multiply over the correctly-rounded double of the
+    exact numerator — matching the oracle op-for-op (DuckDB folds a
+    DECIMAL product wider than 38 digits to DOUBLE, so squaring in
+    decimal would diverge at scale) — and the division one more IEEE op,
     so every cell hashes identically in DuckDB. Weekday convention
     pinned to ISO (1=Monday..7): Spark ``weekday()+1`` == DuckDB
     ``isodow()`` (``dayofweek`` disagrees between engines).
@@ -428,16 +434,12 @@ def event_dow_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), "iso_dow")
         .crossJoin(F.broadcast(n))
     )
-    num = (
-        (F.col("n") * F.col("o") - F.col("r") * F.col("c"))
-        .cast("decimal(38,0)")
-    )
+    dec = lambda col: F.col(col).cast("decimal(38,0)")  # noqa: E731
+    num_d = (dec("n") * dec("o") - dec("r") * dec("c")).cast("double")
+    den_d = (dec("n") * dec("r") * dec("c")).cast("double")
     return j.select(
         "event_type",
         "iso_dow",
         F.col("o").cast("long").alias("observed"),
-        (
-            (num * num).cast("double")
-            / (F.col("n") * F.col("r") * F.col("c")).cast("double")
-        ).alias("chi2_contrib"),
+        (num_d * num_d / den_d).alias("chi2_contrib"),
     )

@@ -124,11 +124,17 @@ def supplier_pagerank(
                 + F.expr(f"({base} * coalesce(inc, 0L)) DIV 100")
             ).alias("rank"),
         )
-    return ranks.select(
+    out = ranks.select(
         F.col("node").alias("s_suppkey"),
         F.col("deg").alias("degree"),
         F.col("rank").alias("pr_scaled"),
     )
+    # the cached edge frame must not outlive the call in a shared session
+    # (ADVICE r4): eagerly materialize the node-sized result (it no longer
+    # references `edges`), then release the edge blocks
+    out = out.localCheckpoint(eager=True)
+    edges.unpersist()
+    return out
 
 
 def pagerank_oracle_sql(iterations: int = PR_ITERATIONS) -> str:
@@ -230,11 +236,16 @@ def supplier_triangles(
         F.least("u", "v").alias("x"), F.greatest("u", "v").alias("y")
     )
     tri = wedges.join(closing, ["x", "y"]).select("p", "x", "y")
-    return (
+    out = (
         tri.select(F.explode(F.array("p", "x", "y")).alias("s_suppkey"))
         .groupBy("s_suppkey")
         .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     )
+    # release the cached oriented-edge frame (ADVICE r4): the node-sized
+    # count is materialized eagerly so the returned frame no longer needs it
+    out = out.localCheckpoint(eager=True)
+    oriented.unpersist()
+    return out
 
 
 def supplier_bfs_hops(
@@ -273,7 +284,12 @@ def supplier_bfs_hops(
             .groupBy("node")
             .agg(F.min("hop").alias("hop"))
         )
-    return dist.select(F.col("node").alias("s_suppkey"), F.col("hop"))
+    out = dist.select(F.col("node").alias("s_suppkey"), F.col("hop"))
+    # release the cached edge frame (ADVICE r4) after the node-sized
+    # distance table is materialized
+    out = out.localCheckpoint(eager=True)
+    edges.unpersist()
+    return out
 
 
 def supplier_clustering_coeff(

@@ -47,52 +47,16 @@ def _attested(rec: dict) -> bool:
     )
 
 
-#: Round 4 produced MORE new queries than one 50-slot sweep window holds.
-#: The overflow is deferred to the round-5 front — restricted BY TEST to
-#: rows-only entries (no oracle_sql), whose driver record is the weak
-#: "rows>0" class anyway: their correctness lives in their dedicated
-#: tests (hash-family equality, sketch error bounds), so deferring their
-#: driver visibility costs the least. Front-load these in round 5.
-DEFERRED_TO_NEXT_ROUND = {
-    "chargram_minhash_fast",
-    "hll_union_weekly_users",
-}
+#: Round 5 front-loaded every round-4 deferral into the first-50 window
+#: (VERDICT r4 item 2), so both deferral sets are EMPTY. They stay as the
+#: narrow escape hatch for a future round that again out-produces the
+#: window; rows-only entries (no oracle_sql) defer cheapest — their
+#: correctness lives in dedicated tests, the driver record is "rows>0".
+DEFERRED_TO_NEXT_ROUND: set[str] = set()
 
-#: Oracle-grade queries added AFTER the round-4 window filled. Their
-#: correctness is verified this round by the local ``tools/check_oracle``
-#: sweep (the exact mirror of the driver's t2 gate) at both driver SFs —
-#: but the DRIVER record still has to come from the round-5 window, so
-#: round 5 must front-load these ahead of everything else.
-ORACLE_DEFERRED_TO_NEXT_ROUND = {
-    "supplier_pagerank",
-    "max_concurrent_sessions",
-    "quality_threshold_for_budget",
-    "edit_distance_pairs",
-    "streaming_semi_join",
-    "supplier_triangles",
-    "brand_assoc_rules",
-    "user_value_ewma",
-    "supplier_bfs_hops",
-    "supplier_clustering_coeff",
-    "streaming_user_ewma",
-    "consensus_near_dup_pairs",
-    "event_pattern_conversions",
-    "session_overlap_degree",
-    "user_time_weighted_value",
-    "calendar_activity_spine",
-    "recursive_supplier_reach",
-    "quality_canonical_docs",
-    "systematic_token_sample",
-    "rolling_7day_median_value",
-    "event_dow_chi2",
-    "nation_share_of_region",
-    "session_novelty",
-    "weighted_median_price",
-    "time_grain_rollup",
-    "order_revenue_allocation",
-    "corpus_curation_v2",
-    "customer_revenue_pareto",
-}
+#: Oracle-grade queries registered past a filled window (empty in r5 —
+#: all 28 round-4 deferrals now sit in slots 4-31 of the window).
+ORACLE_DEFERRED_TO_NEXT_ROUND: set[str] = set()
 
 
 def test_unattested_queries_are_in_driver_window():
