@@ -503,6 +503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chargram_minhash_fast": _chargram_minhash_fast,  # rows-only (xxhash64 family; shape-tested vs md5 twin)
         "hll_union_weekly_users": extended.hll_union_weekly_users,  # rows-only (mergeable-sketch rollup; error-bound test)
         # --- round-5 additions land here (inside the first-50 window) ---
+        "multimodal_png_decode": multimodal.multimodal_png_decode,  # REAL stdlib PNG decode, oracle on decoded pixels
         # --- round-4 verification front, part 1 (all green in
         # CORRECTNESS_r04.json): the 22 entries registry reordering had
         # displaced from every driver first-50 window in rounds 1-3.
@@ -2580,6 +2581,19 @@ FROM documents
 SELECT doc_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
        sha256(text) AS sha256
+FROM documents
+""",
+        # real-PNG round-trip: Spark encodes a 16x16 grayscale PNG whose
+        # raster is the ASCII md5 hex repeated 8x, then DECODES the
+        # container (inflate + CRC + all five filters) and reports facts
+        # of the decoded raster; the oracle reconstructs the raster
+        # directly — any wrong decoded byte breaks the sha
+        "multimodal_png_decode": """
+SELECT doc_id,
+       CAST(16 AS BIGINT) AS width,
+       CAST(16 AS BIGINT) AS height,
+       CAST(256 AS BIGINT) AS n_px_bytes,
+       sha256(repeat(md5(text), 8)) AS pixel_sha
 FROM documents
 """,
         "term_doc_stats": """

@@ -1,6 +1,7 @@
 """Fake-codec contract (VERDICT r3 item 7): the container has no
-image/audio codec libraries, so decode/resize are documented
-NotImplementedError seams behind deterministic fakes. These tests pin
+image/audio codec LIBRARIES, so non-PNG decode and resize are documented
+NotImplementedError seams behind deterministic fakes (PNG now decodes
+for real via the pure-stdlib codec — see test_png_codec.py). These tests pin
 the CONTRACT a real decoder must satisfy when it is plugged into the
 seam — sizes, hashes, batch shape, fan-out arity — so swapping
 Pillow/ffmpeg in later is a one-function change, not a re-plumb:
