@@ -5,13 +5,18 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Each query is forced end-to-end with a noop-format write (full computation,
-no driver collect — the same shape a cluster job has).
+no driver collect — the same shape a cluster job has). Per-query times are
+the MEDIAN of --repeats timed runs within one session (after a warm run),
+with the within-run relative spread recorded alongside — the methodology
+fix for the ±30% cross-day ambient drift that made round-over-round
+comparisons noise-bound (VERDICT r4 item 4).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -185,6 +190,8 @@ HEADLINE = [
     "order_revenue_allocation",
     "corpus_curation_v2",
     "customer_revenue_pareto",
+    # round 5: real-codec decode path
+    "multimodal_png_decode",
 ]
 
 
@@ -203,7 +210,7 @@ def main() -> None:
         help="comma-separated subset of HEADLINE to run (default: all)",
     )
     ap.add_argument(
-        "--repeats", type=int, default=2, help="timed runs per query (best-of)"
+        "--repeats", type=int, default=3, help="timed runs per query (median-of)"
     )
     args = ap.parse_args()
     sf_dir = args.sf_dir
@@ -232,6 +239,7 @@ def main() -> None:
 
     qs = entry.queries()
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in headline:
         fn = qs[name]
         # drop references to prior queries' localCheckpoint RDDs and nudge
@@ -246,12 +254,19 @@ def main() -> None:
         gc.collect()
         spark.sparkContext._jvm.System.gc()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm: plan + JIT + OS page cache
-        best = float("inf")
-        for _ in range(args.repeats):  # best-of-N damps GC/JIT jitter in local mode
+        # median-of-N WITHIN one session (VERDICT r4 item 4): best-of
+        # rewarded lucky runs and made round-over-round totals compare a
+        # lucky sample against a typical one; the median is a consistent
+        # estimator, and the within-run relative spread is recorded so the
+        # comparator can tell real regressions from measured jitter.
+        runs = []
+        for _ in range(args.repeats):
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.time() - t0)
+        med = statistics.median(runs)
+        timings[name] = round(med, 3)
+        spreads[name] = round((max(runs) - min(runs)) / med, 3) if med else 0.0
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {
@@ -259,11 +274,14 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "agg": f"median-of-{args.repeats}",
+        "spread": spreads,  # per-query within-run (max-min)/median
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
     }
     print(json.dumps(result))
     # append to the per-query history so regressions the single total hides
-    # are visible (tools/bench_compare.py flags >1.3x vs the best prior run)
+    # are visible (tools/bench_compare.py flags drift-adjusted median
+    # regressions beyond the recorded within-run spread)
     try:
         hist = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "BENCH_HISTORY.jsonl")
