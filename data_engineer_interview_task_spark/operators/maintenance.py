@@ -110,26 +110,70 @@ def referential_integrity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     orphan rows (child keys with no parent) — the standing data-quality
     audit a pipeline runs after every ingest batch.
 
-    Each edge is a left join of the child's KEY COLUMN ONLY against the
-    parent's key column — column pruning reaches both scans, dimension
-    parents broadcast, and the union of seven 1-row aggregates costs seven
-    scans of single columns, not seven table scans."""
-    out: DataFrame | None = None
-    for child, fk, parent, pk in FK_EDGES:
-        c = read_table(spark, sf_dir, child).select(F.col(fk).alias("fk"))
-        p = read_table(spark, sf_dir, parent).select(F.col(pk).alias("pk")).distinct()
-        agg = (
-            c.join(p, c.fk == p.pk, "left_outer")
-            .agg(
-                F.lit(f"{child}.{fk}->{parent}.{pk}").alias("relation"),
-                F.count(F.lit(1)).alias("child_rows"),
-                F.countDistinct("fk").alias("distinct_keys"),
-                F.sum(F.col("pk").isNull().cast("bigint")).alias("orphan_rows"),
+    Restructured for scale (VERDICT r4 item 5 — the old per-edge form was
+    7 independent full-child probe joins and the worst sf1 ratio in the
+    top-15 table at 2.8x):
+
+    1. ONE scan per child table, not per edge — a child carrying several
+       FKs (lineitem carries three) projects all of them once and
+       explodes to tagged ``(relation, key)`` pairs.
+    2. Leaf-aggregate FIRST: keys collapse to ``(relation, key, cnt)``
+       via a map-side-combined aggregate BEFORE any join, so the probe
+       join moves |distinct keys| rows instead of |child rows| — at
+       100 TB that is the difference between shuffling the fact table
+       and shuffling its key dictionary.
+    3. All edges then share ONE left join against the tagged union of
+       parent key sets and ONE 7-row final aggregate.
+
+    Null FKs count as orphans but not as distinct keys (the original
+    per-edge semantics: a null never equi-matches, countDistinct skips
+    nulls)."""
+    relname = {e: f"{e[0]}.{e[1]}->{e[2]}.{e[3]}" for e in FK_EDGES}
+    by_child: dict[str, list[tuple[str, str, str, str]]] = {}
+    for e in FK_EDGES:
+        by_child.setdefault(e[0], []).append(e)
+    leaf: DataFrame | None = None
+    for child, edges in by_child.items():
+        cdf = read_table(spark, sf_dir, child)
+        kv = cdf.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(relname[e]).alias("relation"),
+                            F.col(e[1]).cast("long").alias("k"),
+                        )
+                        for e in edges
+                    ]
+                )
+            ).alias("e")
+        ).select("e.relation", "e.k")
+        part = kv.groupBy("relation", "k").agg(F.count(F.lit(1)).alias("cnt"))
+        leaf = part if leaf is None else leaf.unionByName(part)
+    assert leaf is not None
+    parents: DataFrame | None = None
+    for e in FK_EDGES:
+        p = (
+            read_table(spark, sf_dir, e[2])
+            .select(
+                F.lit(relname[e]).alias("p_relation"),
+                F.col(e[3]).cast("long").alias("pk"),
             )
+            .distinct()
         )
-        out = agg if out is None else out.unionByName(agg)
-    assert out is not None
-    return out
+        parents = p if parents is None else parents.unionByName(p)
+    joined = leaf.join(
+        parents,
+        (F.col("relation") == F.col("p_relation")) & (F.col("k") == F.col("pk")),
+        "left_outer",
+    )
+    return joined.groupBy("relation").agg(
+        F.sum("cnt").alias("child_rows"),
+        F.sum(F.col("k").isNotNull().cast("bigint")).alias("distinct_keys"),
+        F.sum(
+            F.when(F.col("pk").isNull(), F.col("cnt")).otherwise(F.lit(0))
+        ).alias("orphan_rows"),
+    )
 
 
 def grouping_sets_report(spark: SparkSession, sf_dir: str) -> DataFrame:
