@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..plans import prep_session
 from .weekly import EVENTS_SCHEMA
+from .util import drain_memory_sink
 
 
 def first_events_stream(
@@ -59,7 +60,7 @@ def run_first_events_once(
         .start()
     )
     q.awaitTermination()
-    return spark.table(sink)
+    return drain_memory_sink(spark, sink)
 
 
 def first_events_stream_bounded(
@@ -109,7 +110,7 @@ def run_first_events_bounded_once(
         .start()
     )
     q.awaitTermination()
-    return spark.table(sink)
+    return drain_memory_sink(spark, sink)
 
 
 def dedup_then_rollup_stream(
@@ -175,4 +176,4 @@ def run_dedup_then_rollup_once(
         .start()
     )
     q.awaitTermination()
-    return spark.table(sink)
+    return drain_memory_sink(spark, sink)

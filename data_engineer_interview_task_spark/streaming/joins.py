@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from ..plans import prep_session
 from .weekly import EVENTS_SCHEMA
+from .util import drain_memory_sink
 
 
 def click_purchase_stream_join(
@@ -83,7 +84,7 @@ def run_click_purchase_join_once(
         .start()
     )
     q.awaitTermination()
-    return spark.table(sink)
+    return drain_memory_sink(spark, sink)
 
 
 def click_purchase_left_join(
@@ -194,7 +195,7 @@ def run_click_purchase_left_join_once(
         .start()
     )
     q.awaitTermination()
-    return spark.table(sink).filter(F.col("user_id") >= 0)
+    return drain_memory_sink(spark, sink).filter(F.col("user_id") >= 0)
 
 
 def click_purchase_full_join(
@@ -292,7 +293,7 @@ def run_click_purchase_full_join_once(
         .start()
     )
     q.awaitTermination()
-    return spark.table(sink).filter(F.col("user_id") >= 0)
+    return drain_memory_sink(spark, sink).filter(F.col("user_id") >= 0)
 
 
 def stream_static_enrich(
@@ -364,7 +365,7 @@ def run_stream_static_enrich_once(
         .start()
     )
     q.awaitTermination()
-    return spark.table(sink)
+    return drain_memory_sink(spark, sink)
 
 
 def click_purchase_semi_join(
@@ -432,4 +433,4 @@ def run_click_purchase_semi_join_once(
         .start()
     )
     q.awaitTermination()
-    return spark.table(sink)
+    return drain_memory_sink(spark, sink)

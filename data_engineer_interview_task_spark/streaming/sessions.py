@@ -39,6 +39,7 @@ from pyspark.sql.types import (
 
 from ..plans import prep_session
 from .weekly import EVENTS_SCHEMA
+from .util import drain_memory_sink
 
 SESSION_SCHEMA = StructType(
     [
@@ -239,7 +240,7 @@ def run_sessionize_once(
         .start()
     )
     q.awaitTermination()
-    return spark.table(sink)
+    return drain_memory_sink(spark, sink)
 
 
 def session_window_stream(
@@ -306,4 +307,4 @@ def run_session_window_once(
         .start()
     )
     q.awaitTermination()
-    return spark.table(sink)
+    return drain_memory_sink(spark, sink)

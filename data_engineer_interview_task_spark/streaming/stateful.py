@@ -51,6 +51,7 @@ from pyspark.sql.types import (
 )
 
 from ..plans import prep_session
+from .util import drain_memory_sink
 
 #: emitted per (user, batch): running totals + the batch sequence number
 RUNNING_SCHEMA = StructType(
@@ -235,7 +236,7 @@ def run_running_user_stats_once(
     q.awaitTermination()
     w = Window.partitionBy("user_id").orderBy(F.col("batch_seq").desc())
     return (
-        spark.table(sink)
+        drain_memory_sink(spark, sink)
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select(
@@ -362,7 +363,7 @@ def run_user_ewma_once(
     q.awaitTermination()
     w = Window.partitionBy("user_id").orderBy(F.col("batch_seq").desc())
     return (
-        spark.table(sink)
+        drain_memory_sink(spark, sink)
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("user_id", "n_events", "ewma_value")

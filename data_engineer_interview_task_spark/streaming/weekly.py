@@ -23,6 +23,7 @@ from pyspark.sql.types import (
 )
 
 from ..plans import prep_session
+from .util import drain_memory_sink
 
 #: events schema with ts already as a proper timestamp (the ns->micros
 #: conversion happens on the batch prep path; streaming reads the converted
@@ -127,7 +128,7 @@ def run_sliding_rollup_once(
         .start()
     )
     q.awaitTermination()
-    return spark.table(sink)
+    return drain_memory_sink(spark, sink)
 
 
 def run_weekly_rollup_once(
@@ -154,4 +155,4 @@ def run_weekly_rollup_once(
         .start()
     )
     q.awaitTermination()
-    return spark.table(sink)
+    return drain_memory_sink(spark, sink)
