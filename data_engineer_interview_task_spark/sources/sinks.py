@@ -97,11 +97,14 @@ def write_external(
     ``format(name)`` + connector-specific ``options`` + ``mode``, with the
     connector jar supplied by the cluster (``spark.jars.packages``).
 
-    Exactly one of ``table`` (catalog/warehouse table, ``saveAsTable``) or
-    ``path`` (object-store location, ``save``) must be given. The sandbox
-    has no external warehouse, so tests exercise this seam with built-in
-    formats (parquet/csv/json) — the call path is identical for a real
-    connector, e.g.::
+    The target is ``table`` (catalog/warehouse table, ``saveAsTable``),
+    ``path`` (object-store location, ``save(path)``), or — for JDBC-style
+    connectors that address the target via options (``dbtable``/``query``/
+    ``table``) — neither. The sandbox has no external warehouse service,
+    but the seam is exercised for REAL against the embedded Derby
+    database Spark ships (``format("jdbc")`` round-trip in
+    tests/test_sinks_streaming.py) in addition to the built-in file
+    formats — the call path is identical for a warehouse connector, e.g.::
 
         write_external(ranked, "bigquery", mode="append",
                        options={"table": "dataset.search_trends",
@@ -109,13 +112,23 @@ def write_external(
 
     mirrors the reference's WRITE_APPEND disposition (create-if-absent is
     the connector's job, as it is in the BigQuery client)."""
-    if (table is None) == (path is None):
-        raise ValueError("write_external: give exactly one of table= or path=")
-    writer = df.write.format(fmt).mode(mode).options(**(options or {}))
+    opts = options or {}
+    if table is None and path is None and not (
+        "dbtable" in opts or "query" in opts or "table" in opts
+    ):
+        raise ValueError(
+            "write_external: give table=, path=, or an options-addressed "
+            "target (dbtable/query/table) for JDBC-style connectors"
+        )
+    if table is not None and path is not None:
+        raise ValueError("write_external: give at most one of table= or path=")
+    writer = df.write.format(fmt).mode(mode).options(**opts)
     if table is not None:
         writer.saveAsTable(table)
     else:
-        writer.save(path)
+        # JDBC-style connectors carry the target in options; path-style
+        # ones in save(path) — save() handles both
+        writer.save(path) if path is not None else writer.save()
 
 
 def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:

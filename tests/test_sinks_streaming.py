@@ -49,10 +49,57 @@ def test_write_external_connector_seam(spark, sf_dir, tmp_path):
     assert spark.table(t).count() == 50
     spark.sql(f"DROP TABLE {t}")
 
-    with pytest.raises(ValueError, match="exactly one"):
+    with pytest.raises(ValueError, match="options-addressed"):
         write_external(nation, "parquet")
-    with pytest.raises(ValueError, match="exactly one"):
+    with pytest.raises(ValueError, match="at most one"):
         write_external(nation, "parquet", table=t, path=p)
+
+
+def _derby_available(spark) -> bool:
+    try:
+        spark.sparkContext._jvm.java.lang.Class.forName(
+            "org.apache.derby.jdbc.EmbeddedDriver"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def test_write_external_real_jdbc_round_trip(spark, sf_dir, tmp_path):
+    """REAL connector end-to-end (VERDICT r4 stretch item 8): the seam is
+    driven through an actual ``format("jdbc")`` DataSource against the
+    embedded Derby database Spark ships — executors open genuine JDBC
+    connections, the connector creates the table, append mode accumulates,
+    and ``spark.read.jdbc`` reads the rows back. Skip-guarded on the
+    driver class so the test degrades gracefully on a Spark build without
+    the Derby jars."""
+    if not _derby_available(spark):
+        pytest.skip("Derby JDBC driver not on the Spark classpath")
+    url = f"jdbc:derby:{tmp_path}/extdb;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    nation = (
+        read_table(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name")
+        .coalesce(1)
+    )
+    write_external(
+        nation,
+        "jdbc",
+        mode="overwrite",
+        options={"url": url, "dbtable": "nation_ext", **props},
+    )
+    back = spark.read.jdbc(url, "nation_ext", properties=props)
+    assert back.count() == 25
+    assert set(back.columns) == {"N_NATIONKEY", "N_NAME"} or set(
+        back.columns
+    ) == {"n_nationkey", "n_name"}
+    write_external(
+        nation,
+        "jdbc",
+        mode="append",
+        options={"url": url, "dbtable": "nation_ext", **props},
+    )
+    assert spark.read.jdbc(url, "nation_ext", properties=props).count() == 50
 
 
 def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
