@@ -504,6 +504,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_union_weekly_users": extended.hll_union_weekly_users,  # rows-only (mergeable-sketch rollup; error-bound test)
         # --- round-5 additions land here (inside the first-50 window) ---
         "multimodal_png_decode": multimodal.multimodal_png_decode,  # REAL stdlib PNG decode, oracle on decoded pixels
+        "benford_price_digits": cleaning.benford_price_digits,  # first-digit audit, arithmetic digit extraction
+        "ks_two_sample": cleaning.ks_two_sample,  # exact integer-scaled KS statistic
+        "skyline_orders": extended.skyline_orders,  # Pareto frontier via two windows; oracle = quadratic NOT EXISTS
+        "user_modal_event_type": relational.user_modal_event_type,  # grouped categorical mode, total tie-break
+        "rfm_segments": relational.rfm_segments,  # ntile(5) quintile scoring over tie-broken orders
+        "user_acquisition_curve": relational.user_acquisition_curve,  # running COUNT DISTINCT via first-seen decomposition
+        "sparse_cosine_pairs": text.sparse_cosine_pairs,  # inverted-index lexical cosine, df-capped vocab
+        "phrase_search": text.phrase_search,  # positional index: top bigram's per-doc matches
+        "event_type_lift": relational.event_type_lift,  # association lift, decimal products
+        "interval_coverage_per_user": relational.interval_coverage_per_user,  # union-of-intervals measure
+        "asof_join_tolerance": relational.asof_join_tolerance,  # as-of with staleness bound
         # --- round-4 verification front, part 1 (all green in
         # CORRECTNESS_r04.json): the 22 entries registry reordering had
         # displaced from every driver first-50 window in rounds 1-3.
@@ -3882,6 +3893,232 @@ SELECT c.o_custkey, c.rev_cents / 100.0 AS revenue,
        (5 * c.cum_cents >= 4 * t.tot_cents
         AND 5 * (c.cum_cents - c.rev_cents) < 4 * t.tot_cents) AS crosses_p80
 FROM c CROSS JOIN t
+"""
+
+    # --- round-5 additions ---
+    d["benford_price_digits"] = """
+WITH c AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders WHERE o_totalprice > 0
+), g AS (
+  SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM c GROUP BY 1
+)
+SELECT digit, n_orders,
+       CAST(n_orders AS DOUBLE) /
+       CAST((SELECT SUM(n_orders) FROM g) AS DOUBLE) AS share
+FROM g
+"""
+
+    # DuckDB's SUM() marginals are HUGEINT (128-bit exact), so the scaled
+    # ECDF differences stay exact without explicit DECIMAL casts; Spark's
+    # side does the same in DECIMAL(38,0)
+    d["ks_two_sample"] = """
+WITH t AS (
+  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+         CAST(event_type = 'click' AS BIGINT) AS is_a,
+         CAST(event_type = 'purchase' AS BIGINT) AS is_b
+  FROM events WHERE event_type IN ('click', 'purchase')
+), pv AS (
+  SELECT c, SUM(is_a) AS da, SUM(is_b) AS db FROM t GROUP BY c
+), cums AS (
+  SELECT SUM(da) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS cum_a,
+         SUM(db) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS cum_b
+  FROM pv
+), tot AS (
+  SELECT CAST(SUM(is_a) AS BIGINT) AS n_a, CAST(SUM(is_b) AS BIGINT) AS n_b
+  FROM t
+)
+SELECT n_a, n_b,
+       CAST(MAX(ABS(cum_a * n_b - cum_b * n_a)) AS DOUBLE) /
+       CAST(n_a * n_b AS DOUBLE) AS ks_stat
+FROM cums CROSS JOIN tot
+GROUP BY n_a, n_b
+"""
+
+    # the quadratic dominance DEFINITION — deliberately a different
+    # formulation than Spark's two-window linearithmic one, so each
+    # verifies the other (skip at sf1: O(n^2) oracle)
+    d["skyline_orders"] = """
+WITH b AS (
+  SELECT o_orderkey,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+              AS BIGINT) AS day,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+)
+SELECT t.o_orderkey, t.day, t.cents
+FROM b t
+WHERE NOT EXISTS (
+  SELECT 1 FROM b a
+  WHERE a.day <= t.day AND a.cents >= t.cents
+    AND (a.day < t.day OR a.cents > t.cents)
+)
+"""
+
+    d["user_modal_event_type"] = """
+WITH c AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, event_type AS modal_type, cnt FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY cnt DESC, event_type ASC) AS rn
+  FROM c
+) WHERE rn = 1
+"""
+
+    d["rfm_segments"] = """
+WITH per AS (
+  SELECT o_custkey,
+         MAX(CAST(o_orderdate AS DATE)) AS last_day,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS m_cents
+  FROM orders GROUP BY 1
+), base AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', last_day, (SELECT MAX(last_day) FROM per))
+              AS BIGINT) AS recency_days,
+         n_orders, m_cents
+  FROM per
+), scored AS (
+  SELECT o_custkey, recency_days, n_orders, m_cents,
+         CAST(NTILE(5) OVER (ORDER BY recency_days ASC, o_custkey ASC)
+              AS BIGINT) AS r_score,
+         CAST(NTILE(5) OVER (ORDER BY n_orders DESC, o_custkey ASC)
+              AS BIGINT) AS f_score,
+         CAST(NTILE(5) OVER (ORDER BY m_cents DESC, o_custkey ASC)
+              AS BIGINT) AS m_score
+  FROM base
+)
+SELECT o_custkey, recency_days, n_orders, m_cents, r_score, f_score, m_score,
+       CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm_code
+FROM scored
+"""
+
+    d["user_acquisition_curve"] = """
+WITH firsts AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS day FROM events GROUP BY 1
+), by_day AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users FROM firsts GROUP BY 1
+)
+SELECT day, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cum_users
+FROM by_day
+"""
+
+    d["sparse_cosine_pairs"] = """
+WITH tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(array_length(arr) - 1),
+                                     i -> arr[i + 1] || ' ' || arr[i + 2]))
+                 AS token
+        FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents))
+  GROUP BY doc_id, token
+), rare AS (
+  SELECT tf.* FROM tf
+  WHERE token IN (SELECT token FROM tf GROUP BY token HAVING COUNT(*) <= 20)
+), norms AS (
+  SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS n2 FROM rare GROUP BY doc_id
+), dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+  FROM rare a JOIN rare b ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, dot,
+       CAST(dot AS DOUBLE) /
+       (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos_sim
+FROM dots
+JOIN norms na ON dots.doc_a = na.doc_id
+JOIN norms nb ON dots.doc_b = nb.doc_id
+WHERE CAST(dot AS DOUBLE) /
+      (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.5
+"""
+
+    d["phrase_search"] = """
+WITH bi AS (
+  SELECT doc_id,
+         unnest(list_transform(range(array_length(arr) - 1),
+                               i -> arr[i + 1] || ' ' || arr[i + 2])) AS bigram
+  FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents)
+), top AS (
+  SELECT bigram FROM bi GROUP BY bigram
+  ORDER BY COUNT(*) DESC, bigram ASC LIMIT 1
+)
+SELECT doc_id, bigram, CAST(COUNT(*) AS BIGINT) AS n_matches
+FROM bi WHERE bigram IN (SELECT bigram FROM top)
+GROUP BY doc_id, bigram
+"""
+
+    d["event_type_lift"] = """
+WITH du AS (SELECT DISTINCT user_id, event_type FROM events),
+s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM du GROUP BY 1),
+u AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM du),
+pairs AS (
+  SELECT a.event_type AS type_x, b.event_type AS type_y,
+         CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM du a JOIN du b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_x, type_y, sx.n AS n_x, sy.n AS n_y, n_both,
+       CAST(n_both * n_users AS DOUBLE) / CAST(sx.n * sy.n AS DOUBLE) AS lift
+FROM pairs
+JOIN s sx ON pairs.type_x = sx.event_type
+JOIN s sy ON pairs.type_y = sy.event_type
+CROSS JOIN u
+"""
+
+    d["interval_coverage_per_user"] = """
+WITH lagged AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts))
+           AS prev_t
+  FROM events
+), isl AS (
+  SELECT user_id, t,
+         SUM(CASE WHEN prev_t IS NULL OR t - prev_t > 1800000000
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING)
+           AS island
+  FROM lagged
+), per AS (
+  SELECT user_id, island, MAX(t) - MIN(t) + 1800000000 AS covered_us
+  FROM isl GROUP BY 1, 2
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(SUM(covered_us) AS BIGINT) AS covered_us
+FROM per GROUP BY 1
+"""
+
+    d["asof_join_tolerance"] = """
+WITH o AS (
+  SELECT o_custkey AS k, o_orderdate AS t, MAX(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY 1, 2
+), u AS (
+  SELECT user_id AS k, ts AS t, 1 AS is_event, event_id,
+         CAST(NULL AS BIGINT) AS o_orderkey, CAST(NULL AS TIMESTAMP) AS ot
+  FROM events
+  UNION ALL
+  SELECT k, t, 0, CAST(NULL AS BIGINT), o_orderkey, t FROM o
+), wnd AS (
+  SELECT *,
+         last_value(o_orderkey IGNORE NULLS) OVER
+           (PARTITION BY k ORDER BY t, is_event ROWS UNBOUNDED PRECEDING)
+           AS last_orderkey,
+         last_value(ot IGNORE NULLS) OVER
+           (PARTITION BY k ORDER BY t, is_event ROWS UNBOUNDED PRECEDING)
+           AS last_order_t
+  FROM u
+)
+SELECT event_id, k AS user_id,
+       CASE WHEN epoch_us(t) - epoch_us(last_order_t) <= 604800000000
+            THEN last_orderkey END AS o_orderkey_within
+FROM wnd WHERE is_event = 1
 """
 
     return d

@@ -190,8 +190,21 @@ HEADLINE = [
     "order_revenue_allocation",
     "corpus_curation_v2",
     "customer_revenue_pareto",
-    # round 5: real-codec decode path
+    # round 5: real-codec decode path, distribution/stat audits, pareto
+    # frontier, segmentation, sparse lexical similarity, positional
+    # phrase search, association lift, interval union, tolerant as-of
     "multimodal_png_decode",
+    "benford_price_digits",
+    "ks_two_sample",
+    "skyline_orders",
+    "user_modal_event_type",
+    "rfm_segments",
+    "user_acquisition_curve",
+    "sparse_cosine_pairs",
+    "phrase_search",
+    "event_type_lift",
+    "interval_coverage_per_user",
+    "asof_join_tolerance",
 ]
 
 

@@ -443,3 +443,94 @@ def event_dow_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o").cast("long").alias("observed"),
         (num_d * num_d / den_d).alias("chi2_contrib"),
     )
+
+
+def benford_price_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit over order totals — the
+    classic fraud/synthetic-data screen (natural multiplicative amounts
+    follow log10(1+1/d); a flat or spiked profile flags fabricated
+    values). Emits one row per leading digit with its count and share.
+
+    Determinism: the leading digit is the first character of the exact
+    integer cents rendered as a decimal string — integer-to-string is
+    locale-free and engine-identical, unlike FLOAT formatting or a log10
+    exponent (libm-dependent); the share is one IEEE division of two
+    exact BIGINTs. One scan, one 9-row aggregate, trivially map-side
+    combined at any scale."""
+    orders = read_table(spark, sf_dir, "orders")
+    cents = (
+        F.col("o_totalprice").cast("decimal(18,2)") * 100
+    ).cast("bigint")
+    digit = F.substring(F.col("cents").cast("string"), 1, 1).cast("bigint")
+    counts = (
+        orders.filter(F.col("o_totalprice") > 0)
+        .select(cents.alias("cents"))
+        .select(digit.cast("long").alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    total = counts.agg(F.sum("n_orders").alias("n_total"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "digit",
+        "n_orders",
+        (F.col("n_orders").cast("double") / F.col("n_total").cast("double")).alias(
+            "share"
+        ),
+    )
+
+
+def ks_two_sample(
+    spark: SparkSession,
+    sf_dir: str,
+    type_a: str = "click",
+    type_b: str = "purchase",
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between the value
+    distributions of two event types — the drift-detection companion to
+    the chi-square contingency (continuous feature vs the categorical
+    one). ``D = max_x |F_a(x) - F_b(x)|`` computed over the pooled
+    distinct values.
+
+    Determinism: values become exact integer cents; the ECDF difference
+    is kept as the exact integer ``|cum_a*n_b - cum_b*n_a|`` (DECIMAL
+    38,0 products — BIGINT would wrap once cum*n passes 2^63, the
+    event_dow_chi2 lesson) and maximized as an integer; only the FINAL
+    normalization ``D = max_diff / (n_a*n_b)`` is an IEEE division of two
+    correctly-rounded exact conversions. Shape: one scan, one
+    shuffle-by-value for the cumulative window, a 1-row result — the
+    window runs over DISTINCT pooled values (bounded by price
+    granularity), not raw events."""
+    events = read_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    tagged = events.filter(
+        F.col("event_type").isin(type_a, type_b)
+    ).select(
+        cents.alias("c"),
+        (F.col("event_type") == type_a).cast("bigint").alias("is_a"),
+        (F.col("event_type") == type_b).cast("bigint").alias("is_b"),
+    )
+    per_value = tagged.groupBy("c").agg(
+        F.sum("is_a").alias("da"), F.sum("is_b").alias("db")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    cums = per_value.select(
+        F.sum("da").over(w).alias("cum_a"),
+        F.sum("db").over(w).alias("cum_b"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    totals = tagged.agg(
+        F.sum("is_a").alias("n_a"), F.sum("is_b").alias("n_b")
+    )
+    diffs = cums.crossJoin(F.broadcast(totals)).select(
+        "n_a",
+        "n_b",
+        F.abs(dec("cum_a") * dec("n_b") - dec("cum_b") * dec("n_a")).alias("d"),
+    )
+    return diffs.groupBy("n_a", "n_b").agg(
+        (
+            F.max("d").cast("double")
+            / (dec("n_a") * dec("n_b")).cast("double")
+        ).alias("ks_stat")
+    )

@@ -1424,3 +1424,44 @@ def customer_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (5 * (F.col("cum_cents") - F.col("rev_cents")) < 4 * F.col("tot_cents"))
         ).alias("crosses_p80"),
     )
+
+
+def skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline) of orders maximizing total price and
+    minimizing order date — "the biggest order seen so far as of each
+    date": order A dominates B iff A is at least as expensive AND at
+    least as early, strictly better in one. The multi-objective
+    short-list query (best-price-soonest tradeoffs) that a nested NOT
+    EXISTS expresses quadratically.
+
+    Spark formulation is LINEARITHMIC, not quadratic: sort by epoch day,
+    then a survivor is exactly a row whose cents beat the running max
+    over STRICTLY-earlier days (RANGE frame to -1) and that is its own
+    day's max (same-day strict dominance) — two window passes over the
+    sort, no self-join. The ORACLE is the quadratic NOT EXISTS
+    definition, so the two formulations verify each other. Exact integer
+    cents/days throughout; ties (same day, same cents) co-survive per
+    the strictness rule."""
+    orders = read_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("day"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    w_lt = Window.orderBy("day").rangeBetween(Window.unboundedPreceding, -1)
+    w_eq = Window.partitionBy("day")
+    flagged = base.select(
+        "*",
+        F.max("cents").over(w_lt).alias("m_lt"),
+        F.max("cents").over(w_eq).alias("m_eq"),
+    )
+    return flagged.filter(
+        (F.col("m_lt").isNull() | (F.col("m_lt") < F.col("cents")))
+        & (F.col("cents") == F.col("m_eq"))
+    ).select("o_orderkey", "day", "cents")

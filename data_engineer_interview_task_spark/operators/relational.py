@@ -1129,3 +1129,244 @@ def order_revenue_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("alloc_cents"),
         )
     )
+
+
+def user_modal_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user MODE of the categorical event type (most frequent value,
+    ties to the lexicographically smallest type) — the grouped-mode
+    aggregate SQL lacks natively. Two map-side-combined aggregates: the
+    (user, type) leaf, then a per-user row_number over the verified
+    total order (count DESC, type ASC). Shuffle is leaf-sized; no
+    distinct-and-self-join."""
+    events = read_table(spark, sf_dir, "events")
+    counts = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("cnt").desc(), F.col("event_type").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("modal_type"), "cnt")
+    )
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency (days from last order to the
+    corpus anchor = max order date), frequency (order count), monetary
+    (exact cents), each scored into quintiles by ``ntile(5)`` over a
+    FULLY tie-broken order (metric, then custkey) so the bucketing is
+    deterministic and engine-identical; ``rfm_code = 100r + 10f + m``.
+
+    Scale note: the three ntile windows are global sorts over the
+    CUSTOMER aggregate (one row per customer, not per order). For
+    billion-customer tables swap ntile for the two-level numbering of
+    ``global_row_numbers`` (sample range boundaries, number within
+    ranges) — same deterministic order, no single-partition sort."""
+    orders = read_table(spark, sf_dir, "orders")
+    per = orders.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("last_day"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+        ).alias("m_cents"),
+    )
+    anchor = per.agg(F.max("last_day").alias("anchor"))
+    base = per.crossJoin(F.broadcast(anchor)).select(
+        "o_custkey",
+        F.datediff("anchor", "last_day").cast("long").alias("recency_days"),
+        "n_orders",
+        "m_cents",
+    )
+    r_w = Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey").asc())
+    f_w = Window.orderBy(F.col("n_orders").desc(), F.col("o_custkey").asc())
+    m_w = Window.orderBy(F.col("m_cents").desc(), F.col("o_custkey").asc())
+    scored = base.select(
+        "o_custkey",
+        "recency_days",
+        "n_orders",
+        "m_cents",
+        F.ntile(5).over(r_w).cast("long").alias("r_score"),
+        F.ntile(5).over(f_w).cast("long").alias("f_score"),
+        F.ntile(5).over(m_w).cast("long").alias("m_score"),
+    )
+    return scored.withColumn(
+        "rfm_code",
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")).cast(
+            "long"
+        ),
+    )
+
+
+def user_acquisition_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-user and cumulative-user counts — the acquisition curve.
+    Running COUNT(DISTINCT) is non-decomposable directly, but first-seen
+    dates make it trivially so: cumulative users through day d = users
+    whose FIRST event day <= d. One per-user min aggregate, one tiny
+    per-day count, one prefix sum over the day spine — no distinct state
+    carried across days, which is what makes this shape work on an
+    unbounded horizon at 100 TB."""
+    events = read_table(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("day")
+    )
+    by_day = firsts.groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return by_day.select(
+        "day", "new_users", F.sum("new_users").over(w).alias("cum_users")
+    )
+
+
+def event_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association lift between event-type pairs at user granularity:
+    ``lift(x,y) = P(x,y) / (P(x)P(y)) = n_both·n_users / (n_x·n_y)``
+    over distinct (user, type) incidence — the market-basket signal
+    (which behaviors co-occur beyond chance) feeding feature crosses and
+    recommendation priors.
+
+    Shape: one distinct pass, a per-type count, and a user-keyed
+    self-join whose fan-out per user is bounded by the TYPE VOCABULARY
+    (|types| choose 2), not the event count — the same bounded-fan-out
+    argument as the co-purchase graph builder. Products are formed in
+    DECIMAL(38,0) (the chi2/KS overflow rule) and the lift is one IEEE
+    division of two exact conversions."""
+    events = read_table(spark, sf_dir, "events")
+    du = events.select("user_id", "event_type").distinct()
+    singles = du.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    n_users = du.select("user_id").distinct().agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    a = du.select("user_id", F.col("event_type").alias("type_x"))
+    b = du.select("user_id", F.col("event_type").alias("type_y"))
+    both = (
+        a.join(b, "user_id")
+        .filter(F.col("type_x") < F.col("type_y"))
+        .groupBy("type_x", "type_y")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    nx = singles.select(
+        F.col("event_type").alias("type_x"), F.col("n").alias("n_x")
+    )
+    ny = singles.select(
+        F.col("event_type").alias("type_y"), F.col("n").alias("n_y")
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    return (
+        both.join(F.broadcast(nx), "type_x")
+        .join(F.broadcast(ny), "type_y")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "type_x",
+            "type_y",
+            "n_x",
+            "n_y",
+            "n_both",
+            (
+                (dec("n_both") * dec("n_users")).cast("double")
+                / (dec("n_x") * dec("n_y")).cast("double")
+            ).alias("lift"),
+        )
+    )
+
+
+def interval_coverage_per_user(
+    spark: SparkSession, sf_dir: str, length_minutes: int = 30
+) -> DataFrame:
+    """Union-of-intervals measure per user: each event opens a
+    fixed-length attention window ``[ts, ts+L)``; emitted is the total
+    covered time and the number of disjoint covered islands — the
+    interval-union aggregate (ad exposure time, machine-uptime coverage)
+    that naive SUM(L) over-counts wherever windows overlap.
+
+    Because all intervals share one length, starts sorted ascending have
+    ascending ends, so the union is the classic lag/cumsum island scan —
+    one window pass, no interval self-join: a new island starts exactly
+    when the gap to the previous start EXCEEDS L (touching windows
+    merge, closed-union semantics). Coverage per island =
+    (last_start - first_start) + L, exact integer microseconds."""
+    events = read_table(spark, sf_dir, "events")
+    l_us = F.lit(length_minutes * 60 * 1_000_000).cast("long")
+    base = events.select(
+        "user_id", F.unix_micros("ts").alias("t")
+    )
+    w = Window.partitionBy("user_id").orderBy("t")
+    isl = base.withColumn(
+        "new_island",
+        (
+            F.coalesce(
+                (F.col("t") - F.lag("t").over(w)) > l_us, F.lit(True)
+            )
+        ).cast("bigint"),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per_island = isl.groupBy("user_id", "island").agg(
+        (F.max("t") - F.min("t") + l_us).alias("covered_us")
+    )
+    return per_island.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum("covered_us").alias("covered_us"),
+    )
+
+
+def asof_join_tolerance(
+    spark: SparkSession, sf_dir: str, tolerance_days: int = 7
+) -> DataFrame:
+    """Backward as-of join WITH STALENESS TOLERANCE: each event gets the
+    user's most recent order at-or-before the event time, but only if it
+    is at most ``tolerance_days`` old — older matches become NULL (the
+    time-series-engine ``ASOF JOIN ... TOLERANCE`` semantics; a stale
+    quote is worse than no quote). Same union-tag single-window shape as
+    ``asof_join_events_orders`` (one hash exchange, no range join),
+    carrying the matched order's TIME forward alongside its key so the
+    staleness test is a row-local comparison."""
+    events = read_table(spark, sf_dir, "events")
+    orders = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    ev = events.select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_event"),
+        F.col("event_id"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+    )
+    od = orders.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_orderkey"),
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy(F.col("t").asc(), F.col("is_event").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = (
+        ev.unionByName(od)
+        .withColumn("last_orderkey", F.last("o_orderkey", ignorenulls=True).over(w))
+        .withColumn(
+            "last_order_t",
+            F.last(
+                F.when(F.col("is_event") == 0, F.col("t")), ignorenulls=True
+            ).over(w),
+        )
+    )
+    fresh = (
+        F.unix_micros(F.col("t")) - F.unix_micros(F.col("last_order_t"))
+    ) <= F.lit(tolerance_days * 86400 * 1_000_000).cast("long")
+    return (
+        tagged.filter(F.col("is_event") == 1)
+        .select(
+            "event_id",
+            F.col("k").alias("user_id"),
+            F.when(fresh, F.col("last_orderkey")).alias("o_orderkey_within"),
+        )
+    )

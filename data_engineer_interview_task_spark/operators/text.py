@@ -501,3 +501,108 @@ def count_min_heavy_hitters(
         .agg(F.min("c").alias("n_est"))
         .select("token", "n_true", "n_est")
     )
+
+
+def sparse_cosine_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    max_df: int = 20,
+    min_cos: float = 0.5,
+) -> DataFrame:
+    """Sparse lexical cosine similarity pairs via an INVERTED INDEX —
+    the token-space complement of the dense embedding near-dup family:
+    documents are bag-of-words term-frequency vectors restricted to RARE
+    tokens (document frequency <= ``max_df``), and candidate pairs are
+    generated only where two docs share an indexed token.
+
+    Terms are word BIGRAMS, not unigrams — at web scale (and in this
+    corpus) the unigram vocabulary is stop-word-dense and the df cap
+    would empty it; bigrams recover discriminative sparsity (916 terms
+    vs 31 unigrams at sf0.01). The df cap is the same hot-key guard as
+    ``max_shingle_df``: a stop-phrase-grade term would fan the index
+    join out by its df² and carries no discriminative signal anyway, so
+    the operator's DEFINED semantics are cosine in the capped-vocabulary
+    subspace — both engines share that definition, making the oracle
+    exact. Per-term join fan-out is bounded by ``max_df²``; everything
+    else is map-side-combined leaf aggregates.
+
+    Determinism: dot products and squared norms are exact BIGINTs; the
+    emitted cosine is ``double(dot) / (sqrt(double(n2a)) *
+    sqrt(double(n2b)))`` — correctly-rounded conversions and three IEEE
+    ops, mirrored op-for-op in the oracle."""
+    from pyspark.ml.feature import NGram
+
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "toks", F.split("text", " ")
+    )
+    docs = NGram(n=2, inputCol="toks", outputCol="grams").transform(docs)
+    tf = (
+        docs.select("doc_id", F.explode("grams").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    rare = tf.join(
+        df.filter(F.col("df") <= max_df).select("token"), "token"
+    )
+    norms = rare.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).alias("n2")
+    )
+    a = rare.select(
+        F.col("token"), F.col("doc_id").alias("doc_a"), F.col("tf").alias("tf_a")
+    )
+    b = rare.select(
+        F.col("token"), F.col("doc_id").alias("doc_b"), F.col("tf").alias("tf_b")
+    )
+    dots = (
+        a.join(b, "token")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("tf_a") * F.col("tf_b")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("n2a"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("n2b"))
+    cos = (
+        F.col("dot").cast("double")
+        / (F.sqrt(F.col("n2a").cast("double")) * F.sqrt(F.col("n2b").cast("double")))
+    )
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", "dot", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= min_cos)
+    )
+
+
+def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase matching over a POSITIONAL inverted index: find
+    every document containing the corpus's most frequent word bigram,
+    with its per-doc occurrence count. Token positions come from
+    ``posexplode``; adjacency is a self-equi-join on ``(doc_id, pos+1)``
+    — co-partitioned by doc, so at 100 TB the join never crosses
+    documents. The target phrase is selected IN-QUERY (count DESC,
+    bigram ASC — total order) and broadcast, so the whole thing is one
+    lineage with no side-channel parameter."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    ).filter(F.col("token") != "")
+    a = toks.select("doc_id", F.col("pos").alias("p"), F.col("token").alias("w1"))
+    b = toks.select(
+        "doc_id", (F.col("pos") - 1).alias("p"), F.col("token").alias("w2")
+    )
+    bi = a.join(b, ["doc_id", "p"]).select(
+        "doc_id", F.concat_ws(" ", "w1", "w2").alias("bigram")
+    )
+    top = (
+        bi.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("bigram").asc())
+        .limit(1)
+        .select("bigram")
+    )
+    return (
+        bi.join(F.broadcast(top), "bigram")
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+    )
