@@ -515,6 +515,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_lift": relational.event_type_lift,  # association lift, decimal products
         "interval_coverage_per_user": relational.interval_coverage_per_user,  # union-of-intervals measure
         "asof_join_tolerance": relational.asof_join_tolerance,  # as-of with staleness bound
+        "gdpr_erasure_audit": maintenance.gdpr_erasure_audit,  # FK-cascade delete impact dry-run
+        "split_leakage_check": dedup.split_leakage_check,  # cross-split exact-dup contamination
         # --- round-4 verification front, part 1 (all green in
         # CORRECTNESS_r04.json): the 22 entries registry reordering had
         # displaced from every driver first-50 window in rounds 1-3.
@@ -4119,6 +4121,55 @@ SELECT event_id, k AS user_id,
        CASE WHEN epoch_us(t) - epoch_us(last_order_t) <= 604800000000
             THEN last_orderkey END AS o_orderkey_within
 FROM wnd WHERE is_event = 1
+"""
+
+    # membership via IN-subqueries (vs Spark's broadcast joins) — same
+    # cascade, different join mechanics, so the engines cross-check
+    d["gdpr_erasure_audit"] = """
+SELECT 'customer' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN c_custkey % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_erased
+FROM customer
+UNION ALL
+SELECT 'orders', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN o_custkey IN
+                 (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0)
+                 THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'lineitem', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN l_orderkey IN
+                 (SELECT o_orderkey FROM orders WHERE o_custkey IN
+                   (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0))
+                 THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'events', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN user_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+FROM events
+"""
+
+    d["split_leakage_check"] = """
+WITH base AS (
+  SELECT md5(array_to_string(list_slice(string_split(text, ' '), 1, 20), ' '))
+           AS fingerprint,
+         CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc'
+                THEN 'train'
+              WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+                THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT fingerprint,
+       CAST(COUNT(*) AS BIGINT) AS n_copies,
+       CAST(COUNT(DISTINCT split) AS BIGINT) AS n_splits,
+       CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_train,
+       CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+       CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_test
+FROM base GROUP BY fingerprint
+HAVING COUNT(DISTINCT split) >= 2
 """
 
     return d

@@ -205,6 +205,8 @@ HEADLINE = [
     "event_type_lift",
     "interval_coverage_per_user",
     "asof_join_tolerance",
+    "gdpr_erasure_audit",
+    "split_leakage_check",
 ]
 
 

@@ -1171,3 +1171,44 @@ def quality_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "quality",
         )
     )
+
+
+def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval LEAKAGE audit across the deterministic dataset splits:
+    fingerprint-identical documents that land in DIFFERENT splits — the
+    exact-dup cross-contamination every benchmark-hygiene pass must
+    catch before training (the near-dup version composes the same frame
+    with the LSH pair sources).
+
+    Reuses the repo's canonical split (``dataset_splits``' md5-bucket
+    rule); the fingerprint is the md5 of the first ``prefix_tokens``
+    tokens — a PREFIX fingerprint, because real-world duplicate leakage
+    is dominated by append-edited copies (boilerplate headers, revised
+    tails) that a whole-text hash misses while sharing their opening
+    verbatim. One fingerprint-keyed aggregate (the shuffle carries
+    16-byte keys, not bodies) emits each leaking fingerprint with its
+    per-split spread and total copies.
+    """
+    prefix_tokens = 20
+    docs = read_table(spark, sf_dir, "documents")
+    key4 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    split = (
+        F.when(key4 < "cccc", "train")
+        .when(key4 < "e666", "val")
+        .otherwise("test")
+    )
+    fp = F.md5(
+        F.array_join(F.slice(F.split("text", " "), 1, prefix_tokens), " ")
+    )
+    base = docs.select(fp.alias("fingerprint"), split.alias("split"))
+    return (
+        base.groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("split").alias("n_splits"),
+            F.sum((F.col("split") == "train").cast("bigint")).alias("n_train"),
+            F.sum((F.col("split") == "val").cast("bigint")).alias("n_val"),
+            F.sum((F.col("split") == "test").cast("bigint")).alias("n_test"),
+        )
+        .filter(F.col("n_splits") >= 2)
+    )

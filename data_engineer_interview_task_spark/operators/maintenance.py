@@ -617,3 +617,65 @@ def salted_skew_join_rollup(
             F.sum(rev).cast("double").alias("revenue"),
         )
     )
+
+
+def gdpr_erasure_audit(
+    spark: SparkSession, sf_dir: str, user_mod: int = 97
+) -> DataFrame:
+    """Right-to-erasure impact audit: given a forget-set of customers
+    (here the deterministic ``c_custkey % user_mod == 0`` stand-in for an
+    uploaded id list), count the rows each table would lose when the
+    delete CASCADES along the declared FK edges — customer → orders →
+    lineitem, plus the customer's events stream. The compliance
+    dry-run every governed data platform runs before destructive
+    propagation.
+
+    Shape: the forget-set and the order-key set derived from it are
+    KEY-ONLY projections (broadcast-sized relative to facts); each fact
+    table is counted once via a left-semi-style membership aggregate —
+    no full-row joins, no cascade materialization. At 100 TB the same
+    plan applies with the forget list broadcast from the request store.
+    """
+    forget = (
+        read_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % user_mod == 0)
+        .select(F.col("c_custkey").alias("k"))
+    )
+    orders = read_table(spark, sf_dir, "orders")
+    doomed_orders = orders.join(
+        F.broadcast(forget), orders.o_custkey == F.col("k")
+    ).select(F.col("o_orderkey").alias("ok"))
+    li = read_table(spark, sf_dir, "lineitem")
+    events = read_table(spark, sf_dir, "events")
+
+    def audit(name: str, df: DataFrame, hit) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("table_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(hit.cast("bigint")).alias("n_erased"),
+        )
+
+    cust = read_table(spark, sf_dir, "customer")
+    out = audit("customer", cust, F.col("c_custkey") % user_mod == 0)
+    out = out.unionByName(
+        audit(
+            "orders",
+            orders.join(
+                F.broadcast(forget), orders.o_custkey == F.col("k"), "left"
+            ),
+            F.col("k").isNotNull(),
+        )
+    )
+    out = out.unionByName(
+        audit(
+            "lineitem",
+            li.join(
+                F.broadcast(doomed_orders), li.l_orderkey == F.col("ok"), "left"
+            ),
+            F.col("ok").isNotNull(),
+        )
+    )
+    out = out.unionByName(
+        audit("events", events, F.col("user_id") % user_mod == 0)
+    )
+    return out
