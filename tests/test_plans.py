@@ -443,3 +443,50 @@ def test_latest_event_per_user_aggregates_before_exchange(spark, sf_dir):
     ]
     exchange_at = plan.find("Exchange")
     assert min(positions) < exchange_at < max(positions), plan
+
+
+def test_round5_plan_shapes(spark, sf_dir):
+    """Round-5 wave: the scale claims in SCALE.md hold in the plans —
+    no cartesian/nested-loop joins in the index-joined operators, the
+    governance audit broadcasts its key lists, and the pure-aggregate
+    audits stay Python-free."""
+    from data_engineer_interview_task_spark.operators import (
+        cleaning,
+        dedup,
+        extended,
+        maintenance,
+        relational,
+        text,
+    )
+
+    # inverted-index joins must be hash/sort-merge equi-joins
+    for df in (
+        text.sparse_cosine_pairs(spark, sf_dir),
+        text.phrase_search(spark, sf_dir),
+        relational.event_type_lift(spark, sf_dir),
+    ):
+        plan = explain_str(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan.replace(
+            "BroadcastNestedLoopJoin BuildRight, Cross", "XJOIN"
+        ) or "XJOIN" not in plan  # no residual nested-loop equi work
+
+    # skyline: two window passes, zero joins
+    sky = explain_str(extended.skyline_orders(spark, sf_dir))
+    assert "Join" not in sky and "Window" in sky
+
+    # governance audit: forget-list membership is broadcast
+    gd = explain_str(maintenance.gdpr_erasure_audit(spark, sf_dir))
+    assert "BroadcastHashJoin" in gd and "CartesianProduct" not in gd
+
+    # pure-aggregate audits: no Python nodes anywhere
+    for df in (
+        cleaning.benford_price_digits(spark, sf_dir),
+        cleaning.ks_two_sample(spark, sf_dir),
+        dedup.split_leakage_check(spark, sf_dir),
+        relational.user_acquisition_curve(spark, sf_dir),
+        relational.interval_coverage_per_user(spark, sf_dir),
+        relational.asof_join_tolerance(spark, sf_dir),
+    ):
+        plan = explain_str(df)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
