@@ -517,6 +517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_tolerance": relational.asof_join_tolerance,  # as-of with staleness bound
         "gdpr_erasure_audit": maintenance.gdpr_erasure_audit,  # FK-cascade delete impact dry-run
         "split_leakage_check": dedup.split_leakage_check,  # cross-split exact-dup contamination
+        "chunk_documents_udtf": text.chunk_documents_udtf,  # Python UDTF twin, shares chunk_documents' oracle
         # --- round-4 verification front, part 1 (all green in
         # CORRECTNESS_r04.json): the 22 entries registry reordering had
         # displaced from every driver first-50 window in rounds 1-3.
@@ -4171,5 +4172,8 @@ SELECT fingerprint,
 FROM base GROUP BY fingerprint
 HAVING COUNT(DISTINCT split) >= 2
 """
+
+    # the Python-UDTF twin emits the exact rows of the JVM chunker
+    d["chunk_documents_udtf"] = d["chunk_documents"]
 
     return d

@@ -207,6 +207,7 @@ HEADLINE = [
     "asof_join_tolerance",
     "gdpr_erasure_audit",
     "split_leakage_check",
+    "chunk_documents_udtf",
 ]
 
 

@@ -606,3 +606,51 @@ def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "bigram")
         .agg(F.count(F.lit(1)).alias("n_matches"))
     )
+
+
+def chunk_documents_udtf(
+    spark: SparkSession, sf_dir: str, chunk_size: int = 64, stride: int = 48
+) -> DataFrame:
+    """Python UDTF twin of :func:`chunk_documents` — the LAST Spark-4
+    Python extension API this repo exercises (next to mapInPandas /
+    applyInPandas(WithState) / mapInArrow / the DataSource API): a
+    user-defined TABLE function fanning each document row out to its
+    sliding-window chunks via a SQL ``LATERAL`` join.
+
+    Same contract rules as every Python seam here: the UDTF class is
+    defined INSIDE this function so cloudpickle ships it BY VALUE and the
+    Spark workers never import this package; parameters are captured as
+    plain ints. Emits the exact rows of the JVM-side operator (identical
+    chunk ids, text, token counts), so it SHARES chunk_documents' DuckDB
+    oracle and an equality test pins the twins together. The JVM
+    sequence/explode/slice form remains the production path (codegen, no
+    Python workers); this is the extensibility seam for fan-outs that
+    genuinely need Python (tokenizers, samplers)."""
+    import uuid
+
+    from pyspark.sql.functions import udtf
+
+    cs, st = chunk_size, stride
+
+    @udtf(returnType="chunk_id int, chunk_text string, n_tokens int")
+    class _Chunker:
+        def eval(self, text: str):
+            toks = text.split(" ")
+            n = len(toks)
+            last = max(n - 1, 0)
+            for start in range(0, last + 1, st):
+                window = toks[start : start + cs]
+                yield start // st, " ".join(window), min(cs, n - start)
+
+    name = f"chunker_{uuid.uuid4().hex[:8]}"
+    spark.udtf.register(name, _Chunker)
+    docs = read_table(spark, sf_dir, "documents")
+    view = f"docs_{name}"
+    docs.select("doc_id", "text").createOrReplaceTempView(view)
+    out = spark.sql(
+        f"""
+        SELECT d.doc_id, c.chunk_id, c.chunk_text, c.n_tokens
+        FROM {view} AS d, LATERAL {name}(d.text) AS c
+        """
+    )
+    return out

@@ -298,3 +298,15 @@ def test_phrase_search_counts_match_python_scan(spark, sf_dir):
     )
     assert (bigram == best[1]) and (counts[bigram] == -best[0])
     assert {(r.doc_id): r.n_matches for r in got} == dict(per_doc)
+
+
+# --- UDTF chunker twin --------------------------------------------------
+
+def test_udtf_chunker_equals_jvm_chunker(spark, sf_dir):
+    """The Python UDTF fan-out must emit the exact rows of the JVM
+    sequence/explode/slice operator — chunk ids, text, token counts."""
+    from data_engineer_interview_task_spark.operators import text as t
+
+    a = sorted(map(tuple, t.chunk_documents(spark, sf_dir).collect()))
+    b = sorted(map(tuple, t.chunk_documents_udtf(spark, sf_dir).collect()))
+    assert a == b and len(a) > 0
