@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from ..plans import prep_session
 from .weekly import EVENTS_SCHEMA
-from .util import drain_memory_sink
+from .util import bump_new_files_mtime, drain_memory_sink, snapshot_parquet_files
 
 
 def click_purchase_stream_join(
@@ -156,11 +156,10 @@ def run_click_purchase_left_join_once(
        query is still running — every held click flushes its NULL row
        before the drain.
 
-    Files are processed in modification-time order; the writes are spaced
-    so the bulk file is strictly oldest. The flush rows use user_id = -1
-    and are filtered from the returned result."""
-    import time
-
+    Files are processed in modification-time order; each flush write's
+    files are explicitly mtime-bumped past everything already present so
+    the bulk file is strictly oldest (no wall-clock sleeps). The flush
+    rows use user_id = -1 and are filtered from the returned result."""
     from ..sources import read_table
 
     prep_session(spark)
@@ -169,7 +168,7 @@ def run_click_purchase_left_join_once(
     events.repartition(1).write.mode("overwrite").parquet(src)
     max_ts = events.agg(F.max("ts")).collect()[0][0]
     for i, days in enumerate((10, 20)):
-        time.sleep(1.1)  # distinct mtimes -> deterministic file order
+        before = snapshot_parquet_files(src)
         # one sentinel per SIDE: the global watermark is the MIN across
         # both sides' watermarks, so advancing only the click side would
         # strand unmatched clicks within ~(watermark+within) of the last
@@ -182,6 +181,7 @@ def run_click_purchase_left_join_once(
             schema=EVENTS_SCHEMA,
         ).withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {days} DAYS"))
         flush.coalesce(1).write.mode("append").parquet(src)
+        bump_new_files_mtime(src, before)
     sink = f"mem_ssloj_{uuid.uuid4().hex[:8]}"
     q = (
         # one batch per file: bulk first, then each flush row advances the
@@ -263,8 +263,6 @@ def run_click_purchase_full_join_once(
     the left-outer harness (both-side far-future sentinels, one batch
     per file so the min-of-sides watermark passes every real row's join
     window before the drain)."""
-    import time
-
     from ..sources import read_table
 
     prep_session(spark)
@@ -273,7 +271,7 @@ def run_click_purchase_full_join_once(
     events.repartition(1).write.mode("overwrite").parquet(src)
     max_ts = events.agg(F.max("ts")).collect()[0][0]
     for i, days in enumerate((10, 20)):
-        time.sleep(1.1)  # distinct mtimes -> deterministic file order
+        before = snapshot_parquet_files(src)
         flush = spark.createDataFrame(
             [
                 (-(2 * i + 1), max_ts, -1, "click", 0.0, "{}"),
@@ -282,6 +280,7 @@ def run_click_purchase_full_join_once(
             schema=EVENTS_SCHEMA,
         ).withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {days} DAYS"))
         flush.coalesce(1).write.mode("append").parquet(src)
+        bump_new_files_mtime(src, before)
     sink = f"mem_ssfoj_{uuid.uuid4().hex[:8]}"
     q = (
         click_purchase_full_join(spark, src, max_files_per_trigger=1)

@@ -33,7 +33,6 @@ key across executors (RocksDB-backed in production).
 
 from __future__ import annotations
 
-import os
 import uuid
 from collections.abc import Iterator
 
@@ -333,23 +332,17 @@ def run_user_ewma_once(
     events.filter(F.col("ts") < cutoff).coalesce(1).write.mode(
         "overwrite"
     ).parquet(src)
-    first_files = {
-        f for f in os.listdir(src) if f.endswith(".parquet")
-    }
-    events.filter(F.col("ts") >= cutoff).coalesce(1).write.mode(
-        "append"
-    ).parquet(src)
     # FileStreamSource orders micro-batches by file MODIFICATION TIME; two
     # back-to-back writes can land with equal mtimes, leaving the order —
     # and hence the order-sensitive EWMA recurrence — undefined (ADVICE
     # r4). Force the second split strictly newer.
-    newest_first = max(
-        os.path.getmtime(os.path.join(src, f)) for f in first_files
-    )
-    for f in os.listdir(src):
-        if f.endswith(".parquet") and f not in first_files:
-            later = newest_first + 10.0
-            os.utime(os.path.join(src, f), (later, later))
+    from .util import bump_new_files_mtime, snapshot_parquet_files
+
+    before = snapshot_parquet_files(src)
+    events.filter(F.col("ts") >= cutoff).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    bump_new_files_mtime(src, before)
     sink = f"mem_ewma_{uuid.uuid4().hex[:8]}"
     q = (
         user_ewma_stream_gs(spark, src)

@@ -14,7 +14,31 @@ fixed for persisted blocks).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
+
+
+def snapshot_parquet_files(src: str) -> set[str]:
+    """Names of the parquet part files currently in ``src`` — take before
+    an append-write, pass to :func:`bump_new_files_mtime` after."""
+    return {f for f in os.listdir(src) if f.endswith(".parquet")}
+
+
+def bump_new_files_mtime(src: str, before: set[str]) -> None:
+    """Force every parquet file NOT in ``before`` to a modification time
+    strictly later than everything already in ``src``. FileStreamSource
+    orders micro-batches by mtime; back-to-back writes can land with
+    equal stamps, leaving the batch order — and any order-sensitive
+    state semantics — undefined. An explicit bump replaces the old
+    ``time.sleep(1.1)`` spacing (2.2s of pure wall per harness run)."""
+    newest = max(
+        os.path.getmtime(os.path.join(src, f)) for f in before
+    )
+    later = newest + 10.0
+    for f in os.listdir(src):
+        if f.endswith(".parquet") and f not in before:
+            os.utime(os.path.join(src, f), (later, later))
 
 
 def drain_memory_sink(spark: SparkSession, sink: str) -> DataFrame:
