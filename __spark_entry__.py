@@ -518,6 +518,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gdpr_erasure_audit": maintenance.gdpr_erasure_audit,  # FK-cascade delete impact dry-run
         "split_leakage_check": dedup.split_leakage_check,  # cross-split exact-dup contamination
         "chunk_documents_udtf": text.chunk_documents_udtf,  # Python UDTF twin, shares chunk_documents' oracle
+        "priority_sample_topk": sampling.priority_sample_topk,  # DLT priority sampling: weighted-without-replacement, IEEE-division-exact
+        "linear_touch_attribution": relational.linear_touch_attribution,  # equal-credit revenue attribution, conservation-exact cents
         # --- round-4 verification front, part 1 (all green in
         # CORRECTNESS_r04.json): the 22 entries registry reordering had
         # displaced from every driver first-50 window in rounds 1-3.
@@ -4175,5 +4177,65 @@ HAVING COUNT(DISTINCT split) >= 2
 
     # the Python-UDTF twin emits the exact rows of the JVM chunker
     d["chunk_documents_udtf"] = d["chunk_documents"]
+
+    # Duffield-Lund-Thorup priority sampling: u = 52-bit md5 prefix (exact
+    # as a double), priority key q = u / w — ONE correctly-rounded IEEE
+    # division from exact operands, bit-identical on any IEEE engine, so
+    # unlike A-ES (which needs log()) the top-k hashes exactly. The fold
+    # below is the 13-digit sibling of _hex_u32 (DuckDB-version-robust).
+    _u52 = " + ".join(
+        f"(strpos('0123456789abcdef', substring(m, {1 + i}, 1)) - 1)"
+        f" * {16 ** (12 - i)}"
+        for i in range(13)
+    )
+    d["priority_sample_topk"] = f"""
+WITH c AS (
+  SELECT doc_id, source,
+         GREATEST(CAST(len(string_split(text, ' ')) AS BIGINT), 1) AS w,
+         md5(CAST(doc_id AS VARCHAR)) AS m
+  FROM documents
+), q AS (
+  SELECT doc_id, source, w,
+         CAST({_u52} AS DOUBLE) / CAST(w AS DOUBLE) AS q
+  FROM c
+)
+SELECT doc_id, source, w,
+       CAST(ROW_NUMBER() OVER (ORDER BY q ASC, doc_id ASC) AS INTEGER) AS rk
+FROM q ORDER BY q ASC, doc_id ASC LIMIT 25
+"""
+
+    # CLV channel attribution, equal-credit largest-remainder exact:
+    # Σ attributed_cents == Σ all order totals bit-exactly (the hash pins it)
+    d["linear_touch_attribution"] = """
+WITH ut AS (
+  SELECT o_custkey AS user_id,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS total
+  FROM orders GROUP BY 1
+), t AS (
+  SELECT e.user_id, ut.total, e.event_id, e.ts, e.event_type
+  FROM events e JOIN ut ON e.user_id = ut.user_id
+), c AS (
+  SELECT user_id, event_type,
+         total // n + CASE WHEN rk <= total % n THEN 1 ELSE 0 END AS cents
+  FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY user_id) AS n,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rk
+    FROM t
+  )
+), direct AS (
+  SELECT ut.user_id, 'direct' AS event_type, ut.total AS cents
+  FROM ut
+  WHERE NOT EXISTS (SELECT 1 FROM t WHERE t.user_id = ut.user_id)
+), u AS (
+  SELECT * FROM c UNION ALL SELECT * FROM direct
+)
+SELECT event_type,
+       CAST(SUM(cents) AS BIGINT) AS attributed_cents,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(*) AS BIGINT) AS n_touches
+FROM u GROUP BY event_type
+"""
 
     return d

@@ -208,6 +208,10 @@ HEADLINE = [
     "gdpr_erasure_audit",
     "split_leakage_check",
     "chunk_documents_udtf",
+    # round 5 (session 2): transcendental-free weighted sampling, exact
+    # CLV channel attribution
+    "priority_sample_topk",
+    "linear_touch_attribution",
 ]
 
 
@@ -256,27 +260,41 @@ def main() -> None:
     qs = entry.queries()
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
-    for name in headline:
-        fn = qs[name]
-        # drop references to prior queries' localCheckpoint RDDs and nudge
-        # both GCs, so executor storage pressure from query N doesn't tax
-        # query N+1's timing (measured: chargram_minhash 3.3s isolated vs
-        # 12s late in a 48-query session without this)
-        # also evict persisted/cached blocks operators left behind —
-        # accumulated executor storage from 100+ prior queries makes the
-        # memory-heaviest joins spill (measured: semantic_dedup_scaled
-        # 3.1s isolated vs 32s late in a 138-query session)
+
+    def _session_hygiene() -> None:
+        # Evict persisted/cached blocks operators left behind and drop
+        # references to prior runs' localCheckpoint RDDs, nudging both GCs
+        # (the driver GC releases the RDD handles; the JVM ContextCleaner
+        # then frees their executor storage). Without this, executor
+        # storage pressure from run N taxes run N+1's timing (measured:
+        # chargram_minhash 3.3s isolated vs 12s late in a 48-query
+        # session; semantic_dedup_scaled 3.1s isolated vs 32s late in a
+        # 138-query session).
         spark.catalog.clearCache()
         gc.collect()
         spark.sparkContext._jvm.System.gc()
+
+    for name in headline:
+        fn = qs[name]
+        _session_hygiene()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm: plan + JIT + OS page cache
         # median-of-N WITHIN one session (VERDICT r4 item 4): best-of
         # rewarded lucky runs and made round-over-round totals compare a
         # lucky sample against a typical one; the median is a consistent
         # estimator, and the within-run relative spread is recorded so the
         # comparator can tell real regressions from measured jitter.
+        #
+        # Hygiene runs BETWEEN repeats too (r5 fix): localCheckpoint-heavy
+        # queries otherwise stack a fresh set of checkpoint blocks per
+        # repeat — clearCache() does not free those — so repeats 2..N spill
+        # and the median lands on an inflated run (measured: semantic_dedup
+        # 2.98s best-of-2 -> 28.6s median-of-3 with within-run spread 1.7,
+        # purely from its own accumulated checkpoint blocks). Hygiene sits
+        # OUTSIDE the timed section, so each repeat measures the same
+        # clean-session cost a cluster job pays.
         runs = []
         for _ in range(args.repeats):
+            _session_hygiene()
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.time() - t0)

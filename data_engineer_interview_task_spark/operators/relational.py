@@ -1370,3 +1370,75 @@ def asof_join_tolerance(
             F.when(fresh, F.col("last_orderkey")).alias("o_orderkey_within"),
         )
     )
+
+
+def linear_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-lifetime-value CHANNEL attribution with LINEAR
+    (equal-credit) splits: each customer's lifetime order revenue, in
+    integer cents, is divided EXACTLY across their engagement events
+    (``events.user_id ≡ orders.o_custkey``, the repo-wide key convention)
+    by largest-remainder rounding — the most recent touches receive the
+    leftover cents (ts DESC, event_id DESC rank). Customers with orders
+    but no events are credited to the synthetic ``'direct'`` channel in
+    full. (A time-windowed variant is structurally empty on this corpus —
+    events are 2024, orders 1995-2001 — so the pairing is lifetime-level,
+    the shape CLV channel-mix reports actually use.) The conservation
+    invariant ``Σ attributed_cents == Σ all order totals`` holds
+    bit-exactly and is what the oracle hashes.
+
+    Output: one row per channel (event_type or 'direct') with
+    ``attributed_cents``, ``n_users`` (distinct customers credited) and
+    ``n_touches`` (credited touch rows; == n_users for 'direct').
+
+    Scale shape: lifetime totals are a map-side-combined aggregate of
+    orders, joined to events on the user key — one exchange each; the
+    remainder ranking is one window per user on the already-joined frame,
+    so a single hash partitioning on the user key serves the group count,
+    the rank, and the rollup. No inequality join anywhere."""
+    user_totals = (
+        read_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("cents").cast("long").alias("total"))
+    )
+    events = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    wg = Window.partitionBy("user_id")
+    wr = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    credited = (
+        events.join(user_totals, "user_id")
+        .withColumn("n", F.count(F.lit(1)).over(wg))
+        .withColumn("rk", F.row_number().over(wr))
+        .select(
+            "user_id",
+            "event_type",
+            (
+                F.expr("total DIV n")
+                + F.when(F.col("rk") <= F.expr("total % n"), 1).otherwise(0)
+            ).alias("cents"),
+        )
+    )
+    direct = user_totals.join(
+        events.select("user_id").distinct(), "user_id", "left_anti"
+    ).select(
+        "user_id",
+        F.lit("direct").alias("event_type"),
+        F.col("total").alias("cents"),
+    )
+    return (
+        credited.unionByName(direct)
+        .groupBy("event_type")
+        .agg(
+            F.sum("cents").cast("long").alias("attributed_cents"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_touches"),
+        )
+    )

@@ -479,3 +479,49 @@ def corpus_curation_v2(
             "n_picks",
         )
     )
+
+
+def priority_sample_topk(
+    spark: SparkSession, sf_dir: str, k: int = 25
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via PRIORITY SAMPLING
+    (Duffield-Lund-Thorup, JACM 2007): each doc draws a deterministic
+    uniform ``u`` (52 bits of md5(doc_id), exact as a double) and gets
+    priority key ``q = u / w`` with ``w`` = whitespace token count; the
+    ``k`` SMALLEST keys win, so inclusion probability grows with token
+    weight. This is the transcendental-free sibling of A-ES reservoir
+    sampling (``systematic_token_sample``'s docstring notes A-ES needs
+    ``log()`` and can never hash-match a cross-engine oracle): both
+    operands are exact in IEEE doubles (u < 2^53, integer w), and one
+    correctly-rounded division is bit-identical on every IEEE engine —
+    so the oracle twin hashes exactly.
+
+    Scale shape: ``orderBy(q).limit(k)`` compiles to TakeOrderedAndProject
+    — each task keeps a k-row heap and the driver merges P·k rows, no
+    global sort, no full shuffle. That is THE cluster-scale top-k plan;
+    the rank is then a window over the k surviving rows only.
+
+    The reference has no sampling at all; this is the §2.8 corpus-mixing
+    surface (pick a token-weighted subset of a 100 TB corpus in one pass,
+    rerun-stable)."""
+    docs = read_table(spark, sf_dir, "documents")
+    # 13 hex chars = 52 bits: the widest md5 prefix exactly representable
+    # as a double (2^52 < 2^53), so u/w is ONE correctly-rounded IEEE op.
+    u = F.conv(F.substring(_sample_key(F.col("doc_id")), 1, 13), 16, 10).cast(
+        "long"
+    )
+    w = F.greatest(F.size(F.split(F.col("text"), " ")).cast("long"), F.lit(1))
+    cand = docs.select(
+        "doc_id",
+        "source",
+        w.alias("w"),
+        (u.cast("double") / w.cast("double")).alias("q"),
+    )
+    topk = cand.orderBy(F.col("q").asc(), F.col("doc_id").asc()).limit(k)
+    wr = Window.orderBy(F.col("q").asc(), F.col("doc_id").asc())
+    return topk.select(
+        "doc_id",
+        "source",
+        "w",
+        F.row_number().over(wr).cast("int").alias("rk"),
+    )

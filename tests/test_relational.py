@@ -227,3 +227,33 @@ def test_daily_spine_interpolate_invariants(spark, sf_dir):
                 assert lo - 1e-9 <= v <= hi + 1e-9
                 checked_gap += 1
     assert checked_gap > 0  # the fixture has real gaps
+
+
+def test_linear_touch_attribution_conserves_revenue(spark, sf_dir):
+    """Largest-remainder conservation: channel-attributed cents sum
+    EXACTLY to total order revenue, and the 'direct' channel carries
+    exactly the customers that have orders but no events."""
+    from data_engineer_interview_task_spark.sources import read_table
+
+    rows = relational.linear_touch_attribution(spark, sf_dir).collect()
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    total = orders.agg(F.sum("cents")).collect()[0][0]
+    assert sum(r.attributed_cents for r in rows) == total
+    # 'direct' = customers with orders but no events, credited in full
+    ev_users = {
+        r.user_id
+        for r in read_table(spark, sf_dir, "events").select("user_id").distinct().collect()
+    }
+    direct = [r for r in rows if r.event_type == "direct"]
+    orderless = (
+        orders.groupBy("o_custkey").agg(F.sum("cents").alias("t")).collect()
+    )
+    want_users = [r for r in orderless if r.o_custkey not in ev_users]
+    assert len(direct) == 1
+    assert direct[0].n_users == len(want_users) == direct[0].n_touches
+    assert direct[0].attributed_cents == sum(r.t for r in want_users)

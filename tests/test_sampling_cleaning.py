@@ -331,3 +331,36 @@ def test_skew_report_cli_smoke(tmp_path):
     assert rep["max"] >= rep["p99"] >= rep["p50"] >= 1
     assert rep["top_keys"][0]["rows"] == rep["max"]
     assert ("none" in rep["remedy"]) == (rep["max_over_mean"] <= 4)
+
+
+def test_priority_sample_topk_matches_python_model(spark, sf_dir):
+    """The DLT priority order is a pure function of (md5(doc_id), token
+    count): replay it driver-side and demand the exact same top-25 in the
+    exact same rank order."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    model = []
+    for r in docs:
+        u = int(_md5(str(r.doc_id))[:13], 16)
+        w = max(len(r.text.split(" ")), 1)
+        model.append((u / w, r.doc_id, w))
+    model.sort()
+    want = [(doc_id, w, rk + 1) for rk, (_, doc_id, w) in enumerate(model[:25])]
+    got = [
+        (r.doc_id, r.w, r.rk)
+        for r in sampling.priority_sample_topk(spark, sf_dir).orderBy("rk").collect()
+    ]
+    assert got == want
+
+
+def test_priority_sample_topk_weight_bias(spark, sf_dir):
+    """Structural DLT property: the sampled docs' mean token weight must
+    exceed the corpus mean (inclusion probability grows with weight)."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        F.greatest(F.size(F.split("text", " ")), F.lit(1)).alias("w")
+    ).collect()
+    corpus_mean = sum(r.w for r in docs) / len(docs)
+    sample = sampling.priority_sample_topk(spark, sf_dir).collect()
+    sample_mean = sum(r.w for r in sample) / len(sample)
+    assert sample_mean > corpus_mean
