@@ -490,3 +490,26 @@ def test_round5_plan_shapes(spark, sf_dir):
     ):
         plan = explain_str(df)
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_priority_sample_is_takeordered_no_global_sort(spark, sf_dir):
+    """priority_sample_topk's SCALE.md claim: the top-k compiles to
+    TakeOrderedAndProject (per-task k-row heap + driver merge), with no
+    full Sort/Exchange of the corpus and no joins at all."""
+    from data_engineer_interview_task_spark.operators import sampling
+
+    plan = explain_str(sampling.priority_sample_topk(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
+
+
+def test_attribution_single_user_partitioning(spark, sf_dir):
+    """linear_touch_attribution's SCALE.md claim: the credited branch
+    reuses ONE hash partitioning on the user key for the window pair and
+    the join — no cartesian, and the only aggregates are user- or
+    channel-sized."""
+    from data_engineer_interview_task_spark.operators import relational
+
+    plan = explain_str(relational.linear_touch_attribution(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "PythonUDF" not in plan.replace("PythonUDFRunner", "")

@@ -257,3 +257,55 @@ def test_linear_touch_attribution_conserves_revenue(spark, sf_dir):
     assert len(direct) == 1
     assert direct[0].n_users == len(want_users) == direct[0].n_touches
     assert direct[0].attributed_cents == sum(r.t for r in want_users)
+
+
+def test_linear_touch_attribution_matches_python_model(spark, sf_dir):
+    """Full driver-side replay: equal-credit largest-remainder splits per
+    user (recency rank gets the leftover cents) re-aggregated by channel
+    must equal the operator's output exactly, row for row."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from data_engineer_interview_task_spark.operators import relational
+    from data_engineer_interview_task_spark.sources import read_table
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    ).collect()
+    events = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    totals: dict[int, int] = defaultdict(int)
+    for r in orders:
+        cents = int(
+            Decimal(str(r.o_totalprice)).quantize(Decimal("0.01")) * 100
+        )
+        totals[r.o_custkey] += cents
+    by_user: dict[int, list] = defaultdict(list)
+    for e in events:
+        by_user[e.user_id].append(e)
+    chan = defaultdict(lambda: [0, set(), 0])  # cents, users, touches
+    for uid, total in totals.items():
+        touches = by_user.get(uid)
+        if not touches:
+            c = chan["direct"]
+            c[0] += total
+            c[1].add(uid)
+            c[2] += 1
+            continue
+        touches.sort(key=lambda e: (e.ts, e.event_id), reverse=True)
+        n = len(touches)
+        base, rem = divmod(total, n)
+        for rk, e in enumerate(touches, start=1):
+            c = chan[e.event_type]
+            c[0] += base + (1 if rk <= rem else 0)
+            c[1].add(uid)
+            c[2] += 1
+    want = {
+        k: (v[0], len(v[1]), v[2]) for k, v in chan.items()
+    }
+    got = {
+        r.event_type: (r.attributed_cents, r.n_users, r.n_touches)
+        for r in relational.linear_touch_attribution(spark, sf_dir).collect()
+    }
+    assert got == want
