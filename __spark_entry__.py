@@ -714,6 +714,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_name_matches": extended.fuzzy_name_matches,
         "global_row_numbers": extended.global_row_numbers,
         "zorder_key": extended.zorder_key,
+        # --- round-5 session-3 additions (registry TAIL, past the 50-slot
+        # sweep window by design: the window is already full with entries
+        # the driver has never attested — these are pinned in
+        # tests/test_registry.py::ORACLE_DEFERRED_TO_NEXT_ROUND and must
+        # be front-loaded in round 6, within that round's window budget).
+        "supplier_kcore": graph.supplier_kcore,  # iterative k-core peeling (unrolled; cascade pinned by constructed-graph test)
     }
 
 
@@ -3475,6 +3481,30 @@ SELECT d.s_suppkey, d.degree, COALESCE(t.n, 0) AS n_triangles,
          AS clustering_coeff
 FROM deg d LEFT JOIN pernode t ON d.s_suppkey = t.s_suppkey
 WHERE d.degree >= 2
+"""
+
+    # k-core peeling: the same statically unrolled rounds as the Spark
+    # lineage (graph.KCORE_K / KCORE_ROUNDS), chained as e{i}/k{i} CTEs
+    _kcore_rounds = "".join(
+        f""", k{i} AS (
+  SELECT src FROM e{i} GROUP BY src HAVING COUNT(*) >= {graph.KCORE_K}
+), e{i + 1} AS (
+  SELECT e.src, e.dst
+  FROM e{i} e JOIN k{i} a ON e.src = a.src JOIN k{i} b ON e.dst = b.src
+)"""
+        for i in range(graph.KCORE_ROUNDS)
+    )
+    d["supplier_kcore"] = f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+), e0 AS (
+  SELECT a.l_suppkey AS src, b.l_suppkey AS dst
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 5
+){_kcore_rounds}
+SELECT src AS s_suppkey, CAST(COUNT(*) AS BIGINT) AS degree
+FROM e{graph.KCORE_ROUNDS} GROUP BY src
 """
 
     # market-basket rules over order baskets at brand granularity

@@ -217,8 +217,32 @@ def chargram_minhash(
     it's sketch-overlap-tested against the md5 twin instead.
 
     Gram extraction uses one regexp with a lookahead-free trick: positions
-    come from a (doc x offset) explode of substring — all codegen'd."""
-    docs = read_table(spark, sf_dir, "documents")
+    come from a (doc x offset) explode of substring — all codegen'd.
+
+    Served from the process artifact store (one build per
+    (sf_dir, k, bottom, hash_family)): bottom-k sketches are a persisted
+    fingerprint column in a deployed pipeline, scanned — not re-hashed —
+    by every consumer."""
+    from ..plans.artifacts import materialized
+
+    return materialized(
+        spark,
+        ("chargram_minhash", sf_dir, k, bottom, hash_family),
+        "chargram_sketch_",
+        lambda: _chargram_minhash_build(spark, sf_dir, k, bottom, hash_family),
+    )
+
+
+def _chargram_minhash_build(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int,
+    bottom: int,
+    hash_family: str,
+) -> DataFrame:
+    # repartition: the one-split documents file would otherwise run the
+    # whole (doc x offset) explode + hash on a single task (SCALE.md)
+    docs = read_table(spark, sf_dir, "documents").repartition("doc_id")
     # explode positions FIRST, then substring+hash as ordinary projections:
     # inside a transform() lambda they run interpreted (~7x slower measured
     # at sf0.1); as post-explode projections they stay in codegen

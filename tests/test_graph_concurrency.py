@@ -628,3 +628,41 @@ def test_pareto_crossing_and_monotonicity(spark, sf_dir):
     # exactly one 80% crossing row, on the integer-exact rule
     sel = [r for r in rows if r["crosses_p80"]]
     assert len(sel) == 1
+
+
+def test_kcore_peel_cascade_on_constructed_graph(spark):
+    """The cascade semantics fixed-k corpora can't exercise (the
+    co-purchase graph is dense — all-survive/all-drop): a 4-clique with a
+    pendant chain. k=3: round 1 drops the chain nodes (deg 1-2); the
+    clique node attached to the chain falls back to deg 3 and SURVIVES;
+    a 3-star center (deg 3 initially) loses its leaves (deg 1) in round
+    1 and cascades out in round 2 — so rounds matter, and the final core
+    is exactly the 4-clique."""
+    clique = [(a, b) for a in range(4) for b in range(4) if a != b]
+    chain = [(3, 10), (10, 3), (10, 11), (11, 10)]
+    star = [(20, l) for l in (21, 22, 23)] + [(l, 20) for l in (21, 22, 23)]
+    # connect star center into the clique so it has deg 4 pre-peel but
+    # collapses once its leaves (deg 1 < 3) peel away
+    bridge = [(20, 0), (0, 20)]
+    edges = spark.createDataFrame(
+        clique + chain + star + bridge, ["src", "dst"]
+    )
+    r1 = {
+        r["node"]: r["degree"]
+        for r in graph.kcore_peel(edges, k=3, rounds=1).collect()
+    }
+    r3 = {
+        r["node"]: r["degree"]
+        for r in graph.kcore_peel(edges, k=3, rounds=3).collect()
+    }
+    # round 1: chain + star leaves gone; star center still present (it
+    # had deg 4 = 3 leaves + bridge before the peel)
+    assert 20 in r1 and 10 not in r1 and 21 not in r1
+    # converged: exactly the 4-clique, every member at in-core degree 3
+    assert r3 == {0: 3, 1: 3, 2: 3, 3: 3}
+    # rounds past convergence are no-ops
+    r6 = {
+        r["node"]: r["degree"]
+        for r in graph.kcore_peel(edges, k=3, rounds=6).collect()
+    }
+    assert r6 == r3
