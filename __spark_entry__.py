@@ -720,6 +720,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tests/test_registry.py::ORACLE_DEFERRED_TO_NEXT_ROUND and must
         # be front-loaded in round 6, within that round's window budget).
         "supplier_kcore": graph.supplier_kcore,  # iterative k-core peeling (unrolled; cascade pinned by constructed-graph test)
+        "revenue_gini": extended.revenue_gini,  # exact rank-weighted concentration index, one IEEE division
+        "trimmed_mean_order_value": extended.trimmed_mean_order_value,  # integer trim boundaries, exact kept-sum
+        "bm25_doc_rank": text.bm25_doc_rank,  # exact-rational BM25 top-k (denominator-cleared, one integer DIV per term)
+        "knn_label_vote": similarity.knn_label_vote,  # kNN majority-vote label audit (decimal-dot exact, total tie-breaks)
+        "decile_lift_table": relational.decile_lift_table,  # model-eval lift/gains rollup (total-order ntile, cross-multiplied lift)
+        "multimodal_jpeg_decode": multimodal.multimodal_jpeg_decode,  # REAL baseline-JPEG decode; oracle = closed-form lossy chain
     }
 
 
@@ -3485,19 +3491,22 @@ WHERE d.degree >= 2
 
     # k-core peeling: the same statically unrolled rounds as the Spark
     # lineage (graph.KCORE_K / KCORE_ROUNDS), chained as e{i}/k{i} CTEs
+    # AS MATERIALIZED: every e{{i}} is referenced twice by the next round
+    # (both endpoint joins) — without it DuckDB may inline the CTE chain
+    # and re-evaluate the corpus self-join exponentially many times
     _kcore_rounds = "".join(
-        f""", k{i} AS (
+        f""", k{i} AS MATERIALIZED (
   SELECT src FROM e{i} GROUP BY src HAVING COUNT(*) >= {graph.KCORE_K}
-), e{i + 1} AS (
+), e{i + 1} AS MATERIALIZED (
   SELECT e.src, e.dst
   FROM e{i} e JOIN k{i} a ON e.src = a.src JOIN k{i} b ON e.dst = b.src
 )"""
         for i in range(graph.KCORE_ROUNDS)
     )
     d["supplier_kcore"] = f"""
-WITH li AS (
+WITH li AS MATERIALIZED (
   SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
-), e0 AS (
+), e0 AS MATERIALIZED (
   SELECT a.l_suppkey AS src, b.l_suppkey AS dst
   FROM li a JOIN li b
     ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
@@ -3505,6 +3514,229 @@ WITH li AS (
 ){_kcore_rounds}
 SELECT src AS s_suppkey, CAST(COUNT(*) AS BIGINT) AS degree
 FROM e{graph.KCORE_ROUNDS} GROUP BY src
+"""
+
+    # Gini of per-customer revenue: exact decimal operands, one final
+    # IEEE division (DECIMAL(38,0) on both engines so the double
+    # rounding of numerator/denominator is identical)
+    d["revenue_gini"] = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+           AS rev_cents
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT rev_cents,
+         ROW_NUMBER() OVER (ORDER BY rev_cents ASC, o_custkey ASC) AS rnk
+  FROM per_cust
+), a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+         SUM(rev_cents) AS tot_cents,
+         SUM(CAST(rnk AS DECIMAL(38,0)) * CAST(rev_cents AS DECIMAL(38,0)))
+           AS wsum
+  FROM ranked
+)
+SELECT n_customers,
+       tot_cents / 100.0 AS total_revenue,
+       CAST(CAST(2 AS DECIMAL(38,0)) * wsum
+            - CAST(n_customers + 1 AS DECIMAL(38,0))
+              * CAST(tot_cents AS DECIMAL(38,0)) AS DOUBLE)
+       / CAST(CAST(n_customers AS DECIMAL(38,0))
+              * CAST(tot_cents AS DECIMAL(38,0)) AS DOUBLE) AS gini
+FROM a
+"""
+
+    # per-priority trimmed mean: integer trim boundaries, exact kept sum
+    d["trimmed_mean_order_value"] = """
+WITH o AS (
+  SELECT o_orderpriority, o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+), ranked AS (
+  SELECT o_orderpriority, cents,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY cents ASC, o_orderkey ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM o
+), kept AS (
+  SELECT * FROM ranked
+  WHERE rn > (n * 5) // 100 AND rn <= n - (n * 5) // 100
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(MAX(n) AS BIGINT) AS n_total,
+       CAST(SUM(cents) AS DOUBLE) / COUNT(*) / 100.0 AS trimmed_mean
+FROM kept GROUP BY o_orderpriority
+"""
+
+    # exact-rational BM25 (no ln, no float division): every term score is
+    # one integer floor-division of exact products — HUGEINT here mirrors
+    # Spark's DECIMAL(38,0) DIV
+    d["bm25_doc_rank"] = """
+WITH toks AS (
+  SELECT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+  ) WHERE token <> ''
+), dl AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+), totals AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS total_len
+  FROM dl
+), df_tab AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+  FROM (SELECT DISTINCT doc_id, token FROM toks) GROUP BY token
+), qterms AS (
+  SELECT token, df FROM df_tab ORDER BY df DESC, token ASC LIMIT 2
+), tf AS (
+  SELECT t.doc_id, t.token, q.df, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks t JOIN qterms q ON t.token = q.token
+  GROUP BY t.doc_id, t.token, q.df
+), scored AS (
+  SELECT f.doc_id,
+         (CAST(1000000 AS HUGEINT)
+          * CAST(44 * f.tf AS HUGEINT)
+          * CAST(tt.total_len AS HUGEINT)
+          * CAST(2 * tt.n_docs - 2 * f.df + 1 AS HUGEINT))
+         // (CAST(20 * f.tf * tt.total_len + 6 * tt.total_len
+                  + 18 * d.dl * tt.n_docs AS HUGEINT)
+             * CAST(2 * f.df + 1 AS HUGEINT)) AS term_fp
+  FROM tf f JOIN dl d ON f.doc_id = d.doc_id CROSS JOIN totals tt
+)
+SELECT doc_id, CAST(SUM(term_fp) AS BIGINT) AS score_fp
+FROM scored GROUP BY doc_id
+ORDER BY score_fp DESC, doc_id ASC LIMIT 20
+"""
+
+    # real LOSSY-codec decode: uniform 8x8 source blocks make the whole
+    # baseline-JPEG encode∘decode chain (level shift, fixed-point DCT,
+    # half-away quantization, dequant, integer IDCT) ONE closed-form
+    # integer function per block value; the oracle walks md5-byte block
+    # values through that chain and rebuilds the decoded raster as
+    # lowercase hex (sha256 is VARCHAR-only in DuckDB)
+    _jp = "0123456789abcdef"
+    _jpx = lambda b: (  # noqa: E731 — 2-hex-char fold of md5 digest byte b
+        f"((strpos('{_jp}', substring(m, {2 * b + 1}, 1)) - 1) * 16"
+        f" + (strpos('{_jp}', substring(m, {2 * b + 2}, 1)) - 1))"
+    )
+    _jblocks = ",\n".join(
+        f"       {_jpx(b)} AS v{b}" for b in range(4)
+    )
+    _jsteps = "".join(
+        f""", st{b} AS (
+  SELECT * , v{b} - 128 AS s FROM {f'p{b - 1}' if b else 'st'}
+), f{b} AS (
+  SELECT * EXCLUDE (s), s * 536756224 AS a1 FROM st{b}
+), g{b} AS (
+  SELECT * EXCLUDE (a1),
+         CASE WHEN a1 >= 0 THEN (a1 + 33554432) // 67108864
+              ELSE -((-a1 + 33554432) // 67108864) END AS f00u
+  FROM f{b}
+), h{b} AS (
+  SELECT * EXCLUDE (f00u),
+         (CASE WHEN f00u >= 0 THEN (f00u + 8) // 16
+               ELSE -((-f00u + 8) // 16) END) * 16 * 8386816
+           + 33554432 AS t
+  FROM g{b}
+), p{b} AS (
+  SELECT * EXCLUDE (t),
+         LEAST(255, GREATEST(0,
+           128 + CASE WHEN t >= 0 THEN t // 67108864
+                      ELSE -((-t + 67108863) // 67108864) END)) AS pv{b}
+  FROM h{b}
+)"""
+        for b in range(4)
+    )
+    _jhex = lambda b: (  # noqa: E731 — 2-char lowercase hex of pixel pv{b}
+        f"(substring('{_jp}', pv{b} // 16 + 1, 1)"
+        f" || substring('{_jp}', pv{b} % 16 + 1, 1))"
+    )
+    d["multimodal_jpeg_decode"] = f"""
+WITH base AS (
+  SELECT doc_id, md5(text) AS m FROM documents
+), st AS (
+  SELECT doc_id,
+{_jblocks}
+  FROM base
+){_jsteps}
+SELECT doc_id,
+       CAST(16 AS BIGINT) AS width,
+       CAST(16 AS BIGINT) AS height,
+       CAST(256 AS BIGINT) AS n_px_bytes,
+       sha256(
+         repeat(repeat({_jhex(0)}, 8) || repeat({_jhex(1)}, 8), 8)
+         || repeat(repeat({_jhex(2)}, 8) || repeat({_jhex(3)}, 8), 8)
+       ) AS pixel_sha
+FROM p3
+"""
+
+    # kNN majority vote: brute-force decimal-dot ranking with the
+    # candidate label carried through; both argmaxes totally ordered
+    d["knn_label_vote"] = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, label AS true_label, embedding AS q
+  FROM embeddings WHERE vec_id < 50
+), c AS (
+  SELECT vec_id AS neighbor_id, label AS cand_label, embedding AS c
+  FROM embeddings WHERE vec_id >= 50
+), scored AS (
+  SELECT query_id, true_label, neighbor_id, cand_label,
+         CAST({dot64.format(a='q', b='c')} AS DOUBLE) AS dot,
+         CAST({dot64.format(a='q', b='q')} AS DOUBLE) AS qn,
+         CAST({dot64.format(a='c', b='c')} AS DOUBLE) AS cn
+  FROM c, q
+), top AS (
+  SELECT query_id, true_label, cand_label FROM (
+    SELECT query_id, true_label, cand_label,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY dot * abs(dot) / (qn * cn) DESC,
+                                       neighbor_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= 10
+), votes AS (
+  SELECT query_id, true_label, cand_label,
+         CAST(COUNT(*) AS BIGINT) AS n_votes
+  FROM top GROUP BY query_id, true_label, cand_label
+)
+SELECT query_id, CAST(true_label AS INTEGER) AS true_label,
+       CAST(cand_label AS INTEGER) AS predicted_label, n_votes
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY n_votes DESC, cand_label ASC) AS vr
+  FROM votes
+) WHERE vr = 1
+"""
+
+    # decile lift/gains: total-order ntile, exact counts, one IEEE
+    # division per emitted ratio (cross-multiplied lift)
+    d["decile_lift_table"] = """
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         CAST(o_orderpriority = '1-URGENT' AS INTEGER) AS pos
+  FROM orders
+), binned AS (
+  SELECT CAST(NTILE(10) OVER (ORDER BY cents DESC, o_orderkey ASC)
+              AS BIGINT) AS decile, pos
+  FROM o
+), per AS (
+  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(pos) AS BIGINT) AS positives
+  FROM binned GROUP BY decile
+), tot AS (
+  SELECT decile, n, positives,
+         CAST(SUM(n) OVER () AS BIGINT) AS n_total,
+         CAST(SUM(positives) OVER () AS BIGINT) AS pos_total,
+         CAST(SUM(positives) OVER (ORDER BY decile
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_pos
+  FROM per
+)
+SELECT decile, n, positives,
+       CAST(positives AS DOUBLE) / n AS response_rate,
+       CAST(positives * n_total AS DOUBLE) / (n * pos_total) AS lift,
+       CAST(cum_pos AS DOUBLE) / pos_total AS cum_gain
+FROM tot
 """
 
     # market-basket rules over order baskets at brand granularity

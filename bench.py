@@ -212,6 +212,15 @@ HEADLINE = [
     # CLV channel attribution
     "priority_sample_topk",
     "linear_touch_attribution",
+    # round 5 (session 3): graph k-core, concentration/robust/eval stats,
+    # exact-rational BM25, kNN label audit, real lossy-codec decode
+    "supplier_kcore",
+    "revenue_gini",
+    "trimmed_mean_order_value",
+    "bm25_doc_rank",
+    "knn_label_vote",
+    "decile_lift_table",
+    "multimodal_jpeg_decode",
 ]
 
 

@@ -1465,3 +1465,92 @@ def skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("m_lt").isNull() | (F.col("m_lt") < F.col("cents")))
         & (F.col("cents") == F.col("m_eq"))
     ).select("o_orderkey", "day", "cents")
+
+
+def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer revenue — the single-number
+    concentration metric on top of ``customer_revenue_pareto``'s Lorenz
+    curve (corpus curation uses the same math to quantify source/domain
+    imbalance before mixing).
+
+    Exactness: with customers sorted ascending by revenue (tie-break
+    custkey — equal values make the rank-weighted sum order-invariant,
+    but the total order keeps every intermediate bit-stable anyway),
+    ``G = (2*Σ i·xᵢ − (n+1)·Σx) / (n·Σx)``. Both operands are exact
+    DECIMAL(38,0) of integer cents (the rank-weighted sum overflows
+    BIGINT around 1e6 customers × 1e8 cents, so the products are decimal
+    on BOTH engines), cast to double for ONE final IEEE division.
+
+    Shape: corpus reduces to one row per customer; the rank window runs
+    over the reduced frame (range-partitionable at extreme customer
+    counts); output is a single row."""
+    orders = read_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+        .alias("rev_cents")
+    )
+    w = Window.orderBy(F.col("rev_cents").asc(), F.col("o_custkey").asc())
+    ranked = per_cust.withColumn("rnk", F.row_number().over(w))
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("rev_cents").alias("tot_cents"),
+        F.sum(
+            F.col("rnk").cast("decimal(38,0)")
+            * F.col("rev_cents").cast("decimal(38,0)")
+        ).alias("wsum"),
+    )
+    num = (
+        F.lit(2).cast("decimal(38,0)") * F.col("wsum")
+        - (F.col("n_customers") + 1).cast("decimal(38,0)")
+        * F.col("tot_cents").cast("decimal(38,0)")
+    )
+    den = (
+        F.col("n_customers").cast("decimal(38,0)")
+        * F.col("tot_cents").cast("decimal(38,0)")
+    )
+    return agg.select(
+        "n_customers",
+        (F.col("tot_cents") / 100.0).alias("total_revenue"),
+        (num.cast("double") / den.cast("double")).alias("gini"),
+    )
+
+
+def trimmed_mean_order_value(
+    spark: SparkSession, sf_dir: str, trim_pct: int = 5
+) -> DataFrame:
+    """Per-priority trimmed mean of order value: drop the top and bottom
+    ``trim_pct`` percent of orders (by cents, orderkey tie-break) and
+    average the rest — the robust-center statistic next to
+    ``event_value_outliers``'s median/MAD (trimming is how a curation
+    pipeline reports "typical" value without outlier contamination).
+
+    Exact trim boundaries: ``lo = n*trim_pct DIV 100`` rows cut from
+    each end (integer arithmetic, no percentile interpolation to
+    diverge); the kept sum stays integer cents; ONE IEEE division per
+    group emits the mean. One window pass per group for ranks + one
+    aggregation; groups are few, rows per group reduce map-side."""
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("cents").asc(), F.col("o_orderkey").asc()
+    )
+    wn = Window.partitionBy("o_orderpriority")
+    ranked = orders.select(
+        "*",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    lo = F.expr(f"(n * {trim_pct}) DIV 100")
+    kept = ranked.filter((F.col("rn") > lo) & (F.col("rn") <= F.col("n") - lo))
+    return kept.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.max("n").cast("long").alias("n_total"),
+        (F.sum("cents").cast("double") / F.count(F.lit(1)) / 100.0).alias(
+            "trimmed_mean"
+        ),
+    )

@@ -2,12 +2,16 @@
 ``binary`` payloads + typed metadata, with decode / feature-extraction as
 Arrow-batched pandas functions over ``mapInPandas``.
 
-The real decode step needs image/audio libraries that are not in this
-container, so it is STUBBED (``NotImplementedError``) behind a deterministic
-fake decoder; everything Spark-side — schema, partitioning, UDF signature,
-Arrow batch shape — is real and tested. The testdata has no binary table, so
-``attach_payload`` manufactures a payload column from ``documents.text``
-(utf-8 bytes) to exercise the plumbing end-to-end.
+Image decode is REAL for PNG (``functions/png_codec.py`` — zlib, all five
+scanline filters, CRC-verified) and for baseline greyscale JPEG
+(``functions/jpeg_codec.py`` — stream-parsed Huffman tables, byte-stuffed
+entropy decode, fixed-point integer IDCT). Only shapes that genuinely
+need codec libraries absent from this container (video, color/progressive
+JPEG, palette PNG) remain behind ``NotImplementedError``, with a
+deterministic fake decoder for plumbing tests. The testdata has no binary
+table, so ``attach_payload``/``attach_png_payload``/``attach_jpeg_payload``
+manufacture payload columns from ``documents.text`` to exercise the
+pipeline end-to-end on real container bytes.
 """
 
 from __future__ import annotations
@@ -67,17 +71,26 @@ def decode_image(payload: bytes) -> tuple[bytes, int, int, int]:
     """Decode an image payload to raw pixels ``(pixels, width, height,
     color_type)``. PNG decodes FOR REAL via the pure-stdlib codec
     (``functions/png_codec.py`` — zlib inflate + all five scanline
-    filters, CRC-verified); JPEG/video genuinely need codec libraries
+    filters, CRC-verified), and baseline greyscale JPEG decodes FOR REAL
+    via ``functions/jpeg_codec.py`` (DQT/DHT/SOF0/SOS parsing, Huffman +
+    byte-stuffing entropy decode, fixed-point integer IDCT — color_type
+    reported as 0/grayscale). Video and out-of-scope image shapes
+    (progressive/color JPEG, palette PNG) genuinely need codec libraries
     absent from this container and remain behind ``NotImplementedError``.
     This stays the single seam between Spark plumbing and codec code — a
     Pillow/ffmpeg deployment swaps the body, nothing else."""
+    from ..functions.jpeg_codec import JPEG_SIGNATURE, jpeg_decode
     from ..functions.png_codec import PNG_SIGNATURE, png_decode
 
     if payload[:8] == PNG_SIGNATURE:
         return png_decode(payload)
+    if payload[:2] == JPEG_SIGNATURE:
+        px, w, h = jpeg_decode(payload)
+        return px, w, h, 0
     raise NotImplementedError(
-        "only PNG payloads decode in this environment (no JPEG/video codec "
-        "libs); see fake_decode() for the deterministic test double"
+        "only PNG and baseline greyscale JPEG payloads decode in this "
+        "environment (no general codec libs); see fake_decode() for the "
+        "deterministic test double"
     )
 
 
@@ -361,6 +374,124 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield _pd.DataFrame(out)
 
     return attach_png_payload(spark, sf_dir).mapInPandas(_decode, schema=schema)
+
+
+def attach_jpeg_payload(
+    spark: SparkSession, sf_dir: str, side: int = 16
+) -> DataFrame:
+    """Manufacture REAL baseline-JPEG payloads: each document becomes a
+    ``side``×``side`` greyscale image of uniform 8×8 blocks whose source
+    values are the first ``(side/8)²`` BYTES of ``md5(text)`` — uniform
+    blocks make the lossy encode∘decode chain a closed-form integer
+    function per block (``jpeg_codec.DC_ONLY_PIXEL`` composed with the
+    encoder's quantization), which is what lets a SQL oracle reconstruct
+    the decoded raster of a REAL lossy codec. Arrow-batched
+    ``mapInPandas`` with a self-contained closure (jpeg_encode pickles
+    by value)."""
+    from ..functions.jpeg_codec import jpeg_encode
+
+    if side % 8:
+        raise ValueError("side must be a multiple of 8")
+    nblk = side // 8
+    if nblk * nblk > 16:
+        raise ValueError("md5 supplies at most 16 block bytes")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+            StructField("modality", StringType()),
+        ]
+    )
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # self-contained closure: jpeg_encode captured BY VALUE
+        import hashlib as _h
+
+        import pandas as _pd
+
+        enc, s, nb = jpeg_encode, side, nblk
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                d = _h.md5(t.encode()).digest()
+                px = bytearray(s * s)
+                for by in range(nb):
+                    for bx in range(nb):
+                        v = d[by * nb + bx]
+                        for y in range(8):
+                            base = (by * 8 + y) * s + bx * 8
+                            for x in range(8):
+                                px[base + x] = v
+                payloads.append(enc(bytes(px), s, s))
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "modality": "image/jpeg",
+                }
+            )
+
+    return docs.mapInPandas(_encode, schema=schema)
+
+
+def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END real LOSSY-codec query: encode every document to a
+    genuine baseline JPEG (``attach_jpeg_payload``), DECODE it back
+    through :func:`decode_image` — full segment parse, Huffman tables
+    rebuilt from the stream, entropy decode, dequant, integer IDCT — and
+    emit facts OF THE DECODED raster (dims, buffer length, sha256).
+
+    The DuckDB oracle recomputes the expected raster in closed form:
+    uniform source blocks traverse the whole lossy chain as one
+    documented integer formula per block (quantize∘dequantize∘IDCT of a
+    DC-only spectrum), so a single wrong decoded byte anywhere —
+    mis-parsed DHT, an off-by-one in the bit reader, wrong IDCT rounding
+    — breaks the hash compare. Same two-narrow-stage shape as the PNG
+    twin; no shuffle."""
+    from ..functions.jpeg_codec import jpeg_decode
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("width", LongType()),
+            StructField("height", LongType()),
+            StructField("n_px_bytes", LongType()),
+            StructField("pixel_sha", StringType()),
+        ]
+    )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # self-contained closure: jpeg_decode captured by value
+        import hashlib as _h
+
+        import pandas as _pd
+
+        dec = jpeg_decode
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "width": [],
+                "height": [],
+                "n_px_bytes": [],
+                "pixel_sha": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px, w, h = dec(bytes(payload))
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_px_bytes"].append(len(px))
+                # hashed over the LOWERCASE-HEX transport of the buffer:
+                # DuckDB's sha256 takes VARCHAR only, and raw JPEG rasters
+                # (unlike the PNG twin's ASCII-hex rasters) are not valid
+                # UTF-8 — the hex string is the engine-neutral encoding
+                out["pixel_sha"].append(
+                    _h.sha256(px.hex().encode()).hexdigest()
+                )
+            yield _pd.DataFrame(out)
+
+    return attach_jpeg_payload(spark, sf_dir).mapInPandas(_decode, schema=schema)
 
 
 def extract_features_arrow(df: DataFrame) -> DataFrame:

@@ -1442,3 +1442,62 @@ def linear_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_touches"),
         )
     )
+
+
+def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift/gains table — the standard model-evaluation rollup
+    (here scoring orders by value, outcome = urgent priority): rank all
+    rows by score descending, cut into 10 equal-count deciles, and per
+    decile report the response rate, lift over the base rate, and
+    cumulative gains. The evaluation twin of ``rfm_segments``' ntile
+    scoring and ``quality_threshold_for_budget``'s CDF.
+
+    Exactness: the ntile runs over a TOTAL order (cents DESC, orderkey
+    ASC), so decile assignment is bit-deterministic; counts stay BIGINT;
+    rate, lift and cumulative gain are each ONE IEEE division of exact
+    integer products (lift = pos·n_total / (n·pos_total) — the same
+    cross-multiplied form as ``event_type_lift``). Shape: one window
+    pass for the ntile, one aggregation, one cumulative window over 10
+    rows."""
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("pos"),
+    )
+    w = Window.orderBy(F.col("cents").desc(), F.col("o_orderkey").asc())
+    binned = orders.withColumn("decile", F.ntile(10).over(w).cast("long"))
+    per = binned.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("positives"),
+    )
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = per.select(
+        "decile",
+        "n",
+        "positives",
+        F.sum("n").over(wt).alias("n_total"),
+        F.sum("positives").over(wt).alias("pos_total"),
+        F.sum("positives").over(wc).alias("cum_pos"),
+    )
+    return tot.select(
+        "decile",
+        "n",
+        "positives",
+        (F.col("positives").cast("double") / F.col("n")).alias(
+            "response_rate"
+        ),
+        (
+            (F.col("positives") * F.col("n_total")).cast("double")
+            / (F.col("n") * F.col("pos_total"))
+        ).alias("lift"),
+        (F.col("cum_pos").cast("double") / F.col("pos_total")).alias(
+            "cum_gain"
+        ),
+    )

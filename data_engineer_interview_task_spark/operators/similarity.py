@@ -622,3 +622,63 @@ def semantic_dedup_scaled(
     return emb.join(F.broadcast(dominated), "vec_id", "left_anti").select(
         "vec_id", "label"
     )
+
+
+def knn_label_vote(
+    spark: SparkSession, sf_dir: str, n_queries: int = 50, k: int = 10
+) -> DataFrame:
+    """k-nearest-neighbor majority-vote classification: the first
+    ``n_queries`` vectors are the eval split, classified by the modal
+    label of their ``k`` exact-cosine nearest neighbors among the
+    remaining vectors — the standard embedding-space label-audit
+    (mislabeled-example detection: rows where ``predicted != true``
+    are the candidates a curation pass reviews).
+
+    Plan: same broadcast-queries × candidate-scan shape as
+    ``brute_force_topk`` (DECIMAL-accumulated dot, cos²·sign ordering
+    key — cross-engine bit-exact), with the candidate's label carried
+    through the rank filter; the vote is a (query, label) count with a
+    (votes DESC, label ASC) argmax window. Both tie-breaks are total
+    (neighbor_id on rank ties, label on vote ties), so the prediction is
+    bit-deterministic."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    norm_of = lambda c: sq_norm_decimal_expr(c).cast("double")  # noqa: E731
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("q"),
+        norm_of(F.col("embedding")).alias("qn"),
+    )
+    cands = emb.filter(F.col("vec_id") >= n_queries).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("cand_label"),
+        F.col("embedding").alias("c"),
+        norm_of(F.col("embedding")).alias("cn"),
+    )
+    joined = cands.crossJoin(F.broadcast(queries))
+    dot = dot_decimal_expr(F.col("q"), F.col("c")).cast("double")
+    scored = joined.withColumn(
+        "ord_key", dot * F.abs(dot) / (F.col("qn") * F.col("cn"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("ord_key").desc(), F.col("neighbor_id").asc()
+    )
+    top = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+    votes = top.groupBy("query_id", "true_label", "cand_label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_votes")
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("cand_label").asc()
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select(
+            "query_id",
+            F.col("true_label").cast("int").alias("true_label"),
+            F.col("cand_label").cast("int").alias("predicted_label"),
+            "n_votes",
+        )
+    )

@@ -678,3 +678,82 @@ def chunk_documents_udtf(
         """
     )
     return out
+
+
+def bm25_doc_rank(
+    spark: SparkSession, sf_dir: str, n_terms: int = 2, k: int = 20
+) -> DataFrame:
+    """BM25 relevance ranking, EXACT-RATIONAL form: top-``k`` documents
+    for the corpus's ``n_terms`` highest-df tokens (selected IN-QUERY
+    with a df DESC / token ASC total order, like ``phrase_search``'s
+    bigram) — the retrieval-scoring member of the text family next to
+    ``sparse_cosine_pairs`` (vector) and ``phrase_search`` (positional).
+
+    Standard BM25 needs ``ln`` (idf) and float division (tf saturation)
+    — neither is bit-stable across engines (JVM Math.log is not
+    correctly rounded). This formulation replaces idf with its exact
+    rational core ``(2N − 2df + 1)/(2df + 1)`` (the argument of the
+    classic idf's ln — same ordering per term, no logarithm) and clears
+    every denominator: with k1 = 6/5 and b = 3/4,
+
+        tf_sat = tf·(k1+1) / (tf + k1·(1 − b + b·dl·N/L))
+               = 44·tf·L / (20·tf·L + 6·L + 18·dl·N)
+
+    so each term's score is ONE integer floor-division of exact
+    DECIMAL(38,0)/HUGEINT products, scaled by 1e6:
+    ``(1e6·44·tf·L·(2N−2df+1)) DIV ((20·tf·L+6·L+18·dl·N)·(2df+1))`` —
+    bit-identical on any engine, overflow headroom to ~1e12 corpus
+    tokens × 1e9 docs inside 38 digits.
+
+    Plan: token explode reduces map-side to (doc, term) tfs against a
+    BROADCAST 2-row term list; doc lengths and corpus totals are partial
+    aggregates; the final top-k is TakeOrdered (score DESC, doc_id ASC
+    total order), never a full sort."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    totals = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+    df_tab = (
+        toks.select("doc_id", "token")
+        .distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    qterms = (
+        df_tab.orderBy(F.col("df").desc(), F.col("token").asc())
+        .limit(n_terms)
+        .select("token", "df")
+    )
+    tf = (
+        toks.join(F.broadcast(qterms), "token")
+        .groupBy("doc_id", "token", "df")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    joined = tf.join(dl, "doc_id").crossJoin(F.broadcast(totals))
+    num = (
+        F.lit(1_000_000).cast("decimal(38,0)")
+        * d38(F.lit(44) * F.col("tf"))
+        * d38(F.col("total_len"))
+        * d38(2 * F.col("n_docs") - 2 * F.col("df") + 1)
+    )
+    den = d38(
+        20 * F.col("tf") * F.col("total_len")
+        + 6 * F.col("total_len")
+        + 18 * F.col("dl") * F.col("n_docs")
+    ) * d38(2 * F.col("df") + 1)
+    scored = (
+        joined.withColumn("num", num)
+        .withColumn("den", den)
+        .select("doc_id", F.expr("num DIV den").alias("term_fp"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("term_fp").cast("long").alias("score_fp"))
+        .orderBy(F.col("score_fp").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )

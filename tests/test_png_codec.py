@@ -123,9 +123,13 @@ def test_decode_image_seam_dispatches_real_png():
     payload = png_encode(px, 3, 3, 2)
     dec, w, h, ct = multimodal.decode_image(payload)
     assert (dec, w, h, ct) == (px, 3, 3, 2)
-    # non-PNG modalities stay a documented seam naming the test double
-    with pytest.raises(NotImplementedError) as e:
+    # JPEG signatures now dispatch to the REAL jpeg decoder (which rejects
+    # this garbage stream as corrupt, not as unimplemented)...
+    with pytest.raises(ValueError):
         multimodal.decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
+    # ...while genuinely impossible modalities stay the documented seam
+    with pytest.raises(NotImplementedError) as e:
+        multimodal.decode_image(b"RIFF....WEBPvideo-ish")
     assert "fake_decode" in str(e.value)
 
 

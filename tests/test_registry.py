@@ -60,6 +60,12 @@ DEFERRED_TO_NEXT_ROUND: set[str] = set()
 #: be front-loaded in round 6, within that round's window budget).
 ORACLE_DEFERRED_TO_NEXT_ROUND: set[str] = {
     "supplier_kcore",
+    "revenue_gini",
+    "trimmed_mean_order_value",
+    "bm25_doc_rank",
+    "knn_label_vote",
+    "decile_lift_table",
+    "multimodal_jpeg_decode",
 }
 
 
