@@ -726,6 +726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_label_vote": similarity.knn_label_vote,  # kNN majority-vote label audit (decimal-dot exact, total tie-breaks)
         "decile_lift_table": relational.decile_lift_table,  # model-eval lift/gains rollup (total-order ntile, cross-multiplied lift)
         "multimodal_jpeg_decode": multimodal.multimodal_jpeg_decode,  # REAL baseline-JPEG decode; oracle = closed-form lossy chain
+        "lateral_top_customers_per_nation": extended.lateral_top_customers_per_nation,  # Spark 4 LATERAL correlated subquery; oracle = the VERBATIM same SQL
     }
 
 
@@ -4016,6 +4017,7 @@ FROM j WHERE rn = 1"""
 
     # Spark 4 recursive CTE: BOTH engines execute the identical text
     d["recursive_supplier_reach"] = extended.RECURSIVE_REACH_SQL
+    d["lateral_top_customers_per_nation"] = extended.LATERAL_TOP_CUSTOMERS_SQL
 
     # the Python DataSource date spine, zero-filled against daily activity
     d["calendar_activity_spine"] = """

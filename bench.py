@@ -221,6 +221,7 @@ HEADLINE = [
     "knn_label_vote",
     "decile_lift_table",
     "multimodal_jpeg_decode",
+    "lateral_top_customers_per_nation",
 ]
 
 

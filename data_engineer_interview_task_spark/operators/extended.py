@@ -1245,6 +1245,45 @@ def recursive_supplier_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(RECURSIVE_REACH_SQL)
 
 
+#: shared VERBATIM by the Spark query and the DuckDB oracle (both engines
+#: implement ANSI LATERAL with identical correlation semantics)
+LATERAL_TOP_CUSTOMERS_SQL = """
+SELECT n.n_name, t.c_custkey, t.c_name, t.c_acctbal
+FROM nation n,
+LATERAL (
+  SELECT c_custkey, c_name, CAST(c_acctbal AS DECIMAL(18,2)) AS c_acctbal
+  FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey ASC
+  LIMIT 3
+) t
+"""
+
+
+def lateral_top_customers_per_nation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-3 customers by account balance per nation via a GENUINE
+    correlated LATERAL subquery — Spark 4's LATERAL join planner
+    (DecorrelateInnerQuery → per-row rank), not a window rewrite. The
+    same per-group-top-k semantics as ``top_orders_per_customer``'s
+    window formulation, which pins the lateral decorrelation against the
+    row_number path; the DuckDB oracle executes the VERBATIM same SQL
+    (both engines implement ANSI lateral correlation). Total order inside
+    the lateral (acctbal DESC, custkey ASC) keeps the LIMIT slice
+    bit-deterministic.
+
+    Scale note: Catalyst decorrelates the lateral into a join + windowed
+    rank over the customer side — the same physical shape as the window
+    form, so lateral is a FRONT-END feature, not a nested-loop trap; the
+    plan-shape test pins the absence of BroadcastNestedLoopJoin growth
+    beyond the 25-row nation side."""
+    from ..sources import load_tables
+
+    load_tables(spark, sf_dir, ("nation", "customer"))
+    return spark.sql(LATERAL_TOP_CUSTOMERS_SQL)
+
+
 def nation_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical share-of-parent: each nation's order revenue, its
     share of its REGION's total, and the region's share of the GLOBAL

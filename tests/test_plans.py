@@ -513,3 +513,38 @@ def test_attribution_single_user_partitioning(spark, sf_dir):
     plan = explain_str(relational.linear_touch_attribution(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "PythonUDF" not in plan.replace("PythonUDFRunner", "")
+
+
+def test_lateral_decorrelates_to_window_not_nested_loop(spark, sf_dir):
+    """Spark 4's LATERAL correlated LIMIT subquery must decorrelate into
+    a join + rank shape, not a per-outer-row nested loop: the plan may
+    broadcast the 25-row nation side, but must contain a windowed rank
+    (the decorrelated top-k) and NO cartesian product."""
+    from data_engineer_interview_task_spark.operators import extended
+
+    df = extended.lateral_top_customers_per_nation(spark, sf_dir)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan or "rank" in plan.lower()
+    # semantics twin: equals the row_number-window formulation
+    from pyspark.sql import Window as W
+
+    cust = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    w = W.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").cast("decimal(18,2)").desc(), F.col("c_custkey").asc()
+    )
+    twin = (
+        cust.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            "c_custkey",
+            "c_name",
+            F.col("c_acctbal").cast("decimal(18,2)").alias("c_acctbal"),
+        )
+    )
+    a = {tuple(r) for r in df.collect()}
+    b = {tuple(r) for r in twin.collect()}
+    assert a == b

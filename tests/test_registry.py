@@ -66,6 +66,7 @@ ORACLE_DEFERRED_TO_NEXT_ROUND: set[str] = {
     "knn_label_vote",
     "decile_lift_table",
     "multimodal_jpeg_decode",
+    "lateral_top_customers_per_nation",
 }
 
 

@@ -55,6 +55,36 @@ def test_write_external_connector_seam(spark, sf_dir, tmp_path):
         write_external(nation, "parquet", table=t, path=p)
 
 
+def test_write_external_orc_round_trip_preserves_types(spark, sf_dir, tmp_path):
+    """ORC — the second columnar warehouse format Spark ships natively —
+    through the same connector seam, with the type fidelity a format swap
+    must preserve: decimal(18,2) prices, dates, strings and longs come
+    back with identical schema AND identical values (orc, like parquet,
+    is self-describing; csv would stringify all of this)."""
+    from pyspark.sql import functions as F
+
+    orders = (
+        read_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+            F.to_date("o_orderdate").alias("d"),
+            "o_orderpriority",
+        )
+        .limit(200)
+    )
+    p = str(tmp_path / "ext_orc")
+    write_external(orders, "orc", mode="overwrite", path=p)
+    back = spark.read.orc(p)
+    assert back.schema == orders.schema
+    a = {tuple(r) for r in orders.collect()}
+    b = {tuple(r) for r in back.collect()}
+    assert a == b
+    # append accumulates, same as every other seam format
+    write_external(orders, "orc", mode="append", path=p)
+    assert spark.read.orc(p).count() == 2 * orders.count()
+
+
 def _derby_available(spark) -> bool:
     try:
         spark.sparkContext._jvm.java.lang.Class.forName(
