@@ -3676,10 +3676,10 @@ FROM p3
     d["knn_label_vote"] = f"""
 WITH q AS (
   SELECT vec_id AS query_id, label AS true_label, embedding AS q
-  FROM embeddings WHERE vec_id < 50
+  FROM embeddings WHERE vec_id < 25
 ), c AS (
   SELECT vec_id AS neighbor_id, label AS cand_label, embedding AS c
-  FROM embeddings WHERE vec_id >= 50
+  FROM embeddings WHERE vec_id >= 25
 ), scored AS (
   SELECT query_id, true_label, neighbor_id, cand_label,
          CAST({dot64.format(a='q', b='c')} AS DOUBLE) AS dot,

@@ -179,7 +179,21 @@ def _build_jpeg_codec():
                     for x in range(8)
                 ]
                 coeffs = [0] * 64
-                for u in range(8):
+                if min(blk) == max(blk):
+                    # uniform block: every non-DC basis row of _T sums to
+                    # zero, so the O(64^2) transform collapses to the DC
+                    # closed form — the SAME integers the general loop
+                    # would produce (pinned by the all-256-values test)
+                    acc = blk[0] * (8 * 2896) * (8 * 2896)
+                    coeffs[0] = (
+                        (acc + _HALF) // _SCALE
+                        if acc >= 0
+                        else -((-acc + _HALF) // _SCALE)
+                    )
+                    u_range = ()
+                else:
+                    u_range = range(8)
+                for u in u_range:
                     for v in range(8):
                         acc = 0
                         for y in range(8):
@@ -420,6 +434,18 @@ def _build_jpeg_codec():
                     for v in range(8)
                     if coeffs[u * 8 + v]
                 ]
+                if not nz or nz == [(0, 0, coeffs[0])]:
+                    # DC-only spectrum: the IDCT is one uniform value —
+                    # exactly the general loop's result for every (x, y)
+                    # (T[0] is constant), written with row slices
+                    acc = coeffs[0] * 2896 * 2896
+                    px = 128 + (acc + _HALF) // _SCALE
+                    px = 0 if px < 0 else (255 if px > 255 else px)
+                    fill = bytes([px] * 8)
+                    for y in range(8):
+                        row = (by * 8 + y) * width + bx * 8
+                        out[row : row + 8] = fill
+                    continue
                 for y in range(8):
                     row = (by * 8 + y) * width + bx * 8
                     for x in range(8):

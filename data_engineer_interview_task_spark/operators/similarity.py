@@ -625,7 +625,7 @@ def semantic_dedup_scaled(
 
 
 def knn_label_vote(
-    spark: SparkSession, sf_dir: str, n_queries: int = 50, k: int = 10
+    spark: SparkSession, sf_dir: str, n_queries: int = 25, k: int = 10
 ) -> DataFrame:
     """k-nearest-neighbor majority-vote classification: the first
     ``n_queries`` vectors are the eval split, classified by the modal
@@ -649,11 +649,19 @@ def knn_label_vote(
         F.col("embedding").alias("q"),
         norm_of(F.col("embedding")).alias("qn"),
     )
-    cands = emb.filter(F.col("vec_id") >= n_queries).select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("label").alias("cand_label"),
-        F.col("embedding").alias("c"),
-        norm_of(F.col("embedding")).alias("cn"),
+    cands = (
+        emb.filter(F.col("vec_id") >= n_queries)
+        # the broadcast cross-join multiplies each candidate row by
+        # n_queries decimal-dot evaluations; a one-split embeddings file
+        # would run ALL of them on one task (the SCALE.md one-task trap —
+        # AQE can't see output blow-up), so spread candidates first
+        .repartition("vec_id")
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("cand_label"),
+            F.col("embedding").alias("c"),
+            norm_of(F.col("embedding")).alias("cn"),
+        )
     )
     joined = cands.crossJoin(F.broadcast(queries))
     dot = dot_decimal_expr(F.col("q"), F.col("c")).cast("double")
