@@ -741,10 +741,13 @@ def bm25_doc_rank(
         * d38(F.col("total_len"))
         * d38(2 * F.col("n_docs") - 2 * F.col("df") + 1)
     )
-    den = d38(
-        20 * F.col("tf") * F.col("total_len")
-        + 6 * F.col("total_len")
-        + 18 * F.col("dl") * F.col("n_docs")
+    # every factor is cast to DECIMAL(38,0) BEFORE multiplying — the
+    # BIGINT products 20·tf·L / 18·dl·N would wrap silently near 2^63
+    # (~4.6e17 token-pairs, reachable at 100 TB) if formed pre-cast
+    den = (
+        d38(F.lit(20) * F.col("tf")) * d38(F.col("total_len"))
+        + d38(F.lit(6)) * d38(F.col("total_len"))
+        + d38(F.lit(18) * F.col("dl")) * d38(F.col("n_docs"))
     ) * d38(2 * F.col("df") + 1)
     scored = (
         joined.withColumn("num", num)

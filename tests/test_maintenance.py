@@ -72,7 +72,8 @@ def test_table_checksum_partition_invariant(spark, sf_dir):
         spark, sf_dir, "documents"
     ).count()
     # recompute on a repartitioned copy via the same expression: checksums
-    # must be identical (order/partitioning-insensitive)
+    # must be identical (order/partitioning-insensitive). Canonical
+    # transport since r6 = BIGINT sum of row hashes mod 2^62.
     docs = read_table(spark, sf_dir, "documents").repartition(13)
     rh = F.conv(
         F.substring(
@@ -80,15 +81,26 @@ def test_table_checksum_partition_invariant(spark, sf_dir):
             1, 8,
         ), 16, 10,
     ).cast("bigint")
-    again = {
-        r.bucket: (r.n_rows, r.checksum)
-        for r in docs.select((F.col("doc_id") % 32).alias("bucket"), rh.alias("rh"))
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("n_rows"),
-             F.sum(F.col("rh").cast("decimal(38,0)")).alias("checksum"))
-        .collect()
-    }
+
+    def fold(df):
+        return (
+            df.select((F.col("doc_id") % 32).alias("bucket"), rh.alias("rh"))
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.pmod(F.sum("rh"), F.lit(2**62)).cast("bigint").alias("checksum"),
+            )
+        )
+
+    again = {r.bucket: (r.n_rows, r.checksum) for r in fold(docs).collect()}
     assert base == again
+    # the retired DECIMAL form must stay value-consistent with the
+    # canonical BIGINT fold (same hashes, different transport)
+    dec = {
+        r.bucket: (r.n_rows, int(r.checksum) % 2**62)
+        for r in maintenance.table_checksum_decimal(spark, sf_dir).collect()
+    }
+    assert base == dec
     # a single-row mutation flips exactly that bucket's checksum
     mutated = docs.withColumn(
         "text",
@@ -96,14 +108,7 @@ def test_table_checksum_partition_invariant(spark, sf_dir):
             F.col("text")
         ),
     )
-    mut = {
-        r.bucket: r.checksum
-        for r in mutated.select((F.col("doc_id") % 32).alias("bucket"), rh.alias("rh"))
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("n_rows"),
-             F.sum(F.col("rh").cast("decimal(38,0)")).alias("checksum"))
-        .collect()
-    }
+    mut = {r.bucket: r.checksum for r in fold(mutated).collect()}
     diff = [b for b in base if base[b][1] != mut[b]]
     assert diff == [5 % 32]
 

@@ -54,20 +54,10 @@ def _attested(rec: dict) -> bool:
 #: correctness lives in dedicated tests, the driver record is "rows>0".
 DEFERRED_TO_NEXT_ROUND: set[str] = set()
 
-#: Oracle-grade queries registered past a filled window (the round-5
-#: session-3 additions: the window was already 50/50 with entries the
-#: driver has never attested, so these sit at the registry TAIL and must
-#: be front-loaded in round 6, within that round's window budget).
-ORACLE_DEFERRED_TO_NEXT_ROUND: set[str] = {
-    "supplier_kcore",
-    "revenue_gini",
-    "trimmed_mean_order_value",
-    "bm25_doc_rank",
-    "knn_label_vote",
-    "decile_lift_table",
-    "multimodal_jpeg_decode",
-    "lateral_top_customers_per_nation",
-}
+#: Oracle-grade queries registered past a filled window. Round 6
+#: front-loaded the eight round-5 session-3 tail entries into the window
+#: (VERDICT r5 item 2), so the set is EMPTY again.
+ORACLE_DEFERRED_TO_NEXT_ROUND: set[str] = set()
 
 
 def test_unattested_queries_are_in_driver_window():
