@@ -481,6 +481,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_jpeg_decode": multimodal.multimodal_jpeg_decode,  # REAL baseline-JPEG decode; oracle = closed-form lossy chain
         "lateral_top_customers_per_nation": extended.lateral_top_customers_per_nation,  # Spark 4 LATERAL correlated subquery; oracle = the VERBATIM same SQL
         # --- round-6 additions land here (inside the first-50 window) ---
+        "knn_label_vote_ivf": similarity.knn_label_vote_ivf,  # ANN-backed vote: persisted-IVF probe pruning, exact oracle
+        "multimodal_palette_png_decode": multimodal.multimodal_palette_png_decode,  # REAL color-type-3 PNG: PLTE expansion, oracle on RGB raster
         # --- everything below is driver-attested (r01..r05 union) ---
         "supplier_pagerank": graph.supplier_pagerank,  # fixed-point iterative graph (oracle-exact)
         "max_concurrent_sessions": relational.max_concurrent_sessions,
@@ -4011,6 +4013,97 @@ FROM j WHERE rn = 1"""
     # Spark 4 recursive CTE: BOTH engines execute the identical text
     d["recursive_supplier_reach"] = extended.RECURSIVE_REACH_SQL
     d["lateral_top_customers_per_nation"] = extended.LATERAL_TOP_CUSTOMERS_SQL
+
+    # palette-PNG end-to-end decode (VERDICT r5 item 5): the oracle
+    # rebuilds the PLTE-expanded RGB raster arithmetically — hex digit
+    # v of md5(text) selects the fixed triple (17v, 255-17v, 17v^85) —
+    # and sha256's its lowercase-hex transport (RGB bytes aren't UTF-8,
+    # same rule as the JPEG twin). The 32-triple row is built once and
+    # repeated 8x, mirroring the encoder's md5-hex repetition.
+    d["multimodal_palette_png_decode"] = """
+WITH m AS (SELECT doc_id, md5(text) AS h FROM documents),
+tr AS (
+  SELECT doc_id, i,
+         printf('%02x%02x%02x', 17 * v, 255 - 17 * v, xor(17 * v, 85)) AS t
+  FROM (SELECT doc_id, i,
+               CAST(strpos('0123456789abcdef', substring(h, i + 1, 1)) - 1
+                    AS INTEGER) AS v
+        FROM m, (SELECT unnest(range(32)) AS i) g)
+),
+hexes AS (SELECT doc_id, string_agg(t, '' ORDER BY i) AS row32
+          FROM tr GROUP BY doc_id)
+SELECT doc_id, CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+       CAST(768 AS BIGINT) AS n_px_bytes,
+       sha256(repeat(row32, 8)) AS pixel_sha
+FROM hexes
+"""
+
+    # ANN-backed production twin of knn_label_vote (VERDICT r5 item 3):
+    # the deterministic IVF probe (fixed-point centroids, total
+    # tie-breaks) makes the WHOLE approximate pipeline exactly
+    # oracle-checkable — same CTE ladder as similarity_topk_ivf, with
+    # the modal-label vote appended and query vectors excluded from the
+    # candidate pool like the exact form
+    d["knn_label_vote_ivf"] = f"""
+WITH cd AS (
+  SELECT label AS cell, i AS dim,
+         CAST(SUM(CAST(floor(CAST(embedding[i + 1] AS DOUBLE)
+                            * 1000000000.0) AS BIGINT))
+              AS DOUBLE) / COUNT(*) / 1000000000.0 AS c
+  FROM embeddings, (SELECT unnest(range(64)) AS i) dims
+  GROUP BY label, i
+),
+cents AS (SELECT cell, list(c ORDER BY dim ASC) AS centroid FROM cd GROUP BY cell),
+q AS (SELECT vec_id AS query_id, label AS true_label, embedding AS qe
+      FROM embeddings WHERE vec_id < 25),
+qcells AS (
+  SELECT query_id, true_label, qe, cell,
+         {_FOLD64.format(a="qe", b="centroid")}
+           / (sqrt({_FOLD64.format(a="qe", b="qe")})
+              * sqrt({_FOLD64.format(a="centroid", b="centroid")})) AS cell_cos
+  FROM q CROSS JOIN cents
+),
+probed AS (
+  SELECT query_id, true_label, qe, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cell_cos DESC, cell ASC) AS cr
+    FROM qcells
+  ) WHERE cr <= 3
+),
+pairs AS (
+  SELECT p.query_id, p.true_label, p.qe,
+         e.vec_id AS neighbor_id, e.label AS cand_label, e.embedding AS ce
+  FROM embeddings e JOIN probed p ON e.label = p.cell
+  WHERE e.vec_id >= 25
+),
+scored AS (
+  SELECT query_id, true_label, neighbor_id, cand_label,
+         {_FOLD64.format(a="qe", b="ce")}
+           / (sqrt({_FOLD64.format(a="qe", b="qe")})
+              * sqrt({_FOLD64.format(a="ce", b="ce")})) AS cos
+  FROM pairs
+),
+top AS (
+  SELECT query_id, true_label, cand_label FROM (
+    SELECT query_id, true_label, cand_label,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= 10
+),
+votes AS (
+  SELECT query_id, true_label, cand_label,
+         CAST(COUNT(*) AS BIGINT) AS n_votes
+  FROM top GROUP BY query_id, true_label, cand_label
+)
+SELECT query_id, CAST(true_label AS INTEGER) AS true_label,
+       CAST(cand_label AS INTEGER) AS predicted_label, n_votes
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY n_votes DESC, cand_label ASC) AS vr
+  FROM votes
+) WHERE vr = 1
+"""
 
     # the Python DataSource date spine, zero-filled against daily activity
     d["calendar_activity_spine"] = """

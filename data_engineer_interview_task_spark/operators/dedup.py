@@ -106,6 +106,7 @@ def _shingled_docs(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
         lambda: shingle_documents(
             read_table(spark, sf_dir, "documents").repartition("doc_id"), n
         ),
+        inputs=(f"{sf_dir}/documents.parquet",),
     )
 
 
@@ -335,6 +336,7 @@ def _corpus_band_keys(
         lambda: _minhash_band_keys(
             _shingled_docs(spark, sf_dir, n), num_hashes, bands, hash_family
         ),
+        inputs=(f"{sf_dir}/documents.parquet",),
     )
 
 
@@ -598,6 +600,7 @@ def simhash_signatures(
         ("simhash", sf_dir, bits, hash_family),
         "simhash_sigs_",
         lambda: _simhash_signatures_build(spark, sf_dir, bits, hash_family),
+        inputs=(f"{sf_dir}/documents.parquet",),
     )
 
 

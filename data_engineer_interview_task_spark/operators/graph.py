@@ -108,6 +108,7 @@ def _cached_edges(
         ("copurchase_edges", sf_dir, min_support),
         "copurchase_edges_",
         lambda: co_purchase_edges(spark, sf_dir, min_support),
+        inputs=(f"{sf_dir}/lineitem.parquet",),
     )
 
 

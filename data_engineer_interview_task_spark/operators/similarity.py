@@ -690,3 +690,91 @@ def knn_label_vote(
             "n_votes",
         )
     )
+
+
+def knn_label_vote_ivf(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str | None = None,
+    n_queries: int = 25,
+    k: int = 10,
+    n_probe: int = 3,
+) -> DataFrame:
+    """ANN-backed production twin of :func:`knn_label_vote` (VERDICT r5
+    item 3): identical majority-vote semantics, but the candidate set
+    comes from the PERSISTED IVF index (``ivf_index_build``) instead of
+    a full brute-force corpus scan — each query exact-ranks only the
+    vectors inside its ``n_probe`` nearest centroid cells, read through
+    partition-pruned scans of the cell-partitioned layout (the plan
+    shows the probed cells as PartitionFilters; unprobed cells' files
+    are never opened). At 100 TB this turns the n_queries x corpus
+    decimal-dot wall into n_queries x (n_probe/|cells|) of it, the same
+    probe path ``ivf_topk_prebuilt`` uses.
+
+    The index layout stores each vector's cell = its ``label``, so the
+    candidate's vote label IS its partition key — the vote needs no
+    second join back to the corpus. Query vectors are excluded from the
+    candidate pool (``vec_id >= n_queries``) exactly like the exact
+    form. Every stage is deterministic (fixed-point centroids, total
+    tie-break orders), so the WHOLE approximate operator has an exact
+    DuckDB oracle rather than a recall bound."""
+    if index_dir is None:
+        index_dir = _cached_ivf_index(spark, sf_dir)
+    cents = spark.read.parquet(f"{index_dir}/centroids")
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("q"),
+    )
+    qcells = queries.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "true_label",
+        "q",
+        "cell",
+        cosine_expr(F.col("q"), F.col("centroid")).alias("cell_cos"),
+    )
+    w_cells = Window.partitionBy("query_id").orderBy(
+        F.col("cell_cos").desc(), F.col("cell").asc()
+    )
+    probed = (
+        qcells.withColumn("cr", F.row_number().over(w_cells))
+        .filter(F.col("cr") <= n_probe)
+        .select("query_id", "true_label", "q", "cell")
+    )
+    # index metadata, not data: probed cell ids (<= n_queries*n_probe
+    # values) come to the driver to become a partition-pruning predicate
+    cells = sorted({r.cell for r in probed.select("cell").distinct().collect()})
+    vectors = (
+        spark.read.parquet(f"{index_dir}/vectors")
+        .filter(F.col("cell").isin(cells))
+        .filter(F.col("vec_id") >= n_queries)
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("c"),
+            "cell",
+        )
+    )
+    pairs = vectors.join(F.broadcast(probed), "cell")
+    w = Window.partitionBy("query_id").orderBy(
+        cosine_expr(F.col("q"), F.col("c")).desc(), F.col("neighbor_id").asc()
+    )
+    top = pairs.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+    votes = top.groupBy(
+        "query_id", "true_label", F.col("cell").alias("cand_label")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_votes"))
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("cand_label").asc()
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select(
+            "query_id",
+            F.col("true_label").cast("int").alias("true_label"),
+            F.col("cand_label").cast("int").alias("predicted_label"),
+            "n_votes",
+        )
+    )

@@ -230,6 +230,7 @@ def chargram_minhash(
         ("chargram_minhash", sf_dir, k, bottom, hash_family),
         "chargram_sketch_",
         lambda: _chargram_minhash_build(spark, sf_dir, k, bottom, hash_family),
+        inputs=(f"{sf_dir}/documents.parquet",),
     )
 
 

@@ -17,18 +17,27 @@ hygiene (ADVICE r4) means every CALL pays the full build, and cached
 blocks add executor-storage pressure that a parquet artifact does not.
 
 The cache key must include every parameter that changes the artifact's
-CONTENT (source dir, n, hash family, ...). Source dirs under
-``/root/testdata`` and the synthesized ``/tmp/sf1``/``/tmp/skew`` corpora
-are immutable for the life of the process, so entries never invalidate;
-callers materializing MUTABLE inputs should bypass this store (see
+CONTENT (source dir, n, hash family, ...) — and, since round 6, an
+INPUT FINGERPRINT: callers pass the source paths via ``inputs`` and the
+store folds each path's recursive (file count, total bytes, max mtime)
+into the key, so a corpus that is mutated in place can never be served a
+stale artifact (VERDICT r5 item 7). Callers materializing inputs that
+mutate *within* a build should still bypass this store (see
 ``minhash_index_append`` for the mutable-index path).
+
+Artifacts land under ``base_dir`` (parameter, else
+``$SPARK_GRAFT_ARTIFACT_DIR``, else a fresh tempdir) — a warehouse
+deployment points this at its managed derived-table location so
+artifacts survive process restarts and participate in the warehouse's
+retention policy.
 """
 
 from __future__ import annotations
 
+import os
 import tempfile
+from typing import Callable, Iterable
 import threading
-from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -40,20 +49,53 @@ _CACHE: dict[tuple, str] = {}
 _LOCK = threading.RLock()
 
 
+def input_fingerprint(path: str) -> tuple:
+    """Cheap content-change detector for a source file or directory:
+    recursive (file count, total bytes, max mtime_ns). Any in-place
+    mutation — appended file, rewritten part file, added partition —
+    moves at least one component; scanning metadata only (no reads), it
+    costs milliseconds even on a multi-thousand-file corpus dir."""
+    n_files = 0
+    total = 0
+    max_mtime = 0
+    if os.path.isfile(path):
+        st = os.stat(path)
+        return (1, st.st_size, st.st_mtime_ns)
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            st = os.stat(os.path.join(root, f))
+            n_files += 1
+            total += st.st_size
+            if st.st_mtime_ns > max_mtime:
+                max_mtime = st.st_mtime_ns
+    return (n_files, total, max_mtime)
+
+
 def materialized(
     spark: SparkSession,
     key: tuple,
     prefix: str,
     build: Callable[[], DataFrame],
+    inputs: Iterable[str] = (),
+    base_dir: str | None = None,
 ) -> DataFrame:
     """A DataFrame scanning the parquet artifact for ``key``, building it
-    with ``build()`` on first use (at most once per process; the lock
-    also serializes concurrent first-builds of the same key, matching the
-    graph/IVF/MinHash index caches this generalizes)."""
+    with ``build()`` on first use (at most once per process per input
+    state; the lock also serializes concurrent first-builds of the same
+    key, matching the graph/IVF/MinHash index caches this generalizes).
+
+    ``inputs``: source paths whose fingerprints join the cache key — a
+    mutated input therefore triggers a rebuild instead of serving the
+    stale artifact. ``base_dir``: where artifacts land (see module
+    docstring for the resolution order)."""
+    full_key = key + tuple(input_fingerprint(p) for p in inputs)
     with _LOCK:
-        path = _CACHE.get(key)
+        path = _CACHE.get(full_key)
         if path is None:
-            path = tempfile.mkdtemp(prefix=prefix)
+            root = base_dir or os.environ.get("SPARK_GRAFT_ARTIFACT_DIR")
+            if root:
+                os.makedirs(root, exist_ok=True)
+            path = tempfile.mkdtemp(prefix=prefix, dir=root)
             build().write.mode("overwrite").parquet(path)
-            _CACHE[key] = path
+            _CACHE[full_key] = path
     return spark.read.parquet(path)

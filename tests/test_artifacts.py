@@ -1,0 +1,61 @@
+"""Artifact-store lifecycle (VERDICT r5 item 7): input fingerprints in
+the cache key (a mutated corpus can never be served a stale artifact)
+and the ``base_dir`` deployment hook."""
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from data_engineer_interview_task_spark.plans import artifacts
+
+
+def _build_counter(spark, tag):
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.createDataFrame([(1, tag)], "id long, tag string")
+
+    return calls, build
+
+
+def test_mutated_input_triggers_rebuild(spark, sf_dir):
+    # a private mutable copy of one corpus table
+    src = os.path.join(sf_dir, "documents.parquet")
+    work = tempfile.mkdtemp(prefix="artifact-input-")
+    copy = os.path.join(work, "documents.parquet")
+    if os.path.isdir(src):
+        shutil.copytree(src, copy)
+        mutate_target = os.path.join(
+            copy, sorted(f for f in os.listdir(copy) if not f.startswith("."))[0]
+        )
+    else:
+        shutil.copy(src, copy)
+        mutate_target = copy
+
+    calls, build = _build_counter(spark, "v1")
+    key = ("test_fp_rebuild", work)
+    df1 = artifacts.materialized(spark, key, "test_art_", build, inputs=(copy,))
+    assert df1.count() == 1 and calls["n"] == 1
+    # same key + unchanged input -> served from cache, no rebuild
+    artifacts.materialized(spark, key, "test_art_", build, inputs=(copy,)).count()
+    assert calls["n"] == 1
+    # in-place mutation (append a byte -> size+mtime both move)
+    with open(mutate_target, "ab") as f:
+        f.write(b"\x00")
+    artifacts.materialized(spark, key, "test_art_", build, inputs=(copy,)).count()
+    assert calls["n"] == 2, "mutated input must invalidate the cached artifact"
+    shutil.rmtree(work)
+
+
+def test_base_dir_places_artifacts(spark):
+    base = tempfile.mkdtemp(prefix="artifact-base-")
+    calls, build = _build_counter(spark, "based")
+    artifacts.materialized(
+        spark, ("test_base_dir",), "test_art_", build, base_dir=base
+    ).count()
+    assert calls["n"] == 1
+    subdirs = [d for d in os.listdir(base) if d.startswith("test_art_")]
+    assert subdirs, "artifact must land under base_dir"
+    shutil.rmtree(base)

@@ -150,3 +150,69 @@ def test_png_decode_query_reads_truly_decoded_raster(spark, sf_dir):
         r = out[doc_id]
         assert (r.width, r.height, r.n_px_bytes) == (16, 16, 256)
         assert r.pixel_sha == hashlib.sha256(raster).hexdigest()
+
+
+# --- palette (color type 3) — round 6, VERDICT r5 item 5 ---------------
+
+
+@settings(max_examples=25, deadline=None)
+@given(w=st.integers(1, 12), h=st.integers(1, 12), data=st.data())
+def test_palette_roundtrip_expands_plte(w, h, data):
+    n_entries = data.draw(st.integers(1, 256))
+    palette = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, 255),
+                min_size=3 * n_entries,
+                max_size=3 * n_entries,
+            )
+        )
+    )
+    idx = bytes(
+        data.draw(
+            st.lists(st.integers(0, n_entries - 1), min_size=w * h, max_size=w * h)
+        )
+    )
+    payload = png_encode(idx, w, h, 3, palette=palette)
+    px, rw, rh, ct = png_decode(payload)
+    assert (rw, rh, ct) == (w, h, 3)
+    assert px == bytes(b for v in idx for b in palette[3 * v : 3 * v + 3])
+
+
+def test_palette_error_paths():
+    pal = bytes(range(48))  # 16 entries
+    with pytest.raises(ValueError, match="palette"):
+        png_encode(bytes(16), 4, 4, 3)  # missing palette
+    with pytest.raises(ValueError, match="index out of range"):
+        png_encode(bytes([16] * 16), 4, 4, 3, palette=pal)
+    with pytest.raises(ValueError, match="palette"):
+        png_encode(bytes(16), 4, 4, 0, palette=pal)  # palette w/o ct=3
+    # decoder: a palette payload whose PLTE chunk is stripped must fail
+    payload = png_encode(bytes(16), 4, 4, 3, palette=pal)
+    pos, stripped = 8, bytearray(payload[:8])
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        if tag != b"PLTE":
+            stripped += payload[pos : pos + 12 + length]
+        pos += 12 + length
+    with pytest.raises(ValueError, match="PLTE"):
+        png_decode(bytes(stripped))
+
+
+def test_palette_decode_query_matches_arithmetic_raster(spark, sf_dir):
+    rows = multimodal.multimodal_palette_png_decode(spark, sf_dir).limit(5).collect()
+    assert rows
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(500)
+        .collect()
+    }
+    pal = multimodal.PALETTE16
+    for r in rows:
+        hx = hashlib.md5(docs[r.doc_id].encode()).hexdigest() * 8
+        rgb = bytes(b for c in hx for b in pal[3 * int(c, 16) : 3 * int(c, 16) + 3])
+        assert (r.width, r.height, r.n_px_bytes) == (16, 16, len(rgb))
+        assert r.pixel_sha == hashlib.sha256(rgb.hex().encode()).hexdigest()
