@@ -143,23 +143,42 @@ def click_purchase_left_join(
     )
 
 
-def run_click_purchase_left_join_once(
-    spark: SparkSession, sf_dir: str, work_dir: str
-) -> DataFrame:
-    """availableNow harness that makes the left-outer emission COMPLETE and
-    therefore equal to the batch left join (the oracle):
+#: state-store partition count for the OUTER-join harnesses. An outer
+#: stream-stream join maintains FOUR state stores per shuffle partition
+#: (keyToNumValues + keyWithIndexToValue per side), and every micro-batch
+#: pays each instance's snapshot/commit regardless of row count — at the
+#: session's 32 shuffle partitions that is 128 commits per batch, ~3.5s
+#: of fixed cost (measured at sf0.1: batches with FOUR input rows cost
+#: the same as the 200k-row bulk batch). 8 partitions keep 100k-row
+#: batches trivially in memory while quartering the fixed cost; a real
+#: deployment sizes this to state volume, not to the batch side's CPU
+#: (VERDICT r5 item 6 profile — see SCALE.md streaming block).
+_OUTER_JOIN_STATE_PARTITIONS = "8"
 
-    1. the real events land as batch 1 (one file),
-    2. two flush rows at max(ts)+10d/+20d land as two later files,
-    3. ``maxFilesPerTrigger=1`` forces one batch per file, so the
-       watermark advances past every real click's join window while the
-       query is still running — every held click flushes its NULL row
-       before the drain.
 
-    Files are processed in modification-time order; each flush write's
+def _run_outer_join_once(spark, sf_dir, work_dir, builder, prefix) -> DataFrame:
+    """Shared availableNow harness for the OUTER stream-stream joins,
+    making the emission COMPLETE and therefore equal to the batch join
+    (the oracle):
+
+    1. the real events land as batch 0 (one file),
+    2. ONE flush file with a ``max(ts)+10d`` sentinel per SIDE lands
+       second (the global watermark is the MIN across both sides'
+       watermarks, so advancing only one side would strand the other
+       side's unmatched rows),
+    3. ``maxFilesPerTrigger=1`` forces one batch per file: batch 1
+       advances the watermark past every real row's join window, and the
+       trailing no-data micro-batch (``noDataMicroBatches``, on by
+       default) evicts + emits the last held NULL rows before the drain.
+
+    Files are processed in modification-time order; the flush write's
     files are explicitly mtime-bumped past everything already present so
     the bulk file is strictly oldest (no wall-clock sleeps). The flush
-    rows use user_id = -1 and are filtered from the returned result."""
+    rows use user_id = -1 and are filtered from the returned result.
+    Profiling note (r6): the r5 shape used TWO flush files (+10d/+20d);
+    the second only re-flushed the first file's own sentinels, which are
+    filtered anyway — one file + the no-data batch emits the identical
+    real-row set with one fewer micro-batch and one fewer tiny write."""
     from ..sources import read_table
 
     prep_session(spark)
@@ -167,35 +186,46 @@ def run_click_purchase_left_join_once(
     src = f"{work_dir}/events_src"
     events.repartition(1).write.mode("overwrite").parquet(src)
     max_ts = events.agg(F.max("ts")).collect()[0][0]
-    for i, days in enumerate((10, 20)):
-        before = snapshot_parquet_files(src)
-        # one sentinel per SIDE: the global watermark is the MIN across
-        # both sides' watermarks, so advancing only the click side would
-        # strand unmatched clicks within ~(watermark+within) of the last
-        # real purchase
-        flush = spark.createDataFrame(
-            [
-                (-(2 * i + 1), max_ts, -1, "click", 0.0, "{}"),
-                (-(2 * i + 2), max_ts, -1, "purchase", 0.0, "{}"),
-            ],
-            schema=EVENTS_SCHEMA,
-        ).withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {days} DAYS"))
-        flush.coalesce(1).write.mode("append").parquet(src)
-        bump_new_files_mtime(src, before)
-    sink = f"mem_ssloj_{uuid.uuid4().hex[:8]}"
-    q = (
-        # one batch per file: bulk first, then each flush row advances the
-        # watermark so held clicks emit their NULL rows before the drain
-        click_purchase_left_join(spark, src, max_files_per_trigger=1)
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .option("checkpointLocation", f"{work_dir}/ckpt_{sink}")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    before = snapshot_parquet_files(src)
+    flush = spark.createDataFrame(
+        [
+            (-1, max_ts, -1, "click", 0.0, "{}"),
+            (-2, max_ts, -1, "purchase", 0.0, "{}"),
+        ],
+        schema=EVENTS_SCHEMA,
+    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 10 DAYS"))
+    flush.coalesce(1).write.mode("append").parquet(src)
+    bump_new_files_mtime(src, before)
+    sink = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    # conf window AFTER the last read_table: the checkpoint is created
+    # fresh each run, so the reduced partition count binds this query only
+    conf_key = "spark.sql.shuffle.partitions"
+    prior = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, _OUTER_JOIN_STATE_PARTITIONS)
+    try:
+        q = (
+            builder(spark, src, max_files_per_trigger=1)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", f"{work_dir}/ckpt_{sink}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(conf_key, prior)
     return drain_memory_sink(spark, sink).filter(F.col("user_id") >= 0)
+
+
+def run_click_purchase_left_join_once(
+    spark: SparkSession, sf_dir: str, work_dir: str
+) -> DataFrame:
+    """availableNow harness for the LEFT OUTER stream-stream join — see
+    :func:`_run_outer_join_once` for the flush/completeness protocol."""
+    return _run_outer_join_once(
+        spark, sf_dir, work_dir, click_purchase_left_join, "mem_ssloj"
+    )
 
 
 def click_purchase_full_join(
@@ -258,41 +288,11 @@ def click_purchase_full_join(
 def run_click_purchase_full_join_once(
     spark: SparkSession, sf_dir: str, work_dir: str
 ) -> DataFrame:
-    """availableNow harness making the full-outer emission COMPLETE and
-    equal to the batch full join (the oracle) — same flush protocol as
-    the left-outer harness (both-side far-future sentinels, one batch
-    per file so the min-of-sides watermark passes every real row's join
-    window before the drain)."""
-    from ..sources import read_table
-
-    prep_session(spark)
-    events = read_table(spark, sf_dir, "events")
-    src = f"{work_dir}/events_src"
-    events.repartition(1).write.mode("overwrite").parquet(src)
-    max_ts = events.agg(F.max("ts")).collect()[0][0]
-    for i, days in enumerate((10, 20)):
-        before = snapshot_parquet_files(src)
-        flush = spark.createDataFrame(
-            [
-                (-(2 * i + 1), max_ts, -1, "click", 0.0, "{}"),
-                (-(2 * i + 2), max_ts, -1, "purchase", 0.0, "{}"),
-            ],
-            schema=EVENTS_SCHEMA,
-        ).withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {days} DAYS"))
-        flush.coalesce(1).write.mode("append").parquet(src)
-        bump_new_files_mtime(src, before)
-    sink = f"mem_ssfoj_{uuid.uuid4().hex[:8]}"
-    q = (
-        click_purchase_full_join(spark, src, max_files_per_trigger=1)
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .option("checkpointLocation", f"{work_dir}/ckpt_{sink}")
-        .trigger(availableNow=True)
-        .start()
+    """availableNow harness for the FULL OUTER stream-stream join — see
+    :func:`_run_outer_join_once` for the flush/completeness protocol."""
+    return _run_outer_join_once(
+        spark, sf_dir, work_dir, click_purchase_full_join, "mem_ssfoj"
     )
-    q.awaitTermination()
-    return drain_memory_sink(spark, sink).filter(F.col("user_id") >= 0)
 
 
 def stream_static_enrich(
