@@ -483,6 +483,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-6 additions land here (inside the first-50 window) ---
         "knn_label_vote_ivf": similarity.knn_label_vote_ivf,  # ANN-backed vote: persisted-IVF probe pruning, exact oracle
         "multimodal_palette_png_decode": multimodal.multimodal_palette_png_decode,  # REAL color-type-3 PNG: PLTE expansion, oracle on RGB raster
+        "multimodal_wav_decode": multimodal.multimodal_wav_decode,  # REAL RIFF/WAVE audio decode: chunk walk, exact energy, waveform hash
+        "multimodal_mjpeg_frame_sample": multimodal.multimodal_mjpeg_frame_sample,  # video-container frame sampling: seek-skip parse + real JPEG decode of every 2nd frame
         # --- everything below is driver-attested (r01..r05 union) ---
         "supplier_pagerank": graph.supplier_pagerank,  # fixed-point iterative graph (oracle-exact)
         "max_concurrent_sessions": relational.max_concurrent_sessions,
@@ -3664,6 +3666,94 @@ SELECT doc_id,
          || repeat(repeat({_jhex(2)}, 8) || repeat({_jhex(3)}, 8), 8)
        ) AS pixel_sha
 FROM p3
+"""
+
+    # real AUDIO-codec decode (round 6): the WAV fixture's samples are
+    # the md5 DIGEST bytes repeated 16x, so the lowercase-hex transport
+    # is just the md5 hexdigest repeated and the energy is 16x the sum
+    # of squared midpoint deviations of the 16 digest bytes
+    d["multimodal_wav_decode"] = f"""
+WITH m AS (SELECT doc_id, md5(text) AS h FROM documents),
+bb AS (
+  SELECT doc_id, i,
+         ((strpos('0123456789abcdef', substring(h, 2 * i + 1, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substring(h, 2 * i + 2, 1)) - 1)) AS v
+  FROM m, (SELECT unnest(range(16)) AS i) g
+),
+e AS (
+  SELECT doc_id,
+         CAST(SUM((v - 128) * (v - 128)) AS BIGINT) * 16 AS energy
+  FROM bb GROUP BY doc_id
+)
+SELECT m.doc_id,
+       CAST(256 AS BIGINT) AS n_samples,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(32000 AS BIGINT) AS duration_us,
+       e.energy,
+       sha256(repeat(m.h, 16)) AS sample_sha
+FROM m JOIN e ON m.doc_id = e.doc_id
+"""
+
+    # motion-JPEG frame sampling (round 6): sampled frames 0 and 2 of
+    # the 4-frame clip use md5 digest bytes 0-3 and 8-11; each sampled
+    # frame's decoded raster follows the SAME closed-form lossy chain as
+    # multimodal_jpeg_decode, instantiated per digest byte below
+    _mj_bytes = [0, 1, 2, 3, 8, 9, 10, 11]
+    _mjblocks = ",\n".join(
+        f"       {_jpx(b)} AS w{n}" for n, b in enumerate(_mj_bytes)
+    )
+    _mjsteps = "".join(
+        f""", mst{n} AS (
+  SELECT * , w{n} - 128 AS s FROM {f'mp{n - 1}' if n else 'mst'}
+), mf{n} AS (
+  SELECT * EXCLUDE (s), s * 536756224 AS a1 FROM mst{n}
+), mg{n} AS (
+  SELECT * EXCLUDE (a1),
+         CASE WHEN a1 >= 0 THEN (a1 + 33554432) // 67108864
+              ELSE -((-a1 + 33554432) // 67108864) END AS f00u
+  FROM mf{n}
+), mh{n} AS (
+  SELECT * EXCLUDE (f00u),
+         (CASE WHEN f00u >= 0 THEN (f00u + 8) // 16
+               ELSE -((-f00u + 8) // 16) END) * 16 * 8386816
+           + 33554432 AS t
+  FROM mg{n}
+), mp{n} AS (
+  SELECT * EXCLUDE (t),
+         LEAST(255, GREATEST(0,
+           128 + CASE WHEN t >= 0 THEN t // 67108864
+                      ELSE -((-t + 67108863) // 67108864) END)) AS pw{n}
+  FROM mh{n}
+)"""
+        for n in range(8)
+    )
+    _mjhex = lambda n: (  # noqa: E731 — 2-char lowercase hex of pixel pw{n}
+        f"(substring('{_jp}', pw{n} // 16 + 1, 1)"
+        f" || substring('{_jp}', pw{n} % 16 + 1, 1))"
+    )
+    _mjraster = lambda a, b, c, dd: (  # noqa: E731 — 16x16 2x2-block raster hex
+        f"repeat(repeat({_mjhex(a)}, 8) || repeat({_mjhex(b)}, 8), 8)"
+        f" || repeat(repeat({_mjhex(c)}, 8) || repeat({_mjhex(dd)}, 8), 8)"
+    )
+    d["multimodal_mjpeg_frame_sample"] = f"""
+WITH base AS (
+  SELECT doc_id, md5(text) AS m FROM documents
+), mst AS (
+  SELECT doc_id,
+{_mjblocks}
+  FROM base
+){_mjsteps}
+SELECT doc_id, CAST(0 AS BIGINT) AS frame_idx,
+       CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+       CAST(256 AS BIGINT) AS n_px_bytes,
+       sha256({_mjraster(0, 1, 2, 3)}) AS pixel_sha
+FROM mp7
+UNION ALL
+SELECT doc_id, CAST(2 AS BIGINT) AS frame_idx,
+       CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+       CAST(256 AS BIGINT) AS n_px_bytes,
+       sha256({_mjraster(4, 5, 6, 7)}) AS pixel_sha
+FROM mp7
 """
 
     # kNN majority vote: brute-force decimal-dot ranking with the

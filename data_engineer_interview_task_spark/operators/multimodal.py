@@ -496,6 +496,124 @@ def multimodal_palette_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def decode_audio(payload: bytes) -> tuple[bytes, int, int, int]:
+    """Decode an audio payload to raw PCM sample bytes ``(samples,
+    sample_rate, n_channels, bits)``. Uncompressed RIFF/WAVE decodes FOR
+    REAL via the pure-stdlib codec (``functions/wav_codec.py`` — general
+    chunk walk, fmt-contract validation). Compressed codecs (MP3/AAC/
+    FLAC) genuinely need libraries absent from this container and remain
+    behind ``NotImplementedError``. Single seam like ``decode_image`` —
+    an ffmpeg deployment swaps the body, nothing else."""
+    from ..functions.wav_codec import WAV_SIGNATURE, wav_decode
+
+    if payload[:4] == WAV_SIGNATURE:
+        return wav_decode(payload)
+    raise NotImplementedError(
+        "only uncompressed PCM WAV decodes in this environment (no audio "
+        "codec libs); see fake_decode() for the deterministic test double"
+    )
+
+
+def attach_wav_payload(
+    spark: SparkSession, sf_dir: str, reps: int = 16, sample_rate: int = 8000
+) -> DataFrame:
+    """Manufacture REAL WAV payloads: each document becomes an 8-bit mono
+    PCM clip whose samples are the 16 BYTES of ``md5(text)`` repeated
+    ``reps`` times — a waveform an oracle can rebuild arithmetically
+    while the RIFF container bytes stay opaque. Arrow-batched
+    ``mapInPandas`` with a self-contained closure (wav_encode pickles by
+    value)."""
+    from ..functions.wav_codec import wav_encode
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+            StructField("modality", StringType()),
+        ]
+    )
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # self-contained closure: wav_encode captured BY VALUE
+        import hashlib as _h
+
+        import pandas as _pd
+
+        enc, k, sr = wav_encode, reps, sample_rate
+        for pdf in batches:
+            payloads = [
+                enc(_h.md5(t.encode()).digest() * k, sr) for t in pdf["text"]
+            ]
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "modality": "audio/wav",
+                }
+            )
+
+    return docs.mapInPandas(_encode, schema=schema)
+
+
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END real AUDIO-codec query (the brief's audio modality,
+    image twin of ``multimodal_png_decode``): encode every document to a
+    genuine RIFF/WAVE file (``attach_wav_payload``), DECODE it back
+    through :func:`decode_audio` — general chunk walk, fmt validation —
+    and emit facts OF THE DECODED waveform: sample count, rate, exact
+    duration in microseconds, signal energy (sum of squared deviations
+    from the 8-bit midpoint — an exact BIGINT, unlike RMS which would
+    need a square root), and sha256 of the samples.
+
+    The DuckDB oracle rebuilds the waveform arithmetically from
+    ``md5(text)`` (digest bytes repeated), so one wrong decoded byte —
+    a mis-walked chunk, an off-by-one in word alignment — breaks the
+    hash compare. Raw digest bytes aren't UTF-8, so the hash runs over
+    the LOWERCASE-HEX transport (= the md5 hexdigest repeated, which is
+    what makes the oracle a one-liner). Two narrow Arrow-batched
+    stages, no shuffle."""
+    from ..functions.wav_codec import wav_decode
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("n_samples", LongType()),
+            StructField("sample_rate", LongType()),
+            StructField("duration_us", LongType()),
+            StructField("energy", LongType()),
+            StructField("sample_sha", StringType()),
+        ]
+    )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # self-contained closure: wav_decode captured by value
+        import hashlib as _h
+
+        import pandas as _pd
+
+        dec = wav_decode
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "n_samples", "sample_rate", "duration_us",
+                "energy", "sample_sha",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples, sr, nch, _bits = dec(bytes(payload))
+                n = len(samples) // nch
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(n)
+                out["sample_rate"].append(sr)
+                out["duration_us"].append(n * 1_000_000 // sr)
+                out["energy"].append(sum((s - 128) ** 2 for s in samples))
+                out["sample_sha"].append(
+                    _h.sha256(samples.hex().encode()).hexdigest()
+                )
+            yield _pd.DataFrame(out)
+
+    return attach_wav_payload(spark, sf_dir).mapInPandas(_decode, schema=schema)
+
+
 def attach_jpeg_payload(
     spark: SparkSession, sf_dir: str, side: int = 16
 ) -> DataFrame:
@@ -553,6 +671,139 @@ def attach_jpeg_payload(
             )
 
     return docs.mapInPandas(_encode, schema=schema)
+
+
+def attach_mjpeg_payload(
+    spark: SparkSession, sf_dir: str, n_frames: int = 4, side: int = 16
+) -> DataFrame:
+    """Manufacture REAL motion-JPEG clips: a length-prefixed container
+    (``b"MJPG"`` magic, frame count, per-frame byte lengths — the
+    simplified shape of an AVI ``movi`` list) holding ``n_frames``
+    genuine baseline JPEGs from ``jpeg_codec``. Frame ``f``'s 2×2
+    uniform 8×8 blocks take their source values from md5 digest bytes
+    ``4f..4f+3``, so four frames walk all 16 digest bytes and every
+    frame's decoded raster has the same closed-form integer oracle as
+    ``multimodal_jpeg_decode``. Arrow-batched, self-contained closure."""
+    from ..functions.jpeg_codec import jpeg_encode
+
+    if side % 8:
+        raise ValueError("side must be a multiple of 8")
+    nblk = side // 8
+    if n_frames * nblk * nblk > 16:
+        raise ValueError("md5 supplies at most 16 block bytes across frames")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+            StructField("modality", StringType()),
+        ]
+    )
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # self-contained closure: jpeg_encode captured BY VALUE
+        import hashlib as _h
+        import struct as _st
+
+        import pandas as _pd
+
+        enc, s, nb, nf = jpeg_encode, side, nblk, n_frames
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                d = _h.md5(t.encode()).digest()
+                frames = []
+                for f in range(nf):
+                    px = bytearray(s * s)
+                    for by in range(nb):
+                        for bx in range(nb):
+                            v = d[f * nb * nb + by * nb + bx]
+                            for y in range(8):
+                                base = (by * 8 + y) * s + bx * 8
+                                for x in range(8):
+                                    px[base + x] = v
+                    frames.append(enc(bytes(px), s, s))
+                head = b"MJPG" + _st.pack("<I", nf)
+                head += b"".join(_st.pack("<I", len(fr)) for fr in frames)
+                payloads.append(head + b"".join(frames))
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "modality": "video/x-motion-jpeg",
+                }
+            )
+
+    return docs.mapInPandas(_encode, schema=schema)
+
+
+def multimodal_mjpeg_frame_sample(
+    spark: SparkSession, sf_dir: str, every: int = 2
+) -> DataFrame:
+    """END-TO-END video-container query: frame-SAMPLE each document's
+    motion-JPEG clip (``attach_mjpeg_payload``) — parse the
+    length-prefixed container, decode ONLY every ``every``-th frame
+    through the REAL baseline-JPEG decoder, skip the rest by seeking —
+    and emit per sampled frame the decoded raster facts (dims, buffer
+    length, sha256 of the lowercase-hex transport).
+
+    This is the brief's video frame-sampling operator on honest terms:
+    the container parse and the per-frame decode are real; only the
+    codec zoo (H.264 etc.) is out of sandbox scope. Skipping unsampled
+    frames without decoding them is the exact production I/O pattern
+    (seek by frame index, decode 1/k of the bytes). The DuckDB oracle
+    walks the sampled frames' md5 block bytes through the same
+    closed-form lossy chain as ``multimodal_jpeg_decode``, so a wrong
+    frame offset, a mis-sampled index, or one bad decoded byte all
+    break the hash compare."""
+    from ..functions.jpeg_codec import jpeg_decode
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("frame_idx", LongType()),
+            StructField("width", LongType()),
+            StructField("height", LongType()),
+            StructField("n_px_bytes", LongType()),
+            StructField("pixel_sha", StringType()),
+        ]
+    )
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # self-contained closure: jpeg_decode captured by value
+        import hashlib as _h
+        import struct as _st
+
+        import pandas as _pd
+
+        dec, k = jpeg_decode, every
+        for pdf in batches:
+            out = {c: [] for c in (
+                "doc_id", "frame_idx", "width", "height",
+                "n_px_bytes", "pixel_sha",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                if buf[:4] != b"MJPG":
+                    raise ValueError("not an MJPG container")
+                (nf,) = _st.unpack("<I", buf[4:8])
+                lens = _st.unpack(f"<{nf}I", buf[8 : 8 + 4 * nf])
+                off = 8 + 4 * nf
+                for f in range(nf):
+                    if f % k == 0:  # decode sampled frames only
+                        px, w, h = dec(buf[off : off + lens[f]])
+                        out["doc_id"].append(doc_id)
+                        out["frame_idx"].append(f)
+                        out["width"].append(w)
+                        out["height"].append(h)
+                        out["n_px_bytes"].append(len(px))
+                        out["pixel_sha"].append(
+                            _h.sha256(px.hex().encode()).hexdigest()
+                        )
+                    off += lens[f]  # unsampled frames are seeked past
+            yield _pd.DataFrame(out)
+
+    return attach_mjpeg_payload(spark, sf_dir).mapInPandas(_sample, schema=schema)
 
 
 def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
