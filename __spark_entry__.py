@@ -485,6 +485,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_palette_png_decode": multimodal.multimodal_palette_png_decode,  # REAL color-type-3 PNG: PLTE expansion, oracle on RGB raster
         "multimodal_wav_decode": multimodal.multimodal_wav_decode,  # REAL RIFF/WAVE audio decode: chunk walk, exact energy, waveform hash
         "multimodal_mjpeg_frame_sample": multimodal.multimodal_mjpeg_frame_sample,  # video-container frame sampling: seek-skip parse + real JPEG decode of every 2nd frame
+        "bitmap_weekly_users": relational.bitmap_weekly_users,  # EXACT mergeable bitmap distinct (62-bit words, OR-merge, popcount)
+        "revenue_cusum_max": cleaning.revenue_cusum_max,  # CUSUM change-point locator, denominator-cleared exact integers
+        "mann_whitney_u": cleaning.mann_whitney_u,  # rank-sum test, doubled midranks keep ties integral
         # --- everything below is driver-attested (r01..r05 union) ---
         "supplier_pagerank": graph.supplier_pagerank,  # fixed-point iterative graph (oracle-exact)
         "max_concurrent_sessions": relational.max_concurrent_sessions,
@@ -3666,6 +3669,67 @@ SELECT doc_id,
          || repeat(repeat({_jhex(2)}, 8) || repeat({_jhex(3)}, 8), 8)
        ) AS pixel_sha
 FROM p3
+"""
+
+    # exact bitmap distinct rollup: the oracle is the plain distinct
+    # count — the whole 62-bit-word sketch path must reproduce it
+    d["bitmap_weekly_users"] = """
+SELECT CAST(date_trunc('week', ts) AS DATE) AS week_start,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1
+"""
+
+    # CUSUM change-point: |N*S_k - k*S_N| in cleared-denominator integer
+    # form; HUGEINT products, BIGINT transport (headroom to ~sf10000)
+    d["revenue_cusum_max"] = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS rev
+  FROM orders GROUP BY 1
+), cum AS (
+  SELECT day, SUM(rev) OVER (ORDER BY day) AS s_k,
+         ROW_NUMBER() OVER (ORDER BY day) AS k
+  FROM daily
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(rev) AS BIGINT) AS s_n
+  FROM daily
+)
+SELECT day,
+       CAST(ABS(CAST(n_days AS HUGEINT) * CAST(s_k AS HUGEINT)
+                - CAST(k AS HUGEINT) * CAST(s_n AS HUGEINT)) AS BIGINT)
+         AS dev_scaled
+FROM cum CROSS JOIN tot
+ORDER BY dev_scaled DESC, day ASC LIMIT 5
+"""
+
+    # Mann-Whitney rank-sum: doubled midranks (2*avg = 2*cum_end-cnt+1)
+    # keep tie handling integral; identical leaf-aggregate-first shape
+    d["mann_whitney_u"] = """
+WITH tagged AS (
+  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_b
+  FROM events WHERE event_type IN ('click', 'purchase')
+), pv AS (
+  SELECT c, CAST(SUM(is_a) AS BIGINT) AS da,
+         CAST(SUM(is_b) AS BIGINT) AS db
+  FROM tagged GROUP BY c
+), rk AS (
+  SELECT da, db, da + db AS cnt,
+         SUM(da + db) OVER (ORDER BY c) AS cum_end
+  FROM pv
+), s AS (
+  SELECT CAST(SUM(da) AS BIGINT) AS n_a, CAST(SUM(db) AS BIGINT) AS n_b,
+         CAST(SUM(da * (2 * cum_end - cnt + 1)) AS BIGINT) AS two_r_a,
+         CAST(SUM(db * (2 * cum_end - cnt + 1)) AS BIGINT) AS two_r_b
+  FROM rk
+)
+SELECT n_a, n_b,
+       CAST(two_r_a - n_a * (n_a + 1) AS BIGINT) AS u2x_a,
+       CAST(two_r_b - n_b * (n_b + 1) AS BIGINT) AS u2x_b
+FROM s
 """
 
     # real AUDIO-codec decode (round 6): the WAV fixture's samples are

@@ -1501,3 +1501,43 @@ def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_gain"
         ),
     )
+
+
+def bitmap_weekly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct-user weekly rollup via mergeable BITMAP sketches —
+    the production alternative to HLL when exactness is required
+    (``hll_union_weekly_users`` is the approximate twin): each (day,
+    word) row holds a 62-bit word of the day's user bitmap (bit ``
+    user_id % 62`` of word ``user_id / 62``), daily bitmaps OR-merge
+    into weekly ones, and popcount recovers the EXACT weekly distinct
+    count. This is the roaring-bitmap warehouse pattern in pure SQL:
+    the daily sketch table is tiny (|users|/62 words per day), rollups
+    at any grain are associative ORs of it (never a re-scan of events),
+    and unlike countDistinct the merge is decomposable, so map-side
+    partial aggregation does most of the work. 62 bits per BIGINT word
+    keeps every shift non-negative (no sign-bit edge case on either
+    engine).
+
+    Oracle = plain ``COUNT(DISTINCT user_id)`` per week: the whole
+    sketch path must reproduce the exact answer."""
+    events = read_table(spark, sf_dir, "events")
+    days = events.select(
+        F.to_date(F.date_trunc("week", F.col("ts"))).alias("week_start"),
+        F.to_date("ts").alias("day"),
+        (F.col("user_id") / 62).cast("long").alias("word_idx"),
+        # SQL shiftleft: the bit-count operand must be a column here,
+        # which the python F.shiftleft wrapper only takes as a literal
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 62 AS INT))").alias(
+            "bit"
+        ),
+    )
+    daily = days.groupBy("week_start", "day", "word_idx").agg(
+        F.bit_or("bit").alias("word")
+    )
+    weekly = daily.groupBy("week_start", "word_idx").agg(
+        F.bit_or("word").alias("word")
+    )
+    return (
+        weekly.groupBy("week_start")
+        .agg(F.sum(F.bit_count("word")).cast("long").alias("n_users"))
+    )
