@@ -488,6 +488,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitmap_weekly_users": relational.bitmap_weekly_users,  # EXACT mergeable bitmap distinct (62-bit words, OR-merge, popcount)
         "revenue_cusum_max": cleaning.revenue_cusum_max,  # CUSUM change-point locator, denominator-cleared exact integers
         "mann_whitney_u": cleaning.mann_whitney_u,  # rank-sum test, doubled midranks keep ties integral
+        "bigram_collocations": text.bigram_collocations,  # PMI-core lift ranking, log dropped for the exact rational
+        "source_vocab_jaccard": text.source_vocab_jaccard,  # pairwise source vocabulary overlap (token-join, never doc pairs)
+        "simpson_token_diversity": text.simpson_token_diversity,  # Gini-Simpson 1-Σp² — the exact-rational diversity index
+        "top_keywords_per_doc": text.top_keywords_per_doc,  # tf/df keyword extraction, per-doc windows
         # --- everything below is driver-attested (r01..r05 union) ---
         "supplier_pagerank": graph.supplier_pagerank,  # fixed-point iterative graph (oracle-exact)
         "max_concurrent_sessions": relational.max_concurrent_sessions,
@@ -3730,6 +3734,97 @@ SELECT n_a, n_b,
        CAST(two_r_a - n_a * (n_a + 1) AS BIGINT) AS u2x_a,
        CAST(two_r_b - n_b * (n_b + 1) AS BIGINT) AS u2x_b
 FROM s
+"""
+
+    # collocation lift: exact rational PMI core, one monotone IEEE
+    # division as the ranking key, (tx, ty) total tie-break
+    d["bigram_collocations"] = """
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+toks AS (
+  SELECT token FROM (SELECT unnest(toks) AS token FROM docs) WHERE token <> ''
+),
+uni AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY token),
+total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM toks),
+bi_raw AS (
+  SELECT unnest(list_transform(range(1, len(toks)),
+                               i -> {'tx': toks[i], 'ty': toks[i + 1]})) AS p
+  FROM docs
+),
+bi AS (
+  SELECT p.tx AS tx, p.ty AS ty, CAST(COUNT(*) AS BIGINT) AS n_xy
+  FROM bi_raw WHERE p.tx <> '' AND p.ty <> ''
+  GROUP BY 1, 2 HAVING COUNT(*) >= 5
+)
+SELECT tx, ty, n_xy, ux.n AS n_x, uy.n AS n_y,
+       CAST(n_xy * n_total AS DOUBLE) / CAST(ux.n * uy.n AS DOUBLE) AS lift
+FROM bi JOIN uni ux ON bi.tx = ux.token
+        JOIN uni uy ON bi.ty = uy.token
+        CROSS JOIN total
+ORDER BY lift DESC, tx ASC, ty ASC LIMIT 25
+"""
+
+    # pairwise source vocabulary Jaccard (token-level set overlap)
+    d["source_vocab_jaccard"] = """
+WITH st AS (
+  SELECT DISTINCT source, token FROM (
+    SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+  ) WHERE token <> ''
+),
+sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab FROM st GROUP BY source),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM st a JOIN st b ON a.token = b.token AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, n_inter, va.vocab AS vocab_a, vb.vocab AS vocab_b,
+       CAST(n_inter AS DOUBLE)
+         / CAST(va.vocab + vb.vocab - n_inter AS DOUBLE) AS jaccard
+FROM inter JOIN sizes va ON inter.src_a = va.source
+           JOIN sizes vb ON inter.src_b = vb.source
+"""
+
+    # Gini-Simpson diversity: (N² - Σn²)/N², exact integers + one division
+    d["simpson_token_diversity"] = """
+WITH toks AS (
+  SELECT source, token FROM (
+    SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+  ) WHERE token <> ''
+),
+counts AS (
+  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY 1, 2
+),
+per AS (
+  SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens,
+         CAST(SUM(CAST(n AS HUGEINT) * CAST(n AS HUGEINT)) AS BIGINT) AS sum_sq
+  FROM counts GROUP BY source
+)
+SELECT source, n_tokens, sum_sq,
+       CAST(CAST(n_tokens AS HUGEINT) * CAST(n_tokens AS HUGEINT) - sum_sq
+            AS DOUBLE)
+         / CAST(CAST(n_tokens AS HUGEINT) * CAST(n_tokens AS HUGEINT)
+                AS DOUBLE) AS simpson
+FROM per
+"""
+
+    # tf/df keyword extraction: per-doc row_number over the monotone
+    # IEEE-division key with token tie-break
+    d["top_keywords_per_doc"] = """
+WITH toks AS (
+  SELECT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+  ) WHERE token <> ''
+),
+tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+),
+dfx AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token)
+SELECT doc_id, CAST(rank AS INTEGER) AS rank, token, tf, df FROM (
+  SELECT t.doc_id, t.token, t.tf, d.df,
+         ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                            ORDER BY CAST(t.tf AS DOUBLE) / CAST(d.df AS DOUBLE)
+                                     DESC, t.token ASC) AS rank
+  FROM tf t JOIN dfx d ON t.token = d.token
+) WHERE rank <= 3
 """
 
     # real AUDIO-codec decode (round 6): the WAV fixture's samples are

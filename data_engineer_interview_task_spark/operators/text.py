@@ -761,3 +761,193 @@ def bm25_doc_rank(
         .orderBy(F.col("score_fp").desc(), F.col("doc_id").asc())
         .limit(k)
     )
+
+
+def bigram_collocations(
+    spark: SparkSession, sf_dir: str, k: int = 25, min_count: int = 5
+) -> DataFrame:
+    """Collocation mining: the ``k`` adjacent token pairs whose observed
+    frequency most exceeds independence — PMI-style association ranked
+    by the exact rational lift ``n_xy * N / (n_x * n_y)`` (the argument
+    of PMI's log; log dropped exactly like ``bm25_doc_rank`` drops it —
+    same ordering, no transcendental). The ranking key is ONE correctly
+    -rounded IEEE division of exact BIGINTs — monotone rounding keeps
+    the rational order, and (token_x, token_y) breaks any double-level
+    tie identically on both engines.
+
+    Plan: bigrams come from an index-transform over the materialized
+    token array (single pass, codegen — no self-join on position);
+    unigram and bigram counts are partial-aggregated; the three count
+    tables meet in broadcast joins (vocabulary-sized); top-k is
+    TakeOrdered, never a full sort."""
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "toks", F.split(F.col("text"), " ")
+    )
+    toks = docs.select(
+        "doc_id", F.explode(F.col("toks")).alias("token")
+    ).filter(F.col("token") != "")
+    uni = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    # adjacent pairs via one index transform over the token array
+    bi = (
+        docs.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(toks[i - 1] AS tx, toks[i] AS ty))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.tx").alias("tx"), F.col("p.ty").alias("ty"))
+        .filter((F.col("tx") != "") & (F.col("ty") != ""))
+        .groupBy("tx", "ty")
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+        .filter(F.col("n_xy") >= min_count)
+    )
+    nx = uni.select(F.col("token").alias("tx"), F.col("n").alias("n_x"))
+    ny = uni.select(F.col("token").alias("ty"), F.col("n").alias("n_y"))
+    scored = (
+        bi.join(F.broadcast(nx), "tx")
+        .join(F.broadcast(ny), "ty")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "tx",
+            "ty",
+            "n_xy",
+            "n_x",
+            "n_y",
+            (
+                (F.col("n_xy") * F.col("n_total")).cast("double")
+                / (F.col("n_x") * F.col("n_y")).cast("double")
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.col("lift").desc(), F.col("tx").asc(), F.col("ty").asc()
+    ).limit(k)
+
+
+def source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary overlap between sources: Jaccard similarity
+    of the distinct-token sets of every source pair — the corpus-mix
+    diagnostic that tells a curation pass which sources are redundant
+    vocabulary-wise. Exact integers (intersection / set sizes) plus one
+    IEEE division for the emitted coefficient.
+
+    Plan: one (source, token) DISTINCT pass over the corpus, then the
+    pair intersection is a self-join ON TOKEN (vocabulary-sized — never
+    a doc-level pair join), vocab sizes broadcast in. |sources| is
+    assumed dashboard-small (pairs = s² rows); the token join is the
+    part that scales with the corpus and it is linear in vocab."""
+    st = (
+        read_table(spark, sf_dir, "documents")
+        .select(
+            "source", F.explode(F.split(F.col("text"), " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    sizes = st.groupBy("source").agg(F.count(F.lit(1)).alias("vocab"))
+    a = st.select(F.col("source").alias("src_a"), "token")
+    b = st.select(F.col("source").alias("src_b"), "token")
+    inter = (
+        a.join(b, "token")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    va = sizes.select(F.col("source").alias("src_a"), F.col("vocab").alias("vocab_a"))
+    vb = sizes.select(F.col("source").alias("src_b"), F.col("vocab").alias("vocab_b"))
+    return (
+        inter.join(F.broadcast(va), "src_a")
+        .join(F.broadcast(vb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_inter",
+            "vocab_a",
+            "vocab_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("vocab_a") + F.col("vocab_b") - F.col("n_inter")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+    )
+
+
+def simpson_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical diversity as the Gini-Simpson index
+    ``1 - Σp_i²`` — the diversity metric that stays EXACT-rational where
+    Shannon entropy's logs cannot be made bit-stable: with integer token
+    counts, ``1 - Σn_i²/N² = (N² - Σn_i²)/N²`` is one IEEE division of
+    exact integers. High index = diverse vocabulary use; a source
+    collapsing toward one token drives it to 0 — the cheap template/spam
+    source detector.
+
+    Counts aggregate map-side per (source, token); products go through
+    DECIMAL(38,0) before summation (BIGINT n² is safe to ~3e9
+    occurrences of one token per source; the decimal ladder removes the
+    ceiling), with BIGINT transport for the emitted sums."""
+    toks = (
+        read_table(spark, sf_dir, "documents")
+        .select(
+            "source", F.explode(F.split(F.col("text"), " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+    )
+    counts = toks.groupBy("source", "token").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    per_src = counts.groupBy("source").agg(
+        F.sum("n").alias("n_tokens"),
+        F.sum(d38(F.col("n")) * d38(F.col("n"))).cast("long").alias("sum_sq"),
+    )
+    n2 = d38(F.col("n_tokens")) * d38(F.col("n_tokens"))
+    return per_src.select(
+        "source",
+        "n_tokens",
+        "sum_sq",
+        (
+            (n2 - F.col("sum_sq")).cast("double") / n2.cast("double")
+        ).alias("simpson"),
+    )
+
+
+def top_keywords_per_doc(
+    spark: SparkSession, sf_dir: str, k: int = 3
+) -> DataFrame:
+    """Keyword extraction: each document's ``k`` most tf-idf-distinctive
+    tokens. The idf log is dropped for its exact rational core (ranking
+    by ``tf/df`` — ``tf * N/df`` differs per doc only by the constant N,
+    same order): the per-doc ranking key is one IEEE division of exact
+    integers with a total (key DESC, token ASC) tie-break, so the
+    extracted keyword set is bit-deterministic.
+
+    Plan: one explode pass feeds both the (doc, token) tf counts and
+    the document-frequency table; df broadcasts (vocabulary-sized); the
+    per-doc top-k is a row_number window partitioned BY DOC — embarras-
+    singly parallel, no global sort anywhere."""
+    from pyspark.sql import Window
+
+    toks = (
+        read_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_tab = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        (F.col("tf").cast("double") / F.col("df").cast("double")).desc(),
+        F.col("token").asc(),
+    )
+    return (
+        tf.join(F.broadcast(df_tab), "token")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", F.col("rank").cast("int").alias("rank"), "token", "tf", "df")
+    )
