@@ -492,6 +492,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_vocab_jaccard": text.source_vocab_jaccard,  # pairwise source vocabulary overlap (token-join, never doc pairs)
         "simpson_token_diversity": text.simpson_token_diversity,  # Gini-Simpson 1-Σp² — the exact-rational diversity index
         "top_keywords_per_doc": text.top_keywords_per_doc,  # tf/df keyword extraction, per-doc windows
+        "table_profile": maintenance.table_profile,  # one-pass ANALYZE: nulls/distinct/min/max per column, long-format
+        "customer_order_streaks": relational.customer_order_streaks,  # gaps-and-islands longest consecutive-month run
+        "weekly_seasonal_mae": relational.weekly_seasonal_mae,  # seasonal-naive forecast error, exact cents
+        "customer_balance_band_pairs": extended.customer_balance_band_pairs,  # |a-b|<=δ band self-join via bucket+neighbor probe
+        "dpp_partitioned_rollup": maintenance.dpp_partitioned_rollup,  # dynamic partition pruning over the day-partitioned artifact
         # --- everything below is driver-attested (r01..r05 union) ---
         "supplier_pagerank": graph.supplier_pagerank,  # fixed-point iterative graph (oracle-exact)
         "max_concurrent_sessions": relational.max_concurrent_sessions,
@@ -3734,6 +3739,103 @@ SELECT n_a, n_b,
        CAST(two_r_a - n_a * (n_a + 1) AS BIGINT) AS u2x_a,
        CAST(two_r_b - n_b * (n_b + 1) AS BIGINT) AS u2x_b
 FROM s
+"""
+
+    # one-pass column profile: native-type min/max stringified through
+    # engine-stable casts (decimal two-places, date)
+    _prof_cols = [
+        ("o_orderkey", "o_orderkey", True),
+        ("o_custkey", "o_custkey", True),
+        ("o_orderstatus", "o_orderstatus", False),
+        ("o_totalprice", "CAST(o_totalprice AS DECIMAL(18,2))", True),
+        ("o_orderdate", "CAST(o_orderdate AS DATE)", True),
+        ("o_orderpriority", "o_orderpriority", False),
+    ]
+    d["table_profile"] = "\nUNION ALL\n".join(
+        f"""SELECT '{name}' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT({expr}) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT {expr}) AS BIGINT) AS n_distinct,
+       {'CAST(MIN(' + expr + ') AS VARCHAR)' if cast else 'MIN(' + expr + ')'} AS min_val,
+       {'CAST(MAX(' + expr + ') AS VARCHAR)' if cast else 'MAX(' + expr + ')'} AS max_val
+FROM orders"""
+        for name, expr, cast in _prof_cols
+    )
+
+    # gaps-and-islands: idx - dense_rank island key, total tie-breaks
+    d["customer_order_streaks"] = """
+WITH months AS (
+  SELECT DISTINCT o_custkey,
+         CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS m_idx
+  FROM orders
+), isl AS (
+  SELECT o_custkey, m_idx,
+         m_idx - DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY m_idx)
+           AS island
+  FROM months
+), runs AS (
+  SELECT o_custkey, island, CAST(COUNT(*) AS BIGINT) AS run_len,
+         CAST(MIN(m_idx) AS BIGINT) AS start_idx
+  FROM isl GROUP BY 1, 2
+), best AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                 ORDER BY run_len DESC, start_idx ASC) AS rn
+    FROM runs
+  ) WHERE rn = 1
+), tot AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_active_months
+  FROM months GROUP BY 1
+)
+SELECT b.o_custkey AS custkey, t.n_active_months, b.run_len AS longest_streak,
+       CAST(b.start_idx // 12 AS BIGINT) AS streak_start_year,
+       CAST(b.start_idx % 12 + 1 AS BIGINT) AS streak_start_month
+FROM best b JOIN tot t ON b.o_custkey = t.o_custkey
+"""
+
+    # seasonal-naive baseline: self-join on day-7 (sparse-safe), exact
+    # cents error total, one IEEE division
+    d["weekly_seasonal_mae"] = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+), pred AS (
+  SELECT event_type, day + 7 AS day, v AS v_pred FROM daily
+)
+SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(ABS(d.v - p.v_pred)) AS BIGINT) AS total_abs_err,
+       CAST(SUM(ABS(d.v - p.v_pred)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS mae_cents
+FROM daily d JOIN pred p ON d.event_type = p.event_type AND d.day = p.day
+GROUP BY d.event_type
+"""
+
+    # band self-join oracle: the quadratic within-nation theta-join the
+    # bucketed form must reproduce exactly
+    d["customer_balance_band_pairs"] = """
+WITH s AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM customer
+)
+SELECT a.c_nationkey AS nation, a.c_custkey AS key_a, b.c_custkey AS key_b,
+       CAST(a.cents - b.cents AS BIGINT) AS diff_cents
+FROM s a JOIN s b
+  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+WHERE ABS(a.cents - b.cents) <= 10000
+"""
+
+    # dynamic-partition-pruning rollup: oracle is the plain filtered
+    # aggregate (the join against the filtered calendar dim is identity
+    # on these days)
+    d["dpp_partitioned_rollup"] = """
+SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS BIGINT) AS total_cents
+FROM events
+WHERE date_trunc('week', CAST(ts AS DATE)) = DATE '2024-01-15'
+GROUP BY 1
 """
 
     # collocation lift: exact rational PMI core, one monotone IEEE

@@ -1593,3 +1593,52 @@ def trimmed_mean_order_value(
             "trimmed_mean"
         ),
     )
+
+
+def customer_balance_band_pairs(
+    spark: SparkSession, sf_dir: str, delta_cents: int = 10000
+) -> DataFrame:
+    """BAND self-join: pairs of same-nation customers whose account
+    balances differ by at most ``delta_cents`` — the |a-b| <= δ join
+    class (fraud twins, near-duplicate accounts) that naive SQL writes
+    as a quadratic theta-join. Here it is BUCKETED: each balance maps to
+    bucket ``floor(cents/δ)`` (offset to dodge negative-division
+    truncation), the probe side explodes to its 3 adjacent buckets, and
+    the equi-join on (nation, bucket) touches only candidates — a pair
+    within δ differs by at most one bucket, so each true pair meets in
+    EXACTLY one (bucket, offset) cell: no post-dedup needed, and the
+    shuffle is an ordinary hash join at any scale. Oracle = the
+    quadratic within-nation theta-join (same nation blocks)."""
+    sup = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_nationkey").alias("nkey"),
+        (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    # +10^9 keeps the dividend positive: BIGINT DIV truncates toward
+    # zero, which would make bucket boundaries asymmetric around 0
+    bucket = F.expr(f"(cents + 1000000000) DIV {delta_cents}")
+    left = sup.select(
+        F.col("key").alias("key_a"),
+        F.col("nkey").alias("nation"),
+        F.col("cents").alias("cents_a"),
+        bucket.alias("b"),
+    )
+    right = sup.select(
+        F.col("key").alias("key_b"),
+        F.col("nkey").alias("nation"),
+        F.col("cents").alias("cents_b"),
+        F.explode(F.array(bucket - 1, bucket, bucket + 1)).alias("b"),
+    )
+    return (
+        left.join(right, ["nation", "b"])
+        .filter(
+            (F.col("key_a") < F.col("key_b"))
+            & (F.abs(F.col("cents_a") - F.col("cents_b")) <= delta_cents)
+        )
+        .select(
+            "nation",
+            "key_a",
+            "key_b",
+            (F.col("cents_a") - F.col("cents_b")).alias("diff_cents"),
+        )
+    )

@@ -675,3 +675,120 @@ def gdpr_erasure_audit(
         audit("events", events, F.col("user_id") % user_mod == 0)
     )
     return out
+
+
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profile of ``orders`` — the warehouse ``ANALYZE``
+    analog every migration/audit runs first: per column, row count, null
+    count, exact distinct count, min and max. All six columns profile in
+    a SINGLE aggregate pass (Spark expands the multi-column DISTINCTs
+    into one Expand + partial aggregation — still one scan), then the
+    wide 1-row result unpivots to the long (column, stats) shape.
+
+    Cross-engine transport: min/max are emitted as strings through
+    engine-stable casts — BIGINTs directly, o_totalprice through
+    DECIMAL(18,2) (both engines print two fixed decimals), o_orderdate
+    through DATE — never raw DOUBLE/TIMESTAMP formatting, which
+    differs between engines."""
+    orders = read_table(spark, sf_dir, "orders")
+    # (normalized native expr, result->string transport): min/max run on
+    # the NATIVE ordering (numeric/date, not lexicographic) and only the
+    # RESULT is stringified through an engine-stable cast
+    ident = lambda c: c  # noqa: E731
+    as_str = lambda c: c.cast("string")  # noqa: E731
+    cols = {
+        "o_orderkey": (F.col("o_orderkey"), as_str),
+        "o_custkey": (F.col("o_custkey"), as_str),
+        "o_orderstatus": (F.col("o_orderstatus"), ident),
+        "o_totalprice": (F.col("o_totalprice").cast("decimal(18,2)"), as_str),
+        "o_orderdate": (F.to_date("o_orderdate"), as_str),
+        "o_orderpriority": (F.col("o_orderpriority"), ident),
+    }
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for name, (expr, out) in cols.items():
+        aggs += [
+            F.count(expr).alias(f"{name}__nn"),
+            F.countDistinct(expr).alias(f"{name}__nd"),
+            out(F.min(expr)).alias(f"{name}__mn"),
+            out(F.max(expr)).alias(f"{name}__mx"),
+        ]
+    wide = orders.select(
+        *[e.alias(n) for n, (e, _) in cols.items()]
+    ).agg(*aggs)
+    stack_args = ", ".join(
+        f"'{n}', {n}__nn, {n}__nd, {n}__mn, {n}__mx" for n in cols
+    )
+    return wide.selectExpr(
+        "n_rows",
+        f"stack({len(cols)}, {stack_args})"
+        " AS (column_name, n_non_null, n_distinct, min_val, max_val)",
+    ).select(
+        "column_name",
+        "n_rows",
+        (F.col("n_rows") - F.col("n_non_null")).alias("n_nulls"),
+        "n_distinct",
+        "min_val",
+        "max_val",
+    )
+
+
+def _day_partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events laid out hive-partitioned BY DAY (the artifact store's
+    ``partition_by`` path) — the ingest-time layout every time-series
+    warehouse uses so that day-filtered queries prune at the directory
+    level instead of scanning the fact table."""
+    from ..plans.artifacts import materialized
+
+    def build():
+        ev = read_table(spark, sf_dir, "events")
+        return ev.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+            F.to_date("ts").alias("day"),
+        ).repartition("day")
+
+    return materialized(
+        spark,
+        ("events_by_day", sf_dir),
+        "events_by_day_",
+        build,
+        inputs=(f"{sf_dir}/events.parquet",),
+        partition_by=("day",),
+    )
+
+
+def dpp_partitioned_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC PARTITION PRUNING end-to-end: daily revenue for one ISO
+    week, computed as a join of the day-partitioned events artifact
+    against a filtered day-dimension — the filter lives on the DIM side,
+    so static pruning cannot see it; Catalyst inserts a dynamic-pruning
+    subquery on the fact scan's ``day`` partition column and only the
+    week's 7 directories are read (the plan shows
+    ``PartitionFilters: [dynamicpruning#...]`` — pinned by the plan
+    test). At 100 TB this is the difference between scanning years of
+    partitions and 7.
+
+    The dim is an independent generated calendar (so its filter cannot
+    be rewritten onto the fact statically) and broadcast; the oracle is
+    the plain filtered aggregate over raw events."""
+    fact = _day_partitioned_events(spark, sf_dir)
+    dim = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("date"), F.lit("2024-12-31").cast("date")
+            )
+        ).alias("day")
+    ).select(
+        "day", F.to_date(F.date_trunc("week", F.col("day"))).alias("week_start")
+    )
+    wk = dim.filter(F.col("week_start") == F.lit("2024-01-15").cast("date"))
+    return (
+        fact.join(wk.select("day"), "day")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("total_cents"),
+        )
+    )

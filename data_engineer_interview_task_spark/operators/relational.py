@@ -1541,3 +1541,97 @@ def bitmap_weekly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         weekly.groupBy("week_start")
         .agg(F.sum(F.bit_count("word")).cast("long").alias("n_users"))
     )
+
+
+def customer_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands per customer on the MONTH grain: the longest run
+    of consecutive calendar months with at least one order — the classic
+    retention/engagement-streak query. Pure integer month indexing
+    (year*12 + month), the textbook ``idx - dense_rank`` island key, and
+    total tie-breaks (longest first, then earliest start), so the result
+    is bit-deterministic.
+
+    Plan: orders collapse to distinct (customer, month) FIRST (map-side
+    combined — the window then runs over at most |customers| x |months|
+    rows, not |orders|); both windows partition BY CUSTOMER, so the work
+    is embarrassingly parallel with one shuffle on the customer key."""
+    orders = read_table(spark, sf_dir, "orders")
+    months = (
+        orders.select(
+            "o_custkey",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias(
+                "m_idx"
+            ),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("o_custkey").orderBy("m_idx")
+    islands = months.withColumn(
+        "island", F.col("m_idx") - F.dense_rank().over(w)
+    )
+    runs = islands.groupBy("o_custkey", "island").agg(
+        F.count(F.lit(1)).alias("run_len"), F.min("m_idx").alias("start_idx")
+    )
+    wbest = Window.partitionBy("o_custkey").orderBy(
+        F.col("run_len").desc(), F.col("start_idx").asc()
+    )
+    best = runs.withColumn("rn", F.row_number().over(wbest)).filter(
+        F.col("rn") == 1
+    )
+    totals = months.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_active_months")
+    )
+    return (
+        best.join(totals, "o_custkey")
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            "n_active_months",
+            F.col("run_len").alias("longest_streak"),
+            F.expr("start_idx DIV 12").alias("streak_start_year"),
+            (F.col("start_idx") % 12 + 1).cast("long").alias("streak_start_month"),
+        )
+    )
+
+
+def weekly_seasonal_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-quality baseline: per event type, the mean absolute error
+    of the SEASONAL-NAIVE forecast (predict each day with the value
+    7 days earlier) over the daily value series — the yardstick every
+    real forecasting model must beat, and a pure-integer one: daily sums
+    are exact cents, the error total is an exact BIGINT, and the mean is
+    one IEEE division. Prediction pairs come from a self-JOIN on
+    ``day = day - 7`` (not a row-lag: missing days must not slide the
+    season), so a sparse series scores only the days whose seasonal
+    ancestor exists."""
+    events = read_table(spark, sf_dir, "events")
+    daily = (
+        events.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").alias("v"))
+    )
+    pred = daily.select(
+        "event_type",
+        F.date_add("day", 7).alias("day"),
+        F.col("v").alias("v_pred"),
+    )
+    scored = daily.join(pred, ["event_type", "day"])
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum(F.abs(F.col("v") - F.col("v_pred"))).alias("total_abs_err"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            "total_abs_err",
+            (
+                F.col("total_abs_err").cast("double")
+                / F.col("n_days").cast("double")
+            ).alias("mae_cents"),
+        )
+    )

@@ -78,6 +78,7 @@ def materialized(
     build: Callable[[], DataFrame],
     inputs: Iterable[str] = (),
     base_dir: str | None = None,
+    partition_by: tuple[str, ...] = (),
 ) -> DataFrame:
     """A DataFrame scanning the parquet artifact for ``key``, building it
     with ``build()`` on first use (at most once per process per input
@@ -87,7 +88,9 @@ def materialized(
     ``inputs``: source paths whose fingerprints join the cache key — a
     mutated input therefore triggers a rebuild instead of serving the
     stale artifact. ``base_dir``: where artifacts land (see module
-    docstring for the resolution order)."""
+    docstring for the resolution order). ``partition_by``: hive-layout
+    the artifact on these columns, so consumers filtering/joining on
+    them get partition pruning (static or dynamic) on every scan."""
     full_key = key + tuple(input_fingerprint(p) for p in inputs)
     with _LOCK:
         path = _CACHE.get(full_key)
@@ -96,6 +99,9 @@ def materialized(
             if root:
                 os.makedirs(root, exist_ok=True)
             path = tempfile.mkdtemp(prefix=prefix, dir=root)
-            build().write.mode("overwrite").parquet(path)
+            writer = build().write.mode("overwrite")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(path)
             _CACHE[full_key] = path
     return spark.read.parquet(path)

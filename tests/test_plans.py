@@ -548,3 +548,16 @@ def test_lateral_decorrelates_to_window_not_nested_loop(spark, sf_dir):
     a = {tuple(r) for r in df.collect()}
     b = {tuple(r) for r in twin.collect()}
     assert a == b
+
+
+def test_dpp_rollup_prunes_partitions(spark, sf_dir):
+    """The day-partitioned events artifact must be pruned DYNAMICALLY by
+    the filtered calendar dim: the fact scan's PartitionFilters carries a
+    dynamicpruning subquery, never a full-partition scan."""
+    from data_engineer_interview_task_spark.operators import maintenance
+
+    df = maintenance.dpp_partitioned_rollup(spark, sf_dir)
+    plan = explain_str(df)
+    assert "dynamicpruning" in plan.lower(), plan
+    assert "PartitionFilters" in plan, plan
+    assert df.count() == 7  # exactly the ISO week's days
