@@ -189,6 +189,17 @@ def _work_dir(kind: str, sf_dir: str) -> str:
     return path
 
 
+def _streaming_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-distinct via mergeable bitmap state (bit_or of
+    62-bit words), popcount-rolled after the drain. Fully oracle-checked
+    against the plain batch COUNT(DISTINCT) per epoch-aligned week."""
+    from data_engineer_interview_task_spark.streaming import run_bitmap_distinct_once
+
+    return run_bitmap_distinct_once(
+        spark, sf_dir, _work_dir("stream_bitmap", sf_dir)
+    )
+
+
 def _streaming_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming weekly rollup run to completion (availableNow
     trigger, memory sink) and returned as a batch DataFrame. Fully
@@ -497,6 +508,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weekly_seasonal_mae": relational.weekly_seasonal_mae,  # seasonal-naive forecast error, exact cents
         "customer_balance_band_pairs": extended.customer_balance_band_pairs,  # |a-b|<=δ band self-join via bucket+neighbor probe
         "dpp_partitioned_rollup": maintenance.dpp_partitioned_rollup,  # dynamic partition pruning over the day-partitioned artifact
+        "copurchase_edge_support": graph.copurchase_edge_support,  # per-edge common-neighbor (k-truss support) over the edge artifact
+        "orders_percentile_ladder": extended.orders_percentile_ladder,  # exact order-statistic p25/50/75/90/99 per priority
+        "hhi_market_concentration": extended.hhi_market_concentration,  # Herfindahl index per region, exact rational shares
+        "json_value_histogram": relational.json_value_histogram,  # engine-side JSON path extraction + bucket histogram
+        "streaming_bitmap_distinct": _streaming_bitmap_distinct,  # streaming exact-distinct bitmap state (bit_or words)
         # --- everything below is driver-attested (r01..r05 union) ---
         "supplier_pagerank": graph.supplier_pagerank,  # fixed-point iterative graph (oracle-exact)
         "max_concurrent_sessions": relational.max_concurrent_sessions,
@@ -3836,6 +3852,94 @@ SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_events,
 FROM events
 WHERE date_trunc('week', CAST(ts AS DATE)) = DATE '2024-01-15'
 GROUP BY 1
+"""
+
+    # per-edge common-neighbor support over the same min_support=5
+    # co-purchase graph as the triangle oracle; bridges survive via the
+    # left join + zero fill
+    d["copurchase_edge_support"] = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+), und AS (
+  SELECT a.l_suppkey AS src, b.l_suppkey AS dst
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 5
+), e AS (SELECT src AS u, dst AS v FROM und WHERE src < dst),
+cn AS (
+  SELECT e.u, e.v, CAST(COUNT(*) AS BIGINT) AS support
+  FROM e JOIN und n1 ON n1.src = e.u
+         JOIN und n2 ON n2.src = e.v AND n2.dst = n1.dst
+  GROUP BY e.u, e.v
+)
+SELECT e.u, e.v, COALESCE(cn.support, 0) AS support
+FROM e LEFT JOIN cn ON e.u = cn.u AND e.v = cn.v
+ORDER BY support DESC, e.u ASC, e.v ASC LIMIT 100
+"""
+
+    # exact order-statistic percentiles: rank probe ceil(p*n/100)
+    d["orders_percentile_ladder"] = """
+WITH o AS (
+  SELECT o_orderpriority,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         o_orderkey
+  FROM orders
+), ranked AS (
+  SELECT o_orderpriority, cents,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY cents ASC, o_orderkey ASC) AS rn
+  FROM o
+), counts AS (
+  SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM o GROUP BY 1
+), ps AS (SELECT CAST(unnest([25, 50, 75, 90, 99]) AS BIGINT) AS p)
+SELECT c.o_orderpriority AS priority, p, n_orders, r.cents AS pct_value_cents
+FROM counts c CROSS JOIN ps
+JOIN ranked r ON r.o_orderpriority = c.o_orderpriority
+             AND r.rn = (p * c.n_orders + 99) // 100
+"""
+
+    # Herfindahl concentration: Σrev²/total² exact, one IEEE division
+    d["hhi_market_concentration"] = """
+WITH per_sup AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS rev
+  FROM lineitem GROUP BY 1
+), spine AS (
+  SELECT s_suppkey, r_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+), pr AS (
+  SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+         CAST(SUM(rev) AS BIGINT) AS total_cents,
+         SUM(CAST(rev AS HUGEINT) * CAST(rev AS HUGEINT)) AS sum_sq
+  FROM per_sup JOIN spine ON l_suppkey = s_suppkey GROUP BY 1
+)
+SELECT r_name AS region, n_suppliers, total_cents,
+       CAST(sum_sq AS DOUBLE)
+         / CAST(CAST(total_cents AS HUGEINT) * CAST(total_cents AS HUGEINT)
+                AS DOUBLE) AS hhi
+FROM pr
+"""
+
+    # engine-side JSON path extraction parity (get_json_object vs
+    # json_extract); missing keys land in the NULL bucket on both sides
+    d["json_value_histogram"] = """
+SELECT event_type,
+       CAST(floor(CAST(json_extract(props, '$.k') AS BIGINT) / 10)
+            AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2
+"""
+
+    # streaming bitmap sketch == plain batch distinct per epoch week
+    d["streaming_bitmap_distinct"] = """
+SELECT make_timestamp((epoch_us(ts) // 604800000000) * 604800000000)
+         AS week_start,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1
 """
 
     # collocation lift: exact rational PMI core, one monotone IEEE

@@ -1642,3 +1642,105 @@ def customer_balance_band_pairs(
             (F.col("cents_a") - F.col("cents_b")).alias("diff_cents"),
         )
     )
+
+
+def orders_percentile_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile ladder (p25/50/75/90/99) of order value per
+    priority class, as ORDER STATISTICS: the pN value is the cents value
+    at 1-based rank ``ceil(p*n/100)`` — the discrete definition that
+    needs no interpolation and is therefore bit-identical across engines
+    (percentile_cont's linear interpolation is float arithmetic and
+    engine-ordering-sensitive; the repo rule is exact integers).
+
+    Plan: one row_number window per priority partition (embarrassingly
+    parallel), counts broadcast back, and the rank probe
+    ``rn == (p*n + 99) DIV 100`` selects exactly one row per (priority,
+    p) — a filter, not a second sort. At extreme scale swap the window
+    for the documented two-level global-numbering pattern."""
+    from pyspark.sql import Window
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("cents").asc(), F.col("o_orderkey").asc()
+    )
+    ranked = orders.withColumn("rn", F.row_number().over(w)).select(
+        F.col("o_orderpriority").alias("r_priority"), "cents", "rn"
+    )
+    counts = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    ps = spark.createDataFrame([(25,), (50,), (75,), (90,), (99,)], "p long")
+    probes = counts.crossJoin(F.broadcast(ps)).select(
+        F.col("o_orderpriority").alias("priority"),
+        "n_orders",
+        "p",
+        F.expr("(p * n_orders + 99) DIV 100").alias("target_rn"),
+    )
+    return (
+        ranked.join(
+            F.broadcast(probes),
+            (F.col("r_priority") == F.col("priority"))
+            & (F.col("rn") == F.col("target_rn")),
+        )
+        .select(
+            "priority",
+            "p",
+            "n_orders",
+            F.col("cents").alias("pct_value_cents"),
+        )
+    )
+
+
+def hhi_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman market-concentration index per region: the
+    sum of squared supplier revenue shares — the antitrust-standard
+    concentration measure, and (like ``simpson_token_diversity``, its
+    complement in spirit) exactly rational: ``Σ(rev_i/total)² =
+    Σrev_i² / total²`` is one IEEE division of exact DECIMAL(38,0)
+    integers. HHI → 1 means one supplier owns the region; → 1/n means
+    even split.
+
+    Plan: lineitem collapses to per-supplier revenue FIRST (map-side
+    combined, one shuffle on suppkey), the supplier→nation→region
+    dimension spine broadcasts onto the aggregate (never onto the fact
+    table), and the region fold is 5 rows."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    per_sup = li.groupBy("l_suppkey").agg(F.sum("cents").alias("rev"))
+    sup = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    reg = read_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    spine = (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("s_suppkey").alias("l_suppkey"), "r_name")
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    per_region = (
+        per_sup.join(F.broadcast(spine), "l_suppkey")
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum("rev").alias("total_cents"),
+            F.sum(d38(F.col("rev")) * d38(F.col("rev"))).alias("sum_sq"),
+        )
+    )
+    return per_region.select(
+        F.col("r_name").alias("region"),
+        "n_suppliers",
+        "total_cents",
+        (
+            F.col("sum_sq").cast("double")
+            / (d38(F.col("total_cents")) * d38(F.col("total_cents"))).cast("double")
+        ).alias("hhi"),
+    )

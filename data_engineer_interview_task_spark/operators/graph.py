@@ -414,3 +414,41 @@ def supplier_kcore(
     return kcore_peel(edges, k, rounds).select(
         F.col("node").alias("s_suppkey"), "degree"
     )
+
+
+def copurchase_edge_support(
+    spark: SparkSession, sf_dir: str, min_support: int = 5, k: int = 100
+) -> DataFrame:
+    """Per-EDGE triangle support: for each co-purchase edge (u < v), the
+    number of common neighbors |N(u) ∩ N(v)| — the quantity k-truss
+    decomposition peels on and the classic "how embedded is this
+    relationship" feature (an edge with many common neighbors is
+    community-internal; support 0 is a bridge). Top-``k`` edges by
+    support with the (support DESC, u, v) total order.
+
+    Plan: scans the materialized edge artifact three times (the edge
+    list IS the working set — never the fact table): once for the u<v
+    edge set, twice as the symmetric adjacency whose equi-join on the
+    far endpoint enumerates common neighbors. Bridge edges (zero
+    common neighbors) survive via the left join + zero fill."""
+    ed = _cached_edges(spark, sf_dir, min_support)
+    und = (
+        ed.filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    )
+    n1 = ed.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    n2 = ed.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    cn = (
+        und.join(n1, "u")
+        .join(n2, ["v", "w"])
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    return (
+        und.join(cn, ["u", "v"], "left_outer")
+        .select(
+            "u", "v", F.coalesce(F.col("support"), F.lit(0)).alias("support")
+        )
+        .orderBy(F.col("support").desc(), F.col("u").asc(), F.col("v").asc())
+        .limit(k)
+    )

@@ -1635,3 +1635,24 @@ def weekly_seasonal_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mae_cents"),
         )
     )
+
+
+def json_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured profiling: parse the ``props`` JSON column, pull
+    the numeric ``$.k`` field, and histogram it per event type in
+    width-10 buckets — the schema-on-read pass every event pipeline runs
+    over its property bags. JSON path extraction happens ENGINE-SIDE in
+    both systems (Spark ``get_json_object`` / DuckDB ``json_extract``),
+    so the parse itself is part of the cross-engine contract; rows whose
+    ``k`` is missing or non-numeric land in a NULL bucket rather than
+    being silently dropped. One narrow projection + one partial-agg
+    shuffle of bucket keys."""
+    events = read_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        events.select(
+            "event_type", F.floor(k / 10).cast("long").alias("bucket")
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

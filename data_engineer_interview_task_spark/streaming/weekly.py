@@ -156,3 +156,65 @@ def run_weekly_rollup_once(
     )
     q.awaitTermination()
     return drain_memory_sink(spark, sink)
+
+
+def bitmap_distinct_stream(
+    spark: SparkSession, source_dir: str, watermark: str = "14 days"
+) -> DataFrame:
+    """Streaming EXACT-distinct sketch: per (week, 62-bit word index),
+    the OR of user bits — the streaming twin of the batch
+    ``bitmap_weekly_users`` sketch table. ``bit_or`` is a decomposable
+    aggregate, so the state per (week, word) key is ONE long and updates
+    are idempotent ORs; the watermark finalizes old weeks exactly like
+    the count rollup. The popcount ROLLUP of the emitted sketch is a
+    batch fold over the aggregate-sized sink (the sketch table IS the
+    streaming result; any grain rollup of it is a client-side OR)."""
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(source_dir)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", "7 days"),
+            (F.col("user_id") / 62).cast("long").alias("word_idx"),
+        )
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 62 AS INT))")
+            ).alias("word")
+        )
+        .select(F.col("window.start").alias("week_start"), "word_idx", "word")
+    )
+
+
+def run_bitmap_distinct_once(
+    spark: SparkSession, sf_dir: str, work_dir: str
+) -> DataFrame:
+    """availableNow harness for the streaming bitmap sketch: run the
+    stream to completion, then popcount-roll the drained sketch to the
+    exact weekly distinct-user counts. Oracle = the plain batch
+    ``COUNT(DISTINCT user_id)`` — stream state, sketch merge and final
+    fold must all be exact for the compare to pass.
+
+    NOTE: the week grain here is the stream's epoch-aligned 7-day
+    tumbling window (same as ``weekly_rollup_stream``), not ISO weeks —
+    the oracle mirrors the epoch arithmetic."""
+    from ..sources import read_table
+
+    prep_session(spark)
+    src = f"{work_dir}/events_src"
+    read_table(spark, sf_dir, "events").write.mode("overwrite").parquet(src)
+    sink = f"mem_bitmap_{uuid.uuid4().hex[:8]}"
+    q = (
+        bitmap_distinct_stream(spark, src)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", f"{work_dir}/ckpt_{sink}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sketch = drain_memory_sink(spark, sink)
+    return (
+        sketch.groupBy("week_start")
+        .agg(F.sum(F.bit_count("word")).cast("long").alias("n_users"))
+    )
