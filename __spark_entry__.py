@@ -513,6 +513,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hhi_market_concentration": extended.hhi_market_concentration,  # Herfindahl index per region, exact rational shares
         "json_value_histogram": relational.json_value_histogram,  # engine-side JSON path extraction + bucket histogram
         "streaming_bitmap_distinct": _streaming_bitmap_distinct,  # streaming exact-distinct bitmap state (bit_or words)
+        "checksum_replica_diff": maintenance.checksum_replica_diff,  # anti-entropy localization: differing buckets + corrupt counts
+        "weekly_user_overlap": relational.weekly_user_overlap,  # bitmap AND/AND-NOT set algebra: returning/churned/new exact
+        "supplier_label_propagation": graph.supplier_label_propagation,  # min-label k-round communities (unrolled, oracle-exact)
+        "lsh_tuning_report": dedup.lsh_tuning_report,  # banding S-curve cost dry-run: buckets + candidate pairs per (b,r)
+        "embedding_pq_codes": similarity.embedding_pq_codes,  # product-quantization 2-subspace code assignment
         # --- everything below is driver-attested (r01..r05 union) ---
         "supplier_pagerank": graph.supplier_pagerank,  # fixed-point iterative graph (oracle-exact)
         "max_concurrent_sessions": relational.max_concurrent_sessions,
@@ -3852,6 +3857,189 @@ SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_events,
 FROM events
 WHERE date_trunc('week', CAST(ts AS DATE)) = DATE '2024-01-15'
 GROUP BY 1
+"""
+
+    # LSH banding tuning report: reuse the minhash CTE chain's `sig`
+    # table; per config, band-key arms + occupancy counts (the chain's
+    # own lsh_pairs tail goes unreferenced and is pruned by the planner)
+    def _lsh_cfg(bands: int) -> str:
+        rpb = 32 // bands
+        arms = "\n  UNION ALL ".join(
+            "SELECT doc_id, {b} AS band, md5({key}) AS band_key FROM sig".format(
+                b=b,
+                key=" || '|' || ".join(
+                    f"CAST(h{b * rpb + j} AS VARCHAR)" for j in range(rpb)
+                ),
+            )
+            for b in range(bands)
+        )
+        return f"""
+arms{bands} AS (
+  {arms}
+), agg{bands} AS (
+  SELECT band, band_key, CAST(COUNT(*) AS BIGINT) AS m
+  FROM arms{bands} GROUP BY 1, 2 HAVING COUNT(*) >= 2
+), stat{bands} AS (
+  SELECT CAST({bands} AS BIGINT) AS bands,
+         CAST({rpb} AS BIGINT) AS rows_per_band,
+         CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         CAST(COALESCE(SUM(m * (m - 1) // 2), 0) AS BIGINT)
+           AS n_candidate_pairs
+  FROM agg{bands}
+)"""
+
+    d["lsh_tuning_report"] = (
+        "WITH "
+        + _minhash_ctes()
+        + ","
+        + ",".join(_lsh_cfg(b) for b in (4, 8, 16))
+        + """
+SELECT * FROM stat4
+UNION ALL SELECT * FROM stat8
+UNION ALL SELECT * FROM stat16
+"""
+    )
+
+    # product-quantization codes: the ivf centroid/argmax ladder per
+    # 32-dim half (list slices are 1-based inclusive in DuckDB)
+    _FOLD32 = _FOLD64.replace("range(64)", "range(32)")
+
+    def _pq_half(tag: str, lo: int, hi: int, code: str) -> str:
+        return f"""
+h{tag} AS (SELECT vec_id, label, embedding[{lo}:{hi}] AS sub FROM embeddings),
+cd{tag} AS (
+  SELECT label AS cell, i AS dim,
+         CAST(SUM(CAST(floor(CAST(sub[i + 1] AS DOUBLE)
+                            * 1000000000.0) AS BIGINT))
+              AS DOUBLE) / COUNT(*) / 1000000000.0 AS c
+  FROM h{tag}, (SELECT unnest(range(32)) AS i) dims
+  GROUP BY label, i
+),
+cents{tag} AS (SELECT cell, list(c ORDER BY dim ASC) AS centroid
+               FROM cd{tag} GROUP BY cell),
+sc{tag} AS (
+  SELECT vec_id, cell,
+         {_FOLD32.format(a="sub", b="centroid")}
+           / (sqrt({_FOLD32.format(a="sub", b="sub")})
+              * sqrt({_FOLD32.format(a="centroid", b="centroid")})) AS cos
+  FROM h{tag} CROSS JOIN cents{tag}
+),
+p{tag} AS (
+  SELECT vec_id, CAST(cell AS BIGINT) AS {code} FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY cos DESC, cell ASC) AS rn
+    FROM sc{tag}
+  ) WHERE rn = 1
+)"""
+
+    d["embedding_pq_codes"] = (
+        "WITH "
+        + _pq_half("a", 1, 32, "code_a")
+        + ","
+        + _pq_half("b", 33, 64, "code_b")
+        + """
+SELECT pa.vec_id, code_a, code_b
+FROM pa JOIN pb ON pa.vec_id = pb.vec_id
+"""
+    )
+
+    # anti-entropy replica diff: same BIGINT-fold checksum as
+    # table_checksum, replica corruption derived arithmetically
+    d["checksum_replica_diff"] = f"""
+WITH base AS (
+  SELECT doc_id % 32 AS bucket,
+         md5(CAST(doc_id AS VARCHAR) || '|' || md5(text)) AS hx
+  FROM documents
+), rep AS (
+  SELECT doc_id % 32 AS bucket,
+         md5(CAST(doc_id AS VARCHAR) || '|' || md5(
+           CASE WHEN doc_id % 97 = 0 THEN text || ' corrupted'
+                ELSE text END)) AS hx
+  FROM documents
+), cb AS (
+  SELECT bucket,
+         CAST(SUM({_hex_u32('hx', 1)}) % 4611686018427387904 AS BIGINT)
+           AS ck_base
+  FROM base GROUP BY bucket
+), cr AS (
+  SELECT bucket,
+         CAST(SUM({_hex_u32('hx', 1)}) % 4611686018427387904 AS BIGINT)
+           AS ck_replica
+  FROM rep GROUP BY bucket
+), corrupt AS (
+  SELECT doc_id % 32 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_corrupt
+  FROM documents WHERE doc_id % 97 = 0 GROUP BY 1
+)
+SELECT cb.bucket, ck_base, ck_replica, n_corrupt
+FROM cb JOIN cr ON cb.bucket = cr.bucket
+        JOIN corrupt ON cb.bucket = corrupt.bucket
+WHERE ck_base <> ck_replica
+"""
+
+    # bitmap set-algebra overlap == plain distinct-set arithmetic per
+    # consecutive epoch... ISO-week pair (generated Monday series)
+    d["weekly_user_overlap"] = """
+WITH wu AS (
+  SELECT DISTINCT CAST(date_trunc('week', ts) AS DATE) AS week_start,
+                  user_id
+  FROM events
+), bounds AS (SELECT MIN(week_start) AS lo, MAX(week_start) AS hi FROM wu),
+wk AS (
+  SELECT CAST(unnest(generate_series(lo, hi - 7, INTERVAL 7 DAY)) AS DATE)
+           AS week_start
+  FROM bounds
+), pairs AS (
+  SELECT wk.week_start, wu.user_id,
+         MAX(CASE WHEN wu.week_start = wk.week_start THEN 1 ELSE 0 END)
+           AS in0,
+         MAX(CASE WHEN wu.week_start = wk.week_start + 7 THEN 1 ELSE 0 END)
+           AS in1
+  FROM wk JOIN wu
+    ON wu.week_start = wk.week_start OR wu.week_start = wk.week_start + 7
+  GROUP BY 1, 2
+)
+SELECT week_start, week_start + 7 AS next_week,
+       CAST(SUM(CASE WHEN in0 = 1 AND in1 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS returning,
+       CAST(SUM(CASE WHEN in0 = 1 AND in1 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS churned,
+       CAST(SUM(CASE WHEN in0 = 0 AND in1 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS new_users
+FROM pairs GROUP BY week_start
+"""
+
+    # min-label propagation, unrolled 3 rounds (the BFS oracle pattern)
+    d["supplier_label_propagation"] = """
+WITH edges AS (
+  SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+), l0 AS (
+  SELECT s_suppkey AS node, CAST(s_suppkey AS BIGINT) AS label FROM supplier
+), l1 AS (
+  SELECT node, MIN(label) AS label FROM (
+    SELECT node, label FROM l0
+    UNION ALL
+    SELECT e.dst, r.label FROM edges e JOIN l0 r ON e.src = r.node
+  ) GROUP BY node
+), l2 AS (
+  SELECT node, MIN(label) AS label FROM (
+    SELECT node, label FROM l1
+    UNION ALL
+    SELECT e.dst, r.label FROM edges e JOIN l1 r ON e.src = r.node
+  ) GROUP BY node
+), l3 AS (
+  SELECT node, MIN(label) AS label FROM (
+    SELECT node, label FROM l2
+    UNION ALL
+    SELECT e.dst, r.label FROM edges e JOIN l2 r ON e.src = r.node
+  ) GROUP BY node
+), sizes AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS community_size
+  FROM l3 GROUP BY label
+)
+SELECT l3.node AS s_suppkey, l3.label, sizes.community_size
+FROM l3 JOIN sizes ON l3.label = sizes.label
 """
 
     # per-edge common-neighbor support over the same min_support=5

@@ -1276,3 +1276,45 @@ def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_splits") >= 2)
     )
+
+
+def lsh_tuning_report(
+    spark: SparkSession,
+    sf_dir: str,
+    configs: tuple[int, ...] = (4, 8, 16),
+    num_hashes: int = 32,
+    n: int = 3,
+) -> DataFrame:
+    """LSH banding TUNING report: for each (bands, rows-per-band) split
+    of the same 32-hash MinHash signature, the number of multi-occupant
+    buckets and the total candidate-pair count Σ m·(m-1)/2 — the exact
+    cost side of the S-curve trade every LSH deployment tunes (more
+    bands = higher recall at threshold t = (1/b)^(1/r), more candidate
+    pairs to verify). Counting instead of materializing means the report
+    costs one aggregate per config over the SAME signature table — the
+    cheap dry-run you do BEFORE committing to a config at 100 TB.
+
+    All three configs share the shingle artifact and the md5 signature
+    construction, so the whole report is oracle-exact."""
+    out: DataFrame | None = None
+    for bands in configs:
+        bk = _corpus_band_keys(spark, sf_dir, n, num_hashes, bands, "md5")
+        occ = (
+            bk.groupBy("band", "band_key")
+            .agg(F.count(F.lit(1)).alias("m"))
+            .filter(F.col("m") >= 2)
+        )
+        stat = occ.agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.coalesce(
+                F.sum(F.expr("m * (m - 1) DIV 2")), F.lit(0)
+            ).cast("long").alias("n_candidate_pairs"),
+        ).select(
+            F.lit(bands).cast("long").alias("bands"),
+            F.lit(num_hashes // bands).cast("long").alias("rows_per_band"),
+            "n_buckets",
+            "n_candidate_pairs",
+        )
+        out = stat if out is None else out.unionByName(stat)
+    assert out is not None
+    return out

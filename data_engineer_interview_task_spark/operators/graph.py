@@ -452,3 +452,42 @@ def copurchase_edge_support(
         .orderBy(F.col("support").desc(), F.col("u").asc(), F.col("v").asc())
         .limit(k)
     )
+
+
+def supplier_label_propagation(
+    spark: SparkSession, sf_dir: str, rounds: int = 3
+) -> DataFrame:
+    """Min-label propagation on the co-purchase graph — the
+    deterministic community/component detector: every node starts
+    labeled with its own id and each round adopts the minimum label in
+    its closed neighborhood; after k rounds, ``label(v) = min node id
+    within k hops``, converging to connected components. Unlike
+    random-order LPA this is a total-order fold, so the result is
+    bit-deterministic and the whole traversal has an unrolled-CTE
+    oracle (same gate as BFS).
+
+    Pregel shape, statically unrolled: per round ONE equi-join
+    (labels ⋈ edges) + ONE min-aggregation, both partial-aggregated;
+    state is one row per node. Emits the label plus the member count
+    per k-hop community (via a second aggregate over the node-sized
+    label table)."""
+    edges = _cached_edges(spark, sf_dir).persist()
+    supplier = read_table(spark, sf_dir, "supplier")
+    labels = supplier.select(
+        F.col("s_suppkey").alias("node"), F.col("s_suppkey").alias("label")
+    )
+    for _ in range(rounds):
+        prop = (
+            edges.join(labels.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"), "label")
+        )
+        labels = (
+            labels.unionAll(prop).groupBy("node").agg(F.min("label").alias("label"))
+        )
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("community_size"))
+    out = labels.join(F.broadcast(sizes), "label").select(
+        F.col("node").alias("s_suppkey"), "label", "community_size"
+    )
+    out = out.localCheckpoint(eager=True)
+    edges.unpersist()
+    return out

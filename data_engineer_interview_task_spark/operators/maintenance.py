@@ -792,3 +792,51 @@ def dpp_partitioned_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").alias("total_cents"),
         )
     )
+
+
+def checksum_replica_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy in action: compare ``documents`` against a simulated
+    replica whose rows ``doc_id % 97 == 0`` were corrupted (text
+    appended), using the bucket checksums of :func:`table_checksum` —
+    the operational closure of the checksum story: equal buckets are
+    PROVEN equal without moving a row, and a mismatch localizes the
+    repair scan to 1/buckets of the table. Emits one row per DIFFERING
+    bucket with both sides' checksums and the expected corrupt-row
+    count.
+
+    The replica is derived arithmetically (same family as
+    ``merge_changeset``), so the oracle knows exactly which buckets must
+    differ: those containing a multiple of 97 — and with 32 buckets and
+    97 ≡ 1 (mod 32), corrupt ids sweep ALL residues, so at driver scale
+    every bucket differs; the per-bucket corrupt counts still pin the
+    localization arithmetic exactly."""
+    docs = read_table(spark, sf_dir, "documents")
+    replica = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 97 == 0, F.concat(F.col("text"), F.lit(" corrupted"))
+        ).otherwise(F.col("text")),
+    )
+
+    def fold(df: DataFrame, side: str) -> DataFrame:
+        bucket, _, rh = _row_hash_u32(32)
+        return (
+            df.select(bucket, rh)
+            .groupBy("bucket")
+            .agg(
+                F.pmod(F.sum("rh"), F.lit(2**62)).cast("long").alias(f"ck_{side}")
+            )
+        )
+
+    corrupt = (
+        docs.filter(F.col("doc_id") % 97 == 0)
+        .groupBy((F.col("doc_id") % 32).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_corrupt"))
+    )
+    return (
+        fold(docs, "base")
+        .join(fold(replica, "replica"), "bucket")
+        .filter(F.col("ck_base") != F.col("ck_replica"))
+        .join(corrupt, "bucket")
+        .select("bucket", "ck_base", "ck_replica", "n_corrupt")
+    )

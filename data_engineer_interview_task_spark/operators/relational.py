@@ -1656,3 +1656,61 @@ def json_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def weekly_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week RETURNING users via bitmap set-intersection: the
+    popcount of ``week_bitmap AND prev_week_bitmap`` — the second half
+    of the mergeable-bitmap story (``bitmap_weekly_users`` is the union
+    side): ANY set algebra over user populations (retention, overlap,
+    churn) becomes word-wise bit ops over the tiny sketch table, never a
+    re-scan or self-join of events. Emits per week-pair the returning /
+    new / churned exact counts.
+
+    Oracle = the plain distinct-set arithmetic per consecutive-week
+    pair; every word-level AND must reproduce it exactly."""
+    events = read_table(spark, sf_dir, "events")
+    weekly = (
+        events.select(
+            F.to_date(F.date_trunc("week", F.col("ts"))).alias("week_start"),
+            (F.col("user_id") / 62).cast("long").alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 62 AS INT))").alias(
+                "bit"
+            ),
+        )
+        .groupBy("week_start", "word_idx")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+    nxt = weekly.select(
+        F.date_add("week_start", -7).alias("week_start"),
+        "word_idx",
+        F.col("word").alias("word_next"),
+    )
+    joined = weekly.join(nxt, ["week_start", "word_idx"], "full_outer").select(
+        "week_start",
+        F.coalesce(F.col("word"), F.lit(0)).alias("w0"),
+        F.coalesce(F.col("word_next"), F.lit(0)).alias("w1"),
+    )
+    # drop the synthetic rows full_outer creates past the series edges
+    bounds = weekly.agg(
+        F.min("week_start").alias("lo"), F.max("week_start").alias("hi")
+    )
+    joined = joined.crossJoin(F.broadcast(bounds)).filter(
+        (F.col("week_start") >= F.col("lo"))
+        & (F.date_add(F.col("week_start"), 7) <= F.col("hi"))
+    )
+    return (
+        joined.groupBy("week_start")
+        .agg(
+            F.sum(F.bit_count(F.expr("w0 & w1"))).cast("long").alias("returning"),
+            F.sum(F.bit_count(F.expr("w0 & ~w1"))).cast("long").alias("churned"),
+            F.sum(F.bit_count(F.expr("~w0 & w1"))).cast("long").alias("new_users"),
+        )
+        .select(
+            "week_start",
+            F.date_add("week_start", 7).alias("next_week"),
+            "returning",
+            "churned",
+            "new_users",
+        )
+    )

@@ -778,3 +778,45 @@ def knn_label_vote_ivf(
             "n_votes",
         )
     )
+
+
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCT QUANTIZATION assignment: split each 64-dim embedding into
+    two 32-dim subvectors and code each half against its own per-label
+    fixed-point centroid codebook (argmax cosine, total tie-break) — the
+    memory-compression layout behind every billion-scale ANN system: a
+    vector stores as two small codes instead of 64 floats, and distances
+    against the codebooks come from two table lookups. The codebook here
+    is the per-label half-centroid table (the same deterministic
+    fixed-point construction as ``ivf_index_build``), so the WHOLE
+    assignment is oracle-exact rather than a recall bound.
+
+    Plan: one posexplode-mean pass per half builds the codebooks
+    (aggregate-sized, broadcast); assignment is a broadcast cross-join +
+    per-vector argmax window — a single scan of the embedding table per
+    half, no shuffle of the big side."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    codes = None
+    for half, name in ((0, "code_a"), (1, "code_b")):
+        sub = emb.select(
+            "vec_id",
+            "label",
+            F.slice("embedding", 1 + 32 * half, 32).alias("embedding"),
+        )
+        cents = _ivf_centroids(sub)
+        scored = sub.crossJoin(F.broadcast(cents)).select(
+            "vec_id",
+            "cell",
+            cosine_expr(F.col("embedding"), F.col("centroid")).alias("cos"),
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("cos").desc(), F.col("cell").asc()
+        )
+        pick = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", F.col("cell").cast("long").alias(name))
+        )
+        codes = pick if codes is None else codes.join(pick, "vec_id")
+    assert codes is not None
+    return codes
