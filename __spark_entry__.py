@@ -518,6 +518,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_label_propagation": graph.supplier_label_propagation,  # min-label k-round communities (unrolled, oracle-exact)
         "lsh_tuning_report": dedup.lsh_tuning_report,  # banding S-curve cost dry-run: buckets + candidate pairs per (b,r)
         "embedding_pq_codes": similarity.embedding_pq_codes,  # product-quantization 2-subspace code assignment
+        "join_cardinality_estimate": maintenance.join_cardinality_estimate,  # exact join costing from per-side key aggregates
+        "copurchase_degree_histogram": graph.copurchase_degree_histogram,  # log2-binned degree distribution (bit-length bins)
+        "cv_fold_assignment": sampling.cv_fold_assignment,  # deterministic md5 k-fold split + per-fold audit
+        "split_label_drift": sampling.split_label_drift,  # total-variation source drift per split, exact-rational
+        "event_type_pivot": relational.event_type_pivot,  # native PIVOT to the wide weekly event matrix
+        "bloom_membership_audit": maintenance.bloom_membership_audit,  # real Bloom filter, exact fill/hit/false-positive counts
+        "bootstrap_mean_ci": cleaning.bootstrap_mean_ci,  # md5-deterministic bootstrap CI, order-statistic bounds
+        "daily_lag_correlation": cleaning.daily_lag_correlation,  # lead/lag Pearson r, exact moments + IEEE sqrt tail
         # --- everything below is driver-attested (r01..r05 union) ---
         "supplier_pagerank": graph.supplier_pagerank,  # fixed-point iterative graph (oracle-exact)
         "max_concurrent_sessions": relational.max_concurrent_sessions,
@@ -5229,6 +5237,225 @@ SELECT event_type,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
        CAST(COUNT(*) AS BIGINT) AS n_touches
 FROM u GROUP BY event_type
+"""
+
+    # join costing from per-side key aggregates (never the join itself);
+    # HUGEINT products mirror the engine's DECIMAL(38,0) pre-casts
+    def _join_card(lt: str, lk: str, rt: str, rk: str, name: str) -> str:
+        return f"""
+SELECT '{name}' AS join_name,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM {lt}) AS n_left,
+       (SELECT CAST(COUNT(DISTINCT {lk}) AS BIGINT) FROM {lt}) AS ndv_left,
+       (SELECT CAST(MAX(c) AS BIGINT) FROM
+          (SELECT COUNT(*) AS c FROM {lt} GROUP BY {lk})) AS max_left_per_key,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM {rt}) AS n_right,
+       (SELECT CAST(COUNT(DISTINCT {rk}) AS BIGINT) FROM {rt}) AS ndv_right,
+       (SELECT CAST(MAX(c) AS BIGINT) FROM
+          (SELECT COUNT(*) AS c FROM {rt} GROUP BY {rk})) AS max_right_per_key,
+       (SELECT CAST(COALESCE(SUM(CAST(nl AS HUGEINT) * CAST(nr AS HUGEINT)), 0)
+               AS BIGINT)
+        FROM (SELECT {lk} AS k, COUNT(*) AS nl FROM {lt} GROUP BY 1) la
+        JOIN (SELECT {rk} AS k, COUNT(*) AS nr FROM {rt} GROUP BY 1) ra
+          ON la.k = ra.k) AS inner_join_rows
+"""
+
+    d["join_cardinality_estimate"] = (
+        _join_card("customer", "c_custkey", "orders", "o_custkey", "customer_orders")
+        + " UNION ALL "
+        + _join_card(
+            "orders", "o_orderkey", "lineitem", "l_orderkey", "orders_lineitem"
+        )
+    )
+
+    # bit-length bins: length(bin(d)) - 1 == floor(log2(d)) exactly
+    d["copurchase_degree_histogram"] = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+), edges AS (
+  SELECT a.l_suppkey AS src, b.l_suppkey AS dst
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 5
+), deg AS (
+  SELECT src, CAST(COUNT(*) AS BIGINT) AS degree FROM edges GROUP BY src
+)
+SELECT CAST(length(bin(degree)) - 1 AS BIGINT) AS bin,
+       CAST(2 ** (length(bin(degree)) - 1) AS BIGINT) AS bin_lo_degree,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       MIN(degree) AS min_degree,
+       MAX(degree) AS max_degree
+FROM deg GROUP BY 1, 2
+"""
+
+    d["cv_fold_assignment"] = f"""
+SELECT {_hex_u32('md5(CAST(doc_id AS VARCHAR))', 1)} % 5 AS fold,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+FROM documents GROUP BY 1
+"""
+
+    # TV distance |n·M - m·N| summed in HUGEINT, ONE final IEEE division
+    d["split_label_drift"] = """
+WITH lab AS (
+  SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc'
+                THEN 'train'
+              WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+                THEN 'val'
+              ELSE 'test' END AS split,
+         source
+  FROM documents
+), cell AS (
+  SELECT split, source, CAST(COUNT(*) AS BIGINT) AS n FROM lab GROUP BY 1, 2
+), marg AS (SELECT source, SUM(n) AS m FROM cell GROUP BY 1),
+sn AS (SELECT split, SUM(n) AS n_split FROM cell GROUP BY 1),
+tot AS (SELECT SUM(m) AS m_total FROM marg),
+grid AS (
+  SELECT sn.split, sn.n_split, marg.source, marg.m,
+         COALESCE(cell.n, 0) AS n
+  FROM sn CROSS JOIN marg
+  LEFT JOIN cell ON cell.split = sn.split AND cell.source = marg.source
+)
+SELECT split, CAST(n_split AS BIGINT) AS n_docs,
+       CAST(SUM(abs(CAST(n AS HUGEINT) * CAST(m_total AS HUGEINT)
+                    - CAST(m AS HUGEINT) * CAST(n_split AS HUGEINT)))
+            AS DOUBLE)
+         / CAST(2 * CAST(n_split AS HUGEINT) * CAST(m_total AS HUGEINT)
+                AS DOUBLE) AS tv_distance
+FROM grid CROSS JOIN tot GROUP BY split, n_split, m_total
+"""
+
+    d["event_type_pivot"] = """
+SELECT CAST(date_trunc('week', ts) AS DATE) AS week_start,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_click,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_error,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_signup,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_view
+FROM events GROUP BY 1
+"""
+
+    # Bloom filter: 64 words x 62 sign-safe bits, k=3 md5 positions;
+    # every count is exact because the hashes are md5 arithmetic
+    _bm = 64 * 62
+    _bpos = " UNION ALL ".join(
+        f"SELECT c_custkey, ({_hex_u32('hx', 1 + 8 * i)}) % {_bm} AS pos FROM mh"
+        for i in range(3)
+    )
+    _bprobe = " UNION ALL ".join(
+        f"SELECT key, ({_hex_u32('hx', 1 + 8 * i)}) % {_bm} AS pos FROM ph"
+        for i in range(3)
+    )
+    d["bloom_membership_audit"] = f"""
+WITH members AS (SELECT c_custkey FROM customer WHERE c_acctbal < 0),
+mh AS (SELECT c_custkey, md5(CAST(c_custkey AS VARCHAR)) AS hx FROM members),
+pos AS ({_bpos}),
+words AS (
+  SELECT pos // 62 AS word_idx,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % 62 AS INT)) AS word
+  FROM pos GROUP BY 1
+),
+probes AS (SELECT DISTINCT o_custkey AS key FROM orders),
+ph AS (SELECT key, md5(CAST(key AS VARCHAR)) AS hx FROM probes),
+parm AS ({_bprobe}),
+checked AS (
+  SELECT key,
+         CASE WHEN (word >> CAST(pos % 62 AS INT)) & 1 = 1 THEN 1 ELSE 0 END
+           AS hit
+  FROM parm LEFT JOIN words ON words.word_idx = parm.pos // 62
+),
+verd AS (SELECT key, MIN(hit) AS all_hit FROM checked GROUP BY key),
+lab AS (
+  SELECT v.key, v.all_hit,
+         CASE WHEN m.c_custkey IS NULL THEN 0 ELSE 1 END AS is_member
+  FROM verd v LEFT JOIN members m ON m.c_custkey = v.key
+),
+fill AS (SELECT SUM(bit_count(word)) AS n_bits_set FROM words)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+       CAST(SUM(is_member) AS BIGINT) AS n_true_members,
+       CAST(SUM(all_hit) AS BIGINT) AS n_bloom_hits,
+       CAST(SUM(CASE WHEN all_hit = 1 AND is_member = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_positives,
+       CAST((SELECT n_bits_set FROM fill) AS BIGINT) AS n_bits_set
+FROM lab
+"""
+
+    # bootstrap: draw (b,i) -> index md5(b|i) % n; CI = order statistics
+    # rank 5/195 of the 200 resample means (ceil(q*B), no interpolation)
+    d["bootstrap_mean_ci"] = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+idx AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY day ASC) - 1 AS idx, cents FROM daily
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM idx),
+draws AS (
+  SELECT b, i,
+         md5(CAST(b AS VARCHAR) || '|' || CAST(i AS VARCHAR)) AS hx
+  FROM (SELECT unnest(range(200)) AS b),
+       (SELECT unnest(range((SELECT n FROM nn))) AS i)
+),
+means AS (
+  SELECT b,
+         CAST(SUM(v.cents) AS DOUBLE) / CAST((SELECT n FROM nn) AS DOUBLE)
+           AS mean_cents
+  FROM (SELECT b, ({_hex_u32('hx', 1)}) % (SELECT n FROM nn) AS sidx
+        FROM draws) dr
+  JOIN idx v ON v.idx = dr.sidx
+  GROUP BY b
+),
+ranked AS (
+  SELECT mean_cents,
+         ROW_NUMBER() OVER (ORDER BY mean_cents ASC, b ASC) AS rn
+  FROM means
+)
+SELECT (SELECT n FROM nn) AS n_days,
+       CAST(200 AS BIGINT) AS n_resamples,
+       (SELECT CAST(SUM(cents) AS DOUBLE) / COUNT(*) FROM daily) AS mean_cents,
+       (SELECT mean_cents FROM ranked WHERE rn = 5) AS ci_lo,
+       (SELECT mean_cents FROM ranked WHERE rn = 195) AS ci_hi
+"""
+
+    # lead/lag Pearson r: exact HUGEINT moments, IEEE sqrt tail mirrored
+    d["daily_lag_correlation"] = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                       THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+lags AS (SELECT CAST(unnest(range(-3, 4)) AS INT) AS lag),
+grid AS (
+  SELECT l.lag, a.x AS xa, b.y AS yb
+  FROM daily a CROSS JOIN lags l
+  JOIN daily b ON b.day = a.day + l.lag
+),
+mom AS (
+  SELECT lag, CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(CAST(xa AS HUGEINT)) AS sx,
+         SUM(CAST(yb AS HUGEINT)) AS sy,
+         SUM(CAST(xa AS HUGEINT) * CAST(yb AS HUGEINT)) AS sxy,
+         SUM(CAST(xa AS HUGEINT) * CAST(xa AS HUGEINT)) AS sxx,
+         SUM(CAST(yb AS HUGEINT) * CAST(yb AS HUGEINT)) AS syy
+  FROM grid GROUP BY lag
+)
+SELECT CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n_days,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                  * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0.0) AS pearson_r
+FROM mom
 """
 
     return d

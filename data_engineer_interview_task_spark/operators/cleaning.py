@@ -13,7 +13,7 @@ interpreted, so every inline subexpression multiplies.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources import read_table
@@ -639,4 +639,137 @@ def mann_whitney_u(
         "n_b",
         (F.col("two_r_a") - F.col("n_a") * (F.col("n_a") + 1)).alias("u2x_a"),
         (F.col("two_r_b") - F.col("n_b") * (F.col("n_b") + 1)).alias("u2x_b"),
+    )
+
+
+def daily_lag_correlation(
+    spark: SparkSession, sf_dir: str, max_lag: int = 3
+) -> DataFrame:
+    """Cross-correlation between two daily series at lags −3..+3: does
+    click volume LEAD purchase value (positive-lag correlation) or lag
+    it? — the lead/lag screen run before building any causal story from
+    dashboards. Pearson r per lag via the exact-moment formulation
+    (`grouped_linear_trend`'s pattern): all five moments (Σx, Σy, Σxy,
+    Σx², Σy²) are sums of DECIMAL(38,0) products of exact integers
+    (counts and cents), and the only floats are the final
+    sqrt/multiply/divide — op-mirrored in the oracle, and IEEE sqrt is
+    correctly rounded, so the doubles match bitwise.
+
+    The daily frame is aggregate-sized (one row per day), so the
+    lag-shifted self-join is a few-hundred-row broadcast join, not a
+    corpus operation."""
+    events = read_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    daily = (
+        events.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .alias("x"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", cents).otherwise(0)
+            ).alias("y"),
+        )
+    )
+    lags = spark.range(-max_lag, max_lag + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = daily.select("day", F.col("x").alias("xa"))
+    b = daily.select(F.col("day").alias("day_b"), F.col("y").alias("yb"))
+    grid = a.crossJoin(F.broadcast(lags)).join(
+        F.broadcast(b), F.expr("day_b = date_add(day, lag)")
+    )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")
+    moments = grid.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d38("xa")).alias("sx"),
+        F.sum(d38("yb")).alias("sy"),
+        F.sum(d38("xa") * d38("yb")).alias("sxy"),
+        F.sum(d38("xa") * d38("xa")).alias("sxx"),
+        F.sum(d38("yb") * d38("yb")).alias("syy"),
+    )
+    n38 = F.col("n").cast("decimal(38,0)")
+    num = (n38 * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    varx = (n38 * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vary = (n38 * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return moments.select(
+        "lag",
+        F.col("n").cast("long").alias("n_days"),
+        (num / F.nullif(F.sqrt(varx) * F.sqrt(vary), F.lit(0.0))).alias(
+            "pearson_r"
+        ),
+    )
+
+
+def bootstrap_mean_ci(
+    spark: SparkSession, sf_dir: str, n_resamples: int = 200
+) -> DataFrame:
+    """Bootstrap confidence interval for the mean daily order revenue —
+    resampling inference made RERUN-STABLE: draw ``B`` resamples of the
+    n-day series where draw (b, i) picks index ``md5(b|i) % n`` (the
+    md5-uniform trick of `priority_sample_topk` — no RNG state, any
+    engine replays the exact draws), average each resample, and read the
+    2.5%/97.5% order statistics off the B means (rank ``ceil(q·B)``, no
+    interpolation). Each resample mean is ONE IEEE division of an exact
+    BIGINT cents sum, and the CI bounds are picked by (mean, b) total
+    order — bit-identical cross-engine.
+
+    Scale shape: the daily frame is aggregate-sized, so the B×n resample
+    grid (~500k rows here, linear in B·days) joins it BROADCAST; nothing
+    corpus-sized is touched after the first aggregate."""
+    orders = read_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+            ).alias("cents")
+        )
+    )
+    w = Window.orderBy(F.col("day").asc())
+    indexed = daily.select(
+        (F.row_number().over(w) - 1).alias("idx"), "cents"
+    ).localCheckpoint(eager=True)
+    n = indexed.count()
+    bs = spark.range(n_resamples).select(F.col("id").alias("b"))
+    draws = bs.crossJoin(spark.range(n).select(F.col("id").alias("i")))
+    sidx = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.col("b"), F.col("i"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n
+    )
+    means = (
+        draws.select("b", sidx.alias("idx"))
+        .join(F.broadcast(indexed), "idx")
+        .groupBy("b")
+        .agg((F.sum("cents").cast("double") / F.lit(float(n))).alias("mean_cents"))
+    )
+    wm = Window.orderBy(F.col("mean_cents").asc(), F.col("b").asc())
+    ranked = means.withColumn("rn", F.row_number().over(wm))
+    lo_rank = (25 * n_resamples + 999) // 1000
+    hi_rank = (975 * n_resamples + 999) // 1000
+    point = daily.agg(
+        (F.sum("cents").cast("double") / F.count(F.lit(1))).alias("mean_cents"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    lo = ranked.filter(F.col("rn") == lo_rank).select(
+        F.col("mean_cents").alias("ci_lo")
+    )
+    hi = ranked.filter(F.col("rn") == hi_rank).select(
+        F.col("mean_cents").alias("ci_hi")
+    )
+    return (
+        point.crossJoin(lo)
+        .crossJoin(hi)
+        .select(
+            F.col("n_days").cast("long").alias("n_days"),
+            F.lit(n_resamples).cast("long").alias("n_resamples"),
+            "mean_cents",
+            "ci_lo",
+            "ci_hi",
+        )
     )

@@ -491,3 +491,45 @@ def supplier_label_propagation(
     out = out.localCheckpoint(eager=True)
     edges.unpersist()
     return out
+
+
+def copurchase_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log₂-binned DEGREE DISTRIBUTION of the co-purchase graph — the
+    first diagnostic anyone plots on a graph (power-law tail? densifying
+    core?), and the input to choosing the ``min_support`` sparsification
+    knob. The bin index is the exact bit length of the degree
+    (``length(bin(d)) - 1``) rather than ``floor(log2(d))``, so no float
+    touches an integer boundary — a degree of exactly 2^k bins
+    identically on any engine.
+
+    Plan: one count per src over the symmetric edge artifact (the graph
+    is stored both directions, so out-degree == degree), then a
+    bin-sized second aggregate. Both shuffles are key-partitioned and
+    partial-aggregated; the histogram is O(log max_degree) rows. Runs on
+    the ``min_support=5`` sparsified graph — the RAW co-purchase graph
+    is ~91% complete, so every raw degree shares one bit length and the
+    histogram degenerates to a single bin; the support-thresholded graph
+    is the one whose shape the knob decision actually needs."""
+    edges = _cached_edges(spark, sf_dir, min_support=5)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    return (
+        deg.select(
+            (F.length(F.expr("bin(degree)")) - 1).cast("long").alias("bin"),
+            "degree",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("degree").alias("min_degree"),
+            F.max("degree").alias("max_degree"),
+        )
+        .select(
+            "bin",
+            F.expr("CAST(shiftleft(1L, CAST(bin AS INT)) AS BIGINT)").alias(
+                "bin_lo_degree"
+            ),
+            "n_nodes",
+            "min_degree",
+            "max_degree",
+        )
+    )

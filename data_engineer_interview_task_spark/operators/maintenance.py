@@ -840,3 +840,160 @@ def checksum_replica_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(corrupt, "bucket")
         .select("bucket", "ck_base", "ck_replica", "n_corrupt")
     )
+
+
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The query-planner primitive behind every join-strategy decision,
+    run as a QUERY: for each registered join (customer⋈orders on custkey,
+    orders⋈lineitem on orderkey), compute from per-side KEY AGGREGATES —
+    never executing the join itself — the exact inner-join output
+    cardinality ``Σ_k n_l(k)·n_r(k)``, each side's row count, distinct
+    key count, and maximum per-key multiplicity (the skew indicator that
+    decides salting). At 100 TB this is how you price a join before
+    running it: two key-partitioned partial aggregates produce
+    aggregate-sized frames, and the costing join is between THOSE, not
+    the fact tables.
+
+    Products are cast to DECIMAL(38,0) before multiplying (BIGINT
+    m·n wraps near 2^63 at extreme multiplicities — the bm25 lesson);
+    the emitted cardinality is BIGINT transport."""
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    lineitem = read_table(spark, sf_dir, "lineitem")
+
+    def estimate(
+        left: DataFrame, lkey: str, right: DataFrame, rkey: str, name: str
+    ) -> DataFrame:
+        la = left.groupBy(F.col(lkey).alias("k")).agg(
+            F.count(F.lit(1)).alias("nl")
+        )
+        ra = right.groupBy(F.col(rkey).alias("k")).agg(
+            F.count(F.lit(1)).alias("nr")
+        )
+        lstat = la.agg(
+            F.sum("nl").alias("n_left"),
+            F.count(F.lit(1)).alias("ndv_left"),
+            F.max("nl").alias("max_left_per_key"),
+        )
+        rstat = ra.agg(
+            F.sum("nr").alias("n_right"),
+            F.count(F.lit(1)).alias("ndv_right"),
+            F.max("nr").alias("max_right_per_key"),
+        )
+        card = la.join(ra, "k").agg(
+            F.coalesce(
+                F.sum(
+                    F.col("nl").cast("decimal(38,0)")
+                    * F.col("nr").cast("decimal(38,0)")
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("inner_join_rows")
+        )
+        return (
+            lstat.crossJoin(rstat)
+            .crossJoin(card)
+            .select(
+                F.lit(name).alias("join_name"),
+                "n_left",
+                "ndv_left",
+                "max_left_per_key",
+                "n_right",
+                "ndv_right",
+                "max_right_per_key",
+                "inner_join_rows",
+            )
+        )
+
+    return estimate(
+        customer, "c_custkey", orders, "o_custkey", "customer_orders"
+    ).unionAll(
+        estimate(orders, "o_orderkey", lineitem, "l_orderkey", "orders_lineitem")
+    )
+
+
+def bloom_membership_audit(
+    spark: SparkSession, sf_dir: str, n_hashes: int = 3
+) -> DataFrame:
+    """Build a REAL Bloom filter and MEASURE it exactly: the member set is
+    the negative-balance customers, the filter is 3968 bits (64 words ×
+    62 usable bits — the repo's sign-safe word convention) with ``k=3``
+    md5-derived bit positions per key, and the probe set is every
+    customer with at least one order. Because the hash positions are md5
+    arithmetic, the whole construction is deterministic, so the usually-
+    probabilistic quantities — bits set, hit count, FALSE-POSITIVE count
+    (hits that are not members; Bloom filters admit no false negatives,
+    which the oracle's equality implicitly re-proves) — are exact
+    cross-engine facts, not estimates.
+
+    Scale shape: the filter build is a 64-row ``bit_or`` aggregate (the
+    mergeable-bitmap pattern again); probes join the BROADCAST word
+    table on word index — one scan of each input, no corpus shuffle."""
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    m_bits = 64 * 62
+
+    def positions(key_col):
+        md = F.md5(key_col.cast("string"))
+        return [
+            F.conv(F.substring(md, 1 + 8 * i, 8), 16, 10).cast("long") % m_bits
+            for i in range(n_hashes)
+        ]
+
+    members = customer.filter(F.col("c_acctbal") < 0).select("c_custkey")
+    arms = members.select(
+        F.explode(F.array(*positions(F.col("c_custkey")))).alias("pos")
+    )
+    words = (
+        arms.select(
+            (F.col("pos") / 62).cast("long").alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 62 AS INT))").alias(
+                "bit"
+            ),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+    probes = orders.select(F.col("o_custkey").alias("key")).distinct()
+    probe_arms = probes.select(
+        "key", F.explode(F.array(*positions(F.col("key")))).alias("pos")
+    ).select(
+        "key",
+        (F.col("pos") / 62).cast("long").alias("word_idx"),
+        (F.col("pos") % 62).cast("int").alias("bit_idx"),
+    )
+    checked = probe_arms.join(F.broadcast(words), "word_idx", "left").select(
+        "key",
+        F.when(
+            F.expr("(word >> bit_idx) & 1") == 1, F.lit(1)
+        ).otherwise(F.lit(0)).alias("hit"),
+    )
+    verdicts = checked.groupBy("key").agg(
+        F.min("hit").alias("all_hit")
+    )
+    labeled = verdicts.join(
+        members.select(F.col("c_custkey").alias("key"), F.lit(1).alias("is_member")),
+        "key",
+        "left",
+    ).select("key", "all_hit", F.coalesce("is_member", F.lit(0)).alias("is_member"))
+    fill = words.agg(F.sum(F.bit_count("word")).alias("n_bits_set"))
+    return (
+        labeled.agg(
+            F.count(F.lit(1)).alias("n_probes"),
+            F.sum("is_member").alias("n_true_members"),
+            F.sum("all_hit").alias("n_bloom_hits"),
+            F.sum(
+                F.when((F.col("all_hit") == 1) & (F.col("is_member") == 0), 1)
+                .otherwise(0)
+            ).alias("n_false_positives"),
+        )
+        .crossJoin(F.broadcast(fill))
+        .select(
+            F.col("n_probes").cast("long").alias("n_probes"),
+            F.col("n_true_members").cast("long").alias("n_true_members"),
+            F.col("n_bloom_hits").cast("long").alias("n_bloom_hits"),
+            F.col("n_false_positives").cast("long").alias("n_false_positives"),
+            F.col("n_bits_set").cast("long").alias("n_bits_set"),
+        )
+    )

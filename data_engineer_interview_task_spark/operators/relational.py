@@ -1714,3 +1714,37 @@ def weekly_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_users",
         )
     )
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native PIVOT to the wide weekly event matrix: one row per week,
+    one column per event type — the long→wide inverse of the reference's
+    unpivot/melt row (`W:44-52`) and the shape every BI export wants.
+    The value list is EXPLICIT (the five known types), which is also the
+    scale rule: pivot with an inferred value list needs a distinct-scan
+    pre-pass and an unbounded column budget; pinning the list keeps the
+    plan a single partial-aggregated shuffle on week with a fixed
+    5-slot conditional aggregate per row — no second scan.
+
+    Missing (week, type) cells are exact zeros, not nulls: absence of
+    events IS a count of zero."""
+    events = read_table(spark, sf_dir, "events")
+    wide = (
+        events.select(
+            F.to_date(F.date_trunc("week", F.col("ts"))).alias("week_start"),
+            "event_type",
+        )
+        .groupBy("week_start")
+        .pivot("event_type", list(EVENT_TYPES))
+        .count()
+    )
+    return wide.select(
+        "week_start",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in EVENT_TYPES
+        ],
+    )

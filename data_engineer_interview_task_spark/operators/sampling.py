@@ -525,3 +525,97 @@ def priority_sample_topk(
         "w",
         F.row_number().over(wr).cast("int").alias("rk"),
     )
+
+
+def cv_fold_assignment(spark: SparkSession, sf_dir: str, folds: int = 5) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment: fold =
+    md5(doc_id) mod k — the same zero-shuffle labeling contract as
+    ``dataset_splits`` (pure function of the id: rerun-stable, engine-
+    stable, and new docs never migrate old ones between folds). Emits the
+    per-fold audit frame a training harness checks before trusting the
+    folds: document count, total characters, and distinct source count
+    (folds should look statistically interchangeable; a fold missing a
+    source signals id-correlated skew).
+
+    One scan-level projection + one fold-keyed aggregate of k rows."""
+    docs = read_table(spark, sf_dir, "documents")
+    fold = (
+        F.conv(F.substring(_sample_key(F.col("doc_id")), 1, 8), 16, 10)
+        .cast("long")
+        % folds
+    )
+    return (
+        docs.select(fold.alias("fold"), "n_chars", "source")
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+    )
+
+
+def split_label_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift audit between each train/val/test split and the
+    whole corpus: TOTAL-VARIATION distance of the source distribution,
+    ``TV = ½ Σ_s |p_split(s) − p_corpus(s)|`` — the drift metric that
+    (unlike PSI/KL) needs no logarithm, so it stays exact-rational until
+    ONE final IEEE division: each term is |n_s·M − m_s·N| with the
+    products in DECIMAL(38,0) (n·M at corpus scale wraps BIGINT), summed
+    exactly, divided once by 2·N·M. A split drawn uniformly (as the md5
+    split is) should sit near 0; TV → 1 means a split sees sources the
+    corpus elsewhere lacks.
+
+    Two aggregate-sized frames (split×source and source marginals)
+    joined and re-aggregated — nothing beyond the first pass touches
+    corpus-sized data."""
+    docs = read_table(spark, sf_dir, "documents")
+    key4 = F.substring(_sample_key(F.col("doc_id")), 1, 4)
+    split = (
+        F.when(key4 < "cccc", "train")
+        .when(key4 < "e666", "val")
+        .otherwise("test")
+    )
+    cell = (
+        docs.select(split.alias("split"), "source")
+        .groupBy("split", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    marg = cell.groupBy("source").agg(F.sum("n").alias("m"))
+    split_n = cell.groupBy("split").agg(F.sum("n").alias("n_split"))
+    total = marg.agg(F.sum("m").alias("m_total"))
+    # every source x split pair, including sources absent from a split
+    grid = split_n.crossJoin(F.broadcast(marg))
+    joined = grid.join(cell, ["split", "source"], "left").select(
+        "split",
+        "n_split",
+        "m",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+    )
+    return (
+        joined.crossJoin(F.broadcast(total))
+        .select(
+            "split",
+            "n_split",
+            F.abs(
+                F.col("n").cast("decimal(38,0)")
+                * F.col("m_total").cast("decimal(38,0)")
+                - F.col("m").cast("decimal(38,0)")
+                * F.col("n_split").cast("decimal(38,0)")
+            ).alias("num"),
+            (
+                F.lit(2).cast("decimal(38,0)")
+                * F.col("n_split").cast("decimal(38,0)")
+                * F.col("m_total").cast("decimal(38,0)")
+            ).alias("den"),
+        )
+        .groupBy("split", "n_split", "den")
+        .agg(F.sum("num").alias("num_sum"))
+        .select(
+            "split",
+            F.col("n_split").cast("long").alias("n_docs"),
+            (
+                F.col("num_sum").cast("double") / F.col("den").cast("double")
+            ).alias("tv_distance"),
+        )
+    )

@@ -109,3 +109,217 @@ def test_pq_codes_shape_and_cell_range(spark, sf_dir):
     assert all(
         r["code_a"] in label_set and r["code_b"] in label_set for r in out
     )
+
+
+def test_join_cardinality_estimate_matches_actual_join(spark, sf_dir):
+    """The 'estimate' is exact by construction: inner_join_rows must
+    equal the true count of the executed join, and the side stats must
+    re-derive from plain SQL."""
+    from data_engineer_interview_task_spark.operators import maintenance
+
+    got = {
+        r["join_name"]: r
+        for r in maintenance.join_cardinality_estimate(spark, sf_dir).collect()
+    }
+    for name, lt, lk, rt, rk in (
+        ("customer_orders", "customer", "c_custkey", "orders", "o_custkey"),
+        ("orders_lineitem", "orders", "o_orderkey", "lineitem", "l_orderkey"),
+    ):
+        actual = duckdb.sql(
+            f"SELECT COUNT(*) FROM '{sf_dir}/{lt}.parquet' l "
+            f"JOIN '{sf_dir}/{rt}.parquet' r ON l.{lk} = r.{rk}"
+        ).fetchone()[0]
+        assert got[name]["inner_join_rows"] == actual
+        assert got[name]["n_left"] >= got[name]["ndv_left"]
+        assert got[name]["max_left_per_key"] >= 1
+
+
+def test_degree_histogram_bins_are_consistent(spark, sf_dir):
+    from data_engineer_interview_task_spark.operators import graph
+
+    rows = graph.copurchase_degree_histogram(spark, sf_dir).collect()
+    n_nodes = (
+        graph._cached_edges(spark, sf_dir, min_support=5)
+        .select("src")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_nodes"] for r in rows) == n_nodes
+    for r in rows:
+        assert r["bin_lo_degree"] == 2 ** r["bin"]
+        assert r["bin_lo_degree"] <= r["min_degree"] <= r["max_degree"]
+        assert r["max_degree"] < 2 ** (r["bin"] + 1)
+
+
+def test_cv_folds_partition_the_corpus(spark, sf_dir):
+    from data_engineer_interview_task_spark.operators import sampling
+
+    rows = sampling.cv_fold_assignment(spark, sf_dir).collect()
+    total = duckdb.sql(
+        f"SELECT COUNT(*), SUM(n_chars) FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()
+    assert {r["fold"] for r in rows} <= set(range(5))
+    assert sum(r["n_docs"] for r in rows) == total[0]
+    assert sum(r["total_chars"] for r in rows) == total[1]
+
+
+def test_split_label_drift_matches_fraction_model(spark, sf_dir):
+    """Exact-rational TV replay with hashlib + Fraction."""
+    import hashlib
+    from fractions import Fraction
+
+    from data_engineer_interview_task_spark.operators import sampling
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, source FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    cells: dict = defaultdict(Counter)
+    for doc_id, source in docs:
+        k4 = hashlib.md5(str(doc_id).encode()).hexdigest()[:4]
+        split = "train" if k4 < "cccc" else ("val" if k4 < "e666" else "test")
+        cells[split][source] += 1
+    marg: Counter = Counter()
+    for c in cells.values():
+        marg.update(c)
+    m_total = sum(marg.values())
+    got = {
+        r["split"]: r
+        for r in sampling.split_label_drift(spark, sf_dir).collect()
+    }
+    for split, c in cells.items():
+        n_split = sum(c.values())
+        num = sum(
+            abs(c.get(s, 0) * m_total - m * n_split) for s, m in marg.items()
+        )
+        expect = float(num) / float(2 * n_split * m_total)
+        assert got[split]["n_docs"] == n_split
+        assert got[split]["tv_distance"] == expect
+        assert 0.0 <= got[split]["tv_distance"] <= 1.0
+
+
+def test_event_pivot_rows_sum_to_weekly_totals(spark, sf_dir):
+    from data_engineer_interview_task_spark.operators import relational
+
+    rows = relational.event_type_pivot(spark, sf_dir).collect()
+    weekly = dict(
+        duckdb.sql(
+            "SELECT CAST(date_trunc('week', ts) AS DATE), COUNT(*) "
+            f"FROM '{sf_dir}/events.parquet' GROUP BY 1"
+        ).fetchall()
+    )
+    assert len(rows) == len(weekly)
+    for r in rows:
+        total = sum(
+            r[c] for c in ("n_click", "n_error", "n_purchase", "n_signup", "n_view")
+        )
+        assert total == weekly[r["week_start"]]
+
+
+def test_bloom_audit_matches_python_replay(spark, sf_dir):
+    """Replay the entire filter with hashlib: bit positions, words, probe
+    verdicts, and all five emitted counts must match exactly."""
+    import hashlib
+
+    from data_engineer_interview_task_spark.operators import maintenance
+
+    members = {
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT c_custkey FROM '{sf_dir}/customer.parquet' "
+            "WHERE c_acctbal < 0"
+        ).fetchall()
+    }
+    probes = {
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT DISTINCT o_custkey FROM '{sf_dir}/orders.parquet'"
+        ).fetchall()
+    }
+
+    def positions(key):
+        hx = hashlib.md5(str(key).encode()).hexdigest()
+        return [int(hx[8 * i : 8 * i + 8], 16) % (64 * 62) for i in range(3)]
+
+    bits: set = set()
+    for k in members:
+        bits.update(positions(k))
+    hits = {k for k in probes if all(p in bits for p in positions(k))}
+    true_members = probes & members
+    row = maintenance.bloom_membership_audit(spark, sf_dir).collect()[0]
+    assert row["n_probes"] == len(probes)
+    assert row["n_true_members"] == len(true_members)
+    assert row["n_bloom_hits"] == len(hits)
+    assert row["n_false_positives"] == len(hits - members)
+    assert row["n_bits_set"] == len(bits)
+    assert true_members <= hits  # no false negatives
+
+
+def test_bootstrap_ci_matches_python_replay(spark, sf_dir):
+    import hashlib
+
+    from data_engineer_interview_task_spark.operators import cleaning
+
+    daily = duckdb.sql(
+        "SELECT CAST(o_orderdate AS DATE) AS day, "
+        "CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) "
+        "     AS BIGINT) AS cents "
+        f"FROM '{sf_dir}/orders.parquet' GROUP BY 1 ORDER BY day"
+    ).fetchall()
+    vals = [c for _, c in daily]
+    n = len(vals)
+    means = []
+    for b in range(200):
+        s = 0
+        for i in range(n):
+            hx = hashlib.md5(f"{b}|{i}".encode()).hexdigest()
+            s += vals[int(hx[:8], 16) % n]
+        means.append((s / n, b))
+    means.sort()
+    row = cleaning.bootstrap_mean_ci(spark, sf_dir).collect()[0]
+    assert row["n_days"] == n
+    assert row["mean_cents"] == sum(vals) / n
+    assert row["ci_lo"] == means[4][0]
+    assert row["ci_hi"] == means[194][0]
+    assert row["ci_lo"] <= row["ci_hi"]
+
+
+def test_lag_correlation_matches_python_moments(spark, sf_dir):
+    import math
+
+    from data_engineer_interview_task_spark.operators import cleaning
+
+    daily = duckdb.sql(
+        "SELECT CAST(ts AS DATE) AS day, "
+        "SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS x, "
+        "SUM(CASE WHEN event_type='purchase' "
+        "    THEN CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT) "
+        "    ELSE 0 END) AS y "
+        f"FROM '{sf_dir}/events.parquet' GROUP BY 1"
+    ).fetchall()
+    xs = {d: int(x) for d, x, _ in daily}
+    ys = {d: int(y) for d, _, y in daily}
+    from datetime import timedelta
+
+    got = {
+        r["lag"]: r for r in cleaning.daily_lag_correlation(spark, sf_dir).collect()
+    }
+    for lag in range(-3, 4):
+        pairs = [
+            (xs[d], ys[d + timedelta(days=lag)])
+            for d in xs
+            if d + timedelta(days=lag) in ys
+        ]
+        n = len(pairs)
+        sx = sum(p[0] for p in pairs)
+        sy = sum(p[1] for p in pairs)
+        sxy = sum(p[0] * p[1] for p in pairs)
+        sxx = sum(p[0] ** 2 for p in pairs)
+        syy = sum(p[1] ** 2 for p in pairs)
+        den = math.sqrt(float(n * sxx - sx * sx)) * math.sqrt(
+            float(n * syy - sy * sy)
+        )
+        expect = float(n * sxy - sx * sy) / den if den else None
+        assert got[lag]["n_days"] == n
+        assert got[lag]["pearson_r"] == expect
+        if expect is not None:
+            assert -1.0 <= got[lag]["pearson_r"] <= 1.0
