@@ -526,6 +526,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_membership_audit": maintenance.bloom_membership_audit,  # real Bloom filter, exact fill/hit/false-positive counts
         "bootstrap_mean_ci": cleaning.bootstrap_mean_ci,  # md5-deterministic bootstrap CI, order-statistic bounds
         "daily_lag_correlation": cleaning.daily_lag_correlation,  # lead/lag Pearson r, exact moments + IEEE sqrt tail
+        "temporal_backtest_splits": sampling.temporal_backtest_splits,  # expanding-window time-series CV boundaries
+        "quantile_normalize_per_source": sampling.quantile_normalize_per_source,  # rank-map lengths onto the global distribution
+        "data_expectations_report": maintenance.data_expectations_report,  # declarative data-contract battery, exact violation counts
         # --- everything below is driver-attested (r01..r05 union) ---
         "supplier_pagerank": graph.supplier_pagerank,  # fixed-point iterative graph (oracle-exact)
         "max_concurrent_sessions": relational.max_concurrent_sessions,
@@ -5456,6 +5459,81 @@ SELECT CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n_days,
          / nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
                   * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0.0) AS pearson_r
 FROM mom
+"""
+
+    # expanding-window CV: integer day-boundary arithmetic both engines
+    d["temporal_backtest_splits"] = """
+WITH o AS (SELECT CAST(o_orderdate AS DATE) AS day FROM orders),
+b AS (SELECT MIN(day) AS lo,
+             date_diff('day', MIN(day), MAX(day)) AS span FROM o),
+folds AS (SELECT CAST(unnest(range(1, 5)) AS INT) AS fold),
+grid AS (
+  SELECT fold,
+         lo + CAST(span * fold // 5 AS INT) AS train_end,
+         lo + CAST(span * (fold + 1) // 5 AS INT) AS test_end
+  FROM b CROSS JOIN folds
+)
+SELECT fold, train_end, test_end,
+       CAST(SUM(CASE WHEN day <= train_end THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_train,
+       CAST(SUM(CASE WHEN day > train_end AND day <= test_end
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+FROM o CROSS JOIN grid GROUP BY 1, 2, 3
+"""
+
+    # rank-map each source's lengths onto the global order statistics
+    d["quantile_normalize_per_source"] = """
+WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+nt AS (SELECT COUNT(*) AS n FROM d),
+ps AS (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars ASC, doc_id ASC) AS r
+  FROM d
+),
+sn AS (SELECT source, COUNT(*) AS n_src FROM d GROUP BY 1),
+g AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY n_chars ASC, doc_id ASC) AS g_rank,
+         n_chars AS g_chars
+  FROM d
+)
+SELECT ps.doc_id, ps.source, ps.n_chars, g.g_chars AS normalized_chars
+FROM ps JOIN sn USING (source)
+JOIN g ON g.g_rank = (ps.r * (SELECT n FROM nt) + sn.n_src - 1) // sn.n_src
+"""
+
+    d["data_expectations_report"] = """
+SELECT 'order_totalprice_positive' AS "check",
+       CAST(SUM(CASE WHEN CAST(o_totalprice AS DECIMAL(18,2)) <= 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+FROM orders
+UNION ALL
+SELECT 'order_status_in_domain',
+       CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                     THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'order_date_in_range',
+       CAST(SUM(CASE WHEN CAST(o_orderdate AS DATE) < DATE '1990-01-01'
+                       OR CAST(o_orderdate AS DATE) > DATE '2005-12-31'
+                     THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'order_keys_not_null',
+       CAST(SUM(CASE WHEN o_orderkey IS NULL OR o_custkey IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'order_key_unique',
+       CAST(COALESCE((SELECT SUM(c - 1) FROM (
+         SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey
+         HAVING COUNT(*) > 1)), 0) AS BIGINT)
+UNION ALL
+SELECT 'lineitem_fk_to_orders',
+       CAST(COALESCE((SELECT SUM(c) FROM (
+         SELECT l_orderkey, COUNT(*) AS c FROM lineitem GROUP BY 1) li
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_orderkey = li.l_orderkey)), 0) AS BIGINT)
 """
 
     return d

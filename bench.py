@@ -222,6 +222,46 @@ HEADLINE = [
     "decile_lift_table",
     "multimodal_jpeg_decode",
     "lateral_top_customers_per_nation",
+    # round 6: ANN-backed kNN, palette/WAV/MJPG codecs, bitmap distinct
+    # family, rank/robust statistics, text analytics, warehouse shapes,
+    # graph analytics, planner/sketch/resampling primitives
+    "knn_label_vote_ivf",
+    "multimodal_palette_png_decode",
+    "multimodal_wav_decode",
+    "multimodal_mjpeg_frame_sample",
+    "bitmap_weekly_users",
+    "weekly_user_overlap",
+    "streaming_bitmap_distinct",
+    "revenue_cusum_max",
+    "mann_whitney_u",
+    "bigram_collocations",
+    "source_vocab_jaccard",
+    "simpson_token_diversity",
+    "top_keywords_per_doc",
+    "table_profile",
+    "customer_order_streaks",
+    "weekly_seasonal_mae",
+    "customer_balance_band_pairs",
+    "dpp_partitioned_rollup",
+    "copurchase_edge_support",
+    "copurchase_degree_histogram",
+    "supplier_label_propagation",
+    "orders_percentile_ladder",
+    "hhi_market_concentration",
+    "json_value_histogram",
+    "checksum_replica_diff",
+    "lsh_tuning_report",
+    "embedding_pq_codes",
+    "join_cardinality_estimate",
+    "cv_fold_assignment",
+    "split_label_drift",
+    "event_type_pivot",
+    "bloom_membership_audit",
+    "bootstrap_mean_ci",
+    "daily_lag_correlation",
+    "temporal_backtest_splits",
+    "quantile_normalize_per_source",
+    "data_expectations_report",
 ]
 
 

@@ -997,3 +997,69 @@ def bloom_membership_audit(
             F.col("n_bits_set").cast("long").alias("n_bits_set"),
         )
     )
+
+
+def data_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative DATA-CONTRACT audit (the Great-Expectations shape):
+    a battery of named expectations evaluated in as few passes as the
+    checks allow, emitting one (check, n_violations) row each — the
+    gate a pipeline runs before promoting a batch. Single-table checks
+    (positivity, domain membership, date range, null keys) fold into ONE
+    conditional-sum aggregate over orders; uniqueness is a key-counted
+    second aggregate; the one cross-table check (lineitem→orders FK)
+    reuses the leaf-aggregate-first probe shape of
+    ``referential_integrity_check``.
+
+    Every count is exact, so the report doubles as a regression oracle:
+    a contract violation introduced anywhere upstream changes a row."""
+    orders = read_table(spark, sf_dir, "orders")
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    single = orders.agg(
+        F.sum(
+            F.when(F.col("o_totalprice").cast("decimal(18,2)") <= 0, 1).otherwise(0)
+        ).alias("order_totalprice_positive"),
+        F.sum(
+            F.when(
+                ~F.col("o_orderstatus").isin("O", "F", "P"), 1
+            ).otherwise(0)
+        ).alias("order_status_in_domain"),
+        F.sum(
+            F.when(
+                (F.to_date("o_orderdate") < F.lit("1990-01-01").cast("date"))
+                | (F.to_date("o_orderdate") > F.lit("2005-12-31").cast("date")),
+                1,
+            ).otherwise(0)
+        ).alias("order_date_in_range"),
+        F.sum(
+            F.when(
+                F.col("o_orderkey").isNull() | F.col("o_custkey").isNull(), 1
+            ).otherwise(0)
+        ).alias("order_keys_not_null"),
+    )
+    long_single = single.unpivot(
+        [], list(single.columns), "check", "n_violations"
+    )
+    dup = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(
+            F.coalesce(F.sum(F.col("c") - 1), F.lit(0)).alias("n_violations")
+        )
+        .select(F.lit("order_key_unique").alias("check"), "n_violations")
+    )
+    orphans = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .join(
+            orders.select(F.col("o_orderkey").alias("l_orderkey")),
+            "l_orderkey",
+            "left_anti",
+        )
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("n_violations"))
+        .select(F.lit("lineitem_fk_to_orders").alias("check"), "n_violations")
+    )
+    return long_single.select(
+        "check", F.col("n_violations").cast("long").alias("n_violations")
+    ).unionAll(dup.select("check", F.col("n_violations").cast("long")))\
+     .unionAll(orphans.select("check", F.col("n_violations").cast("long")))

@@ -619,3 +619,101 @@ def split_label_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tv_distance"),
         )
     )
+
+
+def temporal_backtest_splits(
+    spark: SparkSession, sf_dir: str, n_folds: int = 4
+) -> DataFrame:
+    """EXPANDING-WINDOW time-series cross-validation boundaries — the
+    split protocol that is actually valid for forecasting work, where
+    ``cv_fold_assignment``'s i.i.d. folds would leak the future into
+    training: the date span divides into ``n_folds + 1`` equal segments,
+    and fold i trains on segments 1..i, tests on segment i+1 (train
+    always strictly precedes test). Boundaries are pure integer date
+    arithmetic (``lo + (span·i) DIV (k+1)`` days), so every engine draws
+    identical cut lines. Emits per fold the boundary dates and exact
+    train/test order counts.
+
+    One scan: the bounds frame is 1 row, the fold grid is k rows, and
+    counting is a broadcast range join of orders against the grid."""
+    orders = read_table(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("day")
+    )
+    bounds = orders.agg(
+        F.min("day").alias("lo"),
+        F.datediff(F.max("day"), F.min("day")).alias("span"),
+    )
+    folds = spark.range(1, n_folds + 1).select(F.col("id").cast("int").alias("fold"))
+    grid = bounds.crossJoin(F.broadcast(folds)).select(
+        "fold",
+        F.expr(f"date_add(lo, CAST(span * fold DIV {n_folds + 1} AS INT))").alias(
+            "train_end"
+        ),
+        F.expr(
+            f"date_add(lo, CAST(span * (fold + 1) DIV {n_folds + 1} AS INT))"
+        ).alias("test_end"),
+    )
+    joined = orders.crossJoin(F.broadcast(grid))
+    return (
+        joined.groupBy("fold", "train_end", "test_end")
+        .agg(
+            F.sum(
+                F.when(F.col("day") <= F.col("train_end"), 1).otherwise(0)
+            ).alias("n_train"),
+            F.sum(
+                F.when(
+                    (F.col("day") > F.col("train_end"))
+                    & (F.col("day") <= F.col("test_end")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_test"),
+        )
+        .select(
+            "fold",
+            "train_end",
+            "test_end",
+            F.col("n_train").cast("long").alias("n_train"),
+            F.col("n_test").cast("long").alias("n_test"),
+        )
+    )
+
+
+def quantile_normalize_per_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """QUANTILE NORMALIZATION of document length across sources — the
+    feature-prep transform that forces every source's length distribution
+    onto the corpus-global one (rank within source → the global order
+    statistic at the proportional rank ``ceil(r·N/n_src)``): after it, a
+    verbose source and a terse source contribute comparable length
+    features. All rank arithmetic is exact integers; the mapped value IS
+    a real corpus value (an order statistic), not an interpolation, so
+    the whole transform is hash-exact.
+
+    Plan: one per-source rank window (parallel across sources), one
+    global rank window over the aggregate-deduped (n_chars, doc_id)
+    frame — cite ``global_row_numbers`` for the two-level numbering at
+    the 100 TB scale — and a broadcast join on the computed target
+    rank."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    n_total = docs.count()
+    ws = Window.partitionBy("source").orderBy(
+        F.col("n_chars").asc(), F.col("doc_id").asc()
+    )
+    per_src = docs.withColumn("r", F.row_number().over(ws))
+    src_n = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    wg = Window.orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())
+    global_ranked = docs.select(
+        F.row_number().over(wg).alias("g_rank"), F.col("n_chars").alias("g_chars")
+    )
+    targeted = per_src.join(F.broadcast(src_n), "source").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.expr(f"(r * {n_total} + n_src - 1) DIV n_src").alias("t_rank"),
+    )
+    return targeted.join(
+        global_ranked, F.col("t_rank") == F.col("g_rank")
+    ).select("doc_id", "source", "n_chars", F.col("g_chars").alias("normalized_chars"))

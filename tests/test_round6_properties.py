@@ -323,3 +323,69 @@ def test_lag_correlation_matches_python_moments(spark, sf_dir):
         assert got[lag]["pearson_r"] == expect
         if expect is not None:
             assert -1.0 <= got[lag]["pearson_r"] <= 1.0
+
+
+def test_backtest_splits_expand_and_count(spark, sf_dir):
+    """Train windows expand monotonically, train strictly precedes test,
+    and per-fold counts re-derive from duckdb date arithmetic."""
+    from data_engineer_interview_task_spark.operators import sampling
+
+    rows = sorted(
+        sampling.temporal_backtest_splits(spark, sf_dir).collect(),
+        key=lambda r: r["fold"],
+    )
+    assert [r["fold"] for r in rows] == [1, 2, 3, 4]
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev["train_end"] < cur["train_end"]
+        assert prev["test_end"] == cur["train_end"]
+    for r in rows:
+        assert r["train_end"] < r["test_end"]
+        n_train, n_test = duckdb.sql(
+            "SELECT SUM(CASE WHEN CAST(o_orderdate AS DATE) <= ? "
+            "           THEN 1 ELSE 0 END), "
+            "       SUM(CASE WHEN CAST(o_orderdate AS DATE) > ? "
+            "           AND CAST(o_orderdate AS DATE) <= ? THEN 1 ELSE 0 END) "
+            f"FROM '{sf_dir}/orders.parquet'",
+            params=[r["train_end"], r["train_end"], r["test_end"]],
+        ).fetchone()
+        assert (r["n_train"], r["n_test"]) == (n_train, n_test)
+
+
+def test_quantile_normalize_matches_python_rank_map(spark, sf_dir):
+    from data_engineer_interview_task_spark.operators import sampling
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, source, n_chars FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    n_total = len(docs)
+    g_sorted = sorted(docs, key=lambda t: (t[2], t[0]))
+    g_chars = [c for _, _, c in g_sorted]
+    by_src: dict = defaultdict(list)
+    for d, s, c in docs:
+        by_src[s].append((c, d))
+    expect = {}
+    for s, vals in by_src.items():
+        vals.sort()
+        n_src = len(vals)
+        for r, (c, d) in enumerate(vals, start=1):
+            t_rank = (r * n_total + n_src - 1) // n_src
+            expect[d] = g_chars[t_rank - 1]
+    out = sampling.quantile_normalize_per_source(spark, sf_dir).collect()
+    assert len(out) == n_total
+    for r in out:
+        assert r["normalized_chars"] == expect[r["doc_id"]]
+
+
+def test_expectations_report_clean_corpus_is_all_zero(spark, sf_dir):
+    from data_engineer_interview_task_spark.operators import maintenance
+
+    rows = maintenance.data_expectations_report(spark, sf_dir).collect()
+    assert {r["check"] for r in rows} == {
+        "order_totalprice_positive",
+        "order_status_in_domain",
+        "order_date_in_range",
+        "order_keys_not_null",
+        "order_key_unique",
+        "lineitem_fk_to_orders",
+    }
+    assert all(r["n_violations"] == 0 for r in rows)
