@@ -529,6 +529,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_backtest_splits": sampling.temporal_backtest_splits,  # expanding-window time-series CV boundaries
         "quantile_normalize_per_source": sampling.quantile_normalize_per_source,  # rank-map lengths onto the global distribution
         "data_expectations_report": maintenance.data_expectations_report,  # declarative data-contract battery, exact violation counts
+        "multimodal_color_jpeg_decode": multimodal.multimodal_color_jpeg_decode,  # REAL 3-component YCbCr 4:4:4 JPEG decode, closed-form color oracle
+        "pq_search_adc": similarity.pq_search_adc,  # PQ asymmetric-distance top-k over the codes table (codebook lookups only)
+        "shuffle_skew_report": maintenance.shuffle_skew_report,  # join-key skew audit: exact count percentiles + salt sizing
+        "multimodal_wav_frame_features": multimodal.multimodal_wav_frame_features,  # short-time audio features (energy/ZCR/peak) per frame
         # --- everything below is driver-attested (r01..r05 union) ---
         "supplier_pagerank": graph.supplier_pagerank,  # fixed-point iterative graph (oracle-exact)
         "max_concurrent_sessions": relational.max_concurrent_sessions,
@@ -3712,6 +3716,107 @@ SELECT doc_id,
 FROM p3
 """
 
+    # real THREE-COMPONENT lossy-codec decode (round 6): each block's
+    # md5 byte TRIPLE walks the closed-form color chain — the pinned
+    # integer forward transform (jpeg_codec module docstring), the
+    # per-component DC-only lossy chain (luminance q=16 for Y,
+    # chrominance q=17 for Cb/Cr), the pinned integer inverse transform
+    # (+65536 bias makes every // dividend nonnegative, so truncating
+    # and flooring division agree) — and the interleaved RGB raster is
+    # rebuilt as lowercase hex
+    _cjb = lambda expr: (  # noqa: E731 — md5 digest byte at index `expr`
+        f"((strpos('{_jp}', substring(m, 2 * ({expr}) + 1, 1)) - 1) * 16"
+        f" + (strpos('{_jp}', substring(m, 2 * ({expr}) + 2, 1)) - 1))"
+    )
+    d["multimodal_color_jpeg_decode"] = f"""
+WITH base AS (
+  SELECT doc_id, md5(text) AS m FROM documents
+), blk AS (
+  SELECT doc_id, CAST(g.i AS INTEGER) AS bi,
+         {_cjb('3 * g.i')} AS r,
+         {_cjb('3 * g.i + 1')} AS g_,
+         {_cjb('3 * g.i + 2')} AS b
+  FROM base, (SELECT unnest(range(4)) AS i) g
+), cc AS (
+  SELECT doc_id, bi,
+         (77 * r + 150 * g_ + 29 * b + 128) // 256 AS y,
+         LEAST(255, (32896 - 43 * r - 85 * g_ + 128 * b) // 256) AS cb,
+         LEAST(255, (32896 + 128 * r - 107 * g_ - 21 * b) // 256) AS cr
+  FROM blk
+), s1 AS (
+  SELECT doc_id, bi, (y - 128) * 536756224 AS ay,
+         (cb - 128) * 536756224 AS ab, (cr - 128) * 536756224 AS ar
+  FROM cc
+), s2 AS (
+  SELECT doc_id, bi,
+         CASE WHEN ay >= 0 THEN (ay + 33554432) // 67108864
+              ELSE -((-ay + 33554432) // 67108864) END AS fy,
+         CASE WHEN ab >= 0 THEN (ab + 33554432) // 67108864
+              ELSE -((-ab + 33554432) // 67108864) END AS fb,
+         CASE WHEN ar >= 0 THEN (ar + 33554432) // 67108864
+              ELSE -((-ar + 33554432) // 67108864) END AS fr
+  FROM s1
+), s3 AS (
+  SELECT doc_id, bi,
+         (CASE WHEN fy >= 0 THEN (fy + 8) // 16
+               ELSE -((-fy + 8) // 16) END) * 16 * 8386816
+           + 33554432 AS ty,
+         (CASE WHEN fb >= 0 THEN (fb + 8) // 17
+               ELSE -((-fb + 8) // 17) END) * 17 * 8386816
+           + 33554432 AS tb,
+         (CASE WHEN fr >= 0 THEN (fr + 8) // 17
+               ELSE -((-fr + 8) // 17) END) * 17 * 8386816
+           + 33554432 AS tr
+  FROM s2
+), s4 AS (
+  SELECT doc_id, bi,
+         LEAST(255, GREATEST(0, 128 +
+           CASE WHEN ty >= 0 THEN ty // 67108864
+                ELSE -((-ty + 67108863) // 67108864) END)) AS py,
+         LEAST(255, GREATEST(0, 128 +
+           CASE WHEN tb >= 0 THEN tb // 67108864
+                ELSE -((-tb + 67108863) // 67108864) END)) AS pb,
+         LEAST(255, GREATEST(0, 128 +
+           CASE WHEN tr >= 0 THEN tr // 67108864
+                ELSE -((-tr + 67108863) // 67108864) END)) AS pr
+  FROM s3
+), rgb AS (
+  SELECT doc_id, bi,
+         LEAST(255, GREATEST(0,
+           py + (359 * (pr - 128) + 128 + 65536) // 256 - 256)) AS rr,
+         LEAST(255, GREATEST(0,
+           py + (65664 - 88 * (pb - 128) - 183 * (pr - 128)) // 256
+              - 256)) AS gg,
+         LEAST(255, GREATEST(0,
+           py + (454 * (pb - 128) + 128 + 65536) // 256 - 256)) AS bb
+  FROM s4
+), hx AS (
+  SELECT doc_id, bi,
+         substring('{_jp}', rr // 16 + 1, 1) || substring('{_jp}', rr % 16 + 1, 1)
+         || substring('{_jp}', gg // 16 + 1, 1) || substring('{_jp}', gg % 16 + 1, 1)
+         || substring('{_jp}', bb // 16 + 1, 1) || substring('{_jp}', bb % 16 + 1, 1)
+           AS h6
+  FROM rgb
+), piv AS (
+  SELECT doc_id,
+         MAX(CASE WHEN bi = 0 THEN h6 END) AS x0,
+         MAX(CASE WHEN bi = 1 THEN h6 END) AS x1,
+         MAX(CASE WHEN bi = 2 THEN h6 END) AS x2,
+         MAX(CASE WHEN bi = 3 THEN h6 END) AS x3
+  FROM hx GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(16 AS BIGINT) AS width,
+       CAST(16 AS BIGINT) AS height,
+       CAST(2 AS BIGINT) AS color_type,
+       CAST(768 AS BIGINT) AS n_px_bytes,
+       sha256(
+         repeat(repeat(x0, 8) || repeat(x1, 8), 8)
+         || repeat(repeat(x2, 8) || repeat(x3, 8), 8)
+       ) AS pixel_sha
+FROM piv
+"""
+
     # exact bitmap distinct rollup: the oracle is the plain distinct
     # count — the whole 62-bit-word sketch path must reproduce it
     d["bitmap_weekly_users"] = """
@@ -3951,6 +4056,58 @@ p{tag} AS (
         + """
 SELECT pa.vec_id, code_a, code_b
 FROM pa JOIN pb ON pa.vec_id = pb.vec_id
+"""
+    )
+
+    # PQ asymmetric-distance search (round 6): exact integer floor-mean
+    # codebooks (1e-9 fixed point), 1e-6 fixed-point queries, BIGINT
+    # scores — the distance-table lookup path over the SAME code
+    # assignment as embedding_pq_codes (its CTE chain reused verbatim)
+    _adc_cbook = lambda tag, off: f"""
+cb{tag} AS (
+  SELECT cell, dim,
+         (csum - ((csum % cnt) + cnt) % cnt) // cnt AS cfp
+  FROM (
+    SELECT label AS cell, i AS dim,
+           SUM(CAST(floor(CAST(embedding[i + {off + 1}] AS DOUBLE)
+                          * 1000000000.0) AS BIGINT)) AS csum,
+           COUNT(*) AS cnt
+    FROM embeddings, (SELECT unnest(range(32)) AS i) dims
+    GROUP BY label, i
+  )
+), dt{tag} AS (
+  SELECT q.vec_id AS query_id, c.cell,
+         SUM(CAST(floor(CAST(q.embedding[c.dim + {off + 1}] AS DOUBLE)
+                        * 1000000.0) AS BIGINT) * c.cfp) AS ip{tag}
+  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 4) q,
+       cb{tag} c
+  GROUP BY 1, 2
+)"""  # noqa: E731
+    d["pq_search_adc"] = (
+        "WITH "
+        + _pq_half("a", 1, 32, "code_a")
+        + ","
+        + _pq_half("b", 33, 64, "code_b")
+        + ","
+        + _adc_cbook("a", 0)
+        + ","
+        + _adc_cbook("b", 32)
+        + """
+, scored AS (
+  SELECT da.query_id, p.vec_id, da.ipa + db.ipb AS score
+  FROM (SELECT pa.vec_id, code_a, code_b
+        FROM pa JOIN pb ON pa.vec_id = pb.vec_id) p
+  JOIN dta da ON da.cell = p.code_a
+  JOIN dtb db ON db.cell = p.code_b AND db.query_id = da.query_id
+  WHERE p.vec_id >= 4
+)
+SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id,
+       CAST(score AS BIGINT) AS score
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, vec_id ASC) AS rn
+  FROM scored
+) WHERE rn <= 10
 """
     )
 
@@ -4257,6 +4414,69 @@ SELECT m.doc_id,
        sha256(repeat(m.h, 16)) AS sample_sha
 FROM m JOIN e ON m.doc_id = e.doc_id
 """
+
+    # short-time audio features (round 6): sample i of the decoded
+    # waveform is digest byte (i mod 16); frames are 24 samples (full
+    # frames only: 240 of 256), crossings pair i with i+1 inside the
+    # frame — all integer-exact
+    d["multimodal_wav_frame_features"] = f"""
+WITH m AS (SELECT doc_id, md5(text) AS h FROM documents),
+s AS (
+  SELECT doc_id, i,
+         ((strpos('{_jp}', substring(h, 2 * (i % 16) + 1, 1)) - 1) * 16
+          + (strpos('{_jp}', substring(h, 2 * (i % 16) + 2, 1)) - 1)) AS v,
+         ((strpos('{_jp}', substring(h, 2 * ((i + 1) % 16) + 1, 1)) - 1) * 16
+          + (strpos('{_jp}', substring(h, 2 * ((i + 1) % 16) + 2, 1)) - 1))
+           AS vn
+  FROM m, (SELECT unnest(range(240)) AS i) g
+)
+SELECT doc_id, CAST(i // 24 AS BIGINT) AS frame_idx,
+       CAST(SUM((v - 128) * (v - 128)) AS BIGINT) AS energy,
+       CAST(SUM(CASE WHEN i % 24 < 23 AND ((v >= 128) <> (vn >= 128))
+                     THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+       CAST(MAX(ABS(v - 128)) AS BIGINT) AS peak_dev
+FROM s GROUP BY doc_id, i // 24
+"""
+
+    # join-key skew audit (round 6): exact order-statistic percentiles
+    # over the per-key counts, ceil arithmetic for the salt factor —
+    # the same (cnt ASC, key DESC) rank frame as the engine
+    _skew_rel = lambda rel, key: f"""
+SELECT relation, join_key, n_rows, n_keys, hot_key, max_key_rows,
+       p50_key_rows, p99_key_rows,
+       CAST(max_key_rows * 1000000 // n_rows AS BIGINT) AS top1_share_ppm,
+       CAST((max_key_rows * n_keys + n_rows - 1) // n_rows AS BIGINT)
+         AS salt_factor
+FROM (
+  SELECT '{rel}' AS relation, '{key}' AS join_key,
+         t.n_rows, t.n_keys,
+         CAST(MAX(CASE WHEN rn = t.n_keys THEN k END) AS BIGINT) AS hot_key,
+         CAST(MAX(CASE WHEN rn = t.n_keys THEN cnt END) AS BIGINT)
+           AS max_key_rows,
+         CAST(MAX(CASE WHEN rn = t.t50 THEN cnt END) AS BIGINT)
+           AS p50_key_rows,
+         CAST(MAX(CASE WHEN rn = t.t99 THEN cnt END) AS BIGINT)
+           AS p99_key_rows
+  FROM (
+    SELECT k, cnt, ROW_NUMBER() OVER (ORDER BY cnt ASC, k DESC) AS rn
+    FROM (SELECT {key} AS k, COUNT(*) AS cnt FROM {rel} GROUP BY 1)
+  ) r, (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           (50 * COUNT(*) + 99) // 100 AS t50,
+           (99 * COUNT(*) + 99) // 100 AS t99
+    FROM (SELECT {key} AS k, COUNT(*) AS cnt FROM {rel} GROUP BY 1)
+  ) t
+  GROUP BY t.n_rows, t.n_keys
+)"""  # noqa: E731
+    d["shuffle_skew_report"] = "\nUNION ALL\n".join(
+        _skew_rel(rel, key)
+        for rel, key in (
+            ("lineitem", "l_partkey"),
+            ("orders", "o_custkey"),
+            ("events", "user_id"),
+        )
+    )
 
     # motion-JPEG frame sampling (round 6): sampled frames 0 and 2 of
     # the 4-frame clip use md5 digest bytes 0-3 and 8-11; each sampled

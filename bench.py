@@ -262,6 +262,10 @@ HEADLINE = [
     "temporal_backtest_splits",
     "quantile_normalize_per_source",
     "data_expectations_report",
+    "multimodal_color_jpeg_decode",
+    "pq_search_adc",
+    "shuffle_skew_report",
+    "multimodal_wav_frame_features",
 ]
 
 

@@ -1,20 +1,31 @@
 """Pure-stdlib baseline JPEG codec — extends the real-codec multimodal
 surface past PNG (VERDICT r4 listed JPEG as "genuinely impossible" here;
-a baseline sequential greyscale JPEG needs only integer arithmetic and
-bit twiddling, so it is not).
+a baseline sequential JPEG needs only integer arithmetic and bit
+twiddling, so it is not).
 
-Scope: baseline sequential JFIF, 8-bit, single greyscale component,
-1x1 sampling, dimensions multiples of 8. The DECODER is the general
-baseline path for that shape — segment parsing (APP/COM skip, DQT, SOF0,
-DHT, SOS, DRI/RST), Huffman table construction FROM the DHT payload (not
-assumed), a byte-stuffing-aware bit reader, DC differential + AC
-run/length entropy decode over the zig-zag order, dequantization, and a
+Scope: baseline sequential JFIF, 8-bit, greyscale (1 component) AND
+interleaved YCbCr color (3 components, 1x1 sampling / 4:4:4), dimensions
+multiples of 8. The DECODER is the general baseline path for those
+shapes — segment parsing (APP/COM skip, DQT, SOF0, DHT, SOS, DRI/RST),
+per-component quantization/Huffman table binding FROM the stream (not
+assumed), a byte-stuffing-aware bit reader, interleaved-MCU entropy
+decode with per-component DC predictors, dequantization, and a
 fixed-point integer IDCT. The ENCODER writes standard Annex-K Huffman
-tables and the standard luminance quantization table, and is used by the
-multimodal operators to manufacture payloads whose DC-only blocks give
-the DuckDB oracle a closed-form expected raster (uniform 8x8 blocks:
-the whole entropy/dequant/IDCT path reduces to one documented integer
-formula per block — see ``DC_ONLY_PIXEL``).
+and quantization tables (luminance + chrominance pairs for color), and
+is used by the multimodal operators to manufacture payloads whose
+DC-only blocks give the DuckDB oracle a closed-form expected raster
+(uniform 8x8 blocks: the whole entropy/dequant/IDCT path reduces to one
+documented integer formula per block — see ``DC_ONLY_PIXEL``).
+
+Color conversion is integer fixed-point with PINNED constants (these ARE
+the codec's contract, mirrored verbatim in the SQL oracle):
+
+    y  = (77*r + 150*g + 29*b + 128) >> 8                 (77+150+29=256)
+    cb = min(255, (32896 - 43*r - 85*g + 128*b) >> 8)     (32896=128*257)
+    cr = min(255, (32896 + 128*r - 107*g - 21*b) >> 8)
+    r' = clip(y + floor((359*(cr-128) + 128) / 256))
+    g' = clip(y + floor((-88*(cb-128) - 183*(cr-128) + 128) / 256))
+    b' = clip(y + floor((454*(cb-128) + 128) / 256))
 
 Determinism: every arithmetic step is integer. The IDCT is fixed-point
 with the cosine table inlined as literal constants (scale 4096, C_0
@@ -22,7 +33,7 @@ folded in), ``out = clip(128 + floordiv(Σ F[u,v]·T[u][x]·T[v][y] + HALF,
 SCALE))`` — no float appears anywhere, so decode is bit-reproducible on
 any platform and expressible in SQL for the DC-only case.
 
-Both entry points are defined inside a builder so cloudpickle serializes
+All entry points are defined inside a builder so cloudpickle serializes
 them BY VALUE into Spark worker closures (the repo-wide rule; same as
 ``png_codec``).
 """
@@ -45,6 +56,63 @@ def DC_ONLY_PIXEL(f00: int) -> int:
     the SQL closed form; pinned against the real decoder in tests)."""
     raw = 128 + (f00 * 2896 * 2896 + IDCT_HALF) // IDCT_SCALE
     return 0 if raw < 0 else (255 if raw > 255 else raw)
+
+
+def UNIFORM_BLOCK_PIXEL(v: int, q0: int) -> int:
+    """Closed-form encode∘decode of a uniform 8x8 block value ``v``
+    through DC quantizer ``q0`` (16 = Annex-K luminance, 17 = Annex-K
+    chrominance): forward fixed-point DCT collapses to F00 = v-128 times
+    64*2896^2, half-away quantization, dequant, DC-only IDCT. Python twin
+    of the SQL oracle chain; pinned against the real codec in tests."""
+    s = v - 128
+    a1 = s * 536756224  # s * 64 * 2896^2
+    f00u = (
+        (a1 + IDCT_HALF) // IDCT_SCALE
+        if a1 >= 0
+        else -((-a1 + IDCT_HALF) // IDCT_SCALE)
+    )
+    half_q = q0 // 2
+    qc = (f00u + half_q) // q0 if f00u >= 0 else -((-f00u + half_q) // q0)
+    return DC_ONLY_PIXEL(qc * q0)
+
+
+def rgb_to_ycbcr(r: int, g: int, b: int) -> tuple[int, int, int]:
+    """Integer fixed-point JFIF forward color transform (the codec's
+    pinned contract — see module docstring). All outputs in [0, 255]."""
+    y = (77 * r + 150 * g + 29 * b + 128) >> 8
+    cb = (32896 - 43 * r - 85 * g + 128 * b) >> 8
+    cr = (32896 + 128 * r - 107 * g - 21 * b) >> 8
+    return y, (255 if cb > 255 else cb), (255 if cr > 255 else cr)
+
+
+def ycbcr_to_rgb(y: int, cb: int, cr: int) -> tuple[int, int, int]:
+    """Integer fixed-point JFIF inverse color transform (pinned contract;
+    floor division on signed deltas — the SQL twin uses a +65536 bias so
+    its nonnegative ``//`` computes the same floor)."""
+    dcb, dcr = cb - 128, cr - 128
+
+    def _clip(x: int) -> int:
+        return 0 if x < 0 else (255 if x > 255 else x)
+
+    return (
+        _clip(y + (359 * dcr + 128) // 256),
+        _clip(y + (-88 * dcb - 183 * dcr + 128) // 256),
+        _clip(y + (454 * dcb + 128) // 256),
+    )
+
+
+def COLOR_UNIFORM_RGB(r: int, g: int, b: int) -> tuple[int, int, int]:
+    """Closed-form encode∘decode of a uniform RGB 8x8 block through the
+    color codec: forward color transform, per-component DC-only lossy
+    chain (luminance quantizer 16 for Y, chrominance 17 for Cb/Cr),
+    inverse color transform. The python twin the color SQL oracle and
+    the codec tests both pin against."""
+    y, cb, cr = rgb_to_ycbcr(r, g, b)
+    return ycbcr_to_rgb(
+        UNIFORM_BLOCK_PIXEL(y, 16),
+        UNIFORM_BLOCK_PIXEL(cb, 17),
+        UNIFORM_BLOCK_PIXEL(cr, 17),
+    )
 
 
 def _build_jpeg_codec():
@@ -85,6 +153,18 @@ def _build_jpeg_codec():
         72, 92, 95, 98, 112, 100, 103, 99,
     )
 
+    # standard chrominance quantization table (Annex K.2), raster order
+    _QTAB_C = (
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    )
+
     # standard Huffman specs (Annex K.3): (BITS[1..16], HUFFVAL)
     _DC_SPEC = (
         (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0),
@@ -113,6 +193,38 @@ def _build_jpeg_codec():
             0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
             0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
             0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+            0xF9, 0xFA,
+        ),
+    )
+
+    # standard chrominance Huffman specs (Annex K.3.2)
+    _DC_SPEC_C = (
+        (0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0),
+        tuple(range(12)),
+    )
+    _AC_SPEC_C = (
+        (0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77),
+        (
+            0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+            0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+            0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+            0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+            0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+            0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+            0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+            0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+            0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+            0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+            0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+            0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+            0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+            0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+            0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+            0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+            0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+            0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+            0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+            0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
             0xF9, 0xFA,
         ),
     )
@@ -151,6 +263,90 @@ def _build_jpeg_codec():
                 self.write((1 << pad) - 1, pad)
             return bytes(self.out)
 
+    def _fdct_quant(blk, qtab):
+        """Forward fixed-point DCT + half-away-from-zero quantization of
+        one level-shifted 8x8 block (row-major list of 64 ints in
+        [-128, 127]). Returns the 64 quantized coefficients."""
+        coeffs = [0] * 64
+        if min(blk) == max(blk):
+            # uniform block: every non-DC basis row of _T sums to
+            # zero, so the O(64^2) transform collapses to the DC
+            # closed form — the SAME integers the general loop
+            # would produce (pinned by the all-256-values test)
+            acc = blk[0] * (8 * 2896) * (8 * 2896)
+            coeffs[0] = (
+                (acc + _HALF) // _SCALE
+                if acc >= 0
+                else -((-acc + _HALF) // _SCALE)
+            )
+            u_range = ()
+        else:
+            u_range = range(8)
+        for u in u_range:
+            for v in range(8):
+                acc = 0
+                for y in range(8):
+                    ty = _T[u][y]
+                    if ty == 0:
+                        continue
+                    row = y * 8
+                    for x in range(8):
+                        s = blk[row + x]
+                        if s:
+                            acc += s * ty * _T[v][x]
+                # forward scale: T entries carry 4096*C; the 2-D
+                # transform needs /4096^2 * (1/4) — same SCALE
+                coeffs[u * 8 + v] = (
+                    acc + (_HALF if acc >= 0 else -_HALF)
+                ) // _SCALE if acc >= 0 else -(
+                    (-acc + _HALF) // _SCALE
+                )
+        # quantize (round-half-away-from-zero, symmetric)
+        qc = []
+        for i in range(64):
+            q = qtab[i]
+            c = coeffs[i]
+            qc.append((c + q // 2) // q if c >= 0 else -((-c + q // 2) // q))
+        return qc
+
+    def _entropy_block(bw, qc, prev_dc, dc_codes, ac_codes) -> int:
+        """Entropy-encode one quantized block (DC differential + AC
+        run/length over zig-zag order). Returns the new DC predictor."""
+        diff = qc[0] - prev_dc
+        mag, val = abs(diff), diff
+        t = mag.bit_length()
+        code, ln = dc_codes[t]
+        bw.write(code, ln)
+        if t:
+            bw.write(val if val >= 0 else val + (1 << t) - 1, t)
+        run = 0
+        for zz in range(1, 64):
+            c = qc[_ZZ[zz]]
+            if c == 0:
+                run += 1
+                continue
+            while run > 15:
+                zrl, zln = ac_codes[0xF0]
+                bw.write(zrl, zln)
+                run -= 16
+            t = abs(c).bit_length()
+            code, ln = ac_codes[(run << 4) | t]
+            bw.write(code, ln)
+            bw.write(c if c >= 0 else c + (1 << t) - 1, t)
+            run = 0
+        if run:
+            eob, eln = ac_codes[0x00]
+            bw.write(eob, eln)
+        return qc[0]
+
+    def _seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    _APP0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+
+    def _dht_payload(tc: int, th: int, spec) -> bytes:
+        return bytes([(tc << 4) | th]) + bytes(spec[0]) + bytes(spec[1])
+
     def jpeg_encode(pixels: bytes, width: int, height: int) -> bytes:
         """Serialize an 8-bit greyscale raster (row-major, dims multiples
         of 8) to a baseline JFIF JPEG with standard tables. Lossy exactly
@@ -167,108 +363,90 @@ def _build_jpeg_codec():
         prev_dc = 0
         for by in range(height // 8):
             for bx in range(width // 8):
-                # forward DCT in the same fixed-point frame as the IDCT:
-                # F[u,v] = floordiv(sum s(x,y) T[u][x] T[v][y] + HALF', 4096^2*4)
-                # (uniform blocks: F00 = 8*s exactly with T0 = 2896 ≈ 4096/√2;
-                # 2896^2*64 = 536870912 ≈ SCALE*8 — we use the exact integer
-                # transform below, so encode∘decode is pinned by tests, not
-                # by float DCT identities)
                 blk = [
                     pixels[(by * 8 + y) * width + bx * 8 + x] - 128
                     for y in range(8)
                     for x in range(8)
                 ]
-                coeffs = [0] * 64
-                if min(blk) == max(blk):
-                    # uniform block: every non-DC basis row of _T sums to
-                    # zero, so the O(64^2) transform collapses to the DC
-                    # closed form — the SAME integers the general loop
-                    # would produce (pinned by the all-256-values test)
-                    acc = blk[0] * (8 * 2896) * (8 * 2896)
-                    coeffs[0] = (
-                        (acc + _HALF) // _SCALE
-                        if acc >= 0
-                        else -((-acc + _HALF) // _SCALE)
-                    )
-                    u_range = ()
-                else:
-                    u_range = range(8)
-                for u in u_range:
-                    for v in range(8):
-                        acc = 0
-                        for y in range(8):
-                            ty = _T[u][y]
-                            if ty == 0:
-                                continue
-                            row = y * 8
-                            for x in range(8):
-                                s = blk[row + x]
-                                if s:
-                                    acc += s * ty * _T[v][x]
-                        # forward scale: T entries carry 4096*C; the 2-D
-                        # transform needs /4096^2 * (1/4) — same SCALE
-                        coeffs[u * 8 + v] = (
-                            acc + (_HALF if acc >= 0 else -_HALF)
-                        ) // _SCALE if acc >= 0 else -(
-                            (-acc + _HALF) // _SCALE
-                        )
-                # quantize (round-half-away-from-zero, symmetric)
-                qc = []
-                for i in range(64):
-                    q = _QTAB[i]
-                    c = coeffs[i]
-                    qc.append(
-                        (c + q // 2) // q if c >= 0 else -((-c + q // 2) // q)
-                    )
-                # DC difference
-                diff = qc[0] - prev_dc
-                prev_dc = qc[0]
-                mag, val = abs(diff), diff
-                t = mag.bit_length()
-                code, ln = dc_codes[t]
-                bw.write(code, ln)
-                if t:
-                    bw.write(val if val >= 0 else val + (1 << t) - 1, t)
-                # AC: zig-zag run-length
-                run = 0
-                for zz in range(1, 64):
-                    c = qc[_ZZ[zz]]
-                    if c == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        zrl, zln = ac_codes[0xF0]
-                        bw.write(zrl, zln)
-                        run -= 16
-                    t = abs(c).bit_length()
-                    code, ln = ac_codes[(run << 4) | t]
-                    bw.write(code, ln)
-                    bw.write(c if c >= 0 else c + (1 << t) - 1, t)
-                    run = 0
-                if run:
-                    eob, eln = ac_codes[0x00]
-                    bw.write(eob, eln)
+                qc = _fdct_quant(blk, _QTAB)
+                prev_dc = _entropy_block(bw, qc, prev_dc, dc_codes, ac_codes)
         scan = bw.flush()
-
-        def seg(marker: int, payload: bytes) -> bytes:
-            return struct.pack(">HH", marker, len(payload) + 2) + payload
-
-        dqt = seg(0xFFDB, b"\x00" + bytes(_QTAB[_ZZ[i]] for i in range(64)))
-        sof = seg(
+        dqt = _seg(0xFFDB, b"\x00" + bytes(_QTAB[_ZZ[i]] for i in range(64)))
+        sof = _seg(
             0xFFC0,
             struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00",
         )
-        dht = seg(
-            0xFFC4,
-            b"\x00"
-            + bytes(_DC_SPEC[0])
-            + bytes(_DC_SPEC[1])
-            + b"\x10"
-            + bytes(_AC_SPEC[0])
-            + bytes(_AC_SPEC[1]),
+        dht = _seg(
+            0xFFC4, _dht_payload(0, 0, _DC_SPEC) + _dht_payload(1, 0, _AC_SPEC)
         )
-        sos = seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
-        app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        sos = _seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
+        app0 = _seg(0xFFE0, _APP0)
+        return (
+            b"\xff\xd8" + app0 + dqt + sof + dht + sos + scan + b"\xff\xd9"
+        )
+
+    def jpeg_encode_color(rgb: bytes, width: int, height: int) -> bytes:
+        """Serialize an interleaved 8-bit RGB raster (row-major, dims
+        multiples of 8) to a baseline interleaved YCbCr 4:4:4 JFIF JPEG:
+        the pinned integer color transform (module docstring), then each
+        component through the same DCT/quant/entropy path — Y against the
+        Annex-K luminance tables, Cb/Cr against the chrominance tables,
+        MCUs interleaved (Y, Cb, Cr blocks) with per-component DC
+        predictors. Uniform RGB blocks reduce to ``COLOR_UNIFORM_RGB``."""
+        if width % 8 or height % 8:
+            raise ValueError("dimensions must be multiples of 8")
+        if len(rgb) != width * height * 3:
+            raise ValueError("pixel buffer does not match dimensions")
+        dc_y, ac_y = _huff_codes(*_DC_SPEC), _huff_codes(*_AC_SPEC)
+        dc_c, ac_c = _huff_codes(*_DC_SPEC_C), _huff_codes(*_AC_SPEC_C)
+        # forward color transform into three planes
+        n = width * height
+        planes = [bytearray(n), bytearray(n), bytearray(n)]
+        for i in range(n):
+            r, g, b = rgb[3 * i], rgb[3 * i + 1], rgb[3 * i + 2]
+            y = (77 * r + 150 * g + 29 * b + 128) >> 8
+            cb = (32896 - 43 * r - 85 * g + 128 * b) >> 8
+            cr = (32896 + 128 * r - 107 * g - 21 * b) >> 8
+            planes[0][i] = y
+            planes[1][i] = 255 if cb > 255 else cb
+            planes[2][i] = 255 if cr > 255 else cr
+        comp = (  # (plane, qtab, dc_codes, ac_codes) per SOF order Y,Cb,Cr
+            (planes[0], _QTAB, dc_y, ac_y),
+            (planes[1], _QTAB_C, dc_c, ac_c),
+            (planes[2], _QTAB_C, dc_c, ac_c),
+        )
+        bw = _BitWriter()
+        preds = [0, 0, 0]
+        for by in range(height // 8):
+            for bx in range(width // 8):
+                for ci, (plane, qtab, dcc, acc_) in enumerate(comp):
+                    blk = [
+                        plane[(by * 8 + y) * width + bx * 8 + x] - 128
+                        for y in range(8)
+                        for x in range(8)
+                    ]
+                    qc = _fdct_quant(blk, qtab)
+                    preds[ci] = _entropy_block(bw, qc, preds[ci], dcc, acc_)
+        scan = bw.flush()
+        dqt = _seg(
+            0xFFDB,
+            b"\x00" + bytes(_QTAB[_ZZ[i]] for i in range(64))
+            + b"\x01" + bytes(_QTAB_C[_ZZ[i]] for i in range(64)),
+        )
+        sof = _seg(
+            0xFFC0,
+            struct.pack(">BHHB", 8, height, width, 3)
+            + b"\x01\x11\x00"  # Y: id 1, 1x1, qtab 0
+            + b"\x02\x11\x01"  # Cb: id 2, 1x1, qtab 1
+            + b"\x03\x11\x01",  # Cr: id 3, 1x1, qtab 1
+        )
+        dht = _seg(
+            0xFFC4,
+            _dht_payload(0, 0, _DC_SPEC) + _dht_payload(1, 0, _AC_SPEC)
+            + _dht_payload(0, 1, _DC_SPEC_C) + _dht_payload(1, 1, _AC_SPEC_C),
+        )
+        sos = _seg(0xFFDA, b"\x03\x01\x00\x02\x11\x03\x11\x00\x3f\x00")
+        app0 = _seg(0xFFE0, _APP0)
         return (
             b"\xff\xd8" + app0 + dqt + sof + dht + sos + scan + b"\xff\xd9"
         )
@@ -321,13 +499,63 @@ def _build_jpeg_codec():
     def _extend(v: int, t: int) -> int:
         return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
-    def jpeg_decode(payload: bytes) -> tuple[bytes, int, int]:
-        """Decode a baseline greyscale JFIF payload. Returns
-        ``(pixels, width, height)``. The general baseline path for the
-        supported shape: tables come from the stream (DQT/DHT parsed and
-        rebuilt, nothing assumed), entropy decode handles byte stuffing,
-        arbitrary AC coefficients, ZRL and EOB; raises ``ValueError`` on
-        corrupt input, progressive/color shapes, or restart markers."""
+    def _decode_block(br, dct, act, q, pred):
+        """Entropy-decode + dequantize + IDCT one block. Returns
+        ``(block64, new_pred)`` — 64 decoded pixel values row-major."""
+        coeffs = [0] * 64
+        t = _decode_huff(br, dct)
+        if t:
+            pred += _extend(br.bits(t), t)
+        coeffs[0] = pred * q[0]
+        zz = 1
+        while zz < 64:
+            sym = _decode_huff(br, act)
+            if sym == 0x00:  # EOB
+                break
+            run, t = sym >> 4, sym & 0x0F
+            if t == 0:
+                if run != 15:
+                    raise ValueError("bad AC symbol")
+                zz += 16  # ZRL
+                continue
+            zz += run
+            if zz > 63:
+                raise ValueError("AC coefficient overflow")
+            coeffs[_ZZ[zz]] = _extend(br.bits(t), t) * q[_ZZ[zz]]
+            zz += 1
+        # fixed-point integer IDCT (documented closed form for
+        # DC-only blocks: clip(128 + (F00*2896^2 + HALF)//SCALE))
+        nz = [
+            (u, v, coeffs[u * 8 + v])
+            for u in range(8)
+            for v in range(8)
+            if coeffs[u * 8 + v]
+        ]
+        out = [0] * 64
+        if not nz or nz == [(0, 0, coeffs[0])]:
+            # DC-only spectrum: the IDCT is one uniform value —
+            # exactly the general loop's result for every (x, y)
+            acc = coeffs[0] * 2896 * 2896
+            px = 128 + (acc + _HALF) // _SCALE
+            px = 0 if px < 0 else (255 if px > 255 else px)
+            return [px] * 64, pred
+        for y in range(8):
+            for x in range(8):
+                acc = 0
+                for u, v, f in nz:
+                    acc += f * _T[u][y] * _T[v][x]
+                # floor division with half-up rounding, exact for
+                # negatives too (Python // floors)
+                px = 128 + (acc + _HALF) // _SCALE
+                out[y * 8 + x] = 0 if px < 0 else (255 if px > 255 else px)
+        return out, pred
+
+    def _decode_planes(payload: bytes):
+        """The general baseline decode path for the supported shapes:
+        segment parse, tables rebuilt from the stream, interleaved-MCU
+        entropy decode with per-component predictors. Returns
+        ``(planes, width, height)`` — one row-major plane per SOF
+        component (Y or Y,Cb,Cr)."""
         if payload[:2] != b"\xff\xd8":
             raise ValueError("not a JPEG payload (bad SOI)")
         pos = 2
@@ -335,7 +563,8 @@ def _build_jpeg_codec():
         # (class, id) -> {(code, len): symbol}
         htabs: dict[tuple[int, int], dict] = {}
         width = height = None
-        dc_id = ac_id = 0
+        comps: list[tuple[int, int]] = []  # SOF order: (comp_id, qtab_id)
+        scan_tabs: dict[int, tuple[int, int]] = {}  # comp_id -> (dc, ac)
         while pos + 4 <= len(payload):
             if payload[pos] != 0xFF:
                 raise ValueError("segment desync (expected marker)")
@@ -362,11 +591,17 @@ def _build_jpeg_codec():
                     p += 65
             elif marker == 0xC0:  # SOF0 baseline
                 prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
-                if prec != 8 or ncomp != 1:
-                    raise ValueError("only 8-bit single-component baseline")
-                if body[7] != 0x11:
-                    raise ValueError("subsampling unsupported")
-                comp_q = body[8]
+                if prec != 8 or ncomp not in (1, 3):
+                    raise ValueError(
+                        "only 8-bit single-component baseline or "
+                        "3-component 4:4:4 color supported"
+                    )
+                comps = []
+                for i in range(ncomp):
+                    cid, samp, qid = body[6 + 3 * i : 9 + 3 * i]
+                    if samp != 0x11:
+                        raise ValueError("subsampling unsupported")
+                    comps.append((cid, qid))
             elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
                 raise ValueError("non-baseline SOF unsupported")
             elif marker == 0xC4:  # DHT (possibly several tables)
@@ -384,9 +619,12 @@ def _build_jpeg_codec():
             elif marker == 0xDD:
                 raise ValueError("restart intervals unsupported")
             elif marker == 0xDA:  # SOS
-                if body[0] != 1:
-                    raise ValueError("multi-component scan unsupported")
-                dc_id, ac_id = body[2] >> 4, body[2] & 0x0F
+                ns = body[0]
+                if ns != len(comps):
+                    raise ValueError("scan must cover all SOF components")
+                for i in range(ns):
+                    cid = body[1 + 2 * i]
+                    scan_tabs[cid] = (body[2 + 2 * i] >> 4, body[2 + 2 * i] & 0x0F)
                 pos += 2 + ln
                 break
             # APPn / COM / others: skip
@@ -397,68 +635,65 @@ def _build_jpeg_codec():
             raise ValueError("missing SOF/DQT/DHT before scan")
         if width % 8 or height % 8:
             raise ValueError("dimensions must be multiples of 8")
-        q = qtabs[comp_q]
-        dct = htabs[(0, dc_id)]
-        act = htabs[(1, ac_id)]
+        # bind per-component tables (SOF order == MCU interleave order)
+        bound = []
+        for cid, qid in comps:
+            if cid not in scan_tabs:
+                raise ValueError(f"component {cid} missing from scan")
+            dc_id, ac_id = scan_tabs[cid]
+            bound.append((qtabs[qid], htabs[(0, dc_id)], htabs[(1, ac_id)]))
         br = _BitReader(payload, pos)
-        out = bytearray(width * height)
-        pred = 0
+        planes = [bytearray(width * height) for _ in comps]
+        preds = [0] * len(comps)
         for by in range(height // 8):
             for bx in range(width // 8):
-                coeffs = [0] * 64
-                t = _decode_huff(br, dct)
-                if t:
-                    pred += _extend(br.bits(t), t)
-                coeffs[0] = pred * q[0]
-                zz = 1
-                while zz < 64:
-                    sym = _decode_huff(br, act)
-                    if sym == 0x00:  # EOB
-                        break
-                    run, t = sym >> 4, sym & 0x0F
-                    if t == 0:
-                        if run != 15:
-                            raise ValueError("bad AC symbol")
-                        zz += 16  # ZRL
-                        continue
-                    zz += run
-                    if zz > 63:
-                        raise ValueError("AC coefficient overflow")
-                    coeffs[_ZZ[zz]] = _extend(br.bits(t), t) * q[_ZZ[zz]]
-                    zz += 1
-                # fixed-point integer IDCT (documented closed form for
-                # DC-only blocks: clip(128 + (F00*2896^2 + HALF)//SCALE))
-                nz = [
-                    (u, v, coeffs[u * 8 + v])
-                    for u in range(8)
-                    for v in range(8)
-                    if coeffs[u * 8 + v]
-                ]
-                if not nz or nz == [(0, 0, coeffs[0])]:
-                    # DC-only spectrum: the IDCT is one uniform value —
-                    # exactly the general loop's result for every (x, y)
-                    # (T[0] is constant), written with row slices
-                    acc = coeffs[0] * 2896 * 2896
-                    px = 128 + (acc + _HALF) // _SCALE
-                    px = 0 if px < 0 else (255 if px > 255 else px)
-                    fill = bytes([px] * 8)
+                for ci, (q, dct, act) in enumerate(bound):
+                    blk, preds[ci] = _decode_block(
+                        br, dct, act, q, preds[ci]
+                    )
+                    plane = planes[ci]
                     for y in range(8):
                         row = (by * 8 + y) * width + bx * 8
-                        out[row : row + 8] = fill
-                    continue
-                for y in range(8):
-                    row = (by * 8 + y) * width + bx * 8
-                    for x in range(8):
-                        acc = 0
-                        for u, v, f in nz:
-                            acc += f * _T[u][y] * _T[v][x]
-                        # floor division with half-up rounding, exact for
-                        # negatives too (Python // floors)
-                        px = 128 + (acc + _HALF) // _SCALE
-                        out[row + x] = 0 if px < 0 else (255 if px > 255 else px)
-        return bytes(out), width, height
+                        plane[row : row + 8] = bytes(blk[y * 8 : y * 8 + 8])
+        return planes, width, height
 
-    return jpeg_encode, jpeg_decode
+    def jpeg_decode(payload: bytes) -> tuple[bytes, int, int]:
+        """Decode a baseline greyscale JFIF payload. Returns
+        ``(pixels, width, height)``. The general baseline path for the
+        supported shape: tables come from the stream (DQT/DHT parsed and
+        rebuilt, nothing assumed), entropy decode handles byte stuffing,
+        arbitrary AC coefficients, ZRL and EOB; raises ``ValueError`` on
+        corrupt input, progressive shapes, or restart markers — and on
+        color payloads (use :func:`jpeg_decode_color`)."""
+        planes, width, height = _decode_planes(payload)
+        if len(planes) != 1:
+            raise ValueError("color JPEG: use jpeg_decode_color")
+        return bytes(planes[0]), width, height
+
+    def jpeg_decode_color(payload: bytes) -> tuple[bytes, int, int, int]:
+        """Decode a baseline JFIF payload of either supported shape.
+        Returns ``(pixels, width, height, n_components)`` — the greyscale
+        plane for 1-component streams, or the interleaved RGB raster
+        (pinned integer inverse color transform, module docstring) for
+        3-component 4:4:4 streams."""
+        planes, width, height = _decode_planes(payload)
+        if len(planes) == 1:
+            return bytes(planes[0]), width, height, 1
+        py, pcb, pcr = planes
+        out = bytearray(width * height * 3)
+        for i in range(width * height):
+            y, dcb, dcr = py[i], pcb[i] - 128, pcr[i] - 128
+            r = y + (359 * dcr + 128) // 256
+            g = y + (-88 * dcb - 183 * dcr + 128) // 256
+            b = y + (454 * dcb + 128) // 256
+            out[3 * i] = 0 if r < 0 else (255 if r > 255 else r)
+            out[3 * i + 1] = 0 if g < 0 else (255 if g > 255 else g)
+            out[3 * i + 2] = 0 if b < 0 else (255 if b > 255 else b)
+        return bytes(out), width, height, 3
+
+    return jpeg_encode, jpeg_decode, jpeg_encode_color, jpeg_decode_color
 
 
-jpeg_encode, jpeg_decode = _build_jpeg_codec()
+jpeg_encode, jpeg_decode, jpeg_encode_color, jpeg_decode_color = (
+    _build_jpeg_codec()
+)

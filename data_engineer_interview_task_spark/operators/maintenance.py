@@ -20,7 +20,7 @@ partitioning every orderkey query in this repo reuses.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources import read_table
@@ -1063,3 +1063,101 @@ def data_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "check", F.col("n_violations").cast("long").alias("n_violations")
     ).unionAll(dup.select("check", F.col("n_violations").cast("long")))\
      .unionAll(orphans.select("check", F.col("n_violations").cast("long")))
+
+
+def shuffle_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key SKEW diagnostics — the pre-flight audit a 100 TB shuffle
+    plan runs before picking a strategy: for each audited (relation,
+    join key) emit the key-frequency shape (row/key counts, the hottest
+    key and its row count, exact p50/p99 key sizes as order statistics)
+    plus two derived planning numbers:
+
+    - ``top1_share_ppm``: the hottest key's share of all rows in parts
+      per million — the "will one reducer own the stage?" signal.
+    - ``salt_factor``: ``ceil(max_key_rows * n_keys / n_rows)`` =
+      ceil(max/mean), the number of salt buckets that splits the hottest
+      key down to roughly the mean key size — exactly the explode factor
+      ``salted_skew_join_rollup`` would be configured with.
+
+    Everything is integer (ceil via ``(a + b - 1) DIV b``; percentiles
+    are the ``orders_percentile_ladder`` rank convention) so the report
+    is bit-identical across engines. Plan: per relation one map-side
+    combined groupBy(key) count, then a single window over the
+    AGGREGATE-sized counts table (n_keys rows, not n_rows) ordered
+    (cnt ASC, key DESC) — one probe filter serves p50, p99 and the
+    max/argmin-key row; no second sort, nothing collected. When even the
+    counts table is too big for one sort task (billions of keys), swap
+    the window for the ``global_row_numbers`` two-level numbering — the
+    report's semantics don't change."""
+    specs = [
+        ("lineitem", "l_partkey"),
+        ("orders", "o_custkey"),
+        ("events", "user_id"),
+    ]
+    out = None
+    for rel, key in specs:
+        counts = (
+            read_table(spark, sf_dir, rel)
+            .groupBy(F.col(key).alias("k"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        # (cnt ASC, key DESC): the LAST rank is the max-cnt row with the
+        # SMALLEST key among ties — max and its argmin-key in one window.
+        # Totals ride the SAME sorted frame as unbounded-window columns
+        # (one base-table scan; a separate aggregate would re-scan it)
+        w = Window.orderBy(F.col("cnt").asc(), F.col("k").desc())
+        wall = Window.partitionBy()
+        ranked = counts.select(
+            "k",
+            "cnt",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wall).cast("long").alias("n_keys"),
+            F.sum("cnt").over(wall).cast("long").alias("n_rows"),
+        ).select(
+            "*",
+            F.expr("(50 * n_keys + 99) DIV 100").alias("t50"),
+            F.expr("(99 * n_keys + 99) DIV 100").alias("t99"),
+        )
+        row = (
+            ranked.filter(
+                (F.col("rn") == F.col("t50"))
+                | (F.col("rn") == F.col("t99"))
+                | (F.col("rn") == F.col("n_keys"))
+            )
+            .groupBy("n_keys", "n_rows")
+            .agg(
+                F.max(F.when(F.col("rn") == F.col("t50"), F.col("cnt")))
+                .cast("long")
+                .alias("p50_key_rows"),
+                F.max(F.when(F.col("rn") == F.col("t99"), F.col("cnt")))
+                .cast("long")
+                .alias("p99_key_rows"),
+                F.max(F.when(F.col("rn") == F.col("n_keys"), F.col("cnt")))
+                .cast("long")
+                .alias("max_key_rows"),
+                F.max(F.when(F.col("rn") == F.col("n_keys"), F.col("k")))
+                .cast("long")
+                .alias("hot_key"),
+            )
+            .select(
+                F.lit(rel).alias("relation"),
+                F.lit(key).alias("join_key"),
+                "n_rows",
+                "n_keys",
+                "hot_key",
+                "max_key_rows",
+                "p50_key_rows",
+                "p99_key_rows",
+                F.expr("max_key_rows * 1000000 DIV n_rows")
+                .cast("long")
+                .alias("top1_share_ppm"),
+                F.expr(
+                    "(max_key_rows * n_keys + n_rows - 1) DIV n_rows"
+                )
+                .cast("long")
+                .alias("salt_factor"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    assert out is not None
+    return out

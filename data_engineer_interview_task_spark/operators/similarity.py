@@ -820,3 +820,110 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         codes = pick if codes is None else codes.join(pick, "vec_id")
     assert codes is not None
     return codes
+
+
+def pq_search_adc(
+    spark: SparkSession, sf_dir: str, n_queries: int = 4, k: int = 10
+) -> DataFrame:
+    """PQ ASYMMETRIC-DISTANCE search (Jégou et al., the lookup-table scan
+    behind IVF-PQ systems): rank the corpus against each query using ONLY
+    the product-quantization codes from :func:`embedding_pq_codes` plus a
+    per-query distance table — score(q, v) = ipa[code_a(v)] + ipb[code_b(v)]
+    where ``ipX[cell]`` is the inner product of the query's half with that
+    half's codebook centroid. The corpus embeddings are never touched at
+    query time; a 100 TB deployment scans a codes table of two small ints
+    per vector and does two broadcast-map lookups — this is the memory
+    story that makes billion-scale ANN fit.
+
+    Exactness contract (what makes the whole approximate operator
+    oracle-checkable): codebook entries are INTEGER floor-means of the
+    1e-9 fixed-point components (``(csum - pmod) div cnt`` — exact at any
+    count, unlike a double mean), the query is 1e-6 fixed-point, so every
+    score is a plain BIGINT sum of 64 bounded products (|q|<=1e6,
+    |c|<=1e9, 64 * 1e15 << 2^63 — no pre-cast overflow at any corpus
+    size) and ranking has a total (score DESC, vec_id ASC) tie-break.
+
+    Plan shape: two aggregate-sized codebook builds (posexplode + groupBy
+    over label x dim), a tiny broadcast distance table (n_queries x
+    n_cells), then ONE scan of the codes table with two broadcast hash
+    joins and a per-query top-k window — no shuffle of the corpus side
+    beyond the code assignment it shares with ``embedding_pq_codes``."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    dtabs = []
+    for half, name in ((0, "ip_a"), (1, "ip_b")):
+        sub = emb.select(
+            "label",
+            F.posexplode(F.slice("embedding", 1 + 32 * half, 32)).alias(
+                "dim", "x"
+            ),
+        )
+        # exact integer floor-mean codebook: floor(sum(floor(x*1e9))/cnt)
+        cbook = (
+            sub.groupBy("label", "dim")
+            .agg(
+                F.sum(
+                    F.floor(F.col("x").cast("double") * 1e9).cast("long")
+                ).alias("csum"),
+                F.count(F.lit(1)).alias("cnt"),
+            )
+            .select(
+                "label",
+                "dim",
+                F.expr("(csum - pmod(csum, cnt)) div cnt").alias("cfp"),
+            )
+            .groupBy("label")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("dim", "cfp"))).alias(
+                    "p"
+                )
+            )
+            .select(
+                F.col("label").cast("long").alias("cell"),
+                F.transform("p", lambda s: s["cfp"]).alias("cvec"),
+            )
+        )
+        queries = emb.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"),
+            F.transform(
+                F.slice("embedding", 1 + 32 * half, 32),
+                lambda x: F.floor(x.cast("double") * 1e6).cast("long"),
+            ).alias("qfp"),
+        )
+        dtabs.append(
+            queries.crossJoin(F.broadcast(cbook)).select(
+                "query_id",
+                F.col("cell").alias(f"cell_{name}"),
+                F.aggregate(
+                    F.zip_with("qfp", "cvec", lambda a, b: a * b),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias(name),
+            )
+        )
+    codes = embedding_pq_codes(spark, sf_dir).filter(
+        F.col("vec_id") >= n_queries  # queries are the held-out split
+    )
+    scored = (
+        codes.join(
+            F.broadcast(dtabs[0]), F.col("code_a") == F.col("cell_ip_a")
+        )
+        .join(
+            F.broadcast(dtabs[1]),
+            (F.col("code_b") == F.col("cell_ip_b"))
+            & (dtabs[0]["query_id"] == dtabs[1]["query_id"]),
+        )
+        .select(
+            dtabs[0]["query_id"].alias("query_id"),
+            "vec_id",
+            (F.col("ip_a") + F.col("ip_b")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("long").alias("rank"),
+                "vec_id", "score")
+    )

@@ -173,3 +173,142 @@ def test_jpeg_decode_query_reads_truly_decoded_raster(spark, sf_dir):
             r["pixel_sha"]
             == hashlib.sha256(expected.hex().encode()).hexdigest()
         )
+
+
+# ---------------------------------------------------------------- color
+
+
+def _uniform_rgb_image(triples, side: int = 16) -> bytes:
+    nb = side // 8
+    px = bytearray(side * side * 3)
+    for by in range(nb):
+        for bx in range(nb):
+            r, g, b = triples[by * nb + bx]
+            for y in range(8):
+                base = ((by * 8 + y) * side + bx * 8) * 3
+                for x in range(8):
+                    px[base + 3 * x] = r
+                    px[base + 3 * x + 1] = g
+                    px[base + 3 * x + 2] = b
+    return bytes(px)
+
+
+def test_color_uniform_closed_form_grid():
+    """Uniform RGB blocks through the REAL 3-component codec equal the
+    ``COLOR_UNIFORM_RGB`` closed form — the invariant the color SQL
+    oracle rides on — over a 6x6x6 RGB grid (864 blocks)."""
+    from data_engineer_interview_task_spark.functions.jpeg_codec import (
+        COLOR_UNIFORM_RGB,
+        jpeg_decode_color,
+        jpeg_encode_color,
+    )
+
+    for r in range(0, 256, 51):
+        for g in range(0, 256, 51):
+            for b in range(0, 256, 51):
+                trip = [
+                    (r, g, b),
+                    (b, r, g),
+                    (g, b, r),
+                    (255 - r, 255 - g, 255 - b),
+                ]
+                enc = jpeg_encode_color(_uniform_rgb_image(trip), 16, 16)
+                dec, w, h, nc = jpeg_decode_color(enc)
+                assert (w, h, nc) == (16, 16, 3)
+                for k, t in enumerate(trip):
+                    exp = COLOR_UNIFORM_RGB(*t)
+                    by, bx = divmod(k, 2)
+                    got = {
+                        tuple(
+                            dec[
+                                3 * ((by * 8 + y) * 16 + bx * 8 + x) : 3
+                                * ((by * 8 + y) * 16 + bx * 8 + x)
+                                + 3
+                            ]
+                        )
+                        for y in range(8)
+                        for x in range(8)
+                    }
+                    assert got == {exp}, (t, exp, got)
+
+
+def test_color_gradient_bounded_error_and_determinism():
+    """Non-uniform color content exercises the chrominance Huffman/quant
+    tables and the full AC path; chroma quantization is coarser than
+    luminance, so the bound is looser than the greyscale twin's."""
+    from data_engineer_interview_task_spark.functions.jpeg_codec import (
+        jpeg_decode,
+        jpeg_decode_color,
+        jpeg_encode_color,
+    )
+
+    cg = bytes(
+        ((x * 7 + y * 3 + c * 11) % 256)
+        for y in range(16)
+        for x in range(16)
+        for c in range(3)
+    )
+    enc = jpeg_encode_color(cg, 16, 16)
+    dec, w, h, nc = jpeg_decode_color(enc)
+    assert (w, h, nc) == (16, 16, 3)
+    assert jpeg_decode_color(enc)[0] == dec  # bit-deterministic
+    assert max(abs(a - b) for a, b in zip(cg, dec)) <= 12
+    # the greyscale-contract entry point must refuse the color shape
+    with pytest.raises(ValueError, match="jpeg_decode_color"):
+        jpeg_decode(enc)
+    # greyscale payloads still flow through the color entry point
+    from data_engineer_interview_task_spark.functions.jpeg_codec import (
+        jpeg_encode,
+    )
+
+    g = bytes(((x * 5 + y) % 256) for y in range(8) for x in range(8))
+    px, w, h, nc = jpeg_decode_color(jpeg_encode(g, 8, 8))
+    assert (w, h, nc) == (8, 8, 1)
+
+
+def test_decode_image_seam_dispatches_color_jpeg():
+    from data_engineer_interview_task_spark.functions.jpeg_codec import (
+        jpeg_encode_color,
+    )
+
+    enc = jpeg_encode_color(
+        _uniform_rgb_image([(10, 200, 30), (1, 2, 3), (250, 0, 128), (9, 9, 9)]),
+        16,
+        16,
+    )
+    px, w, h, ct = multimodal.decode_image(enc)
+    assert (w, h, ct) == (16, 16, 2)
+    assert len(px) == 16 * 16 * 3
+
+
+def test_color_jpeg_decode_query_reads_truly_decoded_raster(spark, sf_dir):
+    """End-to-end: the registered color query's pixel_sha equals the
+    sha256 of the hex transport of the raster predicted by the
+    closed-form COLOR chain applied to md5(text) byte triples."""
+    from data_engineer_interview_task_spark.functions.jpeg_codec import (
+        COLOR_UNIFORM_RGB,
+    )
+
+    rows = (
+        multimodal.multimodal_color_jpeg_decode(spark, sf_dir)
+        .limit(50)
+        .collect()
+    )
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(5000)
+        .collect()
+    }
+    assert rows
+    for r in rows:
+        d = hashlib.md5(docs[r["doc_id"]].encode()).digest()
+        trips = [COLOR_UNIFORM_RGB(d[3 * k], d[3 * k + 1], d[3 * k + 2]) for k in range(4)]
+        expected = _uniform_rgb_image(trips)
+        assert (r["width"], r["height"], r["color_type"]) == (16, 16, 2)
+        assert r["n_px_bytes"] == 768
+        assert (
+            r["pixel_sha"]
+            == hashlib.sha256(expected.hex().encode()).hexdigest()
+        )

@@ -561,3 +561,28 @@ def test_dpp_rollup_prunes_partitions(spark, sf_dir):
     assert "dynamicpruning" in plan.lower(), plan
     assert "PartitionFilters" in plan, plan
     assert df.count() == 7  # exactly the ISO week's days
+
+
+def test_skew_report_single_scan_per_relation_key_pruned(spark, sf_dir):
+    """The skew audit reads each audited relation ONCE (totals ride the
+    ranked window as unbounded-frame columns, not a second aggregate over
+    a re-scan) and prunes the scan to the key column alone."""
+    from data_engineer_interview_task_spark.operators import maintenance
+
+    plan = explain_str(maintenance.shuffle_skew_report(spark, sf_dir))
+    tree = plan.split("\n\n")[0]  # the numbered detail section repeats nodes
+    assert tree.count("Scan parquet") == 3, tree
+    assert "ReadSchema: struct<l_partkey:bigint>" in plan, plan
+    assert "ReadSchema: struct<o_custkey:bigint>" in plan, plan
+
+
+def test_pq_adc_is_broadcast_lookup_over_codes(spark, sf_dir):
+    """ADC search must rank via BROADCAST joins of the tiny distance
+    tables against the codes table — no shuffle join of the corpus side
+    and no cartesian product anywhere."""
+    from data_engineer_interview_task_spark.operators import similarity
+
+    plan = explain_str(similarity.pq_search_adc(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    # the two distance-table joins (one per half) build broadcast sides
+    assert plan.count("BroadcastHashJoin") >= 2, plan

@@ -389,3 +389,127 @@ def test_expectations_report_clean_corpus_is_all_zero(spark, sf_dir):
         "lineitem_fk_to_orders",
     }
     assert all(r["n_violations"] == 0 for r in rows)
+
+
+def test_pq_search_adc_matches_integer_replay(spark, sf_dir):
+    """Bit-level model test: replay the whole ADC path in plain python —
+    exact floor-mean codebooks from the raw embeddings, the engine's own
+    code assignment, BIGINT score = sum of 64 bounded products — and
+    require the registered query's rows to match exactly (scores, ranks
+    and tie-breaks included)."""
+    import hashlib as _h  # noqa: F401  (parity with sibling tests)
+    import math
+
+    from data_engineer_interview_task_spark.operators import similarity
+
+    emb = {
+        r["vec_id"]: (list(r["embedding"]), r["label"])
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    codes = {
+        r["vec_id"]: (r["code_a"], r["code_b"])
+        for r in similarity.embedding_pq_codes(spark, sf_dir).collect()
+    }
+    # exact integer floor-mean codebooks, per half
+    books = []
+    for half in (0, 1):
+        sums: dict[tuple[int, int], int] = {}
+        cnts: dict[int, int] = {}
+        for vec, (v, label) in emb.items():
+            cnts[label] = cnts.get(label, 0) + 1
+            for d in range(32):
+                key = (label, d)
+                sums[key] = sums.get(key, 0) + math.floor(
+                    float(v[32 * half + d]) * 1e9
+                )
+        books.append(
+            {
+                label: [sums[(label, d)] // cnts[label] for d in range(32)]
+                for label in cnts
+            }
+        )
+    n_q, k = 4, 10
+    expected = []
+    for q in range(n_q):
+        qv = emb[q][0]
+        scored = []
+        for vec, (ca, cb) in codes.items():
+            if vec < n_q:
+                continue
+            s = sum(
+                math.floor(float(qv[d]) * 1e6) * books[0][ca][d]
+                for d in range(32)
+            ) + sum(
+                math.floor(float(qv[32 + d]) * 1e6) * books[1][cb][d]
+                for d in range(32)
+            )
+            scored.append((s, vec))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (s, vec) in enumerate(scored[:k], start=1):
+            expected.append((q, rank, vec, s))
+    got = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["score"])
+        for r in similarity.pq_search_adc(spark, sf_dir).collect()
+    )
+    assert got == sorted(expected)
+
+
+def test_shuffle_skew_report_matches_pandas_replay(spark, sf_dir):
+    """The events row of the skew report equals a pandas value_counts
+    replay — percentile rank convention, hot-key argmin tie-break, ceil
+    arithmetic and all."""
+    import pandas as pd
+
+    from data_engineer_interview_task_spark.operators import maintenance
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    counts = ev["user_id"].value_counts()
+    n_rows, n_keys = int(counts.sum()), int(len(counts))
+    mx = int(counts.max())
+    hot_key = int(min(k for k, c in counts.items() if c == mx))
+    asc = sorted(counts.to_list())
+    p50 = asc[(50 * n_keys + 99) // 100 - 1]
+    p99 = asc[(99 * n_keys + 99) // 100 - 1]
+    row = {
+        r["relation"]: r
+        for r in maintenance.shuffle_skew_report(spark, sf_dir).collect()
+    }["events"]
+    assert row["join_key"] == "user_id"
+    assert (row["n_rows"], row["n_keys"]) == (n_rows, n_keys)
+    assert (row["hot_key"], row["max_key_rows"]) == (hot_key, mx)
+    assert (row["p50_key_rows"], row["p99_key_rows"]) == (p50, p99)
+    assert row["top1_share_ppm"] == mx * 1_000_000 // n_rows
+    assert row["salt_factor"] == (mx * n_keys + n_rows - 1) // n_rows
+    assert row["salt_factor"] >= 1
+
+
+def test_wav_frame_features_matches_md5_replay(spark, sf_dir):
+    """Per-frame energy / zero crossings / peak deviation equal a pure
+    python replay of the frame math over the md5-derived waveform."""
+    import hashlib
+
+    from data_engineer_interview_task_spark.operators import multimodal
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(20)
+        .collect()
+    }
+    rows = [
+        r
+        for r in multimodal.multimodal_wav_frame_features(spark, sf_dir)
+        .filter(f"doc_id in ({','.join(str(d) for d in docs)})")
+        .collect()
+    ]
+    assert len(rows) == 10 * len(docs)  # 240 samples / 24 per frame
+    for r in rows:
+        digest = hashlib.md5(docs[r["doc_id"]].encode()).digest()
+        samples = (digest * 16)[r["frame_idx"] * 24 : r["frame_idx"] * 24 + 24]
+        dev = [s - 128 for s in samples]
+        assert r["energy"] == sum(d * d for d in dev)
+        assert r["zero_crossings"] == sum(
+            1 for a, b in zip(dev, dev[1:]) if (a >= 0) != (b >= 0)
+        )
+        assert r["peak_dev"] == max(abs(d) for d in dev)
