@@ -2,13 +2,16 @@
 ``binary`` payloads + typed metadata, with decode / feature-extraction as
 Arrow-batched pandas functions over ``mapInPandas``.
 
-Image decode is REAL for PNG (``functions/png_codec.py`` — zlib, all five
-scanline filters, CRC-verified) and for baseline greyscale JPEG
-(``functions/jpeg_codec.py`` — stream-parsed Huffman tables, byte-stuffed
-entropy decode, fixed-point integer IDCT). Only shapes that genuinely
-need codec libraries absent from this container (video, color/progressive
-JPEG, palette PNG) remain behind ``NotImplementedError``, with a
-deterministic fake decoder for plumbing tests. The testdata has no binary
+Image decode is REAL for PNG — greyscale and palette/PLTE shapes
+(``functions/png_codec.py`` — zlib, all five scanline filters,
+CRC-verified) — and for baseline JPEG in both its greyscale and
+interleaved YCbCr 4:4:4 color shapes (``functions/jpeg_codec.py`` —
+stream-parsed Huffman tables, byte-stuffed entropy decode, fixed-point
+integer IDCT, pinned integer color transforms). Audio decodes for real
+via ``functions/wav_codec.py``. Only shapes that genuinely need codec
+libraries absent from this container (video codecs, progressive JPEG)
+remain behind ``NotImplementedError``, with a deterministic fake decoder
+for plumbing tests. The testdata has no binary
 table, so ``attach_payload``/``attach_png_payload``/``attach_jpeg_payload``
 manufacture payload columns from ``documents.text`` to exercise the
 pipeline end-to-end on real container bytes.
@@ -65,6 +68,19 @@ def attach_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("text/plain").alias("modality"),
         F.octet_length(payload).cast("long").alias("n_bytes"),
     )
+
+
+def _spread_docs(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Codec stages inherit the scan's splits, so a single-file documents
+    fixture runs the WHOLE encode/decode chain on one task (the SCALE.md
+    one-task trap — AQE can't see CPU blow-up inside mapInPandas). Spread
+    to the session's parallelism when the scan is narrower; real
+    multi-split corpora pass through untouched. The shuffled payload is
+    the doc text (KBs), the saved work is the codec CPU (ms per doc)."""
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        return docs.repartition(par)
+    return docs
 
 
 def decode_image(payload: bytes) -> tuple[bytes, int, int, int]:
@@ -255,7 +271,9 @@ def sample_frames(spark: SparkSession, sf_dir: str, n_frames: int = 4) -> DataFr
             StructField("frame_sha", StringType()),
         ]
     )
-    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _spread_docs(
+        spark, read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # self-contained closure (workers never import this package)
@@ -300,7 +318,9 @@ def attach_png_payload(
             StructField("modality", StringType()),
         ]
     )
-    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _spread_docs(
+        spark, read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     reps = (side * side) // 32
 
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -409,7 +429,9 @@ def attach_palette_png_payload(
             StructField("modality", StringType()),
         ]
     )
-    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _spread_docs(
+        spark, read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     reps = (side * side) // 32
     pal = PALETTE16
 
@@ -533,7 +555,9 @@ def attach_wav_payload(
             StructField("modality", StringType()),
         ]
     )
-    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _spread_docs(
+        spark, read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
 
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # self-contained closure: wav_encode captured BY VALUE
@@ -707,7 +731,9 @@ def attach_jpeg_payload(
             StructField("modality", StringType()),
         ]
     )
-    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _spread_docs(
+        spark, read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
 
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # self-contained closure: jpeg_encode captured BY VALUE
@@ -767,7 +793,9 @@ def attach_color_jpeg_payload(
             StructField("modality", StringType()),
         ]
     )
-    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _spread_docs(
+        spark, read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
 
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # self-contained closure: jpeg_encode_color captured BY VALUE
@@ -891,7 +919,9 @@ def attach_mjpeg_payload(
             StructField("modality", StringType()),
         ]
     )
-    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _spread_docs(
+        spark, read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
 
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # self-contained closure: jpeg_encode captured BY VALUE
