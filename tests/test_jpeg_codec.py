@@ -312,3 +312,52 @@ def test_color_jpeg_decode_query_reads_truly_decoded_raster(spark, sf_dir):
             r["pixel_sha"]
             == hashlib.sha256(expected.hex().encode()).hexdigest()
         )
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    r=st.integers(0, 255), g=st.integers(0, 255), b=st.integers(0, 255)
+)
+def test_color_uniform_closed_form_hypothesis(r, g, b):
+    """Randomized complement of the grid test: any uniform RGB block
+    survives the full color chain as its closed form."""
+    from data_engineer_interview_task_spark.functions.jpeg_codec import (
+        COLOR_UNIFORM_RGB,
+        jpeg_decode_color,
+        jpeg_encode_color,
+    )
+
+    enc = jpeg_encode_color(_uniform_rgb_image([(r, g, b)] * 4), 16, 16)
+    dec, _, _, _ = jpeg_decode_color(enc)
+    exp = COLOR_UNIFORM_RGB(r, g, b)
+    assert set(
+        tuple(dec[3 * i : 3 * i + 3]) for i in range(256)
+    ) == {exp}
+
+
+def test_color_byte_stuffing_round_trip():
+    """AC-rich color gradients must produce (and cleanly unstuff) 0xFF00
+    byte stuffing in the interleaved scan — the chroma Huffman tables'
+    long codes make stuffed bytes likelier than in the greyscale twin."""
+    from data_engineer_interview_task_spark.functions.jpeg_codec import (
+        jpeg_decode_color,
+        jpeg_encode_color,
+    )
+
+    hit = False
+    for a, b in [(13, 7), (14, 5), (18, 1), (21, 2), (25, 4)]:
+        cg = bytes(
+            ((x * a + y * b + c * 29) % 256)
+            for y in range(16)
+            for x in range(16)
+            for c in range(3)
+        )
+        enc = jpeg_encode_color(cg, 16, 16)
+        scan = enc[enc.rindex(b"\xff\xda") : -2]
+        if b"\xff\x00" not in scan:
+            continue
+        hit = True
+        dec, w, h, nc = jpeg_decode_color(enc)
+        assert (w, h, nc) == (16, 16, 3)
+        assert jpeg_decode_color(enc)[0] == dec
+    assert hit, "no sweep case produced a stuffed byte"
