@@ -415,21 +415,34 @@ def click_purchase_semi_join(
 def run_click_purchase_semi_join_once(
     spark: SparkSession, sf_dir: str, work_dir: str
 ) -> DataFrame:
-    """availableNow harness for the stream-stream LEFT SEMI join."""
+    """availableNow harness for the stream-stream LEFT SEMI join. Runs
+    under the same reduced state-store partition count as the outer-join
+    harnesses (``_OUTER_JOIN_STATE_PARTITIONS``): a stream-stream join
+    pays per-partition state snapshot/commit cost on EVERY micro-batch
+    regardless of row count, and the semi join keeps the same four
+    instances per partition as the inner join — the conf window opens
+    AFTER the last ``read_table`` (whose ``prep_session`` would reset
+    it) and before the checkpoint is created."""
     from ..sources import read_table
 
     prep_session(spark)
     src = f"{work_dir}/events_src"
     read_table(spark, sf_dir, "events").write.mode("overwrite").parquet(src)
     sink = f"mem_sssj_{uuid.uuid4().hex[:8]}"
-    q = (
-        click_purchase_semi_join(spark, src)
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .option("checkpointLocation", f"{work_dir}/ckpt_{sink}")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    conf_key = "spark.sql.shuffle.partitions"
+    prior = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, _OUTER_JOIN_STATE_PARTITIONS)
+    try:
+        q = (
+            click_purchase_semi_join(spark, src)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", f"{work_dir}/ckpt_{sink}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(conf_key, prior)
     return drain_memory_sink(spark, sink)
