@@ -263,7 +263,10 @@ def sample_frames(spark: SparkSession, sf_dir: str, n_frames: int = 4) -> DataFr
     'frame' is sha256(text + '#' + idx), deterministic in both engines, so
     even this Python fan-out path is fully oracle-checked. At 100 TB:
     batch size bounds decoder memory; partitioning is preserved (no
-    shuffle) and frame rows inherit the payload's partition."""
+    shuffle) and frame rows inherit the payload's partition. No
+    ``_spread_docs`` here: the per-doc work is one sha256 — the spread
+    shuffle costs more than it saves (measured +0.25s; the helper is for
+    codec-CPU chains)."""
     schema = StructType(
         [
             StructField("doc_id", LongType()),
@@ -271,9 +274,7 @@ def sample_frames(spark: SparkSession, sf_dir: str, n_frames: int = 4) -> DataFr
             StructField("frame_sha", StringType()),
         ]
     )
-    docs = _spread_docs(
-        spark, read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    )
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # self-contained closure (workers never import this package)
