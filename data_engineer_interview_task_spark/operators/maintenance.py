@@ -712,9 +712,15 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             out(F.min(expr)).alias(f"{name}__mn"),
             out(F.max(expr)).alias(f"{name}__mx"),
         ]
-    wide = orders.select(
-        *[e.alias(n) for n, (e, _) in cols.items()]
-    ).agg(*aggs)
+    proj = orders.select(*[e.alias(n) for n, (e, _) in cols.items()])
+    # the multi-column DISTINCT plan Expands each input row 7x BEFORE the
+    # first exchange, so a single-split scan runs the whole partial
+    # aggregation on one task (the _spread_docs trap, Expand edition) —
+    # spread the narrow projection first when the scan is that thin
+    par = spark.sparkContext.defaultParallelism
+    if proj.rdd.getNumPartitions() < par:
+        proj = proj.repartition(par)
+    wide = proj.agg(*aggs)
     stack_args = ", ".join(
         f"'{n}', {n}__nn, {n}__nd, {n}__mn, {n}__mx" for n in cols
     )
