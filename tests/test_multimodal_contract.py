@@ -113,3 +113,24 @@ def test_arrow_and_pandas_feature_paths_agree(spark, sf_dir):
     a = sorted(map(tuple, multimodal.extract_features(base).collect()))
     b = sorted(map(tuple, multimodal.extract_features_arrow(base).collect()))
     assert a == b and len(a) > 0
+
+
+def test_codec_attaches_spread_single_split_scans(spark, sf_dir):
+    """The one-task-trap guard: codec-heavy attaches must not inherit a
+    single-split scan's parallelism (the whole encode chain would run on
+    one task), while the trivial-CPU fan-out (sample_frames) stays
+    shuffle-free — the spread shuffle measured NET-NEGATIVE there."""
+    from data_engineer_interview_task_spark.operators import multimodal
+
+    par = spark.sparkContext.defaultParallelism
+    spread = multimodal.attach_jpeg_payload(spark, sf_dir)
+    assert spread.rdd.getNumPartitions() >= min(par, 2)
+    plan = spread._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" in plan  # the adaptive repartition fired
+    frames_plan = (
+        multimodal.sample_frames(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in frames_plan
