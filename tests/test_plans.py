@@ -182,6 +182,19 @@ def test_risky_determinism_is_partition_independent(spark, sf_dir):
                     spark, sf_dir, k=5
                 ).collect()
             ),
+            # r6s2: the ADC path's integer floor-mean codebooks and the
+            # skew report's window-carried totals were both built to be
+            # partition-independent — pin it
+            "pq_adc": sorted(
+                tuple(r)
+                for r in similarity.pq_search_adc(spark, sf_dir).collect()
+            ),
+            "skew_report": sorted(
+                tuple(r)
+                for r in maintenance.shuffle_skew_report(
+                    spark, sf_dir
+                ).collect()
+            ),
         }
 
     prev = spark.conf.get("spark.sql.shuffle.partitions")
