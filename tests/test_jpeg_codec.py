@@ -361,3 +361,33 @@ def test_color_byte_stuffing_round_trip():
         assert (w, h, nc) == (16, 16, 3)
         assert jpeg_decode_color(enc)[0] == dec
     assert hit, "no sweep case produced a stuffed byte"
+
+
+def test_decoder_binds_tables_by_stream_ids():
+    """The decoder must bind quantization/Huffman tables by the IDS the
+    stream declares (DQT tq / DHT th / SOF comp-qtab / SOS table byte),
+    not by assuming slot 0 — remapping every table of a valid payload to
+    ids 3/2 must decode to the identical raster."""
+    import struct
+
+    grad = bytes(((x * 7 + y * 3) % 256) for y in range(16) for x in range(16))
+    enc = bytearray(jpeg_encode(grad, 16, 16))
+    pos = 2
+    while pos + 4 <= len(enc):
+        marker = enc[pos + 1]
+        (ln,) = struct.unpack(">H", bytes(enc[pos + 2 : pos + 4]))
+        body_at = pos + 4
+        if marker == 0xDB:
+            enc[body_at] = (enc[body_at] & 0xF0) | 0x03  # tq = 3
+        elif marker == 0xC4:
+            p, end = body_at, pos + 2 + ln
+            while p < end:
+                enc[p] = (enc[p] & 0xF0) | 0x02  # th = 2 (both classes)
+                p += 17 + sum(enc[p + 1 : p + 17])
+        elif marker == 0xC0:
+            enc[body_at + 8] = 0x03  # component references qtab 3
+        elif marker == 0xDA:
+            enc[body_at + 2] = 0x22  # dc table 2, ac table 2
+            break
+        pos += 2 + ln
+    assert jpeg_decode(bytes(enc)) == jpeg_decode(jpeg_encode(grad, 16, 16))
