@@ -1248,7 +1248,8 @@ def recursive_supplier_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: shared VERBATIM by the Spark query and the DuckDB oracle (both engines
 #: implement ANSI LATERAL with identical correlation semantics)
 LATERAL_TOP_CUSTOMERS_SQL = """
-SELECT n.n_name, t.c_custkey, t.c_name, t.c_acctbal
+SELECT n.n_name, t.c_custkey, t.c_name,
+       CAST(t.c_acctbal * 100 AS BIGINT) AS acctbal_cents
 FROM nation n,
 LATERAL (
   SELECT c_custkey, c_name, CAST(c_acctbal AS DECIMAL(18,2)) AS c_acctbal
@@ -1271,7 +1272,12 @@ def lateral_top_customers_per_nation(
     row_number path; the DuckDB oracle executes the VERBATIM same SQL
     (both engines implement ANSI lateral correlation). Total order inside
     the lateral (acctbal DESC, custkey ASC) keeps the LIMIT slice
-    bit-deterministic.
+    bit-deterministic. The balance is EMITTED as BIGINT cents: this was
+    the registry's only DECIMAL output column, and the r5 checksum
+    bisection proved the driver's DECIMAL transport/compare stage can
+    diverge where every local gate is green — BIGINT transport is the
+    proven-safe class (ordering still happens on the DECIMAL inside the
+    lateral).
 
     Scale note: Catalyst decorrelates the lateral into a join + windowed
     rank over the customer side — the same physical shape as the window

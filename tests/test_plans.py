@@ -555,7 +555,9 @@ def test_lateral_decorrelates_to_window_not_nested_loop(spark, sf_dir):
             "n_name",
             "c_custkey",
             "c_name",
-            F.col("c_acctbal").cast("decimal(18,2)").alias("c_acctbal"),
+            (F.col("c_acctbal").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("acctbal_cents"),
         )
     )
     a = {tuple(r) for r in df.collect()}

@@ -94,3 +94,23 @@ def test_oracle_names_match_registry():
     registry = set(entry.queries())
     oracles = set(entry.oracle_sql())
     assert oracles <= registry, f"orphan oracles: {sorted(oracles - registry)}"
+
+
+def test_window_queries_emit_no_decimal_columns(spark):
+    """The r5 checksum bisection PROVED the driver's DECIMAL output
+    transport/compare can diverge while every local gate is green
+    (bigint+probe green, decimal red). The attestation window must
+    therefore transport results only in proven-safe types — any DECIMAL
+    that matters for ordering stays internal and is emitted as BIGINT
+    cents / double."""
+    sf = "/root/testdata/sf0.001"
+    qs = entry.queries()
+    offenders = []
+    for name in list(qs)[:50]:
+        df = qs[name](spark, sf)
+        bad = [
+            f.name for f in df.schema.fields if "Decimal" in str(f.dataType)
+        ]
+        if bad:
+            offenders.append((name, bad))
+    assert not offenders, offenders
