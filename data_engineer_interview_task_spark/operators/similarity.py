@@ -849,6 +849,17 @@ def pq_search_adc(
     joins and a per-query top-k window — no shuffle of the corpus side
     beyond the code assignment it shares with ``embedding_pq_codes``."""
     emb = read_table(spark, sf_dir, "embeddings")
+    dtabs = _adc_distance_tables(emb, n_queries)
+    codes = embedding_pq_codes(spark, sf_dir).filter(
+        F.col("vec_id") >= n_queries  # queries are the held-out split
+    )
+    return _adc_rank(codes, dtabs, k)
+
+
+def _adc_distance_tables(emb: DataFrame, n_queries: int) -> list[DataFrame]:
+    """The per-query ADC lookup tables, one per PQ half: exact integer
+    floor-mean codebooks x 1e-6 fixed-point query halves (see
+    :func:`pq_search_adc` for the exactness contract)."""
     dtabs = []
     for half, name in ((0, "ip_a"), (1, "ip_b")):
         sub = emb.select(
@@ -900,13 +911,21 @@ def pq_search_adc(
                 ).alias(name),
             )
         )
-    codes = embedding_pq_codes(spark, sf_dir).filter(
-        F.col("vec_id") >= n_queries  # queries are the held-out split
-    )
+    return dtabs
+
+
+def _adc_rank(codes: DataFrame, dtabs: list[DataFrame], k: int) -> DataFrame:
+    """Score a (query_id?, vec_id, code_a, code_b) candidate frame via the
+    broadcast ADC tables and emit the per-query top-k. If ``codes``
+    already carries a ``query_id`` (probe-restricted candidates), the
+    table joins are per that query; otherwise every query ranks the whole
+    frame."""
+    per_query = "query_id" in codes.columns
+    cond_a = F.col("code_a") == F.col("cell_ip_a")
+    if per_query:
+        cond_a = cond_a & (codes["query_id"] == dtabs[0]["query_id"])
     scored = (
-        codes.join(
-            F.broadcast(dtabs[0]), F.col("code_a") == F.col("cell_ip_a")
-        )
+        codes.join(F.broadcast(dtabs[0]), cond_a)
         .join(
             F.broadcast(dtabs[1]),
             (F.col("code_b") == F.col("cell_ip_b"))
@@ -927,3 +946,95 @@ def pq_search_adc(
         .select("query_id", F.col("rank").cast("long").alias("rank"),
                 "vec_id", "score")
     )
+
+
+def pq_codes_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ POSTING LISTS: the ``embedding_pq_codes`` table joined with
+    each vector's coarse cell (= its label, the same cell structure the
+    persisted IVF index uses) and materialized hive-partitioned BY CELL
+    through the shared artifact store — the write-once layout where a
+    probe of ``n_probe`` cells reads ``n_probe`` directories of 8-byte
+    code pairs and never touches an embedding. This is the storage
+    design of every billion-scale IVF-PQ system (FAISS IVFPQ's inverted
+    lists as a warehouse table)."""
+    from ..plans.artifacts import materialized
+
+    emb_path = f"{sf_dir}/embeddings.parquet"
+
+    def build() -> DataFrame:
+        emb = read_table(spark, sf_dir, "embeddings")
+        return embedding_pq_codes(spark, sf_dir).join(
+            emb.select(
+                "vec_id", F.col("label").cast("long").alias("cell")
+            ),
+            "vec_id",
+        )
+
+    return materialized(
+        spark,
+        ("pq_codes", sf_dir),
+        "pq_codes_",
+        build,
+        inputs=(emb_path,),
+        partition_by=("cell",),
+    )
+
+
+def ivfpq_search(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 4,
+    k: int = 10,
+    n_probe: int = 3,
+) -> DataFrame:
+    """The FULL IVF-PQ architecture — :func:`pq_search_adc`'s
+    asymmetric-distance scoring composed with the IVF probe pruning of
+    ``ivf_topk_prebuilt``: each query coarse-ranks the centroid table,
+    keeps its ``n_probe`` nearest cells, and ADC-scores ONLY the posting
+    lists of those cells, read through partition-pruned scans of the
+    cell-partitioned codes artifact. Query-time I/O is ``n_probe``
+    directories of (vec_id, code_a, code_b) rows — no embedding column
+    is ever read; at 100 TB this is the difference between scanning the
+    corpus and scanning a few hundred MB of codes.
+
+    Every stage keeps the deterministic contracts of its parents (double
+    cosine probe order with total tie-break — same as the attested IVF
+    family; BIGINT ADC scores), so results are exactly reproducible.
+    Registration note: the round-6 window was full when this landed —
+    correctness is carried by the bit-level replay test
+    (tests/test_round6_properties.py) until round 7 registers it with
+    its oracle (CLAUDE.md round-7 starters, item 1)."""
+    index_dir = _cached_ivf_index(spark, sf_dir)
+    cents = spark.read.parquet(f"{index_dir}/centroids")
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q"),
+    )
+    qcells = queries.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "cell",
+        cosine_expr(F.col("q"), F.col("centroid")).alias("cell_cos"),
+    )
+    w_cells = Window.partitionBy("query_id").orderBy(
+        F.col("cell_cos").desc(), F.col("cell").asc()
+    )
+    probed = (
+        qcells.withColumn("cr", F.row_number().over(w_cells))
+        .filter(F.col("cr") <= n_probe)
+        .select("query_id", F.col("cell").cast("long").alias("cell"))
+    )
+    # index metadata, not data: the union of probed cell ids becomes a
+    # static partition-pruning predicate on the codes artifact (the same
+    # collect-as-predicate pattern as ivf_topk_prebuilt)
+    cells = sorted({r.cell for r in probed.select("cell").distinct().collect()})
+    candidates = (
+        pq_codes_artifact(spark, sf_dir)
+        .filter(F.col("cell").isin(cells))
+        .filter(F.col("vec_id") >= n_queries)
+        # per-query restriction: a candidate competes only for queries
+        # that probed ITS cell
+        .join(F.broadcast(probed), "cell")
+        .select("query_id", "vec_id", "code_a", "code_b")
+    )
+    return _adc_rank(candidates, _adc_distance_tables(emb, n_queries), k)

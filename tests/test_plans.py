@@ -601,3 +601,23 @@ def test_pq_adc_is_broadcast_lookup_over_codes(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     # the two distance-table joins (one per half) build broadcast sides
     assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_ivfpq_probes_prune_codes_partitions(spark, sf_dir):
+    """IVF-PQ query-time I/O contract: the codes-artifact scan must carry
+    the probed cells as static PartitionFilters (unprobed posting lists
+    are never opened) and read only the code columns — no embedding
+    column anywhere in the scan."""
+    from data_engineer_interview_task_spark.operators import similarity
+
+    plan = explain_str(similarity.ivfpq_search(spark, sf_dir))
+    pf = [
+        l
+        for l in plan.splitlines()
+        if "PartitionFilters" in l and "cell" in l and " IN (" in l
+    ]
+    assert pf, plan
+    scan_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert any("code_a" in l and "embedding" not in l for l in scan_lines), (
+        scan_lines
+    )

@@ -391,13 +391,11 @@ def test_expectations_report_clean_corpus_is_all_zero(spark, sf_dir):
     assert all(r["n_violations"] == 0 for r in rows)
 
 
-def test_pq_search_adc_matches_integer_replay(spark, sf_dir):
-    """Bit-level model test: replay the whole ADC path in plain python —
-    exact floor-mean codebooks from the raw embeddings, the engine's own
-    code assignment, BIGINT score = sum of 64 bounded products — and
-    require the registered query's rows to match exactly (scores, ranks
-    and tie-breaks included)."""
-    import hashlib as _h  # noqa: F401  (parity with sibling tests)
+def _adc_replay(spark, sf_dir, n_q=4):
+    """Plain-python replay of the ADC scoring path: raw embeddings, the
+    engine's own code assignment, exact integer floor-mean codebooks.
+    Returns (emb, codes, score_fn) where score_fn(q, vec) is the BIGINT
+    ADC score."""
     import math
 
     from data_engineer_interview_task_spark.operators import similarity
@@ -428,23 +426,37 @@ def test_pq_search_adc_matches_integer_replay(spark, sf_dir):
                 for label in cnts
             }
         )
+
+    def score(q: int, vec: int) -> int:
+        qv = emb[q][0]
+        ca, cb = codes[vec]
+        return sum(
+            math.floor(float(qv[d]) * 1e6) * books[0][ca][d]
+            for d in range(32)
+        ) + sum(
+            math.floor(float(qv[32 + d]) * 1e6) * books[1][cb][d]
+            for d in range(32)
+        )
+
+    return emb, codes, score
+
+
+def test_pq_search_adc_matches_integer_replay(spark, sf_dir):
+    """Bit-level model test: replay the whole ADC path in plain python —
+    exact floor-mean codebooks from the raw embeddings, the engine's own
+    code assignment, BIGINT score = sum of 64 bounded products — and
+    require the registered query's rows to match exactly (scores, ranks
+    and tie-breaks included)."""
+    from data_engineer_interview_task_spark.operators import similarity
+
+    emb, codes, score = _adc_replay(spark, sf_dir)
     n_q, k = 4, 10
     expected = []
     for q in range(n_q):
-        qv = emb[q][0]
-        scored = []
-        for vec, (ca, cb) in codes.items():
-            if vec < n_q:
-                continue
-            s = sum(
-                math.floor(float(qv[d]) * 1e6) * books[0][ca][d]
-                for d in range(32)
-            ) + sum(
-                math.floor(float(qv[32 + d]) * 1e6) * books[1][cb][d]
-                for d in range(32)
-            )
-            scored.append((s, vec))
-        scored.sort(key=lambda t: (-t[0], t[1]))
+        scored = sorted(
+            ((score(q, vec), vec) for vec in codes if vec >= n_q),
+            key=lambda t: (-t[0], t[1]),
+        )
         for rank, (s, vec) in enumerate(scored[:k], start=1):
             expected.append((q, rank, vec, s))
     got = sorted(
@@ -452,6 +464,63 @@ def test_pq_search_adc_matches_integer_replay(spark, sf_dir):
         for r in similarity.pq_search_adc(spark, sf_dir).collect()
     )
     assert got == sorted(expected)
+
+
+def test_ivfpq_search_matches_probe_restricted_replay(spark, sf_dir):
+    """The composed IVF-PQ path must equal the ADC replay restricted to
+    each query's OWN probed cells (taken from the engine's probe
+    selection — the deterministic centroid ranking the attested IVF
+    family already pins), bit-for-bit including ranks and tie-breaks.
+    Also asserts the candidate restriction is real: no returned neighbor
+    lies outside its query's probed cells."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_interview_task_spark.operators import similarity
+
+    emb, codes, score = _adc_replay(spark, sf_dir)
+    n_q, k, n_probe = 4, 10, 3
+    index_dir = similarity._cached_ivf_index(spark, sf_dir)
+    cents = spark.read.parquet(f"{index_dir}/centroids")
+    queries = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") < n_q)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q"))
+    )
+    from pyspark.sql import Window as W
+
+    from data_engineer_interview_task_spark.functions.vector import cosine_expr
+
+    qc = queries.crossJoin(F.broadcast(cents)).select(
+        "query_id", "cell", cosine_expr(F.col("q"), F.col("centroid")).alias("c")
+    )
+    wc = W.partitionBy("query_id").orderBy(F.col("c").desc(), F.col("cell").asc())
+    probed = {}
+    for r in (
+        qc.withColumn("cr", F.row_number().over(wc))
+        .filter(F.col("cr") <= n_probe)
+        .collect()
+    ):
+        probed.setdefault(r["query_id"], set()).add(r["cell"])
+    expected = []
+    for q in range(n_q):
+        cand = [
+            vec
+            for vec, (v, label) in emb.items()
+            if vec >= n_q and label in probed[q]
+        ]
+        scored = sorted(
+            ((score(q, vec), vec) for vec in cand),
+            key=lambda t: (-t[0], t[1]),
+        )
+        for rank, (s, vec) in enumerate(scored[:k], start=1):
+            expected.append((q, rank, vec, s))
+    got = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["score"])
+        for r in similarity.ivfpq_search(spark, sf_dir).collect()
+    )
+    assert got == sorted(expected)
+    for q, rank, vec, s in got:
+        assert emb[vec][1] in probed[q]
 
 
 def test_shuffle_skew_report_matches_pandas_replay(spark, sf_dir):
