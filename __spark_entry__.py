@@ -482,6 +482,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never attested (r5's ORACLE_DEFERRED_TO_NEXT_ROUND set); then
         # round-6 additions fill the window as they land. Everything after
         # the window is attested green by the union of r01..r05 records.
+        # --- ROUND-7 attestation front. The r6 window closed 50/50 green
+        # with zero deferred debt, so the r7 window opens empty; new
+        # round-7 entries fill it from the top. Everything below the r7
+        # section is attested by the r01..r06 driver-record union. ---
+        "ivfpq_search": similarity.ivfpq_search,  # FULL IVF-PQ: probe-pruned ADC over cell-partitioned posting lists (VERDICT r6 item 1)
+        # --- round-6 front (all green in CORRECTNESS_r06) ---
         "table_checksum": maintenance.table_checksum,  # canonical = BIGINT transport since r6
         "supplier_kcore": graph.supplier_kcore,  # iterative k-core peeling (unrolled; cascade pinned by constructed-graph test)
         "revenue_gini": extended.revenue_gini,  # exact rank-weighted concentration index, one IEEE division
@@ -4107,6 +4113,74 @@ FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                ORDER BY score DESC, vec_id ASC) AS rn
   FROM scored
+) WHERE rn <= 10
+"""
+    )
+
+    # FULL IVF-PQ search (round 7, VERDICT r6 item 1): pq_search_adc's
+    # ADC scoring chain composed with knn_label_vote_ivf's probe-cell
+    # predicate — each query coarse-ranks the full-dim fixed-point
+    # centroids, keeps its 3 nearest cells (double cosine, total
+    # tie-break), and ADC-scores ONLY vectors whose cell (= label) was
+    # probed by THAT query. CTEs pa/pb (code assignment) and dta/dtb
+    # (distance tables) are the attested pq_search_adc chains verbatim.
+    d["ivfpq_search"] = (
+        "WITH "
+        + _pq_half("a", 1, 32, "code_a")
+        + ","
+        + _pq_half("b", 33, 64, "code_b")
+        + ","
+        + _adc_cbook("a", 0)
+        + ","
+        + _adc_cbook("b", 32)
+        + f"""
+, cd64 AS (
+  SELECT label AS cell, i AS dim,
+         CAST(SUM(CAST(floor(CAST(embedding[i + 1] AS DOUBLE)
+                            * 1000000000.0) AS BIGINT))
+              AS DOUBLE) / COUNT(*) / 1000000000.0 AS c
+  FROM embeddings, (SELECT unnest(range(64)) AS i) dims
+  GROUP BY label, i
+),
+cents64 AS (SELECT cell, list(c ORDER BY dim ASC) AS centroid
+            FROM cd64 GROUP BY cell),
+q64 AS (SELECT vec_id AS query_id, embedding AS qe
+        FROM embeddings WHERE vec_id < 4),
+qcells64 AS (
+  SELECT query_id, cell,
+         {_FOLD64.format(a="qe", b="centroid")}
+           / (sqrt({_FOLD64.format(a="qe", b="qe")})
+              * sqrt({_FOLD64.format(a="centroid", b="centroid")}))
+           AS cell_cos
+  FROM q64 CROSS JOIN cents64
+),
+probed AS (
+  SELECT query_id, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cell_cos DESC, cell ASC) AS cr
+    FROM qcells64
+  ) WHERE cr <= 3
+),
+cand AS (
+  SELECT pr.query_id, p.vec_id, p.code_a, p.code_b
+  FROM (SELECT pa.vec_id, code_a, code_b
+        FROM pa JOIN pb ON pa.vec_id = pb.vec_id) p
+  JOIN embeddings e ON e.vec_id = p.vec_id
+  JOIN probed pr ON pr.cell = e.label
+  WHERE p.vec_id >= 4
+),
+ipqscored AS (
+  SELECT c.query_id, c.vec_id, da.ipa + db.ipb AS score
+  FROM cand c
+  JOIN dta da ON da.cell = c.code_a AND da.query_id = c.query_id
+  JOIN dtb db ON db.cell = c.code_b AND db.query_id = c.query_id
+)
+SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id,
+       CAST(score AS BIGINT) AS score
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, vec_id ASC) AS rn
+  FROM ipqscored
 ) WHERE rn <= 10
 """
     )

@@ -266,6 +266,8 @@ HEADLINE = [
     "pq_search_adc",
     "shuffle_skew_report",
     "multimodal_wav_frame_features",
+    # round 7: full IVF-PQ composition
+    "ivfpq_search",
 ]
 
 
@@ -366,7 +368,14 @@ def main() -> None:
         "spread": spreads,  # per-query within-run (max-min)/median
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
     }
-    print(json.dumps(result))
+    # Driver-facing line stays COMPACT (VERDICT r6 item 7: the r5 AND r6
+    # driver payloads arrived truncated): 2-decimal per-query values,
+    # no whitespace, and the spread map lives only in the history file
+    # (tools/bench_compare.py reads spreads from there, not from stdout).
+    compact = dict(result)
+    compact.pop("spread")
+    compact["queries"] = {k: round(v, 2) for k, v in timings.items()}
+    print(json.dumps(compact, separators=(",", ":")))
     # append to the per-query history so regressions the single total hides
     # are visible (tools/bench_compare.py flags drift-adjusted median
     # regressions beyond the recorded within-run spread)
