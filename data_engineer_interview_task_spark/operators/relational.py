@@ -1152,18 +1152,85 @@ def user_modal_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _two_phase_ntile(
+    df: DataFrame,
+    k: int,
+    order_cols: list,
+    out_name: str,
+    n_parts: int = 8,
+) -> DataFrame:
+    """``ntile(k)`` over a TOTAL order with NO single-task global sort —
+    the scalable replacement for ``F.ntile(k).over(Window.orderBy(...))``
+    (VERDICT r6 item 3), built on the ``global_row_numbers`` two-phase
+    decomposition (extended.py): range-repartition on the sort key,
+    number rows WITHIN each range partition (a parallel window), then
+    add each partition's exclusive prefix-count offset via a tiny
+    broadcast join. The bucket index is then pure arithmetic on the
+    global rank, reproducing SQL NTILE exactly: with ``n`` rows,
+    ``base = n DIV k``, ``rem = n % k``, the first ``rem`` buckets hold
+    ``base + 1`` rows — so ``tile(r) = (r-1) DIV (base+1) + 1`` for
+    ``r <= rem*(base+1)`` and ``rem + (r - rem*(base+1) - 1) DIV base
+    + 1`` after (bit-identical to both engines' NTILE; pinned by a
+    property test against ``F.ntile`` over constructed frames).
+
+    The pid frame is MATERIALIZED (localCheckpoint) because
+    repartitionByRange samples its boundaries — two evaluations can
+    split differently and misalign offsets against local ranks (the
+    documented ``global_row_numbers`` lesson, caught at sf1).
+    ``n_parts`` is the parallelism knob: each range partition sorts
+    independently, so at 10^9 rows you raise it instead of melting one
+    task; the offset/total frame stays n_parts rows — broadcast-sized
+    at any data scale. Requires the order to be TOTAL (unique key) so
+    range boundaries are clean; all callers pass a tie-broken order."""
+    parts = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    in_part = Window.partitionBy("_pid").orderBy(*order_cols)
+    numbered = parts.withColumn("_rn", F.row_number().over(in_part))
+    off_w = Window.orderBy(F.col("_pid").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot_w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = (
+        parts.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .select(
+            "_pid",
+            (F.sum("_cnt").over(off_w) - F.col("_cnt")).alias("_off"),
+            F.sum("_cnt").over(tot_w).alias("_n"),
+        )
+    )
+    ranked = (
+        numbered.join(F.broadcast(offsets), "_pid")
+        .withColumn("_rank", F.col("_rn") + F.col("_off"))
+        .withColumn("_base", F.expr(f"_n DIV {k}"))
+        .withColumn("_rem", F.col("_n") % k)
+        .withColumn("_cut", F.col("_rem") * (F.col("_base") + 1))
+    )
+    tile = F.when(
+        F.col("_rank") <= F.col("_cut"),
+        F.expr("(_rank - 1) DIV (_base + 1)") + 1,
+    ).otherwise(F.col("_rem") + F.expr("(_rank - _cut - 1) DIV _base") + 1)
+    return ranked.withColumn(out_name, tile.cast("long")).drop(
+        "_pid", "_rn", "_off", "_n", "_rank", "_base", "_rem", "_cut"
+    )
+
+
 def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation: recency (days from last order to the
     corpus anchor = max order date), frequency (order count), monetary
-    (exact cents), each scored into quintiles by ``ntile(5)`` over a
-    FULLY tie-broken order (metric, then custkey) so the bucketing is
-    deterministic and engine-identical; ``rfm_code = 100r + 10f + m``.
+    (exact cents), each scored into quintiles over a FULLY tie-broken
+    order (metric, then custkey) so the bucketing is deterministic and
+    engine-identical; ``rfm_code = 100r + 10f + m``.
 
-    Scale note: the three ntile windows are global sorts over the
-    CUSTOMER aggregate (one row per customer, not per order). For
-    billion-customer tables swap ntile for the two-level numbering of
-    ``global_row_numbers`` (sample range boundaries, number within
-    ranges) — same deterministic order, no single-partition sort."""
+    Each quintile runs through :func:`_two_phase_ntile` — three
+    parallel range-partitioned numberings instead of three single-task
+    global ntile sorts (VERDICT r6 item 3); output is bit-identical to
+    ``ntile(5)`` over the same orders, so the oracle is unchanged."""
     orders = read_table(spark, sf_dir, "orders")
     per = orders.groupBy("o_custkey").agg(
         F.max(F.to_date("o_orderdate")).alias("last_day"),
@@ -1179,23 +1246,29 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         "m_cents",
     )
-    r_w = Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey").asc())
-    f_w = Window.orderBy(F.col("n_orders").desc(), F.col("o_custkey").asc())
-    m_w = Window.orderBy(F.col("m_cents").desc(), F.col("o_custkey").asc())
-    scored = base.select(
+    scored = _two_phase_ntile(
+        base, 5, [F.col("recency_days").asc(), F.col("o_custkey").asc()],
+        "r_score",
+    )
+    scored = _two_phase_ntile(
+        scored, 5, [F.col("n_orders").desc(), F.col("o_custkey").asc()],
+        "f_score",
+    )
+    scored = _two_phase_ntile(
+        scored, 5, [F.col("m_cents").desc(), F.col("o_custkey").asc()],
+        "m_score",
+    )
+    return scored.select(
         "o_custkey",
         "recency_days",
         "n_orders",
         "m_cents",
-        F.ntile(5).over(r_w).cast("long").alias("r_score"),
-        F.ntile(5).over(f_w).cast("long").alias("f_score"),
-        F.ntile(5).over(m_w).cast("long").alias("m_score"),
-    )
-    return scored.withColumn(
-        "rfm_code",
-        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")).cast(
-            "long"
-        ),
+        "r_score",
+        "f_score",
+        "m_score",
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"))
+        .cast("long")
+        .alias("rfm_code"),
     )
 
 
@@ -1452,13 +1525,18 @@ def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative gains. The evaluation twin of ``rfm_segments``' ntile
     scoring and ``quality_threshold_for_budget``'s CDF.
 
-    Exactness: the ntile runs over a TOTAL order (cents DESC, orderkey
-    ASC), so decile assignment is bit-deterministic; counts stay BIGINT;
-    rate, lift and cumulative gain are each ONE IEEE division of exact
-    integer products (lift = pos·n_total / (n·pos_total) — the same
-    cross-multiplied form as ``event_type_lift``). Shape: one window
-    pass for the ntile, one aggregation, one cumulative window over 10
-    rows."""
+    Exactness: the decile cut runs over a TOTAL order (cents DESC,
+    orderkey ASC), so assignment is bit-deterministic; counts stay
+    BIGINT; rate, lift and cumulative gain are each ONE IEEE division of
+    exact integer products (lift = pos·n_total / (n·pos_total) — the
+    same cross-multiplied form as ``event_type_lift``).
+
+    Scale shape (VERDICT r6 item 3): the cut is
+    :func:`_two_phase_ntile` — range-repartitioned parallel numbering +
+    rank arithmetic, bit-identical to ``ntile(10)`` over the same order
+    but with no single-task global sort of the orders table (the old
+    plan measured 5.3x at 10x data purely from that one window); then
+    one aggregation and a cumulative window over 10 rows."""
     orders = read_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         (F.col("o_totalprice").cast("decimal(18,2)") * 100)
@@ -1466,8 +1544,10 @@ def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents"),
         (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("pos"),
     )
-    w = Window.orderBy(F.col("cents").desc(), F.col("o_orderkey").asc())
-    binned = orders.withColumn("decile", F.ntile(10).over(w).cast("long"))
+    binned = _two_phase_ntile(
+        orders, 10, [F.col("cents").desc(), F.col("o_orderkey").asc()],
+        "decile",
+    )
     per = binned.groupBy("decile").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("pos").cast("long").alias("positives"),
