@@ -4356,12 +4356,18 @@ FROM pr
 
     # engine-side JSON path extraction parity (get_json_object vs
     # json_extract); missing keys land in the NULL bucket on both sides
+    # integer-pattern guard mirrored with the Spark side (ADVICE r6):
+    # extract the raw string, convert only ^-?[0-9]+$ matches, else NULL
     d["json_value_histogram"] = """
+WITH ext AS (
+  SELECT event_type, json_extract_string(props, '$.k') AS ks FROM events
+)
 SELECT event_type,
-       CAST(floor(CAST(json_extract(props, '$.k') AS BIGINT) / 10)
+       CAST(floor(CAST(CASE WHEN regexp_matches(ks, '^-?[0-9]+$')
+                            THEN CAST(ks AS BIGINT) END AS BIGINT) / 10)
             AS BIGINT) AS bucket,
        CAST(COUNT(*) AS BIGINT) AS n
-FROM events GROUP BY 1, 2
+FROM ext GROUP BY 1, 2
 """
 
     # streaming bitmap sketch == plain batch distinct per epoch week

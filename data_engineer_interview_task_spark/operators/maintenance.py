@@ -233,8 +233,15 @@ def table_checksum(spark: SparkSession, sf_dir: str, buckets: int = 32) -> DataF
     the row hash or the fold. Per the pre-registered decision rule the
     BIGINT-mod-2^62 transport is now THE ``table_checksum``; the retired
     DECIMAL body survives as :func:`table_checksum_decimal` (local tests
-    only, unregistered). The mod-2^62 fold keeps every partial sum
-    overflow-free to ~2^30 rows per partial — safe at 100 TB."""
+    only, unregistered).
+
+    The FOLD is internal DECIMAL(38,0) (ADVICE r6): a plain BIGINT sum
+    of u32 row hashes wraps silently past ~2^31 rows per bucket with
+    ANSI off, while the DuckDB oracle sums in HUGEINT — the decimal
+    accumulator is wrap-free to 10^38 (~2^95 rows of u32), and only the
+    already-reduced mod-2^62 value is cast to the proven-safe BIGINT
+    transport. Decimal sums are exact and associative, so the fold stays
+    partition-order independent."""
     docs = read_table(spark, sf_dir, "documents")
     bucket, _, rh = _row_hash_u32(buckets)
     return (
@@ -242,7 +249,11 @@ def table_checksum(spark: SparkSession, sf_dir: str, buckets: int = 32) -> DataF
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.pmod(F.sum("rh"), F.lit(2**62)).cast("bigint").alias("checksum"),
+            F.pmod(
+                F.sum(F.col("rh").cast("decimal(38,0)")), F.lit(2**62)
+            )
+            .cast("bigint")
+            .alias("checksum"),
         )
     )
 
@@ -825,12 +836,17 @@ def checksum_replica_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def fold(df: DataFrame, side: str) -> DataFrame:
+        # same wrap-free internal-DECIMAL fold as table_checksum
         bucket, _, rh = _row_hash_u32(32)
         return (
             df.select(bucket, rh)
             .groupBy("bucket")
             .agg(
-                F.pmod(F.sum("rh"), F.lit(2**62)).cast("long").alias(f"ck_{side}")
+                F.pmod(
+                    F.sum(F.col("rh").cast("decimal(38,0)")), F.lit(2**62)
+                )
+                .cast("long")
+                .alias(f"ck_{side}")
             )
         )
 
@@ -953,7 +969,7 @@ def bloom_membership_audit(
     )
     words = (
         arms.select(
-            (F.col("pos") / 62).cast("long").alias("word_idx"),
+            F.expr("pos DIV 62").alias("word_idx"),
             F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 62 AS INT))").alias(
                 "bit"
             ),
@@ -966,7 +982,7 @@ def bloom_membership_audit(
         "key", F.explode(F.array(*positions(F.col("key")))).alias("pos")
     ).select(
         "key",
-        (F.col("pos") / 62).cast("long").alias("word_idx"),
+        F.expr("pos DIV 62").alias("word_idx"),
         (F.col("pos") % 62).cast("int").alias("bit_idx"),
     )
     checked = probe_arms.join(F.broadcast(words), "word_idx", "left").select(

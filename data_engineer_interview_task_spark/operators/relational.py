@@ -1604,7 +1604,7 @@ def bitmap_weekly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     days = events.select(
         F.to_date(F.date_trunc("week", F.col("ts"))).alias("week_start"),
         F.to_date("ts").alias("day"),
-        (F.col("user_id") / 62).cast("long").alias("word_idx"),
+        F.expr("user_id DIV 62").alias("word_idx"),
         # SQL shiftleft: the bit-count operand must be a column here,
         # which the python F.shiftleft wrapper only takes as a literal
         F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 62 AS INT))").alias(
@@ -1722,13 +1722,21 @@ def json_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     the numeric ``$.k`` field, and histogram it per event type in
     width-10 buckets — the schema-on-read pass every event pipeline runs
     over its property bags. JSON path extraction happens ENGINE-SIDE in
-    both systems (Spark ``get_json_object`` / DuckDB ``json_extract``),
-    so the parse itself is part of the cross-engine contract; rows whose
-    ``k`` is missing or non-numeric land in a NULL bucket rather than
-    being silently dropped. One narrow projection + one partial-agg
-    shuffle of bucket keys."""
+    both systems (Spark ``get_json_object`` / DuckDB
+    ``json_extract_string``), so the parse itself is part of the
+    cross-engine contract; rows whose ``k`` is missing or non-numeric
+    land in a NULL bucket rather than being silently dropped.
+
+    The numeric conversion is GUARDED by an explicit integer-pattern
+    check mirrored in the oracle (ADVICE r6): a bare ``cast('long')``
+    NULLs-or-truncates fractional/string ``k`` differently per engine
+    (Spark ``'3.7'`` -> NULL, DuckDB CAST errors), so both engines now
+    extract the raw string and convert only ``^-?[0-9]+$`` matches —
+    anything else is deterministically NULL on both sides. One narrow
+    projection + one partial-agg shuffle of bucket keys."""
     events = read_table(spark, sf_dir, "events")
-    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    ks = F.get_json_object(F.col("props"), "$.k")
+    k = F.when(ks.rlike("^-?[0-9]+$"), ks.cast("long"))
     return (
         events.select(
             "event_type", F.floor(k / 10).cast("long").alias("bucket")
@@ -1753,7 +1761,7 @@ def weekly_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     weekly = (
         events.select(
             F.to_date(F.date_trunc("week", F.col("ts"))).alias("week_start"),
-            (F.col("user_id") / 62).cast("long").alias("word_idx"),
+            F.expr("user_id DIV 62").alias("word_idx"),
             F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 62 AS INT))").alias(
                 "bit"
             ),

@@ -34,7 +34,9 @@ retention policy.
 
 from __future__ import annotations
 
+import hashlib
 import os
+import shutil
 import tempfile
 from typing import Callable, Iterable
 import threading
@@ -47,6 +49,20 @@ _CACHE: dict[tuple, str] = {}
 #: keys build from the shingle table), re-entering materialized() on the
 #: same thread — a plain Lock would self-deadlock there.
 _LOCK = threading.RLock()
+#: lazily-created fallback root when no base_dir/env root is configured
+#: (one per process, so even ephemeral artifacts get deterministic names)
+_TMP_ROOT: list[str] = []
+
+#: completion marker inside a finished artifact dir (written AFTER the
+#: parquet write, holding the full key) — a dir without it is a torn
+#: write from a killed process and is rebuilt in place.
+_MARKER = "_ARTIFACT_SUCCESS"
+
+
+def _stable_hash(obj) -> str:
+    """Deterministic short hash of a key tuple (strings/ints/tuples), the
+    same across processes — what makes on-disk artifact names stable."""
+    return hashlib.sha256(repr(obj).encode()).hexdigest()[:16]
 
 
 def input_fingerprint(path: str) -> tuple:
@@ -90,18 +106,44 @@ def materialized(
     stale artifact. ``base_dir``: where artifacts land (see module
     docstring for the resolution order). ``partition_by``: hive-layout
     the artifact on these columns, so consumers filtering/joining on
-    them get partition pruning (static or dynamic) on every scan."""
-    full_key = key + tuple(input_fingerprint(p) for p in inputs)
+    them get partition pruning (static or dynamic) on every scan.
+
+    On-disk lifecycle (ADVICE r6): the directory name is DERIVED from
+    the key — ``{prefix}{hash(key)}_{hash(fingerprints)}`` — with a
+    completion marker written after the parquet write, so a restarted
+    process (or a second process sharing a persistent
+    ``SPARK_GRAFT_ARTIFACT_DIR``) REUSES finished artifacts instead of
+    writing a fresh copy per process, and a torn write (dir without
+    marker) rebuilds in place. When an input fingerprint changes, the
+    superseded fingerprint dirs of the same logical key are deleted
+    after the replacement completes — a persistent root holds at most
+    one artifact per logical key."""
+    fps = tuple(input_fingerprint(p) for p in inputs)
+    full_key = key + fps
     with _LOCK:
         path = _CACHE.get(full_key)
         if path is None:
             root = base_dir or os.environ.get("SPARK_GRAFT_ARTIFACT_DIR")
-            if root:
-                os.makedirs(root, exist_ok=True)
-            path = tempfile.mkdtemp(prefix=prefix, dir=root)
-            writer = build().write.mode("overwrite")
-            if partition_by:
-                writer = writer.partitionBy(*partition_by)
-            writer.parquet(path)
+            if not root:
+                if not _TMP_ROOT:
+                    _TMP_ROOT.append(
+                        tempfile.mkdtemp(prefix="spark_graft_artifacts_")
+                    )
+                root = _TMP_ROOT[0]
+            os.makedirs(root, exist_ok=True)
+            lhash = _stable_hash(key)
+            path = os.path.join(root, f"{prefix}{lhash}_{_stable_hash(fps)}")
+            if not os.path.exists(os.path.join(path, _MARKER)):
+                writer = build().write.mode("overwrite")
+                if partition_by:
+                    writer = writer.partitionBy(*partition_by)
+                writer.parquet(path)
+                with open(os.path.join(path, _MARKER), "w") as fh:
+                    fh.write(repr(full_key))
+                stem = f"{prefix}{lhash}_"
+                for d in os.listdir(root):
+                    if d.startswith(stem) and d != os.path.basename(path):
+                        shutil.rmtree(os.path.join(root, d),
+                                      ignore_errors=True)
             _CACHE[full_key] = path
     return spark.read.parquet(path)

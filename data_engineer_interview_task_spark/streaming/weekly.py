@@ -174,7 +174,7 @@ def bitmap_distinct_stream(
         stream.withWatermark("ts", watermark)
         .groupBy(
             F.window("ts", "7 days"),
-            (F.col("user_id") / 62).cast("long").alias("word_idx"),
+            F.expr("user_id DIV 62").alias("word_idx"),
         )
         .agg(
             F.bit_or(

@@ -49,6 +49,49 @@ def test_mutated_input_triggers_rebuild(spark, sf_dir):
     shutil.rmtree(work)
 
 
+def test_restart_reuses_finished_artifact_and_prunes_superseded(spark):
+    """ADVICE r6: deterministic hash-named dirs + completion marker mean
+    a process restart (simulated by clearing the in-memory cache) scans
+    the finished artifact instead of rebuilding, and a fingerprint
+    change deletes the superseded dir after the replacement lands."""
+    base = tempfile.mkdtemp(prefix="artifact-persist-")
+    work = tempfile.mkdtemp(prefix="artifact-input-")
+    inp = os.path.join(work, "in.bin")
+    with open(inp, "wb") as f:
+        f.write(b"v1")
+    calls, build = _build_counter(spark, "persist")
+    key = ("test_restart_reuse",)
+    artifacts.materialized(
+        spark, key, "test_art_", build, inputs=(inp,), base_dir=base
+    ).count()
+    assert calls["n"] == 1
+    # simulated restart: in-memory cache gone, on-disk artifact remains
+    artifacts._CACHE.clear()
+    artifacts.materialized(
+        spark, key, "test_art_", build, inputs=(inp,), base_dir=base
+    ).count()
+    assert calls["n"] == 1, "restart must reuse the finished artifact"
+    assert len(os.listdir(base)) == 1
+    # input mutation: rebuild AND delete the superseded fingerprint dir
+    with open(inp, "ab") as f:
+        f.write(b"\x00")
+    artifacts.materialized(
+        spark, key, "test_art_", build, inputs=(inp,), base_dir=base
+    ).count()
+    assert calls["n"] == 2
+    assert len(os.listdir(base)) == 1, "superseded artifact must be pruned"
+    # torn write (marker missing) is rebuilt in place on next access
+    artifacts._CACHE.clear()
+    art = os.path.join(base, os.listdir(base)[0])
+    os.remove(os.path.join(art, artifacts._MARKER))
+    artifacts.materialized(
+        spark, key, "test_art_", build, inputs=(inp,), base_dir=base
+    ).count()
+    assert calls["n"] == 3, "missing completion marker must force rebuild"
+    shutil.rmtree(base)
+    shutil.rmtree(work)
+
+
 def test_base_dir_places_artifacts(spark):
     base = tempfile.mkdtemp(prefix="artifact-base-")
     calls, build = _build_counter(spark, "based")
