@@ -266,8 +266,9 @@ HEADLINE = [
     "pq_search_adc",
     "shuffle_skew_report",
     "multimodal_wav_frame_features",
-    # round 7: full IVF-PQ composition
+    # round 7: full IVF-PQ composition, real decode+resample
     "ivfpq_search",
+    "multimodal_resize",
 ]
 
 

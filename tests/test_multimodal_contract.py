@@ -30,9 +30,37 @@ def test_codec_seams_fail_loudly_and_name_their_double():
     with pytest.raises(NotImplementedError) as e1:
         multimodal.decode_image(b"\x89PNG...")
     assert "fake_decode" in str(e1.value)
+    # resize is REAL since round 7: an undecodable payload propagates the
+    # decode seam's loud failure instead of raising its own
     with pytest.raises(NotImplementedError) as e2:
         multimodal.resize_image(b"\x89PNG...", 32, 32)
-    assert "fake_resize" in str(e2.value)
+    assert "fake_decode" in str(e2.value)
+
+
+def test_real_resize_nearest_neighbor_semantics():
+    """The REAL resize (VERDICT r6 item 2): pinned integer NN convention
+    src = dst*src_size DIV out_size, grayscale and RGB(palette) paths."""
+    from data_engineer_interview_task_spark.functions.png_codec import (
+        png_encode,
+    )
+
+    # 4x4 grayscale with distinct bytes: downsample 2x2 picks (0,0),
+    # (0,2), (2,0), (2,2); upsample 8x8 row r reads source row r DIV 2
+    src = bytes(range(16))
+    p = png_encode(src, 4, 4, 0)
+    assert multimodal.resize_image(p, 2, 2) == bytes([0, 2, 8, 10])
+    up = multimodal.resize_image(p, 8, 8)
+    assert len(up) == 64
+    assert up[:8] == bytes([0, 0, 1, 1, 2, 2, 3, 3])
+    assert up[8:16] == up[:8]  # output row 1 reads source row 0
+    # identity resize is the decoded raster verbatim
+    assert multimodal.resize_image(p, 4, 4) == src
+    # RGB path (palette PNG decodes to an expanded RGB raster): pixel
+    # triples move together
+    pal = bytes(b for v in (10, 20, 30, 40) for b in (v, v + 1, v + 2))
+    pp = png_encode(bytes([0, 1, 2, 3]), 2, 2, 3, palette=pal)
+    out = multimodal.resize_image(pp, 1, 1)
+    assert out == bytes([10, 11, 12])  # NN keeps the (0,0) triple
 
 
 def test_fake_decode_identity_contract():

@@ -93,9 +93,17 @@ def test_decode_image_is_stubbed():
         multimodal.decode_image(b"\x89PNG")
 
 
-def test_resize_is_stubbed_with_correct_fake_shape():
+def test_resize_real_on_png_fake_double_shape():
+    # real resize decodes for real; undecodable bytes fail loudly via
+    # the decode seam
     with pytest.raises(NotImplementedError):
         multimodal.resize_image(b"\x89PNG", 8, 8)
+    from data_engineer_interview_task_spark.functions.png_codec import (
+        png_encode,
+    )
+
+    p = png_encode(bytes([7, 9, 11, 13]), 2, 2, 0)
+    assert multimodal.resize_image(p, 2, 2) == bytes([7, 9, 11, 13])
     out = multimodal.fake_resize(b"payload", 16, 9)
     assert len(out) == 16 * 9 * 3
     assert out == multimodal.fake_resize(b"payload", 16, 9)  # deterministic
