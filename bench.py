@@ -266,9 +266,10 @@ HEADLINE = [
     "pq_search_adc",
     "shuffle_skew_report",
     "multimodal_wav_frame_features",
-    # round 7: full IVF-PQ composition, real decode+resample
+    # round 7: full IVF-PQ composition, real decode+resample, 4:2:0 JPEG
     "ivfpq_search",
     "multimodal_resize",
+    "multimodal_color_jpeg_subsampled_decode",
 ]
 
 

@@ -451,6 +451,99 @@ def _build_jpeg_codec():
             b"\xff\xd8" + app0 + dqt + sof + dht + sos + scan + b"\xff\xd9"
         )
 
+    def jpeg_encode_color_420(rgb: bytes, width: int, height: int) -> bytes:
+        """Serialize an interleaved 8-bit RGB raster (row-major, dims
+        multiples of 16) to a baseline YCbCr 4:2:0 JFIF JPEG — the
+        chroma-SUBSAMPLED layout virtually every camera/web JPEG uses:
+        Y keeps full resolution (sampling factors 2x2), Cb/Cr are
+        stored at half resolution in both axes (1x1), so each MCU
+        covers 16x16 luma pixels as four Y blocks (2x2 raster order)
+        followed by one Cb and one Cr block.
+
+        Subsampling convention (PINNED, part of the codec contract):
+        each chroma sample is the round-half-up mean of its 2x2 pixel
+        group, ``(a + b + c + d + 2) DIV 4`` — on a uniform group this
+        is exactly the common value, which is what keeps uniform-MCU
+        fixtures on the ``COLOR_UNIFORM_RGB`` closed form."""
+        if width % 16 or height % 16:
+            raise ValueError("dimensions must be multiples of 16")
+        if len(rgb) != width * height * 3:
+            raise ValueError("pixel buffer does not match dimensions")
+        dc_y, ac_y = _huff_codes(*_DC_SPEC), _huff_codes(*_AC_SPEC)
+        dc_c, ac_c = _huff_codes(*_DC_SPEC_C), _huff_codes(*_AC_SPEC_C)
+        n = width * height
+        planes = [bytearray(n), bytearray(n), bytearray(n)]
+        for i in range(n):
+            r, g, b = rgb[3 * i], rgb[3 * i + 1], rgb[3 * i + 2]
+            y = (77 * r + 150 * g + 29 * b + 128) >> 8
+            cb = (32896 - 43 * r - 85 * g + 128 * b) >> 8
+            cr = (32896 + 128 * r - 107 * g - 21 * b) >> 8
+            planes[0][i] = y
+            planes[1][i] = 255 if cb > 255 else cb
+            planes[2][i] = 255 if cr > 255 else cr
+        cw, chh = width // 2, height // 2
+        subs = []
+        for p in (planes[1], planes[2]):
+            sp = bytearray(cw * chh)
+            for r in range(chh):
+                base = (2 * r) * width
+                for c in range(cw):
+                    i = base + 2 * c
+                    sp[r * cw + c] = (
+                        p[i] + p[i + 1] + p[i + width] + p[i + width + 1] + 2
+                    ) // 4
+            subs.append(sp)
+        bw = _BitWriter()
+        preds = [0, 0, 0]
+        for my in range(height // 16):
+            for mx in range(width // 16):
+                for by in range(2):  # four Y blocks, 2x2 raster order
+                    for bx in range(2):
+                        yb, xb = my * 2 + by, mx * 2 + bx
+                        blk = [
+                            planes[0][(yb * 8 + y) * width + xb * 8 + x]
+                            - 128
+                            for y in range(8)
+                            for x in range(8)
+                        ]
+                        qc = _fdct_quant(blk, _QTAB)
+                        preds[0] = _entropy_block(
+                            bw, qc, preds[0], dc_y, ac_y
+                        )
+                for ci, sp in enumerate(subs, start=1):
+                    blk = [
+                        sp[(my * 8 + y) * cw + mx * 8 + x] - 128
+                        for y in range(8)
+                        for x in range(8)
+                    ]
+                    qc = _fdct_quant(blk, _QTAB_C)
+                    preds[ci] = _entropy_block(
+                        bw, qc, preds[ci], dc_c, ac_c
+                    )
+        scan = bw.flush()
+        dqt = _seg(
+            0xFFDB,
+            b"\x00" + bytes(_QTAB[_ZZ[i]] for i in range(64))
+            + b"\x01" + bytes(_QTAB_C[_ZZ[i]] for i in range(64)),
+        )
+        sof = _seg(
+            0xFFC0,
+            struct.pack(">BHHB", 8, height, width, 3)
+            + b"\x01\x22\x00"  # Y: id 1, 2x2 sampling, qtab 0
+            + b"\x02\x11\x01"  # Cb: id 2, 1x1, qtab 1
+            + b"\x03\x11\x01",  # Cr: id 3, 1x1, qtab 1
+        )
+        dht = _seg(
+            0xFFC4,
+            _dht_payload(0, 0, _DC_SPEC) + _dht_payload(1, 0, _AC_SPEC)
+            + _dht_payload(0, 1, _DC_SPEC_C) + _dht_payload(1, 1, _AC_SPEC_C),
+        )
+        sos = _seg(0xFFDA, b"\x03\x01\x00\x02\x11\x03\x11\x00\x3f\x00")
+        app0 = _seg(0xFFE0, _APP0)
+        return (
+            b"\xff\xd8" + app0 + dqt + sof + dht + sos + scan + b"\xff\xd9"
+        )
+
     class _BitReader:
         def __init__(self, data: bytes, pos: int):
             self.data = data
@@ -553,9 +646,12 @@ def _build_jpeg_codec():
     def _decode_planes(payload: bytes):
         """The general baseline decode path for the supported shapes:
         segment parse, tables rebuilt from the stream, interleaved-MCU
-        entropy decode with per-component predictors. Returns
-        ``(planes, width, height)`` — one row-major plane per SOF
-        component (Y or Y,Cb,Cr)."""
+        entropy decode with per-component predictors and SOF-declared
+        sampling factors (1x1 .. 2x2 — covers 4:4:4, 4:2:2 and 4:2:0).
+        Returns ``(planes, width, height, dims)`` — one row-major plane
+        per SOF component at its STORED resolution, with ``dims`` the
+        per-plane ``(w, h)`` list (subsampled chroma planes are smaller
+        than the luma plane)."""
         if payload[:2] != b"\xff\xd8":
             raise ValueError("not a JPEG payload (bad SOI)")
         pos = 2
@@ -599,9 +695,12 @@ def _build_jpeg_codec():
                 comps = []
                 for i in range(ncomp):
                     cid, samp, qid = body[6 + 3 * i : 9 + 3 * i]
-                    if samp != 0x11:
-                        raise ValueError("subsampling unsupported")
-                    comps.append((cid, qid))
+                    sh, sv = samp >> 4, samp & 0x0F
+                    if sh not in (1, 2) or sv not in (1, 2):
+                        raise ValueError(
+                            f"sampling factors {sh}x{sv} unsupported"
+                        )
+                    comps.append((cid, qid, sh, sv))
             elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
                 raise ValueError("non-baseline SOF unsupported")
             elif marker == 0xC4:  # DHT (possibly several tables)
@@ -633,29 +732,51 @@ def _build_jpeg_codec():
             raise ValueError("no SOS segment")
         if width is None or not qtabs or not htabs:
             raise ValueError("missing SOF/DQT/DHT before scan")
-        if width % 8 or height % 8:
-            raise ValueError("dimensions must be multiples of 8")
+        # a single-component scan is non-interleaved: sampling factors
+        # are irrelevant, the MCU is one block
+        if len(comps) == 1:
+            comps = [(comps[0][0], comps[0][1], 1, 1)]
+        hmax = max(c[2] for c in comps)
+        vmax = max(c[3] for c in comps)
+        if width % (8 * hmax) or height % (8 * vmax):
+            raise ValueError(
+                "dimensions must be multiples of the MCU size "
+                f"({8 * hmax}x{8 * vmax})"
+            )
         # bind per-component tables (SOF order == MCU interleave order)
         bound = []
-        for cid, qid in comps:
+        for cid, qid, sh, sv in comps:
             if cid not in scan_tabs:
                 raise ValueError(f"component {cid} missing from scan")
             dc_id, ac_id = scan_tabs[cid]
-            bound.append((qtabs[qid], htabs[(0, dc_id)], htabs[(1, ac_id)]))
+            bound.append(
+                (qtabs[qid], htabs[(0, dc_id)], htabs[(1, ac_id)], sh, sv)
+            )
         br = _BitReader(payload, pos)
-        planes = [bytearray(width * height) for _ in comps]
+        dims = [
+            (width * sh // hmax, height * sv // vmax)
+            for _q, _d, _a, sh, sv in bound
+        ]
+        planes = [bytearray(w * h) for w, h in dims]
         preds = [0] * len(comps)
-        for by in range(height // 8):
-            for bx in range(width // 8):
-                for ci, (q, dct, act) in enumerate(bound):
-                    blk, preds[ci] = _decode_block(
-                        br, dct, act, q, preds[ci]
-                    )
+        for my in range(height // (8 * vmax)):
+            for mx in range(width // (8 * hmax)):
+                for ci, (q, dct, act, sh, sv) in enumerate(bound):
+                    cw = dims[ci][0]
                     plane = planes[ci]
-                    for y in range(8):
-                        row = (by * 8 + y) * width + bx * 8
-                        plane[row : row + 8] = bytes(blk[y * 8 : y * 8 + 8])
-        return planes, width, height
+                    # sh*sv blocks of this component per MCU, raster order
+                    for by in range(sv):
+                        for bx in range(sh):
+                            blk, preds[ci] = _decode_block(
+                                br, dct, act, q, preds[ci]
+                            )
+                            yb, xb = my * sv + by, mx * sh + bx
+                            for y in range(8):
+                                row = (yb * 8 + y) * cw + xb * 8
+                                plane[row : row + 8] = bytes(
+                                    blk[y * 8 : y * 8 + 8]
+                                )
+        return planes, width, height, dims
 
     def jpeg_decode(payload: bytes) -> tuple[bytes, int, int]:
         """Decode a baseline greyscale JFIF payload. Returns
@@ -665,24 +786,39 @@ def _build_jpeg_codec():
         arbitrary AC coefficients, ZRL and EOB; raises ``ValueError`` on
         corrupt input, progressive shapes, or restart markers — and on
         color payloads (use :func:`jpeg_decode_color`)."""
-        planes, width, height = _decode_planes(payload)
+        planes, width, height, _dims = _decode_planes(payload)
         if len(planes) != 1:
             raise ValueError("color JPEG: use jpeg_decode_color")
         return bytes(planes[0]), width, height
 
     def jpeg_decode_color(payload: bytes) -> tuple[bytes, int, int, int]:
-        """Decode a baseline JFIF payload of either supported shape.
+        """Decode a baseline JFIF payload of any supported shape.
         Returns ``(pixels, width, height, n_components)`` — the greyscale
         plane for 1-component streams, or the interleaved RGB raster
         (pinned integer inverse color transform, module docstring) for
-        3-component 4:4:4 streams."""
-        planes, width, height = _decode_planes(payload)
+        3-component streams. Subsampled chroma planes (4:2:0 / 4:2:2)
+        upsample by PIXEL REPLICATION — luma pixel (r, c) reads chroma
+        sample ``(r*ch DIV height, c*cw DIV width)``, the exact inverse
+        of the encoder's block coverage, so uniform-MCU fixtures stay on
+        the ``COLOR_UNIFORM_RGB`` closed form."""
+        planes, width, height, dims = _decode_planes(payload)
         if len(planes) == 1:
             return bytes(planes[0]), width, height, 1
         py, pcb, pcr = planes
+        (cbw, cbh), (crw, crh) = dims[1], dims[2]
+        full = (cbw, cbh) == (width, height) and (crw, crh) == (
+            width,
+            height,
+        )
         out = bytearray(width * height * 3)
         for i in range(width * height):
-            y, dcb, dcr = py[i], pcb[i] - 128, pcr[i] - 128
+            if full:
+                cb_s, cr_s = pcb[i], pcr[i]
+            else:
+                r_, c_ = divmod(i, width)
+                cb_s = pcb[(r_ * cbh // height) * cbw + c_ * cbw // width]
+                cr_s = pcr[(r_ * crh // height) * crw + c_ * crw // width]
+            y, dcb, dcr = py[i], cb_s - 128, cr_s - 128
             r = y + (359 * dcr + 128) // 256
             g = y + (-88 * dcb - 183 * dcr + 128) // 256
             b = y + (454 * dcb + 128) // 256
@@ -691,9 +827,19 @@ def _build_jpeg_codec():
             out[3 * i + 2] = 0 if b < 0 else (255 if b > 255 else b)
         return bytes(out), width, height, 3
 
-    return jpeg_encode, jpeg_decode, jpeg_encode_color, jpeg_decode_color
+    return (
+        jpeg_encode,
+        jpeg_decode,
+        jpeg_encode_color,
+        jpeg_decode_color,
+        jpeg_encode_color_420,
+    )
 
 
-jpeg_encode, jpeg_decode, jpeg_encode_color, jpeg_decode_color = (
-    _build_jpeg_codec()
-)
+(
+    jpeg_encode,
+    jpeg_decode,
+    jpeg_encode_color,
+    jpeg_decode_color,
+    jpeg_encode_color_420,
+) = _build_jpeg_codec()
