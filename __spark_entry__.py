@@ -489,6 +489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_search": similarity.ivfpq_search,  # FULL IVF-PQ: probe-pruned ADC over cell-partitioned posting lists (VERDICT r6 item 1)
         "multimodal_resize": multimodal.multimodal_resize,  # REAL decode + pinned integer nearest-neighbor resample (VERDICT r6 item 2)
         "multimodal_color_jpeg_subsampled_decode": multimodal.multimodal_color_jpeg_subsampled_decode,  # REAL 4:2:0 chroma-subsampled JPEG decode (VERDICT r6 item 4)
+        "shuffle_skew_report_composite": maintenance.shuffle_skew_report_composite,  # composite-key skew audit + AQE skew-join recommendation (VERDICT r6 item 5)
         # --- round-6 front (all green in CORRECTNESS_r06) ---
         "table_checksum": maintenance.table_checksum,  # canonical = BIGINT transport since r6
         "supplier_kcore": graph.supplier_kcore,  # iterative k-core peeling (unrolled; cascade pinned by constructed-graph test)
@@ -4605,6 +4606,56 @@ FROM (
             ("lineitem", "l_partkey"),
             ("orders", "o_custkey"),
             ("events", "user_id"),
+        )
+    )
+
+    # composite-key skew audit + AQE skew-join recommendation (round 7):
+    # same rank frame over a '|'-joined string key; aqe_skew_flag is the
+    # default skewedPartitionFactor=5 rule, aqe_threshold_rows the
+    # row-denominated skewedPartitionThresholdInBytes recommendation
+    _skew_comp = lambda rel, label, kexpr: f"""
+SELECT relation, join_key, n_rows, n_keys, hot_key, max_key_rows,
+       p50_key_rows, p99_key_rows,
+       CAST(max_key_rows * 1000000 // n_rows AS BIGINT) AS top1_share_ppm,
+       CAST((max_key_rows * n_keys + n_rows - 1) // n_rows AS BIGINT)
+         AS salt_factor,
+       CAST(CASE WHEN max_key_rows > 5 * p50_key_rows
+                 THEN 1 ELSE 0 END AS BIGINT) AS aqe_skew_flag,
+       CAST(5 * p50_key_rows AS BIGINT) AS aqe_threshold_rows
+FROM (
+  SELECT '{rel}' AS relation, '{label}' AS join_key,
+         t.n_rows, t.n_keys,
+         MAX(CASE WHEN rn = t.n_keys THEN k END) AS hot_key,
+         CAST(MAX(CASE WHEN rn = t.n_keys THEN cnt END) AS BIGINT)
+           AS max_key_rows,
+         CAST(MAX(CASE WHEN rn = t.t50 THEN cnt END) AS BIGINT)
+           AS p50_key_rows,
+         CAST(MAX(CASE WHEN rn = t.t99 THEN cnt END) AS BIGINT)
+           AS p99_key_rows
+  FROM (
+    SELECT k, cnt, ROW_NUMBER() OVER (ORDER BY cnt ASC, k DESC) AS rn
+    FROM (SELECT {kexpr} AS k, COUNT(*) AS cnt FROM {rel} GROUP BY 1)
+  ) r, (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           (50 * COUNT(*) + 99) // 100 AS t50,
+           (99 * COUNT(*) + 99) // 100 AS t99
+    FROM (SELECT {kexpr} AS k, COUNT(*) AS cnt FROM {rel} GROUP BY 1)
+  ) t
+  GROUP BY t.n_rows, t.n_keys
+)"""  # noqa: E731
+    d["shuffle_skew_report_composite"] = "\nUNION ALL\n".join(
+        (
+            _skew_comp(
+                "orders",
+                "o_custkey,o_orderpriority",
+                "CAST(o_custkey AS VARCHAR) || '|' || o_orderpriority",
+            ),
+            _skew_comp(
+                "lineitem",
+                "l_suppkey,l_returnflag",
+                "CAST(l_suppkey AS VARCHAR) || '|' || l_returnflag",
+            ),
         )
     )
 

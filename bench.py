@@ -270,6 +270,7 @@ HEADLINE = [
     "ivfpq_search",
     "multimodal_resize",
     "multimodal_color_jpeg_subsampled_decode",
+    "shuffle_skew_report_composite",
 ]
 
 

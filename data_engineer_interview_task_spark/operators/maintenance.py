@@ -1183,3 +1183,107 @@ def shuffle_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = row if out is None else out.unionAll(row)
     assert out is not None
     return out
+
+
+def shuffle_skew_report_composite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """COMPOSITE-key twin of :func:`shuffle_skew_report` (VERDICT r6
+    item 5): audits multi-column join keys — the keys real rollup joins
+    actually shuffle on — and pairs the audit with the remedy it
+    configures, an AQE skew-join recommendation:
+
+    - ``aqe_skew_flag``: 1 iff ``max_key_rows > 5 * p50_key_rows`` —
+      AQE's own default detection rule
+      (``skewedPartitionFactor = 5`` x the median partition size)
+      applied to the key-frequency distribution, i.e. "would AQE split
+      this join's hot partition?".
+    - ``aqe_threshold_rows``: ``5 * p50_key_rows`` — the
+      ``skewedPartitionThresholdInBytes`` recommendation expressed in
+      ROWS (multiply by the relation's observed average row width at
+      deploy time; row counts are the engine-portable half of the
+      computation, byte widths are a storage property).
+
+    The composite key is serialized as a ``'|'``-joined string (the
+    same total order on both engines — keys here are digits and ASCII
+    enum values), and ``hot_key`` is emitted in that form. Same
+    one-scan-per-relation shape as the single-key report: per relation
+    a map-side-combined count over the projected key columns, then one
+    window over the aggregate-sized counts frame carrying the totals as
+    unbounded-frame columns."""
+    specs: list[tuple[str, tuple[str, ...]]] = [
+        ("orders", ("o_custkey", "o_orderpriority")),
+        ("lineitem", ("l_suppkey", "l_returnflag")),
+    ]
+    out = None
+    for rel, cols in specs:
+        counts = (
+            read_table(spark, sf_dir, rel)
+            .select(
+                F.concat_ws(
+                    "|", *[F.col(c).cast("string") for c in cols]
+                ).alias("k")
+            )
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        w = Window.orderBy(F.col("cnt").asc(), F.col("k").desc())
+        wall = Window.partitionBy()
+        ranked = counts.select(
+            "k",
+            "cnt",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wall).cast("long").alias("n_keys"),
+            F.sum("cnt").over(wall).cast("long").alias("n_rows"),
+        ).select(
+            "*",
+            F.expr("(50 * n_keys + 99) DIV 100").alias("t50"),
+            F.expr("(99 * n_keys + 99) DIV 100").alias("t99"),
+        )
+        row = (
+            ranked.filter(
+                (F.col("rn") == F.col("t50"))
+                | (F.col("rn") == F.col("t99"))
+                | (F.col("rn") == F.col("n_keys"))
+            )
+            .groupBy("n_keys", "n_rows")
+            .agg(
+                F.max(F.when(F.col("rn") == F.col("t50"), F.col("cnt")))
+                .cast("long")
+                .alias("p50_key_rows"),
+                F.max(F.when(F.col("rn") == F.col("t99"), F.col("cnt")))
+                .cast("long")
+                .alias("p99_key_rows"),
+                F.max(F.when(F.col("rn") == F.col("n_keys"), F.col("cnt")))
+                .cast("long")
+                .alias("max_key_rows"),
+                F.max(
+                    F.when(F.col("rn") == F.col("n_keys"), F.col("k"))
+                ).alias("hot_key"),
+            )
+            .select(
+                F.lit(rel).alias("relation"),
+                F.lit(",".join(cols)).alias("join_key"),
+                "n_rows",
+                "n_keys",
+                "hot_key",
+                "max_key_rows",
+                "p50_key_rows",
+                "p99_key_rows",
+                F.expr("max_key_rows * 1000000 DIV n_rows")
+                .cast("long")
+                .alias("top1_share_ppm"),
+                F.expr("(max_key_rows * n_keys + n_rows - 1) DIV n_rows")
+                .cast("long")
+                .alias("salt_factor"),
+                (F.col("max_key_rows") > 5 * F.col("p50_key_rows"))
+                .cast("long")
+                .alias("aqe_skew_flag"),
+                (5 * F.col("p50_key_rows"))
+                .cast("long")
+                .alias("aqe_threshold_rows"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    assert out is not None
+    return out

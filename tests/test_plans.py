@@ -589,6 +589,20 @@ def test_skew_report_single_scan_per_relation_key_pruned(spark, sf_dir):
     assert tree.count("Scan parquet") == 3, tree
     assert "ReadSchema: struct<l_partkey:bigint>" in plan, plan
     assert "ReadSchema: struct<o_custkey:bigint>" in plan, plan
+    # the composite-key twin keeps the same contract: one scan per
+    # relation, pruned to exactly the audited key columns
+    plan = explain_str(
+        maintenance.shuffle_skew_report_composite(spark, sf_dir)
+    )
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 2, tree
+    assert (
+        "ReadSchema: struct<o_custkey:bigint,o_orderpriority:string>"
+        in plan
+    ), plan
+    assert (
+        "ReadSchema: struct<l_suppkey:bigint,l_returnflag:string>" in plan
+    ), plan
 
 
 def test_pq_adc_is_broadcast_lookup_over_codes(spark, sf_dir):
