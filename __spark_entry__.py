@@ -490,6 +490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": multimodal.multimodal_resize,  # REAL decode + pinned integer nearest-neighbor resample (VERDICT r6 item 2)
         "multimodal_color_jpeg_subsampled_decode": multimodal.multimodal_color_jpeg_subsampled_decode,  # REAL 4:2:0 chroma-subsampled JPEG decode (VERDICT r6 item 4)
         "shuffle_skew_report_composite": maintenance.shuffle_skew_report_composite,  # composite-key skew audit + AQE skew-join recommendation (VERDICT r6 item 5)
+        "multimodal_wav_channel_features": multimodal.multimodal_wav_channel_features,  # per-channel short-time audio features over stereo PCM (VERDICT r6 item 6)
         # --- round-6 front (all green in CORRECTNESS_r06) ---
         "table_checksum": maintenance.table_checksum,  # canonical = BIGINT transport since r6
         "supplier_kcore": graph.supplier_kcore,  # iterative k-core peeling (unrolled; cascade pinned by constructed-graph test)
@@ -4567,6 +4568,34 @@ SELECT doc_id, CAST(i // 24 AS BIGINT) AS frame_idx,
                      THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
        CAST(MAX(ABS(v - 128)) AS BIGINT) AS peak_dev
 FROM s GROUP BY doc_id, i // 24
+"""
+
+    # multi-channel frame features (round 7): channel c sample i is
+    # digest byte (2i + c) mod 16 (the interleaved block-align
+    # contract); 6 full 20-sample frames per channel (120 of 128)
+    d["multimodal_wav_channel_features"] = f"""
+WITH m AS (SELECT doc_id, md5(text) AS h FROM documents),
+s AS (
+  SELECT doc_id, c, i,
+         ((strpos('{_jp}', substring(h, 2 * ((2 * i + c) % 16) + 1, 1)) - 1)
+            * 16
+          + (strpos('{_jp}', substring(h, 2 * ((2 * i + c) % 16) + 2, 1))
+             - 1)) AS v,
+         ((strpos('{_jp}', substring(h, 2 * ((2 * i + 2 + c) % 16) + 1, 1))
+             - 1) * 16
+          + (strpos('{_jp}', substring(h, 2 * ((2 * i + 2 + c) % 16) + 2, 1))
+             - 1)) AS vn
+  FROM m,
+       (SELECT unnest(range(2)) AS c) ch,
+       (SELECT unnest(range(120)) AS i) g
+)
+SELECT doc_id, CAST(c AS BIGINT) AS channel,
+       CAST(i // 20 AS BIGINT) AS frame_idx,
+       CAST(SUM((v - 128) * (v - 128)) AS BIGINT) AS energy,
+       CAST(SUM(CASE WHEN i % 20 < 19 AND ((v >= 128) <> (vn >= 128))
+                     THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+       CAST(MAX(ABS(v - 128)) AS BIGINT) AS peak_dev
+FROM s GROUP BY doc_id, c, i // 20
 """
 
     # join-key skew audit (round 6): exact order-statistic percentiles

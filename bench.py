@@ -271,6 +271,7 @@ HEADLINE = [
     "multimodal_resize",
     "multimodal_color_jpeg_subsampled_decode",
     "shuffle_skew_report_composite",
+    "multimodal_wav_channel_features",
 ]
 
 

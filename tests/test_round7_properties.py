@@ -123,6 +123,49 @@ def test_jpeg_420_stream_structure_and_guards():
         jpeg_decode_color(bad)
 
 
+def test_wav_channel_features_matches_md5_replay(spark, sf_dir):
+    """Per-(channel, frame) features equal a pure python replay of the
+    deinterleave + frame math over the md5-derived stereo stream."""
+    import hashlib
+
+    from data_engineer_interview_task_spark.operators import multimodal
+    from data_engineer_interview_task_spark.sources import read_table
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in read_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    got = {
+        (r["doc_id"], r["channel"], r["frame_idx"]): (
+            r["energy"], r["zero_crossings"], r["peak_dev"]
+        )
+        for r in multimodal.multimodal_wav_channel_features(
+            spark, sf_dir
+        ).collect()
+    }
+    assert len(got) == len(docs) * 2 * 6
+    some = sorted(docs)[:20]
+    for doc_id in some:
+        data = hashlib.md5(docs[doc_id].encode()).digest() * 16
+        for ch in range(2):
+            samples = data[ch::2]
+            assert len(samples) == 128
+            for f in range(6):
+                dev = [s - 128 for s in samples[f * 20 : (f + 1) * 20]]
+                expect = (
+                    sum(d * d for d in dev),
+                    sum(
+                        1
+                        for a, b in zip(dev, dev[1:])
+                        if (a >= 0) != (b >= 0)
+                    ),
+                    max(abs(d) for d in dev),
+                )
+                assert got[(doc_id, ch, f)] == expect
+
+
 @pytest.mark.parametrize(
     "query", [relational.decile_lift_table, relational.rfm_segments]
 )
