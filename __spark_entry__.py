@@ -491,6 +491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_color_jpeg_subsampled_decode": multimodal.multimodal_color_jpeg_subsampled_decode,  # REAL 4:2:0 chroma-subsampled JPEG decode (VERDICT r6 item 4)
         "shuffle_skew_report_composite": maintenance.shuffle_skew_report_composite,  # composite-key skew audit + AQE skew-join recommendation (VERDICT r6 item 5)
         "multimodal_wav_channel_features": multimodal.multimodal_wav_channel_features,  # per-channel short-time audio features over stereo PCM (VERDICT r6 item 6)
+        "isotonic_revenue_curve": cleaning.isotonic_revenue_curve,  # shape-constrained PAV fit via the exact fixed-point minimax form (VERDICT r6 item 8)
         # --- round-6 front (all green in CORRECTNESS_r06) ---
         "table_checksum": maintenance.table_checksum,  # canonical = BIGINT transport since r6
         "supplier_kcore": graph.supplier_kcore,  # iterative k-core peeling (unrolled; cascade pinned by constructed-graph test)
@@ -4596,6 +4597,47 @@ SELECT doc_id, CAST(c AS BIGINT) AS channel,
                      THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
        CAST(MAX(ABS(v - 128)) AS BIGINT) AS peak_dev
 FROM s GROUP BY doc_id, c, i // 20
+"""
+
+    # isotonic regression (round 7): the minimax representation
+    # fit(i) = max_{j<=i} min_{k>=i} mean(j..k) in 1e-6 fixed point —
+    # floor∘scale is monotone, so this equals floor(1e6 * PAV fit)
+    # exactly (prototype swept 300 random instances against an exact
+    # Fraction PAV; a python replay test pins it in CI)
+    d["isotonic_revenue_curve"] = """
+WITH per AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS x,
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+           AS cents
+  FROM orders GROUP BY o_custkey
+), lev AS (
+  SELECT x, CAST(COUNT(*) AS BIGINT) AS w, CAST(SUM(cents) AS BIGINT) AS s
+  FROM per GROUP BY x
+), idx AS (
+  SELECT x, w, s,
+         ROW_NUMBER() OVER (ORDER BY x ASC) AS i,
+         SUM(w) OVER (ORDER BY x ASC) AS cw,
+         SUM(s) OVER (ORDER BY x ASC) AS cs
+  FROM lev
+), pairs AS (
+  SELECT l.j, r.k,
+         CAST(CAST(r.sk - l.sp AS HUGEINT) * 1000000
+              // (r.ck - l.wp) AS BIGINT) AS afp
+  FROM (SELECT i AS j, cw - w AS wp, cs - s AS sp FROM idx) l
+  JOIN (SELECT i AS k, cw AS ck, cs AS sk FROM idx) r ON l.j <= r.k
+), inner_min AS (
+  SELECT p.j, c.i, MIN(p.afp) AS mn
+  FROM pairs p JOIN (SELECT i FROM idx) c
+    ON p.j <= c.i AND p.k >= c.i
+  GROUP BY p.j, c.i
+), fit AS (
+  SELECT i, MAX(mn) AS iso_fit_fp FROM inner_min GROUP BY i
+)
+SELECT CAST(idx.x AS BIGINT) AS n_orders,
+       CAST(idx.w AS BIGINT) AS n_customers,
+       CAST(idx.s AS BIGINT) AS sum_cents,
+       CAST(fit.iso_fit_fp AS BIGINT) AS iso_fit_fp
+FROM idx JOIN fit ON idx.i = fit.i
 """
 
     # join-key skew audit (round 6): exact order-statistic percentiles

@@ -272,6 +272,7 @@ HEADLINE = [
     "multimodal_color_jpeg_subsampled_decode",
     "shuffle_skew_report_composite",
     "multimodal_wav_channel_features",
+    "isotonic_revenue_curve",
 ]
 
 

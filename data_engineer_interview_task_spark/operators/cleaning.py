@@ -773,3 +773,95 @@ def bootstrap_mean_ci(
             "ci_hi",
         )
     )
+
+
+def isotonic_revenue_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISOTONIC REGRESSION (pool-adjacent-violators) of customer spend on
+    order frequency: fit the best NON-DECREASING mean-spend-per-customer
+    curve over x = orders per customer — the shape-constrained
+    calibration fit (monotone score→probability calibration is this
+    exact operator). Emits per x-level the observed totals and the
+    isotonic fitted value.
+
+    EXACTNESS (the reason this is oracle-checkable): instead of
+    replaying PAV's sequential pooling, both engines evaluate the
+    minimax representation of the isotonic fit,
+
+        fit(i) = max_{j<=i} min_{k>=i} mean(level_j .. level_k),
+
+    in 1e-6 FIXED POINT — ``afp(j,k) = (S_k - S_{j-1}) * 1e6 DIV
+    (W_k - W_{j-1})`` with nonneg numerators, so floor == integer
+    division on both engines. floor∘scale is monotone non-decreasing,
+    hence commutes with min and max, so the minimax over fixed-point
+    interval means IS the fixed-point image of the true rational PAV
+    fit (pinned against an exact-Fraction PAV replay in tests — the
+    prototype swept 300 random instances bit-equal).
+
+    SCALE SHAPE: the only row-count-sized work is the first groupBy
+    (map-side combined). Everything after runs on the LEVEL frame —
+    |distinct order counts| rows, a few dozen at any corpus size — so
+    the O(L^3) minimax join is constant work and the unpartitioned
+    windows are aggregate-sized. PAV itself is inherently sequential;
+    decomposing it into one distributed aggregate + closed-form algebra
+    on the tiny frame is the Spark-native formulation (same argument as
+    the percentile-ladder / skew-report family)."""
+    orders = read_table(spark, sf_dir, "orders")
+    per = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("x"),
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+                "bigint"
+            )
+        ).alias("cents"),
+    )
+    lev = per.groupBy("x").agg(
+        F.count(F.lit(1)).alias("w"), F.sum("cents").alias("s")
+    )
+    wl = Window.orderBy(F.col("x").asc())
+    wcum = wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    idx = lev.select(
+        "x",
+        "w",
+        "s",
+        F.row_number().over(wl).alias("i"),
+        F.sum("w").over(wcum).alias("cw"),
+        F.sum("s").over(wcum).alias("cs"),
+    ).localCheckpoint()  # tiny; reused by three consumers below
+    left = idx.select(
+        F.col("i").alias("j"),
+        (F.col("cw") - F.col("w")).alias("wp"),
+        (F.col("cs") - F.col("s")).alias("sp"),
+    )
+    right = idx.select(
+        F.col("i").alias("k"), F.col("cw").alias("ck"), F.col("cs").alias("sk")
+    )
+    # DECIMAL(38,0) product before the DIV: interval sums reach the full
+    # corpus total, and total_cents * 1e6 overflows BIGINT at 10x the
+    # driver scale (caught by the sf1 at-scale sweep) — the quotient
+    # (a level mean * 1e6) always fits BIGINT
+    pairs = left.join(right, F.col("j") <= F.col("k")).select(
+        "j",
+        "k",
+        F.expr(
+            "CAST(sk - sp AS DECIMAL(38,0)) * 1000000 DIV (ck - wp)"
+        ).alias("afp"),
+    )
+    centers = idx.select(F.col("i").alias("i"))
+    inner = (
+        pairs.join(
+            centers,
+            (F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i")),
+        )
+        .groupBy("j", "i")
+        .agg(F.min("afp").alias("mn"))
+    )
+    fit = inner.groupBy("i").agg(F.max("mn").alias("iso_fit_fp"))
+    return (
+        idx.join(fit, "i")
+        .select(
+            F.col("x").cast("long").alias("n_orders"),
+            F.col("w").cast("long").alias("n_customers"),
+            F.col("s").cast("long").alias("sum_cents"),
+            F.col("iso_fit_fp").cast("long").alias("iso_fit_fp"),
+        )
+    )

@@ -166,6 +166,54 @@ def test_wav_channel_features_matches_md5_replay(spark, sf_dir):
                 assert got[(doc_id, ch, f)] == expect
 
 
+def test_isotonic_curve_matches_exact_pav_replay(spark, sf_dir):
+    """The minimax fixed-point fit equals floor(1e6 * PAV) where PAV is
+    replayed exactly in Fractions over the same level aggregate — the
+    identity the operator's docstring claims (floor∘scale is monotone,
+    so it commutes with the minimax), checked on real corpus data. Also
+    pins the shape constraint itself: fits are non-decreasing in x."""
+    from fractions import Fraction
+
+    import pandas as pd
+
+    from data_engineer_interview_task_spark.operators import cleaning
+
+    orders = pd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    orders["cents"] = (
+        orders["o_totalprice"].round(2) * 100
+    ).round().astype("int64")
+    per = orders.groupby("o_custkey").agg(
+        x=("cents", "size"), cents=("cents", "sum")
+    )
+    lev = (
+        per.groupby("x")
+        .agg(w=("cents", "size"), s=("cents", "sum"))
+        .sort_index()
+    )
+    blocks: list[tuple[int, int, list[int]]] = []  # (w, s, xs)
+    for x, row in lev.iterrows():
+        blocks.append((int(row["w"]), int(row["s"]), [int(x)]))
+        while len(blocks) > 1 and Fraction(
+            blocks[-2][1], blocks[-2][0]
+        ) > Fraction(blocks[-1][1], blocks[-1][0]):
+            w2, s2, x2 = blocks.pop()
+            w1, s1, x1 = blocks.pop()
+            blocks.append((w1 + w2, s1 + s2, x1 + x2))
+    expect = {}
+    for w, s, xs in blocks:
+        for x in xs:
+            expect[x] = (s * 1000000) // w
+    got = {
+        r["n_orders"]: r["iso_fit_fp"]
+        for r in cleaning.isotonic_revenue_curve(spark, sf_dir).collect()
+    }
+    assert got == expect
+    fits = [v for _k, v in sorted(got.items())]
+    assert all(a <= b for a, b in zip(fits, fits[1:]))
+
+
 @pytest.mark.parametrize(
     "query", [relational.decile_lift_table, relational.rfm_segments]
 )
