@@ -492,6 +492,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_skew_report_composite": maintenance.shuffle_skew_report_composite,  # composite-key skew audit + AQE skew-join recommendation (VERDICT r6 item 5)
         "multimodal_wav_channel_features": multimodal.multimodal_wav_channel_features,  # per-channel short-time audio features over stereo PCM (VERDICT r6 item 6)
         "isotonic_revenue_curve": cleaning.isotonic_revenue_curve,  # shape-constrained PAV fit via the exact fixed-point minimax form (VERDICT r6 item 8)
+        "multimodal_color_resize": multimodal.multimodal_color_resize,  # color-JPEG decode composed with the real RGB nearest-neighbor resample
+        "multimodal_color_jpeg_422_decode": multimodal.multimodal_color_jpeg_422_decode,  # 4:2:2 horizontal-subsampling decode (completes the sampling family)
         # --- round-6 front (all green in CORRECTNESS_r06) ---
         "table_checksum": maintenance.table_checksum,  # canonical = BIGINT transport since r6
         "supplier_kcore": graph.supplier_kcore,  # iterative k-core peeling (unrolled; cascade pinned by constructed-graph test)
@@ -3853,6 +3855,41 @@ SELECT doc_id,
        sha256(
          repeat(repeat(x0, 8) || repeat(x1, 8), 8)
          || repeat(repeat(x2, 8) || repeat(x3, 8), 8)
+       ) AS pixel_sha
+FROM piv
+"""
+    )
+
+    # color decode + nearest-neighbor resample composition (round 7):
+    # output rows 0-3 read block row 0 (src row (16r DIV 7) < 8), rows
+    # 4-6 block row 1; cols 0-4 read block col 0, cols 5-9 block col 1
+    d["multimodal_color_resize"] = (
+        _color_chain
+        + """
+SELECT doc_id,
+       CAST(10 AS BIGINT) AS width,
+       CAST(7 AS BIGINT) AS height,
+       CAST(210 AS BIGINT) AS n_px_bytes,
+       sha256(
+         repeat(repeat(x0, 5) || repeat(x1, 5), 4)
+         || repeat(repeat(x2, 5) || repeat(x3, 5), 3)
+       ) AS pixel_sha
+FROM piv
+"""
+    )
+
+    # 4:2:2 twin (round 7): 32x16 raster of four uniform 16x8 MCUs
+    d["multimodal_color_jpeg_422_decode"] = (
+        _color_chain
+        + """
+SELECT doc_id,
+       CAST(32 AS BIGINT) AS width,
+       CAST(16 AS BIGINT) AS height,
+       CAST(2 AS BIGINT) AS color_type,
+       CAST(1536 AS BIGINT) AS n_px_bytes,
+       sha256(
+         repeat(repeat(x0, 16) || repeat(x1, 16), 8)
+         || repeat(repeat(x2, 16) || repeat(x3, 16), 8)
        ) AS pixel_sha
 FROM piv
 """

@@ -273,6 +273,8 @@ HEADLINE = [
     "shuffle_skew_report_composite",
     "multimodal_wav_channel_features",
     "isotonic_revenue_curve",
+    "multimodal_color_resize",
+    "multimodal_color_jpeg_422_decode",
 ]
 
 

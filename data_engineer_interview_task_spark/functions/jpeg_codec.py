@@ -544,6 +544,93 @@ def _build_jpeg_codec():
             b"\xff\xd8" + app0 + dqt + sof + dht + sos + scan + b"\xff\xd9"
         )
 
+    def jpeg_encode_color_422(rgb: bytes, width: int, height: int) -> bytes:
+        """Serialize an interleaved 8-bit RGB raster (width a multiple of
+        16, height of 8) to a baseline YCbCr 4:2:2 JFIF JPEG — chroma
+        subsampled HORIZONTALLY only (Y factors 2x1, Cb/Cr 1x1), the
+        broadcast/video-capture layout between 4:4:4 and 4:2:0. Each MCU
+        covers 16x8 luma pixels: two Y blocks then one Cb and one Cr.
+
+        Subsampling convention (PINNED): each chroma sample is the
+        round-half-up mean of its horizontal pair,
+        ``(a + b + 1) DIV 2`` — the common value on uniform pairs, which
+        keeps uniform-MCU fixtures on the ``COLOR_UNIFORM_RGB`` closed
+        form."""
+        if width % 16 or height % 8:
+            raise ValueError(
+                "width must be a multiple of 16 and height of 8"
+            )
+        if len(rgb) != width * height * 3:
+            raise ValueError("pixel buffer does not match dimensions")
+        dc_y, ac_y = _huff_codes(*_DC_SPEC), _huff_codes(*_AC_SPEC)
+        dc_c, ac_c = _huff_codes(*_DC_SPEC_C), _huff_codes(*_AC_SPEC_C)
+        n = width * height
+        planes = [bytearray(n), bytearray(n), bytearray(n)]
+        for i in range(n):
+            r, g, b = rgb[3 * i], rgb[3 * i + 1], rgb[3 * i + 2]
+            y = (77 * r + 150 * g + 29 * b + 128) >> 8
+            cb = (32896 - 43 * r - 85 * g + 128 * b) >> 8
+            cr = (32896 + 128 * r - 107 * g - 21 * b) >> 8
+            planes[0][i] = y
+            planes[1][i] = 255 if cb > 255 else cb
+            planes[2][i] = 255 if cr > 255 else cr
+        cw = width // 2
+        subs = []
+        for p in (planes[1], planes[2]):
+            sp = bytearray(cw * height)
+            for r in range(height):
+                base = r * width
+                for c in range(cw):
+                    i = base + 2 * c
+                    sp[r * cw + c] = (p[i] + p[i + 1] + 1) // 2
+            subs.append(sp)
+        bw = _BitWriter()
+        preds = [0, 0, 0]
+        for my in range(height // 8):
+            for mx in range(width // 16):
+                for bx in range(2):  # two Y blocks, left then right
+                    xb = mx * 2 + bx
+                    blk = [
+                        planes[0][(my * 8 + y) * width + xb * 8 + x] - 128
+                        for y in range(8)
+                        for x in range(8)
+                    ]
+                    qc = _fdct_quant(blk, _QTAB)
+                    preds[0] = _entropy_block(bw, qc, preds[0], dc_y, ac_y)
+                for ci, sp in enumerate(subs, start=1):
+                    blk = [
+                        sp[(my * 8 + y) * cw + mx * 8 + x] - 128
+                        for y in range(8)
+                        for x in range(8)
+                    ]
+                    qc = _fdct_quant(blk, _QTAB_C)
+                    preds[ci] = _entropy_block(
+                        bw, qc, preds[ci], dc_c, ac_c
+                    )
+        scan = bw.flush()
+        dqt = _seg(
+            0xFFDB,
+            b"\x00" + bytes(_QTAB[_ZZ[i]] for i in range(64))
+            + b"\x01" + bytes(_QTAB_C[_ZZ[i]] for i in range(64)),
+        )
+        sof = _seg(
+            0xFFC0,
+            struct.pack(">BHHB", 8, height, width, 3)
+            + b"\x01\x21\x00"  # Y: id 1, 2x1 sampling, qtab 0
+            + b"\x02\x11\x01"  # Cb: id 2, 1x1, qtab 1
+            + b"\x03\x11\x01",  # Cr: id 3, 1x1, qtab 1
+        )
+        dht = _seg(
+            0xFFC4,
+            _dht_payload(0, 0, _DC_SPEC) + _dht_payload(1, 0, _AC_SPEC)
+            + _dht_payload(0, 1, _DC_SPEC_C) + _dht_payload(1, 1, _AC_SPEC_C),
+        )
+        sos = _seg(0xFFDA, b"\x03\x01\x00\x02\x11\x03\x11\x00\x3f\x00")
+        app0 = _seg(0xFFE0, _APP0)
+        return (
+            b"\xff\xd8" + app0 + dqt + sof + dht + sos + scan + b"\xff\xd9"
+        )
+
     class _BitReader:
         def __init__(self, data: bytes, pos: int):
             self.data = data
@@ -833,6 +920,7 @@ def _build_jpeg_codec():
         jpeg_encode_color,
         jpeg_decode_color,
         jpeg_encode_color_420,
+        jpeg_encode_color_422,
     )
 
 
@@ -842,4 +930,5 @@ def _build_jpeg_codec():
     jpeg_encode_color,
     jpeg_decode_color,
     jpeg_encode_color_420,
+    jpeg_encode_color_422,
 ) = _build_jpeg_codec()

@@ -1205,6 +1205,130 @@ def multimodal_color_jpeg_subsampled_decode(
     )
 
 
+def multimodal_color_resize(
+    spark: SparkSession, sf_dir: str, out_w: int = 10, out_h: int = 7
+) -> DataFrame:
+    """COLOR decode + resample composition (round 7): the real 4:4:4
+    color-JPEG fixture decoded through the full three-component chain
+    and then resampled by the REAL :func:`resize_image` — exercising
+    its RGB path (channel triples move together through the pinned
+    floor nearest-neighbor mapping) end-to-end on a lossy-codec
+    raster.
+
+    The oracle composes the two closed forms: each 8x8 block's decoded
+    color comes from the shared ``COLOR_UNIFORM_RGB`` SQL chain, and
+    the 10x7 output grid maps onto source blocks by
+    ``(r*16 DIV 7) DIV 8`` / ``(c*16 DIV 10) DIV 8`` — rows 0-3 read
+    block row 0, rows 4-6 block row 1; columns 0-4 read block col 0,
+    columns 5-9 block col 1. Lowercase-hex transport (an RGB raster is
+    not valid UTF-8)."""
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("width", LongType()),
+            StructField("height", LongType()),
+            StructField("n_px_bytes", LongType()),
+            StructField("pixel_sha", StringType()),
+        ]
+    )
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # self-contained closure: resize_image captured by value
+        import hashlib as _h
+
+        import pandas as _pd
+
+        rz, w, h = resize_image, out_w, out_h
+        for pdf in batches:
+            out = {c: [] for c in (
+                "doc_id", "width", "height", "n_px_bytes", "pixel_sha",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = rz(bytes(payload), w, h)
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_px_bytes"].append(len(px))
+                out["pixel_sha"].append(
+                    _h.sha256(px.hex().encode()).hexdigest()
+                )
+            yield _pd.DataFrame(out)
+
+    return attach_color_jpeg_payload(spark, sf_dir).mapInPandas(
+        _resize, schema=schema
+    )
+
+
+def multimodal_color_jpeg_422_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """4:2:2 (horizontal-only chroma subsampling) color JPEG query —
+    completes the subsampling family next to the 4:4:4 and 4:2:0
+    entries: each document becomes a 32x16 RGB image of four uniform
+    16x8 MCUs (md5 byte triples), encoded with Y factors 2x1 through
+    ``jpeg_encode_color_422``, decoded back through the general
+    sampling-factor path (two Y blocks + Cb + Cr per MCU,
+    half-WIDTH chroma planes replication-upsampled), and hashed.
+    Uniform MCUs keep the horizontal pair mean lossless, so the oracle
+    is the shared ``COLOR_UNIFORM_RGB`` chain with a 32x16 assembly."""
+    from ..functions.jpeg_codec import (
+        jpeg_decode_color,
+        jpeg_encode_color_422,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("width", LongType()),
+            StructField("height", LongType()),
+            StructField("color_type", LongType()),
+            StructField("n_px_bytes", LongType()),
+            StructField("pixel_sha", StringType()),
+        ]
+    )
+    docs = _spread_docs(
+        spark, read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # self-contained closure: both codec entry points by value
+        import hashlib as _h
+
+        import pandas as _pd
+
+        enc, dec = jpeg_encode_color_422, jpeg_decode_color
+        w, h = 32, 16
+        for pdf in batches:
+            out = {c: [] for c in (
+                "doc_id", "width", "height", "color_type",
+                "n_px_bytes", "pixel_sha",
+            )}
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                d = _h.md5(t.encode()).digest()
+                px = bytearray(w * h * 3)
+                for my in range(2):
+                    for mx in range(2):
+                        k = 3 * (my * 2 + mx)
+                        for y in range(8):
+                            base = ((my * 8 + y) * w + mx * 16) * 3
+                            for x in range(16):
+                                px[base + 3 * x : base + 3 * x + 3] = d[
+                                    k : k + 3
+                                ]
+                raster, ww, hh, ncomp = dec(enc(bytes(px), w, h))
+                out["doc_id"].append(doc_id)
+                out["width"].append(ww)
+                out["height"].append(hh)
+                out["color_type"].append(0 if ncomp == 1 else 2)
+                out["n_px_bytes"].append(len(raster))
+                out["pixel_sha"].append(
+                    _h.sha256(raster.hex().encode()).hexdigest()
+                )
+            yield _pd.DataFrame(out)
+
+    return docs.mapInPandas(_run, schema=schema)
+
+
 def attach_mjpeg_payload(
     spark: SparkSession, sf_dir: str, n_frames: int = 4, side: int = 16
 ) -> DataFrame:

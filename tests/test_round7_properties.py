@@ -123,6 +123,45 @@ def test_jpeg_420_stream_structure_and_guards():
         jpeg_decode_color(bad)
 
 
+def test_jpeg_422_uniform_mcu_matches_closed_form():
+    """4:2:2 (horizontal-only subsampling): uniform 16x8 MCUs decode to
+    COLOR_UNIFORM_RGB; the SOF declares 2x1 luma sampling."""
+    import hashlib
+
+    from data_engineer_interview_task_spark.functions.jpeg_codec import (
+        COLOR_UNIFORM_RGB,
+        jpeg_decode_color,
+        jpeg_encode_color_422,
+    )
+
+    w, h = 32, 16
+    colors = [
+        tuple(hashlib.md5(f"q{i}".encode()).digest()[:3]) for i in range(4)
+    ]
+    px = bytearray(w * h * 3)
+    for my in range(2):
+        for mx in range(2):
+            for y in range(8):
+                base = ((my * 8 + y) * w + mx * 16) * 3
+                for x in range(16):
+                    px[base + 3 * x : base + 3 * x + 3] = bytes(
+                        colors[my * 2 + mx]
+                    )
+    payload = jpeg_encode_color_422(bytes(px), w, h)
+    assert b"\x01\x21\x00" in payload  # SOF: Y id 1, 2x1 sampling
+    out, ww, hh, nc = jpeg_decode_color(payload)
+    assert (ww, hh, nc) == (w, h, 3)
+    for my in range(2):
+        for mx in range(2):
+            exp = COLOR_UNIFORM_RGB(*colors[my * 2 + mx])
+            for y in range(8):
+                base = ((my * 8 + y) * w + mx * 16) * 3
+                for x in range(16):
+                    assert tuple(out[base + 3 * x : base + 3 * x + 3]) == exp
+    with pytest.raises(ValueError):
+        jpeg_encode_color_422(bytes(8 * 8 * 3), 8, 8)  # width % 16 != 0
+
+
 def test_wav_channel_features_matches_md5_replay(spark, sf_dir):
     """Per-(channel, frame) features equal a pure python replay of the
     deinterleave + frame math over the md5-derived stereo stream."""
