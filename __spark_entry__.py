@@ -494,6 +494,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "isotonic_revenue_curve": cleaning.isotonic_revenue_curve,  # shape-constrained PAV fit via the exact fixed-point minimax form (VERDICT r6 item 8)
         "multimodal_color_resize": multimodal.multimodal_color_resize,  # color-JPEG decode composed with the real RGB nearest-neighbor resample
         "multimodal_color_jpeg_422_decode": multimodal.multimodal_color_jpeg_422_decode,  # 4:2:2 horizontal-subsampling decode (completes the sampling family)
+        "bigram_surprisal_score": text.bigram_surprisal_score,  # per-doc integer LM surprisal (bit-length log2, perplexity-style curation signal)
+        "hybrid_search_rrf": similarity.hybrid_search_rrf,  # reciprocal-rank fusion of BM25 + cosine arms (the RAG hybrid-retrieval pattern)
         # --- round-6 front (all green in CORRECTNESS_r06) ---
         "table_checksum": maintenance.table_checksum,  # canonical = BIGINT transport since r6
         "supplier_kcore": graph.supplier_kcore,  # iterative k-core peeling (unrolled; cascade pinned by constructed-graph test)
@@ -3689,6 +3691,52 @@ FROM scored GROUP BY doc_id
 ORDER BY score_fp DESC, doc_id ASC LIMIT 20
 """
 
+    # hybrid retrieval via reciprocal-rank fusion (round 7): the bm25
+    # oracle reused verbatim as the lexical arm, the decimal-dot cosine
+    # ranking (similarity_topk convention) for query vector 0 as the
+    # semantic arm, 1e-9 fixed-point reciprocals (ranks <= 20 make the
+    # floor collision-free, so fp order == rational RRF order)
+    d["hybrid_search_rrf"] = f"""
+WITH lex_raw AS (SELECT * FROM ({d['bm25_doc_rank']}) lx),
+lexr AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY score_fp DESC, doc_id ASC)
+           AS lex_rank
+  FROM lex_raw
+),
+rrfq AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+rrfc AS (SELECT vec_id AS neighbor_id, embedding AS cemb
+         FROM embeddings WHERE vec_id <> 0),
+rrfscored AS (
+  SELECT neighbor_id,
+         CAST({dot64.format(a='q', b='cemb')} AS DOUBLE) AS dot,
+         CAST({dot64.format(a='q', b='q')} AS DOUBLE) AS qn,
+         CAST({dot64.format(a='cemb', b='cemb')} AS DOUBLE) AS cn
+  FROM rrfc, rrfq
+),
+semr AS (
+  SELECT neighbor_id AS doc_id, CAST(rank AS BIGINT) AS sem_rank FROM (
+    SELECT neighbor_id,
+           ROW_NUMBER() OVER (ORDER BY dot * abs(dot) / (qn * cn) DESC,
+                              neighbor_id ASC) AS rank
+    FROM rrfscored
+  ) WHERE rank <= 20
+),
+fused AS (
+  SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+         CAST(l.lex_rank AS BIGINT) AS lex_rank, s.sem_rank,
+         COALESCE(1000000000 // (60 + l.lex_rank), 0)
+           + COALESCE(1000000000 // (60 + s.sem_rank), 0) AS rrf_fp
+  FROM lexr l FULL OUTER JOIN semr s ON l.doc_id = s.doc_id
+)
+SELECT * FROM (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf_fp DESC, doc_id ASC)
+              AS BIGINT) AS rank,
+         doc_id, lex_rank, sem_rank, CAST(rrf_fp AS BIGINT) AS rrf_fp
+  FROM fused
+) WHERE rank <= 10
+"""
+
     # real LOSSY-codec decode: uniform 8x8 source blocks make the whole
     # baseline-JPEG encode∘decode chain (level shift, fixed-point DCT,
     # half-away quantization, dequant, integer IDCT) ONE closed-form
@@ -4634,6 +4682,39 @@ SELECT doc_id, CAST(c AS BIGINT) AS channel,
                      THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
        CAST(MAX(ABS(v - 128)) AS BIGINT) AS peak_dev
 FROM s GROUP BY doc_id, c, i // 20
+"""
+
+    # integer bigram surprisal (round 7): bit-length log2 convention
+    # (length(bin(x)) - 1, the degree-histogram rule); docs with < 2
+    # tokens have no bigrams and are absent on both engines
+    d["bigram_surprisal_score"] = """
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+bi_doc AS (
+  SELECT doc_id, p.tx AS tx, p.ty AS ty FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks)),
+                                 i -> {'tx': toks[i], 'ty': toks[i + 1]}))
+             AS p
+    FROM docs
+  ) WHERE p.tx <> '' AND p.ty <> ''
+),
+bi_cnt AS (
+  SELECT tx, ty, CAST(COUNT(*) AS BIGINT) AS n_xy
+  FROM bi_doc GROUP BY 1, 2
+),
+prefix AS (SELECT tx, CAST(SUM(n_xy) AS BIGINT) AS n_x FROM bi_cnt GROUP BY tx),
+vocab AS (
+  SELECT b.tx, b.ty,
+         CAST((length(bin(p.n_x)) - 1) - (length(bin(b.n_xy)) - 1)
+              AS BIGINT) AS bits
+  FROM bi_cnt b JOIN prefix p ON b.tx = p.tx
+)
+SELECT d.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(v.bits) AS BIGINT) AS surprisal_bits,
+       CAST(SUM(v.bits) * 1000 // COUNT(*) AS BIGINT) AS avg_millibits
+FROM bi_doc d JOIN vocab v ON d.tx = v.tx AND d.ty = v.ty
+GROUP BY d.doc_id
 """
 
     # isotonic regression (round 7): the minimax representation

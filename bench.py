@@ -275,6 +275,8 @@ HEADLINE = [
     "isotonic_revenue_curve",
     "multimodal_color_resize",
     "multimodal_color_jpeg_422_decode",
+    "bigram_surprisal_score",
+    "hybrid_search_rrf",
 ]
 
 

@@ -1038,3 +1038,64 @@ def ivfpq_search(
         .select("query_id", "vec_id", "code_a", "code_b")
     )
     return _adc_rank(candidates, _adc_distance_tables(emb, n_queries), k)
+
+
+def hybrid_search_rrf(
+    spark: SparkSession, sf_dir: str, k: int = 10, c: int = 60
+) -> DataFrame:
+    """HYBRID RETRIEVAL via Reciprocal-Rank Fusion — the standard RAG
+    pattern that merges a LEXICAL ranking (exact-rational BM25,
+    ``text.bm25_doc_rank``'s top-20) with a SEMANTIC ranking (exact
+    decimal-dot cosine top-20 for query vector 0,
+    ``brute_force_topk``) into one list:
+
+        rrf(d) = sum over arms of 1 / (c + rank_arm(d)),  c = 60.
+
+    EXACTNESS: each reciprocal is computed in 1e-9 fixed point
+    (``10^9 DIV (c + rank)``) so the fused score is a plain BIGINT sum
+    — and because every arm rank is <= 20 < 10^4, distinct rank
+    combinations can never collide after the floor (terms differ by
+    >= 10^9/(c+20)^2 > 150k), so fixed-point RRF induces EXACTLY the
+    rational RRF order. Docs missing from an arm contribute 0 for it
+    (the standard top-N RRF convention); the final top-k breaks ties
+    (rrf_fp DESC, doc_id ASC).
+
+    Plan: both arms are the already-verified operators reused as
+    subplans; their top-20 outputs are single-broadcast-sized frames,
+    so the fusion join and final TakeOrdered are metadata-cost. At
+    100 TB the arms swap to their index-backed twins (inverted index /
+    IVF-PQ) and the fusion stage is unchanged — that composability is
+    the point of RRF."""
+    from .text import bm25_doc_rank
+
+    lex = bm25_doc_rank(spark, sf_dir)
+    wl = Window.orderBy(F.col("score_fp").desc(), F.col("doc_id").asc())
+    lexr = lex.select(
+        "doc_id", F.row_number().over(wl).cast("long").alias("lex_rank")
+    )
+    sem = brute_force_topk(spark, sf_dir, n_queries=1, k=20)
+    semr = sem.select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").cast("long").alias("sem_rank"),
+    )
+    fused = lexr.join(semr, "doc_id", "full_outer").select(
+        "doc_id",
+        "lex_rank",
+        "sem_rank",
+        (
+            F.coalesce(
+                F.expr(f"1000000000 DIV ({c} + lex_rank)"), F.lit(0)
+            )
+            + F.coalesce(
+                F.expr(f"1000000000 DIV ({c} + sem_rank)"), F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("rrf_fp"),
+    )
+    wf = Window.orderBy(F.col("rrf_fp").desc(), F.col("doc_id").asc())
+    return (
+        fused.withColumn("rank", F.row_number().over(wf).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("rank", "doc_id", "lex_rank", "sem_rank", "rrf_fp")
+    )

@@ -951,3 +951,74 @@ def top_keywords_per_doc(
         .filter(F.col("rank") <= k)
         .select("doc_id", F.col("rank").cast("int").alias("rank"), "token", "tf", "df")
     )
+
+
+def bigram_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LANGUAGE-MODEL QUALITY SCORING without a model: per-doc corpus
+    bigram SURPRISAL — how "unexpected" a document's token transitions
+    are under the corpus's own bigram statistics, the classic
+    perplexity-style curation signal (boilerplate and templated text
+    score low, garbled or off-distribution text scores high).
+
+    EXACT integer formulation (the reason it is oracle-checkable where
+    true log-prob scoring is not): the surprisal of bigram (a, b) is
+    ``floor(log2 n(a·)) - floor(log2 n(a,b))`` — bit lengths via
+    ``length(bin(x)) - 1``, the ``copurchase_degree_histogram``
+    convention, so no float ever touches an integer boundary. Because
+    ``n(a,b) <= n(a·)`` the per-bigram score is >= 0, and the doc score
+    is a plain BIGINT sum; ``avg_millibits`` is the exact integer
+    ``total * 1000 DIV n_bigrams``. This integer surprisal brackets the
+    true -log2 P(b|a) within 1 bit on each side — rank-faithful for
+    curation thresholds while staying hash-exact.
+
+    Plan: bigrams come from one index-transform over the materialized
+    token array (no position self-join); corpus bigram counts and the
+    left-prefix totals are partial-aggregated; the doc-grain frame
+    joins the vocabulary-sized score table on the bigram key (broadcast
+    at this corpus, plain shuffle-hash at 100 TB — the key dictionary,
+    never the corpus, is the small side). Docs with < 2 tokens have no
+    bigrams and are absent by construction on both engines."""
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "toks", F.split(F.col("text"), " ")
+    )
+    bi_doc = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(toks[i - 1] AS tx, toks[i] AS ty))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.tx").alias("tx"), F.col("p.ty").alias("ty"))
+        .filter((F.col("tx") != "") & (F.col("ty") != ""))
+    )
+    bi_cnt = bi_doc.groupBy("tx", "ty").agg(F.count(F.lit(1)).alias("n_xy"))
+    prefix = bi_cnt.groupBy("tx").agg(F.sum("n_xy").alias("n_x"))
+    vocab = bi_cnt.join(prefix, "tx").select(
+        "tx",
+        "ty",
+        (
+            (F.length(F.bin(F.col("n_x"))) - 1)
+            - (F.length(F.bin(F.col("n_xy"))) - 1)
+        )
+        .cast("long")
+        .alias("bits"),
+    )
+    return (
+        bi_doc.join(vocab, ["tx", "ty"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("bits").cast("long").alias("surprisal_bits"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "surprisal_bits",
+            F.expr("surprisal_bits * 1000 DIV n_bigrams")
+            .cast("long")
+            .alias("avg_millibits"),
+        )
+    )
