@@ -189,6 +189,21 @@ def _work_dir(kind: str, sf_dir: str) -> str:
     return path
 
 
+def _streaming_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data accounting: deterministic two-batch replay
+    (on-time file, then the late file, then a sentinel flush), per-day
+    dropped-late counts vs the batch ground truth. The arrival order is
+    arithmetic (calendar split + mtime-ordered files), so the whole
+    audit is oracle-exact."""
+    from data_engineer_interview_task_spark.streaming import (
+        run_late_data_audit_once,
+    )
+
+    return run_late_data_audit_once(
+        spark, sf_dir, _work_dir("stream_late", sf_dir)
+    )
+
+
 def _streaming_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact-distinct via mergeable bitmap state (bit_or of
     62-bit words), popcount-rolled after the drain. Fully oracle-checked
@@ -496,6 +511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_color_jpeg_422_decode": multimodal.multimodal_color_jpeg_422_decode,  # 4:2:2 horizontal-subsampling decode (completes the sampling family)
         "bigram_surprisal_score": text.bigram_surprisal_score,  # per-doc integer LM surprisal (bit-length log2, perplexity-style curation signal)
         "hybrid_search_rrf": similarity.hybrid_search_rrf,  # reciprocal-rank fusion of BM25 + cosine arms (the RAG hybrid-retrieval pattern)
+        "streaming_late_data_audit": _streaming_late_data_audit,  # watermark dropped-late accounting, deterministic two-batch replay
         # --- round-6 front (all green in CORRECTNESS_r06) ---
         "table_checksum": maintenance.table_checksum,  # canonical = BIGINT transport since r6
         "supplier_kcore": graph.supplier_kcore,  # iterative k-core peeling (unrolled; cascade pinned by constructed-graph test)
@@ -4682,6 +4698,31 @@ SELECT doc_id, CAST(c AS BIGINT) AS channel,
                      THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
        CAST(MAX(ABS(v - 128)) AS BIGINT) AS peak_dev
 FROM s GROUP BY doc_id, c, i // 20
+"""
+
+    # streaming late-data audit (round 7): replay of the two-batch
+    # arrival order in arithmetic — a late row of day d survives iff
+    # its window end (in Spark's millisecond event-time clock) is newer
+    # than max(ts) - 14d; on-time rows (ts >= the calendar split) are
+    # never dropped; fully-dropped days surface with n_streamed = 0
+    d["streaming_late_data_audit"] = """
+WITH mx AS (SELECT MAX(ts) AS max_ts FROM events),
+truth AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_total
+  FROM events GROUP BY 1
+),
+streamed AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events, mx
+  WHERE ts >= TIMESTAMP '2024-01-20'
+     OR epoch_ms(CAST(CAST(ts AS DATE) + 1 AS TIMESTAMP))
+        > epoch_us(max_ts) // 1000 - 1209600000
+  GROUP BY 1
+)
+SELECT t.day, t.n_total,
+       CAST(COALESCE(s.n, 0) AS BIGINT) AS n_streamed,
+       CAST(t.n_total - COALESCE(s.n, 0) AS BIGINT) AS n_dropped_late
+FROM truth t LEFT JOIN streamed s ON t.day = s.day
 """
 
     # integer bigram surprisal (round 7): bit-length log2 convention

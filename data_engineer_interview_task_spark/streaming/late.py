@@ -1,0 +1,131 @@
+"""Watermark LATE-DATA accounting — the observability half of event-time
+streaming that none of the other streaming entries exercises: how many
+rows did the watermark actually DROP, per event-time day?
+
+Every production streaming pipeline runs this audit next to its rollups
+(dropped-late counts are the first thing checked when a downstream
+aggregate disagrees with the batch recompute). The semantics under test
+are Spark's real ones: the watermark advances to ``max(event time seen)
+- delay`` at each micro-batch boundary, and a later batch's rows whose
+day-window has already aged past the watermark are silently discarded
+by the stateful aggregation.
+
+Determinism (what makes this oracle-checkable): the replay fixes the
+arrival order arithmetically —
+
+1. batch 0 = the ON-TIME file (``ts >= SPLIT``), which advances the
+   watermark to ``max(ts) - delay``;
+2. batch 1 = the LATE file (``ts < SPLIT``): days whose window end is
+   older than that watermark are dropped, newer late days enter state;
+3. batch 2 = one sentinel flush row at ``max(ts) + delay + 10d``
+   (filtered after the watermark node, before the aggregation), which
+   advances the watermark past every real window so the held windows
+   all emit before the drain.
+
+Both the dropped set and the surviving counts are then pure arithmetic
+over (SPLIT, delay, max(ts)) that a DuckDB oracle replays exactly:
+a late row of day ``d`` survives iff ``epoch_ms(d + 1 day) >
+epoch_us(max_ts) DIV 1000 - delay_ms`` (Spark tracks event time in
+millis). The calendar split keeps no boundary collision possible — the
+watermark inherits max(ts)'s time-of-day, never midnight.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans import prep_session
+from .util import bump_new_files_mtime, drain_memory_sink, snapshot_parquet_files
+from .weekly import EVENTS_SCHEMA
+
+#: calendar split: events at/after this land first (on-time), earlier
+#: events arrive one batch LATE. Events span 2024-01-01..01-30 at every
+#: corpus, so both sides are non-empty at any SF.
+SPLIT = "2024-01-20"
+
+#: watermark delay — two weeks: late days 16..19 survive (window end
+#: newer than max_ts - 14d), days 1..15 are dropped.
+DELAY = "14 days"
+
+
+def daily_counts_stream(
+    spark: SparkSession, source_dir: str
+) -> DataFrame:
+    """readStream -> watermark -> per-day windowed count, one file per
+    micro-batch (the arrival-order contract the audit depends on).
+    Sentinel rows (user_id < 0) pass THROUGH the watermark node — they
+    exist to advance it — and are filtered before the aggregation."""
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    return (
+        stream.withWatermark("ts", DELAY)
+        .filter(F.col("user_id") >= 0)
+        .groupBy(F.window("ts", "1 day"))
+        .agg(F.count(F.lit(1)).alias("n_streamed"))
+        .select(
+            F.col("window.start").cast("date").alias("day"), "n_streamed"
+        )
+    )
+
+
+def run_late_data_audit_once(
+    spark: SparkSession, sf_dir: str, work_dir: str
+) -> DataFrame:
+    """The registered query: replay the two-batch arrival order, then
+    join the stream's emitted per-day counts against the batch ground
+    truth and emit the audit — (day, n_total, n_streamed,
+    n_dropped_late) for every event day. Fully-dropped days appear with
+    n_streamed = 0 (the left join from the batch side is the point:
+    silence is what the audit exists to surface)."""
+    from ..sources import read_table
+
+    prep_session(spark)
+    events = read_table(spark, sf_dir, "events")
+    src = f"{work_dir}/events_late_src_{uuid.uuid4().hex[:8]}"
+    on_time = events.filter(F.col("ts") >= F.lit(SPLIT))
+    late = events.filter(F.col("ts") < F.lit(SPLIT))
+    on_time.repartition(1).write.mode("overwrite").parquet(src)
+    before = snapshot_parquet_files(src)
+    late.repartition(1).write.mode("append").parquet(src)
+    bump_new_files_mtime(src, before)
+    before = snapshot_parquet_files(src)
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    flush = spark.createDataFrame(
+        [(-1, max_ts, -1, "flush", 0.0, "{}")], schema=EVENTS_SCHEMA
+    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 24 DAYS"))
+    flush.coalesce(1).write.mode("append").parquet(src)
+    bump_new_files_mtime(src, before)
+    sink = f"mem_late_{uuid.uuid4().hex[:8]}"
+    q = (
+        daily_counts_stream(spark, src)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", f"{work_dir}/ckpt_{sink}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = drain_memory_sink(spark, sink)
+    truth = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_total")
+    )
+    return (
+        truth.join(streamed, "day", "left_outer")
+        .select(
+            "day",
+            F.col("n_total").cast("long").alias("n_total"),
+            F.coalesce(F.col("n_streamed"), F.lit(0))
+            .cast("long")
+            .alias("n_streamed"),
+            (F.col("n_total") - F.coalesce(F.col("n_streamed"), F.lit(0)))
+            .cast("long")
+            .alias("n_dropped_late"),
+        )
+    )
