@@ -277,6 +277,7 @@ HEADLINE = [
     "multimodal_color_jpeg_422_decode",
     "bigram_surprisal_score",
     "hybrid_search_rrf",
+    "streaming_late_data_audit",
 ]
 
 

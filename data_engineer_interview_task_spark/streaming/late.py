@@ -13,21 +13,36 @@ by the stateful aggregation.
 Determinism (what makes this oracle-checkable): the replay fixes the
 arrival order arithmetically —
 
-1. batch 0 = the ON-TIME file (``ts >= SPLIT``), which advances the
-   watermark to ``max(ts) - delay``;
-2. batch 1 = the LATE file (``ts < SPLIT``): days whose window end is
-   older than that watermark are dropped, newer late days enter state;
-3. batch 2 = one sentinel flush row at ``max(ts) + delay + 10d``
-   (filtered after the watermark node, before the aggregation), which
-   advances the watermark past every real window so the held windows
-   all emit before the drain.
+1. batch 0 = the ON-TIME file (``ts >= SPLIT``), whose stats advance
+   the watermark to ``max(ts) - delay``;
+2. batch 1 = an EMPTY spacer file. Spark filters late input with the
+   watermark of the PREVIOUS batch and evicts with the current one
+   (SPARK-24634's dual values — verified empirically on this build:
+   without the spacer the late batch is filtered with the initial
+   zero watermark and nothing drops); the spacer batch is where the
+   batch-0 watermark takes effect;
+3. batch 2 = the LATE file (``ts < SPLIT``): day windows whose END is
+   older than the in-force watermark are dropped
+   (``numRowsDroppedByWatermark`` counts them), newer late days enter
+   state;
+4. batch 3 = one sentinel flush row at ``max(ts) + delay + 10d``: its
+   stats push the final watermark past every real window, so the
+   trailing no-data batch evicts + emits them all. The sentinel's own
+   window ends ABOVE the final watermark and is never emitted — and
+   the audit's LEFT join from the batch ground truth would ignore it
+   regardless. (The sentinel must NOT be pre-filtered on a pushable
+   predicate: parquet footer stats would prune the whole file at the
+   scan and the watermark would never advance — the bug the first
+   version of this harness had.)
 
 Both the dropped set and the surviving counts are then pure arithmetic
 over (SPLIT, delay, max(ts)) that a DuckDB oracle replays exactly:
 a late row of day ``d`` survives iff ``epoch_ms(d + 1 day) >
 epoch_us(max_ts) DIV 1000 - delay_ms`` (Spark tracks event time in
-millis). The calendar split keeps no boundary collision possible — the
-watermark inherits max(ts)'s time-of-day, never midnight.
+millis; the drop predicate is on the WINDOW END, verified by the
+day-at-the-boundary case). The calendar split keeps no boundary
+collision possible — the watermark inherits max(ts)'s time-of-day,
+never midnight.
 """
 
 from __future__ import annotations
@@ -55,9 +70,11 @@ def daily_counts_stream(
     spark: SparkSession, source_dir: str
 ) -> DataFrame:
     """readStream -> watermark -> per-day windowed count, one file per
-    micro-batch (the arrival-order contract the audit depends on).
-    Sentinel rows (user_id < 0) pass THROUGH the watermark node — they
-    exist to advance it — and are filtered before the aggregation."""
+    micro-batch (the arrival-order contract the audit depends on). No
+    row filter anywhere: a pushable predicate would let parquet footer
+    stats prune the sentinel file at the scan (see module docstring);
+    the sentinel's window instead stays un-emitted above the final
+    watermark."""
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
@@ -65,7 +82,6 @@ def daily_counts_stream(
     )
     return (
         stream.withWatermark("ts", DELAY)
-        .filter(F.col("user_id") >= 0)
         .groupBy(F.window("ts", "1 day"))
         .agg(F.count(F.lit(1)).alias("n_streamed"))
         .select(
@@ -74,23 +90,30 @@ def daily_counts_stream(
     )
 
 
-def run_late_data_audit_once(
-    spark: SparkSession, sf_dir: str, work_dir: str
-) -> DataFrame:
-    """The registered query: replay the two-batch arrival order, then
-    join the stream's emitted per-day counts against the batch ground
-    truth and emit the audit — (day, n_total, n_streamed,
-    n_dropped_late) for every event day. Fully-dropped days appear with
-    n_streamed = 0 (the left join from the batch side is the point:
-    silence is what the audit exists to surface)."""
+#: per-(sf_dir) cached source layout — the 4-file arrival order is a
+#: pure function of the immutable corpus, so repeated driver/bench
+#: sweeps rebuild only the checkpoint, not the files (the graph
+#: edge-artifact pattern).
+_SRC_CACHE: dict[str, str] = {}
+
+
+def _late_source_dir(spark: SparkSession, sf_dir: str) -> str:
+    import tempfile
+
     from ..sources import read_table
 
-    prep_session(spark)
+    path = _SRC_CACHE.get(sf_dir)
+    if path is not None:
+        return path
     events = read_table(spark, sf_dir, "events")
-    src = f"{work_dir}/events_late_src_{uuid.uuid4().hex[:8]}"
+    src = tempfile.mkdtemp(prefix="events_late_src_")
     on_time = events.filter(F.col("ts") >= F.lit(SPLIT))
     late = events.filter(F.col("ts") < F.lit(SPLIT))
     on_time.repartition(1).write.mode("overwrite").parquet(src)
+    before = snapshot_parquet_files(src)
+    # empty spacer: the batch where the on-time watermark takes effect
+    on_time.limit(0).coalesce(1).write.mode("append").parquet(src)
+    bump_new_files_mtime(src, before)
     before = snapshot_parquet_files(src)
     late.repartition(1).write.mode("append").parquet(src)
     bump_new_files_mtime(src, before)
@@ -101,17 +124,47 @@ def run_late_data_audit_once(
     ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 24 DAYS"))
     flush.coalesce(1).write.mode("append").parquet(src)
     bump_new_files_mtime(src, before)
+    _SRC_CACHE[sf_dir] = src
+    return src
+
+
+def run_late_data_audit_once(
+    spark: SparkSession, sf_dir: str, work_dir: str
+) -> DataFrame:
+    """The registered query: replay the staged arrival order, then
+    join the stream's emitted per-day counts against the batch ground
+    truth and emit the audit — (day, n_total, n_streamed,
+    n_dropped_late) for every event day. Fully-dropped days appear with
+    n_streamed = 0 (the left join from the batch side is the point:
+    silence is what the audit exists to surface)."""
+    from ..sources import read_table
+
+    prep_session(spark)
+    events = read_table(spark, sf_dir, "events")
+    src = _late_source_dir(spark, sf_dir)
     sink = f"mem_late_{uuid.uuid4().hex[:8]}"
-    q = (
-        daily_counts_stream(spark, src)
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .option("checkpointLocation", f"{work_dir}/ckpt_{sink}")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # five micro-batches of day-window-sized state: the per-batch state
+    # commit cost dominates at 32 shuffle partitions (the outer-join
+    # harness profile — 128 commits/batch of fixed cost); 8 partitions
+    # hold the ~30-row state trivially. Conf window opens AFTER the last
+    # read_table (its prep_session resets confs) and the checkpoint is
+    # created fresh inside it, so the reduced count binds this query only.
+    conf_key = "spark.sql.shuffle.partitions"
+    prior = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, "8")
+    try:
+        q = (
+            daily_counts_stream(spark, src)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", f"{work_dir}/ckpt_{sink}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(conf_key, prior)
     streamed = drain_memory_sink(spark, sink)
     truth = events.groupBy(F.to_date("ts").alias("day")).agg(
         F.count(F.lit(1)).alias("n_total")

@@ -244,3 +244,43 @@ def test_chained_query_state_survives_checkpoint_restart(spark, tmp_path):
     }
     # restored dedup state: day 12 counted ONCE despite the re-delivery
     assert rows == {1: 1, 2: 1, 3: 1, 12: 1, 13: 1}, rows
+
+
+def test_late_data_audit_drops_exactly_the_aged_days(spark, sf_dir):
+    """The audit's drop set equals the arithmetic model: a late day
+    survives iff its window end is newer than max(ts) - 14d in Spark's
+    millisecond event-time clock; on-time days (>= the calendar split)
+    stream in full; the totals always reconcile."""
+    import tempfile
+
+    from data_engineer_interview_task_spark.sources import read_table
+    from data_engineer_interview_task_spark.streaming import (
+        run_late_data_audit_once,
+    )
+    from data_engineer_interview_task_spark.streaming.late import SPLIT
+
+    out = {
+        r["day"]: (r["n_total"], r["n_streamed"], r["n_dropped_late"])
+        for r in run_late_data_audit_once(
+            spark, sf_dir, tempfile.mkdtemp(prefix="late_audit_")
+        ).collect()
+    }
+    events = read_table(spark, sf_dir, "events").select("ts").collect()
+    max_ms = max(r["ts"] for r in events).timestamp() * 1000
+    wm_ms = int(max_ms) - 14 * 86400000
+    import datetime as dt
+
+    split_day = dt.date.fromisoformat(SPLIT)
+    dropped_days = {d for d, (_t, _s, dr) in out.items() if dr > 0}
+    for day, (n_total, n_streamed, n_dropped) in out.items():
+        assert n_total == n_streamed + n_dropped
+        end_ms = (
+            dt.datetime.combine(
+                day + dt.timedelta(days=1), dt.time()
+            ).timestamp()
+            * 1000
+        )
+        expect_drop = day < split_day and end_ms <= wm_ms
+        assert (n_dropped == n_total) == expect_drop, day
+        assert n_dropped in (0, n_total)  # whole days drop, never parts
+    assert dropped_days, "the replay must actually exercise the drop path"
