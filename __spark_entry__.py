@@ -512,6 +512,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_surprisal_score": text.bigram_surprisal_score,  # per-doc integer LM surprisal (bit-length log2, perplexity-style curation signal)
         "hybrid_search_rrf": similarity.hybrid_search_rrf,  # reciprocal-rank fusion of BM25 + cosine arms (the RAG hybrid-retrieval pattern)
         "streaming_late_data_audit": _streaming_late_data_audit,  # watermark dropped-late accounting, deterministic two-batch replay
+        "bpe_train_merges": text.bpe_train_merges,  # REAL BPE tokenizer training: 8 exact merge steps over the corpus vocab
+        "bpe_encode_token_counts": text.bpe_encode_token_counts,  # BPE encode: per-doc real post-merge token counts via the trained vocab
         # --- round-6 front (all green in CORRECTNESS_r06) ---
         "table_checksum": maintenance.table_checksum,  # canonical = BIGINT transport since r6
         "supplier_kcore": graph.supplier_kcore,  # iterative k-core peeling (unrolled; cascade pinned by constructed-graph test)
@@ -4699,6 +4701,82 @@ SELECT doc_id, CAST(c AS BIGINT) AS channel,
        CAST(MAX(ABS(v - 128)) AS BIGINT) AS peak_dev
 FROM s GROUP BY doc_id, c, i // 20
 """
+
+    # REAL BPE tokenizer training (round 7): 8 unrolled merge steps —
+    # each picks the (freq-weighted count DESC, l ASC, r ASC) argmax
+    # adjacent symbol pair over the vocab and applies it via the SAME
+    # literal replace as the engine ('/l//r/' -> '/lr/': every symbol
+    # owns its surrounding slashes, so left-to-right non-overlapping
+    # replace IS the BPE application convention with no boundary
+    # false-matches)
+    _bpe_step = lambda n: f"""
+sp{n} AS (
+  SELECT string_split(trim(s, '/'), '//') AS syms, freq FROM w{n - 1}
+),
+pr{n} AS (
+  SELECT p.l AS l, p.r AS r, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+    SELECT unnest(list_transform(range(1, len(syms)),
+                                 i -> {{'l': syms[i], 'r': syms[i + 1]}}))
+             AS p, freq
+    FROM sp{n}
+  ) GROUP BY 1, 2
+),
+b{n} AS (SELECT l, r, cnt FROM pr{n}
+         ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+w{n} AS (
+  SELECT replace(s, '/' || b.l || '//' || b.r || '/',
+                 '/' || b.l || b.r || '/') AS s, freq
+  FROM w{n - 1}, b{n} b
+)"""  # noqa: E731
+    d["bpe_train_merges"] = (
+        """
+WITH w0 AS (
+  SELECT regexp_replace(word, '(.)', '/\\1/', 'g') AS s, freq FROM (
+    SELECT token AS word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ) WHERE token <> '' AND NOT contains(token, '/')
+    GROUP BY token
+  )
+),"""
+        + ",".join(_bpe_step(n) for n in range(1, 9))
+        + "\n"
+        + "\nUNION ALL\n".join(
+            f"SELECT CAST({n} AS BIGINT) AS step, l AS left, r AS right,"
+            f" cnt AS pair_count FROM b{n}"
+            for n in range(1, 9)
+        )
+    )
+    _BPE_CHAIN = (
+        d["bpe_train_merges"].split("\nSELECT CAST(1 AS BIGINT)")[0]
+    )
+
+    # BPE encode (round 7): the trained vocab's final symbolization
+    # (w8) joined back onto the doc->word incidence — same chain as
+    # training, then one join + aggregate
+    d["bpe_encode_token_counts"] = (
+        _BPE_CHAIN
+        + """
+, bpe_sized AS (
+  SELECT trim(s, '/') AS bare, len(string_split(trim(s, '/'), '//'))
+           AS n_syms, s
+  FROM w8
+), bpe_vocab AS (
+  SELECT replace(replace(bare, '//', ''), '/', '') AS word,
+         CAST(n_syms AS BIGINT) AS n_syms
+  FROM bpe_sized
+), bpe_inc AS (
+  SELECT doc_id, token AS word FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+    FROM documents
+  ) WHERE token <> '' AND NOT contains(token, '/')
+)
+SELECT i.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(v.n_syms) AS BIGINT) AS n_bpe_tokens
+FROM bpe_inc i JOIN bpe_vocab v ON i.word = v.word
+GROUP BY i.doc_id
+"""
+    )
 
     # streaming late-data audit (round 7): replay of the two-batch
     # arrival order in arithmetic — a late row of day d survives iff

@@ -278,6 +278,8 @@ HEADLINE = [
     "bigram_surprisal_score",
     "hybrid_search_rrf",
     "streaming_late_data_audit",
+    "bpe_train_merges",
+    "bpe_encode_token_counts",
 ]
 
 

@@ -1022,3 +1022,141 @@ def bigram_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("avg_millibits"),
         )
     )
+
+
+def bpe_train_merges(
+    spark: SparkSession, sf_dir: str, n_merges: int = 8
+) -> DataFrame:
+    """REAL BPE TOKENIZER TRAINING — the classic byte-pair-encoding loop
+    (Sennrich et al.) over the corpus vocabulary: start from characters,
+    repeatedly merge the most frequent adjacent symbol pair (frequency
+    weighted by word count, ties broken (count DESC, left ASC, right
+    ASC)), and emit the learned merge table — the artifact every LLM
+    tokenizer ships. Output: one row per merge step
+    ``(step, left, right, pair_count)``.
+
+    EXACT CROSS-ENGINE ENCODING (what makes tokenizer training
+    oracle-checkable): a word's symbolization is the string of wrapped
+    units ``/s1//s2//.../`` — each symbol owns its surrounding slashes,
+    so applying a merge is ONE literal left-to-right non-overlapping
+    ``replace('/l//r/' -> '/lr/')``, which is exactly BPE's application
+    convention, with no false matches across symbol boundaries (the
+    leading '/' anchors a symbol start) and no separator-sharing bugs
+    on runs (``/x//x//x//x/`` -> ``/xx//xx/``). Both engines have the
+    same literal ``replace``; no regex subtleties cross the engine
+    boundary. Words containing '/' are excluded by contract (mirrored
+    in the oracle; none exist in this corpus).
+
+    SCALE SHAPE: the only corpus-scale work is the word-frequency
+    aggregate (map-side combined; Heaps' law makes the vocab sublinear
+    in corpus size). The merge loop runs ``n_merges`` rounds over the
+    VOCAB frame — per round one adjacent-pair explode + count and a
+    1-row argmax collect (training metadata, the kcenter/Gonzalez
+    pattern: BPE is inherently sequential in its merge order, the
+    per-round work is what distributes). localCheckpoint after each
+    application keeps the replace-lineage from nesting 8 deep."""
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "toks", F.split(F.col("text"), " ")
+    )
+    words = (
+        docs.select(F.explode("toks").alias("word"))
+        .filter((F.col("word") != "") & (~F.col("word").contains("/")))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    cur, out = _bpe_loop(words, n_merges)
+    return spark.createDataFrame(
+        out, "step long, left string, right string, pair_count long"
+    )
+
+
+def _bpe_loop(words: DataFrame, n_merges: int):
+    """The shared BPE training loop: returns (final vocab frame with
+    (word, s, freq) where ``s`` is the wrapped-symbol string after all
+    merges, merge list [(step, l, r, cnt)])."""
+    cur = words.select(
+        "word", F.regexp_replace("word", "(.)", "/$1/").alias("s"), "freq"
+    ).localCheckpoint()
+    out: list[tuple[int, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        pairs = (
+            cur.select(
+                F.split(F.expr("trim(BOTH '/' FROM s)"), "//").alias(
+                    "syms"
+                ),
+                "freq",
+            )
+            # fully-merged single-symbol words have no pairs; without
+            # this guard Spark's sequence(1, 0) DESCENDS and fabricates
+            # (sym, NULL) pairs (caught by the reference-BPE test)
+            .filter(F.size("syms") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1),"
+                        " i -> struct(syms[i - 1] AS l, syms[i] AS r))"
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = pairs.orderBy(
+            F.col("cnt").desc(), F.col("l").asc(), F.col("r").asc()
+        ).limit(1).collect()
+        if not best:
+            break
+        l, r, cnt = best[0]["l"], best[0]["r"], int(best[0]["cnt"])
+        out.append((step, l, r, cnt))
+        cur = cur.select(
+            "word",
+            F.replace(
+                F.col("s"), F.lit(f"/{l}//{r}/"), F.lit(f"/{l}{r}/")
+            ).alias("s"),
+            "freq",
+        ).localCheckpoint()
+    return cur, out
+
+
+def bpe_encode_token_counts(
+    spark: SparkSession, sf_dir: str, n_merges: int = 8
+) -> DataFrame:
+    """BPE ENCODE — the second half of the tokenizer story: apply the
+    merge table :func:`bpe_train_merges` learns to every document and
+    report the real post-BPE token count next to the whitespace word
+    count (the compression ratio that decides sequence-packing budgets,
+    and the honest replacement for heuristic char-per-token
+    estimators).
+
+    Because BPE application is per-WORD, encoding a corpus is a join of
+    the doc->word incidence against the trained vocabulary's final
+    symbolization — the engine never re-segments raw text at encode
+    time. ``n_bpe_tokens`` = sum over the doc's words of that word's
+    final symbol count. The oracle replays training AND encoding (the
+    same 8 unrolled merge steps, then the same join), so a divergence
+    in any merge's application surfaces as a count mismatch somewhere
+    in the corpus."""
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "toks", F.split(F.col("text"), " ")
+    )
+    word_inc = (
+        docs.select("doc_id", F.explode("toks").alias("word"))
+        .filter((F.col("word") != "") & (~F.col("word").contains("/")))
+    )
+    words = word_inc.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    vocab, _merges = _bpe_loop(words, n_merges)
+    sized = vocab.select(
+        "word",
+        F.size(
+            F.split(F.expr("trim(BOTH '/' FROM s)"), "//")
+        ).cast("long").alias("n_syms"),
+    )
+    return (
+        word_inc.join(F.broadcast(sized), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_syms").cast("long").alias("n_bpe_tokens"),
+        )
+    )

@@ -205,6 +205,87 @@ def test_wav_channel_features_matches_md5_replay(spark, sf_dir):
                 assert got[(doc_id, ch, f)] == expect
 
 
+def _reference_bpe(word_freqs, n_merges):
+    """Textbook BPE (list-based, no string encoding): returns the merge
+    table [(step, l, r, count)] with (count DESC, l ASC, r ASC)
+    tie-breaks and left-to-right non-overlapping application."""
+    vocab = {w: list(w) for w in word_freqs}
+    merges = []
+    for step in range(1, n_merges + 1):
+        counts: dict[tuple, int] = {}
+        for w, freq in word_freqs.items():
+            syms = vocab[w]
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + freq
+        if not counts:
+            break
+        (l, r), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((step, l, r, cnt))
+        for w in vocab:
+            syms, out, i = vocab[w], [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges, vocab
+
+
+def test_bpe_merge_semantics_match_reference(spark, tmp_path):
+    """The engine's wrapped-symbol replace encoding must equal textbook
+    list-based BPE on adversarial shapes: runs (xxxx -> xx xx, not
+    xx x x), merged-symbol boundaries (no false match of (a,b) inside
+    'ca b'), count ties broken lexicographically."""
+    import pandas as pd
+
+    from data_engineer_interview_task_spark.operators import text as t
+
+    corpus = (
+        ["xxxx"] * 5        # run: first merge (x,x), applied -> xx|xx
+        + ["cab"] * 4       # 'ca' forms, then (ca,b) must not match 'a b'
+        + ["ab"] * 3        # tie fodder
+        + ["ba"] * 3        # lexicographic tie-break vs 'ab'
+        + ["zzzz"] * 2
+    )
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(len(corpus)),
+            "text": corpus,
+            "lang": "en",
+            "source": "t",
+            "n_chars": [len(c) for c in corpus],
+        }
+    )
+    sf = str(tmp_path / "bpe_sf")
+    import os
+
+    os.makedirs(sf)
+    docs.to_parquet(f"{sf}/documents.parquet")
+    got = [
+        (r["step"], r["left"], r["right"], r["pair_count"])
+        for r in t.bpe_train_merges(spark, sf, n_merges=6)
+        .orderBy("step")
+        .collect()
+    ]
+    freqs: dict[str, int] = {}
+    for w in corpus:
+        freqs[w] = freqs.get(w, 0) + 1
+    expect, vocab = _reference_bpe(freqs, 6)
+    assert got == expect
+    # the encode counts must match the reference vocab's symbol counts
+    enc = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in t.bpe_encode_token_counts(spark, sf, n_merges=6).collect()
+    }
+    for i, w in enumerate(corpus):
+        assert enc[i] == len(vocab[w]), (w, vocab[w])
+
+
 def test_isotonic_curve_matches_exact_pav_replay(spark, sf_dir):
     """The minimax fixed-point fit equals floor(1e6 * PAV) where PAV is
     replayed exactly in Fractions over the same level aggregate — the
