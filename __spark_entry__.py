@@ -514,6 +514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_late_data_audit": _streaming_late_data_audit,  # watermark dropped-late accounting, deterministic two-batch replay
         "bpe_train_merges": text.bpe_train_merges,  # REAL BPE tokenizer training: 8 exact merge steps over the corpus vocab
         "bpe_encode_token_counts": text.bpe_encode_token_counts,  # BPE encode: per-doc real post-merge token counts via the trained vocab
+        "matryoshka_rank_agreement": similarity.matryoshka_rank_agreement,  # MRL truncation audit: full vs half-dim exact-cosine rank agreement
         # --- round-6 front (all green in CORRECTNESS_r06) ---
         "table_checksum": maintenance.table_checksum,  # canonical = BIGINT transport since r6
         "supplier_kcore": graph.supplier_kcore,  # iterative k-core peeling (unrolled; cascade pinned by constructed-graph test)
@@ -1171,6 +1172,7 @@ d AS (
         "i -> CAST(CAST({a}[i+1] AS DOUBLE) * CAST({b}[i+1] AS DOUBLE) "
         "AS DECIMAL(28,14))))"
     )
+    dot32 = dot64.replace("range(64)", "range(32)")
     d = {
         "flagship_pipeline": """
 WITH base AS (
@@ -3707,6 +3709,48 @@ WITH toks AS (
 SELECT doc_id, CAST(SUM(term_fp) AS BIGINT) AS score_fp
 FROM scored GROUP BY doc_id
 ORDER BY score_fp DESC, doc_id ASC LIMIT 20
+"""
+
+    # matryoshka truncation audit (round 7): full-dim vs first-half
+    # exact-cosine rankings compared per query; ranks use the attested
+    # similarity_topk ordering convention per slice
+    d["matryoshka_rank_agreement"] = f"""
+WITH mq AS (
+  SELECT vec_id AS query_id, embedding AS q,
+         embedding[1:32] AS q32 FROM embeddings WHERE vec_id < 4
+),
+mc AS (
+  SELECT vec_id AS neighbor_id, embedding AS c,
+         embedding[1:32] AS c32 FROM embeddings WHERE vec_id >= 4
+),
+mscored AS (
+  SELECT query_id, neighbor_id,
+         CAST({dot64.format(a='q', b='c')} AS DOUBLE) AS dot,
+         CAST({dot64.format(a='q', b='q')} AS DOUBLE) AS qn,
+         CAST({dot64.format(a='c', b='c')} AS DOUBLE) AS cn,
+         CAST({dot32.format(a='q32', b='c32')} AS DOUBLE) AS dot32,
+         CAST({dot32.format(a='q32', b='q32')} AS DOUBLE) AS qn32,
+         CAST({dot32.format(a='c32', b='c32')} AS DOUBLE) AS cn32
+  FROM mc, mq
+),
+mranked AS (
+  SELECT query_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY dot * abs(dot) / (qn * cn) DESC,
+                                     neighbor_id ASC) AS r64,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY dot32 * abs(dot32) / (qn32 * cn32)
+                                       DESC,
+                                     neighbor_id ASC) AS r32
+  FROM mscored
+)
+SELECT query_id,
+       CAST(SUM(CASE WHEN r32 <= 20 THEN 1 ELSE 0 END) AS BIGINT)
+         AS overlap_at_k,
+       CAST(SUM(ABS(r64 - r32)) AS BIGINT) AS footrule,
+       CAST(MAX(r32) AS BIGINT) AS worst_trunc_rank
+FROM mranked WHERE r64 <= 20
+GROUP BY query_id
 """
 
     # hybrid retrieval via reciprocal-rank fusion (round 7): the bm25

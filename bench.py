@@ -280,6 +280,7 @@ HEADLINE = [
     "streaming_late_data_audit",
     "bpe_train_merges",
     "bpe_encode_token_counts",
+    "matryoshka_rank_agreement",
 ]
 
 

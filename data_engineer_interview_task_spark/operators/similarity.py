@@ -1099,3 +1099,82 @@ def hybrid_search_rrf(
         .filter(F.col("rank") <= k)
         .select("rank", "doc_id", "lex_rank", "sem_rank", "rrf_fp")
     )
+
+
+def matryoshka_rank_agreement(
+    spark: SparkSession, sf_dir: str, n_queries: int = 4, k: int = 20
+) -> DataFrame:
+    """MATRYOSHKA truncation audit — the measurement behind MRL-style
+    embedding serving (store 64 dims, search the first 32): for each
+    query, rank the candidate pool by FULL-dimension exact cosine and
+    by the TRUNCATED first-half cosine, and report how much ranking
+    quality the truncation keeps:
+
+    - ``overlap_at_k``: |top-k(full) ∩ top-k(truncated)| — the recall
+      the half-width index would deliver;
+    - ``footrule``: Σ |rank_full - rank_trunc| over the full top-k —
+      Spearman's footrule displacement, an exact integer;
+    - ``worst_trunc_rank``: max truncated rank of a full top-k member —
+      the re-rank window a two-stage retriever would need.
+
+    Every rank is a ``row_number`` over the DECIMAL-accumulated cosine
+    ordering key with a total tie-break (the attested
+    ``similarity_topk`` convention, applied per dimension-slice), so
+    the whole audit is hash-exact. Shape: one candidate scan
+    cross-joined against the broadcast query set; two rank windows per
+    query partition; one k-row aggregate per query."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    key_of = lambda q, c, qn, cn: (  # noqa: E731
+        dot_decimal_expr(q, c).cast("double")
+        * F.abs(dot_decimal_expr(q, c).cast("double"))
+        / (qn * cn)
+    )
+    h = lambda col: F.slice(col, 1, 32)  # noqa: E731 — first-half view
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q"),
+        sq_norm_decimal_expr(F.col("embedding")).cast("double").alias("qn"),
+        sq_norm_decimal_expr(h(F.col("embedding")))
+        .cast("double")
+        .alias("qn32"),
+    )
+    cands = emb.filter(F.col("vec_id") >= n_queries).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c"),
+        sq_norm_decimal_expr(F.col("embedding")).cast("double").alias("cn"),
+        sq_norm_decimal_expr(h(F.col("embedding")))
+        .cast("double")
+        .alias("cn32"),
+    )
+    joined = cands.crossJoin(F.broadcast(queries)).select(
+        "query_id",
+        "neighbor_id",
+        key_of(F.col("q"), F.col("c"), F.col("qn"), F.col("cn")).alias(
+            "k64"
+        ),
+        key_of(
+            h(F.col("q")), h(F.col("c")), F.col("qn32"), F.col("cn32")
+        ).alias("k32"),
+    )
+    w64 = Window.partitionBy("query_id").orderBy(
+        F.col("k64").desc(), F.col("neighbor_id").asc()
+    )
+    w32 = Window.partitionBy("query_id").orderBy(
+        F.col("k32").desc(), F.col("neighbor_id").asc()
+    )
+    ranked = joined.select(
+        "query_id",
+        F.row_number().over(w64).alias("r64"),
+        F.row_number().over(w32).alias("r32"),
+    )
+    return (
+        ranked.filter(F.col("r64") <= k)
+        .groupBy("query_id")
+        .agg(
+            F.sum((F.col("r32") <= k).cast("long")).alias("overlap_at_k"),
+            F.sum(F.abs(F.col("r64") - F.col("r32")))
+            .cast("long")
+            .alias("footrule"),
+            F.max("r32").cast("long").alias("worst_trunc_rank"),
+        )
+    )
