@@ -515,6 +515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train_merges": text.bpe_train_merges,  # REAL BPE tokenizer training: 8 exact merge steps over the corpus vocab
         "bpe_encode_token_counts": text.bpe_encode_token_counts,  # BPE encode: per-doc real post-merge token counts via the trained vocab
         "matryoshka_rank_agreement": similarity.matryoshka_rank_agreement,  # MRL truncation audit: full vs half-dim exact-cosine rank agreement
+        "layout_advisor": maintenance.layout_advisor,  # physical-layout decision table over the ANALYZE profile (encoding/partition/sort-key)
         # --- round-6 front (all green in CORRECTNESS_r06) ---
         "table_checksum": maintenance.table_checksum,  # canonical = BIGINT transport since r6
         "supplier_kcore": graph.supplier_kcore,  # iterative k-core peeling (unrolled; cascade pinned by constructed-graph test)
@@ -4103,6 +4104,22 @@ FROM s
 FROM orders"""
         for name, expr, cast in _prof_cols
     )
+
+    # layout advisor (round 7): pure arithmetic over the table_profile
+    # statistics — its oracle SQL reused verbatim as the input frame
+    d["layout_advisor"] = f"""
+SELECT column_name, n_distinct,
+       CAST(n_distinct * 1000000 // n_rows AS BIGINT) AS distinct_ppm,
+       CAST(n_nulls * 1000000 // n_rows AS BIGINT) AS null_ppm,
+       CASE WHEN n_distinct * 1000000 // n_rows < 100000
+            THEN 'dictionary' ELSE 'plain' END AS encoding,
+       CAST(CASE WHEN n_nulls = 0 AND n_distinct BETWEEN 2 AND 1000
+                 THEN 1 ELSE 0 END AS BIGINT) AS partition_candidate,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_distinct DESC,
+                               column_name ASC) AS BIGINT)
+         AS sort_key_rank
+FROM ({d['table_profile']}) prof
+"""
 
     # gaps-and-islands: idx - dense_rank island key, total tie-breaks
     d["customer_order_streaks"] = """

@@ -281,6 +281,7 @@ HEADLINE = [
     "bpe_train_merges",
     "bpe_encode_token_counts",
     "matryoshka_rank_agreement",
+    "layout_advisor",
 ]
 
 

@@ -1287,3 +1287,49 @@ def shuffle_skew_report_composite(
         out = row if out is None else out.unionAll(row)
     assert out is not None
     return out
+
+
+def layout_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PHYSICAL-LAYOUT ADVISOR over the :func:`table_profile` statistics
+    — the decision table a warehouse migration derives from ANALYZE
+    output before writing the first parquet file:
+
+    - ``distinct_ppm`` / ``null_ppm``: exact integer rates;
+    - ``encoding``: 'dictionary' when the column's distinct ratio is
+      under 10% (dictionary pages win), else 'plain' — the parquet
+      writer heuristic made explicit and auditable;
+    - ``partition_candidate``: 1 for null-free columns with 2..1000
+      distinct values — the hive-partitioning sweet spot (fewer than 2
+      partitions prune nothing; more than ~1000 directories melt the
+      file listing);
+    - ``sort_key_rank``: columns ranked by distinct count descending
+      (name-tiebroken) — the z-order / sort-key candidate order, since
+      high-cardinality leading keys maximize min/max file skipping.
+
+    Pure arithmetic over the 6-row profile frame, so the advisor adds
+    zero scans beyond the profile's single pass."""
+    prof = table_profile(spark, sf_dir)
+    w = Window.orderBy(
+        F.col("n_distinct").desc(), F.col("column_name").asc()
+    )
+    return prof.select(
+        "column_name",
+        "n_distinct",
+        F.expr("n_distinct * 1000000 DIV n_rows")
+        .cast("long")
+        .alias("distinct_ppm"),
+        F.expr("n_nulls * 1000000 DIV n_rows").cast("long").alias("null_ppm"),
+        F.when(
+            F.expr("n_distinct * 1000000 DIV n_rows") < 100000,
+            F.lit("dictionary"),
+        )
+        .otherwise(F.lit("plain"))
+        .alias("encoding"),
+        (
+            (F.col("n_nulls") == 0)
+            & F.col("n_distinct").between(2, 1000)
+        )
+        .cast("long")
+        .alias("partition_candidate"),
+        F.row_number().over(w).cast("long").alias("sort_key_rank"),
+    )
