@@ -204,6 +204,23 @@ def _streaming_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _streaming_update_mode_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Update-mode delta emission: each micro-batch emits only the
+    groups it changed with cumulative values; the mid-day split makes
+    the straddling day appear twice (partial, then final). The emitted
+    MULTISET is exactly predictable from the split, so the delta stream
+    itself is oracle-checked."""
+    from data_engineer_interview_task_spark.streaming import (
+        run_update_mode_rollup_once,
+    )
+
+    return run_update_mode_rollup_once(
+        spark, sf_dir, _work_dir("stream_upd", sf_dir)
+    )
+
+
 def _streaming_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact-distinct via mergeable bitmap state (bit_or of
     62-bit words), popcount-rolled after the drain. Fully oracle-checked
@@ -516,6 +533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode_token_counts": text.bpe_encode_token_counts,  # BPE encode: per-doc real post-merge token counts via the trained vocab
         "matryoshka_rank_agreement": similarity.matryoshka_rank_agreement,  # MRL truncation audit: full vs half-dim exact-cosine rank agreement
         "layout_advisor": maintenance.layout_advisor,  # physical-layout decision table over the ANALYZE profile (encoding/partition/sort-key)
+        "streaming_update_mode_rollup": _streaming_update_mode_rollup,  # update-mode delta emission: per-batch changed groups with cumulative counts
         # --- round-6 front (all green in CORRECTNESS_r06) ---
         "table_checksum": maintenance.table_checksum,  # canonical = BIGINT transport since r6
         "supplier_kcore": graph.supplier_kcore,  # iterative k-core peeling (unrolled; cascade pinned by constructed-graph test)
@@ -4761,6 +4779,21 @@ SELECT doc_id, CAST(c AS BIGINT) AS channel,
                      THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
        CAST(MAX(ABS(v - 128)) AS BIGINT) AS peak_dev
 FROM s GROUP BY doc_id, c, i // 20
+"""
+
+    # update-mode delta stream (round 7): batch 0 emits its own days
+    # (partial count for the straddling day), batch 1 re-emits every
+    # day it touches with the cumulative (= final) count — the emitted
+    # multiset is the union of those two sets
+    d["streaming_update_mode_rollup"] = """
+SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events WHERE ts >= TIMESTAMP '2024-01-20 12:00:00'
+GROUP BY 1
+UNION ALL
+SELECT day, n_events FROM (
+  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+) WHERE day <= DATE '2024-01-20'
 """
 
     # REAL BPE tokenizer training (round 7): 8 unrolled merge steps —

@@ -282,6 +282,7 @@ HEADLINE = [
     "bpe_encode_token_counts",
     "matryoshka_rank_agreement",
     "layout_advisor",
+    "streaming_update_mode_rollup",
 ]
 
 

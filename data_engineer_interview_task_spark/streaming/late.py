@@ -182,3 +182,90 @@ def run_late_data_audit_once(
             .alias("n_dropped_late"),
         )
     )
+
+
+#: mid-DAY split for the update-mode replay: day 2024-01-20 straddles
+#: the two batches, so its group is emitted twice with different counts
+#: — the delta semantics under test.
+UPDATE_SPLIT = "2024-01-20 12:00:00"
+
+_UPD_SRC_CACHE: dict[str, str] = {}
+
+
+def _update_source_dir(spark: SparkSession, sf_dir: str) -> str:
+    import tempfile
+
+    from ..sources import read_table
+
+    path = _UPD_SRC_CACHE.get(sf_dir)
+    if path is not None:
+        return path
+    events = read_table(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="events_upd_src_")
+    events.filter(F.col("ts") >= F.lit(UPDATE_SPLIT)).repartition(
+        1
+    ).write.mode("overwrite").parquet(src)
+    before = snapshot_parquet_files(src)
+    events.filter(F.col("ts") < F.lit(UPDATE_SPLIT)).repartition(
+        1
+    ).write.mode("append").parquet(src)
+    bump_new_files_mtime(src, before)
+    _UPD_SRC_CACHE[sf_dir] = src
+    return src
+
+
+def run_update_mode_rollup_once(
+    spark: SparkSession, sf_dir: str, work_dir: str
+) -> DataFrame:
+    """UPDATE output mode — the delta-emission semantics none of the
+    other streaming entries covers (append emits finalized groups once,
+    complete re-emits everything): each micro-batch emits ONLY the
+    groups it changed, with their cumulative values. The two-batch
+    replay splits the corpus mid-day, so the straddling day is emitted
+    TWICE — once with its first-half count, once with the full count —
+    and the emitted MULTISET is exactly predictable:
+
+    - batch 0 (``ts >= UPDATE_SPLIT``): its days, partial count for the
+      straddling day, full for later days;
+    - batch 1 (``ts < UPDATE_SPLIT``): every day it touches re-emits
+      with the now-cumulative (= final) count.
+
+    This is what an upsert sink (foreachBatch MERGE) consumes in
+    production; the audit shape here returns every emitted version so
+    the oracle checks the delta stream itself, not just the final
+    state. No watermark: unbounded state is the documented price of
+    update mode without one (state = |days|, bounded by the corpus
+    span here)."""
+    prep_session(spark)
+    src = _update_source_dir(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    counts = (
+        stream.groupBy(F.window("ts", "1 day"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").cast("date").alias("day"), "n_events"
+        )
+    )
+    sink = f"mem_upd_{uuid.uuid4().hex[:8]}"
+    conf_key = "spark.sql.shuffle.partitions"
+    prior = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, "8")
+    try:
+        q = (
+            counts.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .option("checkpointLocation", f"{work_dir}/ckpt_{sink}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(conf_key, prior)
+    return drain_memory_sink(spark, sink).select(
+        "day", F.col("n_events").cast("long").alias("n_events")
+    )
