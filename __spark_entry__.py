@@ -534,6 +534,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matryoshka_rank_agreement": similarity.matryoshka_rank_agreement,  # MRL truncation audit: full vs half-dim exact-cosine rank agreement
         "layout_advisor": maintenance.layout_advisor,  # physical-layout decision table over the ANALYZE profile (encoding/partition/sort-key)
         "streaming_update_mode_rollup": _streaming_update_mode_rollup,  # update-mode delta emission: per-batch changed groups with cumulative counts
+        "pack_bpe_token_shards": sampling.pack_bpe_token_shards,  # sequence packing on REAL trained-BPE token counts
+        "dataset_card_report": maintenance.dataset_card_report,  # one-page corpus fact sheet, exact BIGINT long format
         # --- round-6 front (all green in CORRECTNESS_r06) ---
         "table_checksum": maintenance.table_checksum,  # canonical = BIGINT transport since r6
         "supplier_kcore": graph.supplier_kcore,  # iterative k-core peeling (unrolled; cascade pinned by constructed-graph test)
@@ -4871,6 +4873,54 @@ FROM bpe_inc i JOIN bpe_vocab v ON i.word = v.word
 GROUP BY i.doc_id
 """
     )
+
+    # dataset card (round 7): long-format exact-BIGINT corpus facts;
+    # the median is the (50n+99)//100 order statistic at value grain
+    d["dataset_card_report"] = """
+WITH med AS (
+  SELECT MIN(n_chars) AS v FROM (
+    SELECT n_chars,
+           SUM(c) OVER (ORDER BY n_chars ASC ROWS UNBOUNDED PRECEDING)
+             AS cum,
+           SUM(c) OVER () AS n
+    FROM (SELECT n_chars, CAST(COUNT(*) AS BIGINT) AS c
+          FROM documents GROUP BY 1)
+  ) WHERE cum >= (50 * n + 99) // 100
+)
+SELECT 'n_docs' AS metric, CAST(COUNT(*) AS BIGINT) AS value FROM documents
+UNION ALL SELECT 'n_tokens',
+  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) FROM documents
+UNION ALL SELECT 'n_sources',
+  CAST(COUNT(DISTINCT source) AS BIGINT) FROM documents
+UNION ALL SELECT 'n_langs',
+  CAST(COUNT(DISTINCT lang) AS BIGINT) FROM documents
+UNION ALL SELECT 'total_chars', CAST(SUM(n_chars) AS BIGINT) FROM documents
+UNION ALL SELECT 'median_doc_chars', CAST(v AS BIGINT) FROM med
+UNION ALL SELECT 'n_events', CAST(COUNT(*) AS BIGINT) FROM events
+UNION ALL SELECT 'n_event_users',
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events
+UNION ALL SELECT 'n_event_days',
+  CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) FROM events
+UNION ALL SELECT 'n_orders', CAST(COUNT(*) AS BIGINT) FROM orders
+UNION ALL SELECT 'n_order_customers',
+  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders
+"""
+
+    # BPE-count sequence packing (round 7): the pack window over the
+    # encode oracle's real per-doc counts
+    d["pack_bpe_token_shards"] = f"""
+SELECT doc_id, source, n_bpe_tokens,
+       CAST(cum - n_bpe_tokens AS BIGINT) AS tokens_before,
+       CAST((cum - n_bpe_tokens) // 512 AS BIGINT) AS pack_id
+FROM (
+  SELECT d.doc_id, d.source, e.n_bpe_tokens,
+         SUM(e.n_bpe_tokens) OVER (
+           PARTITION BY d.source ORDER BY d.doc_id ASC
+           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM documents d JOIN ({d['bpe_encode_token_counts']}) e
+    ON d.doc_id = e.doc_id
+)
+"""
 
     # streaming late-data audit (round 7): replay of the two-batch
     # arrival order in arithmetic — a late row of day d survives iff

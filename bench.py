@@ -283,6 +283,8 @@ HEADLINE = [
     "matryoshka_rank_agreement",
     "layout_advisor",
     "streaming_update_mode_rollup",
+    "pack_bpe_token_shards",
+    "dataset_card_report",
 ]
 
 

@@ -1333,3 +1333,64 @@ def layout_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("partition_candidate"),
         F.row_number().over(w).cast("long").alias("sort_key_rank"),
     )
+
+
+def dataset_card_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATASET CARD — the one-page corpus fact sheet every published
+    training set ships (counts, vocabulary of sources/languages, size
+    and length distribution, companion-table volumes), emitted as a
+    long-format ``(metric, value)`` table of exact BIGINTs so the card
+    is hash-checkable and diffable across corpus versions.
+
+    ``median_doc_chars`` is an exact order statistic computed at VALUE
+    grain (counts per n_chars + running sum — the percentile-ladder
+    shape), never a row-grain global sort. One scan per contributing
+    table (documents, events, orders), each map-side combined to a
+    handful of rows."""
+    docs = read_table(spark, sf_dir, "documents")
+    events = read_table(spark, sf_dir, "events")
+    orders = read_table(spark, sf_dir, "orders")
+    dstats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    ch = docs.groupBy("n_chars").agg(F.count(F.lit(1)).alias("c"))
+    wc = Window.orderBy(F.col("n_chars").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    med = (
+        ch.select(
+            "n_chars",
+            F.sum("c").over(wc).alias("cum"),
+            F.sum("c").over(wall).alias("n"),
+        )
+        .filter(F.col("cum") >= F.expr("(50 * n + 99) DIV 100"))
+        .agg(F.min("n_chars").alias("median_doc_chars"))
+    )
+    estats = events.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_event_users"),
+        F.countDistinct(F.to_date("ts")).alias("n_event_days"),
+    )
+    ostats = orders.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_order_customers"),
+    )
+    wide = (
+        dstats.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(estats))
+        .crossJoin(F.broadcast(ostats))
+    )
+    cols = [
+        "n_docs", "n_tokens", "n_sources", "n_langs", "total_chars",
+        "median_doc_chars", "n_events", "n_event_users", "n_event_days",
+        "n_orders", "n_order_customers",
+    ]
+    stack = ", ".join(f"'{c}', CAST({c} AS BIGINT)" for c in cols)
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack}) AS (metric, value)"
+    )

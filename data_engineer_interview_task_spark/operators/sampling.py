@@ -717,3 +717,38 @@ def quantile_normalize_per_source(
     return targeted.join(
         global_ranked, F.col("t_rank") == F.col("g_rank")
     ).select("doc_id", "source", "n_chars", F.col("g_chars").alias("normalized_chars"))
+
+
+def pack_bpe_token_shards(
+    spark: SparkSession, sf_dir: str, pack_size: int = 512
+) -> DataFrame:
+    """Sequence packing on REAL tokenizer counts — ``pack_token_shards``
+    with the whitespace token estimate replaced by the trained BPE
+    vocabulary's actual per-doc token counts
+    (``text.bpe_encode_token_counts``): pack boundaries now fall where
+    the model's tokenizer says they fall, which is what decides true
+    sequence-length utilization. Same per-source running-sum shape as
+    the estimate-based form (the ``pack_token_shards_scalable``
+    two-level decomposition is the documented 100 TB recipe when
+    |sources| caps parallelism); the BPE counts come from the
+    vocab-join encode path, so no text is re-tokenized here."""
+    from .text import bpe_encode_token_counts
+
+    counts = bpe_encode_token_counts(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    rows = docs.join(counts.select("doc_id", "n_bpe_tokens"), "doc_id")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_bpe_tokens").over(w)
+    return rows.select(
+        "doc_id",
+        "source",
+        "n_bpe_tokens",
+        (cum - F.col("n_bpe_tokens")).cast("long").alias("tokens_before"),
+    ).withColumn(
+        "pack_id",
+        F.expr(f"tokens_before DIV {pack_size}").cast("long"),
+    )
