@@ -536,6 +536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_update_mode_rollup": _streaming_update_mode_rollup,  # update-mode delta emission: per-batch changed groups with cumulative counts
         "pack_bpe_token_shards": sampling.pack_bpe_token_shards,  # sequence packing on REAL trained-BPE token counts
         "dataset_card_report": maintenance.dataset_card_report,  # one-page corpus fact sheet, exact BIGINT long format
+        "eb_shrunk_source_quality": sampling.eb_shrunk_source_quality,  # empirical-Bayes shrunk per-source quality rates (fixed-point MoM beta-binomial)
         # --- round-6 front (all green in CORRECTNESS_r06) ---
         "table_checksum": maintenance.table_checksum,  # canonical = BIGINT transport since r6
         "supplier_kcore": graph.supplier_kcore,  # iterative k-core peeling (unrolled; cascade pinned by constructed-graph test)
@@ -4873,6 +4874,58 @@ FROM bpe_inc i JOIN bpe_vocab v ON i.word = v.word
 GROUP BY i.doc_id
 """
     )
+
+    # empirical-Bayes shrinkage (round 7): the pinned 1e-9 fixed-point
+    # method-of-moments chain, every step one floor DIV over nonneg
+    # integers, overflow-prone products in HUGEINT
+    d["eb_shrunk_source_quality"] = """
+WITH per AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) AS BIGINT)
+           AS k_success
+  FROM documents GROUP BY source
+),
+rates AS (
+  SELECT source, n_docs, k_success,
+         k_success * 1000000000 // n_docs AS rate_fp
+  FROM per
+),
+mstats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+         CAST(SUM(rate_fp) // COUNT(*) AS BIGINT) AS m_fp
+  FROM rates
+),
+vstats AS (
+  SELECT m.n_sources, m.m_fp,
+         CAST(SUM(CAST(r.rate_fp - m.m_fp AS HUGEINT)
+                  * (r.rate_fp - m.m_fp)) // (m.n_sources - 1)
+              AS BIGINT) AS var_fp
+  FROM rates r, mstats m
+  GROUP BY m.n_sources, m.m_fp
+),
+prior AS (
+  SELECT m_fp, var_fp,
+         GREATEST(CAST(0 AS BIGINT),
+                  CAST(CAST(m_fp AS HUGEINT) * (1000000000 - m_fp)
+                       * 1000000000 // var_fp - 1000000000 AS BIGINT))
+           AS apb_fp
+  FROM vstats
+),
+prior2 AS (
+  SELECT m_fp, var_fp, apb_fp,
+         CAST(CAST(m_fp AS HUGEINT) * apb_fp // 1000000000 AS BIGINT)
+           AS a_fp
+  FROM prior
+)
+SELECT r.source, r.n_docs, r.k_success, r.rate_fp,
+       CAST(p.a_fp AS BIGINT) AS alpha_fp,
+       CAST(p.apb_fp - p.a_fp AS BIGINT) AS beta_fp,
+       CAST((CAST(r.k_success AS HUGEINT) * 1000000000 + p.a_fp)
+            * 1000000000
+            // (CAST(r.n_docs AS HUGEINT) * 1000000000 + p.apb_fp)
+            AS BIGINT) AS shrunk_rate_fp
+FROM rates r, prior2 p
+"""
 
     # dataset card (round 7): long-format exact-BIGINT corpus facts;
     # the median is the (50n+99)//100 order statistic at value grain

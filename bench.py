@@ -285,6 +285,7 @@ HEADLINE = [
     "streaming_update_mode_rollup",
     "pack_bpe_token_shards",
     "dataset_card_report",
+    "eb_shrunk_source_quality",
 ]
 
 

