@@ -537,6 +537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_bpe_token_shards": sampling.pack_bpe_token_shards,  # sequence packing on REAL trained-BPE token counts
         "dataset_card_report": maintenance.dataset_card_report,  # one-page corpus fact sheet, exact BIGINT long format
         "eb_shrunk_source_quality": sampling.eb_shrunk_source_quality,  # empirical-Bayes shrunk per-source quality rates (fixed-point MoM beta-binomial)
+        "multimodal_resize_420": multimodal.multimodal_resize_420,  # 4:2:0 decode + real thumbnail resample, the full production image chain
         # --- round-6 front (all green in CORRECTNESS_r06) ---
         "table_checksum": maintenance.table_checksum,  # canonical = BIGINT transport since r6
         "supplier_kcore": graph.supplier_kcore,  # iterative k-core peeling (unrolled; cascade pinned by constructed-graph test)
@@ -4022,6 +4023,24 @@ SELECT doc_id,
        sha256(
          repeat(repeat(x0, 16) || repeat(x1, 16), 8)
          || repeat(repeat(x2, 16) || repeat(x3, 16), 8)
+       ) AS pixel_sha
+FROM piv
+"""
+    )
+
+    # 4:2:0 decode + thumbnail composition (round 7): the 32x32 -> 10x7
+    # floor mapping lands rows 0-3 / cols 0-4 in MCU (0,0) etc. — the
+    # same 5/5 x 4/3 assembly as the 4:4:4 resize
+    d["multimodal_resize_420"] = (
+        _color_chain
+        + """
+SELECT doc_id,
+       CAST(10 AS BIGINT) AS width,
+       CAST(7 AS BIGINT) AS height,
+       CAST(210 AS BIGINT) AS n_px_bytes,
+       sha256(
+         repeat(repeat(x0, 5) || repeat(x1, 5), 4)
+         || repeat(repeat(x2, 5) || repeat(x3, 5), 3)
        ) AS pixel_sha
 FROM piv
 """

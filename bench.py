@@ -286,6 +286,7 @@ HEADLINE = [
     "pack_bpe_token_shards",
     "dataset_card_report",
     "eb_shrunk_source_quality",
+    "multimodal_resize_420",
 ]
 
 

@@ -1329,6 +1329,56 @@ def multimodal_color_jpeg_422_decode(
     return docs.mapInPandas(_run, schema=schema)
 
 
+def multimodal_resize_420(
+    spark: SparkSession, sf_dir: str, out_w: int = 10, out_h: int = 7
+) -> DataFrame:
+    """The full production image chain in one query: 4:2:0
+    chroma-subsampled JPEG decode (general sampling-factor path,
+    replication chroma upsample) composed with the real RGB
+    nearest-neighbor resample — decode-then-thumbnail, the shape every
+    vision-data pipeline runs per image. 32x32 source of four uniform
+    16x16 MCUs down to 10x7: rows 0-3 read MCU row 0 (src row
+    ``32r DIV 7`` < 16), rows 4-6 MCU row 1; cols 0-4 read MCU col 0,
+    cols 5-9 col 1 — the same 5/5 x 4/3 block structure as
+    ``multimodal_color_resize``, so the oracle reuses the shared color
+    chain with that assembly. Lowercase-hex transport."""
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("width", LongType()),
+            StructField("height", LongType()),
+            StructField("n_px_bytes", LongType()),
+            StructField("pixel_sha", StringType()),
+        ]
+    )
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # self-contained closure: resize_image captured by value
+        import hashlib as _h
+
+        import pandas as _pd
+
+        rz, w, h = resize_image, out_w, out_h
+        for pdf in batches:
+            out = {c: [] for c in (
+                "doc_id", "width", "height", "n_px_bytes", "pixel_sha",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = rz(bytes(payload), w, h)
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_px_bytes"].append(len(px))
+                out["pixel_sha"].append(
+                    _h.sha256(px.hex().encode()).hexdigest()
+                )
+            yield _pd.DataFrame(out)
+
+    return attach_color_jpeg_420_payload(spark, sf_dir).mapInPandas(
+        _resize, schema=schema
+    )
+
+
 def attach_mjpeg_payload(
     spark: SparkSession, sf_dir: str, n_frames: int = 4, side: int = 16
 ) -> DataFrame:
