@@ -4614,13 +4614,15 @@ FROM pr
     # engine-side JSON path extraction parity (get_json_object vs
     # json_extract); missing keys land in the NULL bucket on both sides
     # integer-pattern guard mirrored with the Spark side (ADVICE r6):
-    # extract the raw string, convert only ^-?[0-9]+$ matches, else NULL
+    # extract the raw string, convert only ^-?[0-9]{1,18} matches, else
+    # NULL; the width bound (ADVICE r7) keeps every admitted string
+    # inside BIGINT, where Spark's cast would NULL but DuckDB's raises
     d["json_value_histogram"] = """
 WITH ext AS (
   SELECT event_type, json_extract_string(props, '$.k') AS ks FROM events
 )
 SELECT event_type,
-       CAST(floor(CAST(CASE WHEN regexp_matches(ks, '^-?[0-9]+$')
+       CAST(floor(CAST(CASE WHEN regexp_matches(ks, '^-?[0-9]{1,18}$')
                             THEN CAST(ks AS BIGINT) END AS BIGINT) / 10)
             AS BIGINT) AS bucket,
        CAST(COUNT(*) AS BIGINT) AS n
@@ -4806,7 +4808,11 @@ FROM s GROUP BY doc_id, c, i // 20
     # update-mode delta stream (round 7): batch 0 emits its own days
     # (partial count for the straddling day), batch 1 re-emits every
     # day it touches with the cumulative (= final) count — the emitted
-    # multiset is the union of those two sets
+    # multiset is the union of those two sets. Batch-1's re-emitted day
+    # set is DERIVED from the actual pre-split events (ADVICE r7): the
+    # old `day <= split_day` shortcut assumed the straddling day has
+    # events on BOTH sides of the split, which is a corpus property,
+    # not a semantics one
     d["streaming_update_mode_rollup"] = """
 SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_events
 FROM events WHERE ts >= TIMESTAMP '2024-01-20 12:00:00'
@@ -4815,7 +4821,8 @@ UNION ALL
 SELECT day, n_events FROM (
   SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_events
   FROM events GROUP BY 1
-) WHERE day <= DATE '2024-01-20'
+) WHERE day IN (SELECT DISTINCT CAST(ts AS DATE) FROM events
+                WHERE ts < TIMESTAMP '2024-01-20 12:00:00')
 """
 
     # REAL BPE tokenizer training (round 7): 8 unrolled merge steps —
@@ -4916,18 +4923,27 @@ mstats AS (
 ),
 vstats AS (
   SELECT m.n_sources, m.m_fp,
-         CAST(SUM(CAST(r.rate_fp - m.m_fp AS HUGEINT)
-                  * (r.rate_fp - m.m_fp)) // (m.n_sources - 1)
-              AS BIGINT) AS var_fp
+         CASE WHEN m.n_sources >= 2 THEN
+           CAST(SUM(CAST(r.rate_fp - m.m_fp AS HUGEINT)
+                    * (r.rate_fp - m.m_fp)) // (m.n_sources - 1)
+                AS BIGINT)
+         ELSE CAST(0 AS BIGINT) END AS var_fp
   FROM rates r, mstats m
   GROUP BY m.n_sources, m.m_fp
 ),
 prior AS (
   SELECT m_fp, var_fp,
-         GREATEST(CAST(0 AS BIGINT),
-                  CAST(CAST(m_fp AS HUGEINT) * (1000000000 - m_fp)
-                       * 1000000000 // var_fp - 1000000000 AS BIGINT))
-           AS apb_fp
+         CASE WHEN var_fp <= 0 THEN CAST(0 AS BIGINT)
+              WHEN CAST(m_fp AS HUGEINT) * (1000000000 - m_fp)
+                   * 1000000000
+                   >= CAST(1000000001000000000 AS HUGEINT) * var_fp
+              THEN CAST(1000000000000000000 AS BIGINT)
+              ELSE GREATEST(CAST(0 AS BIGINT),
+                            CAST(CAST(m_fp AS HUGEINT)
+                                 * (1000000000 - m_fp)
+                                 * 1000000000 // var_fp - 1000000000
+                                 AS BIGINT))
+         END AS apb_fp
   FROM vstats
 ),
 prior2 AS (

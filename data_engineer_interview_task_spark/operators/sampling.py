@@ -691,10 +691,14 @@ def quantile_normalize_per_source(
     the whole transform is hash-exact.
 
     Plan: one per-source rank window (parallel across sources), one
-    global rank window over the aggregate-deduped (n_chars, doc_id)
-    frame — cite ``global_row_numbers`` for the two-level numbering at
-    the 100 TB scale — and a broadcast join on the computed target
-    rank."""
+    TWO-PHASE global numbering over (n_chars, doc_id) — VERDICT r7
+    item 1: the old unpartitioned ``row_number`` window was a
+    single-task full-corpus sort; ``two_phase_cumsum`` of 1 over the
+    same tie-broken total order produces bit-identical ranks with
+    range-partitioned parallel sorts — and a join on the computed
+    target rank."""
+    from .relational import two_phase_cumsum
+
     docs = read_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "n_chars"
     )
@@ -704,10 +708,12 @@ def quantile_normalize_per_source(
     )
     per_src = docs.withColumn("r", F.row_number().over(ws))
     src_n = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
-    wg = Window.orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())
-    global_ranked = docs.select(
-        F.row_number().over(wg).alias("g_rank"), F.col("n_chars").alias("g_chars")
-    )
+    global_ranked = two_phase_cumsum(
+        docs,
+        [F.col("n_chars").asc(), F.col("doc_id").asc()],
+        F.lit(1),
+        "g_rank",
+    ).select("g_rank", F.col("n_chars").alias("g_chars"))
     targeted = per_src.join(F.broadcast(src_n), "source").select(
         "doc_id",
         "source",
@@ -796,12 +802,26 @@ def eb_shrunk_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"sum(rate_fp) DIV count(1)").alias("m_fp"),
     )
     withm = rates.crossJoin(F.broadcast(m))
+    # Degenerate-corpus guards (ADVICE r7), mirrored verbatim in the
+    # oracle: (a) one source -> the sample variance's n-1 denominator is
+    # zero (Spark DIV NULLs, DuckDB // raises) -> var_fp := 0; (b)
+    # var_fp <= 0 (identical rates) -> apb_fp := 0, which collapses the
+    # whole chain to shrunk == rate (no shrinkage — the documented
+    # fallback: with no observable between-source variance there is no
+    # prior to shrink toward); (c) a tiny-but-positive var_fp makes the
+    # apb quotient exceed BIGINT (Spark cast NULLs, DuckDB raises) ->
+    # cap apb at 10^18, tested IN DECIMAL before dividing
+    # (num >= (CAP+Q)*var <=> num DIV var - Q >= CAP, exact because all
+    # operands are nonneg integers), so the ELSE branch provably fits.
+    CAP = 10**18
     prior = withm.agg(
         F.first("n_sources").alias("n_sources"),
         F.first("m_fp").alias("m_fp"),
         F.expr(
+            "CASE WHEN count(1) >= 2 THEN CAST("
             "sum(CAST(rate_fp - m_fp AS DECIMAL(38,0))"
-            " * (rate_fp - m_fp)) DIV (count(1) - 1)"
+            " * (rate_fp - m_fp)) DIV (count(1) - 1) AS BIGINT)"
+            " ELSE CAST(0 AS BIGINT) END"
         )
         .cast("long")
         .alias("var_fp"),
@@ -810,8 +830,13 @@ def eb_shrunk_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m_fp",
         "var_fp",
         F.expr(
-            f"greatest(CAST(0 AS BIGINT), CAST(CAST(m_fp AS DECIMAL(38,0))"
-            f" * ({Q} - m_fp) * {Q} DIV var_fp - {Q} AS BIGINT))"
+            f"CASE WHEN var_fp <= 0 THEN CAST(0 AS BIGINT)"
+            f" WHEN CAST(m_fp AS DECIMAL(38,0)) * ({Q} - m_fp) * {Q}"
+            f" >= CAST({CAP + Q} AS DECIMAL(38,0)) * var_fp"
+            f" THEN CAST({CAP} AS BIGINT)"
+            f" ELSE greatest(CAST(0 AS BIGINT), CAST(CAST(m_fp AS"
+            f" DECIMAL(38,0)) * ({Q} - m_fp) * {Q} DIV var_fp - {Q}"
+            f" AS BIGINT)) END"
         ).alias("apb_fp"),
     ).select(
         "m_fp",

@@ -1117,12 +1117,22 @@ def matryoshka_rank_agreement(
     - ``worst_trunc_rank``: max truncated rank of a full top-k member —
       the re-rank window a two-stage retriever would need.
 
-    Every rank is a ``row_number`` over the DECIMAL-accumulated cosine
-    ordering key with a total tie-break (the attested
-    ``similarity_topk`` convention, applied per dimension-slice), so
-    the whole audit is hash-exact. Shape: one candidate scan
-    cross-joined against the broadcast query set; two rank windows per
-    query partition; one k-row aggregate per query."""
+    Every rank follows the DECIMAL-accumulated cosine ordering key with
+    a total tie-break (the attested ``similarity_topk`` convention,
+    applied per dimension-slice), so the whole audit is hash-exact.
+
+    Shape (VERDICT r7 item 3 — the old form ranked the ENTIRE candidate
+    pool per query with ``row_number`` over ``partitionBy(query_id)``:
+    n_queries tasks each sorting the full corpus): per query, the full
+    top-k comes from the TakeOrderedAndProject pattern (orderBy+limit —
+    partial per-partition top-k, k-row driver merge, fully parallel);
+    those n_queries*k member rows BROADCAST back against the scored
+    corpus, and each member's rank under EITHER key is an AGGREGATE
+    count of strictly-better candidates (``rank = 1 + #{key > m OR
+    (key = m AND id < m_id)}`` — exactly ``row_number`` over the same
+    total order, since ids are unique per query). No corpus-wide window
+    anywhere; the corpus is scanned, never sorted whole (plan-tested:
+    zero Window operators, TakeOrderedAndProject present)."""
     emb = read_table(spark, sf_dir, "embeddings")
     key_of = lambda q, c, qn, cn: (  # noqa: E731
         dot_decimal_expr(q, c).cast("double")
@@ -1156,25 +1166,43 @@ def matryoshka_rank_agreement(
             h(F.col("q")), h(F.col("c")), F.col("qn32"), F.col("cn32")
         ).alias("k32"),
     )
-    w64 = Window.partitionBy("query_id").orderBy(
-        F.col("k64").desc(), F.col("neighbor_id").asc()
-    )
-    w32 = Window.partitionBy("query_id").orderBy(
-        F.col("k32").desc(), F.col("neighbor_id").asc()
-    )
-    ranked = joined.select(
-        "query_id",
-        F.row_number().over(w64).alias("r64"),
-        F.row_number().over(w32).alias("r32"),
-    )
-    return (
-        ranked.filter(F.col("r64") <= k)
-        .groupBy("query_id")
-        .agg(
-            F.sum((F.col("r32") <= k).cast("long")).alias("overlap_at_k"),
-            F.sum(F.abs(F.col("r64") - F.col("r32")))
-            .cast("long")
-            .alias("footrule"),
-            F.max("r32").cast("long").alias("worst_trunc_rank"),
+    tops = None
+    for qid in range(n_queries):
+        t = (
+            joined.filter(F.col("query_id") == qid)
+            .orderBy(F.col("k64").desc(), F.col("neighbor_id").asc())
+            .limit(k)
+            .select(
+                "query_id",
+                F.col("neighbor_id").alias("m_id"),
+                F.col("k64").alias("m_k64"),
+                F.col("k32").alias("m_k32"),
+            )
         )
+        tops = t if tops is None else tops.unionAll(t)
+    # member key values are recomputations of the same deterministic FP
+    # expressions over the same rows, so the strictly-better comparisons
+    # below are bit-exact against the corpus-side keys
+    better64 = (
+        (F.col("k64") > F.col("m_k64"))
+        | ((F.col("k64") == F.col("m_k64")) & (F.col("neighbor_id") < F.col("m_id")))
+    ).cast("long")
+    better32 = (
+        (F.col("k32") > F.col("m_k32"))
+        | ((F.col("k32") == F.col("m_k32")) & (F.col("neighbor_id") < F.col("m_id")))
+    ).cast("long")
+    ranks = (
+        joined.join(F.broadcast(tops), "query_id")
+        .groupBy("query_id", "m_id")
+        .agg(
+            (F.sum(better64) + 1).alias("r64"),
+            (F.sum(better32) + 1).alias("r32"),
+        )
+    )
+    return ranks.groupBy("query_id").agg(
+        F.sum((F.col("r32") <= k).cast("long")).alias("overlap_at_k"),
+        F.sum(F.abs(F.col("r64") - F.col("r32")))
+        .cast("long")
+        .alias("footrule"),
+        F.max("r32").cast("long").alias("worst_trunc_rank"),
     )

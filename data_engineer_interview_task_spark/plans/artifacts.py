@@ -38,6 +38,7 @@ import hashlib
 import os
 import shutil
 import tempfile
+import time
 from typing import Callable, Iterable
 import threading
 
@@ -57,6 +58,13 @@ _TMP_ROOT: list[str] = []
 #: parquet write, holding the full key) — a dir without it is a torn
 #: write from a killed process and is rebuilt in place.
 _MARKER = "_ARTIFACT_SUCCESS"
+
+#: superseded-fingerprint dirs younger than this are NOT pruned
+#: (ADVICE r7): another live process sharing a persistent
+#: SPARK_GRAFT_ARTIFACT_DIR may still hold the old dir in its _CACHE;
+#: the grace window bounds how long a doomed dir lingers without ever
+#: deleting one a concurrent reader plausibly still scans.
+_PRUNE_GRACE_SEC = 6 * 3600
 
 
 def _stable_hash(obj) -> str:
@@ -134,16 +142,35 @@ def materialized(
             lhash = _stable_hash(key)
             path = os.path.join(root, f"{prefix}{lhash}_{_stable_hash(fps)}")
             if not os.path.exists(os.path.join(path, _MARKER)):
+                # Build into a process-private temp dir and publish with
+                # one atomic rename (ADVICE r7): two processes sharing a
+                # persistent root can no longer interleave writes INTO
+                # the same final dir — the loser's rename fails on the
+                # existing target and it adopts the winner's artifact.
+                tmp = f"{path}.__build_{os.getpid()}_{threading.get_ident()}"
                 writer = build().write.mode("overwrite")
                 if partition_by:
                     writer = writer.partitionBy(*partition_by)
-                writer.parquet(path)
-                with open(os.path.join(path, _MARKER), "w") as fh:
+                writer.parquet(tmp)
+                with open(os.path.join(tmp, _MARKER), "w") as fh:
                     fh.write(repr(full_key))
+                try:
+                    if os.path.exists(path):
+                        shutil.rmtree(path, ignore_errors=True)  # torn dir
+                    os.rename(tmp, path)
+                except OSError:
+                    # a concurrent process published first; use theirs
+                    shutil.rmtree(tmp, ignore_errors=True)
                 stem = f"{prefix}{lhash}_"
+                now = time.time()
                 for d in os.listdir(root):
-                    if d.startswith(stem) and d != os.path.basename(path):
-                        shutil.rmtree(os.path.join(root, d),
-                                      ignore_errors=True)
+                    full = os.path.join(root, d)
+                    if (
+                        d.startswith(stem)
+                        and d != os.path.basename(path)
+                        and "__build_" not in d
+                        and now - os.path.getmtime(full) > _PRUNE_GRACE_SEC
+                    ):
+                        shutil.rmtree(full, ignore_errors=True)
             _CACHE[full_key] = path
     return spark.read.parquet(path)

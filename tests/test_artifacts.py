@@ -72,14 +72,34 @@ def test_restart_reuses_finished_artifact_and_prunes_superseded(spark):
     ).count()
     assert calls["n"] == 1, "restart must reuse the finished artifact"
     assert len(os.listdir(base)) == 1
-    # input mutation: rebuild AND delete the superseded fingerprint dir
+    # input mutation: rebuild; a FRESH superseded dir is RETAINED for the
+    # prune grace window (ADVICE r7 — a concurrent process may still hold
+    # it in its cache) ...
     with open(inp, "ab") as f:
         f.write(b"\x00")
     artifacts.materialized(
         spark, key, "test_art_", build, inputs=(inp,), base_dir=base
     ).count()
     assert calls["n"] == 2
-    assert len(os.listdir(base)) == 1, "superseded artifact must be pruned"
+    assert len(os.listdir(base)) == 2, (
+        "fresh superseded artifact must survive the prune grace window"
+    )
+    # ... and is pruned once older than the grace window: backdate the
+    # superseded dir, trigger one more fingerprint change
+    import time as _time
+
+    old = _time.time() - artifacts._PRUNE_GRACE_SEC - 60
+    for d in os.listdir(base):
+        os.utime(os.path.join(base, d), (old, old))
+    with open(inp, "ab") as f:
+        f.write(b"\x00")
+    artifacts.materialized(
+        spark, key, "test_art_", build, inputs=(inp,), base_dir=base
+    ).count()
+    assert calls["n"] == 3
+    assert len(os.listdir(base)) == 1, (
+        "superseded artifacts past the grace window must be pruned"
+    )
     # torn write (marker missing) is rebuilt in place on next access
     artifacts._CACHE.clear()
     art = os.path.join(base, os.listdir(base)[0])
@@ -87,7 +107,7 @@ def test_restart_reuses_finished_artifact_and_prunes_superseded(spark):
     artifacts.materialized(
         spark, key, "test_art_", build, inputs=(inp,), base_dir=base
     ).count()
-    assert calls["n"] == 3, "missing completion marker must force rebuild"
+    assert calls["n"] == 4, "missing completion marker must force rebuild"
     shutil.rmtree(base)
     shutil.rmtree(work)
 

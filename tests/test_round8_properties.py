@@ -1,0 +1,204 @@
+"""Round-8 property tests.
+
+1. Degenerate-corpus guards for ``eb_shrunk_source_quality`` (ADVICE
+   r7): one source (the sample-variance n-1 denominator is zero) and
+   identical per-source rates (variance itself is zero) must run on
+   BOTH engines and fall back to shrunk == rate, instead of Spark
+   NULLing a division DuckDB raises on.
+2. ``two_phase_cumsum`` (VERDICT r7 item 1): the range-partitioned
+   running sum must be bit-identical to the built-in global-window
+   cumsum over total orders, grouped and ungrouped.
+3. Plan pins for the four de-weakened queries: no corpus-grain
+   unpartitioned window survives in any of them.
+"""
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import duckdb
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from data_engineer_interview_task_spark.operators.sampling import (
+    eb_shrunk_source_quality,
+)
+from data_engineer_interview_task_spark.operators.relational import (
+    two_phase_cumsum,
+)
+from data_engineer_interview_task_spark.plans import explain_str
+from data_engineer_interview_task_spark.sources import read_table
+
+
+def _oracle_rows(sql: str, doc_dir: str):
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    path = os.path.join(doc_dir, "documents.parquet")
+    glob = f"{path}/*.parquet" if os.path.isdir(path) else path
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{glob}')"
+    )
+    df = con.sql(sql).df()
+    cols = sorted(df.columns)
+    return sorted(tuple(r) for r in df[cols].itertuples(index=False))
+
+
+def _spark_rows(df):
+    pdf = df.toPandas()
+    cols = sorted(pdf.columns)
+    return sorted(tuple(r) for r in pdf[cols].itertuples(index=False))
+
+
+@pytest.fixture(scope="module")
+def degenerate_dirs(spark, sf_dir):
+    """Two synthetic corpora: single-source, and two identical-rate
+    sources (one source's docs duplicated under a renamed source)."""
+    docs = read_table(spark, sf_dir, "documents")
+    one_src = docs.select("source").orderBy("source").limit(1).collect()[0][0]
+    sub = docs.filter(F.col("source") == one_src)
+
+    single = tempfile.mkdtemp(prefix="eb_single_")
+    sub.write.mode("overwrite").parquet(
+        os.path.join(single, "documents.parquet")
+    )
+    twin = tempfile.mkdtemp(prefix="eb_twin_")
+    sub.unionAll(
+        sub.withColumn("source", F.lit("zz_twin_source"))
+    ).write.mode("overwrite").parquet(os.path.join(twin, "documents.parquet"))
+    yield single, twin
+    shutil.rmtree(single, ignore_errors=True)
+    shutil.rmtree(twin, ignore_errors=True)
+
+
+def test_eb_shrunk_degenerate_corpora_no_shrinkage(spark, degenerate_dirs):
+    import __spark_entry__ as entry
+
+    sql = entry.oracle_sql()["eb_shrunk_source_quality"]
+    for d, n_expected in zip(degenerate_dirs, (1, 2)):
+        out = eb_shrunk_source_quality(spark, d)
+        rows = out.collect()
+        assert len(rows) == n_expected
+        for r in rows:
+            # the documented fallback: no observable between-source
+            # variance -> no shrinkage
+            assert r["alpha_fp"] == 0 and r["beta_fp"] == 0
+            assert r["shrunk_rate_fp"] == r["rate_fp"]
+        # the oracle must run (no raise) and agree exactly
+        assert _oracle_rows(sql, d) == _spark_rows(out)
+
+
+# --- two_phase_cumsum vs the built-in global window ---------------------
+
+
+@pytest.mark.parametrize("n,n_parts", [(1, 8), (7, 8), (200, 8), (200, 3)])
+def test_two_phase_cumsum_ungrouped_matches_builtin(spark, n, n_parts):
+    # non-contiguous shuffled keys; (key, id) is a tie-broken total order
+    rows = [((i * 37) % 97, i, (i * 13) % 7 + 1) for i in range(n)]
+    df = spark.createDataFrame(rows, "key long, id long, w long")
+    order = [F.col("key").asc(), F.col("id").asc()]
+    w = Window.orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    expect = sorted(df.withColumn("cum", F.sum("w").over(w)).collect())
+    got = sorted(
+        two_phase_cumsum(df, order, F.col("w"), "cum", n_parts=n_parts)
+        .select("key", "id", "w", "cum")
+        .collect()
+    )
+    assert got == expect
+
+
+def test_two_phase_cumsum_grouped_matches_builtin(spark):
+    rows = [((i * 37) % 97, i % 4, i, (i * 13) % 7 + 1) for i in range(173)]
+    df = spark.createDataFrame(rows, "key long, grp long, id long, w long")
+    order = [F.col("key").asc(), F.col("id").asc()]
+    w = (
+        Window.partitionBy("grp")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    expect = sorted(df.withColumn("cum", F.sum("w").over(w)).collect())
+    got = sorted(
+        two_phase_cumsum(
+            df, order, F.col("w"), "cum", part_cols=("grp",), n_parts=5
+        )
+        .select("key", "grp", "id", "w", "cum")
+        .collect()
+    )
+    assert got == expect
+
+
+def test_two_phase_cumsum_zero_contribution_tie_groups(spark):
+    """The session_overlap shape: tie groups are single-kind, consumed
+    rows (probes) contribute zero — their running count of bounds must
+    equal the order-statistic definition regardless of how range
+    boundaries split the tie groups."""
+    # many duplicate (val, kind) rows to force tie groups spanning
+    # range-partition boundaries
+    rows = [(v, 0) for v in range(10) for _ in range(9)] + [
+        (v, 1) for v in range(10) for _ in range(9)
+    ]
+    df = spark.createDataFrame(rows, "val long, is_probe long")
+    got = (
+        two_phase_cumsum(
+            df.withColumn("_tie", F.col("is_probe")),
+            [F.col("val").asc(), F.col("_tie").asc()],
+            1 - F.col("is_probe"),
+            "cnt",
+            n_parts=7,
+        )
+        .filter(F.col("is_probe") == 1)
+        .select("val", "cnt")
+        .collect()
+    )
+    assert len(got) == 90
+    for r in got:
+        # bounds sort before probes at equal val: #bounds with val <= v
+        assert r["cnt"] == 9 * (r["val"] + 1), dict(r.asDict())
+
+
+# --- plan pins: no corpus-grain unpartitioned window ---------------------
+
+
+def _window_lines(plan: str):
+    return [
+        ln for ln in plan.splitlines() if "windowspecdefinition(" in ln
+    ]
+
+
+def test_quantile_normalize_plan_has_no_global_sort_window(spark, sf_dir):
+    from data_engineer_interview_task_spark.operators import sampling
+
+    plan = explain_str(sampling.quantile_normalize_per_source(spark, sf_dir))
+    for ln in _window_lines(plan):
+        assert "_pid" in ln or "source#" in ln, f"corpus-grain window: {ln}"
+
+
+def test_weighted_median_plan_has_no_row_grain_flag_window(spark, sf_dir):
+    from data_engineer_interview_task_spark.operators import extended
+
+    plan = explain_str(extended.weighted_median_price(spark, sf_dir))
+    for ln in _window_lines(plan):
+        # every surviving window is pid-scoped (the cumsum) or runs on
+        # the n_parts-row offset frame (ordered BY _pid)
+        assert "_pid" in ln, f"row-grain returnflag window: {ln}"
+
+
+def test_session_overlap_plan_windows_are_pid_or_user_scoped(spark, sf_dir):
+    from data_engineer_interview_task_spark.operators import relational
+
+    plan = explain_str(relational.session_overlap_degree(spark, sf_dir))
+    for ln in _window_lines(plan):
+        assert "_pid" in ln or "user_id#" in ln, (
+            f"global boundary window resurfaced: {ln}"
+        )
+
+
+def test_matryoshka_plan_has_no_window_and_uses_take_ordered(spark, sf_dir):
+    from data_engineer_interview_task_spark.operators import similarity
+
+    plan = explain_str(similarity.matryoshka_rank_agreement(spark, sf_dir))
+    assert "windowspecdefinition" not in plan, "corpus-wide rank window"
+    assert "TakeOrderedAndProject" in plan

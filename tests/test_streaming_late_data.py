@@ -265,10 +265,19 @@ def test_late_data_audit_drops_exactly_the_aged_days(spark, sf_dir):
             spark, sf_dir, tempfile.mkdtemp(prefix="late_audit_")
         ).collect()
     }
-    events = read_table(spark, sf_dir, "events").select("ts").collect()
-    max_ms = max(r["ts"] for r in events).timestamp() * 1000
-    wm_ms = int(max_ms) - 14 * 86400000
     import datetime as dt
+
+    # Session timestamps are UTC wall-clock; attach tzinfo before
+    # .timestamp() (ADVICE r7 — naive .timestamp() applies the HOST
+    # zone, so the expected watermark was wrong on non-UTC machines).
+    events = read_table(spark, sf_dir, "events").select("ts").collect()
+    max_ms = (
+        max(r["ts"] for r in events)
+        .replace(tzinfo=dt.timezone.utc)
+        .timestamp()
+        * 1000
+    )
+    wm_ms = int(max_ms) - 14 * 86400000
 
     split_day = dt.date.fromisoformat(SPLIT)
     dropped_days = {d for d, (_t, _s, dr) in out.items() if dr > 0}
@@ -276,7 +285,7 @@ def test_late_data_audit_drops_exactly_the_aged_days(spark, sf_dir):
         assert n_total == n_streamed + n_dropped
         end_ms = (
             dt.datetime.combine(
-                day + dt.timedelta(days=1), dt.time()
+                day + dt.timedelta(days=1), dt.time(), tzinfo=dt.timezone.utc
             ).timestamp()
             * 1000
         )
