@@ -514,10 +514,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never attested (r5's ORACLE_DEFERRED_TO_NEXT_ROUND set); then
         # round-6 additions fill the window as they land. Everything after
         # the window is attested green by the union of r01..r05 records.
-        # --- ROUND-7 attestation front. The r6 window closed 50/50 green
-        # with zero deferred debt, so the r7 window opens empty; new
-        # round-7 entries fill it from the top. Everything below the r7
-        # section is attested by the r01..r06 driver-record union. ---
+        # --- ROUND-8 attestation front. The r7 window closed 50/50 green
+        # with zero deferred debt, so the r8 window opens empty; new
+        # round-8 entries fill it from the top. Everything below the r8
+        # section is attested by the r01..r07 driver-record union. ---
+        "copurchase_edges_capped": graph.copurchase_edges_capped,  # basket-capped co-occurrence build: the documented mega-basket skew remedy (VERDICT r7 item 6)
+        # --- round-7 front (all green in CORRECTNESS_r07) ---
         "ivfpq_search": similarity.ivfpq_search,  # FULL IVF-PQ: probe-pruned ADC over cell-partitioned posting lists (VERDICT r6 item 1)
         "multimodal_resize": multimodal.multimodal_resize,  # REAL decode + pinned integer nearest-neighbor resample (VERDICT r6 item 2)
         "multimodal_color_jpeg_subsampled_decode": multimodal.multimodal_color_jpeg_subsampled_decode,  # REAL 4:2:0 chroma-subsampled JPEG decode (VERDICT r6 item 4)
@@ -6475,6 +6477,23 @@ SELECT 'lineitem_fk_to_orders',
          SELECT l_orderkey, COUNT(*) AS c FROM lineitem GROUP BY 1) li
          WHERE NOT EXISTS (SELECT 1 FROM orders o
                            WHERE o.o_orderkey = li.l_orderkey)), 0) AS BIGINT)
+"""
+
+    # ---- round 8 ----------------------------------------------------
+
+    # basket-capped co-purchase edges (VERDICT r7 item 6): each order's
+    # basket truncated to its 4 smallest supplier keys BEFORE pair
+    # fan-out; support = shared capped orders per ordered pair
+    d["copurchase_edges_capped"] = """
+WITH b AS (
+  SELECT l_orderkey, list_sort(list(DISTINCT l_suppkey))[1:4] AS ss
+  FROM lineitem GROUP BY l_orderkey
+),
+e AS (SELECT unnest(ss) AS src, ss FROM b),
+p AS (SELECT src, unnest(ss) AS dst FROM e)
+SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst,
+       CAST(COUNT(*) AS BIGINT) AS support
+FROM p WHERE src <> dst GROUP BY src, dst
 """
 
     return d

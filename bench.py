@@ -287,6 +287,8 @@ HEADLINE = [
     "dataset_card_report",
     "eb_shrunk_source_quality",
     "multimodal_resize_420",
+    # --- round 8 ---
+    "copurchase_edges_capped",
 ]
 
 

@@ -60,22 +60,31 @@ def co_purchase_edges(
     into "repeatedly co-purchased", which is both the more meaningful
     relation and the one whose edge count stays bounded. Linear-cost
     consumers (PageRank, BFS) take the raw graph; the cubic-sensitive
-    triangle/coefficient operators default to a threshold."""
-    li = (
+    triangle/coefficient operators default to a threshold.
+
+    Pair generation (VERDICT r7 item 6 — the edge build dominated the
+    two >10s sf1 graph entries): one ``collect_set`` aggregate to
+    order-grain baskets, then a NARROW double explode emits the m(m-1)
+    ordered pairs per order with no join at all — the old formulation
+    paid a distinct shuffle plus a sort-merge self-join on the order
+    key; this pays one basket shuffle, and the basket frame is
+    data-model-bounded per order so the explode fan-out is O(1) per
+    row. Output is pair-for-pair identical (same multiset of
+    (order, src, dst))."""
+    baskets = (
         read_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_suppkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_suppkey").alias("ss"))
     )
-    a = li.alias("a")
-    b = li.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
-    ).select(F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst"))
+    pairs = (
+        baskets.select(F.explode("ss").alias("src"), "ss")
+        .select("src", F.explode("ss").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+    )
     if min_support is None:
         return pairs.distinct()
-    # (orderkey, suppkey) was made distinct above, so count(*) per pair
+    # collect_set deduped (orderkey, suppkey), so count(*) per pair
     # counts DISTINCT shared orders without a second dedup pass
     return (
         pairs.groupBy("src", "dst")
@@ -125,10 +134,17 @@ def supplier_pagerank(
     symmetric), so there is no dangling-mass redistribution step.
     """
     edges = _cached_edges(spark, sf_dir).persist()
+    # node-sized state frames are materialized once (degree table) /
+    # per round (rank table) and BROADCAST into the edge join — the
+    # supplier_label_propagation lineage-and-join discipline applied to
+    # the power iteration (the rank chain is linear, not exponential,
+    # but each un-cut round still re-aggregated the degree table from
+    # the edge scan)
     nodes = (
         edges.groupBy("src")
         .agg(F.count(F.lit(1)).cast("long").alias("deg"))
         .withColumnRenamed("src", "node")
+        .localCheckpoint(eager=True)
     )
     ranks = nodes.withColumn("rank", F.lit(PR_SCALE).cast("long"))
     base = PR_DAMPING_PCT  # 85
@@ -138,18 +154,22 @@ def supplier_pagerank(
             F.col("node").alias("src"), F.expr("rank DIV deg").alias("contrib")
         )
         incoming = (
-            edges.join(contrib, "src")
+            edges.join(F.broadcast(contrib), "src")
             .groupBy("dst")
             .agg(F.sum("contrib").alias("inc"))
             .withColumnRenamed("dst", "node")
         )
-        ranks = nodes.join(incoming, "node", "left").select(
-            "node",
-            "deg",
-            (
-                F.lit(teleport).cast("long")
-                + F.expr(f"({base} * coalesce(inc, 0L)) DIV 100")
-            ).alias("rank"),
+        ranks = (
+            nodes.join(incoming, "node", "left")
+            .select(
+                "node",
+                "deg",
+                (
+                    F.lit(teleport).cast("long")
+                    + F.expr(f"({base} * coalesce(inc, 0L)) DIV 100")
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
         )
     out = ranks.select(
         F.col("node").alias("s_suppkey"),
@@ -300,16 +320,20 @@ def supplier_bfs_hops(
         supplier.filter(F.col("s_suppkey") % seed_mod == 0)
         .select(F.col("s_suppkey").alias("node"))
         .withColumn("hop", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
     )
+    # per-round materialization + broadcast of the node-sized frontier —
+    # same double-reference lineage cut as supplier_label_propagation
+    # (each round's dist feeds both the join probe and the union arm)
     for _ in range(max_hops):
-        reached = (
-            edges.join(dist.withColumnRenamed("node", "src"), "src")
-            .select(F.col("dst").alias("node"), (F.col("hop") + 1).alias("hop"))
-        )
+        reached = edges.join(
+            F.broadcast(dist.withColumnRenamed("node", "src")), "src"
+        ).select(F.col("dst").alias("node"), (F.col("hop") + 1).alias("hop"))
         dist = (
             dist.unionAll(reached)
             .groupBy("node")
             .agg(F.min("hop").alias("hop"))
+            .localCheckpoint(eager=True)
         )
     out = dist.select(F.col("node").alias("s_suppkey"), F.col("hop"))
     # release the cached edge frame (ADVICE r4) after the node-sized
@@ -468,21 +492,31 @@ def supplier_label_propagation(
 
     Pregel shape, statically unrolled: per round ONE equi-join
     (labels ⋈ edges) + ONE min-aggregation, both partial-aggregated;
-    state is one row per node. Emits the label plus the member count
-    per k-hop community (via a second aggregate over the node-sized
-    label table)."""
+    state is one row per node. The label frame is MATERIALIZED
+    (eager localCheckpoint) every round — it is referenced twice per
+    round (join probe + union arm), so without the cut each round's
+    lineage contains TWO copies of the previous round's, re-executing
+    round k's join 2^(rounds-k) times (measured at sf1: bench median
+    12.99s -> 2.85s, VERDICT r7 item 6) — and BROADCAST into the edge
+    join: node state is bounded by the supplier dimension, the classic
+    broadcastable side (at a |V| beyond broadcast the artifact-backed
+    shuffle join on a bucketed edge table is the documented fallback).
+    Emits the label plus the member count per k-hop community (via a
+    second aggregate over the node-sized label table)."""
     edges = _cached_edges(spark, sf_dir).persist()
     supplier = read_table(spark, sf_dir, "supplier")
     labels = supplier.select(
         F.col("s_suppkey").alias("node"), F.col("s_suppkey").alias("label")
-    )
+    ).localCheckpoint(eager=True)
     for _ in range(rounds):
-        prop = (
-            edges.join(labels.withColumnRenamed("node", "src"), "src")
-            .select(F.col("dst").alias("node"), "label")
-        )
+        prop = edges.join(
+            F.broadcast(labels.withColumnRenamed("node", "src")), "src"
+        ).select(F.col("dst").alias("node"), "label")
         labels = (
-            labels.unionAll(prop).groupBy("node").agg(F.min("label").alias("label"))
+            labels.unionAll(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
         )
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("community_size"))
     out = labels.join(F.broadcast(sizes), "label").select(
@@ -491,6 +525,44 @@ def supplier_label_propagation(
     out = out.localCheckpoint(eager=True)
     edges.unpersist()
     return out
+
+
+def copurchase_edges_capped(
+    spark: SparkSession, sf_dir: str, cap: int = 4
+) -> DataFrame:
+    """BASKET-CAPPED co-purchase edges — the documented skew remedy for
+    co-occurrence graph builds (VERDICT r7 item 6, registered as its own
+    parameterized entry rather than silently changing the exact build):
+    each order contributes pairs only among its ``cap`` SMALLEST
+    supplier keys (a deterministic truncation, so the capped graph is a
+    well-defined function of the data, not of partition order). A
+    pathological mega-basket then adds O(cap²) pairs instead of O(m²) —
+    the standard mitigation for the quadratic blow-up that makes
+    co-occurrence builds the classic skew bomb at 100 TB (one
+    1M-item order would otherwise emit 10¹² pairs).
+
+    Same narrow basket-explode shape as the exact build; the slice
+    happens at basket grain BEFORE any fan-out, so the cap also bounds
+    the explode output per row. Emits the capped edge list with its
+    per-pair shared-order support."""
+    baskets = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .groupBy("l_orderkey")
+        .agg(
+            F.slice(F.sort_array(F.collect_set("l_suppkey")), 1, cap).alias(
+                "ss"
+            )
+        )
+    )
+    pairs = (
+        baskets.select(F.explode("ss").alias("src"), "ss")
+        .select("src", F.explode("ss").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    return pairs.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("long").alias("support")
+    )
 
 
 def copurchase_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
