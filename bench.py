@@ -289,6 +289,7 @@ HEADLINE = [
     "multimodal_resize_420",
     # --- round 8 ---
     "copurchase_edges_capped",
+    "bpe_train_merges_bytelevel",
 ]
 
 

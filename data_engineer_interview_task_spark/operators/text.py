@@ -1119,6 +1119,101 @@ def _bpe_loop(words: DataFrame, n_merges: int):
     return cur, out
 
 
+def bpe_train_merges_bytelevel(
+    spark: SparkSession,
+    sf_dir: str,
+    n_rounds: int = 16,
+    batch: int = 4,
+) -> DataFrame:
+    """BYTE-LEVEL BPE training with BATCHED merge rounds — the two
+    production-shape increments over :func:`bpe_train_merges`
+    (VERDICT r7 item 4):
+
+    BYTE-LEVEL START: initial symbols are the word's UTF-8 BYTES as
+    two-hex-digit units (``hex(word)`` wrapped per byte pair), the
+    GPT-2 convention that needs no character exclusions at all — any
+    word, any script, any separator character is trainable, because
+    the symbol alphabet [0-9A-F] can never collide with the '/'
+    wrapper. 64 merges here vs 8 in the char-level entry.
+
+    BATCHED ROUNDS: per round the pair table is counted ONCE and up to
+    ``batch`` NON-INTERACTING merges are picked greedily in
+    (count DESC, l ASC, r ASC) order — a candidate is eligible iff
+    neither of its symbols appears among any earlier pick's
+    {l, r, l||r}. Disjointness makes every picked pair's count
+    invariant under the other picks' applications, so the batch
+    applies as ``batch`` chained literal replaces in rank order —
+    cutting driver argmax round-trips 4x (16 rounds for 64 merges).
+    This is a DOCUMENTED VARIANT of strictly-sequential BPE (sequential
+    re-ranking could promote a pair overlapping the round's top pick);
+    counts are measured at round start, applications chain in rank
+    order, and the oracle replays the same selection rule and chain
+    exactly, so the merge table is hash-pinned end to end.
+
+    The per-round pair table is collect()ed for the greedy scan: it is
+    VOCAB-sized (Heaps-sublinear training metadata, the same class as
+    the sequential trainer's 1-row argmax), not corpus-sized. Output:
+    one row per merge ``(round, rk, left, right, pair_count)``."""
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "toks", F.split(F.col("text"), " ")
+    )
+    words = (
+        docs.select(F.explode("toks").alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    cur = words.select(
+        "word",
+        F.regexp_replace(F.hex(F.col("word")), "(..)", "/$1/").alias("s"),
+        "freq",
+    ).localCheckpoint()
+    out: list[tuple[int, int, str, str, int]] = []
+    for rnd in range(1, n_rounds + 1):
+        pairs = (
+            cur.select(
+                F.split(F.expr("trim(BOTH '/' FROM s)"), "//").alias("syms"),
+                "freq",
+            )
+            .filter(F.size("syms") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1),"
+                        " i -> struct(syms[i - 1] AS l, syms[i] AS r))"
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        rows = sorted(
+            pairs.collect(), key=lambda r: (-r["cnt"], r["l"], r["r"])
+        )
+        picked: list[tuple[str, str, int]] = []
+        used: set[str] = set()
+        for r0 in rows:
+            if len(picked) == batch:
+                break
+            if r0["l"] in used or r0["r"] in used:
+                continue
+            picked.append((r0["l"], r0["r"], int(r0["cnt"])))
+            used.update({r0["l"], r0["r"], r0["l"] + r0["r"]})
+        if not picked:
+            break
+        s_expr = F.col("s")
+        for k, (l, r, cnt) in enumerate(picked, start=1):
+            out.append((rnd, k, l, r, cnt))
+            s_expr = F.replace(
+                s_expr, F.lit(f"/{l}//{r}/"), F.lit(f"/{l}{r}/")
+            )
+        cur = cur.select("word", s_expr.alias("s"), "freq").localCheckpoint()
+    return spark.createDataFrame(
+        out, "round long, rk long, left string, right string, pair_count long"
+    )
+
+
 def bpe_encode_token_counts(
     spark: SparkSession, sf_dir: str, n_merges: int = 8
 ) -> DataFrame:

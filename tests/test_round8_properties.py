@@ -159,6 +159,95 @@ def test_two_phase_cumsum_zero_contribution_tie_groups(spark):
         assert r["cnt"] == 9 * (r["val"] + 1), dict(r.asDict())
 
 
+# --- byte-level batched BPE vs a pure-python replay ----------------------
+
+
+def _reference_bytelevel_batched_bpe(word_freqs, n_rounds, batch):
+    """Textbook list-based replay of the engine's documented variant:
+    byte-level hex symbols, per round greedy non-interacting picks in
+    (count DESC, l, r) order, applications chained in rank order."""
+    vocab = {
+        w: [w.encode()[i : i + 1].hex().upper() for i in range(len(w.encode()))]
+        for w in word_freqs
+    }
+    merges = []
+    for rnd in range(1, n_rounds + 1):
+        counts: dict[tuple, int] = {}
+        for w, freq in word_freqs.items():
+            syms = vocab[w]
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + freq
+        ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        picked, used = [], set()
+        for (l, r), cnt in ranked:
+            if len(picked) == batch:
+                break
+            if l in used or r in used:
+                continue
+            picked.append((l, r, cnt))
+            used.update({l, r, l + r})
+        if not picked:
+            break
+        for k, (l, r, cnt) in enumerate(picked, start=1):
+            merges.append((rnd, k, l, r, cnt))
+            for w in vocab:  # left-to-right non-overlapping application
+                syms, out, i = vocab[w], [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == l
+                        and syms[i + 1] == r
+                    ):
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                vocab[w] = out
+    return merges
+
+
+def test_bytelevel_batched_bpe_matches_reference(spark, tmp_path):
+    """Adversarial shapes: runs, tie fodder, words containing '/' and
+    multi-byte UTF-8 (the byte-level point: nothing is excluded), and
+    interacting pairs that must be deferred across rounds."""
+    import pandas as pd
+
+    from data_engineer_interview_task_spark.operators import text as t
+
+    corpus = (
+        ["xxxx"] * 9
+        + ["cab"] * 7
+        + ["ab"] * 5
+        + ["ba"] * 5
+        + ["a/b"] * 4      # '/' words are trainable at byte level
+        + ["zürich"] * 3   # multi-byte UTF-8
+        + ["zzzz"] * 2
+    )
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(len(corpus)),
+            "text": corpus,
+            "lang": "en",
+            "source": "t",
+            "n_chars": [len(c) for c in corpus],
+        }
+    )
+    sf = str(tmp_path / "bpe_bl_sf")
+    os.makedirs(sf)
+    docs.to_parquet(f"{sf}/documents.parquet")
+    got = [
+        (r["round"], r["rk"], r["left"], r["right"], r["pair_count"])
+        for r in t.bpe_train_merges_bytelevel(spark, sf, n_rounds=5, batch=3)
+        .orderBy("round", "rk")
+        .collect()
+    ]
+    freqs: dict[str, int] = {}
+    for w in corpus:
+        freqs[w] = freqs.get(w, 0) + 1
+    assert got == _reference_bytelevel_batched_bpe(freqs, 5, 3)
+
+
 # --- plan pins: no corpus-grain unpartitioned window ---------------------
 
 
