@@ -189,6 +189,25 @@ def _work_dir(kind: str, sf_dir: str) -> str:
     return path
 
 
+def _streaming_incremental_late_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental late-data audit (VERDICT r7 item 5): the stream runs
+    to completion, new late files are appended to the cached source, and
+    a second run RESTARTS from the same checkpoint — the appended
+    tranche filters against the restored watermark and the surviving
+    run-1 state is emitted by run-2's flush. The oracle is the one-run
+    audit's SQL verbatim: incremental delivery must be
+    indistinguishable from single-run delivery."""
+    from data_engineer_interview_task_spark.streaming import (
+        run_incremental_late_audit,
+    )
+
+    return run_incremental_late_audit(
+        spark, sf_dir, _work_dir("stream_inc_late", sf_dir)
+    )
+
+
 def _streaming_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark late-data accounting: deterministic two-batch replay
     (on-time file, then the late file, then a sentinel flush), per-day
@@ -520,6 +539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # section is attested by the r01..r07 driver-record union. ---
         "copurchase_edges_capped": graph.copurchase_edges_capped,  # basket-capped co-occurrence build: the documented mega-basket skew remedy (VERDICT r7 item 6)
         "bpe_train_merges_bytelevel": text.bpe_train_merges_bytelevel,  # byte-level BPE, 64 merges in 16 batched non-interacting rounds (VERDICT r7 item 4)
+        "streaming_incremental_late_audit": _streaming_incremental_late_audit,  # append new late files + checkpoint-restart continuity (VERDICT r7 item 5)
         # --- round-7 front (all green in CORRECTNESS_r07) ---
         "ivfpq_search": similarity.ivfpq_search,  # FULL IVF-PQ: probe-pruned ADC over cell-partitioned posting lists (VERDICT r6 item 1)
         "multimodal_resize": multimodal.multimodal_resize,  # REAL decode + pinned integer nearest-neighbor resample (VERDICT r6 item 2)
@@ -5037,6 +5057,12 @@ SELECT t.day, t.n_total,
        CAST(t.n_total - COALESCE(s.n, 0) AS BIGINT) AS n_dropped_late
 FROM truth t LEFT JOIN streamed s ON t.day = s.day
 """
+
+    # incremental delivery + checkpoint restart must be emission-
+    # indistinguishable from the one-run replay (both tranches test
+    # against the same persisted watermark) — the SQL is reused
+    # VERBATIM; a lost watermark or lost state hash-mismatches it
+    d["streaming_incremental_late_audit"] = d["streaming_late_data_audit"]
 
     # integer bigram surprisal (round 7): bit-length log2 convention
     # (length(bin(x)) - 1, the degree-histogram rule); docs with < 2

@@ -290,6 +290,7 @@ HEADLINE = [
     # --- round 8 ---
     "copurchase_edges_capped",
     "bpe_train_merges_bytelevel",
+    "streaming_incremental_late_audit",
 ]
 
 

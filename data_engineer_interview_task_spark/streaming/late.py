@@ -184,6 +184,147 @@ def run_late_data_audit_once(
     )
 
 
+#: second calendar split for the INCREMENTAL audit: the late rows are
+#: delivered as two tranches (days 10..19 in the first stream run, days
+#: 1..9 appended before the RESTART run), so the second tranche is
+#: filtered against the watermark RESTORED from the checkpoint.
+INC_SPLIT = "2024-01-10"
+
+_INC_STAGE_CACHE: dict[str, str] = {}
+
+
+def _inc_stage_dir(spark: SparkSession, sf_dir: str) -> str:
+    """The five arrival tranches as separate parquet dirs (a pure
+    function of the immutable corpus, cached per process): on-time,
+    spacer, late tranche A (days >= INC_SPLIT), late tranche B, flush
+    sentinel. Each call of the audit hard-copies them into a fresh
+    source dir in two phases, so the run-1/append/run-2 shape is
+    reproduced per call without re-running the Spark writes."""
+    import tempfile
+
+    from ..sources import read_table
+
+    path = _INC_STAGE_CACHE.get(sf_dir)
+    if path is not None:
+        return path
+    events = read_table(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="events_inc_stage_")
+    on_time = events.filter(F.col("ts") >= F.lit(SPLIT))
+    on_time.repartition(1).write.parquet(f"{base}/t0")
+    on_time.limit(0).coalesce(1).write.parquet(f"{base}/t1")
+    events.filter(
+        (F.col("ts") < F.lit(SPLIT)) & (F.col("ts") >= F.lit(INC_SPLIT))
+    ).repartition(1).write.parquet(f"{base}/t2")
+    events.filter(F.col("ts") < F.lit(INC_SPLIT)).repartition(1).write.parquet(
+        f"{base}/t3"
+    )
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    spark.createDataFrame(
+        [(-1, max_ts, -1, "flush", 0.0, "{}")], schema=EVENTS_SCHEMA
+    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 24 DAYS")).coalesce(
+        1
+    ).write.parquet(f"{base}/t4")
+    _INC_STAGE_CACHE[sf_dir] = base
+    return base
+
+
+def _copy_tranches(stage: str, src: str, tranches, start_seq: int) -> None:
+    """Copy each tranche's parquet part files into the stream source
+    with strictly increasing mtimes (the file source processes files in
+    mtime order; equal mtimes are undefined — the EWMA lesson)."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    seq = start_seq
+    now = time.time()
+    for t in tranches:
+        parts = sorted(glob.glob(f"{stage}/{t}/part-*.parquet"))
+        assert parts, f"tranche {t} staged no part file"
+        for p in parts:
+            dst = os.path.join(src, f"{seq:03d}_{os.path.basename(p)}")
+            shutil.copy(p, dst)
+            os.utime(dst, (now + seq, now + seq))
+            seq += 1
+
+
+def run_incremental_late_audit(
+    spark: SparkSession, sf_dir: str, work_dir: str
+) -> DataFrame:
+    """INCREMENTAL late-data audit — the production shape of the late
+    accounting (VERDICT r7 item 5): the stream runs to completion,
+    NEW late files are appended to the same source, and a SECOND run
+    restarts from the same checkpoint. Continuity is the semantics
+    under test, and the oracle hash certifies it twice over:
+
+    - WATERMARK restore: the appended tranche (days < INC_SPLIT) is
+      filtered against the watermark persisted at run-1's last commit —
+      a fresh (zero) watermark would let days 1..9 into state and the
+      final counts would hash-mismatch;
+    - STATE restore: the surviving run-1 late days (INC_SPLIT..SPLIT-1)
+      sit in the state store ACROSS the restart and are emitted by the
+      flush in run 2 — lost state would zero their streamed counts.
+
+    The expected emission set is the SAME arithmetic as the one-run
+    audit (every late day tests against max(ts) - delay), so the
+    oracle SQL is reused verbatim — the incremental delivery must be
+    indistinguishable from the single-run delivery, which is exactly
+    the exactly-once promise being audited."""
+    import tempfile
+    import uuid as _uuid
+
+    from ..sources import read_table
+
+    prep_session(spark)
+    events = read_table(spark, sf_dir, "events")
+    stage = _inc_stage_dir(spark, sf_dir)
+    src = tempfile.mkdtemp(prefix="events_inc_src_")
+    ckpt = f"{work_dir}/ckpt_inc_{_uuid.uuid4().hex[:8]}"
+    # the memory sink cannot recover a checkpoint; the FILE sink is the
+    # recoverable (and production) choice — run 2 appends to the same
+    # output dir under the same checkpoint, and the sink's commit log
+    # keeps the emitted set exactly-once across the restart
+    out = f"{work_dir}/out_inc_{_uuid.uuid4().hex[:8]}"
+    conf_key = "spark.sql.shuffle.partitions"
+    prior = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, "8")
+    try:
+        # run 1: on-time, spacer, late tranche A
+        _copy_tranches(stage, src, ("t0", "t1", "t2"), 0)
+        for run in range(2):
+            q = (
+                daily_counts_stream(spark, src)
+                .writeStream.format("parquet")
+                .outputMode("append")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            if run == 0:
+                # append the new tranche + flush, restart from the
+                # SAME checkpoint
+                _copy_tranches(stage, src, ("t3", "t4"), 100)
+    finally:
+        spark.conf.set(conf_key, prior)
+    streamed = spark.read.schema("day date, n_streamed long").parquet(out)
+    truth = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_total")
+    )
+    return truth.join(streamed, "day", "left_outer").select(
+        "day",
+        F.col("n_total").cast("long").alias("n_total"),
+        F.coalesce(F.col("n_streamed"), F.lit(0))
+        .cast("long")
+        .alias("n_streamed"),
+        (F.col("n_total") - F.coalesce(F.col("n_streamed"), F.lit(0)))
+        .cast("long")
+        .alias("n_dropped_late"),
+    )
+
+
 #: mid-DAY split for the update-mode replay: day 2024-01-20 straddles
 #: the two batches, so its group is emitted twice with different counts
 #: — the delta semantics under test.

@@ -246,6 +246,58 @@ def test_chained_query_state_survives_checkpoint_restart(spark, tmp_path):
     assert rows == {1: 1, 2: 1, 3: 1, 12: 1, 13: 1}, rows
 
 
+def test_incremental_late_audit_restart_continuity(spark, sf_dir):
+    """The r4 chained-state pattern applied to the incremental audit
+    (VERDICT r7 item 5): run 1 ingests on-time + late tranche A, new
+    late files (days < INC_SPLIT) are appended, run 2 restarts from the
+    SAME checkpoint. Continuity shows up as arithmetic:
+
+    - every appended day (1..9) must be dropped by the RESTORED
+      watermark (a fresh checkpoint would stream them — their window
+      ends are far below max_ts - 14d only if the watermark survived);
+    - the run-1 surviving late days (16..19) must be emitted by run-2's
+      flush — their state crossed the restart;
+    - on-time days stream in full."""
+    import datetime as dt
+    import tempfile
+
+    from data_engineer_interview_task_spark.streaming import (
+        run_incremental_late_audit,
+    )
+    from data_engineer_interview_task_spark.streaming.late import (
+        INC_SPLIT,
+        SPLIT,
+    )
+
+    out = {
+        r["day"]: (r["n_total"], r["n_streamed"], r["n_dropped_late"])
+        for r in run_incremental_late_audit(
+            spark, sf_dir, tempfile.mkdtemp(prefix="inc_late_")
+        ).collect()
+    }
+    inc_day = dt.date.fromisoformat(INC_SPLIT)
+    split_day = dt.date.fromisoformat(SPLIT)
+    appended = {d for d in out if d < inc_day}
+    survivors = {d for d in out if inc_day <= d < split_day and d.day >= 16}
+    on_time = {d for d in out if d >= split_day}
+    assert appended and survivors and on_time  # all three regimes hit
+    for d in appended:
+        n_total, n_streamed, n_dropped = out[d]
+        assert (n_streamed, n_dropped) == (0, n_total), (
+            f"{d}: appended tranche must drop against the RESTORED "
+            f"watermark, got streamed={n_streamed}"
+        )
+    for d in survivors:
+        n_total, n_streamed, n_dropped = out[d]
+        assert (n_streamed, n_dropped) == (n_total, 0), (
+            f"{d}: run-1 state must survive the restart, got "
+            f"dropped={n_dropped}"
+        )
+    for d in on_time:
+        n_total, n_streamed, n_dropped = out[d]
+        assert (n_streamed, n_dropped) == (n_total, 0), d
+
+
 def test_late_data_audit_drops_exactly_the_aged_days(spark, sf_dir):
     """The audit's drop set equals the arithmetic model: a late day
     survives iff its window end is newer than max(ts) - 14d in Spark's
