@@ -540,6 +540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_edges_capped": graph.copurchase_edges_capped,  # basket-capped co-occurrence build: the documented mega-basket skew remedy (VERDICT r7 item 6)
         "bpe_train_merges_bytelevel": text.bpe_train_merges_bytelevel,  # byte-level BPE, 64 merges in 16 batched non-interacting rounds (VERDICT r7 item 4)
         "streaming_incremental_late_audit": _streaming_incremental_late_audit,  # append new late files + checkpoint-restart continuity (VERDICT r7 item 5)
+        "multimodal_thumbnail_grid": multimodal.multimodal_thumbnail_grid,  # decode once -> 4-size thumbnail pyramid, 1-in-k-out pandas fan-out (VERDICT r7 item 8)
         # --- round-7 front (all green in CORRECTNESS_r07) ---
         "ivfpq_search": similarity.ivfpq_search,  # FULL IVF-PQ: probe-pruned ADC over cell-partitioned posting lists (VERDICT r6 item 1)
         "multimodal_resize": multimodal.multimodal_resize,  # REAL decode + pinned integer nearest-neighbor resample (VERDICT r6 item 2)
@@ -5063,6 +5064,41 @@ FROM truth t LEFT JOIN streamed s ON t.day = s.day
     # against the same persisted watermark) — the SQL is reused
     # VERBATIM; a lost watermark or lost state hash-mismatches it
     d["streaming_incremental_late_audit"] = d["streaming_late_data_audit"]
+
+    # multi-size thumbnail grid (VERDICT r7 item 8): decode once, emit
+    # one row per size; each thumbnail of the four-uniform-quadrant
+    # 32x32 source is a closed-form block grid under the pinned
+    # (r*src DIV out) nearest-neighbor map — top/left block counts per
+    # size: 16x16 -> 8/8, 10x7 -> 5/4, 8x8 -> 4/4, 5x4 -> 3/2
+    d["multimodal_thumbnail_grid"] = (
+        _color_chain
+        + """
+SELECT doc_id, CAST(0 AS BIGINT) AS grid_idx,
+       CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+       CAST(768 AS BIGINT) AS n_px_bytes,
+       sha256(repeat(repeat(x0, 8) || repeat(x1, 8), 8)
+              || repeat(repeat(x2, 8) || repeat(x3, 8), 8)) AS pixel_sha
+FROM piv
+UNION ALL
+SELECT doc_id, CAST(1 AS BIGINT), CAST(10 AS BIGINT), CAST(7 AS BIGINT),
+       CAST(210 AS BIGINT),
+       sha256(repeat(repeat(x0, 5) || repeat(x1, 5), 4)
+              || repeat(repeat(x2, 5) || repeat(x3, 5), 3))
+FROM piv
+UNION ALL
+SELECT doc_id, CAST(2 AS BIGINT), CAST(8 AS BIGINT), CAST(8 AS BIGINT),
+       CAST(192 AS BIGINT),
+       sha256(repeat(repeat(x0, 4) || repeat(x1, 4), 4)
+              || repeat(repeat(x2, 4) || repeat(x3, 4), 4))
+FROM piv
+UNION ALL
+SELECT doc_id, CAST(3 AS BIGINT), CAST(5 AS BIGINT), CAST(4 AS BIGINT),
+       CAST(60 AS BIGINT),
+       sha256(repeat(repeat(x0, 3) || repeat(x1, 2), 2)
+              || repeat(repeat(x2, 3) || repeat(x3, 2), 2))
+FROM piv
+"""
+    )
 
     # integer bigram surprisal (round 7): bit-length log2 convention
     # (length(bin(x)) - 1, the degree-histogram rule); docs with < 2

@@ -291,6 +291,7 @@ HEADLINE = [
     "copurchase_edges_capped",
     "bpe_train_merges_bytelevel",
     "streaming_incremental_late_audit",
+    "multimodal_thumbnail_grid",
 ]
 
 

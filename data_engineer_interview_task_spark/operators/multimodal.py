@@ -1379,6 +1379,77 @@ def multimodal_resize_420(
     )
 
 
+def multimodal_thumbnail_grid(
+    spark: SparkSession,
+    sf_dir: str,
+    sizes: tuple = ((16, 16), (10, 7), (8, 8), (5, 4)),
+) -> DataFrame:
+    """MULTI-SIZE thumbnail emission — the 1-in-k-out image fan-out
+    (VERDICT r7 item 8): every 4:2:0 color JPEG is DECODED ONCE and
+    resampled to each grid size, emitting one row per (image, size) —
+    the thumbnail-pyramid shape every vision-serving pipeline
+    materializes (one decode amortized over k outputs is the whole
+    point; calling the single-size resize k times would decode k
+    times). Same pinned integer nearest-neighbor convention as
+    ``resize_image`` (output (r, c) reads source
+    ``(r*src_h DIV out_h, c*src_w DIV out_w)``), inlined over the
+    one decoded raster.
+
+    The DuckDB oracle assembles each size's raster from the shared
+    uniform-MCU color chain (a 4:2:0 decode of uniform 16x16 MCUs is
+    four uniform quadrants, so every thumbnail is a closed-form block
+    grid) — one UNION ALL arm per size. Lowercase-hex transport."""
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("grid_idx", LongType()),
+            StructField("width", LongType()),
+            StructField("height", LongType()),
+            StructField("n_px_bytes", LongType()),
+            StructField("pixel_sha", StringType()),
+        ]
+    )
+
+    from ..functions.jpeg_codec import jpeg_decode_color
+
+    def _grid(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # self-contained closure: decoder + sizes captured by value
+        import hashlib as _h
+
+        import pandas as _pd
+
+        dec, szs = jpeg_decode_color, sizes
+        for pdf in batches:
+            out = {c: [] for c in (
+                "doc_id", "grid_idx", "width", "height",
+                "n_px_bytes", "pixel_sha",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px, src_w, src_h, ncomp = dec(bytes(payload))
+                for gi, (w, h) in enumerate(szs):
+                    thumb = bytearray(w * h * ncomp)
+                    o = 0
+                    for r in range(h):
+                        row = (r * src_h // h) * src_w
+                        for c in range(w):
+                            s = (row + c * src_w // w) * ncomp
+                            thumb[o : o + ncomp] = px[s : s + ncomp]
+                            o += ncomp
+                    out["doc_id"].append(doc_id)
+                    out["grid_idx"].append(gi)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["n_px_bytes"].append(len(thumb))
+                    out["pixel_sha"].append(
+                        _h.sha256(bytes(thumb).hex().encode()).hexdigest()
+                    )
+            yield _pd.DataFrame(out)
+
+    return attach_color_jpeg_420_payload(spark, sf_dir).mapInPandas(
+        _grid, schema=schema
+    )
+
+
 def attach_mjpeg_payload(
     spark: SparkSession, sf_dir: str, n_frames: int = 4, side: int = 16
 ) -> DataFrame:
