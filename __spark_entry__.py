@@ -541,6 +541,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train_merges_bytelevel": text.bpe_train_merges_bytelevel,  # byte-level BPE, 64 merges in 16 batched non-interacting rounds (VERDICT r7 item 4)
         "streaming_incremental_late_audit": _streaming_incremental_late_audit,  # append new late files + checkpoint-restart continuity (VERDICT r7 item 5)
         "multimodal_thumbnail_grid": multimodal.multimodal_thumbnail_grid,  # decode once -> 4-size thumbnail pyramid, 1-in-k-out pandas fan-out (VERDICT r7 item 8)
+        "bpe_fertility_report": text.bpe_fertility_report,  # per-source tokenizer fertility + bytes/token, exact fixed-point ratios
+        "benchmark_contamination_13gram": text.benchmark_contamination_13gram,  # GPT-3-style 13-gram train/eval decontamination audit
+        "dsir_importance_weights": sampling.dsir_importance_weights,  # DSIR importance resampling weights: integer log2(p_tgt/p_src) per doc
+        "unigram_entropy_per_source": text.unigram_entropy_per_source,  # per-source Shannon entropy, bit-length log2, BIGINT-exact
+        "curriculum_order_assignment": sampling.curriculum_order_assignment,  # short-to-long curriculum phase + step on the two-phase machinery
         # --- round-7 front (all green in CORRECTNESS_r07) ---
         "ivfpq_search": similarity.ivfpq_search,  # FULL IVF-PQ: probe-pruned ADC over cell-partitioned posting lists (VERDICT r6 item 1)
         "multimodal_resize": multimodal.multimodal_resize,  # REAL decode + pinned integer nearest-neighbor resample (VERDICT r6 item 2)
@@ -5099,6 +5104,125 @@ SELECT doc_id, CAST(3 AS BIGINT), CAST(5 AS BIGINT), CAST(4 AS BIGINT),
 FROM piv
 """
     )
+
+    # tokenizer fertility per source: the trained-vocab chain reused
+    # verbatim; ratios are exact fixed-point over BIGINT sums
+    d["bpe_fertility_report"] = (
+        _BPE_CHAIN
+        + """
+, bpe_sized AS (
+  SELECT trim(s, '/') AS bare, len(string_split(trim(s, '/'), '//'))
+           AS n_syms, s
+  FROM w8
+), bpe_vocab AS (
+  SELECT replace(replace(bare, '//', ''), '/', '') AS word,
+         CAST(n_syms AS BIGINT) AS n_syms
+  FROM bpe_sized
+), inc AS (
+  SELECT doc_id, source, token AS word FROM (
+    SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+    FROM documents
+  ) WHERE token <> '' AND NOT contains(token, '/')
+)
+SELECT i.source,
+       CAST(COUNT(DISTINCT i.doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(v.n_syms) AS BIGINT) AS n_bpe_tokens,
+       CAST(SUM(strlen(i.word)) AS BIGINT) AS n_utf8_bytes,
+       CAST(SUM(v.n_syms) * 1000000 // COUNT(*) AS BIGINT)
+         AS fertility_fp,
+       CAST(SUM(strlen(i.word)) * 1000000 // SUM(v.n_syms) AS BIGINT)
+         AS bytes_per_token_fp
+FROM inc i JOIN bpe_vocab v ON i.word = v.word
+GROUP BY i.source
+"""
+    )
+
+    # GPT-3-style 13-gram decontamination audit; list slice [i:i+12] is
+    # inclusive on both ends = 13 tokens, matching Spark slice(toks,i,13)
+    d["benchmark_contamination_13gram"] = """
+WITH g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, len(toks) - 11),
+           i -> array_to_string(toks[i:i+12], ' ')))) AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  WHERE len(toks) >= 13
+),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 31 = 0),
+train AS (SELECT * FROM g WHERE doc_id % 31 <> 0),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+  FROM train GROUP BY 1
+),
+hits AS (
+  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bench_hits
+  FROM train t JOIN bench b ON t.gram = b.gram GROUP BY 1
+)
+SELECT h.doc_id, p.n_grams, h.n_bench_hits
+FROM hits h JOIN per_doc p USING (doc_id)
+"""
+
+    # DSIR importance weights: integer log2(p_tgt/p_src) via bit
+    # lengths, add-one smoothing over the corpus vocab; the per-token
+    # average uses the nonnegative-shift floor (Spark DIV truncates
+    # toward zero, DuckDB // floors — the shift makes them agree)
+    d["dsir_importance_weights"] = """
+WITH inc AS (
+  SELECT doc_id, lang, token AS word FROM (
+    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+    FROM documents
+  ) WHERE token <> ''
+),
+src AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c_src FROM inc GROUP BY 1),
+tgt AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c_tgt FROM inc
+        WHERE lang = 'en' GROUP BY 1),
+scal AS (
+  SELECT (SELECT SUM(c_src) FROM src) AS n_src,
+         (SELECT COUNT(*) FROM src) AS v,
+         (SELECT SUM(c_tgt) FROM tgt) AS n_tgt
+),
+dic AS (
+  SELECT s.word,
+         CAST(((length(bin(n_src + v)) - 1) - (length(bin(c_src + 1)) - 1))
+            - ((length(bin(n_tgt + v)) - 1)
+               - (length(bin(COALESCE(t.c_tgt, 0) + 1)) - 1))
+              AS BIGINT) AS bits
+  FROM src s LEFT JOIN tgt t USING (word), scal
+)
+SELECT i.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(d.bits) AS BIGINT) AS dsir_bits,
+       CAST((SUM(d.bits) * 1000 + COUNT(*) * 100000) // COUNT(*)
+            - 100000 AS BIGINT) AS avg_millibits
+FROM inc i JOIN dic d USING (word) GROUP BY 1
+"""
+
+    # per-source unigram entropy, bit-length log2 convention
+    d["unigram_entropy_per_source"] = """
+WITH wc AS (
+  SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c FROM (
+    SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+  ) WHERE word <> '' GROUP BY 1, 2
+),
+tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens FROM wc GROUP BY 1)
+SELECT w.source, t.n_tokens,
+       CAST(SUM(w.c * ((length(bin(t.n_tokens)) - 1)
+                       - (length(bin(w.c)) - 1))) AS BIGINT) AS total_bits,
+       CAST(SUM(w.c * ((length(bin(t.n_tokens)) - 1)
+                       - (length(bin(w.c)) - 1))) * 1000 // t.n_tokens
+            AS BIGINT) AS milli_bits_per_token
+FROM wc w JOIN tot t USING (source) GROUP BY w.source, t.n_tokens
+"""
+
+    # curriculum phases/steps == plain NTILE/ROW_NUMBER over the same
+    # tie-broken total order (the two-phase machinery is bit-identical)
+    d["curriculum_order_assignment"] = """
+SELECT doc_id, n_chars,
+       CAST(NTILE(4) OVER w AS BIGINT) AS phase,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS step
+FROM documents
+WINDOW w AS (ORDER BY n_chars ASC, doc_id ASC)
+"""
 
     # integer bigram surprisal (round 7): bit-length log2 convention
     # (length(bin(x)) - 1, the degree-histogram rule); docs with < 2

@@ -292,6 +292,11 @@ HEADLINE = [
     "bpe_train_merges_bytelevel",
     "streaming_incremental_late_audit",
     "multimodal_thumbnail_grid",
+    "bpe_fertility_report",
+    "benchmark_contamination_13gram",
+    "dsir_importance_weights",
+    "unigram_entropy_per_source",
+    "curriculum_order_assignment",
 ]
 
 

@@ -760,6 +760,117 @@ def pack_bpe_token_shards(
     )
 
 
+def dsir_importance_weights(
+    spark: SparkSession, sf_dir: str, target_lang: str = "en"
+) -> DataFrame:
+    """DSIR-style IMPORTANCE WEIGHTS (Xie et al., Data Selection for LMs
+    via Importance Resampling): score every document by how much more
+    likely its tokens are under a TARGET distribution (here the
+    ``lang = target_lang`` slice's unigram LM) than under the source
+    (full-corpus) LM — the weights importance resampling then samples
+    by. Docs scoring high look like the target domain; the classic
+    recipe for tilting a web-scale corpus toward a quality slice.
+
+    EXACT integer log-ratio (the ``bigram_surprisal_score`` bit-length
+    convention, applied twice): per word, with add-one smoothing over
+    the corpus vocabulary V,
+
+        bits(w) = [bitlen(N_src + V) - bitlen(c_src(w) + 1)]
+                - [bitlen(N_tgt + V) - bitlen(c_tgt(w) + 1)]
+
+    i.e. an integer log2(p_tgt / p_src) bracketed within 2 bits, and a
+    doc's score is the BIGINT sum over its token instances. The
+    per-token average uses the NONNEGATIVE-SHIFT floor trick
+    (``(s*1000 + n*K) DIV n - K``, K = 100000 > 64*1000 >= |bits|*1000
+    per token): Spark DIV truncates toward zero while DuckDB //
+    floors, so a negative numerator would diverge the engines — the
+    shift keeps the numerator provably nonnegative on both.
+
+    Shape: one corpus incidence frame; two vocabulary-sized aggregates
+    (corpus + target slice) joined into one score dictionary that
+    broadcasts; one doc-grain aggregate."""
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "toks", F.split(F.col("text"), " ")
+    )
+    inc = docs.select(
+        "doc_id", "lang", F.explode("toks").alias("word")
+    ).filter(F.col("word") != "")
+    src = inc.groupBy("word").agg(F.count(F.lit(1)).alias("c_src"))
+    tgt = (
+        inc.filter(F.col("lang") == target_lang)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c_tgt"))
+    )
+    scal = src.agg(
+        F.sum("c_src").alias("n_src"), F.count(F.lit(1)).alias("v")
+    ).crossJoin(
+        tgt.agg(F.sum("c_tgt").alias("n_tgt"))
+    )
+    bl = lambda c: F.length(F.bin(c)) - 1  # noqa: E731 — exact floor log2
+    dic = (
+        src.join(tgt, "word", "left_outer")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "word",
+            (
+                (bl(F.col("n_src") + F.col("v")) - bl(F.col("c_src") + 1))
+                - (
+                    bl(F.col("n_tgt") + F.col("v"))
+                    - bl(F.coalesce(F.col("c_tgt"), F.lit(0)) + 1)
+                )
+            )
+            .cast("long")
+            .alias("bits"),
+        )
+    )
+    return (
+        inc.join(F.broadcast(dic), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("bits").cast("long").alias("dsir_bits"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "dsir_bits",
+            (
+                F.expr(
+                    "(dsir_bits * 1000 + n_tokens * 100000) DIV n_tokens"
+                )
+                - 100000
+            )
+            .cast("long")
+            .alias("avg_millibits"),
+        )
+    )
+
+
+def curriculum_order_assignment(
+    spark: SparkSession, sf_dir: str, n_phases: int = 4
+) -> DataFrame:
+    """CURRICULUM ordering — assign every document a training phase and
+    a global curriculum step, short-to-long (sequence length is the
+    standard difficulty proxy for curriculum schedules, and the one
+    that also packs best early in training). Phase = ntile over the
+    tie-broken (n_chars, doc_id) total order; step = the global rank.
+
+    Both numberings run on the round-7/8 two-phase machinery
+    (:func:`_two_phase_ntile` for the phase, :func:`two_phase_cumsum`
+    of 1 for the step) — zero single-task global sorts; output is
+    bit-identical to SQL NTILE/ROW_NUMBER over the same order, so the
+    oracle is the plain window pair."""
+    from .relational import _two_phase_ntile, two_phase_cumsum
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    order = [F.col("n_chars").asc(), F.col("doc_id").asc()]
+    phased = _two_phase_ntile(docs, n_phases, order, "phase")
+    stepped = two_phase_cumsum(phased, order, F.lit(1), "step")
+    return stepped.select(
+        "doc_id", "n_chars", "phase", F.col("step").cast("long").alias("step")
+    )
+
+
 def eb_shrunk_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EMPIRICAL-BAYES shrinkage of per-source quality rates — the
     classic small-sample curation scorer: a source's observed pass rate

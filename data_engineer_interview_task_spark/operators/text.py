@@ -1119,6 +1119,166 @@ def _bpe_loop(words: DataFrame, n_merges: int):
     return cur, out
 
 
+def bpe_fertility_report(
+    spark: SparkSession, sf_dir: str, n_merges: int = 8
+) -> DataFrame:
+    """TOKENIZER FERTILITY audit per source — the first number anyone
+    checks after training a tokenizer: how many BPE tokens per
+    whitespace word (fertility) and how many UTF-8 bytes per BPE token
+    (compression) each corpus slice pays. A source whose fertility is
+    far above the corpus norm is the slice the vocab under-serves —
+    the signal behind per-language vocab-budget decisions.
+
+    Exact fixed-point ratios (``x * 1e6 DIV y``, both operands exact
+    BIGINT sums), so the report hashes. One corpus-scale incidence
+    frame; the trained vocab (``_bpe_loop``, Heaps-sublinear) joins it
+    broadcast-sized; one aggregate to source grain."""
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "toks", F.split(F.col("text"), " ")
+    )
+    word_inc = docs.select(
+        "doc_id", "source", F.explode("toks").alias("word")
+    ).filter((F.col("word") != "") & (~F.col("word").contains("/")))
+    words = word_inc.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    vocab, _merges = _bpe_loop(words, n_merges)
+    sized = vocab.select(
+        "word",
+        F.size(F.split(F.expr("trim(BOTH '/' FROM s)"), "//"))
+        .cast("long")
+        .alias("n_syms"),
+    )
+    return (
+        word_inc.join(F.broadcast(sized), "word")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_syms").cast("long").alias("n_bpe_tokens"),
+            F.sum(F.octet_length("word")).cast("long").alias("n_utf8_bytes"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_words",
+            "n_bpe_tokens",
+            "n_utf8_bytes",
+            F.expr("n_bpe_tokens * 1000000 DIV n_words")
+            .cast("long")
+            .alias("fertility_fp"),
+            F.expr("n_utf8_bytes * 1000000 DIV n_bpe_tokens")
+            .cast("long")
+            .alias("bytes_per_token_fp"),
+        )
+    )
+
+
+def benchmark_contamination_13gram(
+    spark: SparkSession, sf_dir: str, n: int = 13, bench_mod: int = 31
+) -> DataFrame:
+    """BENCHMARK DECONTAMINATION audit — the GPT-3-style 13-gram overlap
+    check every serious pretraining pipeline runs before training: a
+    training document is CONTAMINATED if it shares any 13-token n-gram
+    with the held-out benchmark set (here the deterministic eval slice
+    ``doc_id % bench_mod == 0``). Emits one row per contaminated
+    training doc with its distinct-13-gram count and how many of them
+    hit the benchmark — the evidence sheet a decontamination pass
+    filters on.
+
+    Shape: both sides explode per-doc DISTINCT n-grams from the
+    materialized token array (an index transform, no position
+    self-join); the benchmark gram dictionary is the SMALL side by
+    construction (the eval set is a fixed tiny fraction), so the probe
+    join broadcasts it at any corpus scale; one aggregate back to doc
+    grain. The n-gram string key is exact — no hashing, so no
+    false-positive rate to argue about in the oracle."""
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "toks", F.split(F.col("text"), " ")
+    )
+    grams = docs.filter(F.size("toks") >= n).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {n - 1}),"
+                    f" i -> array_join(slice(toks, i, {n}), ' '))"
+                )
+            )
+        ).alias("gram"),
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % bench_mod == 0)
+        .select("gram")
+        .distinct()
+    )
+    train = grams.filter(F.col("doc_id") % bench_mod != 0)
+    per_doc = train.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams")
+    )
+    hits = (
+        train.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_bench_hits"))
+    )
+    return hits.join(per_doc, "doc_id").select(
+        "doc_id", "n_grams", "n_bench_hits"
+    )
+
+
+def unigram_entropy_per_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PER-SOURCE unigram ENTROPY — the corpus-diversity diagnostic next
+    to Gini-Simpson: the (integer-surprisal) Shannon entropy of each
+    source's token distribution, ``H ~= sum_w c_w * (log2 N_s - log2
+    c_w) / N_s``. Low entropy = templated/repetitive slice; the number
+    curation dashboards track per ingest source.
+
+    Same bit-length log2 convention as ``bigram_surprisal_score``
+    (``length(bin(x)) - 1`` — no float near an integer boundary, each
+    term brackets the true log2 within 1 bit), so the whole report is
+    BIGINT-exact: ``total_bits = sum c_w * (bitlen(N_s) - bitlen(c_w))``
+    and ``milli_bits_per_token = total_bits * 1000 DIV N_s``. Two
+    partial-aggregated shuffles: corpus -> (source, word) counts ->
+    source grain."""
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "toks", F.split(F.col("text"), " ")
+    )
+    wc = (
+        docs.select("source", F.explode("toks").alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = wc.groupBy("source").agg(F.sum("c").alias("n_tokens"))
+    return (
+        wc.join(F.broadcast(tot), "source")
+        .select(
+            "source",
+            "n_tokens",
+            (
+                F.col("c")
+                * (
+                    (F.length(F.bin(F.col("n_tokens"))) - 1)
+                    - (F.length(F.bin(F.col("c"))) - 1)
+                )
+            ).alias("bits"),
+        )
+        .groupBy("source")
+        .agg(
+            F.first("n_tokens").cast("long").alias("n_tokens"),
+            F.sum("bits").cast("long").alias("total_bits"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "total_bits",
+            F.expr("total_bits * 1000 DIV n_tokens")
+            .cast("long")
+            .alias("milli_bits_per_token"),
+        )
+    )
+
+
 def bpe_train_merges_bytelevel(
     spark: SparkSession,
     sf_dir: str,
