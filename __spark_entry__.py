@@ -546,6 +546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_importance_weights": sampling.dsir_importance_weights,  # DSIR importance resampling weights: integer log2(p_tgt/p_src) per doc
         "unigram_entropy_per_source": text.unigram_entropy_per_source,  # per-source Shannon entropy, bit-length log2, BIGINT-exact
         "curriculum_order_assignment": sampling.curriculum_order_assignment,  # short-to-long curriculum phase + step on the two-phase machinery
+        "multimodal_gif_decode": multimodal.multimodal_gif_decode,  # REAL GIF87a decode: full LZW (KwKwK, 4096 resets), 256-entry table expansion
         # --- round-7 front (all green in CORRECTNESS_r07) ---
         "ivfpq_search": similarity.ivfpq_search,  # FULL IVF-PQ: probe-pruned ADC over cell-partitioned posting lists (VERDICT r6 item 1)
         "multimodal_resize": multimodal.multimodal_resize,  # REAL decode + pinned integer nearest-neighbor resample (VERDICT r6 item 2)
@@ -5212,6 +5213,26 @@ SELECT w.source, t.n_tokens,
                        - (length(bin(w.c)) - 1))) * 1000 // t.n_tokens
             AS BIGINT) AS milli_bits_per_token
 FROM wc w JOIN tot t USING (source) GROUP BY w.source, t.n_tokens
+"""
+
+    # REAL GIF decode (round 8): lossless, so the oracle rebuilds the
+    # denoted raster arithmetically — ascii code v of each md5 hex char
+    # maps to the fixed 256-entry palette triple (v, 7v%256, 13v%256)
+    d["multimodal_gif_decode"] = """
+WITH m AS (SELECT doc_id, md5(text) AS h FROM documents),
+tr AS (
+  SELECT doc_id, i,
+         printf('%02x%02x%02x', v, (7 * v) % 256, (13 * v) % 256) AS t
+  FROM (SELECT doc_id, i,
+               ascii(substring(h, i + 1, 1)) AS v
+        FROM m, (SELECT unnest(range(32)) AS i) g)
+),
+hexes AS (SELECT doc_id, string_agg(t, '' ORDER BY i) AS row32
+          FROM tr GROUP BY doc_id)
+SELECT doc_id, CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+       CAST(768 AS BIGINT) AS n_px_bytes,
+       sha256(repeat(row32, 8)) AS pixel_sha
+FROM hexes
 """
 
     # curriculum phases/steps == plain NTILE/ROW_NUMBER over the same

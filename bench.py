@@ -297,6 +297,7 @@ HEADLINE = [
     "dsir_importance_weights",
     "unigram_entropy_per_source",
     "curriculum_order_assignment",
+    "multimodal_gif_decode",
 ]
 
 

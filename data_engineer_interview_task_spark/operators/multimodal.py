@@ -97,7 +97,11 @@ def decode_image(payload: bytes) -> tuple[bytes, int, int, int]:
     genuinely need codec libraries absent from this container and remain
     behind ``NotImplementedError``. This stays the single seam between
     Spark plumbing and codec code — a Pillow/ffmpeg deployment swaps the
-    body, nothing else."""
+    body, nothing else. Since round 8, non-interlaced GIF decodes for
+    real too (``functions/gif_codec.py`` — full LZW with the KwKwK case
+    and 4096-entry resets; indices expand through the color table to an
+    RGB raster, reported as color_type 2)."""
+    from ..functions.gif_codec import GIF_SIGNATURE, gif_decode
     from ..functions.jpeg_codec import JPEG_SIGNATURE, jpeg_decode_color
     from ..functions.png_codec import PNG_SIGNATURE, png_decode
 
@@ -106,10 +110,14 @@ def decode_image(payload: bytes) -> tuple[bytes, int, int, int]:
     if payload[:2] == JPEG_SIGNATURE:
         px, w, h, ncomp = jpeg_decode_color(payload)
         return px, w, h, (0 if ncomp == 1 else 2)
+    if payload[:4] == GIF_SIGNATURE:
+        px, w, h = gif_decode(payload)
+        return px, w, h, 2
     raise NotImplementedError(
-        "only PNG and baseline (greyscale or 4:4:4 color) JPEG payloads "
-        "decode in this environment (no general codec libs); see "
-        "fake_decode() for the deterministic test double"
+        "only PNG, baseline (greyscale or 4:4:4 color) JPEG and "
+        "non-interlaced GIF payloads decode in this environment (no "
+        "general codec libs); see fake_decode() for the deterministic "
+        "test double"
     )
 
 
@@ -1376,6 +1384,117 @@ def multimodal_resize_420(
 
     return attach_color_jpeg_420_payload(spark, sf_dir).mapInPandas(
         _resize, schema=schema
+    )
+
+
+#: 256-entry GIF global color table: index i -> (i, 7i mod 256,
+#: 13i mod 256) — a full-size table (min LZW code size 8), unlike the
+#: 16-entry PNG palette, so the GIF path exercises 9..12-bit codes.
+GIFPALETTE256 = bytes(
+    b for i in range(256) for b in (i, (7 * i) % 256, (13 * i) % 256)
+)
+
+
+def attach_gif_payload(
+    spark: SparkSession, sf_dir: str, side: int = 16
+) -> DataFrame:
+    """Manufacture REAL GIF payloads: each document's palette INDICES
+    are the ASCII BYTES of ``md5(text)`` hex repeated to fill the
+    ``side``×``side`` raster, drawn against the fixed 256-entry
+    :data:`GIFPALETTE256`. The denoted RGB raster is pure arithmetic
+    over the md5 hex (GIF is lossless), while the container bytes —
+    logical screen descriptor, color table, LZW sub-blocks — stay
+    opaque. Same Arrow-batched self-contained-closure shape as the
+    PNG/JPEG attach functions."""
+    from ..functions.gif_codec import gif_encode
+
+    if (side * side) % 32:
+        raise ValueError("side*side must be a multiple of the 32-char md5 hex")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+            StructField("modality", StringType()),
+        ]
+    )
+    docs = _spread_docs(
+        spark, read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    reps = (side * side) // 32
+    pal = GIFPALETTE256
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # self-contained closure: gif_encode captured BY VALUE
+        import hashlib as _h
+
+        import pandas as _pd
+
+        enc, k, s, p = gif_encode, reps, side, pal
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                idx = (_h.md5(t.encode()).hexdigest() * k).encode("ascii")
+                payloads.append(enc(idx, s, s, p))
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "modality": "image/gif",
+                }
+            )
+
+    return docs.mapInPandas(_encode, schema=schema)
+
+
+def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END GIF query: encode every document to a genuine GIF87a
+    (``attach_gif_payload``), DECODE it back through
+    :func:`decode_image` — header/descriptor parse, full LZW decode
+    (LSB-first codes, width growth, the KwKwK case), color-table
+    expansion — and emit facts OF THE DECODED RGB raster.
+
+    GIF is lossless, so the DuckDB oracle rebuilds the raster
+    arithmetically from ``md5(text)`` (each hex CHARACTER's ascii code
+    v maps to the fixed triple ``(v, 7v mod 256, 13v mod 256)``) and
+    sha256's the lowercase-hex transport — one wrong LZW code width,
+    sub-block seam, or palette byte breaks the hash. Two narrow
+    Arrow-batched stages, no shuffle."""
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("width", LongType()),
+            StructField("height", LongType()),
+            StructField("n_px_bytes", LongType()),
+            StructField("pixel_sha", StringType()),
+        ]
+    )
+
+    from ..functions.gif_codec import gif_decode
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # self-contained closure: gif_decode captured by value
+        import hashlib as _h
+
+        import pandas as _pd
+
+        dec = gif_decode
+        for pdf in batches:
+            out = {c: [] for c in (
+                "doc_id", "width", "height", "n_px_bytes", "pixel_sha",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px, w, h = dec(bytes(payload))
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_px_bytes"].append(len(px))
+                out["pixel_sha"].append(
+                    _h.sha256(px.hex().encode()).hexdigest()
+                )
+            yield _pd.DataFrame(out)
+
+    return attach_gif_payload(spark, sf_dir).mapInPandas(
+        _decode, schema=schema
     )
 
 

@@ -248,6 +248,83 @@ def test_bytelevel_batched_bpe_matches_reference(spark, tmp_path):
     assert got == _reference_bytelevel_batched_bpe(freqs, 5, 3)
 
 
+# --- GIF codec ------------------------------------------------------------
+
+
+def _pal256():
+    return bytes(
+        b for i in range(256) for b in (i, (7 * i) % 256, (13 * i) % 256)
+    )
+
+
+def test_gif_roundtrip_is_lossless_across_shapes():
+    import random
+
+    from data_engineer_interview_task_spark.functions.gif_codec import (
+        gif_decode,
+        gif_encode,
+    )
+
+    pal = _pal256()
+    rng = random.Random(7)
+    for w, h in [(16, 16), (100, 80), (1, 1), (255, 3)]:
+        idx = bytes(rng.randrange(256) for _ in range(w * h))
+        rgb, ww, hh = gif_decode(gif_encode(idx, w, h, pal))
+        assert (ww, hh) == (w, h)
+        assert rgb == b"".join(pal[3 * i : 3 * i + 3] for i in idx)
+
+
+def test_gif_lzw_dictionary_reset_and_kwkwk():
+    from data_engineer_interview_task_spark.functions.gif_codec import (
+        gif_decode,
+        gif_encode,
+    )
+
+    pal = _pal256()
+    # low-entropy 90k-pixel raster: the dictionary fills past 4096 and
+    # the encoder MUST emit CLEAR resets for the decode to align
+    idx = bytes((i * i // 7) % 256 for i in range(300 * 300))
+    payload = gif_encode(idx, 300, 300, pal)
+    rgb, _, _ = gif_decode(payload)
+    assert rgb == b"".join(pal[3 * i : 3 * i + 3] for i in idx)
+    # repeated pattern: exercises the KwKwK (code == next entry) case
+    idx = (b"abcabcab" * 20000)[: 128 * 128]
+    rgb, _, _ = gif_decode(gif_encode(idx, 128, 128, pal))
+    assert rgb == b"".join(pal[3 * i : 3 * i + 3] for i in idx)
+
+
+def test_gif_decoder_skips_89a_extensions_and_rejects_interlace():
+    from data_engineer_interview_task_spark.functions.gif_codec import (
+        gif_decode,
+        gif_encode,
+    )
+
+    pal = _pal256()
+    idx = bytes(range(256))
+    payload = gif_encode(idx, 16, 16, pal)
+    # splice a GIF89a graphics-control extension before the image block
+    # (header 6 + logical screen descriptor 7 + 768-byte color table —
+    # searching for 0x2c would hit palette bytes)
+    img_at = 6 + 7 + 768
+    assert payload[img_at] == 0x2C
+    ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    with_ext = b"GIF89a" + payload[6:img_at] + ext + payload[img_at:]
+    rgb, w, h = gif_decode(with_ext)
+    assert (w, h) == (16, 16)
+    assert rgb == b"".join(pal[3 * i : 3 * i + 3] for i in idx)
+    # interlace flag set in the image descriptor -> explicit rejection
+    flags_at = img_at + 9
+    interlaced = (
+        payload[:flags_at]
+        + bytes([payload[flags_at] | 0x40])
+        + payload[flags_at + 1 :]
+    )
+    with pytest.raises(NotImplementedError):
+        gif_decode(interlaced)
+    with pytest.raises(ValueError):
+        gif_decode(b"NOTAGIF!" + payload[8:])
+
+
 # --- plan pins: no corpus-grain unpartitioned window ---------------------
 
 
