@@ -427,6 +427,21 @@ def _streaming_running_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _streaming_join_then_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained stateful operators: the click→purchase time-range join
+    feeding a per-day windowed conversion rollup in ONE streaming query
+    (join state + agg state, watermark propagated through the join).
+    The flush protocol makes the emission complete, so the oracle is
+    the batch join + day rollup."""
+    from data_engineer_interview_task_spark.streaming import (
+        run_click_purchase_join_rollup_once,
+    )
+
+    return run_click_purchase_join_rollup_once(
+        spark, sf_dir, _work_dir("stream_ssjr", sf_dir)
+    )
+
+
 def _streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream join with watermarks on both sides (click -> purchase
     within 1h per user). Fully ORACLE-CHECKED against the batch-twin SQL
@@ -547,6 +562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_entropy_per_source": text.unigram_entropy_per_source,  # per-source Shannon entropy, bit-length log2, BIGINT-exact
         "curriculum_order_assignment": sampling.curriculum_order_assignment,  # short-to-long curriculum phase + step on the two-phase machinery
         "multimodal_gif_decode": multimodal.multimodal_gif_decode,  # REAL GIF87a decode: full LZW (KwKwK, 4096 resets), 256-entry table expansion
+        "streaming_join_then_rollup": _streaming_join_then_rollup,  # chained stateful ops: stream-stream join feeding a windowed day rollup
         # --- round-7 front (all green in CORRECTNESS_r07) ---
         "ivfpq_search": similarity.ivfpq_search,  # FULL IVF-PQ: probe-pruned ADC over cell-partitioned posting lists (VERDICT r6 item 1)
         "multimodal_resize": multimodal.multimodal_resize,  # REAL decode + pinned integer nearest-neighbor resample (VERDICT r6 item 2)
@@ -5233,6 +5249,24 @@ SELECT doc_id, CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
        CAST(768 AS BIGINT) AS n_px_bytes,
        sha256(repeat(row32, 8)) AS pixel_sha
 FROM hexes
+"""
+
+    # chained stateful ops: batch join + day rollup == the complete
+    # emission of the join->window streaming chain under the flush
+    # protocol; revenue in exact cents
+    d["streaming_join_then_rollup"] = """
+WITH conv AS (
+  SELECT c.ts AS click_ts, p.value AS v
+  FROM events c JOIN events p
+    ON c.user_id = p.user_id
+   AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+  WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+)
+SELECT CAST(click_ts AS DATE) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_conversions,
+       CAST(SUM(CAST(CAST(v AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM conv GROUP BY 1
 """
 
     # curriculum phases/steps == plain NTILE/ROW_NUMBER over the same

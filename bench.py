@@ -298,6 +298,7 @@ HEADLINE = [
     "unigram_entropy_per_source",
     "curriculum_order_assignment",
     "multimodal_gif_decode",
+    "streaming_join_then_rollup",
 ]
 
 

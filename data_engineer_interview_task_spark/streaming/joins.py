@@ -218,6 +218,114 @@ def _run_outer_join_once(spark, sf_dir, work_dir, builder, prefix) -> DataFrame:
     return drain_memory_sink(spark, sink).filter(F.col("user_id") >= 0)
 
 
+def click_purchase_join_rollup(
+    spark: SparkSession,
+    source_dir: str,
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """CHAINED STATEFUL OPERATORS in one streaming query (Spark 3.5+ /
+    4.x multiple-stateful support): the click→purchase time-range join
+    feeding a per-day windowed conversion rollup downstream — the
+    attribution-dashboard shape (join state + aggregation state in one
+    lineage, watermark propagated through the join into the window
+    eviction). Revenue sums in exact cents."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.parquet(source_dir)
+    clicks = (
+        src.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        src.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    conv = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {within}")
+        ),
+    )
+    cents = (
+        F.col("purchase_value").cast("decimal(18,2)") * 100
+    ).cast("long")
+    return (
+        conv.groupBy(F.window("click_ts", "1 day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.sum(cents).alias("revenue_cents"),
+        )
+        .select(
+            F.col("window.start").cast("date").alias("day"),
+            F.col("n_conversions").cast("long").alias("n_conversions"),
+            F.col("revenue_cents").cast("long").alias("revenue_cents"),
+        )
+    )
+
+
+def run_click_purchase_join_rollup_once(
+    spark: SparkSession, sf_dir: str, work_dir: str
+) -> DataFrame:
+    """availableNow harness for the chained join→rollup — the
+    :func:`_run_outer_join_once` flush protocol (one sentinel per side
+    at max_ts + 10d; same-timestamp sentinels can never join each
+    other under the strict ``purchase_ts > click_ts``, so no sentinel
+    day reaches the rollup and nothing needs post-filtering — a
+    ``user_id >= 0`` filter would be pushed through the join to both
+    scans and footer-stats-prune the sentinel file, stranding the
+    watermark: the documented lesson)."""
+    from ..sources import read_table
+
+    prep_session(spark)
+    events = read_table(spark, sf_dir, "events")
+    src = f"{work_dir}/events_src_jr"
+    events.repartition(1).write.mode("overwrite").parquet(src)
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    before = snapshot_parquet_files(src)
+    flush = spark.createDataFrame(
+        [
+            (-1, max_ts, -1, "click", 0.0, "{}"),
+            (-2, max_ts, -1, "purchase", 0.0, "{}"),
+        ],
+        schema=EVENTS_SCHEMA,
+    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 10 DAYS"))
+    flush.coalesce(1).write.mode("append").parquet(src)
+    bump_new_files_mtime(src, before)
+    sink = f"mem_ssjr_{uuid.uuid4().hex[:8]}"
+    conf_key = "spark.sql.shuffle.partitions"
+    prior = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, _OUTER_JOIN_STATE_PARTITIONS)
+    try:
+        q = (
+            click_purchase_join_rollup(spark, src, max_files_per_trigger=1)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", f"{work_dir}/ckpt_{sink}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(conf_key, prior)
+    return drain_memory_sink(spark, sink)
+
+
 def run_click_purchase_left_join_once(
     spark: SparkSession, sf_dir: str, work_dir: str
 ) -> DataFrame:
