@@ -563,6 +563,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_order_assignment": sampling.curriculum_order_assignment,  # short-to-long curriculum phase + step on the two-phase machinery
         "multimodal_gif_decode": multimodal.multimodal_gif_decode,  # REAL GIF87a decode: full LZW (KwKwK, 4096 resets), 256-entry table expansion
         "streaming_join_then_rollup": _streaming_join_then_rollup,  # chained stateful ops: stream-stream join feeding a windowed day rollup
+        "embedding_stats_per_dim": similarity.embedding_stats_per_dim,  # per-dimension vector ANALYZE: fixed-point mean/variance, one scan
+        "ivf_recall_report": similarity.ivf_recall_report,  # recall@k of the IVF probe path vs the exact top-k, hash-exact composition
+        "near_dup_cluster_size_histogram": dedup.near_dup_cluster_size_histogram,  # log2 cluster-size distribution over the LSH components
         # --- round-7 front (all green in CORRECTNESS_r07) ---
         "ivfpq_search": similarity.ivfpq_search,  # FULL IVF-PQ: probe-pruned ADC over cell-partitioned posting lists (VERDICT r6 item 1)
         "multimodal_resize": multimodal.multimodal_resize,  # REAL decode + pinned integer nearest-neighbor resample (VERDICT r6 item 2)
@@ -5267,6 +5270,62 @@ SELECT CAST(click_ts AS DATE) AS day,
        CAST(SUM(CAST(CAST(v AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
          AS revenue_cents
 FROM conv GROUP BY 1
+"""
+
+    # per-dimension embedding ANALYZE: fixed-point floor(x*1e9) elements
+    # (bit-identical IEEE multiply+floor), nonnegative-shift mean floor,
+    # Cauchy-Schwarz-nonnegative variance numerator in HUGEINT
+    d["embedding_stats_per_dim"] = """
+WITH vals AS (
+  SELECT CAST(j + 1 AS BIGINT) AS dim,
+         CAST(floor(CAST(embedding[j + 1] AS DOUBLE) * 1000000000)
+              AS BIGINT) AS v_fp
+  FROM embeddings, (SELECT unnest(range(64)) AS j) g
+),
+agg AS (
+  SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(v_fp AS HUGEINT)) AS s,
+         SUM(CAST(v_fp AS HUGEINT) * v_fp) AS ssq
+  FROM vals GROUP BY 1
+)
+SELECT dim, n, CAST(s AS BIGINT) AS sum_fp,
+       CAST((s + CAST(n AS HUGEINT) * 10000000000) // n
+            - 10000000000 AS BIGINT) AS mean_fp,
+       CAST((CAST(n AS HUGEINT) * ssq - s * s)
+            // (CAST(n AS HUGEINT) * n * 1000000000) AS BIGINT) AS var_fp
+FROM agg
+"""
+
+    # ANN recall@k: both arms' oracle SQL composed VERBATIM as
+    # subqueries, joined on (query, neighbor)
+    d["ivf_recall_report"] = f"""
+WITH e AS (SELECT * FROM ({d["similarity_topk"]}) ex),
+a AS (SELECT * FROM ({d["similarity_topk_ivf"]}) iv),
+ek AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS k_exact
+       FROM e GROUP BY 1),
+h AS (SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+      FROM e JOIN a ON e.query_id = a.query_id
+                   AND e.neighbor_id = a.neighbor_id
+      GROUP BY 1)
+SELECT ek.query_id, ek.k_exact,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(COALESCE(h.n_hits, 0) * 1000 // ek.k_exact AS BIGINT)
+         AS recall_millis
+FROM ek LEFT JOIN h ON ek.query_id = h.query_id
+"""
+
+    # duplicate-cluster size histogram over the production LSH
+    # components; bit-length bins (the degree-histogram convention)
+    d["near_dup_cluster_size_histogram"] = f"""
+WITH cc AS (SELECT * FROM ({d["near_dup_clusters_lsh"]}) q),
+sizes AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS size
+          FROM cc GROUP BY 1)
+SELECT CAST(length(bin(size)) - 1 AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(MIN(size) AS BIGINT) AS min_size,
+       CAST(MAX(size) AS BIGINT) AS max_size,
+       CAST(SUM(size) AS BIGINT) AS n_docs
+FROM sizes GROUP BY 1
 """
 
     # curriculum phases/steps == plain NTILE/ROW_NUMBER over the same

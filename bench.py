@@ -299,6 +299,9 @@ HEADLINE = [
     "curriculum_order_assignment",
     "multimodal_gif_decode",
     "streaming_join_then_rollup",
+    "embedding_stats_per_dim",
+    "ivf_recall_report",
+    "near_dup_cluster_size_histogram",
 ]
 
 

@@ -431,6 +431,37 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 
+def near_dup_cluster_size_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DUPLICATE-CLUSTER SIZE DISTRIBUTION — the curation-dashboard view
+    of the near-dup graph: how many clusters exist per log2 size bin
+    (singletons, pairs, small families, mega-clusters). The mega-bin is
+    what a dedup pass watches: one huge cluster means a template or
+    boilerplate family that exact-canonical selection will collapse to
+    a single survivor. Bin = exact bit length of the cluster size (the
+    ``copurchase_degree_histogram`` convention). Runs over the
+    production LSH pair source's connected components; two aggregates
+    past the CC frame (cluster-size grain, then O(log n) bins)."""
+    clusters = near_dup_clusters(spark, sf_dir, pair_source="minhash")
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("size")
+    )
+    return (
+        sizes.select(
+            (F.length(F.expr("bin(size)")) - 1).cast("long").alias("bin"),
+            "size",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.min("size").cast("long").alias("min_size"),
+            F.max("size").cast("long").alias("max_size"),
+            F.sum("size").cast("long").alias("n_docs"),
+        )
+    )
+
+
 def near_dup_clusters(
     spark: SparkSession, sf_dir: str, n: int = 3, threshold: float = 0.5,
     max_iter: int = 20, pair_source: str = "ngram",

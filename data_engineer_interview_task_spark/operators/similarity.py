@@ -1101,6 +1101,92 @@ def hybrid_search_rrf(
     )
 
 
+def embedding_stats_per_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-DIMENSION embedding statistics — the vector-warehouse ANALYZE
+    pass (the precursor to whitening, dead-dimension pruning and
+    quantizer calibration): for each of the 64 dimensions, count, mean
+    and variance of the corpus values.
+
+    Exact fixed-point chain (the centroid convention —
+    ``floor(x * 1e9)`` per element, a bit-identical IEEE multiply+floor
+    on both engines): ``mean_fp = (sum + n*SHIFT) DIV n - SHIFT`` (the
+    nonnegative-shift floor, since sums go negative and Spark DIV
+    truncates where DuckDB // floors; SHIFT = 1e10 > any |element|*1e9)
+    and ``var_fp = (n*ssq - sum^2) DIV (n*n*1e9)`` — the numerator is
+    nonnegative by Cauchy-Schwarz so one floor DIV suffices; products
+    form in DECIMAL(38,0)/HUGEINT. Shape: one posexplode (narrow) + one
+    64-group aggregate — scans the table once at any scale."""
+    SHIFT = 10_000_000_000
+    emb = read_table(spark, sf_dir, "embeddings")
+    vals = emb.select(
+        F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.floor(F.col("v").cast("double") * 1e9).alias("v_fp"),
+    )
+    agg = vals.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("v_fp").cast("decimal(38,0)")).alias("s"),
+        F.sum(
+            (F.col("v_fp").cast("decimal(38,0)") * F.col("v_fp")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("ssq"),
+    )
+    return agg.select(
+        "dim",
+        "n",
+        F.col("s").cast("long").alias("sum_fp"),
+        F.expr(f"CAST((s + CAST(n AS DECIMAL(38,0)) * {SHIFT}) DIV n"
+               f" - {SHIFT} AS BIGINT)").alias("mean_fp"),
+        F.expr(
+            "CAST((CAST(n AS DECIMAL(38,0)) * ssq - s * s)"
+            " DIV (CAST(n AS DECIMAL(38,0)) * n * 1000000000)"
+            " AS BIGINT)"
+        ).alias("var_fp"),
+    )
+
+
+def ivf_recall_report(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 5,
+    k: int = 10,
+    n_probe: int = 3,
+) -> DataFrame:
+    """ANN QUALITY AUDIT — recall@k of the IVF probe path against the
+    exact top-k, per query: the acceptance metric every approximate
+    index ships with (probe more cells vs. recall trade-off). Joins the
+    two attested ranking paths (``brute_force_topk`` exact-DECIMAL and
+    ``ivf_topk``) on (query, neighbor) and reports hits; the oracle
+    composes both queries' oracle SQL verbatim, so the report is
+    hash-exact end to end. ``recall_millis = hits * 1000 DIV k``."""
+    exact = brute_force_topk(spark, sf_dir, n_queries, k)
+    ann = ivf_topk(spark, sf_dir, n_queries, k, n_probe)
+    ek = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("k_exact")
+    )
+    hits = (
+        exact.join(ann, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    return (
+        ek.join(hits, "query_id", "left_outer")
+        .select(
+            "query_id",
+            "k_exact",
+            F.coalesce(F.col("n_hits"), F.lit(0))
+            .cast("long")
+            .alias("n_hits"),
+        )
+        .withColumn(
+            "recall_millis",
+            F.expr("n_hits * 1000 DIV k_exact").cast("long"),
+        )
+    )
+
+
 def matryoshka_rank_agreement(
     spark: SparkSession, sf_dir: str, n_queries: int = 4, k: int = 20
 ) -> DataFrame:
