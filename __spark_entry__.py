@@ -566,6 +566,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_stats_per_dim": similarity.embedding_stats_per_dim,  # per-dimension vector ANALYZE: fixed-point mean/variance, one scan
         "ivf_recall_report": similarity.ivf_recall_report,  # recall@k of the IVF probe path vs the exact top-k, hash-exact composition
         "near_dup_cluster_size_histogram": dedup.near_dup_cluster_size_histogram,  # log2 cluster-size distribution over the LSH components
+        "lang_confusion_matrix": text.lang_confusion_matrix,  # lang-ID confusion matrix vs declared labels, exact shares
+        "hashed_tf_features": text.hashed_tf_features,  # hashing-trick vectorizer: md5-bucketed term frequencies, long format
+        "zorder_skipping_report": extended.zorder_skipping_report,  # z-order vs linear file-skipping effectiveness for a 2-D box query
         # --- round-7 front (all green in CORRECTNESS_r07) ---
         "ivfpq_search": similarity.ivfpq_search,  # FULL IVF-PQ: probe-pruned ADC over cell-partitioned posting lists (VERDICT r6 item 1)
         "multimodal_resize": multimodal.multimodal_resize,  # REAL decode + pinned integer nearest-neighbor resample (VERDICT r6 item 2)
@@ -5326,6 +5329,77 @@ SELECT CAST(length(bin(size)) - 1 AS BIGINT) AS bin,
        CAST(MAX(size) AS BIGINT) AS max_size,
        CAST(SUM(size) AS BIGINT) AS n_docs
 FROM sizes GROUP BY 1
+"""
+
+    # lang-ID confusion matrix: the classifier oracle composed verbatim
+    d["lang_confusion_matrix"] = f"""
+WITH pred AS (SELECT * FROM ({d["lang_id"]}) p),
+cells AS (
+  SELECT labeled_lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pred GROUP BY 1, 2
+),
+totals AS (
+  SELECT labeled_lang, CAST(COUNT(*) AS BIGINT) AS n_labeled
+  FROM pred GROUP BY 1
+)
+SELECT c.labeled_lang, c.predicted_lang, c.n, t.n_labeled,
+       CAST(c.n * 1000 // t.n_labeled AS BIGINT) AS share_millis
+FROM cells c JOIN totals t USING (labeled_lang)
+"""
+
+    # feature hashing: md5 bucket fold (the engine-independent hash
+    # convention), long-format per-bucket term frequencies
+    d["hashed_tf_features"] = f"""
+WITH toks AS (
+  SELECT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+  ) WHERE token <> ''
+)
+SELECT doc_id,
+       CAST({_hex_u32("md5(token)", 1)} % 32 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS tf
+FROM toks GROUP BY 1, 2
+"""
+
+    # z-order vs linear file skipping: ROW_NUMBER file assignment over
+    # each layout order, integer min/max envelopes, closed-interval box
+    # overlap; the zkey construction is the zorder_key oracle verbatim
+    d["zorder_skipping_report"] = f"""
+WITH z AS (SELECT * FROM ({d["zorder_key"]}) zz),
+zf AS (
+  SELECT 'zorder' AS layout,
+         (ROW_NUMBER() OVER (ORDER BY zkey ASC, o_orderkey ASC) - 1)
+           // 4096 AS file_id,
+         cust_bucket, day_bucket
+  FROM z
+  UNION ALL
+  SELECT 'linear',
+         (ROW_NUMBER() OVER (ORDER BY day_bucket ASC, o_orderkey ASC) - 1)
+           // 4096,
+         cust_bucket, day_bucket
+  FROM z
+),
+env AS (
+  SELECT layout, file_id,
+         MIN(cust_bucket) AS min_x, MAX(cust_bucket) AS max_x,
+         MIN(day_bucket) AS min_y, MAX(day_bucket) AS max_y,
+         CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM zf GROUP BY 1, 2
+),
+hits AS (
+  SELECT layout, n_rows,
+         CASE WHEN max_x >= 64 AND min_x <= 127
+               AND max_y >= 100 AND min_y <= 163
+              THEN 1 ELSE 0 END AS hit
+  FROM env
+)
+SELECT layout,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(hit) AS BIGINT) AS n_files_scanned,
+       CAST(SUM(hit * n_rows) AS BIGINT) AS rows_scanned,
+       CAST((COUNT(*) - SUM(hit)) * 1000 // COUNT(*) AS BIGINT)
+         AS skip_millis
+FROM hits GROUP BY 1
 """
 
     # curriculum phases/steps == plain NTILE/ROW_NUMBER over the same

@@ -302,6 +302,9 @@ HEADLINE = [
     "embedding_stats_per_dim",
     "ivf_recall_report",
     "near_dup_cluster_size_histogram",
+    "lang_confusion_matrix",
+    "hashed_tf_features",
+    "zorder_skipping_report",
 ]
 
 

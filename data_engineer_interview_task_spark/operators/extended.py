@@ -611,6 +611,78 @@ def zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def zorder_skipping_report(
+    spark: SparkSession,
+    sf_dir: str,
+    rows_per_file: int = 4096,
+    box: tuple = (64, 127, 100, 163),
+) -> DataFrame:
+    """FILE-SKIPPING EFFECTIVENESS of Z-order vs linear clustering — the
+    measurement that justifies (or rejects) a re-clustering job: lay the
+    orders table out in ``rows_per_file`` files under (a) the Morton
+    zkey order and (b) the single-dimension linear order, compute each
+    file's (cust_bucket, day_bucket) min/max envelope, and count how
+    many files a 2-D box query must scan under each layout. Z-order's
+    whole point is that both dimensions' envelopes stay tight, so the
+    box prunes files in BOTH dimensions; the linear layout prunes only
+    its sort dimension.
+
+    Exact and engine-mirrorable: file assignment is
+    ``(rank - 1) DIV rows_per_file`` over the tie-broken total order
+    (the rank via :func:`relational.two_phase_cumsum` — no single-task
+    sort even while simulating the layout), envelopes are integer
+    min/max, and the overlap test is closed-interval arithmetic. Emits
+    one row per layout with file counts, scanned rows and the skip
+    ratio in exact millis."""
+    from .relational import two_phase_cumsum
+
+    x_lo, x_hi, y_lo, y_hi = box
+    base = zorder_key(spark, sf_dir)
+
+    def layout_stats(name: str, order_cols):
+        ranked = two_phase_cumsum(base, order_cols, F.lit(1), "rk")
+        files = ranked.withColumn(
+            "file_id", F.expr(f"(rk - 1) DIV {rows_per_file}")
+        )
+        return files.groupBy("file_id").agg(
+            F.min("cust_bucket").alias("min_x"),
+            F.max("cust_bucket").alias("max_x"),
+            F.min("day_bucket").alias("min_y"),
+            F.max("day_bucket").alias("max_y"),
+            F.count(F.lit(1)).alias("n_rows"),
+        ).select(F.lit(name).alias("layout"), "*")
+
+    stats = layout_stats(
+        "zorder", [F.col("zkey").asc(), F.col("o_orderkey").asc()]
+    ).unionAll(
+        layout_stats(
+            "linear", [F.col("day_bucket").asc(), F.col("o_orderkey").asc()]
+        )
+    )
+    overlaps = (
+        (F.col("max_x") >= x_lo)
+        & (F.col("min_x") <= x_hi)
+        & (F.col("max_y") >= y_lo)
+        & (F.col("min_y") <= y_hi)
+    ).cast("long")
+    return (
+        stats.withColumn("hit", overlaps)
+        .groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("hit").cast("long").alias("n_files_scanned"),
+            F.sum(F.col("hit") * F.col("n_rows"))
+            .cast("long")
+            .alias("rows_scanned"),
+        )
+        .withColumn(
+            "skip_millis",
+            F.expr("(n_files - n_files_scanned) * 1000 DIV n_files")
+            .cast("long"),
+        )
+    )
+
+
 def orders_above_global_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar-subquery pattern: orders above the global average price.
     The average is ONE exact value (decimal sum / count, emitted double)

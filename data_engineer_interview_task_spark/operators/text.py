@@ -104,6 +104,57 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONFUSION MATRIX of the language-ID heuristic against the
+    declared label — the classifier-evaluation rollup every lang-ID
+    deployment tracks per corpus slice: (labeled, predicted) counts
+    plus each cell's share of its labeled row in exact fixed point.
+    Composes :func:`lang_id`; the oracle composes its SQL verbatim, so
+    the whole evaluation is hash-pinned to the classifier under test."""
+    pred = lang_id(spark, sf_dir)
+    cells = pred.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    totals = pred.groupBy("labeled_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_labeled")
+    )
+    return cells.join(F.broadcast(totals), "labeled_lang").select(
+        "labeled_lang",
+        "predicted_lang",
+        "n",
+        "n_labeled",
+        F.expr("n * 1000 DIV n_labeled").cast("long").alias("share_millis"),
+    )
+
+
+def hashed_tf_features(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 32
+) -> DataFrame:
+    """FEATURE HASHING (the hashing-trick vectorizer): every token maps
+    to ``md5(token) mod n_buckets`` and each document's feature vector
+    is the per-bucket term frequency — the fixed-width, vocab-free text
+    featurization classical ML pipelines feed to linear models. Long
+    format (doc_id, bucket, tf) so the output is engine-comparable
+    (wide arrays would hash differently); the md5 bucket fold is the
+    repo's engine-independent hash convention, so even the collisions
+    are bit-identical. One explode + one partial-aggregated shuffle."""
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "toks", F.split(F.col("text"), " ")
+    )
+    toks = docs.select(
+        "doc_id", F.explode("toks").alias("token")
+    ).filter(F.col("token") != "")
+    bucket = F.expr(
+        f"CAST(conv(substring(md5(token), 1, 8), 16, 10) AS BIGINT)"
+        f" % {n_buckets}"
+    )
+    return (
+        toks.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+
+
 def term_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF building blocks as exact integers: per token, document
     frequency (distinct docs containing it) and total term frequency.
