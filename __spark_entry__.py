@@ -569,6 +569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_confusion_matrix": text.lang_confusion_matrix,  # lang-ID confusion matrix vs declared labels, exact shares
         "hashed_tf_features": text.hashed_tf_features,  # hashing-trick vectorizer: md5-bucketed term frequencies, long format
         "zorder_skipping_report": extended.zorder_skipping_report,  # z-order vs linear file-skipping effectiveness for a 2-D box query
+        "minhash_estimate_error_audit": dedup.minhash_estimate_error_audit,  # signature-agreement estimate vs exact Jaccard per LSH candidate pair
         # --- round-7 front (all green in CORRECTNESS_r07) ---
         "ivfpq_search": similarity.ivfpq_search,  # FULL IVF-PQ: probe-pruned ADC over cell-partitioned posting lists (VERDICT r6 item 1)
         "multimodal_resize": multimodal.multimodal_resize,  # REAL decode + pinned integer nearest-neighbor resample (VERDICT r6 item 2)
@@ -5400,6 +5401,38 @@ SELECT layout,
        CAST((COUNT(*) - SUM(hit)) * 1000 // COUNT(*) AS BIGINT)
          AS skip_millis
 FROM hits GROUP BY 1
+"""
+
+    # MinHash estimator-vs-exact audit over the banded candidate set:
+    # the signature CTEs reused verbatim, per-pair integer arithmetic
+    _agree32 = " + ".join(
+        f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)" for i in range(32)
+    )
+    d["minhash_estimate_error_audit"] = f"""
+WITH {_minhash_ctes()},
+ag AS (
+  SELECT c.doc_a, c.doc_b, CAST({_agree32} AS BIGINT) AS sig_agree
+  FROM cand c
+  JOIN sig a ON a.doc_id = c.doc_a
+  JOIN sig b ON b.doc_id = c.doc_b
+),
+ex AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT)
+           AS n_inter,
+         CAST(len(sa.shingles) + len(sb.shingles)
+              - len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT)
+           AS n_union
+  FROM cand c
+  JOIN d sa ON sa.doc_id = c.doc_a
+  JOIN d sb ON sb.doc_id = c.doc_b
+)
+SELECT g.doc_a, g.doc_b, g.sig_agree, e.n_inter, e.n_union,
+       CAST(g.sig_agree * 1000 // 32 AS BIGINT) AS est_millis,
+       CAST(e.n_inter * 1000 // e.n_union AS BIGINT) AS jac_millis,
+       CAST(abs(g.sig_agree * 1000 // 32
+                - e.n_inter * 1000 // e.n_union) AS BIGINT) AS err_millis
+FROM ag g JOIN ex e ON g.doc_a = e.doc_a AND g.doc_b = e.doc_b
 """
 
     # curriculum phases/steps == plain NTILE/ROW_NUMBER over the same

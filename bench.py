@@ -305,6 +305,7 @@ HEADLINE = [
     "lang_confusion_matrix",
     "hashed_tf_features",
     "zorder_skipping_report",
+    "minhash_estimate_error_audit",
 ]
 
 

@@ -240,25 +240,14 @@ def ngram_containment_pairs(
 # ---------------------------------------------------------------------------
 
 
-def _minhash_band_keys(
-    docs: DataFrame,
-    num_hashes: int = 32,
-    bands: int = 8,
-    hash_family: str = "md5",
+def _minhash_sigs_wide(
+    docs: DataFrame, num_hashes: int = 32, hash_family: str = "md5"
 ) -> DataFrame:
-    """(doc_id, band, band_key) for shingled docs — the MinHash signature
-    split into banded keys (see ``minhash_lsh_pairs`` for the hash-family
-    rationale). Shared by the self-join pair query and the incremental
-    batch-vs-index dedup.
-
-    ``hash_family``: "md5" (default) is the engine-independent oracle
-    family — one md5 per shingle split into two 64-bit halves, string
-    band keys via md5(signature slice). "xxhash64" is the production
-    family — Spark's JVM xxhash64 (no hex decode, 8-byte keys, long band
-    keys), 2-4x cheaper but not reproducible in the DuckDB oracle, so
-    its query variant is checked by pair-set equality against the md5
-    twin instead (tests/test_dedup_fast.py)."""
-    rows_per_band = num_hashes // bands
+    """(doc_id, h0..h{num_hashes-1}) — the raw MinHash signature as wide
+    aggregate columns over the shingle frame (one groupBy, no seed
+    explosion). Factored out of ``_minhash_band_keys`` so signature
+    consumers that need the components themselves (the estimate-error
+    audit) share the exact same hash family."""
     exploded = docs.select("doc_id", F.explode("shingles").alias("sh"))
     if hash_family == "xxhash64":
         # two independent 64-bit draws per shingle: seed the second by
@@ -278,9 +267,34 @@ def _minhash_band_keys(
         )
     else:
         raise ValueError(f"unknown hash_family: {hash_family!r}")
-    sigs_wide = exploded.groupBy("doc_id").agg(
-        *[F.min(F.expr(f"p1 + {i}L * p2")).alias(f"h{i}") for i in range(num_hashes)]
+    return exploded.groupBy("doc_id").agg(
+        *[
+            F.min(F.expr(f"p1 + {i}L * p2")).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
     )
+
+
+def _minhash_band_keys(
+    docs: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    hash_family: str = "md5",
+) -> DataFrame:
+    """(doc_id, band, band_key) for shingled docs — the MinHash signature
+    split into banded keys (see ``minhash_lsh_pairs`` for the hash-family
+    rationale). Shared by the self-join pair query and the incremental
+    batch-vs-index dedup.
+
+    ``hash_family``: "md5" (default) is the engine-independent oracle
+    family — one md5 per shingle split into two 64-bit halves, string
+    band keys via md5(signature slice). "xxhash64" is the production
+    family — Spark's JVM xxhash64 (no hex decode, 8-byte keys, long band
+    keys), 2-4x cheaper but not reproducible in the DuckDB oracle, so
+    its query variant is checked by pair-set equality against the md5
+    twin instead (tests/test_dedup_fast.py)."""
+    rows_per_band = num_hashes // bands
+    sigs_wide = _minhash_sigs_wide(docs, num_hashes, hash_family)
     if hash_family == "xxhash64":
         band_cols = [
             F.xxhash64(
@@ -429,6 +443,92 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 # near-dup clusters (connected components over the similarity graph)
 # ---------------------------------------------------------------------------
+
+
+def minhash_estimate_error_audit(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """SKETCH-QUALITY AUDIT for the MinHash estimator — per LSH
+    candidate pair, the signature-agreement Jaccard estimate
+    (matching components / num_hashes) next to the EXACT shingle
+    Jaccard, with the absolute error in exact millis: the
+    ``ivf_recall_report`` pattern applied to the dedup sketch (is 32
+    hashes enough at this threshold, or is the banding surviving on
+    luck?). Both quantities are integers over integer totals, so the
+    whole audit hashes; the candidate set is the production banded one
+    (artifact-served band keys), the signatures come from the SAME
+    md5-affine family via ``_minhash_sigs_wide``.
+
+    Shape: the band self-join yields the candidate pairs (near-linear,
+    the LSH point); signatures and shingle sets join candidates at
+    pair grain; everything downstream is per-pair arithmetic."""
+    docs = _shingled_docs(spark, sf_dir, n)
+    keys = _corpus_band_keys(spark, sf_dir, n, num_hashes, bands, "md5")
+    cand = (
+        keys.alias("a")
+        .join(
+            keys.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sigs = _minhash_sigs_wide(docs, num_hashes, "md5")
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(num_hashes)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(num_hashes)],
+    )
+    agree = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("long")
+        for i in range(num_hashes)
+    )
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("long") - inter
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            agree.alias("sig_agree"),
+            inter.alias("n_inter"),
+            union.alias("n_union"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "sig_agree",
+            "n_inter",
+            "n_union",
+            F.expr(f"sig_agree * 1000 DIV {num_hashes}")
+            .cast("long")
+            .alias("est_millis"),
+            F.expr("n_inter * 1000 DIV n_union").cast("long").alias("jac_millis"),
+            F.expr(
+                f"abs(sig_agree * 1000 DIV {num_hashes}"
+                f" - n_inter * 1000 DIV n_union)"
+            )
+            .cast("long")
+            .alias("err_millis"),
+        )
+    )
 
 
 def near_dup_cluster_size_histogram(
