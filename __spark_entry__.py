@@ -570,6 +570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hashed_tf_features": text.hashed_tf_features,  # hashing-trick vectorizer: md5-bucketed term frequencies, long format
         "zorder_skipping_report": extended.zorder_skipping_report,  # z-order vs linear file-skipping effectiveness for a 2-D box query
         "minhash_estimate_error_audit": dedup.minhash_estimate_error_audit,  # signature-agreement estimate vs exact Jaccard per LSH candidate pair
+        "multimodal_progressive_jpeg_decode": multimodal.multimodal_progressive_jpeg_decode,  # REAL SOF2 progressive JPEG: spectral-selection scans + EOB-run coding
         # --- round-7 front (all green in CORRECTNESS_r07) ---
         "ivfpq_search": similarity.ivfpq_search,  # FULL IVF-PQ: probe-pruned ADC over cell-partitioned posting lists (VERDICT r6 item 1)
         "multimodal_resize": multimodal.multimodal_resize,  # REAL decode + pinned integer nearest-neighbor resample (VERDICT r6 item 2)
@@ -5434,6 +5435,11 @@ SELECT g.doc_a, g.doc_b, g.sig_agree, e.n_inter, e.n_union,
                 - e.n_inter * 1000 // e.n_union) AS BIGINT) AS err_millis
 FROM ag g JOIN ex e ON g.doc_a = e.doc_a AND g.doc_b = e.doc_b
 """
+
+    # progressive JPEG: spectral selection reconstructs the EXACT
+    # baseline coefficient array, so the closed-form lossy chain is the
+    # baseline decode oracle VERBATIM
+    d["multimodal_progressive_jpeg_decode"] = d["multimodal_jpeg_decode"]
 
     # curriculum phases/steps == plain NTILE/ROW_NUMBER over the same
     # tie-broken total order (the two-phase machinery is bit-identical)

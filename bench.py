@@ -306,6 +306,7 @@ HEADLINE = [
     "hashed_tf_features",
     "zorder_skipping_report",
     "minhash_estimate_error_audit",
+    "multimodal_progressive_jpeg_decode",
 ]
 
 

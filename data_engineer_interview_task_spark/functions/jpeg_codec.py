@@ -5,7 +5,10 @@ twiddling, so it is not).
 
 Scope: baseline sequential JFIF, 8-bit, greyscale (1 component) AND
 interleaved YCbCr color (3 components, 1x1 sampling / 4:4:4), dimensions
-multiples of 8. The DECODER is the general baseline path for those
+multiples of 8 — plus, since round 8, PROGRESSIVE (SOF2) greyscale with
+spectral selection (multi-scan coefficient accumulation, real EOB-run
+coding; successive approximation stays behind ``ValueError``). The
+DECODER is the general baseline path for those
 shapes — segment parsing (APP/COM skip, DQT, SOF0, DHT, SOS, DRI/RST),
 per-component quantization/Huffman table binding FROM the stream (not
 assumed), a byte-stuffing-aware bit reader, interleaved-MCU entropy
@@ -679,6 +682,36 @@ def _build_jpeg_codec():
     def _extend(v: int, t: int) -> int:
         return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
+    def _idct_block(coeffs):
+        """Fixed-point integer IDCT of 64 DEQUANTIZED coefficients
+        (documented closed form for DC-only blocks:
+        clip(128 + (F00*2896^2 + HALF)//SCALE)). Returns 64 pixel
+        values row-major."""
+        nz = [
+            (u, v, coeffs[u * 8 + v])
+            for u in range(8)
+            for v in range(8)
+            if coeffs[u * 8 + v]
+        ]
+        out = [0] * 64
+        if not nz or nz == [(0, 0, coeffs[0])]:
+            # DC-only spectrum: the IDCT is one uniform value —
+            # exactly the general loop's result for every (x, y)
+            acc = coeffs[0] * 2896 * 2896
+            px = 128 + (acc + _HALF) // _SCALE
+            px = 0 if px < 0 else (255 if px > 255 else px)
+            return [px] * 64
+        for y in range(8):
+            for x in range(8):
+                acc = 0
+                for u, v, f in nz:
+                    acc += f * _T[u][y] * _T[v][x]
+                # floor division with half-up rounding, exact for
+                # negatives too (Python // floors)
+                px = 128 + (acc + _HALF) // _SCALE
+                out[y * 8 + x] = 0 if px < 0 else (255 if px > 255 else px)
+        return out
+
     def _decode_block(br, dct, act, q, pred):
         """Entropy-decode + dequantize + IDCT one block. Returns
         ``(block64, new_pred)`` — 64 decoded pixel values row-major."""
@@ -703,32 +736,7 @@ def _build_jpeg_codec():
                 raise ValueError("AC coefficient overflow")
             coeffs[_ZZ[zz]] = _extend(br.bits(t), t) * q[_ZZ[zz]]
             zz += 1
-        # fixed-point integer IDCT (documented closed form for
-        # DC-only blocks: clip(128 + (F00*2896^2 + HALF)//SCALE))
-        nz = [
-            (u, v, coeffs[u * 8 + v])
-            for u in range(8)
-            for v in range(8)
-            if coeffs[u * 8 + v]
-        ]
-        out = [0] * 64
-        if not nz or nz == [(0, 0, coeffs[0])]:
-            # DC-only spectrum: the IDCT is one uniform value —
-            # exactly the general loop's result for every (x, y)
-            acc = coeffs[0] * 2896 * 2896
-            px = 128 + (acc + _HALF) // _SCALE
-            px = 0 if px < 0 else (255 if px > 255 else px)
-            return [px] * 64, pred
-        for y in range(8):
-            for x in range(8):
-                acc = 0
-                for u, v, f in nz:
-                    acc += f * _T[u][y] * _T[v][x]
-                # floor division with half-up rounding, exact for
-                # negatives too (Python // floors)
-                px = 128 + (acc + _HALF) // _SCALE
-                out[y * 8 + x] = 0 if px < 0 else (255 if px > 255 else px)
-        return out, pred
+        return _idct_block(coeffs), pred
 
     def _decode_planes(payload: bytes):
         """The general baseline decode path for the supported shapes:
@@ -878,16 +886,38 @@ def _build_jpeg_codec():
             raise ValueError("color JPEG: use jpeg_decode_color")
         return bytes(planes[0]), width, height
 
+    def _sof_marker(payload: bytes) -> int | None:
+        """Light segment walk returning the frame-header marker byte
+        (0xC0 baseline, 0xC2 progressive, ...) — the dispatch probe, so
+        progressive streams route to their decoder without exception-
+        message matching."""
+        pos = 2
+        while pos + 4 <= len(payload):
+            if payload[pos] != 0xFF:
+                return None
+            marker = payload[pos + 1]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                return marker
+            if marker in (0xD9, 0xDA):
+                return None
+            (ln,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+            pos += 2 + ln
+        return None
+
     def jpeg_decode_color(payload: bytes) -> tuple[bytes, int, int, int]:
-        """Decode a baseline JFIF payload of any supported shape.
-        Returns ``(pixels, width, height, n_components)`` — the greyscale
+        """Decode a JFIF payload of any supported shape. Returns
+        ``(pixels, width, height, n_components)`` — the greyscale
         plane for 1-component streams, or the interleaved RGB raster
         (pinned integer inverse color transform, module docstring) for
         3-component streams. Subsampled chroma planes (4:2:0 / 4:2:2)
         upsample by PIXEL REPLICATION — luma pixel (r, c) reads chroma
         sample ``(r*ch DIV height, c*cw DIV width)``, the exact inverse
         of the encoder's block coverage, so uniform-MCU fixtures stay on
-        the ``COLOR_UNIFORM_RGB`` closed form."""
+        the ``COLOR_UNIFORM_RGB`` closed form. Progressive (SOF2)
+        streams route to :func:`jpeg_decode_progressive`."""
+        if _sof_marker(payload) == 0xC2:
+            px, w, h = jpeg_decode_progressive(payload)
+            return px, w, h, 1
         planes, width, height, dims = _decode_planes(payload)
         if len(planes) == 1:
             return bytes(planes[0]), width, height, 1
@@ -914,6 +944,256 @@ def _build_jpeg_codec():
             out[3 * i + 2] = 0 if b < 0 else (255 if b > 255 else b)
         return bytes(out), width, height, 3
 
+    def jpeg_encode_progressive(
+        pixels: bytes, width: int, height: int
+    ) -> bytes:
+        """Serialize an 8-bit greyscale raster to a PROGRESSIVE JPEG
+        (SOF2, spectral selection, Al=0): three scans — DC (Ss=Se=0),
+        low AC band (1..5), high AC band (6..63). The quantized
+        coefficients are IDENTICAL to the baseline encoder's (same
+        ``_fdct_quant``), only their scan layout differs — which is why
+        progressive decode reproduces the baseline raster bit-for-bit.
+        AC scans use the real progressive coding: run/size pairs inside
+        the band plus EOB-RUN symbols (EOBn: r extra bits encode runs
+        of 2^r..2^(r+1)-1 band-empty blocks) — the thing baseline AC
+        coding doesn't have."""
+        if width % 8 or height % 8:
+            raise ValueError("dimensions must be multiples of 8")
+        if len(pixels) != width * height:
+            raise ValueError("pixel buffer does not match dimensions")
+        dc_codes = _huff_codes(*_DC_SPEC)
+        # progressive AC scans need EOBn symbols (r<<4, r=1..14), which
+        # the baseline Annex-K AC table does not define — ship a custom
+        # flat canonical table (all 176 symbols at 8 bits; max code
+        # 0xAF, so the reserved all-ones code stays unused) in the DHT:
+        # the decoder rebuilds whatever the stream declares
+        ac_prog_syms = (
+            [r << 4 for r in range(15)]
+            + [0xF0]
+            + [(run << 4) | t for run in range(16) for t in range(1, 11)]
+        )
+        _AC_PROG_SPEC = ([0] * 7 + [176] + [0] * 8, ac_prog_syms)
+        ac_codes = _huff_codes(*_AC_PROG_SPEC)
+        blocks = []
+        for by in range(height // 8):
+            for bx in range(width // 8):
+                blk = [
+                    pixels[(by * 8 + y) * width + bx * 8 + x] - 128
+                    for y in range(8)
+                    for x in range(8)
+                ]
+                blocks.append(_fdct_quant(blk, _QTAB))
+        # scan 1: DC, identical coding to baseline DC
+        bw = _BitWriter()
+        prev = 0
+        for qc in blocks:
+            diff = qc[0] - prev
+            prev = qc[0]
+            t = abs(diff).bit_length()
+            code, ln = dc_codes[t]
+            bw.write(code, ln)
+            if t:
+                bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        dc_scan = bw.flush()
+
+        def ac_band_scan(ss: int, se: int) -> bytes:
+            bw = _BitWriter()
+            eobrun = 0
+
+            def flush_eobrun():
+                nonlocal eobrun
+                if not eobrun:
+                    return
+                r = eobrun.bit_length() - 1
+                code, ln = ac_codes[r << 4]
+                bw.write(code, ln)
+                if r:
+                    bw.write(eobrun - (1 << r), r)
+                eobrun = 0
+
+            for qc in blocks:
+                band = [(zz, qc[_ZZ[zz]]) for zz in range(ss, se + 1)]
+                nz = [(zz, c) for zz, c in band if c]
+                if not nz:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eobrun()
+                    continue
+                flush_eobrun()
+                run = 0
+                last_nz = nz[-1][0]
+                for zz in range(ss, last_nz + 1):
+                    c = qc[_ZZ[zz]]
+                    if c == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        zrl, zln = ac_codes[0xF0]
+                        bw.write(zrl, zln)
+                        run -= 16
+                    t = abs(c).bit_length()
+                    code, ln = ac_codes[(run << 4) | t]
+                    bw.write(code, ln)
+                    bw.write(c if c >= 0 else c + (1 << t) - 1, t)
+                    run = 0
+                if last_nz < se:
+                    eobrun = 1  # this block's tail starts a new run
+            flush_eobrun()
+            return bw.flush()
+
+        def sos(ss: int, se: int) -> bytes:
+            return _seg(0xFFDA, bytes([1, 1, 0, ss, se, 0]))
+
+        dqt = _seg(0xFFDB, b"\x00" + bytes(_QTAB[_ZZ[i]] for i in range(64)))
+        sof = _seg(
+            0xFFC2,
+            struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00",
+        )
+        dht = _seg(
+            0xFFC4,
+            _dht_payload(0, 0, _DC_SPEC) + _dht_payload(1, 0, _AC_PROG_SPEC),
+        )
+        app0 = _seg(0xFFE0, _APP0)
+        return (
+            b"\xff\xd8" + app0 + dqt + sof + dht
+            + sos(0, 0) + dc_scan
+            + sos(1, 5) + ac_band_scan(1, 5)
+            + sos(6, 63) + ac_band_scan(6, 63)
+            + b"\xff\xd9"
+        )
+
+    def jpeg_decode_progressive(payload: bytes) -> tuple[bytes, int, int]:
+        """Decode a PROGRESSIVE (SOF2) greyscale JPEG with spectral
+        selection: multiple SOS scans accumulate each block's quantized
+        coefficient vector (DC scan = baseline DC differentials; AC
+        scans = in-band run/size pairs with full EOB-RUN semantics),
+        then one dequantize + IDCT per block. Successive approximation
+        (Ah/Al != 0) and multi-component progressive stay behind
+        ``ValueError`` — spectral selection is the shape our encoder
+        writes and the common single-component progressive case."""
+        if payload[:2] != b"\xff\xd8":
+            raise ValueError("not a JPEG payload (bad SOI)")
+        pos = 2
+        qtabs: dict[int, list[int]] = {}
+        htabs: dict[tuple[int, int], dict] = {}
+        width = height = None
+        qid0 = 0
+        coeffs: list[list[int]] | None = None
+        while pos + 2 <= len(payload):
+            if payload[pos] != 0xFF:
+                raise ValueError("segment desync (expected marker)")
+            marker = payload[pos + 1]
+            if marker == 0xD9:  # EOI
+                break
+            (ln,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+            body = payload[pos + 4 : pos + 2 + ln]
+            if len(body) != ln - 2:
+                raise ValueError("truncated segment")
+            if marker == 0xDB:
+                p = 0
+                while p < len(body):
+                    pq, tq = body[p] >> 4, body[p] & 0x0F
+                    if pq != 0:
+                        raise ValueError("16-bit quant tables unsupported")
+                    tab = [0] * 64
+                    for i in range(64):
+                        tab[_ZZ[i]] = body[p + 1 + i]
+                    qtabs[tq] = tab
+                    p += 65
+            elif marker == 0xC2:
+                prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
+                if prec != 8 or ncomp != 1:
+                    raise ValueError(
+                        "only single-component progressive supported"
+                    )
+                qid0 = body[8]
+                if width % 8 or height % 8:
+                    raise ValueError("dimensions must be multiples of 8")
+                coeffs = [
+                    [0] * 64 for _ in range((width // 8) * (height // 8))
+                ]
+            elif marker == 0xC0:
+                raise ValueError("baseline SOF: use jpeg_decode")
+            elif marker == 0xC4:
+                p = 0
+                while p < len(body):
+                    tc, th = body[p] >> 4, body[p] & 0x0F
+                    bits = list(body[p + 1 : p + 17])
+                    nval = sum(bits)
+                    vals = list(body[p + 17 : p + 17 + nval])
+                    codes = _huff_codes(bits, vals)
+                    htabs[(tc, th)] = {
+                        (c, l): sym for sym, (c, l) in codes.items()
+                    }
+                    p += 17 + nval
+            elif marker == 0xDA:
+                if coeffs is None:
+                    raise ValueError("SOS before SOF2")
+                ns = body[0]
+                if ns != 1:
+                    raise ValueError("interleaved progressive scans "
+                                     "unsupported")
+                tsel = body[2]
+                ss, se, ahal = body[3], body[4], body[5]
+                if ahal != 0:
+                    raise ValueError("successive approximation unsupported")
+                br = _BitReader(payload, pos + 2 + ln)
+                if ss == 0:  # DC scan
+                    if se != 0:
+                        raise ValueError("DC scan must have Se = 0")
+                    dct = htabs[(0, tsel >> 4)]
+                    pred = 0
+                    for blk in coeffs:
+                        t = _decode_huff(br, dct)
+                        if t:
+                            pred += _extend(br.bits(t), t)
+                        blk[0] = pred
+                else:  # AC band scan
+                    act = htabs[(1, tsel & 0x0F)]
+                    eobrun = 0
+                    for blk in coeffs:
+                        if eobrun:
+                            eobrun -= 1
+                            continue
+                        zz = ss
+                        while zz <= se:
+                            sym = _decode_huff(br, act)
+                            r, t = sym >> 4, sym & 0x0F
+                            if t == 0:
+                                if r == 15:
+                                    zz += 16  # ZRL
+                                    continue
+                                extra = br.bits(r) if r else 0
+                                eobrun = (1 << r) - 1 + extra
+                                break
+                            zz += r
+                            if zz > se:
+                                raise ValueError("AC run past band end")
+                            blk[_ZZ[zz]] = _extend(br.bits(t), t)
+                            zz += 1
+                # resync to the next marker: drop partial bits, then
+                # skip stuffed 0xFF00 pairs / fill bytes
+                pos = br.pos
+                while pos + 1 < len(payload) and not (
+                    payload[pos] == 0xFF and payload[pos + 1] != 0x00
+                ):
+                    pos += 1
+                continue
+            pos += 2 + ln
+        if coeffs is None or width is None or qid0 not in qtabs:
+            raise ValueError("missing SOF2/DQT before scan")
+        q = qtabs[qid0]
+        out = bytearray(width * height)
+        bw_cnt = width // 8
+        for bi, blk in enumerate(coeffs):
+            deq = [blk[i] * q[i] for i in range(64)]
+            px = _idct_block(deq)
+            by, bx = divmod(bi, bw_cnt)
+            for y in range(8):
+                row = (by * 8 + y) * width + bx * 8
+                out[row : row + 8] = bytes(px[y * 8 : y * 8 + 8])
+        return bytes(out), width, height
+
     return (
         jpeg_encode,
         jpeg_decode,
@@ -921,6 +1201,8 @@ def _build_jpeg_codec():
         jpeg_decode_color,
         jpeg_encode_color_420,
         jpeg_encode_color_422,
+        jpeg_encode_progressive,
+        jpeg_decode_progressive,
     )
 
 
@@ -931,4 +1213,6 @@ def _build_jpeg_codec():
     jpeg_decode_color,
     jpeg_encode_color_420,
     jpeg_encode_color_422,
+    jpeg_encode_progressive,
+    jpeg_decode_progressive,
 ) = _build_jpeg_codec()

@@ -114,10 +114,10 @@ def decode_image(payload: bytes) -> tuple[bytes, int, int, int]:
         px, w, h = gif_decode(payload)
         return px, w, h, 2
     raise NotImplementedError(
-        "only PNG, baseline (greyscale or 4:4:4 color) JPEG and "
-        "non-interlaced GIF payloads decode in this environment (no "
-        "general codec libs); see fake_decode() for the deterministic "
-        "test double"
+        "only PNG, JPEG (baseline greyscale/4:4:4/4:2:2/4:2:0 color and "
+        "greyscale progressive) and non-interlaced GIF payloads decode "
+        "in this environment (no general codec libs); see fake_decode() "
+        "for the deterministic test double"
     )
 
 
@@ -1384,6 +1384,118 @@ def multimodal_resize_420(
 
     return attach_color_jpeg_420_payload(spark, sf_dir).mapInPandas(
         _resize, schema=schema
+    )
+
+
+def attach_progressive_jpeg_payload(
+    spark: SparkSession, sf_dir: str, side: int = 16
+) -> DataFrame:
+    """Manufacture REAL progressive (SOF2) JPEG payloads — the
+    ``attach_jpeg_payload`` fixture with the spectral-selection encoder:
+    same uniform 8x8 md5-byte blocks, so the lossy chain keeps the
+    identical closed form (the quantized coefficients are the baseline
+    encoder's; only the scan layout differs)."""
+    from ..functions.jpeg_codec import jpeg_encode_progressive
+
+    if side % 8:
+        raise ValueError("side must be a multiple of 8")
+    nblk = side // 8
+    if nblk * nblk > 16:
+        raise ValueError("md5 supplies at most 16 block bytes")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+            StructField("modality", StringType()),
+        ]
+    )
+    docs = _spread_docs(
+        spark, read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # self-contained closure: the encoder pickles BY VALUE
+        import hashlib as _h
+
+        import pandas as _pd
+
+        enc, s, nb = jpeg_encode_progressive, side, nblk
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                d = _h.md5(t.encode()).digest()
+                px = bytearray(s * s)
+                for by in range(nb):
+                    for bx in range(nb):
+                        v = d[by * nb + bx]
+                        for y in range(8):
+                            base = (by * 8 + y) * s + bx * 8
+                            for x in range(8):
+                                px[base + x] = v
+                payloads.append(enc(bytes(px), s, s))
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "modality": "image/jpeg",
+                }
+            )
+
+    return docs.mapInPandas(_encode, schema=schema)
+
+
+def multimodal_progressive_jpeg_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """END-TO-END PROGRESSIVE JPEG query — closes the last
+    pure-python-implementable codec gap (progressive was previously a
+    documented ``NotImplementedError``): encode every document to a
+    genuine SOF2 spectral-selection stream (DC scan + two AC band
+    scans with real EOB-run coding), DECODE it back through
+    :func:`decode_image` (which now routes SOF2 to the progressive
+    path), and emit facts of the decoded raster. Spectral selection
+    reconstructs the exact baseline coefficient array, so the ORACLE is
+    the baseline decode's closed-form lossy chain VERBATIM — one wrong
+    EOB-run length or band boundary and the hash breaks."""
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("width", LongType()),
+            StructField("height", LongType()),
+            StructField("n_px_bytes", LongType()),
+            StructField("pixel_sha", StringType()),
+        ]
+    )
+
+    from ..functions.jpeg_codec import jpeg_decode_color
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # self-contained closure: the builder-scoped general decoder
+        # captured by value (it routes SOF2 to the progressive path —
+        # the dispatch itself is part of what this query exercises)
+        import hashlib as _h
+
+        import pandas as _pd
+
+        dec = jpeg_decode_color
+        for pdf in batches:
+            out = {c: [] for c in (
+                "doc_id", "width", "height", "n_px_bytes", "pixel_sha",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px, w, h, ct = dec(bytes(payload))
+                assert ct == 1, "progressive fixture must decode greyscale"
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_px_bytes"].append(len(px))
+                out["pixel_sha"].append(
+                    _h.sha256(px.hex().encode()).hexdigest()
+                )
+            yield _pd.DataFrame(out)
+
+    return attach_progressive_jpeg_payload(spark, sf_dir).mapInPandas(
+        _decode, schema=schema
     )
 
 

@@ -325,6 +325,65 @@ def test_gif_decoder_skips_89a_extensions_and_rejects_interlace():
         gif_decode(b"NOTAGIF!" + payload[8:])
 
 
+# --- progressive JPEG ------------------------------------------------------
+
+
+def test_progressive_jpeg_equals_baseline_raster():
+    """Spectral selection must reconstruct the exact baseline
+    coefficient array: progressive encode∘decode == baseline
+    encode∘decode on random, uniform and mixed rasters (the mixed shape
+    forces mid-scan EOB-run flushes; uniform forces maximal runs)."""
+    import random
+
+    from data_engineer_interview_task_spark.functions.jpeg_codec import (
+        jpeg_decode,
+        jpeg_decode_progressive,
+        jpeg_encode,
+        jpeg_encode_progressive,
+    )
+
+    rng = random.Random(3)
+    for w, h in [(16, 16), (32, 24), (8, 8)]:
+        px = bytes(rng.randrange(256) for _ in range(w * h))
+        assert jpeg_decode_progressive(
+            jpeg_encode_progressive(px, w, h)
+        ) == jpeg_decode(jpeg_encode(px, w, h))
+    for v in (0, 128, 255):
+        px = bytes([v]) * (48 * 48)
+        assert jpeg_decode_progressive(
+            jpeg_encode_progressive(px, 48, 48)
+        ) == jpeg_decode(jpeg_encode(px, 48, 48))
+    mixed = bytearray(64 * 64)
+    for i in range(64 * 64):
+        mixed[i] = 50 if (i // 64) % 16 < 8 else rng.randrange(256)
+    assert jpeg_decode_progressive(
+        jpeg_encode_progressive(bytes(mixed), 64, 64)
+    ) == jpeg_decode(jpeg_encode(bytes(mixed), 64, 64))
+
+
+def test_progressive_jpeg_dispatch_and_guards():
+    from data_engineer_interview_task_spark.functions.jpeg_codec import (
+        jpeg_decode,
+        jpeg_decode_color,
+        jpeg_decode_progressive,
+        jpeg_encode,
+        jpeg_encode_progressive,
+    )
+
+    px = bytes(range(256)) * 1  # 16x16 gradient
+    prog = jpeg_encode_progressive(px, 16, 16)
+    assert b"\xff\xc2" in prog and prog.count(b"\xff\xda") == 3
+    # the general decoder routes SOF2 to the progressive path
+    out, w, h, ct = jpeg_decode_color(prog)
+    assert (w, h, ct) == (16, 16, 1)
+    assert out == jpeg_decode_progressive(prog)[0]
+    # crossing the decoders raises cleanly
+    with pytest.raises(ValueError):
+        jpeg_decode(prog)
+    with pytest.raises(ValueError):
+        jpeg_decode_progressive(jpeg_encode(px, 16, 16))
+
+
 # --- plan pins: no corpus-grain unpartitioned window ---------------------
 
 
