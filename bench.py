@@ -307,6 +307,7 @@ HEADLINE = [
     "zorder_skipping_report",
     "minhash_estimate_error_audit",
     "multimodal_progressive_jpeg_decode",
+    "multimodal_adpcm_roundtrip",
 ]
 
 

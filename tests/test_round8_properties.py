@@ -384,6 +384,57 @@ def test_progressive_jpeg_dispatch_and_guards():
         jpeg_decode_progressive(jpeg_encode(px, 16, 16))
 
 
+# --- IMA ADPCM --------------------------------------------------------------
+
+
+def test_adpcm_roundtrip_matches_state_machine_replay():
+    """The WAV container round-trip must equal a direct replay of the
+    IMA quantize→reconstruct fold — random lengths (odd nibble counts
+    exercise the pad), extreme samples exercise the int16 clamps, slow
+    ramps exercise the index floor."""
+    import random
+
+    from data_engineer_interview_task_spark.functions.adpcm_codec import (
+        INDEX_TABLE,
+        STEP_TABLE,
+        adpcm_decode_wav,
+        adpcm_encode_wav,
+    )
+
+    def replay(samples):
+        pred, idx = samples[0], 0
+        recon = [pred]
+        for s in samples[1:]:
+            step = STEP_TABLE[idx]
+            diff = s - pred
+            ad = -diff if diff < 0 else diff
+            b4 = 1 if ad >= step else 0
+            r1 = ad - b4 * step
+            b2 = 1 if r1 >= step // 2 else 0
+            r2 = r1 - b2 * (step // 2)
+            b1 = 1 if r2 >= step // 4 else 0
+            diffq = step // 8 + b4 * step + b2 * (step // 2) + b1 * (step // 4)
+            pred = pred - diffq if diff < 0 else pred + diffq
+            pred = max(-32768, min(32767, pred))
+            idx = max(0, min(88, idx + INDEX_TABLE[b4 * 4 + b2 * 2 + b1]))
+            recon.append(pred)
+        return recon
+
+    rng = random.Random(5)
+    cases = [
+        [rng.randrange(-32768, 32768) for _ in range(n)]
+        for n in (2, 3, 17, 128, 129)
+    ]
+    cases.append([-32768, 32767] * 40)      # clamp ping-pong
+    cases.append(list(range(-60, 60)))      # slow ramp, index floor
+    for samples in cases:
+        payload = adpcm_encode_wav(samples)
+        assert payload[:4] == b"RIFF" and b"fact" in payload
+        assert adpcm_decode_wav(payload) == replay(samples)
+    with pytest.raises(ValueError):
+        adpcm_decode_wav(b"RIFF\x00\x00\x00\x00WAVEjunk")
+
+
 # --- plan pins: no corpus-grain unpartitioned window ---------------------
 
 
