@@ -572,6 +572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_estimate_error_audit": dedup.minhash_estimate_error_audit,  # signature-agreement estimate vs exact Jaccard per LSH candidate pair
         "multimodal_progressive_jpeg_decode": multimodal.multimodal_progressive_jpeg_decode,  # REAL SOF2 progressive JPEG: spectral-selection scans + EOB-run coding
         "multimodal_adpcm_roundtrip": multimodal.multimodal_adpcm_roundtrip,  # REAL IMA ADPCM compressed audio: encode -> RIFF round-trip -> decode, hash-exact distortion
+        "multimodal_gif_interlaced_decode": multimodal.multimodal_gif_interlaced_decode,  # 4-pass interlaced GIF: de-interlace after LZW; raster == the plain query's
         # --- round-7 front (all green in CORRECTNESS_r07) ---
         "ivfpq_search": similarity.ivfpq_search,  # FULL IVF-PQ: probe-pruned ADC over cell-partitioned posting lists (VERDICT r6 item 1)
         "multimodal_resize": multimodal.multimodal_resize,  # REAL decode + pinned integer nearest-neighbor resample (VERDICT r6 item 2)
@@ -5524,6 +5525,9 @@ SELECT doc_id,
        CAST(pred AS BIGINT) AS final_pred
 FROM adp WHERE i = 128
 """
+
+    # interlacing is pure row reordering -> decoded raster identical
+    d["multimodal_gif_interlaced_decode"] = d["multimodal_gif_decode"]
 
     # curriculum phases/steps == plain NTILE/ROW_NUMBER over the same
     # tie-broken total order (the two-phase machinery is bit-identical)

@@ -308,6 +308,7 @@ HEADLINE = [
     "minhash_estimate_error_audit",
     "multimodal_progressive_jpeg_decode",
     "multimodal_adpcm_roundtrip",
+    "multimodal_gif_interlaced_decode",
 ]
 
 

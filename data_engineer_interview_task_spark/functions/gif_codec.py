@@ -1,18 +1,16 @@
 """Pure-stdlib GIF codec (LZW + struct) — the third REAL image format
 behind the multimodal seam, next to ``png_codec`` and ``jpeg_codec``.
 
-Scope: GIF87a/89a, 8-bit global (or local) color table, single
-non-interlaced image block; 89a extension blocks are skipped by the
+Scope: GIF87a/89a, 8-bit global (or local) color table, single image
+block, interlaced or not; 89a extension blocks are skipped by the
 sub-block walker on decode. The encoder writes GIF87a with a 256-entry
 global table and a standards-compliant LZW stream (LSB-first bit
 packing, code width growth 9→12, CLEAR emitted when the dictionary
 fills — the 4096-entry reset path is exercised by the round-trip test
-on large random rasters). The decoder implements the full LZW decode
-(CLEAR/EOI, the KwKwK case, deferred-clear tolerance) and expands
-indices through the color table to an RGB raster. Interlaced images
-raise ``NotImplementedError`` (the one GIF shape that is pure row
-reordering but absent from every payload this repo manufactures —
-documented, like progressive JPEG).
+on large random rasters), optionally storing scanlines in the 4-pass
+interlace order. The decoder implements the full LZW decode (CLEAR/EOI,
+the KwKwK case, deferred-clear tolerance), de-interlaces flagged
+images, and expands indices through the color table to an RGB raster.
 
 GIF is LOSSLESS, so ``gif_decode(gif_encode(idx, pal)) == expand(idx,
 pal)`` exactly — the oracle for the registered query reconstructs the
@@ -34,24 +32,49 @@ GIF_SIGNATURE = b"GIF8"
 def _build_gif_codec():
     import struct
 
+    def _interlace_rows(height: int) -> list[int]:
+        """GIF's 4-pass interlace row order: rows 0,8,16.. then 4,12..
+        then 2,6,10.. then 1,3,5.. — the storage order of an interlaced
+        image's scanlines."""
+        return (
+            list(range(0, height, 8))
+            + list(range(4, height, 8))
+            + list(range(2, height, 4))
+            + list(range(1, height, 2))
+        )
+
     def gif_encode(
-        indices: bytes, width: int, height: int, palette: bytes
+        indices: bytes,
+        width: int,
+        height: int,
+        palette: bytes,
+        interlace: bool = False,
     ) -> bytes:
         """Serialize 8-bit palette indices (row-major) into a GIF87a
         byte stream with a 256-entry global color table. ``palette``
-        must be exactly 768 bytes of RGB triples."""
+        must be exactly 768 bytes of RGB triples. With ``interlace``
+        the scanlines are stored in the 4-pass order and the image
+        descriptor sets the interlace flag — decode output is
+        identical (interlacing only permutes container row order)."""
         if len(palette) != 768:
             raise ValueError("palette must be 256 RGB triples (768 bytes)")
         if len(indices) != width * height:
             raise ValueError("indices must be width*height bytes")
+        if interlace:
+            rows = _interlace_rows(height)
+            indices = b"".join(
+                indices[r * width : (r + 1) * width] for r in rows
+            )
         out = bytearray()
         out += b"GIF87a"
         # logical screen descriptor: global table, 8-bit color res,
         # table size 2^(7+1) = 256
         out += struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
         out += palette
-        # image descriptor: full-screen, no local table, no interlace
-        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        # image descriptor: full-screen, no local table
+        out += b"\x2c" + struct.pack(
+            "<HHHHB", 0, 0, width, height, 0x40 if interlace else 0
+        )
         min_code = 8
         out.append(min_code)
 
@@ -140,8 +163,6 @@ def _build_gif_codec():
                 n = 2 << (ipacked & 0x07)
                 table = payload[pos : pos + 3 * n]
                 pos += 3 * n
-            if ipacked & 0x40:
-                raise NotImplementedError("interlaced GIF not supported")
             if not table:
                 raise ValueError("image has neither local nor global table")
             min_code = payload[pos]
@@ -211,6 +232,13 @@ def _build_gif_codec():
                 raise ValueError(
                     f"LZW decoded {len(out)} indices for {w}x{h} image"
                 )
+            if ipacked & 0x40:  # de-interlace: undo the 4-pass order
+                ordered = bytearray(w * h)
+                for stored, r in enumerate(_interlace_rows(h)):
+                    ordered[r * w : (r + 1) * w] = out[
+                        stored * w : (stored + 1) * w
+                    ]
+                out = ordered
             rgb = bytearray(w * h * 3)
             for i, idx in enumerate(out):
                 rgb[3 * i : 3 * i + 3] = table[3 * idx : 3 * idx + 3]

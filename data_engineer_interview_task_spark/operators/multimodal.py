@@ -115,9 +115,9 @@ def decode_image(payload: bytes) -> tuple[bytes, int, int, int]:
         return px, w, h, 2
     raise NotImplementedError(
         "only PNG, JPEG (baseline greyscale/4:4:4/4:2:2/4:2:0 color and "
-        "greyscale progressive) and non-interlaced GIF payloads decode "
-        "in this environment (no general codec libs); see fake_decode() "
-        "for the deterministic test double"
+        "greyscale progressive) and GIF (interlaced or not) payloads "
+        "decode in this environment (no general codec libs); see "
+        "fake_decode() for the deterministic test double"
     )
 
 
@@ -1671,6 +1671,58 @@ def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attach_gif_payload(spark, sf_dir).mapInPandas(
         _decode, schema=schema
     )
+
+
+def multimodal_gif_interlaced_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INTERLACED GIF decode — the 4-pass scanline permutation every
+    87a-era progressive renderer used: the encoder stores rows in
+    8/8/4/2-stride pass order with the interlace flag set, and the
+    decoder must de-interlace after the LZW stage. Interlacing is PURE
+    ROW REORDERING, so the decoded raster — and therefore the oracle —
+    is IDENTICAL to the non-interlaced query's: one wrong pass stride
+    or flag read and the hash breaks."""
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("width", LongType()),
+            StructField("height", LongType()),
+            StructField("n_px_bytes", LongType()),
+            StructField("pixel_sha", StringType()),
+        ]
+    )
+    from ..functions.gif_codec import gif_decode, gif_encode
+
+    docs = _spread_docs(
+        spark, read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    pal = GIFPALETTE256
+
+    def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # self-contained closure: both codec halves captured by value
+        import hashlib as _h
+
+        import pandas as _pd
+
+        enc, dec, p = gif_encode, gif_decode, pal
+        for pdf in batches:
+            out = {c: [] for c in (
+                "doc_id", "width", "height", "n_px_bytes", "pixel_sha",
+            )}
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                idx = (_h.md5(t.encode()).hexdigest() * 8).encode("ascii")
+                px, w, h = dec(enc(idx, 16, 16, p, interlace=True))
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_px_bytes"].append(len(px))
+                out["pixel_sha"].append(
+                    _h.sha256(px.hex().encode()).hexdigest()
+                )
+            yield _pd.DataFrame(out)
+
+    return docs.mapInPandas(_roundtrip, schema=schema)
 
 
 def multimodal_thumbnail_grid(

@@ -293,7 +293,31 @@ def test_gif_lzw_dictionary_reset_and_kwkwk():
     assert rgb == b"".join(pal[3 * i : 3 * i + 3] for i in idx)
 
 
-def test_gif_decoder_skips_89a_extensions_and_rejects_interlace():
+def test_gif_interlace_roundtrip_and_pass_order():
+    """Interlaced encode -> decode must equal the plain raster (pure
+    row permutation), the flag must be set, and the stored scanline
+    order must differ from row-major for h > 8 (i.e. the passes are
+    real, not a no-op)."""
+    from data_engineer_interview_task_spark.functions.gif_codec import (
+        gif_decode,
+        gif_encode,
+    )
+
+    pal = _pal256()
+    idx = bytes((i * 31) % 256 for i in range(16 * 16))
+    plain = gif_encode(idx, 16, 16, pal)
+    inter = gif_encode(idx, 16, 16, pal, interlace=True)
+    # packed byte = 0x2C at 781 + 9 trailing descriptor bytes
+    assert inter[6 + 7 + 768 + 9] & 0x40  # descriptor interlace flag
+    assert inter != plain  # stored order genuinely permuted
+    assert gif_decode(inter) == gif_decode(plain)
+    # odd height exercises uneven pass lengths
+    idx2 = bytes((i * 7) % 256 for i in range(10 * 13))
+    assert gif_decode(gif_encode(idx2, 10, 13, pal, interlace=True)) == \
+        gif_decode(gif_encode(idx2, 10, 13, pal))
+
+
+def test_gif_decoder_skips_89a_extensions_and_rejects_non_gif():
     from data_engineer_interview_task_spark.functions.gif_codec import (
         gif_decode,
         gif_encode,
@@ -312,15 +336,6 @@ def test_gif_decoder_skips_89a_extensions_and_rejects_interlace():
     rgb, w, h = gif_decode(with_ext)
     assert (w, h) == (16, 16)
     assert rgb == b"".join(pal[3 * i : 3 * i + 3] for i in idx)
-    # interlace flag set in the image descriptor -> explicit rejection
-    flags_at = img_at + 9
-    interlaced = (
-        payload[:flags_at]
-        + bytes([payload[flags_at] | 0x40])
-        + payload[flags_at + 1 :]
-    )
-    with pytest.raises(NotImplementedError):
-        gif_decode(interlaced)
     with pytest.raises(ValueError):
         gif_decode(b"NOTAGIF!" + payload[8:])
 
