@@ -309,6 +309,7 @@ HEADLINE = [
     "multimodal_progressive_jpeg_decode",
     "multimodal_adpcm_roundtrip",
     "multimodal_gif_interlaced_decode",
+    "multimodal_gif_animation_frames",
 ]
 
 

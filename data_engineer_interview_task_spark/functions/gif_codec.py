@@ -130,6 +130,85 @@ def _build_gif_codec():
         out += b"\x00\x3b"
         return bytes(out)
 
+    def gif_encode_animated(
+        frames: list[bytes], width: int, height: int, palette: bytes
+    ) -> bytes:
+        """Serialize multiple full-frame index rasters into one
+        animated GIF89a: a NETSCAPE2.0 looping application extension,
+        then per frame a graphic-control extension (10 cs delay) and an
+        image block (descriptor + LZW data) — the standard animation
+        layout. Every frame is a full replace (disposal 0)."""
+        if len(palette) != 768:
+            raise ValueError("palette must be 256 RGB triples (768 bytes)")
+        if not frames:
+            raise ValueError("no frames")
+        out = bytearray()
+        out += b"GIF89a"
+        out += struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
+        out += palette
+        # NETSCAPE looping extension (loop forever)
+        out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+        for fr in frames:
+            single = gif_encode(fr, width, height, palette)
+            # reuse the single-image encoder's image block (descriptor
+            # through the data sub-blocks, excluding its trailer)
+            img_at = 6 + 7 + 768
+            out += b"\x21\xf9\x04\x00\x0a\x00\x00\x00"  # GCE: 10cs delay
+            out += single[img_at:-1]  # strip the 0x3b trailer
+        out += b"\x3b"
+        return bytes(out)
+
+    def gif_decode_frames(payload: bytes) -> tuple[list[bytes], int, int]:
+        """Decode EVERY image block of a (possibly animated) GIF into a
+        list of RGB rasters. Single-image streams return one frame, so
+        ``gif_decode`` is frame 0 of this."""
+        frames: list[bytes] = []
+        pos_holder = [0]
+        w = h = None
+        # reuse the single-image walker by iterating: gif_decode stops
+        # after the first image block, so walk blocks here and delegate
+        # the LZW stage through a trimmed single-image payload
+        if payload[:4] != b"GIF8" or payload[4:6] not in (b"7a", b"9a"):
+            raise ValueError("not a GIF87a/89a stream")
+        pos = 6
+        sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, pos)
+        pos += 7
+        gct = b""
+        if packed & 0x80:
+            n = 2 << (packed & 0x07)
+            gct = payload[pos : pos + 3 * n]
+            pos += 3 * n
+        head = payload[:pos]
+        while True:
+            block = payload[pos]
+            if block == 0x3B:
+                break
+            if block == 0x21:  # extension
+                pos += 2
+                while payload[pos]:
+                    pos += 1 + payload[pos]
+                pos += 1
+                continue
+            if block != 0x2C:
+                raise ValueError(f"unknown GIF block 0x{block:02x}")
+            start = pos
+            _l, _t, iw, ih, ipacked = struct.unpack_from(
+                "<HHHHB", payload, pos + 1
+            )
+            pos += 10
+            if ipacked & 0x80:
+                pos += 3 * (2 << (ipacked & 0x07))
+            pos += 1  # LZW min code size
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            rgb, fw, fh = gif_decode(head + payload[start:pos] + b"\x3b")
+            frames.append(rgb)
+            w, h = fw, fh
+        if not frames:
+            raise ValueError("GIF stream has no image block")
+        return frames, w, h
+
     def gif_decode(payload: bytes) -> tuple[bytes, int, int]:
         """Parse a GIF87a/89a stream and return ``(rgb_pixels, width,
         height)`` — indices expanded through the active color table."""
@@ -245,7 +324,12 @@ def _build_gif_codec():
             return bytes(rgb), w, h
         raise ValueError("unreachable")
 
-    return gif_encode, gif_decode
+    return gif_encode, gif_decode, gif_encode_animated, gif_decode_frames
 
 
-gif_encode, gif_decode = _build_gif_codec()
+(
+    gif_encode,
+    gif_decode,
+    gif_encode_animated,
+    gif_decode_frames,
+) = _build_gif_codec()

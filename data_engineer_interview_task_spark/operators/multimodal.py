@@ -1725,6 +1725,66 @@ def multimodal_gif_interlaced_decode(
     return docs.mapInPandas(_roundtrip, schema=schema)
 
 
+def multimodal_gif_animation_frames(
+    spark: SparkSession, sf_dir: str, n_frames: int = 3
+) -> DataFrame:
+    """ANIMATED GIF frame extraction — the real-container video-ish
+    story for GIF (the MJPG seek-skip analog, but with genuine GIF89a
+    animation framing: NETSCAPE loop extension, per-frame
+    graphic-control extensions, one LZW image block per frame). Each
+    document becomes an ``n_frames`` animation whose frame f's indices
+    are the ascii md5 of ``text#f``; the engine decodes EVERY image
+    block back out (``gif_decode_frames``) and emits one row per
+    frame — the 1-in-k fan-out at decode time. The oracle rebuilds each
+    frame's raster arithmetically (GIF is lossless)."""
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("frame_idx", LongType()),
+            StructField("width", LongType()),
+            StructField("height", LongType()),
+            StructField("pixel_sha", StringType()),
+        ]
+    )
+    from ..functions.gif_codec import gif_decode_frames, gif_encode_animated
+
+    docs = _spread_docs(
+        spark, read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    pal = GIFPALETTE256
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # self-contained closure: both codec halves captured by value
+        import hashlib as _h
+
+        import pandas as _pd
+
+        enc, dec, p, k = gif_encode_animated, gif_decode_frames, pal, n_frames
+        for pdf in batches:
+            out = {c: [] for c in (
+                "doc_id", "frame_idx", "width", "height", "pixel_sha",
+            )}
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                frames = [
+                    (_h.md5(f"{t}#{f}".encode()).hexdigest() * 8).encode(
+                        "ascii"
+                    )
+                    for f in range(k)
+                ]
+                rasters, w, h = dec(enc(frames, 16, 16, p))
+                for f, px in enumerate(rasters):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(f)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["pixel_sha"].append(
+                        _h.sha256(px.hex().encode()).hexdigest()
+                    )
+            yield _pd.DataFrame(out)
+
+    return docs.mapInPandas(_frames, schema=schema)
+
+
 def multimodal_thumbnail_grid(
     spark: SparkSession,
     sf_dir: str,
