@@ -574,6 +574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_adpcm_roundtrip": multimodal.multimodal_adpcm_roundtrip,  # REAL IMA ADPCM compressed audio: encode -> RIFF round-trip -> decode, hash-exact distortion
         "multimodal_gif_interlaced_decode": multimodal.multimodal_gif_interlaced_decode,  # 4-pass interlaced GIF: de-interlace after LZW; raster == the plain query's
         "multimodal_gif_animation_frames": multimodal.multimodal_gif_animation_frames,  # animated GIF89a: real NETSCAPE/GCE framing, per-frame LZW decode fan-out
+        "multimodal_progressive_sa_jpeg_decode": multimodal.multimodal_progressive_sa_jpeg_decode,  # DC-band successive approximation: shifted predictors + raw-bit refinement
         # --- round-7 front (all green in CORRECTNESS_r07) ---
         "ivfpq_search": similarity.ivfpq_search,  # FULL IVF-PQ: probe-pruned ADC over cell-partitioned posting lists (VERDICT r6 item 1)
         "multimodal_resize": multimodal.multimodal_resize,  # REAL decode + pinned integer nearest-neighbor resample (VERDICT r6 item 2)
@@ -5443,6 +5444,9 @@ FROM ag g JOIN ex e ON g.doc_a = e.doc_a AND g.doc_b = e.doc_b
     # baseline coefficient array, so the closed-form lossy chain is the
     # baseline decode oracle VERBATIM
     d["multimodal_progressive_jpeg_decode"] = d["multimodal_jpeg_decode"]
+    # DC successive approximation also reconstructs exactly:
+    # (dc >> 1) << 1 | (dc & 1) == dc in two's complement
+    d["multimodal_progressive_sa_jpeg_decode"] = d["multimodal_jpeg_decode"]
 
     # IMA ADPCM encode -> decode round-trip (round 8): the lossy state
     # machine replayed step for step in a 128-deep recursive CTE —

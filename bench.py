@@ -310,6 +310,7 @@ HEADLINE = [
     "multimodal_adpcm_roundtrip",
     "multimodal_gif_interlaced_decode",
     "multimodal_gif_animation_frames",
+    "multimodal_progressive_sa_jpeg_decode",
 ]
 
 

@@ -7,8 +7,9 @@ Scope: baseline sequential JFIF, 8-bit, greyscale (1 component) AND
 interleaved YCbCr color (3 components, 1x1 sampling / 4:4:4), dimensions
 multiples of 8 — plus, since round 8, PROGRESSIVE (SOF2) greyscale with
 spectral selection (multi-scan coefficient accumulation, real EOB-run
-coding; successive approximation stays behind ``ValueError``). The
-DECODER is the general baseline path for those
+coding) and DC-band successive approximation (shifted-domain first
+scan + raw-bit refinement; only AC refinement scans stay behind
+``ValueError``). The DECODER is the general baseline path for those
 shapes — segment parsing (APP/COM skip, DQT, SOF0, DHT, SOS, DRI/RST),
 per-component quantization/Huffman table binding FROM the stream (not
 assumed), a byte-stuffing-aware bit reader, interleaved-MCU entropy
@@ -1062,6 +1063,69 @@ def _build_jpeg_codec():
             + b"\xff\xd9"
         )
 
+    def jpeg_encode_progressive_sa(
+        pixels: bytes, width: int, height: int
+    ) -> bytes:
+        """Progressive greyscale JPEG using SUCCESSIVE APPROXIMATION on
+        the DC band on top of spectral selection: scan 1 sends DC at
+        reduced precision (Al=1 — the point transform is an arithmetic
+        shift, predictors chain in the shifted domain), scan 2 is a DC
+        REFINEMENT (Ah=1, Al=0: one raw bit per block), then the two AC
+        band scans. ``(dc >> 1) << 1 | (dc & 1)`` reconstructs DC
+        exactly in two's complement, so the decoded raster is still
+        bit-identical to baseline."""
+        if width % 8 or height % 8:
+            raise ValueError("dimensions must be multiples of 8")
+        if len(pixels) != width * height:
+            raise ValueError("pixel buffer does not match dimensions")
+        full = jpeg_encode_progressive(pixels, width, height)
+        dc_codes = _huff_codes(*_DC_SPEC)
+        blocks = []
+        for by in range(height // 8):
+            for bx in range(width // 8):
+                blk = [
+                    pixels[(by * 8 + y) * width + bx * 8 + x] - 128
+                    for y in range(8)
+                    for x in range(8)
+                ]
+                blocks.append(_fdct_quant(blk, _QTAB))
+        # scan 1: DC at Al=1 (predictors chain over the SHIFTED values)
+        bw = _BitWriter()
+        prev = 0
+        for qc in blocks:
+            v = qc[0] >> 1  # arithmetic shift = the DC point transform
+            diff = v - prev
+            prev = v
+            t = abs(diff).bit_length()
+            code, ln = dc_codes[t]
+            bw.write(code, ln)
+            if t:
+                bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        dc_first = bw.flush()
+        # scan 2: DC refinement — the raw Al=0 bit per block
+        bw = _BitWriter()
+        for qc in blocks:
+            bw.write(qc[0] & 1, 1)
+        dc_refine = bw.flush()
+
+        def sos(ss: int, se: int, ah: int, al: int) -> bytes:
+            return _seg(0xFFDA, bytes([1, 1, 0, ss, se, (ah << 4) | al]))
+
+        # reuse the spectral-selection stream's headers and AC scans:
+        # everything from SOI through DHT, then our two DC scans, then
+        # the original AC scans (split on the first SOS)
+        first_sos = full.index(b"\xff\xda")
+        headers = full[:first_sos]
+        # the original DC scan is the first SOS; AC scans follow
+        after_dc = full.index(b"\xff\xda", first_sos + 2)
+        ac_scans = full[after_dc:]  # includes the EOI trailer
+        return (
+            headers
+            + sos(0, 0, 0, 1) + dc_first
+            + sos(0, 0, 1, 0) + dc_refine
+            + ac_scans
+        )
+
     def jpeg_decode_progressive(payload: bytes) -> tuple[bytes, int, int]:
         """Decode a PROGRESSIVE (SOF2) greyscale JPEG with spectral
         selection: multiple SOS scans accumulate each block's quantized
@@ -1135,20 +1199,32 @@ def _build_jpeg_codec():
                                      "unsupported")
                 tsel = body[2]
                 ss, se, ahal = body[3], body[4], body[5]
-                if ahal != 0:
-                    raise ValueError("successive approximation unsupported")
+                ah, al = ahal >> 4, ahal & 0x0F
                 br = _BitReader(payload, pos + 2 + ln)
-                if ss == 0:  # DC scan
+                if ss == 0:  # DC scan (first or refinement)
                     if se != 0:
                         raise ValueError("DC scan must have Se = 0")
-                    dct = htabs[(0, tsel >> 4)]
-                    pred = 0
-                    for blk in coeffs:
-                        t = _decode_huff(br, dct)
-                        if t:
-                            pred += _extend(br.bits(t), t)
-                        blk[0] = pred
-                else:  # AC band scan
+                    if ah == 0:  # first: predictors chain in the
+                        # SHIFTED domain; store the full-domain approx
+                        dct = htabs[(0, tsel >> 4)]
+                        pred = 0
+                        for blk in coeffs:
+                            t = _decode_huff(br, dct)
+                            if t:
+                                pred += _extend(br.bits(t), t)
+                            blk[0] = pred << al
+                    else:  # refinement: one raw bit per block at Al
+                        if ah != al + 1:
+                            raise ValueError(
+                                "DC refinement must step one bit (Ah=Al+1)"
+                            )
+                        for blk in coeffs:
+                            blk[0] |= br.bits(1) << al
+                elif ah != 0:
+                    raise ValueError(
+                        "AC successive-approximation refinement unsupported"
+                    )
+                else:  # AC band first scan (values arrive at level Al)
                     act = htabs[(1, tsel & 0x0F)]
                     eobrun = 0
                     for blk in coeffs:
@@ -1169,7 +1245,7 @@ def _build_jpeg_codec():
                             zz += r
                             if zz > se:
                                 raise ValueError("AC run past band end")
-                            blk[_ZZ[zz]] = _extend(br.bits(t), t)
+                            blk[_ZZ[zz]] = _extend(br.bits(t), t) << al
                             zz += 1
                 # resync to the next marker: drop partial bits, then
                 # skip stuffed 0xFF00 pairs / fill bytes
@@ -1202,6 +1278,7 @@ def _build_jpeg_codec():
         jpeg_encode_color_420,
         jpeg_encode_color_422,
         jpeg_encode_progressive,
+        jpeg_encode_progressive_sa,
         jpeg_decode_progressive,
     )
 
@@ -1214,5 +1291,6 @@ def _build_jpeg_codec():
     jpeg_encode_color_420,
     jpeg_encode_color_422,
     jpeg_encode_progressive,
+    jpeg_encode_progressive_sa,
     jpeg_decode_progressive,
 ) = _build_jpeg_codec()

@@ -1562,6 +1562,68 @@ def multimodal_adpcm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(_roundtrip, schema=schema)
 
 
+def multimodal_progressive_sa_jpeg_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Progressive JPEG with SUCCESSIVE APPROXIMATION on the DC band
+    (four scans: DC at Al=1 with shifted-domain predictors, a raw-bit
+    DC refinement, then the two AC band scans) — the
+    ``multimodal_progressive_jpeg_decode`` fixture with the SA encoder.
+    ``(dc >> 1) << 1 | (dc & 1)`` reconstructs DC exactly, so the
+    oracle stays the baseline closed-form chain verbatim; a wrong
+    refinement-bit placement or shifted-domain predictor breaks it."""
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("width", LongType()),
+            StructField("height", LongType()),
+            StructField("n_px_bytes", LongType()),
+            StructField("pixel_sha", StringType()),
+        ]
+    )
+    from ..functions.jpeg_codec import (
+        jpeg_decode_progressive,
+        jpeg_encode_progressive_sa,
+    )
+
+    docs = _spread_docs(
+        spark, read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+    def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # self-contained closure: both codec halves captured by value
+        import hashlib as _h
+
+        import pandas as _pd
+
+        enc, dec = jpeg_encode_progressive_sa, jpeg_decode_progressive
+        for pdf in batches:
+            out = {c: [] for c in (
+                "doc_id", "width", "height", "n_px_bytes", "pixel_sha",
+            )}
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                d = _h.md5(t.encode()).digest()
+                px = bytearray(16 * 16)
+                for by in range(2):
+                    for bx in range(2):
+                        v = d[by * 2 + bx]
+                        for y in range(8):
+                            base = (by * 8 + y) * 16 + bx * 8
+                            for x in range(8):
+                                px[base + x] = v
+                raster, w, h = dec(enc(bytes(px), 16, 16))
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_px_bytes"].append(len(raster))
+                out["pixel_sha"].append(
+                    _h.sha256(raster.hex().encode()).hexdigest()
+                )
+            yield _pd.DataFrame(out)
+
+    return docs.mapInPandas(_roundtrip, schema=schema)
+
+
 #: 256-entry GIF global color table: index i -> (i, 7i mod 256,
 #: 13i mod 256) — a full-size table (min LZW code size 8), unlike the
 #: 16-entry PNG palette, so the GIF path exercises 9..12-bit codes.

@@ -376,6 +376,38 @@ def test_progressive_jpeg_equals_baseline_raster():
     ) == jpeg_decode(jpeg_encode(bytes(mixed), 64, 64))
 
 
+def test_progressive_sa_jpeg_equals_baseline_and_guards():
+    """DC-band successive approximation: four scans, exact DC
+    reconstruction ((dc >> 1) << 1 | (dc & 1)), so the raster equals
+    baseline; an AC refinement scan stays rejected."""
+    import random
+
+    from data_engineer_interview_task_spark.functions.jpeg_codec import (
+        jpeg_decode,
+        jpeg_decode_progressive,
+        jpeg_encode,
+        jpeg_encode_progressive_sa,
+    )
+
+    rng = random.Random(11)
+    for w, h in [(16, 16), (32, 24)]:
+        px = bytes(rng.randrange(256) for _ in range(w * h))
+        sa = jpeg_encode_progressive_sa(px, w, h)
+        assert sa.count(b"\xff\xda") == 4
+        assert jpeg_decode_progressive(sa) == jpeg_decode(
+            jpeg_encode(px, w, h)
+        )
+    # patch an AC scan header into a refinement (Ah=1) -> rejection
+    sa = jpeg_encode_progressive_sa(bytes(256), 16, 16)
+    # the third SOS is the first AC scan; its AhAl byte is the 6th of
+    # the SOS payload
+    i = sa.index(b"\xff\xda", sa.index(b"\xff\xda", sa.index(b"\xff\xda") + 2) + 2)
+    ahal_at = i + 2 + 2 + 5  # marker(2) + len(2) + ns,comp,tbl,Ss,Se
+    patched = sa[:ahal_at] + b"\x10" + sa[ahal_at + 1 :]
+    with pytest.raises(ValueError):
+        jpeg_decode_progressive(patched)
+
+
 def test_progressive_jpeg_dispatch_and_guards():
     from data_engineer_interview_task_spark.functions.jpeg_codec import (
         jpeg_decode,
