@@ -575,6 +575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_gif_interlaced_decode": multimodal.multimodal_gif_interlaced_decode,  # 4-pass interlaced GIF: de-interlace after LZW; raster == the plain query's
         "multimodal_gif_animation_frames": multimodal.multimodal_gif_animation_frames,  # animated GIF89a: real NETSCAPE/GCE framing, per-frame LZW decode fan-out
         "multimodal_progressive_sa_jpeg_decode": multimodal.multimodal_progressive_sa_jpeg_decode,  # DC-band successive approximation: shifted predictors + raw-bit refinement
+        "dsir_resample_corpus": sampling.dsir_resample_corpus,  # DSIR end-to-end: rank-based importance resampling (top 25% target-like docs)
         # --- round-7 front (all green in CORRECTNESS_r07) ---
         "ivfpq_search": similarity.ivfpq_search,  # FULL IVF-PQ: probe-pruned ADC over cell-partitioned posting lists (VERDICT r6 item 1)
         "multimodal_resize": multimodal.multimodal_resize,  # REAL decode + pinned integer nearest-neighbor resample (VERDICT r6 item 2)
@@ -5553,6 +5554,21 @@ SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
        CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
        sha256(repeat(row32, 8)) AS pixel_sha
 FROM hexes
+"""
+
+    # DSIR end-to-end: the scoring oracle composed verbatim, rank
+    # selection == ROW_NUMBER over the same tie-broken order
+    d["dsir_resample_corpus"] = f"""
+WITH sc AS (SELECT * FROM ({d["dsir_importance_weights"]}) s),
+r AS (
+  SELECT doc_id, n_tokens, dsir_bits,
+         CAST(ROW_NUMBER() OVER (ORDER BY dsir_bits DESC, doc_id ASC)
+              AS BIGINT) AS sel_rank
+  FROM sc
+),
+n AS (SELECT COUNT(*) AS n_docs FROM sc)
+SELECT doc_id, n_tokens, dsir_bits, sel_rank
+FROM r, n WHERE sel_rank <= n.n_docs * 25 // 100
 """
 
     # curriculum phases/steps == plain NTILE/ROW_NUMBER over the same

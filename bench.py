@@ -311,6 +311,7 @@ HEADLINE = [
     "multimodal_gif_interlaced_decode",
     "multimodal_gif_animation_frames",
     "multimodal_progressive_sa_jpeg_decode",
+    "dsir_resample_corpus",
 ]
 
 

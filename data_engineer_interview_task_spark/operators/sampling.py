@@ -871,6 +871,40 @@ def curriculum_order_assignment(
     )
 
 
+def dsir_resample_corpus(
+    spark: SparkSession, sf_dir: str, keep_pct: int = 25
+) -> DataFrame:
+    """DSIR END-TO-END: importance scoring composed into the actual
+    corpus-tilting SELECTION — keep the top ``keep_pct`` percent of
+    documents by target-likeness (:func:`dsir_importance_weights`'s
+    integer log-ratio, tie-broken by doc_id), the deterministic
+    rank-based form of importance resampling (rank selection keeps the
+    whole pipeline hash-exact where exponentiated-weight sampling
+    cannot be). Emits the selected docs with their selection rank.
+
+    Shape: the score frame ranks through :func:`two_phase_cumsum` —
+    no single-task sort even at corpus grain; the cutoff
+    ``k = n * keep_pct DIV 100`` comes from one count aggregate."""
+    from .relational import two_phase_cumsum
+
+    scores = dsir_importance_weights(spark, sf_dir).select(
+        "doc_id", "n_tokens", "dsir_bits"
+    )
+    k = scores.count() * keep_pct // 100
+    ranked = two_phase_cumsum(
+        scores,
+        [F.col("dsir_bits").desc(), F.col("doc_id").asc()],
+        F.lit(1),
+        "sel_rank",
+    )
+    return ranked.filter(F.col("sel_rank") <= k).select(
+        "doc_id",
+        "n_tokens",
+        "dsir_bits",
+        F.col("sel_rank").cast("long").alias("sel_rank"),
+    )
+
+
 def eb_shrunk_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EMPIRICAL-BAYES shrinkage of per-source quality rates — the
     classic small-sample curation scorer: a source's observed pass rate
