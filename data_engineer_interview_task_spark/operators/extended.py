@@ -1512,30 +1512,35 @@ def customer_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     same math as revenue skew here).
 
     Shape: the corpus reduces to one row per customer (partial-agg);
-    the ordered cumulative windows run over that reduced frame (range-
-    partitionable by revenue at extreme customer counts). Exactness:
-    revenue stays integer CENTS through the cumsum; shares are single
-    IEEE divisions; the ordering tie-break (revenue desc, custkey asc)
-    is total.
+    customer grain is still UNBOUNDED (~15M at sf100), so the ordered
+    cumulative sum and the rank run through
+    :func:`relational.two_phase_cumsum` (VERDICT r8 item 1) — range-
+    repartition on (rev_cents desc, custkey asc), window WITHIN each
+    range partition, broadcast prefix offsets; the customer/revenue
+    totals ride the same materialized partition frame (``totals=``), so
+    the whole curve is one base scan with NO single-task global sort.
+    Exactness: revenue stays integer CENTS through the cumsum; shares
+    are single IEEE divisions; the ordering tie-break (revenue desc,
+    custkey asc) is total — every tie group is a singleton, the
+    two-phase precondition.
     """
+    from .relational import two_phase_cumsum
+
     orders = read_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
         F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
         .alias("rev_cents")
     )
-    totals = per_cust.agg(
-        F.count(F.lit(1)).alias("n_cust"), F.sum("rev_cents").alias("tot_cents")
-    )
-    w = (
-        Window.orderBy(F.col("rev_cents").desc(), F.col("o_custkey").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = (
-        per_cust.withColumn("cum_cents", F.sum("rev_cents").over(w))
-        .withColumn("rank", F.row_number().over(
-            Window.orderBy(F.col("rev_cents").desc(), F.col("o_custkey").asc())
-        ))
-        .crossJoin(F.broadcast(totals))
+    cum = two_phase_cumsum(
+        per_cust,
+        [F.col("rev_cents").desc(), F.col("o_custkey").asc()],
+        F.col("rev_cents"),
+        "cum_cents",
+        extra=((F.lit(1), "rank"),),
+        totals=(
+            (F.count(F.lit(1)), "n_cust"),
+            (F.sum("rev_cents"), "tot_cents"),
+        ),
     )
     return cum.select(
         "o_custkey",

@@ -1087,6 +1087,32 @@ def data_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
      .unionAll(orphans.select("check", F.col("n_violations").cast("long")))
 
 
+def _skew_ranked_counts(counts: DataFrame) -> DataFrame:
+    """Shared ranking stage of the two skew reports: global row number
+    over the key-counts frame under the total order (cnt ASC, key DESC)
+    plus the frame totals (n_keys, n_rows) — all through
+    :func:`relational.two_phase_cumsum` (VERDICT r8 item 1). The counts
+    frame is JOIN-KEY grain (hundreds of millions of distinct keys at
+    100 TB), so the old single global ``row_number`` window was a
+    one-task sort; the two-phase pass range-partitions on the sort key
+    and numbers within each partition in parallel. The totals ride the
+    SAME materialized partition frame (``totals=``), preserving the
+    one-scan-per-relation discipline the old unbounded-window columns
+    bought — no second base-table scan, no global window at all."""
+    from .relational import two_phase_cumsum
+
+    return two_phase_cumsum(
+        counts,
+        [F.col("cnt").asc(), F.col("k").desc()],
+        F.lit(1),
+        "rn",
+        totals=(
+            (F.count(F.lit(1)).cast("long"), "n_keys"),
+            (F.sum("cnt").cast("long"), "n_rows"),
+        ),
+    )
+
+
 def shuffle_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key SKEW diagnostics — the pre-flight audit a 100 TB shuffle
     plan runs before picking a strategy: for each audited (relation,
@@ -1104,13 +1130,12 @@ def shuffle_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Everything is integer (ceil via ``(a + b - 1) DIV b``; percentiles
     are the ``orders_percentile_ladder`` rank convention) so the report
     is bit-identical across engines. Plan: per relation one map-side
-    combined groupBy(key) count, then a single window over the
+    combined groupBy(key) count, then the shared
+    :func:`_skew_ranked_counts` two-phase numbering over the
     AGGREGATE-sized counts table (n_keys rows, not n_rows) ordered
     (cnt ASC, key DESC) — one probe filter serves p50, p99 and the
-    max/argmin-key row; no second sort, nothing collected. When even the
-    counts table is too big for one sort task (billions of keys), swap
-    the window for the ``global_row_numbers`` two-level numbering — the
-    report's semantics don't change."""
+    max/argmin-key row; no single-task global sort at any key
+    cardinality, nothing collected."""
     specs = [
         ("lineitem", "l_partkey"),
         ("orders", "o_custkey"),
@@ -1124,18 +1149,8 @@ def shuffle_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
         # (cnt ASC, key DESC): the LAST rank is the max-cnt row with the
-        # SMALLEST key among ties — max and its argmin-key in one window.
-        # Totals ride the SAME sorted frame as unbounded-window columns
-        # (one base-table scan; a separate aggregate would re-scan it)
-        w = Window.orderBy(F.col("cnt").asc(), F.col("k").desc())
-        wall = Window.partitionBy()
-        ranked = counts.select(
-            "k",
-            "cnt",
-            F.row_number().over(w).alias("rn"),
-            F.count(F.lit(1)).over(wall).cast("long").alias("n_keys"),
-            F.sum("cnt").over(wall).cast("long").alias("n_rows"),
-        ).select(
+        # SMALLEST key among ties — max and its argmin-key in one pass.
+        ranked = _skew_ranked_counts(counts).select(
             "*",
             F.expr("(50 * n_keys + 99) DIV 100").alias("t50"),
             F.expr("(99 * n_keys + 99) DIV 100").alias("t99"),
@@ -1208,9 +1223,10 @@ def shuffle_skew_report_composite(
     same total order on both engines — keys here are digits and ASCII
     enum values), and ``hot_key`` is emitted in that form. Same
     one-scan-per-relation shape as the single-key report: per relation
-    a map-side-combined count over the projected key columns, then one
-    window over the aggregate-sized counts frame carrying the totals as
-    unbounded-frame columns."""
+    a map-side-combined count over the projected key columns, then the
+    shared :func:`_skew_ranked_counts` two-phase numbering (no
+    single-task global sort; totals ride the materialized partition
+    frame)."""
     specs: list[tuple[str, tuple[str, ...]]] = [
         ("orders", ("o_custkey", "o_orderpriority")),
         ("lineitem", ("l_suppkey", "l_returnflag")),
@@ -1227,15 +1243,7 @@ def shuffle_skew_report_composite(
             .groupBy("k")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
-        w = Window.orderBy(F.col("cnt").asc(), F.col("k").desc())
-        wall = Window.partitionBy()
-        ranked = counts.select(
-            "k",
-            "cnt",
-            F.row_number().over(w).alias("rn"),
-            F.count(F.lit(1)).over(wall).cast("long").alias("n_keys"),
-            F.sum("cnt").over(wall).cast("long").alias("n_rows"),
-        ).select(
+        ranked = _skew_ranked_counts(counts).select(
             "*",
             F.expr("(50 * n_keys + 99) DIV 100").alias("t50"),
             F.expr("(99 * n_keys + 99) DIV 100").alias("t99"),
@@ -1344,9 +1352,10 @@ def dataset_card_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ``median_doc_chars`` is an exact order statistic computed at VALUE
     grain (counts per n_chars + running sum — the percentile-ladder
-    shape), never a row-grain global sort. One scan per contributing
-    table (documents, events, orders), each map-side combined to a
-    handful of rows."""
+    shape, through :func:`relational.two_phase_cumsum` so even the
+    value-grain frame never needs a single-task sort), never a
+    row-grain global sort. One scan per contributing table (documents,
+    events, orders), each map-side combined to a handful of rows."""
     docs = read_table(spark, sf_dir, "documents")
     events = read_table(spark, sf_dir, "events")
     orders = read_table(spark, sf_dir, "orders")
@@ -1357,16 +1366,16 @@ def dataset_card_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("lang").alias("n_langs"),
         F.sum("n_chars").alias("total_chars"),
     )
+    from .relational import two_phase_cumsum
+
     ch = docs.groupBy("n_chars").agg(F.count(F.lit(1)).alias("c"))
-    wc = Window.orderBy(F.col("n_chars").asc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    wall = Window.partitionBy()
     med = (
-        ch.select(
-            "n_chars",
-            F.sum("c").over(wc).alias("cum"),
-            F.sum("c").over(wall).alias("n"),
+        two_phase_cumsum(
+            ch,
+            [F.col("n_chars").asc()],
+            F.col("c"),
+            "cum",
+            totals=((F.sum("c"), "n"),),
         )
         .filter(F.col("cum") >= F.expr("(50 * n + 99) DIV 100"))
         .agg(F.min("n_chars").alias("median_doc_chars"))

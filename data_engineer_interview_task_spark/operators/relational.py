@@ -1166,6 +1166,8 @@ def two_phase_cumsum(
     out_name: str,
     part_cols: tuple = (),
     n_parts: int = 8,
+    extra: tuple = (),
+    totals: tuple = (),
 ) -> DataFrame:
     """Cumulative sum over a (grouped) total order with NO single-task /
     low-cardinality global sort — the ``global_row_numbers`` two-phase
@@ -1193,8 +1195,19 @@ def two_phase_cumsum(
     ``repartitionByRange`` SAMPLES its boundaries, and two evaluations
     over a multi-file input can draw different boundaries, silently
     misaligning offsets against local running sums (the documented
-    ``global_row_numbers`` lesson, caught at sf1)."""
+    ``global_row_numbers`` lesson, caught at sf1).
+
+    ``extra``: additional ``(val, out_name)`` running aggregates over
+    the SAME order, computed in the same pass (one repartition, one
+    in-partition window, one offsets broadcast — adjacent same-spec
+    window projections collapse into one physical Window operator).
+    ``totals``: ``(agg_expr, out_name)`` whole-frame (per ``part_cols``
+    group) aggregates computed FROM THE MATERIALIZED partition frame —
+    so callers that previously carried totals as unbounded-window
+    columns "to stay one scan" keep the one-base-scan property without
+    any global window (the aggregate reads the checkpointed blocks)."""
     part_cols = list(part_cols)
+    vals = [(val, out_name)] + list(extra)
     parts = (
         df.repartitionByRange(n_parts, *(part_cols + order_cols))
         .withColumn("_pid", F.spark_partition_id())
@@ -1205,7 +1218,9 @@ def two_phase_cumsum(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = parts.withColumn("_loc", F.sum(val).over(w_in))
+    local = parts
+    for i, (v, _) in enumerate(vals):
+        local = local.withColumn(f"_loc{i}", F.sum(v).over(w_in))
     off_w = (
         Window.partitionBy(*part_cols)
         .orderBy(F.col("_pid").asc())
@@ -1213,18 +1228,34 @@ def two_phase_cumsum(
     )
     offsets = (
         parts.groupBy("_pid", *part_cols)
-        .agg(F.sum(val).alias("_s"))
+        .agg(*[F.sum(v).alias(f"_s{i}") for i, (v, _) in enumerate(vals)])
         .select(
             "_pid",
             *part_cols,
-            (F.sum("_s").over(off_w) - F.col("_s")).alias("_off"),
+            *[
+                (F.sum(f"_s{i}").over(off_w) - F.col(f"_s{i}")).alias(
+                    f"_off{i}"
+                )
+                for i in range(len(vals))
+            ],
         )
     )
-    return (
-        local.join(F.broadcast(offsets), ["_pid"] + part_cols)
-        .withColumn(out_name, F.col("_loc") + F.col("_off"))
-        .drop("_pid", "_loc", "_off")
+    out = local.join(F.broadcast(offsets), ["_pid"] + part_cols)
+    for i, (_, name) in enumerate(vals):
+        out = out.withColumn(name, F.col(f"_loc{i}") + F.col(f"_off{i}"))
+    out = out.drop(
+        "_pid",
+        *[f"_loc{i}" for i in range(len(vals))],
+        *[f"_off{i}" for i in range(len(vals))],
     )
+    if totals:
+        aggs = [a.alias(n) for a, n in totals]
+        if part_cols:
+            tot = parts.groupBy(*part_cols).agg(*aggs)
+            out = out.join(F.broadcast(tot), part_cols)
+        else:
+            out = out.crossJoin(F.broadcast(parts.agg(*aggs)))
+    return out
 
 
 def _two_phase_ntile(

@@ -334,11 +334,21 @@ def quality_threshold_for_budget(
     kept tokens first reach the budget.
 
     Scale shape: per-doc scoring is map-only; the CDF groupBy reduces the
-    corpus to |distinct scores| rows BEFORE the ordered window, so the
-    global cumulative sum runs over the reduced set (range-partitionable
-    by score at extreme cardinalities) — never over the corpus. The budget
-    scalar is one broadcast row. All masses are exact BIGINTs.
+    corpus to |distinct scores| rows BEFORE the cumulative pass — but
+    score grain approaches DOC count on a real corpus (ratio doubles),
+    so the two running sums go through
+    :func:`relational.two_phase_cumsum` (VERDICT r8 item 1): range-
+    repartition on score desc, window within each range partition,
+    broadcast prefix offsets — no single-task global sort at any score
+    cardinality. Scores are distinct after the groupBy (tie groups are
+    singletons, the two-phase precondition), and the budget scalar
+    derives from the SAME materialized partition frame
+    (sum-of-per-score-tokens == corpus tokens), so the second corpus
+    scan the old separate aggregate paid is gone too. All masses are
+    exact BIGINTs.
     """
+    from .relational import two_phase_cumsum
+
     docs = read_table(spark, sf_dir, "documents").withColumn(
         "toks", F.split(F.col("text"), " ")
     )
@@ -351,17 +361,18 @@ def quality_threshold_for_budget(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_toks").alias("n_tokens"),
     )
-    total = scored.agg(
-        F.expr(f"sum(n_toks) * {budget_tenths} DIV 10").alias("budget")
-    )
-    w = (
-        Window.orderBy(F.col("score").desc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cdf = (
-        per_score.withColumn("cum_docs", F.sum("n_docs").over(w))
-        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
-        .crossJoin(F.broadcast(total))
+    cdf = two_phase_cumsum(
+        per_score,
+        [F.col("score").desc()],
+        F.col("n_docs"),
+        "cum_docs",
+        extra=((F.col("n_tokens"), "cum_tokens"),),
+        totals=(
+            (
+                F.expr(f"sum(n_tokens) * {budget_tenths} DIV 10"),
+                "budget",
+            ),
+        ),
     )
     return cdf.select(
         "score",

@@ -1,0 +1,139 @@
+"""Round-9 property tests.
+
+1. Plan pins for the five de-weakened queries (VERDICT r8 item 1 + 6):
+   no unbounded-grain global-window sort survives in
+   ``customer_revenue_pareto``, ``shuffle_skew_report`` (both
+   variants), ``quality_threshold_for_budget``, ``vocab_coverage``, or
+   ``dataset_card_report`` — every remaining window is _pid-scoped
+   (the two-phase in-partition pass) or runs on the n_parts-row offset
+   frame, and the vocab top-k is a TakeOrderedAndProject.
+2. The ``two_phase_cumsum`` generalization (``extra=``/``totals=``):
+   multi-aggregate single-pass output must be bit-identical to the
+   built-in global windows and a plain aggregate.
+"""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from data_engineer_interview_task_spark.operators.relational import (
+    two_phase_cumsum,
+)
+from data_engineer_interview_task_spark.plans import explain_str
+
+
+def _window_lines(plan: str):
+    return [
+        ln for ln in plan.splitlines() if "windowspecdefinition(" in ln
+    ]
+
+
+def test_pareto_plan_has_no_global_sort_window(spark, sf_dir):
+    from data_engineer_interview_task_spark.operators import extended
+
+    plan = explain_str(extended.customer_revenue_pareto(spark, sf_dir))
+    for ln in _window_lines(plan):
+        assert "_pid" in ln, f"customer-grain global window: {ln}"
+
+
+@pytest.mark.parametrize("variant", ["single", "composite"])
+def test_skew_report_plan_has_no_global_sort_window(spark, sf_dir, variant):
+    from data_engineer_interview_task_spark.operators import maintenance
+
+    fn = (
+        maintenance.shuffle_skew_report
+        if variant == "single"
+        else maintenance.shuffle_skew_report_composite
+    )
+    plan = explain_str(fn(spark, sf_dir))
+    for ln in _window_lines(plan):
+        assert "_pid" in ln, f"key-grain global window: {ln}"
+
+
+def test_quality_threshold_plan_has_no_global_sort_window(spark, sf_dir):
+    from data_engineer_interview_task_spark.operators import sampling
+
+    plan = explain_str(sampling.quality_threshold_for_budget(spark, sf_dir))
+    for ln in _window_lines(plan):
+        assert "_pid" in ln, f"score-grain global window: {ln}"
+
+
+def test_vocab_coverage_plan_uses_take_ordered(spark, sf_dir):
+    from data_engineer_interview_task_spark.operators import text
+
+    plan = explain_str(text.vocab_coverage(spark, sf_dir))
+    assert "windowspecdefinition" not in plan, "vocab-grain rank window"
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_dataset_card_plan_has_no_global_sort_window(spark, sf_dir):
+    from data_engineer_interview_task_spark.operators import maintenance
+
+    plan = explain_str(maintenance.dataset_card_report(spark, sf_dir))
+    for ln in _window_lines(plan):
+        assert "_pid" in ln, f"value-grain global window: {ln}"
+
+
+# --- two_phase_cumsum extra=/totals= generalization ----------------------
+
+
+@pytest.mark.parametrize("n_parts", [1, 3, 8])
+def test_two_phase_extra_and_totals_match_builtin(spark, n_parts):
+    rows = [(i, (i * 37) % 101, (i * 13) % 7 + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, key long, w long")
+    order = [F.col("key").asc(), F.col("id").asc()]
+    got = (
+        two_phase_cumsum(
+            df,
+            order,
+            F.col("w"),
+            "cum_w",
+            n_parts=n_parts,
+            extra=((F.lit(1), "rk"), (F.col("id"), "cum_id")),
+            totals=(
+                (F.count(F.lit(1)).cast("long"), "n"),
+                (F.sum("w"), "tot_w"),
+            ),
+        )
+        .orderBy("id")
+        .collect()
+    )
+    w = Window.orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    exp = (
+        df.select(
+            "id",
+            F.sum("w").over(w).alias("cum_w"),
+            F.row_number().over(Window.orderBy(*order)).alias("rk"),
+            F.sum("id").over(w).alias("cum_id"),
+        )
+        .orderBy("id")
+        .collect()
+    )
+    tot_w = sum(r[2] for r in rows)
+    for g, e in zip(got, exp):
+        assert (g["id"], g["cum_w"], g["rk"], g["cum_id"]) == (
+            e["id"], e["cum_w"], e["rk"], e["cum_id"],
+        )
+        assert g["n"] == 500 and g["tot_w"] == tot_w
+
+
+def test_two_phase_grouped_totals_are_per_group(spark):
+    rows = [(i, i % 3, i % 5 + 1) for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, g long, w long")
+    got = two_phase_cumsum(
+        df,
+        [F.col("id").asc()],
+        F.col("w"),
+        "cum",
+        part_cols=("g",),
+        n_parts=4,
+        totals=((F.sum("w"), "tot"),),
+    ).collect()
+    exp_tot = {}
+    for i, g, w_ in rows:
+        exp_tot[g] = exp_tot.get(g, 0) + w_
+    for r in got:
+        assert r["tot"] == exp_tot[r["g"]]
