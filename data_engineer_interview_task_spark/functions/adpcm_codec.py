@@ -76,9 +76,18 @@ def _build_adpcm_codec():
     def adpcm_encode_wav(samples: list[int]) -> bytes:
         """Encode mono 16-bit PCM samples into a single-block IMA ADPCM
         WAV. The first sample is stored raw in the block header (it IS
-        the first decoded sample); the rest quantize to 4-bit codes."""
+        the first decoded sample); the rest quantize to 4-bit codes.
+
+        SINGLE-BLOCK contract: the fmt chunk's samples-per-block field
+        is u16, so at most 65535 samples fit one block (ADVICE r8 —
+        guard explicitly instead of an opaque struct.error)."""
         if not samples:
             raise ValueError("empty sample list")
+        if len(samples) > 0xFFFF:
+            raise ValueError(
+                "single-block IMA ADPCM holds at most 65535 samples "
+                f"(got {len(samples)}); samples-per-block is u16"
+            )
         n = len(samples)
         pred, idx = samples[0], 0
         nibbles = []

@@ -895,19 +895,24 @@ def dsir_resample_corpus(
 
     Shape: the score frame ranks through :func:`two_phase_cumsum` —
     no single-task sort even at corpus grain; the cutoff
-    ``k = n * keep_pct DIV 100`` comes from one count aggregate."""
+    ``k = n * keep_pct DIV 100`` derives from the SAME materialized
+    partition frame (``totals=``), so the corpus-scale scoring pipeline
+    (explode + two vocab aggregates + doc aggregate) executes exactly
+    ONCE per invocation — the old driver-side ``scores.count()`` ran it
+    a second time before the rank pass (ADVICE r8)."""
     from .relational import two_phase_cumsum
 
     scores = dsir_importance_weights(spark, sf_dir).select(
         "doc_id", "n_tokens", "dsir_bits"
     )
-    k = scores.count() * keep_pct // 100
     ranked = two_phase_cumsum(
         scores,
         [F.col("dsir_bits").desc(), F.col("doc_id").asc()],
         F.lit(1),
         "sel_rank",
+        totals=((F.count(F.lit(1)).cast("long"), "_n"),),
     )
+    k = F.expr(f"_n * {int(keep_pct)} DIV 100")
     return ranked.filter(F.col("sel_rank") <= k).select(
         "doc_id",
         "n_tokens",

@@ -154,13 +154,26 @@ def materialized(
                 writer.parquet(tmp)
                 with open(os.path.join(tmp, _MARKER), "w") as fh:
                     fh.write(repr(full_key))
+                # Rename FIRST; only clear the target when the rename
+                # fails AND the target still lacks its marker (a torn
+                # dir from a dead process). The old check-rmtree-rename
+                # order could delete a concurrent process's artifact
+                # that completed between the check and the rmtree
+                # (ADVICE r8 — a narrow availability race).
                 try:
-                    if os.path.exists(path):
-                        shutil.rmtree(path, ignore_errors=True)  # torn dir
                     os.rename(tmp, path)
                 except OSError:
-                    # a concurrent process published first; use theirs
-                    shutil.rmtree(tmp, ignore_errors=True)
+                    if os.path.exists(os.path.join(path, _MARKER)):
+                        # a concurrent process published first; adopt it
+                        shutil.rmtree(tmp, ignore_errors=True)
+                    else:
+                        shutil.rmtree(path, ignore_errors=True)  # torn
+                        try:
+                            os.rename(tmp, path)
+                        except OSError:
+                            # lost a second race; the winner's artifact
+                            # is complete — adopt it
+                            shutil.rmtree(tmp, ignore_errors=True)
                 stem = f"{prefix}{lhash}_"
                 now = time.time()
                 for d in os.listdir(root):
