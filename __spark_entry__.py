@@ -548,10 +548,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never attested (r5's ORACLE_DEFERRED_TO_NEXT_ROUND set); then
         # round-6 additions fill the window as they land. Everything after
         # the window is attested green by the union of r01..r05 records.
-        # --- ROUND-8 attestation front. The r7 window closed 50/50 green
-        # with zero deferred debt, so the r8 window opens empty; new
-        # round-8 entries fill it from the top. Everything below the r8
-        # section is attested by the r01..r07 driver-record union. ---
+        # --- ROUND-9 attestation front. The r8 window closed with all 24
+        # entries green in CORRECTNESS_r08, so the r9 window opens empty;
+        # new round-9 entries fill it from the top. Everything below the
+        # r9 section is attested by the r01..r08 driver-record union. ---
+        "multimodal_progressive_ac_refine_decode": multimodal.multimodal_progressive_ac_refine_decode,  # AC-band successive approximation: the G.1.2.3 correction-bit interleave (VERDICT r8 item 2)
+        # --- ROUND-8 attestation front (all green in CORRECTNESS_r08) ---
         "copurchase_edges_capped": graph.copurchase_edges_capped,  # basket-capped co-occurrence build: the documented mega-basket skew remedy (VERDICT r7 item 6)
         "bpe_train_merges_bytelevel": text.bpe_train_merges_bytelevel,  # byte-level BPE, 64 merges in 16 batched non-interacting rounds (VERDICT r7 item 4)
         "streaming_incremental_late_audit": _streaming_incremental_late_audit,  # append new late files + checkpoint-restart continuity (VERDICT r7 item 5)
@@ -5448,6 +5450,115 @@ FROM ag g JOIN ex e ON g.doc_a = e.doc_a AND g.doc_b = e.doc_b
     # DC successive approximation also reconstructs exactly:
     # (dc >> 1) << 1 | (dc & 1) == dc in two's complement
     d["multimodal_progressive_sa_jpeg_decode"] = d["multimodal_jpeg_decode"]
+
+    # AC-band successive approximation (round 9): the fixture is a STEP
+    # block (left half a, right half b), NOT uniform — uniform blocks
+    # have no AC coefficients and would leave the refinement machinery
+    # vacuous. The FDCT of a y-constant x-step block is nonzero ONLY at
+    # (0,v), v in {0,1,3,5,7}: acc0 = 23168*11584*(A+B) and
+    # acc_v = 23168*L_v*(A-B) with the half-block cosine sums
+    # L1=10498, L3=-3686, L5=2464, L7=-2088 (odd rows of the 4096-scale
+    # cosine table are antisymmetric; even rows cancel on each half).
+    # Each coefficient walks the codec's exact rounding chain
+    # (half-away-from-zero DCT scale, half-away quantize by the Annex-K
+    # row 16/11/16/40/61, dequantize), and each of the 8 distinct pixel
+    # columns is the fixed-point IDCT row closed form
+    # clip(128 + floor((2896*(f0*2896 + sum f_v*T_v[x]) + HALF)/SCALE)).
+    # Verified equal to the real encoder+decoder for 509 (a,b) pairs at
+    # build time; refinement reconstructs coefficients exactly, so this
+    # IS the decoded raster. DuckDB's // truncates toward zero, so the
+    # IDCT floor uses the explicit negative-branch form.
+    _sa_t = {
+        1: (4017, 3406, 2276, 799, -799, -2276, -3406, -4017),
+        3: (3406, -799, -4017, -2276, 2276, 4017, 799, -3406),
+        5: (2276, -4017, 799, 3406, -3406, -799, 4017, -2276),
+        7: (799, -2276, 3406, -4017, 4017, -3406, 2276, -799),
+    }
+    _sa_px = []
+    for _x in range(8):
+        _t = (
+            f"2896 * (f0 * 2896 + f1 * ({_sa_t[1][_x]}) + f3 * ({_sa_t[3][_x]})"
+            f" + f5 * ({_sa_t[5][_x]}) + f7 * ({_sa_t[7][_x]})) + 33554432"
+        )
+        _sa_px.append(
+            f"LEAST(255, GREATEST(0, 128 + (CASE WHEN ({_t}) >= 0"
+            f" THEN ({_t}) // 67108864"
+            f" ELSE -((-({_t}) + 67108863) // 67108864) END))) AS px{_x}"
+        )
+    _sa_pxcols = ",\n         ".join(_sa_px)
+    _sa_hex = lambda c: (  # noqa: E731 — 2-char lowercase hex of column c
+        f"(substring('{_jp}', {c} // 16 + 1, 1)"
+        f" || substring('{_jp}', {c} % 16 + 1, 1))"
+    )
+    _sa_rowhex = " || ".join(_sa_hex(f"px{_x}") for _x in range(8))
+
+    def _sa_round(col: str) -> str:
+        # fixed-point scale-down: round half away from zero
+        return (
+            f"CASE WHEN {col} >= 0 THEN ({col} + 33554432) // 67108864"
+            f" ELSE -((-{col} + 33554432) // 67108864) END"
+        )
+
+    def _sa_quant(col: str, q: int) -> str:
+        # quantize half away from zero, then dequantize
+        return (
+            f"(CASE WHEN {col} >= 0 THEN ({col} + {q // 2}) // {q}"
+            f" ELSE -((-{col} + {q // 2}) // {q}) END) * {q}"
+        )
+
+    d["multimodal_progressive_ac_refine_decode"] = f"""
+WITH base AS (
+  SELECT doc_id, md5(text) AS m FROM documents
+), blk AS (
+  SELECT doc_id, CAST(g.i AS INTEGER) AS bi,
+         {_cjb('2 * g.i')} AS av,
+         {_cjb('2 * g.i + 1')} AS bv
+  FROM base, (SELECT unnest(range(4)) AS i) g
+), ac AS (
+  SELECT doc_id, bi,
+         268378112 * (av + bv - 256) AS a0,
+         243217664 * (av - bv) AS a1,
+         -85397248 * (av - bv) AS a3,
+         57085952 * (av - bv) AS a5,
+         -48374784 * (av - bv) AS a7
+  FROM blk
+), cf AS (
+  SELECT doc_id, bi,
+         {_sa_round('a0')} AS c0,
+         {_sa_round('a1')} AS c1,
+         {_sa_round('a3')} AS c3,
+         {_sa_round('a5')} AS c5,
+         {_sa_round('a7')} AS c7
+  FROM ac
+), fq AS (
+  SELECT doc_id, bi,
+         {_sa_quant('c0', 16)} AS f0,
+         {_sa_quant('c1', 11)} AS f1,
+         {_sa_quant('c3', 16)} AS f3,
+         {_sa_quant('c5', 40)} AS f5,
+         {_sa_quant('c7', 61)} AS f7
+  FROM cf
+), pxs AS (
+  SELECT doc_id, bi,
+         {_sa_pxcols}
+  FROM fq
+), rh AS (
+  SELECT doc_id, bi, {_sa_rowhex} AS rowhex FROM pxs
+), asm AS (
+  SELECT doc_id,
+         MAX(CASE WHEN bi = 0 THEN rowhex END) AS r0,
+         MAX(CASE WHEN bi = 1 THEN rowhex END) AS r1,
+         MAX(CASE WHEN bi = 2 THEN rowhex END) AS r2,
+         MAX(CASE WHEN bi = 3 THEN rowhex END) AS r3
+  FROM rh GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(16 AS BIGINT) AS width,
+       CAST(16 AS BIGINT) AS height,
+       CAST(256 AS BIGINT) AS n_px_bytes,
+       sha256(repeat(r0 || r1, 8) || repeat(r2 || r3, 8)) AS pixel_sha
+FROM asm
+"""
 
     # IMA ADPCM encode -> decode round-trip (round 8): the lossy state
     # machine replayed step for step in a 128-deep recursive CTE —

@@ -312,6 +312,7 @@ HEADLINE = [
     "multimodal_gif_animation_frames",
     "multimodal_progressive_sa_jpeg_decode",
     "dsir_resample_corpus",
+    "multimodal_progressive_ac_refine_decode",
 ]
 
 

@@ -8,8 +8,10 @@ interleaved YCbCr color (3 components, 1x1 sampling / 4:4:4), dimensions
 multiples of 8 — plus, since round 8, PROGRESSIVE (SOF2) greyscale with
 spectral selection (multi-scan coefficient accumulation, real EOB-run
 coding) and DC-band successive approximation (shifted-domain first
-scan + raw-bit refinement; only AC refinement scans stay behind
-``ValueError``). The DECODER is the general baseline path for those
+scan + raw-bit refinement), and since round 9 AC-BAND successive
+approximation too (truncated-magnitude first scans + the T.81 G.1.2.3
+correction-bit refinement interleave) — every progressive greyscale
+scan shape is now supported. The DECODER is the general baseline path for those
 shapes — segment parsing (APP/COM skip, DQT, SOF0, DHT, SOS, DRI/RST),
 per-component quantization/Huffman table binding FROM the stream (not
 assumed), a byte-stuffing-aware bit reader, interleaved-MCU entropy
@@ -945,6 +947,147 @@ def _build_jpeg_codec():
             out[3 * i + 2] = 0 if b < 0 else (255 if b > 255 else b)
         return bytes(out), width, height, 3
 
+    # progressive AC scans need EOBn symbols (r<<4, r=1..14), which
+    # the baseline Annex-K AC table does not define — ship a custom
+    # flat canonical table (all 176 symbols at 8 bits; max code
+    # 0xAF, so the reserved all-ones code stays unused) in the DHT:
+    # the decoder rebuilds whatever the stream declares
+    _AC_PROG_SYMS = (
+        [r << 4 for r in range(15)]
+        + [0xF0]
+        + [(run << 4) | t for run in range(16) for t in range(1, 11)]
+    )
+    _AC_PROG_SPEC = ([0] * 7 + [176] + [0] * 8, _AC_PROG_SYMS)
+
+    def _ac_first_scan(blocks, ss: int, se: int, al: int, ac_codes) -> bytes:
+        """FIRST AC scan of band [ss..se] at approximation level ``al``
+        (Ah=0): in-band run/size pairs + EOB-RUN symbols over the
+        point-transformed values — for AC the point transform is an
+        integer divide by 2^Al truncating toward ZERO (T.81 G.1.2.1;
+        sign-magnitude shift), unlike DC's arithmetic shift. ``al=0``
+        is byte-identical to the plain spectral-selection scan."""
+        bw = _BitWriter()
+        eobrun = 0
+
+        def flush_eobrun():
+            nonlocal eobrun
+            if not eobrun:
+                return
+            r = eobrun.bit_length() - 1
+            code, ln = ac_codes[r << 4]
+            bw.write(code, ln)
+            if r:
+                bw.write(eobrun - (1 << r), r)
+            eobrun = 0
+
+        for qc in blocks:
+            vals = {}
+            for zz in range(ss, se + 1):
+                v = qc[_ZZ[zz]]
+                a = abs(v) >> al
+                vals[zz] = a if v >= 0 else -a
+            nz = [zz for zz in range(ss, se + 1) if vals[zz]]
+            if not nz:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eobrun()
+                continue
+            flush_eobrun()
+            run = 0
+            last_nz = nz[-1]
+            for zz in range(ss, last_nz + 1):
+                c = vals[zz]
+                if c == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    zrl, zln = ac_codes[0xF0]
+                    bw.write(zrl, zln)
+                    run -= 16
+                t = abs(c).bit_length()
+                code, ln = ac_codes[(run << 4) | t]
+                bw.write(code, ln)
+                bw.write(c if c >= 0 else c + (1 << t) - 1, t)
+                run = 0
+            if last_nz < se:
+                eobrun = 1  # this block's tail starts a new run
+        flush_eobrun()
+        return bw.flush()
+
+    def _ac_refine_scan(blocks, ss: int, se: int, al: int, ac_codes) -> bytes:
+        """AC REFINEMENT scan (Ah = al+1, Al = al) — the T.81 G.1.2.3
+        correction-bit interleave: coefficients already nonzero at the
+        previous precision send ONE raw correction bit (bit ``al`` of
+        the magnitude); coefficients newly visible at this precision
+        are coded as (run<<4)|1 + a sign bit, where the run counts only
+        STILL-ZERO positions; correction bits buffer until the next
+        emitted symbol (ZRL / newly-nonzero / EOBn) and are appended
+        right after it, so the decoder can interleave them back. Blocks
+        with nothing new join an EOB run whose correction bits ride the
+        eventual EOBn symbol."""
+        bw = _BitWriter()
+        eobrun = 0
+        be_bits: list[int] = []  # correction bits owned by the EOB run
+
+        def emit_eobrun():
+            nonlocal eobrun, be_bits
+            if not eobrun:
+                return
+            r = eobrun.bit_length() - 1
+            code, ln = ac_codes[r << 4]
+            bw.write(code, ln)
+            if r:
+                bw.write(eobrun - (1 << r), r)
+            eobrun = 0
+            for b in be_bits:
+                bw.write(b, 1)
+            be_bits = []
+
+        for qc in blocks:
+            absvals = {}
+            eob = ss - 1  # position of the last NEWLY-nonzero coef
+            for zz in range(ss, se + 1):
+                t = abs(qc[_ZZ[zz]]) >> al
+                absvals[zz] = t
+                if t == 1:
+                    eob = zz
+            r = 0
+            br_bits: list[int] = []  # bits since the last symbol
+            for zz in range(ss, se + 1):
+                temp = absvals[zz]
+                if temp == 0:
+                    r += 1
+                    continue
+                while r > 15 and zz <= eob:
+                    emit_eobrun()
+                    code, ln = ac_codes[0xF0]
+                    bw.write(code, ln)
+                    r -= 16
+                    for b in br_bits:
+                        bw.write(b, 1)
+                    br_bits = []
+                if temp > 1:
+                    # already nonzero at the previous precision: just
+                    # the next magnitude bit (if r > 15 here, zz > eob,
+                    # so this is never a newly-nonzero coefficient)
+                    br_bits.append(temp & 1)
+                    continue
+                emit_eobrun()
+                code, ln = ac_codes[(r << 4) | 1]
+                bw.write(code, ln)
+                bw.write(1 if qc[_ZZ[zz]] >= 0 else 0, 1)
+                for b in br_bits:
+                    bw.write(b, 1)
+                br_bits = []
+                r = 0
+            if r > 0 or br_bits:
+                eobrun += 1
+                be_bits.extend(br_bits)
+                if eobrun == 0x7FFF or len(be_bits) > 937:
+                    emit_eobrun()
+        emit_eobrun()
+        return bw.flush()
+
     def jpeg_encode_progressive(
         pixels: bytes, width: int, height: int
     ) -> bytes:
@@ -963,17 +1106,6 @@ def _build_jpeg_codec():
         if len(pixels) != width * height:
             raise ValueError("pixel buffer does not match dimensions")
         dc_codes = _huff_codes(*_DC_SPEC)
-        # progressive AC scans need EOBn symbols (r<<4, r=1..14), which
-        # the baseline Annex-K AC table does not define — ship a custom
-        # flat canonical table (all 176 symbols at 8 bits; max code
-        # 0xAF, so the reserved all-ones code stays unused) in the DHT:
-        # the decoder rebuilds whatever the stream declares
-        ac_prog_syms = (
-            [r << 4 for r in range(15)]
-            + [0xF0]
-            + [(run << 4) | t for run in range(16) for t in range(1, 11)]
-        )
-        _AC_PROG_SPEC = ([0] * 7 + [176] + [0] * 8, ac_prog_syms)
         ac_codes = _huff_codes(*_AC_PROG_SPEC)
         blocks = []
         for by in range(height // 8):
@@ -998,49 +1130,7 @@ def _build_jpeg_codec():
         dc_scan = bw.flush()
 
         def ac_band_scan(ss: int, se: int) -> bytes:
-            bw = _BitWriter()
-            eobrun = 0
-
-            def flush_eobrun():
-                nonlocal eobrun
-                if not eobrun:
-                    return
-                r = eobrun.bit_length() - 1
-                code, ln = ac_codes[r << 4]
-                bw.write(code, ln)
-                if r:
-                    bw.write(eobrun - (1 << r), r)
-                eobrun = 0
-
-            for qc in blocks:
-                band = [(zz, qc[_ZZ[zz]]) for zz in range(ss, se + 1)]
-                nz = [(zz, c) for zz, c in band if c]
-                if not nz:
-                    eobrun += 1
-                    if eobrun == 0x7FFF:
-                        flush_eobrun()
-                    continue
-                flush_eobrun()
-                run = 0
-                last_nz = nz[-1][0]
-                for zz in range(ss, last_nz + 1):
-                    c = qc[_ZZ[zz]]
-                    if c == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        zrl, zln = ac_codes[0xF0]
-                        bw.write(zrl, zln)
-                        run -= 16
-                    t = abs(c).bit_length()
-                    code, ln = ac_codes[(run << 4) | t]
-                    bw.write(code, ln)
-                    bw.write(c if c >= 0 else c + (1 << t) - 1, t)
-                    run = 0
-                if last_nz < se:
-                    eobrun = 1  # this block's tail starts a new run
-            flush_eobrun()
-            return bw.flush()
+            return _ac_first_scan(blocks, ss, se, 0, ac_codes)
 
         def sos(ss: int, se: int) -> bytes:
             return _seg(0xFFDA, bytes([1, 1, 0, ss, se, 0]))
@@ -1124,6 +1214,70 @@ def _build_jpeg_codec():
             + sos(0, 0, 0, 1) + dc_first
             + sos(0, 0, 1, 0) + dc_refine
             + ac_scans
+        )
+
+    def jpeg_encode_progressive_ac_sa(
+        pixels: bytes, width: int, height: int
+    ) -> bytes:
+        """Progressive greyscale JPEG using SUCCESSIVE APPROXIMATION on
+        the AC BANDS — the last progressive scan shape (T.81 G.1.2.3):
+        a plain DC scan, the two AC band first scans at REDUCED
+        precision (Al=1; the AC point transform truncates the magnitude
+        toward zero), then two AC REFINEMENT scans (Ah=1, Al=0) sending
+        the dropped low bit via the correction-bit interleave —
+        already-nonzero coefficients get one raw bit each, newly-
+        visible ±1 coefficients get (run<<4)|1 + sign, and the bits
+        buffer across EOB runs. trunc(|v|/2)*2*sign + refinement
+        reconstructs every coefficient exactly, so the decoded raster
+        is still bit-identical to baseline."""
+        if width % 8 or height % 8:
+            raise ValueError("dimensions must be multiples of 8")
+        if len(pixels) != width * height:
+            raise ValueError("pixel buffer does not match dimensions")
+        dc_codes = _huff_codes(*_DC_SPEC)
+        ac_codes = _huff_codes(*_AC_PROG_SPEC)
+        blocks = []
+        for by in range(height // 8):
+            for bx in range(width // 8):
+                blk = [
+                    pixels[(by * 8 + y) * width + bx * 8 + x] - 128
+                    for y in range(8)
+                    for x in range(8)
+                ]
+                blocks.append(_fdct_quant(blk, _QTAB))
+        bw = _BitWriter()
+        prev = 0
+        for qc in blocks:
+            diff = qc[0] - prev
+            prev = qc[0]
+            t = abs(diff).bit_length()
+            code, ln = dc_codes[t]
+            bw.write(code, ln)
+            if t:
+                bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        dc_scan = bw.flush()
+
+        def sos(ss: int, se: int, ah: int, al: int) -> bytes:
+            return _seg(0xFFDA, bytes([1, 1, 0, ss, se, (ah << 4) | al]))
+
+        dqt = _seg(0xFFDB, b"\x00" + bytes(_QTAB[_ZZ[i]] for i in range(64)))
+        sof = _seg(
+            0xFFC2,
+            struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00",
+        )
+        dht = _seg(
+            0xFFC4,
+            _dht_payload(0, 0, _DC_SPEC) + _dht_payload(1, 0, _AC_PROG_SPEC),
+        )
+        app0 = _seg(0xFFE0, _APP0)
+        return (
+            b"\xff\xd8" + app0 + dqt + sof + dht
+            + sos(0, 0, 0, 0) + dc_scan
+            + sos(1, 5, 0, 1) + _ac_first_scan(blocks, 1, 5, 1, ac_codes)
+            + sos(6, 63, 0, 1) + _ac_first_scan(blocks, 6, 63, 1, ac_codes)
+            + sos(1, 5, 1, 0) + _ac_refine_scan(blocks, 1, 5, 0, ac_codes)
+            + sos(6, 63, 1, 0) + _ac_refine_scan(blocks, 6, 63, 0, ac_codes)
+            + b"\xff\xd9"
         )
 
     def jpeg_decode_progressive(payload: bytes) -> tuple[bytes, int, int]:
@@ -1220,10 +1374,68 @@ def _build_jpeg_codec():
                             )
                         for blk in coeffs:
                             blk[0] |= br.bits(1) << al
-                elif ah != 0:
-                    raise ValueError(
-                        "AC successive-approximation refinement unsupported"
-                    )
+                elif ah != 0:  # AC refinement (T.81 G.1.2.3)
+                    if ah != al + 1:
+                        raise ValueError(
+                            "AC refinement must step one bit (Ah=Al+1)"
+                        )
+                    act = htabs[(1, tsel & 0x0F)]
+                    p1 = 1 << al
+                    m1 = -1 << al
+                    eobrun = 0
+
+                    def _corr(blk, k):
+                        # one correction bit for an already-nonzero
+                        # coefficient: 1 = increase the magnitude at
+                        # this precision (skip if the bit is set)
+                        if br.bits(1) and not (blk[_ZZ[k]] & p1):
+                            blk[_ZZ[k]] += p1 if blk[_ZZ[k]] >= 0 else m1
+
+                    for blk in coeffs:
+                        k = ss
+                        if eobrun == 0:
+                            while k <= se:
+                                sym = _decode_huff(br, act)
+                                r, s = sym >> 4, sym & 0x0F
+                                if s:
+                                    if s != 1:
+                                        raise ValueError(
+                                            "refinement size must be 1"
+                                        )
+                                    s_val = p1 if br.bits(1) else m1
+                                else:
+                                    if r != 15:
+                                        eobrun = 1 << r
+                                        if r:
+                                            eobrun += br.bits(r)
+                                        break
+                                    s_val = 0  # ZRL
+                                # advance over nonzero-history coefs
+                                # (each eats a correction bit) and r
+                                # still-zero ones
+                                while k <= se:
+                                    if blk[_ZZ[k]] != 0:
+                                        _corr(blk, k)
+                                    else:
+                                        r -= 1
+                                        if r < 0:
+                                            break
+                                    k += 1
+                                if s_val:
+                                    if k > se:
+                                        raise ValueError(
+                                            "refinement run past band end"
+                                        )
+                                    blk[_ZZ[k]] = s_val
+                                k += 1
+                        if eobrun > 0:
+                            # EOB-run block: correction bits continue
+                            # for the band's remaining nonzero coefs
+                            while k <= se:
+                                if blk[_ZZ[k]] != 0:
+                                    _corr(blk, k)
+                                k += 1
+                            eobrun -= 1
                 else:  # AC band first scan (values arrive at level Al)
                     act = htabs[(1, tsel & 0x0F)]
                     eobrun = 0
@@ -1279,6 +1491,7 @@ def _build_jpeg_codec():
         jpeg_encode_color_422,
         jpeg_encode_progressive,
         jpeg_encode_progressive_sa,
+        jpeg_encode_progressive_ac_sa,
         jpeg_decode_progressive,
     )
 
@@ -1292,5 +1505,6 @@ def _build_jpeg_codec():
     jpeg_encode_color_422,
     jpeg_encode_progressive,
     jpeg_encode_progressive_sa,
+    jpeg_encode_progressive_ac_sa,
     jpeg_decode_progressive,
 ) = _build_jpeg_codec()

