@@ -455,6 +455,92 @@ def test_streaming_foreach_batch_idempotent_upsert(spark, sf_dir, tmp_path):
     spark.sql(f"DROP TABLE {table}")
 
 
+def test_streaming_foreach_batch_jdbc_exactly_once(spark, sf_dir, tmp_path):
+    """foreachBatch + stage-and-MERGE against a REAL JDBC warehouse
+    (embedded Derby) — the exactly-once external-sink recipe end to end
+    (VERDICT r8 item 3): a growing file source across two runs sharing
+    one checkpoint loads into a Derby table through
+    ``jdbc_upsert_batch``; checkpoint restart re-emits nothing, a
+    manually replayed batch MERGEs to a no-op, and a no-new-data restart
+    leaves the table untouched. Skip-guarded on the Derby driver like
+    the round-trip test."""
+    from data_engineer_interview_task_spark.sources import read_table
+    from data_engineer_interview_task_spark.sources.sinks import (
+        jdbc_upsert_batch,
+    )
+    from data_engineer_interview_task_spark.streaming.dedup import (
+        first_events_stream,
+    )
+
+    if not _derby_available(spark):
+        pytest.skip("Derby JDBC driver not on the Spark classpath")
+    url = f"jdbc:derby:{tmp_path}/upsertdb;create=true"
+    # string KEY columns must land as VARCHAR: Spark's default Derby
+    # mapping is CLOB, which SQL cannot compare in a MERGE ON clause
+    props = {
+        "driver": "org.apache.derby.jdbc.EmbeddedDriver",
+        "createTableColumnTypes": "event_type VARCHAR(64)",
+    }
+    events = read_table(spark, sf_dir, "events")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    keys = ["user_id", "event_type"]
+
+    captured = []
+
+    def load_batch(batch_df, batch_id):
+        # one derived non-key column so the MERGE's UPDATE branch is
+        # exercised (the stream itself emits only the key pair)
+        out = batch_df.select(
+            "user_id", "event_type",
+            F.length("event_type").cast("long").alias("type_len"),
+        )
+        captured.append(out.collect())
+        jdbc_upsert_batch(
+            spark, out, url, "events_ext", keys, options=props
+        )
+
+    def run_once():
+        q = (
+            first_events_stream(spark, src)
+            .writeStream.foreachBatch(load_batch)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def derby_count():
+        rprops = {"driver": props["driver"]}
+        return spark.read.jdbc(url, "events_ext", properties=rprops).count()
+
+    first_half = events.filter(F.col("event_id") % 2 == 0)
+    second_half = events.filter(F.col("event_id") % 2 == 1)
+    first_half.write.mode("overwrite").parquet(src)
+    run_once()
+    want1 = first_half.select(*keys).distinct().count()
+    assert derby_count() == want1
+
+    # checkpoint RESTART with appended data: only the new tranche loads
+    second_half.write.mode("append").parquet(src)
+    run_once()
+    want_all = events.select(*keys).distinct().count()
+    assert derby_count() == want_all
+
+    # at-least-once replay of batch 1: the MERGE makes it a no-op
+    schema = "user_id long, event_type string, type_len long"
+    replay = spark.createDataFrame(captured[0], schema=schema)
+    jdbc_upsert_batch(spark, replay, url, "events_ext", keys, options=props)
+    assert derby_count() == want_all
+
+    # no-new-data restart: nothing re-emits, the table is untouched
+    n_batches = len(captured)
+    run_once()
+    assert derby_count() == want_all
+    assert all(len(c) == 0 for c in captured[n_batches:])
+
+
 def test_jsonl_corrupt_records_quarantined(spark, tmp_path):
     """Malformed-row policy at ingestion: with an explicit schema carrying
     a _corrupt_record column, PERMISSIVE mode parses every good line and
