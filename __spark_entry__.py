@@ -553,6 +553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new round-9 entries fill it from the top. Everything below the
         # r9 section is attested by the r01..r08 driver-record union. ---
         "multimodal_progressive_ac_refine_decode": multimodal.multimodal_progressive_ac_refine_decode,  # AC-band successive approximation: the G.1.2.3 correction-bit interleave (VERDICT r8 item 2)
+        "bpe_train_merges_deep": text.bpe_train_merges_deep,  # 32-round/128-merge-capacity BPE: trains to exhaustion (89 merges) at driver scale (VERDICT r8 item 4)
         # --- ROUND-8 attestation front (all green in CORRECTNESS_r08) ---
         "copurchase_edges_capped": graph.copurchase_edges_capped,  # basket-capped co-occurrence build: the documented mega-basket skew remedy (VERDICT r7 item 6)
         "bpe_train_merges_bytelevel": text.bpe_train_merges_bytelevel,  # byte-level BPE, 64 merges in 16 batched non-interacting rounds (VERDICT r7 item 4)
@@ -7213,8 +7214,9 @@ v{n} AS MATERIALIZED (
         )
         return "".join(parts)
 
-    d["bpe_train_merges_bytelevel"] = (
-        """
+    def _bl_oracle(n_rounds: int) -> str:
+        return (
+            """
 WITH v0 AS (
   SELECT regexp_replace(hex(word), '(..)', '/\\1/', 'g') AS s, freq FROM (
     SELECT token AS word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
@@ -7222,14 +7224,28 @@ WITH v0 AS (
     ) WHERE token <> '' GROUP BY token
   )
 ),"""
-        + "".join(_bl_round(n) for n in range(1, 17)).rstrip(",")
-        + "\n"
-        + "\nUNION ALL\n".join(
-            f"SELECT CAST({n} AS BIGINT) AS round, CAST({k} AS BIGINT) AS rk,"
-            f" l AS left, r AS right, cnt AS pair_count FROM b{n}_{k}"
-            for n in range(1, 17)
-            for k in range(1, 5)
+            + "".join(
+                _bl_round(n) for n in range(1, n_rounds + 1)
+            ).rstrip(",")
+            + "\n"
+            + "\nUNION ALL\n".join(
+                f"SELECT CAST({n} AS BIGINT) AS round,"
+                f" CAST({k} AS BIGINT) AS rk,"
+                f" l AS left, r AS right, cnt AS pair_count FROM b{n}_{k}"
+                for n in range(1, n_rounds + 1)
+                for k in range(1, 5)
+            )
         )
-    )
+
+    d["bpe_train_merges_bytelevel"] = _bl_oracle(16)
+    # deep variant (round 9, VERDICT r8 item 4): a 32-round cap = 128
+    # merge capacity; on this corpus training EXHAUSTS first (round 23,
+    # 89 merges — every word fully merged), so the entry pins the fixed
+    # point too: post-exhaustion rounds pick nothing on BOTH engines
+    # (the SQL's LIMIT-1 frames go empty and every CASE keeps s). The
+    # same parameterization was one-off re-gated at 128 rounds against
+    # /tmp/sf1 (see SCALE.md) — the batched round count stays
+    # ~merges/4 until the exhaustion tail.
+    d["bpe_train_merges_deep"] = _bl_oracle(32)
 
     return d

@@ -313,6 +313,7 @@ HEADLINE = [
     "multimodal_progressive_sa_jpeg_decode",
     "dsir_resample_corpus",
     "multimodal_progressive_ac_refine_decode",
+    "bpe_train_merges_deep",
 ]
 
 

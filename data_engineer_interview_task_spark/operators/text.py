@@ -1426,6 +1426,20 @@ def bpe_train_merges_bytelevel(
     )
 
 
+def bpe_train_merges_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEEP byte-level BPE training (VERDICT r8 item 4): the 32-round /
+    128-merge-capacity parameterization of
+    :func:`bpe_train_merges_bytelevel`. On the driver corpus training
+    EXHAUSTS first — round 23 fully merges every word (89 merges) and
+    rounds past the fixed point pick nothing — so the entry pins BOTH
+    the depth scaling and the exhaustion behavior. The batched
+    non-interacting selection keeps the driver round count ~merges/4
+    until the tail (89 merges in 23 rounds here; the 128-round / sf1
+    re-gate measurement is in SCALE.md). Per-round driver traffic stays
+    the vocab-sized pair table (Heaps-sublinear), never the corpus."""
+    return bpe_train_merges_bytelevel(spark, sf_dir, n_rounds=32, batch=4)
+
+
 def bpe_encode_token_counts(
     spark: SparkSession, sf_dir: str, n_merges: int = 8
 ) -> DataFrame:
