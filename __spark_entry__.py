@@ -554,6 +554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r9 section is attested by the r01..r08 driver-record union. ---
         "multimodal_progressive_ac_refine_decode": multimodal.multimodal_progressive_ac_refine_decode,  # AC-band successive approximation: the G.1.2.3 correction-bit interleave (VERDICT r8 item 2)
         "bpe_train_merges_deep": text.bpe_train_merges_deep,  # 32-round/128-merge-capacity BPE: trains to exhaustion (89 merges) at driver scale (VERDICT r8 item 4)
+        "multimodal_g711_roundtrip": multimodal.multimodal_g711_roundtrip,  # REAL G.711 telephony audio: mu-law AND A-law companding round-trip, hash-exact distortion
         # --- ROUND-8 attestation front (all green in CORRECTNESS_r08) ---
         "copurchase_edges_capped": graph.copurchase_edges_capped,  # basket-capped co-occurrence build: the documented mega-basket skew remedy (VERDICT r7 item 6)
         "bpe_train_merges_bytelevel": text.bpe_train_merges_bytelevel,  # byte-level BPE, 64 merges in 16 batched non-interacting rounds (VERDICT r7 item 4)
@@ -7247,5 +7248,86 @@ WITH v0 AS (
     # /tmp/sf1 (see SCALE.md) — the batched round count stays
     # ~merges/4 until the exhaustion tail.
     d["bpe_train_merges_deep"] = _bl_oracle(32)
+
+    # ---- round 9 ----------------------------------------------------
+
+    # G.711 µ-law + A-law round-trip: per-sample (memoryless) companding
+    # replayed independently per sample — sign/clip/bias, threshold-CASE
+    # segment (the floor-log2), mantissa, and the exact reconstruction
+    # shifts, for BOTH laws. The 64-sample payload is the 8-distinct-
+    # sample block repeated 8x, so payload hex = repeat(hex8, 8) and
+    # the distortion sums are 8x the per-block sums. Arithmetic-shift
+    # (s >> 3) is floor division — DuckDB // truncates, so the negative
+    # branch is explicit. A-law's negative fold is ONE'S complement
+    # (-p - 1), its sign bit marks POSITIVE samples, and bytes XOR 0x55.
+    _g7_hex = lambda c: (  # noqa: E731 — 2-char lowercase hex of column c
+        f"(substring('{_jp}', {c} // 16 + 1, 1)"
+        f" || substring('{_jp}', {c} % 16 + 1, 1))"
+    )
+    d["multimodal_g711_roundtrip"] = f"""
+WITH base AS (
+  SELECT doc_id, md5(text) AS m FROM documents
+), smp AS (
+  SELECT doc_id, CAST(g.i AS INTEGER) AS i,
+         ({_cjb('2 * g.i')} - 128) * 255 + ({_cjb('2 * g.i + 1')} - 128) AS s
+  FROM base, (SELECT unnest(range(8)) AS i) g
+), mu1 AS (
+  SELECT doc_id, i, s,
+         s < 0 AS neg,
+         LEAST(ABS(s), 32635) + 132 AS mm,
+         CASE WHEN s >= 0 THEN s // 8 ELSE -((-s + 7) // 8) END AS ap0
+  FROM smp
+), mu2 AS (
+  SELECT *,
+         CASE WHEN mm >= 16384 THEN 7 WHEN mm >= 8192 THEN 6
+              WHEN mm >= 4096 THEN 5 WHEN mm >= 2048 THEN 4
+              WHEN mm >= 1024 THEN 3 WHEN mm >= 512 THEN 2
+              WHEN mm >= 256 THEN 1 ELSE 0 END AS uexp,
+         CASE WHEN ap0 < 0 THEN -ap0 - 1 ELSE ap0 END AS ap
+  FROM mu1
+), mu3 AS (
+  SELECT *,
+         (mm // (8 * (1 << uexp))) % 16 AS umant,
+         CASE WHEN ap <= 31 THEN 0 WHEN ap <= 63 THEN 1
+              WHEN ap <= 127 THEN 2 WHEN ap <= 255 THEN 3
+              WHEN ap <= 511 THEN 4 WHEN ap <= 1023 THEN 5
+              WHEN ap <= 2047 THEN 6 ELSE 7 END AS aseg
+  FROM mu2
+), mu4 AS (
+  SELECT *,
+         255 - ((CASE WHEN neg THEN 128 ELSE 0 END) + uexp * 16 + umant)
+           AS ubyte,
+         (umant * 8 + 132) * (1 << uexp) - 132 AS umag,
+         CASE WHEN aseg < 2 THEN (ap // 2) % 16
+              ELSE (ap // (1 << aseg)) % 16 END AS amant
+  FROM mu3
+), mu5 AS (
+  SELECT *,
+         xor((CASE WHEN neg THEN 0 ELSE 128 END) + aseg * 16 + amant, 85)
+           AS abyte,
+         CASE WHEN aseg = 0 THEN amant * 16 + 8
+              WHEN aseg = 1 THEN amant * 16 + 264
+              ELSE (amant * 16 + 264) * (1 << (aseg - 1)) END AS amag
+  FROM mu4
+), px AS (
+  SELECT doc_id, i, s,
+         ubyte, abyte,
+         CASE WHEN neg THEN -umag ELSE umag END AS urecon,
+         CASE WHEN neg THEN -amag ELSE amag END AS arecon
+  FROM mu5
+)
+SELECT doc_id,
+       CAST(64 AS BIGINT) AS n_samples,
+       CAST(120 AS BIGINT) AS n_wav_bytes,
+       sha256(repeat(string_agg({_g7_hex('ubyte')}, '' ORDER BY i), 8))
+         AS ulaw_sha,
+       sha256(repeat(string_agg({_g7_hex('abyte')}, '' ORDER BY i), 8))
+         AS alaw_sha,
+       CAST(8 * SUM(ABS(urecon)) AS BIGINT) AS ulaw_sum_abs_recon,
+       CAST(8 * SUM(ABS(arecon)) AS BIGINT) AS alaw_sum_abs_recon,
+       CAST(8 * SUM((s - urecon) * (s - urecon)) AS BIGINT) AS ulaw_err_sq,
+       CAST(8 * SUM((s - arecon) * (s - arecon)) AS BIGINT) AS alaw_err_sq
+FROM px GROUP BY doc_id
+"""
 
     return d

@@ -314,6 +314,7 @@ HEADLINE = [
     "dsir_resample_corpus",
     "multimodal_progressive_ac_refine_decode",
     "bpe_train_merges_deep",
+    "multimodal_g711_roundtrip",
 ]
 
 

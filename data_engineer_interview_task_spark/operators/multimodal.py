@@ -1702,6 +1702,98 @@ def multimodal_progressive_ac_refine_decode(
     return docs.mapInPandas(_roundtrip, schema=schema)
 
 
+def multimodal_g711_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL G.711 TELEPHONY AUDIO — µ-law (WAV fmt 0x0007) AND A-law
+    (0x0006) encode → RIFF round-trip → decode in one query, extending
+    the compressed-audio surface past IMA ADPCM
+    (``functions/g711_codec.py``; the classic CCITT reference
+    algorithms, validated against the standard table spot values and
+    exhaustively for the value fixed point decode∘encode∘decode ==
+    decode). G.711 is per-sample (memoryless), so the oracle replays
+    each sample's sign/clip/bias/segment/mantissa chain independently —
+    no recursive CTE — yet the lossy distortion is still hash-exact for
+    BOTH laws.
+
+    Each document becomes 64 mono int16 samples: the 8-sample block
+    ``(d[2i]-128)*255 + (d[2i+1]-128)`` (md5 byte pairs — spans the
+    int16 range) repeated 8 times, so the companded payload hex is the
+    8-sample hex repeated 8x and the distortion sums are 8x the
+    distinct-block sums (the oracle exploits both). ``n_wav_bytes``
+    pins the RIFF framing: 12 hdr + 24 fmt + 12 fact + 72 data = 120
+    bytes for either law."""
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("n_samples", LongType()),
+            StructField("n_wav_bytes", LongType()),
+            StructField("ulaw_sha", StringType()),
+            StructField("alaw_sha", StringType()),
+            StructField("ulaw_sum_abs_recon", LongType()),
+            StructField("alaw_sum_abs_recon", LongType()),
+            StructField("ulaw_err_sq", LongType()),
+            StructField("alaw_err_sq", LongType()),
+        ]
+    )
+    docs = _spread_docs(
+        spark, read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    from ..functions.g711_codec import (
+        alaw_decode_wav,
+        alaw_encode_wav,
+        mulaw_decode_wav,
+        mulaw_encode_wav,
+    )
+
+    def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # self-contained closure: all four codec halves captured by value
+        import hashlib as _h
+
+        import pandas as _pd
+
+        ue, ud, ae, ad = (
+            mulaw_encode_wav, mulaw_decode_wav,
+            alaw_encode_wav, alaw_decode_wav,
+        )
+        cols = (
+            "doc_id", "n_samples", "n_wav_bytes", "ulaw_sha", "alaw_sha",
+            "ulaw_sum_abs_recon", "alaw_sum_abs_recon",
+            "ulaw_err_sq", "alaw_err_sq",
+        )
+        for pdf in batches:
+            out = {c: [] for c in cols}
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                d = _h.md5(t.encode()).digest()
+                block = [
+                    (d[2 * i] - 128) * 255 + (d[2 * i + 1] - 128)
+                    for i in range(8)
+                ]
+                samples = block * 8
+                uw, aw = ue(samples), ae(samples)
+                ur, ar = ud(uw), ad(aw)
+                # data chunk = last 64 bytes of the 120-byte container
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(len(samples))
+                assert len(uw) == len(aw)
+                out["n_wav_bytes"].append(len(uw))
+                out["ulaw_sha"].append(
+                    _h.sha256(uw[-64:].hex().encode()).hexdigest()
+                )
+                out["alaw_sha"].append(
+                    _h.sha256(aw[-64:].hex().encode()).hexdigest()
+                )
+                out["ulaw_sum_abs_recon"].append(sum(abs(x) for x in ur))
+                out["alaw_sum_abs_recon"].append(sum(abs(x) for x in ar))
+                out["ulaw_err_sq"].append(
+                    sum((s - r) ** 2 for s, r in zip(samples, ur))
+                )
+                out["alaw_err_sq"].append(
+                    sum((s - r) ** 2 for s, r in zip(samples, ar))
+                )
+            yield _pd.DataFrame(out)
+
+    return docs.mapInPandas(_roundtrip, schema=schema)
+
+
 #: 256-entry GIF global color table: index i -> (i, 7i mod 256,
 #: 13i mod 256) — a full-size table (min LZW code size 8), unlike the
 #: 16-entry PNG palette, so the GIF path exercises 9..12-bit codes.

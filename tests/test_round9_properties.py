@@ -75,6 +75,55 @@ def test_dataset_card_plan_has_no_global_sort_window(spark, sf_dir):
         assert "_pid" in ln, f"value-grain global window: {ln}"
 
 
+# --- G.711 mu-law / A-law codec ------------------------------------------
+
+
+def test_g711_fixed_points_and_reference_values():
+    """Value-level fixed point decode∘encode∘decode == decode for every
+    byte of both laws (the ±0 byte pair makes byte-level idempotence too
+    strong for µ-law — 0xFF and 0x7F both decode to 0), plus the classic
+    reference spot values from the CCITT tables and the WAV walk guards."""
+    from data_engineer_interview_task_spark.functions.g711_codec import (
+        alaw_decode_sample,
+        alaw_decode_wav,
+        alaw_encode_sample,
+        alaw_encode_wav,
+        mulaw_decode_sample,
+        mulaw_decode_wav,
+        mulaw_encode_sample,
+        mulaw_encode_wav,
+    )
+
+    for b in range(256):
+        r = mulaw_decode_sample(b)
+        assert mulaw_decode_sample(mulaw_encode_sample(r)) == r
+        r = alaw_decode_sample(b)
+        assert alaw_decode_sample(alaw_encode_sample(r)) == r
+    assert mulaw_encode_sample(0) == 0xFF
+    assert mulaw_encode_sample(-1) == 0x7F
+    assert mulaw_encode_sample(32635) == 0x80
+    assert mulaw_encode_sample(-32768) == 0x00
+    assert alaw_encode_sample(0) == 0xD5
+    assert alaw_encode_sample(-1) == 0x55
+    assert alaw_encode_sample(32767) == 0xAA
+    assert alaw_encode_sample(-32768) == 0x2A
+
+    import random
+
+    rng = random.Random(2)
+    samples = [rng.randrange(-32768, 32768) for _ in range(64)]
+    assert mulaw_decode_wav(mulaw_encode_wav(samples)) == [
+        mulaw_decode_sample(mulaw_encode_sample(s)) for s in samples
+    ]
+    assert alaw_decode_wav(alaw_encode_wav(samples)) == [
+        alaw_decode_sample(alaw_encode_sample(s)) for s in samples
+    ]
+    with pytest.raises(ValueError):
+        mulaw_decode_wav(alaw_encode_wav(samples))  # fmt tag mismatch
+    with pytest.raises(ValueError):
+        mulaw_encode_wav([])
+
+
 # --- two_phase_cumsum extra=/totals= generalization ----------------------
 
 
