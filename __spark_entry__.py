@@ -555,6 +555,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_progressive_ac_refine_decode": multimodal.multimodal_progressive_ac_refine_decode,  # AC-band successive approximation: the G.1.2.3 correction-bit interleave (VERDICT r8 item 2)
         "bpe_train_merges_deep": text.bpe_train_merges_deep,  # 32-round/128-merge-capacity BPE: trains to exhaustion (89 merges) at driver scale (VERDICT r8 item 4)
         "multimodal_g711_roundtrip": multimodal.multimodal_g711_roundtrip,  # REAL G.711 telephony audio: mu-law AND A-law companding round-trip, hash-exact distortion
+        "incremental_join_rollup_merge": relational.incremental_join_rollup_merge,  # delta-JOIN IVM: state + 3 delta partials re-aggregate == full recompute (the oracle)
+        "quality_calibration_report": cleaning.quality_calibration_report,  # reliability diagram of the quality scorer: per-bin observed rate vs mean confidence, exact ppm
+        "padding_waste_report": sampling.padding_waste_report,  # log2 length-bucket batching audit: per-bucket pad-token waste in exact ppm
+        "zipf_fit_report": text.zipf_fit_report,  # per-source Zipf slope: exact bit-length log-log OLS over the ranked vocabulary
+        "embedding_label_centroid_distances": similarity.embedding_label_centroid_distances,  # between-class scatter: fixed-point label centroids + pairwise squared L2
         # --- ROUND-8 attestation front (all green in CORRECTNESS_r08) ---
         "copurchase_edges_capped": graph.copurchase_edges_capped,  # basket-capped co-occurrence build: the documented mega-basket skew remedy (VERDICT r7 item 6)
         "bpe_train_merges_bytelevel": text.bpe_train_merges_bytelevel,  # byte-level BPE, 64 merges in 16 batched non-interacting rounds (VERDICT r7 item 4)
@@ -7260,6 +7265,122 @@ WITH v0 AS (
     # (s >> 3) is floor division — DuckDB // truncates, so the negative
     # branch is explicit. A-law's negative fold is ONE'S complement
     # (-p - 1), its sign bit marks POSITIVE samples, and bytes XOR 0x55.
+    # delta-join IVM: the oracle is the FULL RECOMPUTE — the query's
+    # state+three-delta-partials merge must equal it exactly (the join
+    # distributes over the disjoint splits; count/decimal-sum monoids)
+    d["incremental_join_rollup_merge"] = """
+SELECT c.c_nationkey,
+       o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS total_revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_nationkey, o.o_orderpriority
+"""
+
+    # quality calibration: per-bin reliability with exact ppm floors;
+    # every division here has NONNEGATIVE operands, so DuckDB's
+    # truncating // and Spark's DIV agree (both == floor)
+    d["quality_calibration_report"] = """
+WITH s AS (
+  SELECT len(list_distinct(string_split(text, ' '))) AS nd,
+         len(string_split(text, ' ')) AS nt,
+         CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS pos
+  FROM documents
+), b AS (
+  SELECT LEAST(9, (10 * nd) // nt) AS bin,
+         (1000000 * nd) // nt AS conf_ppm, pos
+  FROM s
+), a AS (
+  SELECT bin, COUNT(*) AS n_docs, SUM(pos) AS n_pos,
+         SUM(conf_ppm) AS sum_conf
+  FROM b GROUP BY bin
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_pos AS BIGINT) AS n_pos,
+       CAST(1000000 * n_pos // n_docs AS BIGINT) AS pos_rate_ppm,
+       CAST(sum_conf // n_docs AS BIGINT) AS avg_conf_ppm,
+       CAST(ABS(sum_conf // n_docs - 1000000 * n_pos // n_docs) AS BIGINT)
+         AS gap_ppm
+FROM a
+"""
+
+    # padding waste: log2 token-length buckets (the bin() bit-length
+    # idiom), worst-case per-bucket pad bill; nonnegative floors only
+    d["padding_waste_report"] = """
+WITH s AS (
+  SELECT len(string_split(text, ' ')) AS n_toks FROM documents
+), b AS (
+  SELECT CAST(length(bin(n_toks)) - 1 AS BIGINT) AS bucket, n_toks FROM s
+), a AS (
+  SELECT bucket, COUNT(*) AS n_docs, MIN(n_toks) AS min_tokens,
+         MAX(n_toks) AS max_tokens, SUM(n_toks) AS sum_tokens
+  FROM b GROUP BY bucket
+)
+SELECT bucket,
+       CAST(2 ** bucket AS BIGINT) AS bucket_lo,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(min_tokens AS BIGINT) AS min_tokens,
+       CAST(max_tokens AS BIGINT) AS max_tokens,
+       CAST(sum_tokens AS BIGINT) AS sum_tokens,
+       CAST(n_docs * max_tokens AS BIGINT) AS padded_tokens,
+       CAST(1000000 * (n_docs * max_tokens - sum_tokens)
+            // (n_docs * max_tokens) AS BIGINT) AS waste_ppm
+FROM a
+"""
+
+    # Zipf fit: bit-length logs, BIGINT OLS moments, NEGATED slope so
+    # the division operands stay nonnegative on natural text
+    d["zipf_fit_report"] = """
+WITH c AS (
+  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY source, tok
+), r AS (
+  SELECT source,
+         CAST(length(bin(freq)) - 1 AS BIGINT) AS y,
+         CAST(length(bin(ROW_NUMBER() OVER (
+             PARTITION BY source ORDER BY freq DESC, tok ASC))) - 1
+           AS BIGINT) AS x
+  FROM c
+), m AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_terms,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM r GROUP BY source
+)
+SELECT source, n_terms,
+       CAST(sx AS BIGINT) AS sum_log_rank,
+       CAST(sy AS BIGINT) AS sum_log_freq,
+       CAST(1000 * (sx * sy - n_terms * sxy)
+            // (n_terms * sxx - sx * sx) AS BIGINT) AS neg_slope_milli
+FROM m
+"""
+
+    # label-centroid distances: the stats-per-dim fixed-point mean per
+    # (label, dim), then HUGEINT squared-diff sums scaled back to BIGINT
+    d["embedding_label_centroid_distances"] = """
+WITH vals AS (
+  SELECT CAST(label AS BIGINT) AS label, CAST(j + 1 AS BIGINT) AS dim,
+         CAST(floor(CAST(embedding[j + 1] AS DOUBLE) * 1000000000)
+              AS BIGINT) AS v_fp
+  FROM embeddings, (SELECT unnest(range(64)) AS j) g
+), cent AS (
+  SELECT label, dim,
+         CAST((SUM(CAST(v_fp AS HUGEINT))
+               + CAST(COUNT(*) AS HUGEINT) * 10000000000) // COUNT(*)
+              - 10000000000 AS BIGINT) AS mean_fp
+  FROM vals GROUP BY 1, 2
+)
+SELECT a.label AS label_a, b.label AS label_b,
+       CAST(SUM(CAST(a.mean_fp - b.mean_fp AS HUGEINT)
+                * (a.mean_fp - b.mean_fp)) // 1000000000 AS BIGINT)
+         AS dist_sq_fp
+FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+GROUP BY 1, 2
+"""
+
     _g7_hex = lambda c: (  # noqa: E731 — 2-char lowercase hex of column c
         f"(substring('{_jp}', {c} // 16 + 1, 1)"
         f" || substring('{_jp}', {c} % 16 + 1, 1))"

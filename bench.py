@@ -315,6 +315,11 @@ HEADLINE = [
     "multimodal_progressive_ac_refine_decode",
     "bpe_train_merges_deep",
     "multimodal_g711_roundtrip",
+    "incremental_join_rollup_merge",
+    "quality_calibration_report",
+    "padding_waste_report",
+    "zipf_fit_report",
+    "embedding_label_centroid_distances",
 ]
 
 

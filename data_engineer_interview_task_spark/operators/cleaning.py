@@ -865,3 +865,57 @@ def isotonic_revenue_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("iso_fit_fp").cast("long").alias("iso_fit_fp"),
         )
     )
+
+
+def quality_calibration_report(
+    spark: SparkSession, sf_dir: str, n_bins: int = 10
+) -> DataFrame:
+    """CALIBRATION (reliability-diagram) audit of a quality scorer — the
+    measurement loop every learned curation filter needs: treat the
+    distinct-token ratio as a [0,1] "predicted quality" and the
+    long-document indicator (``n_chars >= 300``, the EB entry's success
+    definition) as the outcome, bin predictions into ``n_bins``
+    equal-width bins, and report per bin the observed positive rate
+    against the mean predicted confidence plus their gap (the per-bin
+    ECE contribution). A well-calibrated scorer reads gap ~ 0 in every
+    populated bin; a threshold-only view (quality_threshold_for_budget)
+    can't see miscalibration.
+
+    EXACT fixed point end to end: per-doc confidence
+    ``conf_ppm = (10^6 * n_distinct) DIV n_tokens`` and bin
+    ``(n_bins * n_distinct) DIV n_tokens`` (capped at n_bins-1 for the
+    ratio-1.0 docs) are pure integer floors; bin aggregates are BIGINT
+    sums and floor divisions, bit-identical cross-engine. One map-only
+    scoring pass + one aggregate-grain groupBy (n_bins rows out)."""
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "toks", F.split(F.col("text"), " ")
+    )
+    scored = docs.select(
+        F.size(F.array_distinct("toks")).cast("long").alias("nd"),
+        F.size("toks").cast("long").alias("nt"),
+        (F.col("n_chars") >= 300).cast("long").alias("pos"),
+    )
+    binned = scored.select(
+        F.least(
+            F.lit(n_bins - 1), F.expr(f"({n_bins} * nd) DIV nt")
+        ).alias("bin"),
+        F.expr("(1000000 * nd) DIV nt").alias("conf_ppm"),
+        "pos",
+    )
+    agg = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum("conf_ppm").alias("sum_conf"),
+    )
+    return agg.select(
+        F.col("bin").cast("long").alias("bin"),
+        "n_docs",
+        "n_pos",
+        F.expr("1000000 * n_pos DIV n_docs").cast("long").alias(
+            "pos_rate_ppm"
+        ),
+        F.expr("sum_conf DIV n_docs").cast("long").alias("avg_conf_ppm"),
+        F.expr(
+            "abs(sum_conf DIV n_docs - 1000000 * n_pos DIV n_docs)"
+        ).cast("long").alias("gap_ppm"),
+    )

@@ -744,6 +744,67 @@ def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def incremental_join_rollup_merge(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental view maintenance for a JOIN + aggregate view — the
+    delta-join algebra :func:`incremental_rollup_merge` (single-table)
+    does not exercise: for ``Q = γ(A ⋈ B)`` with both a fact delta ΔA
+    (new orders by date) and a dim delta ΔB (a batch of new customers),
+    the join distributes over disjoint unions::
+
+        (A₀∪ΔA) ⋈ (B₀∪ΔB) = A₀⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈B₀ ∪ ΔA⋈ΔB
+
+    so merging the STORED state partial γ(A₀⋈B₀) with the three delta
+    partials and re-aggregating equals the full recompute EXACTLY
+    (count / decimal-sum monoids) — the oracle IS the full recompute,
+    pinning the identity. The splits (orders before/after 1996-01-01;
+    customers by ``c_custkey % 10``) leave all four quadrants non-empty
+    at every SF (test-asserted, the ``incremental_rollup_merge``
+    non-degeneracy rule).
+
+    SCALE: each partial is aggregate-grain (|nations × priorities|);
+    the dim side broadcasts into every join; only ΔA⋈B₀-sized work is
+    new per batch — history is never rescanned. The three delta
+    partials and the state merge on one aggregate-sized shuffle."""
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderpriority",
+        F.to_date("o_orderdate").alias("d"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    a0 = orders.filter(F.col("d") < F.lit("1996-01-01"))
+    da = orders.filter(F.col("d") >= F.lit("1996-01-01"))
+    b0 = cust.filter(F.col("o_custkey") % 10 != 0)
+    db = cust.filter(F.col("o_custkey") % 10 == 0)
+
+    def partial(fact: DataFrame, dim: DataFrame) -> DataFrame:
+        return (
+            fact.join(F.broadcast(dim), "o_custkey")
+            .groupBy("c_nationkey", "o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("price").alias("rev_dec"),
+            )
+        )
+
+    state = partial(a0, b0)  # the stored rollup
+    merged = (
+        state.unionByName(partial(a0, db))
+        .unionByName(partial(da, b0))
+        .unionByName(partial(da, db))
+        .groupBy("c_nationkey", "o_orderpriority")
+        .agg(
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.sum("rev_dec").cast("double").alias("total_revenue"),
+        )
+    )
+    return merged
+
+
 def scd2_as_of(
     spark: SparkSession, sf_dir: str, as_of: str = "2024-01-15"
 ) -> DataFrame:

@@ -1023,3 +1023,53 @@ def eb_shrunk_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shrunk_rate_fp"),
         )
     )
+
+
+def padding_waste_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH-PADDING efficiency audit — the measurement behind
+    length-bucketed batching: if documents are batched within log2
+    length buckets and each batch pads to its bucket's max length, how
+    many pad tokens does each bucket burn? Reports per bucket the doc
+    count, min/max/sum token lengths, the padded total
+    (``n_docs * max_tokens`` — the worst-case per-bucket pad bill) and
+    the exact waste rate in ppm. The report decides bucket granularity for
+    a packing pipeline (wide buckets => pad waste; narrow => small
+    batches); ``pack_token_shards`` is the remedy this report sizes.
+
+    Exact integers end to end (bucket = bit length of the token count,
+    the log2 binning the degree histogram uses; waste_ppm is one floor
+    division of nonnegative BIGINTs). One map-only scoring pass + one
+    bucket-grain aggregate."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_toks")
+    )
+    b = docs.select(
+        F.expr("length(bin(n_toks)) - 1").cast("long").alias("bucket"),
+        "n_toks",
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("n_toks").cast("long").alias("min_tokens"),
+            F.max("n_toks").cast("long").alias("max_tokens"),
+            F.sum("n_toks").cast("long").alias("sum_tokens"),
+        )
+        .select(
+            "bucket",
+            F.expr("CAST(1 AS BIGINT) << bucket").cast("long").alias(
+                "bucket_lo"
+            ),
+            "n_docs",
+            "min_tokens",
+            "max_tokens",
+            "sum_tokens",
+            (F.col("n_docs") * F.col("max_tokens")).cast("long").alias(
+                "padded_tokens"
+            ),
+            F.expr(
+                "1000000 * (n_docs * max_tokens - sum_tokens)"
+                " DIV (n_docs * max_tokens)"
+            ).cast("long").alias("waste_ppm"),
+        )
+    )

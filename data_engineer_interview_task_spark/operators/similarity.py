@@ -1292,3 +1292,73 @@ def matryoshka_rank_agreement(
         .alias("footrule"),
         F.max("r32").cast("long").alias("worst_trunc_rank"),
     )
+
+
+def embedding_label_centroid_distances(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CLASS-SEPARATION audit over the embedding space: the exact
+    fixed-point centroid of each label (the ``embedding_stats_per_dim``
+    conventions — ``floor(x*1e9)`` elements, nonnegative-shift floor
+    mean) and the squared L2 distance between every label pair — the
+    between-class scatter a classifier / clusterer sanity check reads
+    (collapsed centroids flag useless embeddings or leaked labels).
+
+    Exactness: centroid coordinates are BIGINT fixed point; the pair
+    distance sums 64 squared diffs in DECIMAL(38,0) (diff <= ~2e9,
+    diff^2 <= 4e18, x64 crosses 2^63 — the isotonic-overflow lesson)
+    and emits ``dist_sq_fp = sum DIV 1e9`` (a 1e-9-scaled squared
+    distance, BIGINT-safe). Shape: one posexplode + one (label, dim)
+    aggregate (L x 64 rows), then a broadcast self-join on dim over
+    that tiny frame — the corpus is scanned once; pair work never
+    touches row grain."""
+    SHIFT = 10_000_000_000
+    emb = read_table(spark, sf_dir, "embeddings")
+    vals = emb.select(
+        F.col("label").cast("long").alias("label"),
+        F.posexplode("embedding").alias("pos", "v"),
+    ).select(
+        "label",
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.floor(F.col("v").cast("double") * 1e9).alias("v_fp"),
+    )
+    cent = vals.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("v_fp").cast("decimal(38,0)")).alias("s"),
+    ).select(
+        "label",
+        "dim",
+        F.expr(
+            f"CAST((s + CAST(n AS DECIMAL(38,0)) * {SHIFT}) DIV n"
+            f" - {SHIFT} AS BIGINT)"
+        ).alias("mean_fp"),
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"), "dim",
+        F.col("mean_fp").alias("ma"),
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), "dim",
+        F.col("mean_fp").alias("mb"),
+    )
+    pairs = a.join(F.broadcast(b), "dim").filter(
+        F.col("label_a") < F.col("label_b")
+    )
+    return (
+        pairs.groupBy("label_a", "label_b")
+        .agg(
+            F.sum(
+                (
+                    (F.col("ma") - F.col("mb")).cast("decimal(38,0)")
+                    * (F.col("ma") - F.col("mb"))
+                ).cast("decimal(38,0)")
+            ).alias("dsum")
+        )
+        .select(
+            "label_a",
+            "label_b",
+            F.expr("CAST(dsum DIV 1000000000 AS BIGINT)").alias(
+                "dist_sq_fp"
+            ),
+        )
+    )

@@ -1481,3 +1481,61 @@ def bpe_encode_token_counts(
             F.sum("n_syms").cast("long").alias("n_bpe_tokens"),
         )
     )
+
+
+def zipf_fit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIPF-LAW fit per source — the corpus-health diagnostic: rank each
+    source's vocabulary by frequency and OLS-fit log2(freq) against
+    log2(rank). Natural text reads a slope near -1; a flat slope flags
+    template/boilerplate corpora, a cliff flags deduplication damage.
+
+    EXACT integer formulation (the ``grouped_linear_trend`` discipline):
+    both logs are bit-length floors (``length(bin(v)) - 1``), the OLS
+    moments are BIGINT sums, and the emitted slope is
+    ``neg_slope_milli = 1000 * (SxSy - nSxy) DIV (nSxx - SxSx)`` — the
+    NEGATED slope, so every division operand is nonnegative and Spark's
+    truncating DIV agrees with DuckDB's ``//`` regardless of floor
+    semantics. Ranks use the total tie-break (freq DESC, token ASC).
+
+    Scale: the (source, token) aggregate is vocabulary-bounded per
+    source; the rank window partitions by source over those bounded
+    groups (the ``heavy_hitters_per_source`` shape); the OLS reduce is
+    one aggregate-grain groupBy."""
+    from pyspark.sql import Window
+
+    toks = (
+        read_table(spark, sf_dir, "documents")
+        .withColumn("toks", _tokens(F.col("text")))
+        .select("source", F.explode("toks").alias("tok"))
+    )
+    counts = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).alias("freq")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("freq").desc(), F.col("tok").asc()
+    )
+    pts = counts.select(
+        "source",
+        F.expr("length(bin(freq)) - 1").cast("long").alias("y"),
+        (F.row_number().over(w)).alias("rank"),
+    ).select(
+        "source",
+        "y",
+        F.expr("length(bin(rank)) - 1").cast("long").alias("x"),
+    )
+    m = pts.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return m.select(
+        "source",
+        "n_terms",
+        F.col("sx").cast("long").alias("sum_log_rank"),
+        F.col("sy").cast("long").alias("sum_log_freq"),
+        F.expr(
+            "1000 * (sx * sy - n_terms * sxy) DIV (n_terms * sxx - sx * sx)"
+        ).cast("long").alias("neg_slope_milli"),
+    )
