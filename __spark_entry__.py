@@ -240,6 +240,24 @@ def _streaming_update_mode_rollup(
     )
 
 
+def _streaming_python_datasource_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming PYTHON DATA SOURCE (Spark 4 SimpleDataSourceStreamReader
+    — the streaming half of the DataSource API, next to the batch
+    date_spine seam): a deterministic paged md5 tick feed paces itself
+    one page per micro-batch through the offset protocol, aggregated
+    per page in complete mode. The feed is pure arithmetic, so the
+    oracle rebuilds every page from range() + the md5 hex fold."""
+    from data_engineer_interview_task_spark.sources.pydatasource import (
+        run_tick_stream_rollup_once,
+    )
+
+    return run_tick_stream_rollup_once(
+        spark, _work_dir("stream_pyds", sf_dir)
+    )
+
+
 def _streaming_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact-distinct via mergeable bitmap state (bit_or of
     62-bit words), popcount-rolled after the drain. Fully oracle-checked
@@ -560,6 +578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "padding_waste_report": sampling.padding_waste_report,  # log2 length-bucket batching audit: per-bucket pad-token waste in exact ppm
         "zipf_fit_report": text.zipf_fit_report,  # per-source Zipf slope: exact bit-length log-log OLS over the ranked vocabulary
         "embedding_label_centroid_distances": similarity.embedding_label_centroid_distances,  # between-class scatter: fixed-point label centroids + pairwise squared L2
+        "streaming_python_datasource_rollup": _streaming_python_datasource_rollup,  # Spark-4 streaming Python DataSource: paged md5 tick feed, per-page rollup
         # --- ROUND-8 attestation front (all green in CORRECTNESS_r08) ---
         "copurchase_edges_capped": graph.copurchase_edges_capped,  # basket-capped co-occurrence build: the documented mega-basket skew remedy (VERDICT r7 item 6)
         "bpe_train_merges_bytelevel": text.bpe_train_merges_bytelevel,  # byte-level BPE, 64 merges in 16 batched non-interacting rounds (VERDICT r7 item 4)
@@ -7256,15 +7275,6 @@ WITH v0 AS (
 
     # ---- round 9 ----------------------------------------------------
 
-    # G.711 µ-law + A-law round-trip: per-sample (memoryless) companding
-    # replayed independently per sample — sign/clip/bias, threshold-CASE
-    # segment (the floor-log2), mantissa, and the exact reconstruction
-    # shifts, for BOTH laws. The 64-sample payload is the 8-distinct-
-    # sample block repeated 8x, so payload hex = repeat(hex8, 8) and
-    # the distortion sums are 8x the per-block sums. Arithmetic-shift
-    # (s >> 3) is floor division — DuckDB // truncates, so the negative
-    # branch is explicit. A-law's negative fold is ONE'S complement
-    # (-p - 1), its sign bit marks POSITIVE samples, and bytes XOR 0x55.
     # delta-join IVM: the oracle is the FULL RECOMPUTE — the query's
     # state+three-delta-partials merge must equal it exactly (the join
     # distributes over the disjoint splits; count/decimal-sum monoids)
@@ -7381,6 +7391,34 @@ FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
 GROUP BY 1, 2
 """
 
+    # streaming python data source: the tick feed is range() + an md5
+    # fold, so the oracle regenerates every page the reader emitted
+    d["streaming_python_datasource_rollup"] = f"""
+WITH g AS (
+  SELECT p.p AS page, i.i AS i,
+         md5(CAST(p.p AS VARCHAR) || '|' || CAST(i.i AS VARCHAR)) AS m
+  FROM (SELECT unnest(range(4)) AS p) p,
+       (SELECT unnest(range(32)) AS i) i
+), v AS (
+  SELECT page, ({_hex_u32('m', 1)}) % 1000 AS v FROM g
+)
+SELECT CAST(page AS BIGINT) AS page,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(v) AS BIGINT) AS sum_v,
+       CAST(MIN(v) AS BIGINT) AS min_v,
+       CAST(MAX(v) AS BIGINT) AS max_v
+FROM v GROUP BY page
+"""
+
+    # G.711 µ-law + A-law round-trip: per-sample (memoryless) companding
+    # replayed independently per sample — sign/clip/bias, threshold-CASE
+    # segment (the floor-log2), mantissa, and the exact reconstruction
+    # shifts, for BOTH laws. The 64-sample payload is the 8-distinct-
+    # sample block repeated 8x, so payload hex = repeat(hex8, 8) and
+    # the distortion sums are 8x the per-block sums. Arithmetic-shift
+    # (s >> 3) is floor division, so the negative branch is explicit.
+    # A-law's negative fold is ONE'S complement (-p - 1), its sign bit
+    # marks POSITIVE samples, and bytes XOR 0x55.
     _g7_hex = lambda c: (  # noqa: E731 — 2-char lowercase hex of column c
         f"(substring('{_jp}', {c} // 16 + 1, 1)"
         f" || substring('{_jp}', {c} % 16 + 1, 1))"

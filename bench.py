@@ -320,6 +320,7 @@ HEADLINE = [
     "padding_waste_report",
     "zipf_fit_report",
     "embedding_label_centroid_distances",
+    "streaming_python_datasource_rollup",
 ]
 
 

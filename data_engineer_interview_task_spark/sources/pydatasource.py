@@ -62,3 +62,122 @@ def register_date_spine_source(spark: SparkSession) -> None:
             return _SpineReader(self.options)
 
     spark.dataSource.register(DateSpineDataSource)
+
+
+def register_tick_stream_source(spark: SparkSession) -> None:
+    """Register the ``tick_stream`` STREAMING Python data source — the
+    Spark-4 ``SimpleDataSourceStreamReader`` seam (the streaming half of
+    the DataSource API next to the batch ``date_spine`` above): a
+    deterministic paged tick feed whose offset is the page number. Each
+    ``read(start)`` emits one page of md5-derived rows and advances the
+    offset; past the last page it returns an empty iterator with the
+    SAME offset, so the stream reports caught-up and
+    ``processAllAvailable`` terminates deterministically.
+    ``readBetweenOffsets`` regenerates any committed page range
+    bit-identically — the replay contract that makes checkpoint recovery
+    exactly-once for a generated feed.
+
+    Options: ``pages`` (default 4), ``rowsPerPage`` (default 32). Row
+    values are ``int(md5(page|i)[:8], 16)`` folds, so a SQL oracle
+    rebuilds the whole feed from ``range()`` + the md5 hex fold. Classes
+    live inside this function so cloudpickle ships them BY VALUE (the
+    repo-wide python-worker rule)."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        SimpleDataSourceStreamReader,
+    )
+
+    class _TickStreamReader(SimpleDataSourceStreamReader):
+        def __init__(self, options):
+            self.pages = int(options.get("pages", "4"))
+            self.rows = int(options.get("rowsPerPage", "32"))
+
+        def initialOffset(self):
+            return {"page": 0}
+
+        def _page_rows(self, p: int):
+            # a LIST, not a generator: the wrapper pickles prefetched
+            # rows into the offset log for replay, and generators
+            # don't pickle
+            import hashlib as _h
+
+            return [
+                (
+                    p,
+                    i,
+                    int(
+                        _h.md5(f"{p}|{i}".encode()).hexdigest()[:8], 16
+                    )
+                    % 1000,
+                )
+                for i in range(self.rows)
+            ]
+
+        def read(self, start):
+            p = int(start["page"])
+            if p >= self.pages:
+                return iter([]), start
+            return iter(self._page_rows(p)), {"page": p + 1}
+
+        def readBetweenOffsets(self, start, end):
+            out = []
+            for p in range(int(start["page"]), int(end["page"])):
+                out.extend(self._page_rows(p))
+            return iter(out)
+
+    class TickStreamDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "tick_stream"
+
+        def schema(self) -> str:
+            return "page bigint, i bigint, v bigint"
+
+        def simpleStreamReader(self, schema):
+            return _TickStreamReader(self.options)
+
+    spark.dataSource.register(TickStreamDataSource)
+
+
+def run_tick_stream_rollup_once(spark: SparkSession, work_dir: str):
+    """Harness: stream the ``tick_stream`` source through a per-page
+    rollup (complete-mode memory sink) and return the drained batch
+    frame. The feed is finite (4 pages), so ``processAllAvailable``
+    blocks until every page is read and aggregated — no polling loops,
+    no timing sensitivity; the custom source paces itself one page per
+    micro-batch through the offset protocol. Shuffle partitions are
+    narrowed for the run (per-batch state-commit cost — the streaming
+    harness profile), opened before the checkpoint is created so the
+    window binds this query only."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from ..streaming.util import drain_memory_sink
+
+    register_tick_stream_source(spark)
+    sink = f"mem_ticks_{uuid.uuid4().hex[:8]}"
+    conf_key = "spark.sql.shuffle.partitions"
+    prior = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, "8")
+    try:
+        stream = spark.readStream.format("tick_stream").load()
+        agg = stream.groupBy("page").agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("v").cast("long").alias("sum_v"),
+            F.min("v").cast("long").alias("min_v"),
+            F.max("v").cast("long").alias("max_v"),
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", f"{work_dir}/ckpt_{sink}")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+    finally:
+        spark.conf.set(conf_key, prior)
+    return drain_memory_sink(spark, sink)
