@@ -579,6 +579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit_report": text.zipf_fit_report,  # per-source Zipf slope: exact bit-length log-log OLS over the ranked vocabulary
         "embedding_label_centroid_distances": similarity.embedding_label_centroid_distances,  # between-class scatter: fixed-point label centroids + pairwise squared L2
         "streaming_python_datasource_rollup": _streaming_python_datasource_rollup,  # Spark-4 streaming Python DataSource: paged md5 tick feed, per-page rollup
+        "multimodal_bmp_rle_decode": multimodal.multimodal_bmp_rle_decode,  # REAL RLE8 BMP: runs + absolute segments + EOL/EOB escapes + bottom-up palette raster
         # --- ROUND-8 attestation front (all green in CORRECTNESS_r08) ---
         "copurchase_edges_capped": graph.copurchase_edges_capped,  # basket-capped co-occurrence build: the documented mega-basket skew remedy (VERDICT r7 item 6)
         "bpe_train_merges_bytelevel": text.bpe_train_merges_bytelevel,  # byte-level BPE, 64 merges in 16 batched non-interacting rounds (VERDICT r7 item 4)
@@ -7408,6 +7409,42 @@ SELECT CAST(page AS BIGINT) AS page,
        CAST(MIN(v) AS BIGINT) AS min_v,
        CAST(MAX(v) AS BIGINT) AS max_v
 FROM v GROUP BY page
+"""
+
+    # RLE8 BMP: the oracle rebuilds the decoded RGB raster directly —
+    # index bytes from md5, palette (i, 7i, 13i) mod 256 (RLE itself is
+    # lossless framing, so pixels are a pure md5 function)
+    _bmp_hex = lambda c: (  # noqa: E731 — 2-char lowercase hex of expr c
+        f"(substring('{_jp}', ({c}) // 16 + 1, 1)"
+        f" || substring('{_jp}', ({c}) % 16 + 1, 1))"
+    )
+
+    def _bmp_h6(idx: str) -> str:
+        # palette triple hex of index expression: (i, 7i%256, 13i%256)
+        return (
+            f"({_bmp_hex(idx)} || {_bmp_hex(f'(7 * ({idx})) % 256')}"
+            f" || {_bmp_hex(f'(13 * ({idx})) % 256')})"
+        )
+
+    _bmp_lits = " || ".join(
+        _bmp_h6(_cjb("(g.y + %d) %% 16" % x)) for x in range(8, 13)
+    )
+    d["multimodal_bmp_rle_decode"] = f"""
+WITH base AS (
+  SELECT doc_id, md5(text) AS m FROM documents
+), rows_ AS (
+  SELECT doc_id, CAST(g.y AS INTEGER) AS y,
+         repeat({_bmp_h6(_cjb('g.y'))}, 8)
+           || {_bmp_lits}
+           || repeat({_bmp_h6(_cjb('15 - g.y'))}, 3) AS rowhex
+  FROM base, (SELECT unnest(range(16)) AS y) g
+)
+SELECT doc_id,
+       CAST(16 AS BIGINT) AS width,
+       CAST(16 AS BIGINT) AS height,
+       CAST(768 AS BIGINT) AS n_px_bytes,
+       sha256(string_agg(rowhex, '' ORDER BY y)) AS pixel_sha
+FROM rows_ GROUP BY doc_id
 """
 
     # G.711 µ-law + A-law round-trip: per-sample (memoryless) companding

@@ -321,6 +321,7 @@ HEADLINE = [
     "zipf_fit_report",
     "embedding_label_centroid_distances",
     "streaming_python_datasource_rollup",
+    "multimodal_bmp_rle_decode",
 ]
 
 

@@ -1794,6 +1794,69 @@ def multimodal_g711_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(_roundtrip, schema=schema)
 
 
+def multimodal_bmp_rle_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL RLE8 BMP decode — the Windows run-length raster format
+    (``functions/bmp_codec.py``): encoded byte runs AND absolute-mode
+    literal segments (word-aligned) AND the EOL/EOB escape protocol AND
+    bottom-up row storage AND the BGRA palette expansion, all exercised
+    per image. Each document's 16x16 index raster is
+    ``8 x d[y] | d[(y+x) mod 16] for x in 8..12 | 3 x d[15-y]`` per row
+    (md5-derived), so the encoder provably emits BOTH encodings (runs
+    for the flanks, one absolute segment for the 5 distinct literals)
+    and the ORACLE rebuilds the decoded RGB raster arithmetically —
+    index bytes straight from md5, palette (i, 7i, 13i) mod 256."""
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("width", LongType()),
+            StructField("height", LongType()),
+            StructField("n_px_bytes", LongType()),
+            StructField("pixel_sha", StringType()),
+        ]
+    )
+    from ..functions.bmp_codec import bmp_decode_rle8, bmp_encode_rle8
+
+    docs = _spread_docs(
+        spark, read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+    def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # self-contained closure: both codec halves captured by value
+        import hashlib as _h
+
+        import pandas as _pd
+
+        enc, dec = bmp_encode_rle8, bmp_decode_rle8
+        pal = bytes(
+            b for i in range(256) for b in (i, (7 * i) % 256, (13 * i) % 256)
+        )
+        for pdf in batches:
+            out = {c: [] for c in (
+                "doc_id", "width", "height", "n_px_bytes", "pixel_sha",
+            )}
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                d = _h.md5(t.encode()).digest()
+                rows = [
+                    bytes(
+                        [d[y]] * 8
+                        + [d[(y + x) % 16] for x in range(8, 13)]
+                        + [d[15 - y]] * 3
+                    )
+                    for y in range(16)
+                ]
+                rgb, w, h = dec(enc(rows, 16, 16, pal))
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_px_bytes"].append(len(rgb))
+                out["pixel_sha"].append(
+                    _h.sha256(rgb.hex().encode()).hexdigest()
+                )
+            yield _pd.DataFrame(out)
+
+    return docs.mapInPandas(_roundtrip, schema=schema)
+
+
 #: 256-entry GIF global color table: index i -> (i, 7i mod 256,
 #: 13i mod 256) — a full-size table (min LZW code size 8), unlike the
 #: 16-entry PNG palette, so the GIF path exercises 9..12-bit codes.

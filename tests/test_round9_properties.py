@@ -124,6 +124,85 @@ def test_g711_fixed_points_and_reference_values():
         mulaw_encode_wav([])
 
 
+# --- RLE8 BMP codec -------------------------------------------------------
+
+
+def test_bmp_rle8_roundtrip_and_escapes():
+    """Random index rasters round-trip bit-exactly through encode/decode
+    (mixed runs and literals force both encodings); the fixture shape
+    provably contains an absolute-mode escape; delta escapes decode with
+    the skipped-pixels-are-zero rule; guards reject non-BMP payloads and
+    mismatched rows."""
+    import hashlib
+    import random
+    import struct
+
+    from data_engineer_interview_task_spark.functions.bmp_codec import (
+        bmp_decode_rle8,
+        bmp_encode_rle8,
+    )
+
+    pal = bytes(
+        b for i in range(256) for b in (i, (7 * i) % 256, (13 * i) % 256)
+    )
+
+    def expand(rows):
+        return b"".join(
+            bytes((pal[3 * v], pal[3 * v + 1], pal[3 * v + 2]))
+            for r in rows
+            for v in r
+        )
+
+    rng = random.Random(9)
+    for _ in range(20):
+        w = rng.choice([5, 8, 16, 33])
+        h = rng.choice([1, 4, 16])
+        rows = [
+            bytes(rng.choice([rng.randrange(256), 7]) for _ in range(w))
+            for _ in range(h)
+        ]
+        rgb, dw, dh = bmp_decode_rle8(bmp_encode_rle8(rows, w, h, pal))
+        assert (dw, dh) == (w, h) and rgb == expand(rows)
+
+    # the registered fixture contains a genuine absolute-mode escape
+    d = hashlib.md5(b"fixture").digest()
+    rows = [
+        bytes(
+            [d[y]] * 8
+            + [d[(y + x) % 16] for x in range(8, 13)]
+            + [d[15 - y]] * 3
+        )
+        for y in range(16)
+    ]
+    payload = bmp_encode_rle8(rows, 16, 16, pal)
+    off = struct.unpack_from("<I", payload, 10)[0]
+    data = payload[off:]
+    assert any(
+        data[i] == 0 and data[i + 1] >= 3 for i in range(len(data) - 1)
+    )
+    rgb, *_ = bmp_decode_rle8(payload)
+    assert rgb == expand(rows)
+
+    # hand-built delta escape: run(2, 5), delta(+2, 0), run(1, 9), EOL,
+    # EOB over a 5x1 image — skipped pixels read as index 0
+    hand = bytearray(payload[: off])
+    # rebuild a minimal payload via the encoder's framing: reuse header
+    # of a 5x1 encode then substitute the data section
+    base = bmp_encode_rle8([bytes([5, 5, 0, 0, 9])], 5, 1, pal)
+    boff = struct.unpack_from("<I", base, 10)[0]
+    delta_data = bytes([2, 5, 0, 2, 2, 0, 1, 9, 0, 0, 0, 1])
+    patched = bytearray(base[:boff]) + delta_data
+    struct.pack_into("<I", patched, 34, len(delta_data))
+    rgb, w, h = bmp_decode_rle8(bytes(patched))
+    assert (w, h) == (5, 1)
+    assert rgb == expand([bytes([5, 5, 0, 0, 9])])
+
+    with pytest.raises(ValueError):
+        bmp_decode_rle8(b"PNG whatever")
+    with pytest.raises(ValueError):
+        bmp_encode_rle8([b"abc"], 4, 1, pal)
+
+
 # --- two_phase_cumsum extra=/totals= generalization ----------------------
 
 
