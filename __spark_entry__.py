@@ -580,6 +580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_label_centroid_distances": similarity.embedding_label_centroid_distances,  # between-class scatter: fixed-point label centroids + pairwise squared L2
         "streaming_python_datasource_rollup": _streaming_python_datasource_rollup,  # Spark-4 streaming Python DataSource: paged md5 tick feed, per-page rollup
         "multimodal_bmp_rle_decode": multimodal.multimodal_bmp_rle_decode,  # REAL RLE8 BMP: runs + absolute segments + EOL/EOB escapes + bottom-up palette raster
+        "ngram_novelty_curve": text.ngram_novelty_curve,  # per-doc 5-gram novelty via first-occurrence attribution (one aggregate, no prior-join)
         # --- ROUND-8 attestation front (all green in CORRECTNESS_r08) ---
         "copurchase_edges_capped": graph.copurchase_edges_capped,  # basket-capped co-occurrence build: the documented mega-basket skew remedy (VERDICT r7 item 6)
         "bpe_train_merges_bytelevel": text.bpe_train_merges_bytelevel,  # byte-level BPE, 64 merges in 16 batched non-interacting rounds (VERDICT r7 item 4)
@@ -7409,6 +7410,35 @@ SELECT CAST(page AS BIGINT) AS page,
        CAST(MIN(v) AS BIGINT) AS min_v,
        CAST(MAX(v) AS BIGINT) AS max_v
 FROM v GROUP BY page
+"""
+
+    # n-gram novelty: first-occurrence attribution (MIN(doc_id) per
+    # gram); DuckDB list slicing t[i:i+4] is 1-based INCLUSIVE = the
+    # 5-gram at i, matching Spark's slice(toks, i, 5)
+    d["ngram_novelty_curve"] = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), g AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks) - 3),
+                                 i -> array_to_string(toks[i:i+4], ' ')))
+             AS gram
+    FROM t WHERE len(toks) >= 5
+  )
+), f AS (
+  SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram
+), p AS (
+  SELECT g.doc_id,
+         COUNT(*) AS n_grams,
+         SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS n_novel
+  FROM g JOIN f USING (gram) GROUP BY g.doc_id
+)
+SELECT doc_id,
+       CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(n_novel AS BIGINT) AS n_novel,
+       CAST(1000000 * n_novel // n_grams AS BIGINT) AS novelty_ppm
+FROM p
 """
 
     # RLE8 BMP: the oracle rebuilds the decoded RGB raster directly —

@@ -322,6 +322,7 @@ HEADLINE = [
     "embedding_label_centroid_distances",
     "streaming_python_datasource_rollup",
     "multimodal_bmp_rle_decode",
+    "ngram_novelty_curve",
 ]
 
 

@@ -1539,3 +1539,57 @@ def zipf_fit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "1000 * (sx * sy - n_terms * sxy) DIV (n_terms * sxx - sx * sx)"
         ).cast("long").alias("neg_slope_milli"),
     )
+
+
+def ngram_novelty_curve(
+    spark: SparkSession, sf_dir: str, n: int = 5
+) -> DataFrame:
+    """N-GRAM NOVELTY per document — the memorization/staleness audit a
+    continuously-growing corpus runs: in deterministic ``doc_id`` order,
+    how much of each document's 5-gram vocabulary is NEW (never seen in
+    any earlier document)? Near-duplicate tails read ~0 novelty; fresh
+    content reads ~1. The per-doc curve is the marginal-information
+    signal dedup thresholds and crawl-stop rules calibrate against.
+
+    FIRST-OCCURRENCE ATTRIBUTION makes this one aggregate instead of a
+    quadratic prior-join: a doc's novel grams are exactly the grams
+    whose corpus-wide MIN(doc_id) is this doc — so the plan is one
+    distinct (doc, gram) projection, one gram-grain MIN aggregate, one
+    join back on gram, one doc-grain rollup. Every step is key-grain
+    shuffled and map-side combinable; nothing is quadratic at any
+    corpus size. ``novelty_ppm`` is an exact nonnegative floor."""
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "toks", _tokens(F.col("text"))
+    )
+    grams = (
+        docs.filter(F.size("toks") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {n - 1}),"
+                    f" i -> array_join(slice(toks, i, {n}), ' '))"
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    first = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        grams.join(first, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(
+                (F.col("first_doc") == F.col("doc_id")).cast("long")
+            ).cast("long").alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "n_novel",
+        F.expr("1000000 * n_novel DIV n_grams").cast("long").alias(
+            "novelty_ppm"
+        ),
+    )
