@@ -581,6 +581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_python_datasource_rollup": _streaming_python_datasource_rollup,  # Spark-4 streaming Python DataSource: paged md5 tick feed, per-page rollup
         "multimodal_bmp_rle_decode": multimodal.multimodal_bmp_rle_decode,  # REAL RLE8 BMP: runs + absolute segments + EOL/EOB escapes + bottom-up palette raster
         "ngram_novelty_curve": text.ngram_novelty_curve,  # per-doc 5-gram novelty via first-occurrence attribution (one aggregate, no prior-join)
+        "stratified_holdout_exact": sampling.stratified_holdout_exact,  # exact-proportion 80/10/10 per-source split on the grouped two-phase rank
         # --- ROUND-8 attestation front (all green in CORRECTNESS_r08) ---
         "copurchase_edges_capped": graph.copurchase_edges_capped,  # basket-capped co-occurrence build: the documented mega-basket skew remedy (VERDICT r7 item 6)
         "bpe_train_merges_bytelevel": text.bpe_train_merges_bytelevel,  # byte-level BPE, 64 merges in 16 batched non-interacting rounds (VERDICT r7 item 4)
@@ -7410,6 +7411,33 @@ SELECT CAST(page AS BIGINT) AS page,
        CAST(MIN(v) AS BIGINT) AS min_v,
        CAST(MAX(v) AS BIGINT) AS max_v
 FROM v GROUP BY page
+"""
+
+    # exact stratified holdout: per-source rank in (md5, doc_id) order,
+    # integer-threshold cuts at 8n/10 and 9n/10
+    d["stratified_holdout_exact"] = """
+WITH d AS (
+  SELECT doc_id, source,
+         len(string_split(text, ' ')) AS n_toks,
+         md5(CAST(doc_id AS VARCHAR)) AS k
+  FROM documents
+), r AS (
+  SELECT source, n_toks,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY k ASC, doc_id ASC) AS rk,
+         COUNT(*) OVER (PARTITION BY source) AS n_src
+  FROM d
+), s AS (
+  SELECT source, n_toks,
+         CASE WHEN rk <= 8 * n_src // 10 THEN 'train'
+              WHEN rk <= 9 * n_src // 10 THEN 'val'
+              ELSE 'test' END AS split
+  FROM r
+)
+SELECT source, split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+FROM s GROUP BY source, split
 """
 
     # n-gram novelty: first-occurrence attribution (MIN(doc_id) per

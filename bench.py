@@ -323,6 +323,7 @@ HEADLINE = [
     "streaming_python_datasource_rollup",
     "multimodal_bmp_rle_decode",
     "ngram_novelty_curve",
+    "stratified_holdout_exact",
 ]
 
 

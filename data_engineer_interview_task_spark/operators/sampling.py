@@ -1073,3 +1073,50 @@ def padding_waste_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("waste_ppm"),
         )
     )
+
+
+def stratified_holdout_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-PROPORTION stratified train/val/test split — the companion
+    to the hash-band splits (``cv_fold_assignment``/``split_leakage``):
+    hash banding only hits 80/10/10 in expectation, but fairness
+    audits and small strata need EXACT quotas per source. Each source's
+    docs are ranked in the rerun-stable (md5(doc_id), doc_id) order and
+    cut at ``8n/10`` and ``9n/10``; the report emits per (source,
+    split) doc and token masses.
+
+    Scale shape: the per-source rank runs through
+    :func:`relational.two_phase_cumsum` with ``part_cols=("source",)``
+    — range-partitioned on (source, order key), so even a single
+    mega-source never becomes one sort task (the weighted_median
+    class); the per-source totals ride the same materialized frame
+    (``totals=``). Pure integer thresholds: rank <= 8n DIV 10 -> train,
+    <= 9n DIV 10 -> val, else test."""
+    from .relational import two_phase_cumsum
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_toks"),
+        _sample_key(F.col("doc_id")).alias("k"),
+    )
+    ranked = two_phase_cumsum(
+        docs,
+        [F.col("k").asc(), F.col("doc_id").asc()],
+        F.lit(1),
+        "rk",
+        part_cols=("source",),
+        totals=((F.count(F.lit(1)).cast("long"), "n_src"),),
+    )
+    split = (
+        F.when(F.col("rk") <= F.expr("8 * n_src DIV 10"), F.lit("train"))
+        .when(F.col("rk") <= F.expr("9 * n_src DIV 10"), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        ranked.select("source", split.alias("split"), "n_toks")
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+        )
+    )
