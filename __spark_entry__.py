@@ -582,6 +582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_bmp_rle_decode": multimodal.multimodal_bmp_rle_decode,  # REAL RLE8 BMP: runs + absolute segments + EOL/EOB escapes + bottom-up palette raster
         "ngram_novelty_curve": text.ngram_novelty_curve,  # per-doc 5-gram novelty via first-occurrence attribution (one aggregate, no prior-join)
         "stratified_holdout_exact": sampling.stratified_holdout_exact,  # exact-proportion 80/10/10 per-source split on the grouped two-phase rank
+        "supplier_ktruss_profile": graph.supplier_ktruss_profile,  # k-truss peeling profile: triangle-support peel at the data-derived median threshold
         # --- ROUND-8 attestation front (all green in CORRECTNESS_r08) ---
         "copurchase_edges_capped": graph.copurchase_edges_capped,  # basket-capped co-occurrence build: the documented mega-basket skew remedy (VERDICT r7 item 6)
         "bpe_train_merges_bytelevel": text.bpe_train_merges_bytelevel,  # byte-level BPE, 64 merges in 16 batched non-interacting rounds (VERDICT r7 item 4)
@@ -7412,6 +7413,68 @@ SELECT CAST(page AS BIGINT) AS page,
        CAST(MAX(v) AS BIGINT) AS max_v
 FROM v GROUP BY page
 """
+
+    # k-truss profile: 3 unrolled support-peel rounds over the capped
+    # co-purchase graph; the threshold is the lower median of round-0
+    # supports (data-derived, so the peel bites at every SF). Every
+    # round frame is MATERIALIZED — each is referenced several times
+    # (the 2^rounds inlining lesson)
+    def _truss_round(r: int) -> str:
+        return f"""
+e{r} AS MATERIALIZED (SELECT u, v FROM s{r - 1}, thr WHERE sup >= thr.thr),
+sym{r} AS MATERIALIZED (SELECT u AS src, v AS dst FROM e{r}
+                        UNION ALL SELECT v AS src, u AS dst FROM e{r}),
+s{r} AS MATERIALIZED (
+  SELECT e{r}.u, e{r}.v, COALESCE(cn.s, 0) AS sup
+  FROM e{r} LEFT JOIN (
+    SELECT e{r}.u AS u, e{r}.v AS v, COUNT(*) AS s
+    FROM e{r}
+    JOIN sym{r} a ON a.src = e{r}.u
+    JOIN sym{r} b2 ON b2.src = e{r}.v AND b2.dst = a.dst
+    GROUP BY 1, 2
+  ) cn ON cn.u = e{r}.u AND cn.v = e{r}.v
+),"""
+
+    _truss_stats = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS round,"
+        f" (SELECT CAST(thr AS BIGINT) FROM thr) AS threshold,"
+        f" (SELECT CAST(COUNT(*) AS BIGINT) FROM s{r}) AS n_edges,"
+        f" (SELECT CAST(COUNT(DISTINCT x) AS BIGINT) FROM"
+        f" (SELECT u AS x FROM s{r} UNION ALL SELECT v FROM s{r}))"
+        f" AS n_nodes"
+        for r in range(0, 4)
+    )
+    d["supplier_ktruss_profile"] = (
+        """
+WITH bsk AS (
+  SELECT l_orderkey, list_sort(list(DISTINCT l_suppkey))[1:4] AS ss
+  FROM lineitem GROUP BY l_orderkey
+),
+eb AS (SELECT unnest(ss) AS src, ss FROM bsk),
+ep AS (SELECT src, unnest(ss) AS dst FROM eb),
+sym0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM ep WHERE src <> dst),
+uv0 AS MATERIALIZED (SELECT src AS u, dst AS v FROM sym0 WHERE src < dst),
+s0 AS MATERIALIZED (
+  SELECT uv0.u, uv0.v, COALESCE(cn.s, 0) AS sup
+  FROM uv0 LEFT JOIN (
+    SELECT uv0.u AS u, uv0.v AS v, COUNT(*) AS s
+    FROM uv0
+    JOIN sym0 a ON a.src = uv0.u
+    JOIN sym0 b2 ON b2.src = uv0.v AND b2.dst = a.dst
+    GROUP BY 1, 2
+  ) cn ON cn.u = uv0.u AND cn.v = uv0.v
+),
+thr AS (
+  SELECT MIN(sup) AS thr FROM (
+    SELECT sup, SUM(cnt) OVER (ORDER BY sup ASC) AS cum,
+           SUM(cnt) OVER () AS n
+    FROM (SELECT sup, COUNT(*) AS cnt FROM s0 GROUP BY sup)
+  ) WHERE cum >= (n + 1) // 2
+),"""
+        + "".join(_truss_round(r) for r in range(1, 4)).rstrip(",")
+        + "\n"
+        + _truss_stats
+    )
 
     # exact stratified holdout: per-source rank in (md5, doc_id) order,
     # integer-threshold cuts at 8n/10 and 9n/10

@@ -324,6 +324,7 @@ HEADLINE = [
     "multimodal_bmp_rle_decode",
     "ngram_novelty_curve",
     "stratified_holdout_exact",
+    "supplier_ktruss_profile",
 ]
 
 

@@ -605,3 +605,90 @@ def copurchase_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_degree",
         )
     )
+
+
+def supplier_ktruss_profile(
+    spark: SparkSession, sf_dir: str, rounds: int = 3, cap: int = 4
+) -> DataFrame:
+    """K-TRUSS peeling profile over the capped co-purchase graph — the
+    edge-grain sibling of :func:`kcore_peel` (nodes peel on degree;
+    trusses peel on per-edge TRIANGLE SUPPORT, the cohesion measure
+    that separates community-internal edges from bridges). The
+    threshold is DATA-DERIVED — the lower median of the round-0 support
+    distribution — so the peel provably bites at every corpus size
+    instead of relying on a magic k that is vacuous at one SF and
+    total at another (the fixture-vacancy lesson). Emits one row per
+    round (0 = initial) with the fixed threshold and the surviving
+    edge/node counts.
+
+    Plan: rounds are statically unrolled (the ``kcore_peel`` rule — a
+    non-converged profile is still exactly "the edge set after N
+    peels", bit-reproducible); each round is the
+    ``copurchase_edge_support`` triple-join over the SURVIVOR set,
+    eagerly localCheckpointed (the Pregel lineage lesson). The median
+    threshold is an order statistic over the VALUE-grain support
+    ladder (never an edge-grain global sort); its one-row collect is
+    aggregate-sized. At 100 TB every join keys on node ids and the
+    capped build bounds the per-basket fan-out."""
+    base = copurchase_edges_capped(spark, sf_dir, cap=cap).select(
+        "src", "dst"
+    ).localCheckpoint()
+
+    def _support(uv: DataFrame, sym: DataFrame) -> DataFrame:
+        n1 = sym.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+        n2 = sym.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+        cn = (
+            uv.join(n1, "u")
+            .join(n2, ["v", "w"])
+            .groupBy("u", "v")
+            .agg(F.count(F.lit(1)).alias("s"))
+        )
+        return uv.join(cn, ["u", "v"], "left_outer").select(
+            "u", "v", F.coalesce(F.col("s"), F.lit(0)).alias("sup")
+        )
+
+    uv = base.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    )
+    cur = _support(uv, base).localCheckpoint()
+
+    # lower-median threshold from the VALUE-grain support ladder
+    ladder = cur.groupBy("sup").agg(F.count(F.lit(1)).alias("cnt"))
+    from .relational import two_phase_cumsum
+
+    cum = two_phase_cumsum(
+        ladder,
+        [F.col("sup").asc()],
+        F.col("cnt"),
+        "cum",
+        totals=((F.sum("cnt").cast("long"), "n"),),
+    )
+    thr = int(
+        cum.filter(F.expr("cum >= (n + 1) DIV 2"))
+        .agg(F.min("sup"))
+        .collect()[0][0]
+    )
+
+    def _stats(rnd: int, frame: DataFrame) -> DataFrame:
+        nodes = frame.select(F.col("u").alias("x")).unionAll(
+            frame.select(F.col("v").alias("x"))
+        )
+        return frame.agg(
+            F.lit(rnd).cast("long").alias("round"),
+            F.lit(thr).cast("long").alias("threshold"),
+            F.count(F.lit(1)).cast("long").alias("n_edges"),
+        ).crossJoin(
+            nodes.agg(F.countDistinct("x").cast("long").alias("n_nodes"))
+        )
+
+    out = _stats(0, cur)
+    for r in range(1, rounds + 1):
+        keep = cur.filter(F.col("sup") >= thr).select("u", "v")
+        sym = keep.select(
+            F.col("u").alias("src"), F.col("v").alias("dst")
+        ).unionAll(
+            keep.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+        )
+        cur = _support(keep, sym).localCheckpoint()
+        out = out.unionAll(_stats(r, cur))
+    return out
