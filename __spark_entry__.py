@@ -7414,8 +7414,11 @@ SELECT CAST(page AS BIGINT) AS page,
 FROM v GROUP BY page
 """
 
-    # k-truss profile: 3 unrolled support-peel rounds over the capped
-    # co-purchase graph; the threshold is the lower median of round-0
+    # k-truss profile: 3 unrolled support-peel rounds over the capped,
+    # min_support=4-sparsified co-purchase graph (near-complete raw
+    # graphs make the support join |E| x avg_degree — the sparsified
+    # input keeps the same peel semantics at a fraction of the cost);
+    # the threshold is the lower median of round-0
     # supports (data-derived, so the peel bites at every SF). Every
     # round frame is MATERIALIZED — each is referenced several times
     # (the 2^rounds inlining lesson)
@@ -7452,7 +7455,11 @@ WITH bsk AS (
 ),
 eb AS (SELECT unnest(ss) AS src, ss FROM bsk),
 ep AS (SELECT src, unnest(ss) AS dst FROM eb),
-sym0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM ep WHERE src <> dst),
+sym0 AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT src, dst, COUNT(*) AS sup FROM ep WHERE src <> dst GROUP BY 1, 2
+  ) WHERE sup >= 4
+),
 uv0 AS MATERIALIZED (SELECT src AS u, dst AS v FROM sym0 WHERE src < dst),
 s0 AS MATERIALIZED (
   SELECT uv0.u, uv0.v, COALESCE(cn.s, 0) AS sup
