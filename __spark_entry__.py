@@ -583,6 +583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty_curve": text.ngram_novelty_curve,  # per-doc 5-gram novelty via first-occurrence attribution (one aggregate, no prior-join)
         "stratified_holdout_exact": sampling.stratified_holdout_exact,  # exact-proportion 80/10/10 per-source split on the grouped two-phase rank
         "supplier_ktruss_profile": graph.supplier_ktruss_profile,  # k-truss peeling profile: triangle-support peel at the data-derived median threshold
+        "pq_distortion_report": similarity.pq_distortion_report,  # PQ reconstruction loss per label: exact fixed-point squared L2 vs assigned centroids
         # --- ROUND-8 attestation front (all green in CORRECTNESS_r08) ---
         "copurchase_edges_capped": graph.copurchase_edges_capped,  # basket-capped co-occurrence build: the documented mega-basket skew remedy (VERDICT r7 item 6)
         "bpe_train_merges_bytelevel": text.bpe_train_merges_bytelevel,  # byte-level BPE, 64 merges in 16 batched non-interacting rounds (VERDICT r7 item 4)
@@ -7413,6 +7414,78 @@ SELECT CAST(page AS BIGINT) AS page,
        CAST(MAX(v) AS BIGINT) AS max_v
 FROM v GROUP BY page
 """
+
+    # PQ distortion: the attested code-assignment chain (pa/pb) composed
+    # with the exact integer floor-mean codebooks; squared diffs sum in
+    # HUGEINT and scale back with nonnegative floor divisions
+    d["pq_distortion_report"] = (
+        "WITH "
+        + _pq_half("a", 1, 32, "code_a")
+        + ","
+        + _pq_half("b", 33, 64, "code_b")
+        + """,
+codes AS (SELECT pa.vec_id, code_a, code_b
+          FROM pa JOIN pb ON pa.vec_id = pb.vec_id),
+qca AS (
+  SELECT cell, dim, (csum - ((csum % cnt) + cnt) % cnt) // cnt AS cfp
+  FROM (
+    SELECT label AS cell, i AS dim,
+           SUM(CAST(floor(CAST(embedding[i + 1] AS DOUBLE)
+                          * 1000000000.0) AS BIGINT)) AS csum,
+           COUNT(*) AS cnt
+    FROM embeddings, (SELECT unnest(range(32)) AS i) dims
+    GROUP BY label, i
+  )
+),
+qcb AS (
+  SELECT cell, dim, (csum - ((csum % cnt) + cnt) % cnt) // cnt AS cfp
+  FROM (
+    SELECT label AS cell, i AS dim,
+           SUM(CAST(floor(CAST(embedding[i + 33] AS DOUBLE)
+                          * 1000000000.0) AS BIGINT)) AS csum,
+           COUNT(*) AS cnt
+    FROM embeddings, (SELECT unnest(range(32)) AS i) dims
+    GROUP BY label, i
+  )
+),
+va AS (
+  SELECT e.vec_id, e.label, CAST(i AS BIGINT) AS dim,
+         CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000000000.0)
+              AS BIGINT) AS vfp
+  FROM embeddings e, (SELECT unnest(range(32)) AS i) dims
+),
+vb AS (
+  SELECT e.vec_id, e.label, CAST(i AS BIGINT) AS dim,
+         CAST(floor(CAST(embedding[i + 33] AS DOUBLE) * 1000000000.0)
+              AS BIGINT) AS vfp
+  FROM embeddings e, (SELECT unnest(range(32)) AS i) dims
+),
+da AS (
+  SELECT v.vec_id, v.label,
+         SUM(CAST(v.vfp - c.cfp AS HUGEINT) * (v.vfp - c.cfp)) AS d
+  FROM va v JOIN codes k ON k.vec_id = v.vec_id
+  JOIN qca c ON c.cell = k.code_a AND c.dim = v.dim
+  GROUP BY 1, 2
+),
+db AS (
+  SELECT v.vec_id, v.label,
+         SUM(CAST(v.vfp - c.cfp AS HUGEINT) * (v.vfp - c.cfp)) AS d
+  FROM vb v JOIN codes k ON k.vec_id = v.vec_id
+  JOIN qcb c ON c.cell = k.code_b AND c.dim = v.dim
+  GROUP BY 1, 2
+),
+per AS (
+  SELECT da.vec_id, da.label, da.d + db.d AS d
+  FROM da JOIN db ON da.vec_id = db.vec_id
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(d) // 1000000000 AS BIGINT) AS sum_dist_fp,
+       CAST(SUM(d) // (CAST(COUNT(*) AS HUGEINT) * 1000000000) AS BIGINT)
+         AS mean_dist_fp
+FROM per GROUP BY label
+"""
+    )
 
     # k-truss profile: 3 unrolled support-peel rounds over the capped,
     # min_support=4-sparsified co-purchase graph (near-complete raw

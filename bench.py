@@ -325,6 +325,7 @@ HEADLINE = [
     "ngram_novelty_curve",
     "stratified_holdout_exact",
     "supplier_ktruss_profile",
+    "pq_distortion_report",
 ]
 
 

@@ -1362,3 +1362,102 @@ def embedding_label_centroid_distances(
             ),
         )
     )
+
+
+def pq_distortion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ QUANTIZATION-DISTORTION audit — the calibration loop's other
+    half next to :func:`ivf_recall_report` (recall measures ranking
+    loss; this measures the RECONSTRUCTION loss that drives it): for
+    every vector, the squared L2 distance between the original
+    embedding and its PQ reconstruction (the assigned cell centroid of
+    each half), aggregated per label. Rising distortion in one label
+    flags a codebook that needs more cells there — the knob an IVF-PQ
+    deployment tunes.
+
+    Exactness: elements are floor(x*1e9) fixed point, codebook entries
+    the exact integer floor-means (the ``pq_search_adc`` contract), so
+    each squared diff is a BIGINT product summed in DECIMAL(38,0)
+    (diff <= ~2e9, diff^2 <= 4e18, x64 crosses 2^63 — the isotonic
+    lesson); per-label sums stay well under 10^38 and scale back to
+    BIGINT with one nonnegative floor DIV. Plan: codes come from the
+    attested assignment; each half joins the value explode to its
+    BROADCAST long-form codebook on (cell, dim) — one embedding scan
+    per half, aggregate-grain output."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    codes = embedding_pq_codes(spark, sf_dir)
+    halves = []
+    for half, code in ((0, "code_a"), (1, "code_b")):
+        vals = emb.select(
+            "vec_id",
+            "label",
+            F.posexplode(F.slice("embedding", 1 + 32 * half, 32)).alias(
+                "dim", "x"
+            ),
+        ).select(
+            "vec_id",
+            "label",
+            "dim",
+            F.floor(F.col("x").cast("double") * 1e9).cast("long").alias(
+                "vfp"
+            ),
+        )
+        cbook = (
+            emb.select(
+                "label",
+                F.posexplode(
+                    F.slice("embedding", 1 + 32 * half, 32)
+                ).alias("dim", "x"),
+            )
+            .groupBy(F.col("label").alias("cell"), "dim")
+            .agg(
+                F.sum(
+                    F.floor(F.col("x").cast("double") * 1e9).cast("long")
+                ).alias("csum"),
+                F.count(F.lit(1)).alias("cnt"),
+            )
+            .select(
+                "cell",
+                "dim",
+                F.expr("(csum - pmod(csum, cnt)) div cnt").alias("cfp"),
+            )
+        )
+        j = (
+            vals.join(
+                codes.select("vec_id", F.col(code).alias("cell")), "vec_id"
+            )
+            .join(F.broadcast(cbook), ["cell", "dim"])
+            .groupBy("vec_id", "label")
+            .agg(
+                F.sum(
+                    (
+                        (F.col("vfp") - F.col("cfp")).cast("decimal(38,0)")
+                        * (F.col("vfp") - F.col("cfp"))
+                    ).cast("decimal(38,0)")
+                ).alias("d")
+            )
+        )
+        halves.append(j)
+    per_vec = (
+        halves[0]
+        .unionByName(halves[1])
+        .groupBy("vec_id", "label")
+        .agg(F.sum("d").alias("d"))
+    )
+    return (
+        per_vec.groupBy(F.col("label").cast("long").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum("d").alias("draw"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            F.expr("CAST(draw DIV 1000000000 AS BIGINT)").alias(
+                "sum_dist_fp"
+            ),
+            F.expr(
+                "CAST(draw DIV (CAST(n_vecs AS DECIMAL(38,0))"
+                " * 1000000000) AS BIGINT)"
+            ).alias("mean_dist_fp"),
+        )
+    )
