@@ -258,6 +258,23 @@ def _streaming_python_datasource_rollup(
     )
 
 
+def _streaming_tick_restart_continuity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Checkpoint-RESTART continuity of the streaming Python DataSource:
+    run 1 parks a 3-page tick feed at its committed offset; run 2 reopens
+    the SAME checkpoint with the feed extended to 6 pages and must resume
+    exactly there — the oracle rebuilds all 6 pages arithmetically, so a
+    re-emitted or missing page hash-mismatches."""
+    from data_engineer_interview_task_spark.sources.pydatasource import (
+        run_tick_stream_restart_once,
+    )
+
+    return run_tick_stream_restart_once(
+        spark, _work_dir("stream_pyds_restart", sf_dir)
+    )
+
+
 def _streaming_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact-distinct via mergeable bitmap state (bit_or of
     62-bit words), popcount-rolled after the drain. Fully oracle-checked
@@ -571,6 +588,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new round-9 entries fill it from the top. Everything below the
         # r9 section is attested by the r01..r08 driver-record union. ---
         "multimodal_progressive_ac_refine_decode": multimodal.multimodal_progressive_ac_refine_decode,  # AC-band successive approximation: the G.1.2.3 correction-bit interleave (VERDICT r8 item 2)
+        "dedup_family_agreement": dedup.dedup_family_agreement,  # cross-family pair-set agreement matrix: |A|,|B|,common,union,ppm per family pair
+        "compaction_plan_report": maintenance.compaction_plan_report,  # small-files compaction dry-run: start-offset packing of (day,type) cells into row-balanced files
+        "streaming_tick_restart_continuity": _streaming_tick_restart_continuity,  # Python DataSource checkpoint restart: resume at the committed offset, 6 pages exactly-once
+        "cohens_kappa_langid": text.cohens_kappa_langid,  # chance-corrected lang-ID agreement: exact rational kappa in signed ppm, DECIMAL/HUGEINT products
+        "mann_kendall_trend": cleaning.mann_kendall_trend,  # integer-exact monotone-trend test per event type: S, tau-a ppm, tie-adjusted 18*Var(S)
+        "theil_sen_slope": cleaning.theil_sen_slope,  # robust median-of-pairwise-slopes per type: exact nanocent fixed-point order key, lower/upper medians
+        "pettitt_change_point": cleaning.pettitt_change_point,  # rank-based change-point per type: K = max_t |U_t|, first argmax day, all-integer
         "bpe_train_merges_deep": text.bpe_train_merges_deep,  # 32-round/128-merge-capacity BPE: trains to exhaustion (89 merges) at driver scale (VERDICT r8 item 4)
         "multimodal_g711_roundtrip": multimodal.multimodal_g711_roundtrip,  # REAL G.711 telephony audio: mu-law AND A-law companding round-trip, hash-exact distortion
         "incremental_join_rollup_merge": relational.incremental_join_rollup_merge,  # delta-JOIN IVM: state + 3 delta partials re-aggregate == full recompute (the oracle)
@@ -5387,6 +5411,39 @@ SELECT c.labeled_lang, c.predicted_lang, c.n, t.n_labeled,
 FROM cells c JOIN totals t USING (labeled_lang)
 """
 
+    # Cohen's kappa: the same classifier oracle, folded to the exact
+    # rational chance-corrected agreement; sign split so every floor
+    # division is nonnegative, products in HUGEINT
+    d["cohens_kappa_langid"] = f"""
+WITH pred AS (SELECT labeled_lang, predicted_lang FROM ({d["lang_id"]}) p),
+cells AS (
+  SELECT labeled_lang, predicted_lang, CAST(COUNT(*) AS HUGEINT) AS n
+  FROM pred GROUP BY 1, 2
+),
+r AS (SELECT labeled_lang AS k, SUM(n) AS r FROM cells GROUP BY 1),
+c AS (SELECT predicted_lang AS k, SUM(n) AS c FROM cells GROUP BY 1),
+t AS (
+  SELECT (SELECT SUM(n) FROM cells) AS n_docs,
+         (SELECT COALESCE(SUM(n), 0) FROM cells
+          WHERE labeled_lang = predicted_lang) AS n_agree,
+         (SELECT COALESCE(SUM(r.r * c.c), 0)
+          FROM r JOIN c USING (k)) AS sum_rc
+)
+SELECT CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_agree AS BIGINT) AS n_agree,
+       CAST(1000000 * n_agree // n_docs AS BIGINT) AS accuracy_ppm,
+       CAST(1000000 * sum_rc // (n_docs * n_docs) AS BIGINT)
+         AS chance_ppm,
+       CAST(CASE WHEN n_docs * n_docs = sum_rc THEN 0
+            WHEN n_docs * n_agree >= sum_rc THEN
+              1000000 * (n_docs * n_agree - sum_rc)
+                // (n_docs * n_docs - sum_rc)
+            ELSE -(1000000 * (sum_rc - n_docs * n_agree)
+                // (n_docs * n_docs - sum_rc)) END AS BIGINT)
+         AS kappa_ppm
+FROM t
+"""
+
     # feature hashing: md5 bucket fold (the engine-independent hash
     # convention), long-format per-bucket term frequencies
     d["hashed_tf_features"] = f"""
@@ -6072,6 +6129,59 @@ FROM g
         "WITH fam AS (" + _fam_parts + ") "
         "SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS n_votes "
         "FROM fam GROUP BY doc_a, doc_b HAVING COUNT(*) >= 2"
+    )
+
+    # family agreement matrix: the same three family oracles composed
+    # verbatim, folded to per-pair membership flags, then one row of
+    # nine counters projected into the three unordered family pairs
+    _fam_tagged = " UNION ALL ".join(
+        f"SELECT doc_a, doc_b, '{tag}' AS fam FROM ({d[k]})"
+        for tag, k in (
+            ("ngram", "ngram_jaccard_pairs"),
+            ("minhash", "minhash_lsh_pairs"),
+            ("simhash", "simhash_near_dup_pairs"),
+        )
+    )
+    d["dedup_family_agreement"] = (
+        "WITH fam AS (" + _fam_tagged + """
+), m AS (
+  SELECT doc_a, doc_b,
+         MAX(CASE WHEN fam = 'ngram' THEN 1 ELSE 0 END) AS f_n,
+         MAX(CASE WHEN fam = 'minhash' THEN 1 ELSE 0 END) AS f_m,
+         MAX(CASE WHEN fam = 'simhash' THEN 1 ELSE 0 END) AS f_s
+  FROM fam GROUP BY doc_a, doc_b
+), t AS (
+  SELECT COALESCE(SUM(f_n), 0) AS n_n, COALESCE(SUM(f_m), 0) AS n_m,
+         COALESCE(SUM(f_s), 0) AS n_s,
+         COALESCE(SUM(f_n * f_m), 0) AS c_nm,
+         COALESCE(SUM(f_n * f_s), 0) AS c_ns,
+         COALESCE(SUM(f_m * f_s), 0) AS c_ms,
+         COALESCE(SUM(GREATEST(f_n, f_m)), 0) AS u_nm,
+         COALESCE(SUM(GREATEST(f_n, f_s)), 0) AS u_ns,
+         COALESCE(SUM(GREATEST(f_m, f_s)), 0) AS u_ms
+  FROM m
+)
+SELECT 'minhash' AS fam_a, 'ngram' AS fam_b,
+       CAST(n_m AS BIGINT) AS n_a, CAST(n_n AS BIGINT) AS n_b,
+       CAST(c_nm AS BIGINT) AS n_common, CAST(u_nm AS BIGINT) AS n_union,
+       CAST(CASE WHEN u_nm = 0 THEN 1000000
+            ELSE 1000000 * c_nm // u_nm END AS BIGINT) AS agreement_ppm
+FROM t
+UNION ALL
+SELECT 'minhash', 'simhash',
+       CAST(n_m AS BIGINT), CAST(n_s AS BIGINT),
+       CAST(c_ms AS BIGINT), CAST(u_ms AS BIGINT),
+       CAST(CASE WHEN u_ms = 0 THEN 1000000
+            ELSE 1000000 * c_ms // u_ms END AS BIGINT)
+FROM t
+UNION ALL
+SELECT 'ngram', 'simhash',
+       CAST(n_n AS BIGINT), CAST(n_s AS BIGINT),
+       CAST(c_ns AS BIGINT), CAST(u_ns AS BIGINT),
+       CAST(CASE WHEN u_ns = 0 THEN 1000000
+            ELSE 1000000 * c_ns // u_ns END AS BIGINT)
+FROM t
+"""
     )
 
     # largest-remainder proportional allocation (sums exactly to total)
@@ -7415,6 +7525,13 @@ SELECT CAST(page AS BIGINT) AS page,
 FROM v GROUP BY page
 """
 
+    # restart continuity: the same feed oracle over the EXTENDED 6-page
+    # range — run 1's pages must survive the checkpoint restart and run
+    # 2's must append exactly once, or the hash mismatches
+    d["streaming_tick_restart_continuity"] = d[
+        "streaming_python_datasource_rollup"
+    ].replace("range(4)", "range(6)")
+
     # PQ distortion: the attested code-assignment chain (pa/pb) composed
     # with the exact integer floor-mean codebooks; squared diffs sum in
     # HUGEINT and scale back with nonnegative floor divisions
@@ -7725,6 +7842,149 @@ SELECT doc_id,
        CAST(8 * SUM((s - urecon) * (s - urecon)) AS BIGINT) AS ulaw_err_sq,
        CAST(8 * SUM((s - arecon) * (s - arecon)) AS BIGINT) AS alaw_err_sq
 FROM px GROUP BY doc_id
+"""
+
+    # compaction plan: deterministic start-offset packing of the
+    # (day, event_type) cells into ~12 row-balanced output files
+    d["compaction_plan_report"] = """
+WITH cells AS (
+  SELECT CAST(ts AS DATE) AS day, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM events GROUP BY 1, 2
+), tot AS (SELECT SUM(n_rows) AS total_rows FROM cells),
+cum AS (
+  SELECT day, n_rows,
+         SUM(n_rows) OVER (ORDER BY day ASC, event_type ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rows
+  FROM cells
+), planned AS (
+  SELECT c.day, c.n_rows,
+         GREATEST(1, t.total_rows // 12) AS target_rows,
+         c.cum_rows - c.n_rows AS cum_before
+  FROM cum c CROSS JOIN tot t
+)
+SELECT CAST(cum_before // target_rows AS BIGINT) AS out_file_id,
+       CAST(COUNT(*) AS BIGINT) AS n_source_parts,
+       CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+       MIN(day) AS first_day,
+       MAX(day) AS last_day,
+       CAST(MAX(target_rows) AS BIGINT) AS target_rows,
+       CAST(1000000 * SUM(n_rows) // MAX(target_rows) AS BIGINT)
+         AS fill_ppm
+FROM planned GROUP BY 1
+"""
+
+    # Mann-Kendall: bounded (type, day) frame, pairwise sign fold +
+    # tie-adjusted variance numerator, all-integer
+    d["mann_kendall_trend"] = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS y
+  FROM events GROUP BY 1, 2
+), pairs AS (
+  SELECT a.event_type,
+         COALESCE(SUM(CASE WHEN b.y > a.y THEN 1
+                           WHEN b.y < a.y THEN -1
+                           ELSE 0 END), 0) AS s_stat,
+         COUNT(*) AS n_pairs
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.day < b.day
+  GROUP BY 1
+), ties AS (
+  SELECT event_type, COUNT(*) AS n_days,
+         SUM(t * (t - 1) * (2 * t + 5)) AS tie_term
+  FROM (SELECT event_type, y, COUNT(*) AS t FROM daily GROUP BY 1, 2)
+  GROUP BY 1
+)
+SELECT p.event_type,
+       CAST(t.n_days AS BIGINT) AS n_days,
+       CAST(p.n_pairs AS BIGINT) AS n_pairs,
+       CAST(p.s_stat AS BIGINT) AS s_stat,
+       CAST(CASE WHEN p.n_pairs = 0 THEN 0
+            WHEN p.s_stat >= 0 THEN 1000000 * p.s_stat // p.n_pairs
+            ELSE -(1000000 * (-p.s_stat) // p.n_pairs) END AS BIGINT)
+         AS tau_ppm,
+       CAST(t.n_days * (t.n_days - 1) * (2 * t.n_days + 5) - t.tie_term
+            AS BIGINT) AS var18
+FROM pairs p JOIN ties t USING (event_type)
+"""
+
+    # Theil-Sen: median pairwise slope under the collision-free
+    # nanocent fixed-point order key (truncation toward zero on both
+    # engines; sign split keeps the floor divisions nonnegative)
+    d["theil_sen_slope"] = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS y
+  FROM events GROUP BY 1, 2
+), pairs AS (
+  SELECT a.event_type, a.day AS day_i, b.day AS day_j,
+         b.y - a.y AS dy, date_diff('day', a.day, b.day) AS dx
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.day < b.day
+), keyed AS (
+  SELECT event_type, day_i, day_j,
+         CAST(CASE WHEN dy >= 0 THEN
+                (1000000000 * CAST(dy AS HUGEINT)) // dx
+              ELSE -((1000000000 * CAST(-dy AS HUGEINT)) // dx)
+              END AS BIGINT) AS slope_nanos
+  FROM pairs
+), ranked AS (
+  SELECT event_type, slope_nanos,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+           ORDER BY slope_nanos ASC, day_i ASC, day_j ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_slopes
+  FROM keyed
+)
+SELECT event_type,
+       CAST(MAX(n_slopes) AS BIGINT) AS n_slopes,
+       CAST(MIN(slope_nanos) AS BIGINT) AS sen_lo_nanos,
+       CAST(MAX(slope_nanos) AS BIGINT) AS sen_hi_nanos
+FROM ranked
+WHERE rn = (n_slopes + 1) // 2 OR rn = n_slopes // 2 + 1
+GROUP BY event_type
+"""
+
+    # Pettitt: U_t via the bounded pairs x thresholds band join; first
+    # day attaining max |U_t| (tie-break day ASC), all-integer
+    d["pettitt_change_point"] = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS y
+  FROM events GROUP BY 1, 2
+), pairs AS (
+  SELECT a.event_type, a.day AS day_i, b.day AS day_j,
+         CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END
+           AS sgn
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.day < b.day
+), thresholds AS (
+  SELECT d.event_type, d.day AS t_day
+  FROM daily d
+  JOIN (SELECT event_type, MAX(day) AS max_day
+        FROM daily GROUP BY 1) m
+    ON d.event_type = m.event_type AND d.day < m.max_day
+), ut AS (
+  SELECT t.event_type, t.t_day, CAST(SUM(p.sgn) AS BIGINT) AS u
+  FROM thresholds t JOIN pairs p
+    ON p.event_type = t.event_type
+   AND p.day_i <= t.t_day AND p.day_j > t.t_day
+  GROUP BY 1, 2
+), picked AS (
+  SELECT event_type, t_day, u,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+           ORDER BY ABS(u) DESC, t_day ASC) AS rn
+  FROM ut
+), nd AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+  FROM daily GROUP BY 1
+)
+SELECT p.event_type, nd.n_days,
+       CAST(ABS(p.u) AS BIGINT) AS k_stat,
+       p.u AS u_at_k,
+       p.t_day AS change_day
+FROM picked p JOIN nd USING (event_type)
+WHERE p.rn = 1
 """
 
     return d

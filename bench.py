@@ -326,6 +326,13 @@ HEADLINE = [
     "stratified_holdout_exact",
     "supplier_ktruss_profile",
     "pq_distortion_report",
+    "dedup_family_agreement",
+    "compaction_plan_report",
+    "streaming_tick_restart_continuity",
+    "cohens_kappa_langid",
+    "mann_kendall_trend",
+    "theil_sen_slope",
+    "pettitt_change_point",
 ]
 
 

@@ -919,3 +919,219 @@ def quality_calibration_report(
             "abs(sum_conf DIV n_docs - 1000000 * n_pos DIV n_docs)"
         ).cast("long").alias("gap_ppm"),
     )
+
+
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-KENDALL monotone-trend test per event type over the daily
+    value series — the standard nonparametric "is this metric drifting"
+    check for pipeline telemetry, exact in integers end to end: the S
+    statistic ``Σ_{i<j} sign(y_j − y_i)`` over day-ordered pairs,
+    Kendall's tau-a in signed ppm (sign split so floor divisions run on
+    nonnegative operands), and the tie-adjusted variance numerator
+    ``18·Var(S) = n(n−1)(2n+5) − Σ_k t_k(t_k−1)(2t_k+5)`` kept as an
+    integer (no /18, no sqrt — callers needing the z-score do one float
+    op on exact inputs).
+
+    Scale shape: one map-side-combined aggregate to the (type, day)
+    frame — calendar-bounded grain (days × types), materialized once
+    (localCheckpoint) and reused by the pair self-join, the tie
+    aggregate, and the day count; the corpus is scanned exactly once.
+    The pair join is per-type day×day — bounded by the calendar span
+    squared, independent of corpus row count."""
+    events = read_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    daily = (
+        events.groupBy(
+            "event_type", F.to_date("ts").alias("day")
+        )
+        .agg(F.sum(cents).alias("y"))
+        .localCheckpoint()
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.day") < F.col("b.day")),
+    ).groupBy(F.col("a.event_type").alias("event_type")).agg(
+        F.sum(
+            F.when(F.col("b.y") > F.col("a.y"), 1)
+            .when(F.col("b.y") < F.col("a.y"), -1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("s_stat"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )
+    ties = (
+        daily.groupBy("event_type", "y")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum(
+                F.expr("t * (t - 1) * (2 * t + 5)")
+            )
+            .cast("long")
+            .alias("tie_term"),
+        )
+    )
+    return pairs.join(ties, "event_type").select(
+        "event_type",
+        "n_days",
+        "n_pairs",
+        "s_stat",
+        F.expr(
+            "CAST(CASE WHEN n_pairs = 0 THEN 0"
+            " WHEN s_stat >= 0 THEN 1000000 * s_stat DIV n_pairs"
+            " ELSE -(1000000 * (-s_stat) DIV n_pairs) END AS BIGINT)"
+        ).alias("tau_ppm"),
+        F.expr(
+            "CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term"
+            " AS BIGINT)"
+        ).alias("var18"),
+    )
+
+
+def theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THEIL-SEN robust slope per event type — the estimator reported
+    next to :func:`mann_kendall_trend` (Kendall says WHETHER the daily
+    series drifts, Sen says HOW FAST): the median of all pairwise
+    slopes ``(y_j − y_i)/(day_j − day_i)`` over the daily cents
+    series, exact on both engines via a FIXED-POINT ORDER KEY:
+    ``key = trunc(1e9·dy / dx)`` nanocents/day (sign split so the
+    floor division runs on nonnegative operands; truncation toward
+    zero is identical in Spark DIV and DuckDB ``//``). Truncation is
+    monotone and on integer-cent data the minimum nonzero slope
+    magnitude is ``1/dx_max`` (≥ 1/span-days) — orders of magnitude
+    above the 1e-9 key granularity — so distinct slopes NEVER collide
+    under the key and the median KEY is exactly the median SLOPE in
+    nanocents. Both middle order statistics are emitted (lower/upper
+    median; equal when the pair count is odd) — no rational averaging,
+    no floats. Key domain: |dy| must stay under ~9.2e9 cents
+    (BIGINT/1e9); the DECIMAL(38,0) product guards the intermediate.
+
+    Scale shape: same as Mann-Kendall — one corpus scan to the
+    calendar-bounded (type, day) frame (localCheckpoint), a per-type
+    day×day pair join bounded by span², and a per-type rank window
+    whose partitions are span²-bounded (data-model-bounded grain, the
+    documented acceptable window class)."""
+    events = read_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    daily = (
+        events.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.sum(cents).alias("y"))
+        .localCheckpoint()
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.day") < F.col("b.day")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.day").alias("day_i"),
+        F.col("b.day").alias("day_j"),
+        (F.col("b.y") - F.col("a.y")).alias("dy"),
+        F.datediff(F.col("b.day"), F.col("a.day")).alias("dx"),
+    )
+    keyed = pairs.select(
+        "event_type",
+        "day_i",
+        "day_j",
+        F.expr(
+            "CAST(CASE WHEN dy >= 0 THEN"
+            " (1000000000 * CAST(dy AS DECIMAL(38,0))) DIV dx"
+            " ELSE -((1000000000 * CAST(-dy AS DECIMAL(38,0))) DIV dx)"
+            " END AS BIGINT)"
+        ).alias("slope_nanos"),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("slope_nanos").asc(), F.col("day_i").asc(), F.col("day_j").asc()
+    )
+    ranked = keyed.withColumn("rn", F.row_number().over(w))
+    cnt = keyed.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_slopes")
+    )
+    j = ranked.join(F.broadcast(cnt), "event_type")
+    return (
+        j.filter(
+            (F.col("rn") == F.expr("(n_slopes + 1) DIV 2"))
+            | (F.col("rn") == F.expr("n_slopes DIV 2 + 1"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.max("n_slopes").alias("n_slopes"),
+            F.min("slope_nanos").cast("long").alias("sen_lo_nanos"),
+            F.max("slope_nanos").cast("long").alias("sen_hi_nanos"),
+        )
+    )
+
+
+def pettitt_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PETTITT CHANGE-POINT test per event type — the rank-based
+    nonparametric "did the level shift, and when" companion to the
+    monotone :func:`mann_kendall_trend` (CUSUM is the parametric twin;
+    Pettitt needs no distributional assumption): for every candidate
+    split day t, ``U_t = Σ_{i≤t<j} sign(y_j − y_i)`` over the daily
+    cents series; the statistic is ``K = max_t |U_t|`` and the change
+    point is the FIRST day attaining it (deterministic tie-break
+    day ASC). All-integer end to end.
+
+    Scale shape: one corpus scan to the calendar-bounded (type, day)
+    frame (localCheckpoint, reused three times); the pair frame and the
+    pairs×thresholds band join are span²·span-bounded (day counts, not
+    corpus rows), and the final argmax window partitions are span-
+    bounded — the documented data-model-bounded window class."""
+    events = read_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    daily = (
+        events.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.sum(cents).alias("y"))
+        .localCheckpoint()
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.day") < F.col("b.day")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.day").alias("day_i"),
+        F.col("b.day").alias("day_j"),
+        F.when(F.col("b.y") > F.col("a.y"), 1)
+        .when(F.col("b.y") < F.col("a.y"), -1)
+        .otherwise(0)
+        .alias("sgn"),
+    )
+    last = daily.groupBy("event_type").agg(F.max("day").alias("max_day"))
+    thresholds = (
+        daily.join(last, "event_type")
+        .filter(F.col("day") < F.col("max_day"))
+        .select("event_type", F.col("day").alias("t_day"))
+    )
+    ut = (
+        thresholds.join(
+            pairs,
+            (thresholds.event_type == pairs.event_type)
+            & (pairs.day_i <= thresholds.t_day)
+            & (pairs.day_j > thresholds.t_day),
+        )
+        .groupBy(thresholds.event_type.alias("event_type"), "t_day")
+        .agg(F.sum("sgn").cast("long").alias("u"))
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("u")).desc(), F.col("t_day").asc()
+    )
+    picked = ut.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    n_days = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days")
+    )
+    return picked.join(F.broadcast(n_days), "event_type").select(
+        "event_type",
+        "n_days",
+        F.abs(F.col("u")).cast("long").alias("k_stat"),
+        F.col("u").cast("long").alias("u_at_k"),
+        F.col("t_day").alias("change_day"),
+    )

@@ -1449,3 +1449,79 @@ def lsh_tuning_report(
         out = stat if out is None else out.unionByName(stat)
     assert out is not None
     return out
+
+
+def dedup_family_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-family AGREEMENT MATRIX over the three independent near-dup
+    detector families — word-n-gram Jaccard, MinHash-LSH (banded sketch +
+    exact verify), and SimHash (weighted-feature Hamming) — at their
+    registered default settings. For every unordered family pair it
+    reports the two pair-set sizes, the intersection, the union, and the
+    set-level agreement ``1e6 * |A∩B| DIV |A∪B|`` in ppm (the Jaccard of
+    the flagged PAIR SETS, not of any document pair). This is the
+    calibration readout run before trusting an ensemble vote
+    (``consensus_near_dup_pairs``): families that agree to 1e6 ppm are
+    redundant; a family far below the others flags a threshold mismatch.
+
+    Plan shape: one lazy union of the three family lineages (each keeps
+    its own sub-quadratic blocking) -> ONE hash-aggregate to per-pair
+    membership flags -> ONE single-row aggregate of the nine counters ->
+    an explode of three literal structs. Nothing is evaluated twice: the
+    three output rows project from the same one-row frame via
+    ``explode(array(struct...))``, so the family pipelines run exactly
+    once. Degenerate guard: an empty union (no family flags any pair)
+    makes every pair-set empty, and the agreement of two empty sets is
+    defined as full (1e6 ppm) rather than a division by zero — both
+    engines apply the same CASE.
+    """
+    fams = [
+        ("ngram", ngram_jaccard_pairs(spark, sf_dir)),
+        ("minhash", minhash_lsh_pairs(spark, sf_dir)),
+        ("simhash", simhash_near_dup_pairs(spark, sf_dir)),
+    ]
+    tagged: DataFrame | None = None
+    for name, df in fams:
+        t = df.select("doc_a", "doc_b", F.lit(name).alias("fam"))
+        tagged = t if tagged is None else tagged.unionAll(t)
+    assert tagged is not None
+    m = tagged.groupBy("doc_a", "doc_b").agg(
+        F.max(F.when(F.col("fam") == "ngram", 1).otherwise(0)).alias("f_n"),
+        F.max(F.when(F.col("fam") == "minhash", 1).otherwise(0)).alias("f_m"),
+        F.max(F.when(F.col("fam") == "simhash", 1).otherwise(0)).alias("f_s"),
+    )
+    t = m.agg(
+        F.coalesce(F.sum("f_n"), F.lit(0)).alias("n_n"),
+        F.coalesce(F.sum("f_m"), F.lit(0)).alias("n_m"),
+        F.coalesce(F.sum("f_s"), F.lit(0)).alias("n_s"),
+        F.coalesce(F.sum(F.col("f_n") * F.col("f_m")), F.lit(0)).alias("c_nm"),
+        F.coalesce(F.sum(F.col("f_n") * F.col("f_s")), F.lit(0)).alias("c_ns"),
+        F.coalesce(F.sum(F.col("f_m") * F.col("f_s")), F.lit(0)).alias("c_ms"),
+        F.coalesce(F.sum(F.greatest("f_n", "f_m")), F.lit(0)).alias("u_nm"),
+        F.coalesce(F.sum(F.greatest("f_n", "f_s")), F.lit(0)).alias("u_ns"),
+        F.coalesce(F.sum(F.greatest("f_m", "f_s")), F.lit(0)).alias("u_ms"),
+    )
+
+    def _cell(fam_a: str, fam_b: str, na: str, nb: str, c: str, u: str):
+        return F.struct(
+            F.lit(fam_a).alias("fam_a"),
+            F.lit(fam_b).alias("fam_b"),
+            F.col(na).cast("long").alias("n_a"),
+            F.col(nb).cast("long").alias("n_b"),
+            F.col(c).cast("long").alias("n_common"),
+            F.col(u).cast("long").alias("n_union"),
+            F.expr(
+                f"CAST(CASE WHEN {u} = 0 THEN 1000000"
+                f" ELSE 1000000 * {c} DIV {u} END AS BIGINT)"
+            ).alias("agreement_ppm"),
+        )
+
+    rows = t.select(
+        F.explode(
+            F.array(
+                _cell("minhash", "ngram", "n_m", "n_n", "c_nm", "u_nm"),
+                _cell("minhash", "simhash", "n_m", "n_s", "c_ms", "u_ms"),
+                _cell("ngram", "simhash", "n_n", "n_s", "c_ns", "u_ns"),
+            )
+        ).alias("r")
+    )
+    return rows.select("r.*")

@@ -1403,3 +1403,67 @@ def dataset_card_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.selectExpr(
         f"stack({len(cols)}, {stack}) AS (metric, value)"
     )
+
+
+def compaction_plan_report(
+    spark: SparkSession, sf_dir: str, n_target_files: int = 12
+) -> DataFrame:
+    """Small-files COMPACTION PLANNER — the read-only twin of the
+    side-effect :func:`compact_table` rewrite: simulate coalescing the
+    ``(day, event_type)`` partition cells of the events table (the
+    classic over-partitioned ingest layout — one tiny file per day per
+    type) into ``n_target_files`` row-balanced output files, and report
+    the planned layout BEFORE paying for the rewrite. At 100 TB this
+    dry-run is how a maintenance job decides whether compaction is worth
+    scheduling at all: the plan costs one aggregate over the fact table,
+    the rewrite costs a full copy.
+
+    Packing contract (deterministic, engine-independent): cells are laid
+    out in ``(day, event_type)`` order; ``target = GREATEST(1,
+    total_rows DIV n_target_files)``; a cell belongs to the output file
+    where its FIRST row lands (``out_file_id = cum_before DIV target``) —
+    cells are never split, so a file overshoots the target by at most
+    one cell and only the trailing file can run short. Per planned file:
+    source-cell count, rows, covered day span, and fill ratio in ppm of
+    target.
+
+    Scale shape: one map-side-combined aggregate to the cell frame, then
+    the running offset via :func:`relational.two_phase_cumsum` (the cell
+    grain is days x types — calendar-bounded today, but the two-phase
+    pass keeps the plan free of single-task global sorts at ANY grain,
+    and the frame total rides the same materialized pass via
+    ``totals=``). The final rollup is output-file grain.
+    """
+    from .relational import two_phase_cumsum
+
+    events = read_table(spark, sf_dir, "events")
+    cells = events.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    cum = two_phase_cumsum(
+        cells,
+        [F.col("day").asc(), F.col("event_type").asc()],
+        F.col("n_rows"),
+        "cum_rows",
+        totals=((F.sum("n_rows").cast("long"), "total_rows"),),
+    )
+    planned = cum.select(
+        "day",
+        "n_rows",
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.expr(f"total_rows DIV {int(n_target_files)}"),
+        ).alias("target_rows"),
+        (F.col("cum_rows") - F.col("n_rows")).alias("cum_before"),
+    ).withColumn(
+        "out_file_id", F.expr("cum_before DIV target_rows").cast("long")
+    )
+    return planned.groupBy("out_file_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_source_parts"),
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.min("day").alias("first_day"),
+        F.max("day").alias("last_day"),
+        F.max("target_rows").cast("long").alias("target_rows"),
+        F.expr("CAST(1000000 * SUM(n_rows) DIV MAX(target_rows) AS BIGINT)")
+        .alias("fill_ppm"),
+    )

@@ -1593,3 +1593,74 @@ def ngram_novelty_curve(
             "novelty_ppm"
         ),
     )
+
+
+def cohens_kappa_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHEN'S KAPPA of the lang-ID heuristic against the declared
+    label — the chance-corrected agreement statistic reported next to a
+    confusion matrix (``lang_confusion_matrix``) whenever raw accuracy
+    is inflated by class imbalance. Exact rational form with cleared
+    denominators: ``kappa = (N*agree - Σ_k r_k*c_k) / (N² - Σ_k
+    r_k*c_k)`` (r/c = row/column marginals), emitted in signed ppm —
+    the numerator's sign is split by CASE so every floor division runs
+    on nonnegative operands, and all products form in
+    DECIMAL(38,0)/HUGEINT so the statistic stays exact at any corpus
+    size (N² overflows BIGINT past ~3e9 rows). Also emits observed
+    (accuracy) and chance agreement in ppm.
+
+    Shape: one classifier pass; the (labeled, predicted) cell frame is
+    language-bounded, materialized once (localCheckpoint) and reused
+    for the diagonal, both marginals and the totals — the corpus is
+    scanned exactly once."""
+    pred = lang_id(spark, sf_dir).select("labeled_lang", "predicted_lang")
+    cells = (
+        pred.groupBy("labeled_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint()
+    )
+    rows_ = cells.groupBy(F.col("labeled_lang").alias("k")).agg(
+        F.sum("n").alias("r")
+    )
+    cols_ = cells.groupBy(F.col("predicted_lang").alias("k")).agg(
+        F.sum("n").alias("c")
+    )
+    rc = rows_.join(cols_, "k").agg(
+        F.coalesce(
+            F.sum(F.col("r").cast("decimal(38,0)") * F.col("c")),
+            F.lit(0),
+        )
+        .cast("decimal(38,0)")
+        .alias("sum_rc")
+    )
+    tot = cells.agg(
+        F.sum("n").cast("decimal(38,0)").alias("n_docs"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("labeled_lang") == F.col("predicted_lang"),
+                    F.col("n"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("decimal(38,0)")
+        .alias("n_agree"),
+    )
+    return tot.crossJoin(F.broadcast(rc)).select(
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_agree").cast("long").alias("n_agree"),
+        F.expr("CAST(1000000 * n_agree DIV n_docs AS BIGINT)").alias(
+            "accuracy_ppm"
+        ),
+        F.expr(
+            "CAST(1000000 * sum_rc DIV (n_docs * n_docs) AS BIGINT)"
+        ).alias("chance_ppm"),
+        F.expr(
+            "CAST(CASE WHEN n_docs * n_docs = sum_rc THEN 0"
+            " WHEN n_docs * n_agree >= sum_rc THEN"
+            " 1000000 * (n_docs * n_agree - sum_rc)"
+            " DIV (n_docs * n_docs - sum_rc)"
+            " ELSE -(1000000 * (sum_rc - n_docs * n_agree)"
+            " DIV (n_docs * n_docs - sum_rc)) END AS BIGINT)"
+        ).alias("kappa_ppm"),
+    )

@@ -181,3 +181,55 @@ def run_tick_stream_rollup_once(spark: SparkSession, work_dir: str):
     finally:
         spark.conf.set(conf_key, prior)
     return drain_memory_sink(spark, sink)
+
+
+def run_tick_stream_restart_once(spark: SparkSession, work_dir: str):
+    """CHECKPOINT-RESTART CONTINUITY for the streaming Python DataSource
+    — the recovery half of the offset contract ``readBetweenOffsets``
+    exists for. Run 1 streams a 3-page feed into a parquet FILE sink
+    (the recoverable sink — a memory sink cannot restore a checkpoint,
+    the r8 lesson) and parks caught-up at offset ``{page: 3}``. Run 2
+    reopens the SAME checkpoint with the feed extended to 6 pages:
+    recovery replans any planned-but-uncommitted range through
+    ``readBetweenOffsets`` (bit-identical regeneration) and resumes at
+    the committed offset — pages 0-2 are NOT re-emitted, pages 3-5
+    append exactly once (the file sink's ``_spark_metadata`` commit log
+    fences duplicates). The returned frame is the per-page batch rollup
+    of the sink directory; the oracle rebuilds the full 6-page feed
+    arithmetically, so a duplicate or a hole from a broken recovery
+    hash-mismatches, not just row-counts."""
+    from pyspark.sql import functions as F
+
+    register_tick_stream_source(spark)
+    out = f"{work_dir}/out"
+    ckpt = f"{work_dir}/ckpt"
+    conf_key = "spark.sql.shuffle.partitions"
+    prior = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, "8")
+    try:
+        for pages in (3, 6):
+            q = (
+                spark.readStream.format("tick_stream")
+                .option("pages", str(pages))
+                .load()
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+            q.awaitTermination()
+        return (
+            spark.read.parquet(out)
+            .groupBy("page")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("v").cast("long").alias("sum_v"),
+                F.min("v").cast("long").alias("min_v"),
+                F.max("v").cast("long").alias("max_v"),
+            )
+        )
+    finally:
+        spark.conf.set(conf_key, prior)

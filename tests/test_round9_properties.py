@@ -367,3 +367,309 @@ def test_two_phase_grouped_totals_are_per_group(spark):
         exp_tot[g] = exp_tot.get(g, 0) + w_
     for r in got:
         assert r["tot"] == exp_tot[r["g"]]
+
+
+def test_dedup_family_agreement_matches_direct_recomputation(spark, sf_dir):
+    """The agreement matrix must equal a python recomputation from the
+    three family pair sets collected directly, and the matrix must be
+    non-vacuous on the fixture corpus (simhash disagrees with the other
+    two at the registered defaults)."""
+    from data_engineer_interview_task_spark.operators import dedup
+
+    sets = {
+        "ngram": {
+            (r.doc_a, r.doc_b)
+            for r in dedup.ngram_jaccard_pairs(spark, sf_dir)
+            .select("doc_a", "doc_b")
+            .collect()
+        },
+        "minhash": {
+            (r.doc_a, r.doc_b)
+            for r in dedup.minhash_lsh_pairs(spark, sf_dir)
+            .select("doc_a", "doc_b")
+            .collect()
+        },
+        "simhash": {
+            (r.doc_a, r.doc_b)
+            for r in dedup.simhash_near_dup_pairs(spark, sf_dir)
+            .select("doc_a", "doc_b")
+            .collect()
+        },
+    }
+    got = {
+        (r.fam_a, r.fam_b): r.asDict()
+        for r in dedup.dedup_family_agreement(spark, sf_dir).collect()
+    }
+    assert len(got) == 3
+    for fam_a, fam_b in (
+        ("minhash", "ngram"),
+        ("minhash", "simhash"),
+        ("ngram", "simhash"),
+    ):
+        a, b = sets[fam_a], sets[fam_b]
+        row = got[(fam_a, fam_b)]
+        assert row["n_a"] == len(a)
+        assert row["n_b"] == len(b)
+        assert row["n_common"] == len(a & b)
+        assert row["n_union"] == len(a | b)
+        expect_ppm = (
+            1_000_000
+            if not (a | b)
+            else 1_000_000 * len(a & b) // len(a | b)
+        )
+        assert row["agreement_ppm"] == expect_ppm
+        assert row["n_union"] == row["n_a"] + row["n_b"] - row["n_common"]
+    # non-vacuous: the strict-Hamming simhash family must genuinely
+    # disagree with the token-set families on this corpus
+    assert got[("ngram", "simhash")]["agreement_ppm"] < 1_000_000
+    assert got[("minhash", "ngram")]["n_a"] > 0
+
+
+def test_compaction_plan_matches_python_packing(spark, sf_dir):
+    """The planned layout must equal a direct python replay of the
+    start-offset packing contract over the collected cell frame, rows
+    must be conserved, and no planned file may overshoot target by a
+    whole cell."""
+    from data_engineer_interview_task_spark.operators import maintenance
+    from data_engineer_interview_task_spark.sources import read_table
+
+    cells = sorted(
+        (
+            (r.day, r.event_type, r.n)
+            for r in read_table(spark, sf_dir, "events")
+            .groupBy(
+                F.to_date("ts").alias("day"),
+                F.col("event_type"),
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        ),
+    )
+    total = sum(n for _, _, n in cells)
+    target = max(1, total // 12)
+    plan: dict[int, dict] = {}
+    cum = 0
+    for day, _etype, n in cells:
+        fid = cum // target
+        rec = plan.setdefault(
+            fid, {"parts": 0, "rows": 0, "days": []}
+        )
+        rec["parts"] += 1
+        rec["rows"] += n
+        rec["days"].append(day)
+        cum += n
+    got = {
+        r.out_file_id: r.asDict()
+        for r in maintenance.compaction_plan_report(spark, sf_dir).collect()
+    }
+    assert set(got) == set(plan)
+    max_cell = max(n for _, _, n in cells)
+    assert sum(g["n_rows"] for g in got.values()) == total
+    for fid, rec in plan.items():
+        g = got[fid]
+        assert g["n_source_parts"] == rec["parts"]
+        assert g["n_rows"] == rec["rows"]
+        assert g["first_day"] == min(rec["days"])
+        assert g["last_day"] == max(rec["days"])
+        assert g["target_rows"] == target
+        assert g["fill_ppm"] == 1_000_000 * rec["rows"] // target
+        # a cell is assigned where its first row lands, so the
+        # overshoot past target is strictly less than one cell
+        assert g["n_rows"] < target + max_cell
+    # the plan genuinely compacts: fewer output files than source cells
+    assert len(got) < len(cells)
+
+
+def test_compaction_plan_windows_are_pid_scoped(spark, sf_dir):
+    from data_engineer_interview_task_spark.operators import maintenance
+    from data_engineer_interview_task_spark.plans import explain_str
+
+    plan = explain_str(
+        maintenance.compaction_plan_report(spark, sf_dir)
+    )
+    for ln in _window_lines(plan):
+        assert "_pid" in ln, f"cell-grain global window: {ln}"
+
+
+def test_cohens_kappa_matches_direct_computation(spark, sf_dir):
+    """kappa_ppm must equal the textbook statistic computed from the
+    collected (labeled, predicted) pairs with exact integer arithmetic,
+    and chance correction must genuinely bite (kappa < accuracy)."""
+    from collections import Counter
+
+    from data_engineer_interview_task_spark.operators import text
+
+    pairs = [
+        (r.labeled_lang, r.predicted_lang)
+        for r in text.lang_id(spark, sf_dir)
+        .select("labeled_lang", "predicted_lang")
+        .collect()
+    ]
+    n = len(pairs)
+    agree = sum(1 for a, b in pairs if a == b)
+    rows = Counter(a for a, _ in pairs)
+    cols = Counter(b for _, b in pairs)
+    sum_rc = sum(rows[k] * cols.get(k, 0) for k in rows)
+    num = n * agree - sum_rc
+    den = n * n - sum_rc
+    expect = (
+        0
+        if den == 0
+        else (
+            1_000_000 * num // den
+            if num >= 0
+            else -(1_000_000 * (-num) // den)
+        )
+    )
+    got = text.cohens_kappa_langid(spark, sf_dir).collect()[0]
+    assert got.n_docs == n and got.n_agree == agree
+    assert got.accuracy_ppm == 1_000_000 * agree // n
+    assert got.chance_ppm == 1_000_000 * sum_rc // (n * n)
+    assert got.kappa_ppm == expect
+    # non-vacuous: imbalanced marginals make kappa < raw accuracy
+    assert got.kappa_ppm < got.accuracy_ppm
+
+
+def test_mann_kendall_matches_direct_computation(spark, sf_dir):
+    """S, tau-a ppm and the tie-adjusted variance numerator must equal
+    a direct python replay over the collected daily series."""
+    from collections import Counter, defaultdict
+
+    from data_engineer_interview_task_spark.operators import cleaning
+    from data_engineer_interview_task_spark.sources import read_table
+
+    daily = defaultdict(dict)
+    rows = (
+        read_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(
+                (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+            ).alias("y")
+        )
+        .collect()
+    )
+    for r in rows:
+        daily[r.event_type][r.day] = r.y
+    got = {
+        r.event_type: r.asDict()
+        for r in cleaning.mann_kendall_trend(spark, sf_dir).collect()
+    }
+    assert set(got) == set(daily)
+    any_nonzero = False
+    for etype, series in daily.items():
+        ys = [series[d] for d in sorted(series)]
+        n = len(ys)
+        s = sum(
+            (ys[j] > ys[i]) - (ys[j] < ys[i])
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        n_pairs = n * (n - 1) // 2
+        tie_term = sum(
+            t * (t - 1) * (2 * t + 5) for t in Counter(ys).values()
+        )
+        g = got[etype]
+        assert g["n_days"] == n
+        assert g["n_pairs"] == n_pairs
+        assert g["s_stat"] == s
+        expect_tau = (
+            1_000_000 * s // n_pairs
+            if s >= 0
+            else -(1_000_000 * (-s) // n_pairs)
+        )
+        assert g["tau_ppm"] == expect_tau
+        assert g["var18"] == n * (n - 1) * (2 * n + 5) - tie_term
+        any_nonzero = any_nonzero or s != 0
+    assert any_nonzero  # the test corpus genuinely trends somewhere
+
+
+def test_theil_sen_matches_fraction_median(spark, sf_dir):
+    """The fixed-point key medians must equal the TRUE rational slope
+    medians (computed with Fraction) pushed through trunc(1e9·x) — the
+    collision-free-key claim verified on real data, not just argued."""
+    from collections import defaultdict
+    from fractions import Fraction
+
+    from data_engineer_interview_task_spark.operators import cleaning
+    from data_engineer_interview_task_spark.sources import read_table
+
+    daily = defaultdict(dict)
+    for r in (
+        read_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(
+                (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+            ).alias("y")
+        )
+        .collect()
+    ):
+        daily[r.event_type][r.day] = r.y
+    got = {
+        r.event_type: r.asDict()
+        for r in cleaning.theil_sen_slope(spark, sf_dir).collect()
+    }
+    assert set(got) == set(daily)
+    for etype, series in daily.items():
+        days = sorted(series)
+        slopes = sorted(
+            Fraction(series[d2] - series[d1], (d2 - d1).days)
+            for i, d1 in enumerate(days)
+            for d2 in days[i + 1 :]
+        )
+        n = len(slopes)
+        lo, hi = slopes[(n + 1) // 2 - 1], slopes[n // 2]
+        g = got[etype]
+        assert g["n_slopes"] == n
+        # int() of a Fraction truncates toward zero — the same rounding
+        # as the engines' sign-split floor division
+        assert g["sen_lo_nanos"] == int(Fraction(10**9) * lo)
+        assert g["sen_hi_nanos"] == int(Fraction(10**9) * hi)
+
+
+def test_pettitt_matches_direct_computation(spark, sf_dir):
+    """K, U_at_K and the change day must equal a direct python replay
+    of the Pettitt statistic over the collected daily series."""
+    from collections import defaultdict
+
+    from data_engineer_interview_task_spark.operators import cleaning
+    from data_engineer_interview_task_spark.sources import read_table
+
+    daily = defaultdict(dict)
+    for r in (
+        read_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(
+                (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+            ).alias("y")
+        )
+        .collect()
+    ):
+        daily[r.event_type][r.day] = r.y
+    got = {
+        r.event_type: r.asDict()
+        for r in cleaning.pettitt_change_point(spark, sf_dir).collect()
+    }
+    assert set(got) == set(daily)
+    for etype, series in daily.items():
+        days = sorted(series)
+        ys = [series[d] for d in days]
+        n = len(ys)
+        best = None
+        for t in range(n - 1):
+            u = sum(
+                (ys[j] > ys[i]) - (ys[j] < ys[i])
+                for i in range(t + 1)
+                for j in range(t + 1, n)
+            )
+            # first day attaining the max |U| wins (day ASC tie-break)
+            if best is None or abs(u) > abs(best[1]):
+                best = (days[t], u)
+        g = got[etype]
+        assert g["n_days"] == n
+        assert g["change_day"] == best[0]
+        assert g["u_at_k"] == best[1]
+        assert g["k_stat"] == abs(best[1])
+        assert g["k_stat"] > 0  # non-vacuous: some level shift exists

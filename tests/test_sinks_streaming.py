@@ -621,3 +621,57 @@ def test_text_corpus_ingest_content_keys(spark, sf_dir, tmp_path):
         r.doc_key for r in again.collect()
     }
     assert raw.count() == 50
+
+
+def test_tick_stream_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Python-DataSource recovery contract, pinned stage by stage: run 1
+    (3-page feed) writes exactly pages 0-2 and parks; run 2 reopens the
+    SAME checkpoint with pages=6 and appends ONLY pages 3-5; a third
+    no-new-data restart changes nothing. Every (page, i) cell must
+    appear exactly once at every stage — duplicates from a re-emitted
+    committed range or holes from a skipped offset both fail."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_interview_task_spark.sources.pydatasource import (
+        register_tick_stream_source,
+    )
+
+    register_tick_stream_source(spark)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run(pages: int) -> None:
+        q = (
+            spark.readStream.format("tick_stream")
+            .option("pages", str(pages))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+
+    def cells() -> dict:
+        rows = spark.read.parquet(out).groupBy("page", "i").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        return {(r.page, r.i): r.n for r in rows.collect()}
+
+    run(3)
+    mid = cells()
+    assert {p for p, _ in mid} == {0, 1, 2}
+    assert len(mid) == 96 and set(mid.values()) == {1}
+
+    run(6)
+    fin = cells()
+    assert {p for p, _ in fin} == set(range(6))
+    assert len(fin) == 192 and set(fin.values()) == {1}
+    # run 1's rows survived byte-identically (no re-emit of pages 0-2)
+    assert {k: v for k, v in fin.items() if k[0] < 3} == mid
+
+    run(6)  # no-new-data restart: offset already at 6, nothing appends
+    assert cells() == fin
