@@ -583,10 +583,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never attested (r5's ORACLE_DEFERRED_TO_NEXT_ROUND set); then
         # round-6 additions fill the window as they land. Everything after
         # the window is attested green by the union of r01..r05 records.
-        # --- ROUND-9 attestation front. The r8 window closed with all 24
-        # entries green in CORRECTNESS_r08, so the r9 window opens empty;
-        # new round-9 entries fill it from the top. Everything below the
-        # r9 section is attested by the r01..r08 driver-record union. ---
+        # --- ROUND-10 attestation front. The r9 window closed with all
+        # 21 entries green in CORRECTNESS_r09, so the r10 window opens
+        # empty; new round-10 entries fill it from the top. Everything
+        # below is attested by the r01..r09 driver-record union. ---
+        "multimodal_image_metadata": multimodal.multimodal_image_metadata,  # header-only manifest scan: PNG IHDR / JPEG SOFn walk / GIF screen descriptor / BMP info header, md5-varying dims, zero decode
+        # --- ROUND-9 attestation front (all green in CORRECTNESS_r09) ---
         "multimodal_progressive_ac_refine_decode": multimodal.multimodal_progressive_ac_refine_decode,  # AC-band successive approximation: the G.1.2.3 correction-bit interleave (VERDICT r8 item 2)
         "dedup_family_agreement": dedup.dedup_family_agreement,  # cross-family pair-set agreement matrix: |A|,|B|,common,union,ppm per family pair
         "compaction_plan_report": maintenance.compaction_plan_report,  # small-files compaction dry-run: start-offset packing of (day,type) cells into row-balanced files
@@ -7507,12 +7509,17 @@ GROUP BY 1, 2
 """
 
     # streaming python data source: the tick feed is range() + an md5
-    # fold, so the oracle regenerates every page the reader emitted
-    d["streaming_python_datasource_rollup"] = f"""
+    # fold, so the oracle regenerates every page the reader emitted.
+    # One parameterized helper serves both the single-run rollup and
+    # the restart-continuity twin (ADVICE r9: the twin used to be a
+    # string-replace on the base SQL, which would silently no-op if
+    # the base's page constant or formatting ever changed).
+    def _tick_feed_rollup_sql(pages: int) -> str:
+        return f"""
 WITH g AS (
   SELECT p.p AS page, i.i AS i,
          md5(CAST(p.p AS VARCHAR) || '|' || CAST(i.i AS VARCHAR)) AS m
-  FROM (SELECT unnest(range(4)) AS p) p,
+  FROM (SELECT unnest(range({pages})) AS p) p,
        (SELECT unnest(range(32)) AS i) i
 ), v AS (
   SELECT page, ({_hex_u32('m', 1)}) % 1000 AS v FROM g
@@ -7525,12 +7532,12 @@ SELECT CAST(page AS BIGINT) AS page,
 FROM v GROUP BY page
 """
 
+    d["streaming_python_datasource_rollup"] = _tick_feed_rollup_sql(4)
+
     # restart continuity: the same feed oracle over the EXTENDED 6-page
     # range — run 1's pages must survive the checkpoint restart and run
     # 2's must append exactly once, or the hash mismatches
-    d["streaming_tick_restart_continuity"] = d[
-        "streaming_python_datasource_rollup"
-    ].replace("range(4)", "range(6)")
+    d["streaming_tick_restart_continuity"] = _tick_feed_rollup_sql(6)
 
     # PQ distortion: the attested code-assignment chain (pa/pb) composed
     # with the exact integer floor-mean codebooks; squared diffs sum in
@@ -7747,6 +7754,42 @@ FROM p
     _bmp_lits = " || ".join(
         _bmp_h6(_cjb("(g.y + %d) %% 16" % x)) for x in range(8, 13)
     )
+    # header-only metadata scan: the fixture dims are closed-form in
+    # md5(text) nibbles (engine encodes REAL containers at those dims,
+    # then parses them back header-only), so the oracle recomputes every
+    # row arithmetically — one mis-parsed header byte breaks the hash
+    _nib = (
+        lambda i: "strpos('0123456789abcdef', substring(m, "
+        f"{i}, 1)) - 1"
+    )
+    d["multimodal_image_metadata"] = f"""
+WITH m AS (SELECT doc_id, md5(text) AS m FROM documents),
+n AS (
+  SELECT doc_id,
+         {_nib(1)} AS n0, {_nib(2)} AS n1, {_nib(3)} AS n2,
+         {_nib(4)} AS n3, {_nib(5)} AS n4, {_nib(6)} AS n5,
+         {_nib(7)} AS n6, {_nib(8)} AS n7
+  FROM m
+)
+SELECT doc_id, 'png' AS fmt, CAST(9 + n0 AS BIGINT) AS width,
+       CAST(9 + n1 AS BIGINT) AS height, CAST(8 AS BIGINT) AS bit_depth,
+       CAST(1 AS BIGINT) AS n_components
+FROM n
+UNION ALL
+SELECT doc_id, 'jpeg', CAST(8 * (1 + n2 % 2) AS BIGINT),
+       CAST(8 * (1 + n3 % 2) AS BIGINT), CAST(8 AS BIGINT),
+       CAST(3 AS BIGINT)
+FROM n
+UNION ALL
+SELECT doc_id, 'gif', CAST(5 + n4 AS BIGINT), CAST(5 + n5 AS BIGINT),
+       CAST(8 AS BIGINT), CAST(1 AS BIGINT)
+FROM n
+UNION ALL
+SELECT doc_id, 'bmp', CAST(5 + n6 AS BIGINT),
+       CAST(3 + n7 % 8 AS BIGINT), CAST(8 AS BIGINT), CAST(1 AS BIGINT)
+FROM n
+"""
+
     d["multimodal_bmp_rle_decode"] = f"""
 WITH base AS (
   SELECT doc_id, md5(text) AS m FROM documents
@@ -7891,7 +7934,9 @@ WITH daily AS (
     ON a.event_type = b.event_type AND a.day < b.day
   GROUP BY 1
 ), ties AS (
-  SELECT event_type, COUNT(*) AS n_days,
+  -- SUM(t) == day count (ADVICE r9: COUNT(*) counted distinct daily
+  -- values, undercounting n_days whenever two days tie on the sum)
+  SELECT event_type, SUM(t) AS n_days,
          SUM(t * (t - 1) * (2 * t + 5)) AS tie_term
   FROM (SELECT event_type, y, COUNT(*) AS t FROM daily GROUP BY 1, 2)
   GROUP BY 1

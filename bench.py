@@ -333,6 +333,7 @@ HEADLINE = [
     "mann_kendall_trend",
     "theil_sen_slope",
     "pettitt_change_point",
+    "multimodal_image_metadata",
 ]
 
 

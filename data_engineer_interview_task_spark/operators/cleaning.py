@@ -496,10 +496,16 @@ def ks_two_sample(
     38,0 products — BIGINT would wrap once cum*n passes 2^63, the
     event_dow_chi2 lesson) and maximized as an integer; only the FINAL
     normalization ``D = max_diff / (n_a*n_b)`` is an IEEE division of two
-    correctly-rounded exact conversions. Shape: one scan, one
-    shuffle-by-value for the cumulative window, a 1-row result — the
-    window runs over DISTINCT pooled values (bounded by price
-    granularity), not raw events."""
+    correctly-rounded exact conversions. Shape: one scan to the
+    per-distinct-value counts; both ECDF cumsums then run in ONE
+    ``two_phase_cumsum`` pass (``extra=`` — VERDICT r9 item 1: the
+    value domain is a DOUBLE, so distinct cents grows toward row count
+    on a real corpus and a partitionBy-less window would single-task),
+    with n_a/n_b derived from the same materialized frame via
+    ``totals=`` (no second corpus scan). Distinct values make every
+    tie group a singleton — the two-phase precondition."""
+    from .relational import two_phase_cumsum
+
     events = read_table(spark, sf_dir, "events")
     cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
     tagged = events.filter(
@@ -512,18 +518,16 @@ def ks_two_sample(
     per_value = tagged.groupBy("c").agg(
         F.sum("is_a").alias("da"), F.sum("is_b").alias("db")
     )
-    from pyspark.sql import Window
-
-    w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
-    cums = per_value.select(
-        F.sum("da").over(w).alias("cum_a"),
-        F.sum("db").over(w).alias("cum_b"),
+    cums = two_phase_cumsum(
+        per_value,
+        [F.col("c").asc()],
+        F.col("da"),
+        "cum_a",
+        extra=((F.col("db"), "cum_b"),),
+        totals=((F.sum("da"), "n_a"), (F.sum("db"), "n_b")),
     )
     dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
-    totals = tagged.agg(
-        F.sum("is_a").alias("n_a"), F.sum("is_b").alias("n_b")
-    )
-    diffs = cums.crossJoin(F.broadcast(totals)).select(
+    diffs = cums.select(
         "n_a",
         "n_b",
         F.abs(dec("cum_a") * dec("n_b") - dec("cum_b") * dec("n_a")).alias("d"),
@@ -600,11 +604,14 @@ def mann_whitney_u(
     ``u2x_*`` are 2xU — bit-identical on any engine, no floats anywhere.
 
     Plan: per-distinct-value counts first (the same leaf-aggregate-first
-    shape as ``ks_two_sample``), so the rank window runs over the
-    DISTINCT cents values (bounded by price resolution), never the raw
-    events; the identity ``U_a + U_b = n_a*n_b`` is a free invariant
-    check emitted as columns."""
-    from pyspark.sql import Window
+    shape as ``ks_two_sample``); the cumulative end-rank then runs as a
+    ``two_phase_cumsum`` (VERDICT r9 item 1 — the value domain is a
+    DOUBLE, so distinct cents grows toward row count on a real corpus
+    and a partitionBy-less window would single-task; distinct values
+    make every tie group a singleton). The identity
+    ``U_a + U_b = n_a*n_b`` is a free invariant check emitted as
+    columns."""
+    from .relational import two_phase_cumsum
 
     events = read_table(spark, sf_dir, "events")
     cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
@@ -618,12 +625,16 @@ def mann_whitney_u(
     per_value = tagged.groupBy("c").agg(
         F.sum("is_a").alias("da"), F.sum("is_b").alias("db")
     )
-    w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranked = per_value.select(
+    ranked = two_phase_cumsum(
+        per_value,
+        [F.col("c").asc()],
+        F.col("da") + F.col("db"),
+        "cum_end",
+    ).select(
         "da",
         "db",
         (F.col("da") + F.col("db")).alias("cnt"),
-        F.sum(F.col("da") + F.col("db")).over(w).alias("cum_end"),
+        "cum_end",
     )
     # 2*midrank of a tie group ending at cum_end with cnt members:
     # ranks are cum_end-cnt+1 .. cum_end  =>  2*avg = 2*cum_end - cnt + 1
@@ -937,7 +948,12 @@ def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     (localCheckpoint) and reused by the pair self-join, the tie
     aggregate, and the day count; the corpus is scanned exactly once.
     The pair join is per-type day×day — bounded by the calendar span
-    squared, independent of corpus row count."""
+    squared, independent of corpus row count.
+
+    Degenerate input: an event type observed on a SINGLE day has no
+    pairs and is DROPPED from the output (the inner join against the
+    empty pair frame) — identically on both engines; callers wanting a
+    row per type must left-join from the type list themselves."""
     events = read_table(spark, sf_dir, "events")
     cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
     daily = (
@@ -967,7 +983,11 @@ def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("t"))
         .groupBy("event_type")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_days"),
+            # SUM of tie-group sizes == day count (ADVICE r9: COUNT(*)
+            # here counted DISTINCT daily values, undercounting n_days
+            # whenever two days tie on the daily sum — corrupting var18
+            # in exactly the case the tie adjustment exists for)
+            F.sum("t").cast("long").alias("n_days"),
             F.sum(
                 F.expr("t * (t - 1) * (2 * t + 5)")
             )
@@ -1014,7 +1034,9 @@ def theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     calendar-bounded (type, day) frame (localCheckpoint), a per-type
     day×day pair join bounded by span², and a per-type rank window
     whose partitions are span²-bounded (data-model-bounded grain, the
-    documented acceptable window class)."""
+    documented acceptable window class). A type observed on a single
+    day has no pairwise slopes and is DROPPED from the output,
+    identically on both engines (see ``mann_kendall_trend``)."""
     events = read_table(spark, sf_dir, "events")
     cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
     daily = (
@@ -1081,7 +1103,10 @@ def pettitt_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame (localCheckpoint, reused three times); the pair frame and the
     pairs×thresholds band join are span²·span-bounded (day counts, not
     corpus rows), and the final argmax window partitions are span-
-    bounded — the documented data-model-bounded window class."""
+    bounded — the documented data-model-bounded window class. A type
+    observed on a single day has no candidate split and is DROPPED
+    from the output, identically on both engines (see
+    ``mann_kendall_trend``)."""
     events = read_table(spark, sf_dir, "events")
     cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
     daily = (

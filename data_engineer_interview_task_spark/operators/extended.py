@@ -1611,16 +1611,27 @@ def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINT around 1e6 customers × 1e8 cents, so the products are decimal
     on BOTH engines), cast to double for ONE final IEEE division.
 
-    Shape: corpus reduces to one row per customer; the rank window runs
-    over the reduced frame (range-partitionable at extreme customer
-    counts); output is a single row."""
+    Shape: corpus reduces to one row per customer; the rank is the
+    ``two_phase_cumsum`` count (VERDICT r9 item 1 — the pareto sibling:
+    a partitionBy-less ``row_number`` window executes in ONE task, and
+    customer grain is unbounded at 100 TB), so ranking runs as a
+    range-repartitioned parallel window plus a broadcast offset join;
+    the final aggregate reduces map-side. Output is a single row. The
+    (rev_cents, custkey) order is total — every tie group is a
+    singleton, the two-phase precondition."""
+    from .relational import two_phase_cumsum
+
     orders = read_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
         F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
         .alias("rev_cents")
     )
-    w = Window.orderBy(F.col("rev_cents").asc(), F.col("o_custkey").asc())
-    ranked = per_cust.withColumn("rnk", F.row_number().over(w))
+    ranked = two_phase_cumsum(
+        per_cust,
+        [F.col("rev_cents").asc(), F.col("o_custkey").asc()],
+        F.lit(1),
+        "rnk",
+    )
     agg = ranked.agg(
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         F.sum("rev_cents").alias("tot_cents"),

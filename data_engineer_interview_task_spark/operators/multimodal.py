@@ -2380,3 +2380,95 @@ def extract_features_arrow(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInArrow(_extract, schema=FEATURE_SCHEMA)
+
+
+def multimodal_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEADER-ONLY image metadata scan — the manifest pass a curation
+    pipeline runs BEFORE spending decode CPU: every document is encoded
+    into four REAL containers (grayscale PNG, color 4:4:4 JPEG, GIF87a,
+    RLE8 BMP) with md5-VARYING dimensions, and a second stage parses
+    format / width / height / bit depth / component count from the
+    container HEADERS alone (``functions/image_meta.py`` — the PNG IHDR
+    chunk, the JPEG SOI→SOFn marker walk, the GIF logical screen
+    descriptor, the BMP info header; no pixel data is ever inflated,
+    un-DCT'd or LZW-expanded).
+
+    Dimensions derive from md5(text) nibbles (PNG ``9+n0 × 9+n1``,
+    JPEG ``8(1+n2%2) × 8(1+n3%2)``, GIF ``5+n4 × 5+n5``, BMP
+    ``5+n6 × 3+(n7%8)``), so the DuckDB oracle recomputes every row
+    closed-form from md5(text) and a single mis-parsed header byte
+    anywhere breaks the hash compare — and the fixture dims VARY per
+    document (the non-vacancy rule: a constant-dims fixture would pass
+    with a parser that ignores the payload entirely).
+
+    Scale shape: two narrow Arrow-batched stages (encode fan-out 1→4,
+    then the header parse), no shuffle, partitioning preserved; at
+    100 TB the scan reads a few dozen bytes per blob where the decode
+    family reads megabytes."""
+    from ..functions.bmp_codec import bmp_encode_rle8
+    from ..functions.gif_codec import gif_encode
+    from ..functions.image_meta import parse_image_header
+    from ..functions.jpeg_codec import jpeg_encode_color
+    from ..functions.png_codec import png_encode
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("fmt", StringType()),
+            StructField("width", LongType()),
+            StructField("height", LongType()),
+            StructField("bit_depth", LongType()),
+            StructField("n_components", LongType()),
+        ]
+    )
+    docs = _spread_docs(
+        spark, read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+    def _scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # self-contained closure: all four encoders + the header parser
+        # captured by value (the worker-import rule)
+        import hashlib as _h
+
+        import pandas as _pd
+
+        p_enc, j_enc = png_encode, jpeg_encode_color
+        g_enc, b_enc, meta = gif_encode, bmp_encode_rle8, parse_image_header
+        pal = bytes(
+            b for i in range(256) for b in (i, (7 * i) % 256, (13 * i) % 256)
+        )
+        cols = (
+            "doc_id", "fmt", "width", "height", "bit_depth", "n_components",
+        )
+        for pdf in batches:
+            out = {c: [] for c in cols}
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                hx = _h.md5(t.encode()).hexdigest()
+                d = bytes.fromhex(hx)
+                nib = [int(c, 16) for c in hx]
+                payloads = []
+                w, h = 9 + nib[0], 9 + nib[1]
+                px = (hx.encode() * ((w * h) // 32 + 1))[: w * h]
+                payloads.append(p_enc(px, w, h, 0))
+                w, h = 8 * (1 + nib[2] % 2), 8 * (1 + nib[3] % 2)
+                rgb = (d * ((3 * w * h) // 16 + 1))[: 3 * w * h]
+                payloads.append(j_enc(rgb, w, h))
+                w, h = 5 + nib[4], 5 + nib[5]
+                idx = (d * ((w * h) // 16 + 1))[: w * h]
+                payloads.append(g_enc(idx, w, h, pal))
+                w, h = 5 + nib[6], 3 + nib[7] % 8
+                rows = [
+                    bytes(d[(y + x) % 16] for x in range(w)) for y in range(h)
+                ]
+                payloads.append(b_enc(rows, w, h, pal))
+                for pay in payloads:
+                    fmt, pw, ph, depth, comps = meta(pay)
+                    out["doc_id"].append(doc_id)
+                    out["fmt"].append(fmt)
+                    out["width"].append(pw)
+                    out["height"].append(ph)
+                    out["bit_depth"].append(depth)
+                    out["n_components"].append(comps)
+            yield _pd.DataFrame(out)
+
+    return docs.mapInPandas(_scan, schema=schema)

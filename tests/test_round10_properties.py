@@ -1,0 +1,233 @@
+"""Round-10 property tests.
+
+1. Plan pins for the three de-weakened queries (VERDICT r9 item 1):
+   no unbounded-grain global-window sort survives in ``revenue_gini``
+   (customer grain — the pareto sibling), ``ks_two_sample`` or
+   ``mann_whitney_u`` (both distinct-value-cents grain) — every
+   remaining window is ``_pid``-scoped (the two-phase in-partition
+   pass) or runs on the n_parts-row offset frame.
+2. Mann-Kendall tie handling (ADVICE r9 medium): ``n_days`` must be
+   the DAY count (SUM of tie-group sizes), not the distinct-value
+   count — pinned on a CONSTRUCTED corpus with tied daily sums, the
+   case the shared-fixture replay can't reach (the driver corpora are
+   tie-free at every SF).
+3. Single-day event types are DROPPED by the trend battery
+   (documented) — pinned on the same constructed corpus.
+"""
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineer_interview_task_spark.plans import explain_str
+
+
+def _window_lines(plan: str):
+    return [
+        ln for ln in plan.splitlines() if "windowspecdefinition(" in ln
+    ]
+
+
+def test_revenue_gini_plan_has_no_global_sort_window(spark, sf_dir):
+    from data_engineer_interview_task_spark.operators import extended
+
+    plan = explain_str(extended.revenue_gini(spark, sf_dir))
+    for ln in _window_lines(plan):
+        assert "_pid" in ln, f"customer-grain global window: {ln}"
+
+
+def test_ks_two_sample_plan_has_no_global_sort_window(spark, sf_dir):
+    from data_engineer_interview_task_spark.operators import cleaning
+
+    plan = explain_str(cleaning.ks_two_sample(spark, sf_dir))
+    for ln in _window_lines(plan):
+        assert "_pid" in ln, f"value-grain global window: {ln}"
+
+
+def test_mann_whitney_plan_has_no_global_sort_window(spark, sf_dir):
+    from data_engineer_interview_task_spark.operators import cleaning
+
+    plan = explain_str(cleaning.mann_whitney_u(spark, sf_dir))
+    for ln in _window_lines(plan):
+        assert "_pid" in ln, f"value-grain global window: {ln}"
+
+
+def test_gini_two_phase_matches_direct_computation(spark, sf_dir):
+    """The two-phase rank must reproduce the classic single-sort Gini
+    bit-for-bit on the real corpus (rank-weighted sum is an exact
+    integer identity, so any rank misalignment flips the hash)."""
+    from data_engineer_interview_task_spark.operators import extended
+    from data_engineer_interview_task_spark.sources import read_table
+
+    per_cust = sorted(
+        (r.rev, r.o_custkey)
+        for r in read_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+                    "long"
+                )
+            ).alias("rev")
+        )
+        .collect()
+    )
+    n = len(per_cust)
+    tot = sum(v for v, _ in per_cust)
+    wsum = sum(i * v for i, (v, _) in enumerate(per_cust, start=1))
+    got = extended.revenue_gini(spark, sf_dir).collect()[0]
+    assert got.n_customers == n
+    assert got.total_revenue == tot / 100.0
+    assert got.gini == float(2 * wsum - (n + 1) * tot) / float(n * tot)
+
+
+@pytest.fixture(scope="module")
+def tied_sf_dir(spark, tmp_path_factory):
+    """A tiny corpus whose daily sums TIE within a type (two days of
+    'click' both sum to 100 cents) plus a single-day type 'solo'."""
+    base = dt.datetime(2024, 1, 1, 12)
+    day = dt.timedelta(days=1)
+    rows = [
+        # click: day sums 100, 100 (TIE), 200 over three days
+        (1, 1, base, "click", 1.00, "{}"),
+        (2, 1, base + day, "click", 0.60, "{}"),
+        (3, 1, base + day, "click", 0.40, "{}"),
+        (4, 1, base + 2 * day, "click", 2.00, "{}"),
+        # solo: one day only -> dropped by the trend battery
+        (5, 2, base, "solo", 5.00, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string,"
+        " value double, props string",
+    )
+    d = tmp_path_factory.mktemp("tied_corpus")
+    df.write.parquet(str(d / "events.parquet"))
+    return str(d)
+
+
+def test_mann_kendall_counts_days_not_distinct_values(spark, tied_sf_dir):
+    from data_engineer_interview_task_spark.operators import cleaning
+
+    got = {
+        r.event_type: r.asDict()
+        for r in cleaning.mann_kendall_trend(spark, tied_sf_dir).collect()
+    }
+    # single-day type dropped, documented
+    assert set(got) == {"click"}
+    g = got["click"]
+    # series 100, 100, 200: S = 0 + 1 + 1 = 2 over 3 pairs
+    assert g["n_days"] == 3  # DAYS, not the 2 distinct values
+    assert g["n_pairs"] == 3
+    assert g["s_stat"] == 2
+    assert g["tau_ppm"] == 1_000_000 * 2 // 3
+    # var18 = n(n-1)(2n+5) - t(t-1)(2t+5) = 3*2*11 - 2*1*9 = 48
+    assert g["var18"] == 48
+
+
+def test_mann_kendall_oracle_matches_on_tied_corpus(spark, tied_sf_dir):
+    """The DuckDB oracle had the identical n_days bug (ADVICE r9) — run
+    it over the constructed tied corpus and pin the corrected values."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    sql = entrymod.oracle_sql()["mann_kendall_trend"]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM read_parquet("
+        f"'{tied_sf_dir}/events.parquet/*.parquet')"
+    )
+    rows = con.execute(sql).fetchall()
+    cols = [d[0] for d in con.description]
+    got = dict(zip(cols, rows[0]))
+    assert len(rows) == 1 and got["event_type"] == "click"
+    assert got["n_days"] == 3
+    assert got["var18"] == 48
+
+
+def test_trend_battery_drops_single_day_types(spark, tied_sf_dir):
+    from data_engineer_interview_task_spark.operators import cleaning
+
+    for fn in (cleaning.theil_sen_slope, cleaning.pettitt_change_point):
+        types = {r.event_type for r in fn(spark, tied_sf_dir).collect()}
+        assert types == {"click"}, fn.__name__
+
+
+# --- header-only image metadata scan --------------------------------------
+
+
+def test_image_header_parser_all_containers_and_errors():
+    """The header parser must read back exactly what every in-tree
+    encoder embeds — including the progressive-JPEG SOF2 and interlaced
+    GIF shapes the fixture doesn't use — and reject junk/truncation."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from data_engineer_interview_task_spark.functions.bmp_codec import (
+        bmp_encode_rle8,
+    )
+    from data_engineer_interview_task_spark.functions.gif_codec import (
+        gif_encode,
+    )
+    from data_engineer_interview_task_spark.functions.image_meta import (
+        parse_image_header,
+    )
+    from data_engineer_interview_task_spark.functions.jpeg_codec import (
+        jpeg_encode,
+        jpeg_encode_color,
+        jpeg_encode_progressive,
+    )
+    from data_engineer_interview_task_spark.functions.png_codec import (
+        png_encode,
+    )
+
+    pal = bytes(
+        b for i in range(256) for b in (i, (7 * i) % 256, (13 * i) % 256)
+    )
+    d = hashlib.md5(b"probe").digest()
+    px = (d * 100)[: 13 * 9]
+    assert parse_image_header(png_encode(px, 13, 9, 0)) == ("png", 13, 9, 8, 1)
+    g = (d * 100)[: 16 * 24]
+    assert parse_image_header(jpeg_encode(g, 16, 24)) == ("jpeg", 16, 24, 8, 1)
+    rgb = (d * 100)[: 3 * 8 * 16]
+    assert parse_image_header(jpeg_encode_color(rgb, 8, 16)) == (
+        "jpeg", 8, 16, 8, 3,
+    )
+    # progressive SOF2: the marker walk must stop at the frame header
+    assert parse_image_header(jpeg_encode_progressive(g, 16, 24)) == (
+        "jpeg", 16, 24, 8, 1,
+    )
+    idx = (d * 100)[: 7 * 11]
+    assert parse_image_header(gif_encode(idx, 7, 11, pal)) == (
+        "gif", 7, 11, 8, 1,
+    )
+    assert parse_image_header(
+        gif_encode(idx, 7, 11, pal, interlace=True)
+    ) == ("gif", 7, 11, 8, 1)
+    rows = [bytes(d[(y + x) % 16] for x in range(6)) for y in range(4)]
+    assert parse_image_header(bmp_encode_rle8(rows, 6, 4, pal)) == (
+        "bmp", 6, 4, 8, 1,
+    )
+    for bad in (b"", b"not an image", b"\xff\xd8\xff", b"BM\x00\x01"):
+        with _pytest.raises(ValueError):
+            parse_image_header(bad)
+
+
+def test_image_metadata_dims_vary_across_docs(spark, sf_dir):
+    """Non-vacancy: the md5-derived fixture dims must VARY across the
+    corpus for every format (a constant-dims fixture would pass with a
+    parser that never reads the payload)."""
+    from data_engineer_interview_task_spark.operators import multimodal
+
+    rows = multimodal.multimodal_image_metadata(spark, sf_dir).collect()
+    assert len(rows) == 4 * len({r.doc_id for r in rows})
+    by_fmt = {}
+    for r in rows:
+        by_fmt.setdefault(r.fmt, set()).add((r.width, r.height))
+    assert set(by_fmt) == {"png", "jpeg", "gif", "bmp"}
+    for fmt, dims in by_fmt.items():
+        assert len(dims) > 1, f"{fmt} dims constant — vacuous fixture"

@@ -555,9 +555,14 @@ def test_mann_kendall_matches_direct_computation(spark, sf_dir):
         r.event_type: r.asDict()
         for r in cleaning.mann_kendall_trend(spark, sf_dir).collect()
     }
-    assert set(got) == set(daily)
+    # single-day types have no pairs and are DROPPED (documented in the
+    # operator docstring) — guard the expectation instead of assuming
+    # every type survives (ADVICE r9)
+    multi = {e for e, s in daily.items() if len(s) >= 2}
+    assert set(got) == multi
     any_nonzero = False
-    for etype, series in daily.items():
+    for etype in multi:
+        series = daily[etype]
         ys = [series[d] for d in sorted(series)]
         n = len(ys)
         s = sum(
@@ -610,8 +615,12 @@ def test_theil_sen_matches_fraction_median(spark, sf_dir):
         r.event_type: r.asDict()
         for r in cleaning.theil_sen_slope(spark, sf_dir).collect()
     }
-    assert set(got) == set(daily)
-    for etype, series in daily.items():
+    # single-day types yield no pairwise slopes and are DROPPED
+    # (documented) — guard the expectation (ADVICE r9)
+    multi = {e for e, s in daily.items() if len(s) >= 2}
+    assert set(got) == multi
+    for etype in multi:
+        series = daily[etype]
         days = sorted(series)
         slopes = sorted(
             Fraction(series[d2] - series[d1], (d2 - d1).days)
@@ -652,8 +661,12 @@ def test_pettitt_matches_direct_computation(spark, sf_dir):
         r.event_type: r.asDict()
         for r in cleaning.pettitt_change_point(spark, sf_dir).collect()
     }
-    assert set(got) == set(daily)
-    for etype, series in daily.items():
+    # single-day types have no (i <= t < j) pairs and are DROPPED
+    # (documented) — guard the expectation (ADVICE r9)
+    multi = {e for e, s in daily.items() if len(s) >= 2}
+    assert set(got) == multi
+    for etype in multi:
+        series = daily[etype]
         days = sorted(series)
         ys = [series[d] for d in days]
         n = len(ys)
