@@ -588,6 +588,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # empty; new round-10 entries fill it from the top. Everything
         # below is attested by the r01..r09 driver-record union. ---
         "multimodal_image_metadata": multimodal.multimodal_image_metadata,  # header-only manifest scan: PNG IHDR / JPEG SOFn walk / GIF screen descriptor / BMP info header, md5-varying dims, zero decode
+        "spearman_daily_correlation": cleaning.spearman_daily_correlation,  # rank correlation between daily series: doubled midranks, exact moments, IEEE sqrt tail
+        "kendall_tau_b_daily": cleaning.kendall_tau_b_daily,  # tie-corrected concordance between daily series: exact nc/nd/tie counts, IEEE tail
         # --- ROUND-9 attestation front (all green in CORRECTNESS_r09) ---
         "multimodal_progressive_ac_refine_decode": multimodal.multimodal_progressive_ac_refine_decode,  # AC-band successive approximation: the G.1.2.3 correction-bit interleave (VERDICT r8 item 2)
         "dedup_family_agreement": dedup.dedup_family_agreement,  # cross-family pair-set agreement matrix: |A|,|B|,common,union,ppm per family pair
@@ -4625,27 +4627,31 @@ SELECT week_start, week_start + 7 AS next_week,
 FROM pairs GROUP BY week_start
 """
 
-    # min-label propagation, unrolled 3 rounds (the BFS oracle pattern)
+    # min-label propagation, unrolled 3 rounds (the BFS oracle pattern).
+    # Every round frame is referenced TWICE (the union arm and the next
+    # round's join), so the CTEs are AS MATERIALIZED — inlining would
+    # re-evaluate the lineitem self-join 2^rounds times (the r8 BPE
+    # lesson; this oracle dominated the sf1 sweep wall at ~694s before)
     d["supplier_label_propagation"] = """
-WITH edges AS (
+WITH edges AS MATERIALIZED (
   SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
   FROM lineitem a JOIN lineitem b
     ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
-), l0 AS (
+), l0 AS MATERIALIZED (
   SELECT s_suppkey AS node, CAST(s_suppkey AS BIGINT) AS label FROM supplier
-), l1 AS (
+), l1 AS MATERIALIZED (
   SELECT node, MIN(label) AS label FROM (
     SELECT node, label FROM l0
     UNION ALL
     SELECT e.dst, r.label FROM edges e JOIN l0 r ON e.src = r.node
   ) GROUP BY node
-), l2 AS (
+), l2 AS MATERIALIZED (
   SELECT node, MIN(label) AS label FROM (
     SELECT node, label FROM l1
     UNION ALL
     SELECT e.dst, r.label FROM edges e JOIN l1 r ON e.src = r.node
   ) GROUP BY node
-), l3 AS (
+), l3 AS MATERIALIZED (
   SELECT node, MIN(label) AS label FROM (
     SELECT node, label FROM l2
     UNION ALL
@@ -7200,6 +7206,79 @@ SELECT CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n_days,
          / nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
                   * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0.0) AS pearson_r
 FROM mom
+"""
+
+    # Spearman: doubled midranks over the day-grain frame (the
+    # mann_whitney identity 2*midrank = 2*RANK + t - 1), exact HUGEINT
+    # moments, IEEE sqrt/divide tail op-mirrored with the engine
+    d["spearman_daily_correlation"] = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                       THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY 1
+), ranked AS (
+  SELECT 2 * RANK() OVER (ORDER BY x)
+           + COUNT(*) OVER (PARTITION BY x) - 1 AS dx,
+         2 * RANK() OVER (ORDER BY y)
+           + COUNT(*) OVER (PARTITION BY y) - 1 AS dy
+  FROM daily
+), mom AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(CAST(dx AS HUGEINT)) AS sdx,
+         SUM(CAST(dy AS HUGEINT)) AS sdy,
+         SUM(CAST(dx AS HUGEINT) * CAST(dy AS HUGEINT)) AS sdxy,
+         SUM(CAST(dx AS HUGEINT) * CAST(dx AS HUGEINT)) AS sdxx,
+         SUM(CAST(dy AS HUGEINT) * CAST(dy AS HUGEINT)) AS sdyy
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       CAST(sdx AS BIGINT) AS sum2r_x,
+       CAST(sdy AS BIGINT) AS sum2r_y,
+       CAST(n * sdxy - sdx * sdy AS DOUBLE)
+         / nullif(sqrt(CAST(n * sdxx - sdx * sdx AS DOUBLE))
+                  * sqrt(CAST(n * sdyy - sdy * sdy AS DOUBLE)), 0.0)
+         AS spearman_rho
+FROM mom
+"""
+
+    # Kendall tau-b: sign-compared day pairs (no dx*dy product — cents
+    # deltas times count deltas would brush BIGINT at extreme scale),
+    # tie-pair counts via nonnegative floor division
+    d["kendall_tau_b_daily"] = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                       THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY 1
+), pairs AS (
+  SELECT CAST(SUM(CASE WHEN (b.x > a.x AND b.y > a.y)
+                         OR (b.x < a.x AND b.y < a.y)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+         CAST(SUM(CASE WHEN (b.x > a.x AND b.y < a.y)
+                         OR (b.x < a.x AND b.y > a.y)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+         CAST(COUNT(*) AS BIGINT) AS n0
+  FROM daily a JOIN daily b ON a.day < b.day
+), t1 AS (
+  SELECT CAST(SUM(t * (t - 1)) // 2 AS BIGINT) AS n1
+  FROM (SELECT COUNT(*) AS t FROM daily GROUP BY x)
+), t2 AS (
+  SELECT CAST(SUM(t * (t - 1)) // 2 AS BIGINT) AS n2
+  FROM (SELECT COUNT(*) AS t FROM daily GROUP BY y)
+)
+SELECT nc, nd, n0, n1, n2,
+       (CAST(nc AS DOUBLE) - CAST(nd AS DOUBLE))
+         / nullif(sqrt(CAST(n0 AS DOUBLE) - CAST(n1 AS DOUBLE))
+                  * sqrt(CAST(n0 AS DOUBLE) - CAST(n2 AS DOUBLE)), 0.0)
+         AS tau_b
+FROM pairs CROSS JOIN t1 CROSS JOIN t2
 """
 
     # expanding-window CV: integer day-boundary arithmetic both engines

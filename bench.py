@@ -334,6 +334,8 @@ HEADLINE = [
     "theil_sen_slope",
     "pettitt_change_point",
     "multimodal_image_metadata",
+    "spearman_daily_correlation",
+    "kendall_tau_b_daily",
 ]
 
 

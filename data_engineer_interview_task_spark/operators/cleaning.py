@@ -1160,3 +1160,143 @@ def pettitt_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("u").cast("long").alias("u_at_k"),
         F.col("t_day").alias("change_day"),
     )
+
+
+def spearman_daily_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPEARMAN rank correlation between the daily click-count and
+    daily purchase-revenue series — the monotone-association companion
+    to :func:`daily_lag_correlation`'s Pearson (rank correlation is the
+    drift screen that survives outliers and nonlinear scale changes).
+
+    Exactness: ties get MIDRANKS, doubled to stay integral
+    (``2·midrank = 2·RANK + t − 1``, the ``mann_whitney_u`` identity);
+    Pearson over doubled ranks equals Pearson over ranks (affine
+    invariance), so all five moments are exact DECIMAL(38,0) sums of
+    integer products and the only floats are the final IEEE
+    sqrt/multiply/divide, op-mirrored in the oracle. The doubled-rank
+    sums are emitted as columns — each must equal n(n+1), a free
+    integrity check on the rank construction.
+
+    Scale shape: one corpus scan to the day-grain frame; the rank
+    windows run over that CALENDAR-BOUNDED frame (thousands of rows at
+    any corpus size — the documented acceptable window class, not the
+    unbounded value-grain class ``ks_two_sample`` was cured of)."""
+    events = read_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("x"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", cents).otherwise(0)
+        ).alias("y"),
+    )
+    ranked = daily.select(
+        (
+            2 * F.rank().over(Window.orderBy("x"))
+            + F.count(F.lit(1)).over(Window.partitionBy("x"))
+            - 1
+        ).alias("dx"),
+        (
+            2 * F.rank().over(Window.orderBy("y"))
+            + F.count(F.lit(1)).over(Window.partitionBy("y"))
+            - 1
+        ).alias("dy"),
+    )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    mom = ranked.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(d38("dx")).alias("sdx"),
+        F.sum(d38("dy")).alias("sdy"),
+        F.sum(d38("dx") * d38("dy")).alias("sdxy"),
+        F.sum(d38("dx") * d38("dx")).alias("sdxx"),
+        F.sum(d38("dy") * d38("dy")).alias("sdyy"),
+    )
+    num = (F.col("n") * F.col("sdxy") - F.col("sdx") * F.col("sdy")).cast(
+        "double"
+    )
+    vx = (F.col("n") * F.col("sdxx") - F.col("sdx") * F.col("sdx")).cast(
+        "double"
+    )
+    vy = (F.col("n") * F.col("sdyy") - F.col("sdy") * F.col("sdy")).cast(
+        "double"
+    )
+    return mom.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.col("sdx").cast("long").alias("sum2r_x"),
+        F.col("sdy").cast("long").alias("sum2r_y"),
+        (num / F.nullif(F.sqrt(vx) * F.sqrt(vy), F.lit(0.0))).alias(
+            "spearman_rho"
+        ),
+    )
+
+
+def kendall_tau_b_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KENDALL tau-b between the daily click-count and purchase-revenue
+    series — the concordance twin of :func:`spearman_daily_correlation`
+    (tau-a vs TIME lives in ``mann_kendall_trend``; tau-b corrects for
+    ties in BOTH variables, the real-data case). All counting is exact:
+    concordant/discordant day pairs from the calendar-bounded pair
+    join, per-variable tie-pair counts doubled to stay integral
+    (``Σ t(t−1)`` = 2·n1), and the only floats are the final IEEE
+    ``(nc − nd) / (sqrt(n0 − n1) · sqrt(n0 − n2))`` on exact operands,
+    op-mirrored in the oracle.
+
+    Scale shape: one corpus scan to the day-grain frame
+    (localCheckpoint, reused by the pair join and both tie aggregates);
+    the day×day pair join is span²-bounded — the ``mann_kendall_trend``
+    pattern, independent of corpus row count."""
+    events = read_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    daily = (
+        events.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).alias("x"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", cents).otherwise(0)
+            ).alias("y"),
+        )
+        .localCheckpoint()
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    # sign comparisons, not a dx*dy product: daily-cents deltas times
+    # count deltas would brush BIGINT at extreme corpus scale
+    sx = F.signum((F.col("b.x") - F.col("a.x")).cast("double")).cast("int")
+    sy = F.signum((F.col("b.y") - F.col("a.y")).cast("double")).cast("int")
+    pairs = a.join(b, F.col("a.day") < F.col("b.day")).agg(
+        F.sum(
+            F.when((sx * sy) == 1, 1).otherwise(0)
+        ).cast("long").alias("nc"),
+        F.sum(
+            F.when((sx * sy) == -1, 1).otherwise(0)
+        ).cast("long").alias("nd"),
+        F.count(F.lit(1)).cast("long").alias("n0"),
+    )
+    tie = lambda col, name: (  # noqa: E731
+        daily.groupBy(col)
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.expr("CAST(sum(t * (t - 1)) DIV 2 AS BIGINT)").alias(name)
+        )
+    )
+    out = (
+        pairs.crossJoin(F.broadcast(tie("x", "n1")))
+        .crossJoin(F.broadcast(tie("y", "n2")))
+    )
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    return out.select(
+        "nc",
+        "nd",
+        "n0",
+        "n1",
+        "n2",
+        (
+            (dd("nc") - dd("nd"))
+            / F.nullif(
+                F.sqrt(dd("n0") - dd("n1")) * F.sqrt(dd("n0") - dd("n2")),
+                F.lit(0.0),
+            )
+        ).alias("tau_b"),
+    )

@@ -231,3 +231,100 @@ def test_image_metadata_dims_vary_across_docs(spark, sf_dir):
     assert set(by_fmt) == {"png", "jpeg", "gif", "bmp"}
     for fmt, dims in by_fmt.items():
         assert len(dims) > 1, f"{fmt} dims constant — vacuous fixture"
+
+
+# --- Spearman / Kendall tau-b -----------------------------------------------
+
+
+def _daily_xy(spark, sf_dir):
+    from data_engineer_interview_task_spark.sources import read_table
+
+    rows = (
+        read_table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).alias("x"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    (F.col("value").cast("decimal(18,2)") * 100).cast(
+                        "long"
+                    ),
+                ).otherwise(0)
+            ).alias("y"),
+        )
+        .collect()
+    )
+    return [(r.x, r.y) for r in rows]
+
+
+def test_spearman_matches_fraction_model(spark, sf_dir):
+    """The doubled-midrank moment formulation must equal the textbook
+    Spearman (Pearson over exact-rational midranks) computed with
+    Fraction, pushed through the same final IEEE ops."""
+    import math
+    from collections import Counter
+    from fractions import Fraction
+
+    from data_engineer_interview_task_spark.operators import cleaning
+
+    xy = _daily_xy(spark, sf_dir)
+    n = len(xy)
+
+    def doubled_ranks(vals):
+        cnt = Counter(vals)
+        lower = {
+            v: sum(c for u, c in cnt.items() if u < v) for v in cnt
+        }
+        # 2*midrank = 2*(lower+1) + t - 1
+        return [2 * (lower[v] + 1) + cnt[v] - 1 for v in vals]
+
+    dx = doubled_ranks([x for x, _ in xy])
+    dy = doubled_ranks([y for _, y in xy])
+    got = cleaning.spearman_daily_correlation(spark, sf_dir).collect()[0]
+    assert got.n_days == n
+    assert got.sum2r_x == sum(dx) == n * (n + 1)
+    assert got.sum2r_y == sum(dy) == n * (n + 1)
+    num = n * sum(a * b for a, b in zip(dx, dy)) - sum(dx) * sum(dy)
+    vx = n * sum(a * a for a in dx) - sum(dx) ** 2
+    vy = n * sum(b * b for b in dy) - sum(dy) ** 2
+    expect = float(num) / (math.sqrt(float(vx)) * math.sqrt(float(vy)))
+    assert got.spearman_rho == expect
+    # Cauchy-Schwarz in exact rationals: rho² <= 1 with no float slack
+    assert Fraction(num) ** 2 <= Fraction(vx) * Fraction(vy)
+    assert abs(expect) <= 1.0
+
+
+def test_kendall_tau_b_matches_direct_computation(spark, sf_dir):
+    import math
+    from collections import Counter
+
+    from data_engineer_interview_task_spark.operators import cleaning
+
+    xy = _daily_xy(spark, sf_dir)
+    n = len(xy)
+    nc = nd = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            sx = (xy[j][0] > xy[i][0]) - (xy[j][0] < xy[i][0])
+            sy = (xy[j][1] > xy[i][1]) - (xy[j][1] < xy[i][1])
+            if sx * sy == 1:
+                nc += 1
+            elif sx * sy == -1:
+                nd += 1
+    n0 = n * (n - 1) // 2
+    n1 = sum(
+        t * (t - 1) // 2 for t in Counter(x for x, _ in xy).values()
+    )
+    n2 = sum(
+        t * (t - 1) // 2 for t in Counter(y for _, y in xy).values()
+    )
+    got = cleaning.kendall_tau_b_daily(spark, sf_dir).collect()[0]
+    assert (got.nc, got.nd, got.n0, got.n1, got.n2) == (nc, nd, n0, n1, n2)
+    expect = (float(nc) - float(nd)) / (
+        math.sqrt(float(n0) - float(n1)) * math.sqrt(float(n0) - float(n2))
+    )
+    assert got.tau_b == expect
+    assert got.nc + got.nd <= n0  # ties excluded from both counts
