@@ -590,6 +590,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_metadata": multimodal.multimodal_image_metadata,  # header-only manifest scan: PNG IHDR / JPEG SOFn walk / GIF screen descriptor / BMP info header, md5-varying dims, zero decode
         "spearman_daily_correlation": cleaning.spearman_daily_correlation,  # rank correlation between daily series: doubled midranks, exact moments, IEEE sqrt tail
         "kendall_tau_b_daily": cleaning.kendall_tau_b_daily,  # tie-corrected concordance between daily series: exact nc/nd/tie counts, IEEE tail
+        "perplexity_bucket_report": text.perplexity_bucket_report,  # CCNet head/middle/tail buckets per source on the exact surprisal score, two-phase grouped rank
+        "priority_sample_per_source": sampling.priority_sample_per_source,  # stratified weighted sampling w/o replacement: per-source k smallest priority keys, WindowGroupLimit plan
         # --- ROUND-9 attestation front (all green in CORRECTNESS_r09) ---
         "multimodal_progressive_ac_refine_decode": multimodal.multimodal_progressive_ac_refine_decode,  # AC-band successive approximation: the G.1.2.3 correction-bit interleave (VERDICT r8 item 2)
         "dedup_family_agreement": dedup.dedup_family_agreement,  # cross-family pair-set agreement matrix: |A|,|B|,common,union,ppm per family pair
@@ -5821,6 +5823,33 @@ FROM bi_doc d JOIN vocab v ON d.tx = v.tx AND d.ty = v.ty
 GROUP BY d.doc_id
 """
 
+    # CCNet perplexity bucketing: the surprisal oracle composed VERBATIM
+    # as the score CTE, then exact per-source rank cuts at 30%/60% under
+    # the total (score, doc_id) tie-break
+    d["perplexity_bucket_report"] = f"""
+WITH scores AS (
+  SELECT * FROM ({d["bigram_surprisal_score"]}) s0
+), j AS (
+  SELECT s.doc_id, s.n_bigrams, s.avg_millibits, dd.source
+  FROM scores s JOIN documents dd ON s.doc_id = dd.doc_id
+), r AS (
+  SELECT source, doc_id, n_bigrams, avg_millibits,
+         ROW_NUMBER() OVER (PARTITION BY source
+           ORDER BY avg_millibits ASC, doc_id ASC) AS rk,
+         COUNT(*) OVER (PARTITION BY source) AS n_src
+  FROM j
+)
+SELECT source,
+       CASE WHEN rk <= 3 * n_src // 10 THEN 'head'
+            WHEN rk <= 6 * n_src // 10 THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_bigrams) AS BIGINT) AS n_bigrams,
+       CAST(MIN(avg_millibits) AS BIGINT) AS min_millibits,
+       CAST(MAX(avg_millibits) AS BIGINT) AS max_millibits
+FROM r GROUP BY 1, 2
+"""
+
     # isotonic regression (round 7): the minimax representation
     # fit(i) = max_{j<=i} min_{k>=i} mean(j..k) in 1e-6 fixed point —
     # floor∘scale is monotone, so this equals floor(1e6 * PAV fit)
@@ -6953,6 +6982,26 @@ WITH c AS (
 SELECT doc_id, source, w,
        CAST(ROW_NUMBER() OVER (ORDER BY q ASC, doc_id ASC) AS INTEGER) AS rk
 FROM q ORDER BY q ASC, doc_id ASC LIMIT 25
+"""
+
+    # stratified twin: identical key chain, rank partitioned by source
+    d["priority_sample_per_source"] = f"""
+WITH c AS (
+  SELECT doc_id, source,
+         GREATEST(CAST(len(string_split(text, ' ')) AS BIGINT), 1) AS w,
+         md5(CAST(doc_id AS VARCHAR)) AS m
+  FROM documents
+), q AS (
+  SELECT doc_id, source, w,
+         CAST({_u52} AS DOUBLE) / CAST(w AS DOUBLE) AS q
+  FROM c
+), r AS (
+  SELECT doc_id, source, w,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY q ASC, doc_id ASC) AS INTEGER) AS rk
+  FROM q
+)
+SELECT doc_id, source, w, rk FROM r WHERE rk <= 5
 """
 
     # CLV channel attribution, equal-credit largest-remainder exact:

@@ -336,6 +336,8 @@ HEADLINE = [
     "multimodal_image_metadata",
     "spearman_daily_correlation",
     "kendall_tau_b_daily",
+    "perplexity_bucket_report",
+    "priority_sample_per_source",
 ]
 
 

@@ -1120,3 +1120,45 @@ def stratified_holdout_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_toks").cast("long").alias("n_tokens"),
         )
     )
+
+
+def priority_sample_per_source(
+    spark: SparkSession, sf_dir: str, k: int = 5
+) -> DataFrame:
+    """STRATIFIED weighted sampling without replacement — the per-source
+    twin of :func:`priority_sample_topk` (Duffield-Lund-Thorup priority
+    keys ``q = u / w``), keeping the ``k`` smallest keys WITHIN EACH
+    source: the corpus-mixing primitive that draws a token-weighted,
+    rerun-stable quota from every stratum in one pass (a global top-k
+    would let one verbose source crowd out the rest).
+
+    Exactness: identical key construction to the global twin — 52-bit
+    md5 prefix as an exact double over the integer token weight, one
+    correctly-rounded IEEE division — so the oracle twin hashes exactly.
+
+    Scale shape: the ``row_number <= k`` filter over the
+    ``partitionBy(source)`` window triggers Spark's WindowGroupLimit
+    pushdown (plan-pinned): every map task keeps only its local top-k
+    rows PER GROUP before the shuffle, so the exchange carries
+    O(tasks·sources·k) rows, never the corpus — the distributed
+    per-group top-k plan, not a per-source sort of unbounded
+    partitions."""
+    docs = read_table(spark, sf_dir, "documents")
+    u = F.conv(F.substring(_sample_key(F.col("doc_id")), 1, 13), 16, 10).cast(
+        "long"
+    )
+    w = F.greatest(F.size(F.split(F.col("text"), " ")).cast("long"), F.lit(1))
+    cand = docs.select(
+        "doc_id",
+        "source",
+        w.alias("w"),
+        (u.cast("double") / w.cast("double")).alias("q"),
+    )
+    wr = Window.partitionBy("source").orderBy(
+        F.col("q").asc(), F.col("doc_id").asc()
+    )
+    return (
+        cand.withColumn("rk", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "source", "w", "rk")
+    )

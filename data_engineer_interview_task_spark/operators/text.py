@@ -1664,3 +1664,57 @@ def cohens_kappa_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV (n_docs * n_docs - sum_rc)) END AS BIGINT)"
         ).alias("kappa_ppm"),
     )
+
+
+def perplexity_bucket_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-STYLE PERPLEXITY BUCKETING — the curation step that made
+    CommonCrawl usable (Wenzek et al.): rank each source's documents by
+    a language-model quality score and cut the ranking into HEAD (most
+    fluent 30%), MIDDLE (next 30%) and TAIL (the rest), then report the
+    doc/bigram mass and score range per (source, bucket) so a mixing
+    recipe can sample head-heavy.
+
+    The score is :func:`bigram_surprisal_score`'s exact integer
+    ``avg_millibits`` (the in-corpus perplexity proxy — no float model,
+    hash-exact), so the whole report is oracle-checkable; the oracle
+    composes the surprisal SQL verbatim as a CTE. Docs with no bigrams
+    (< 2 non-empty tokens) carry no score and are absent identically
+    on both engines.
+
+    Scale shape: the per-source rank runs through
+    :func:`relational.two_phase_cumsum` with ``part_cols=("source",)``
+    — range-partitioned on (source, score, doc_id), so a mega-source
+    never becomes one sort task (the ``stratified_holdout_exact``
+    pattern); per-source totals ride the same materialized frame.
+    Bucket cuts are pure integer thresholds (``rk <= 3n DIV 10`` etc.)
+    under the total (score, doc_id) tie-break order."""
+    from .relational import two_phase_cumsum
+
+    scores = bigram_surprisal_score(spark, sf_dir)
+    src = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    base = scores.join(src, "doc_id")
+    ranked = two_phase_cumsum(
+        base,
+        [F.col("avg_millibits").asc(), F.col("doc_id").asc()],
+        F.lit(1),
+        "rk",
+        part_cols=("source",),
+        totals=((F.count(F.lit(1)).cast("long"), "n_src"),),
+    )
+    bucket = (
+        F.when(F.col("rk") <= F.expr("3 * n_src DIV 10"), F.lit("head"))
+        .when(F.col("rk") <= F.expr("6 * n_src DIV 10"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        ranked.select(
+            "source", bucket.alias("bucket"), "n_bigrams", "avg_millibits"
+        )
+        .groupBy("source", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_bigrams").cast("long").alias("n_bigrams"),
+            F.min("avg_millibits").cast("long").alias("min_millibits"),
+            F.max("avg_millibits").cast("long").alias("max_millibits"),
+        )
+    )

@@ -328,3 +328,69 @@ def test_kendall_tau_b_matches_direct_computation(spark, sf_dir):
     )
     assert got.tau_b == expect
     assert got.nc + got.nd <= n0  # ties excluded from both counts
+
+
+# --- stratified priority sampling / perplexity buckets ----------------------
+
+
+def test_priority_sample_per_source_plan_and_quota(spark, sf_dir):
+    """Plan: the rank<=k filter must compile to WindowGroupLimit (map-side
+    per-group top-k before the shuffle — the distributed per-group top-k
+    plan). Semantics: every source with >= k docs yields exactly k rows,
+    ranks are 1..k, and each winner set equals the python replay over
+    the exact (q, doc_id) keys."""
+    import hashlib
+    from collections import defaultdict
+
+    from data_engineer_interview_task_spark.operators import sampling
+    from data_engineer_interview_task_spark.sources import read_table
+
+    plan = explain_str(sampling.priority_sample_per_source(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    ).collect()
+    keys = defaultdict(list)
+    for r in docs:
+        u = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:13], 16)
+        w = max(len(r.text.split(" ")), 1)
+        keys[r.source].append((u / w, r.doc_id, w))
+    got = defaultdict(dict)
+    for r in sampling.priority_sample_per_source(spark, sf_dir).collect():
+        got[r.source][r.rk] = (r.doc_id, r.w)
+    assert set(got) == set(keys)
+    for src, lst in keys.items():
+        lst.sort()
+        expect = lst[: min(5, len(lst))]
+        assert len(got[src]) == len(expect)
+        for rk, (q, doc_id, w) in enumerate(expect, start=1):
+            assert got[src][rk] == (doc_id, w), (src, rk)
+
+
+def test_perplexity_buckets_partition_each_source(spark, sf_dir):
+    """Bucket counts must be the exact 30/30/40 rank cuts of each
+    source's scored-doc count, and score ranges must be ordered
+    head <= middle <= tail (the CCNet invariant)."""
+    from data_engineer_interview_task_spark.operators import text
+
+    rows = {
+        (r.source, r.bucket): r.asDict()
+        for r in text.perplexity_bucket_report(spark, sf_dir).collect()
+    }
+    by_src = {}
+    for (src, b), rec in rows.items():
+        by_src.setdefault(src, {})[b] = rec
+    assert by_src, "no sources scored"
+    for src, bs in by_src.items():
+        n = sum(r["n_docs"] for r in bs.values())
+        assert bs["head"]["n_docs"] == 3 * n // 10
+        assert bs["middle"]["n_docs"] == 6 * n // 10 - 3 * n // 10
+        assert bs["tail"]["n_docs"] == n - 6 * n // 10
+        assert (
+            bs["head"]["max_millibits"]
+            <= bs["middle"]["min_millibits"]
+            or bs["head"]["max_millibits"] == bs["middle"]["min_millibits"]
+        )
+        assert bs["middle"]["max_millibits"] <= bs["tail"]["min_millibits"] or (
+            bs["middle"]["max_millibits"] == bs["tail"]["min_millibits"]
+        )
