@@ -592,6 +592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kendall_tau_b_daily": cleaning.kendall_tau_b_daily,  # tie-corrected concordance between daily series: exact nc/nd/tie counts, IEEE tail
         "perplexity_bucket_report": text.perplexity_bucket_report,  # CCNet head/middle/tail buckets per source on the exact surprisal score, two-phase grouped rank
         "priority_sample_per_source": sampling.priority_sample_per_source,  # stratified weighted sampling w/o replacement: per-source k smallest priority keys, WindowGroupLimit plan
+        "ivfpq_recall_frontier": similarity.ivfpq_recall_frontier,  # recall@k vs n_probe curve for the full IVF-PQ path against the exact arm over the same candidate universe
         # --- ROUND-9 attestation front (all green in CORRECTNESS_r09) ---
         "multimodal_progressive_ac_refine_decode": multimodal.multimodal_progressive_ac_refine_decode,  # AC-band successive approximation: the G.1.2.3 correction-bit interleave (VERDICT r8 item 2)
         "dedup_family_agreement": dedup.dedup_family_agreement,  # cross-family pair-set agreement matrix: |A|,|B|,common,union,ppm per family pair
@@ -4503,16 +4504,20 @@ FROM (
     # tie-break), and ADC-scores ONLY vectors whose cell (= label) was
     # probed by THAT query. CTEs pa/pb (code assignment) and dta/dtb
     # (distance tables) are the attested pq_search_adc chains verbatim.
-    d["ivfpq_search"] = (
-        "WITH "
-        + _pq_half("a", 1, 32, "code_a")
-        + ","
-        + _pq_half("b", 33, 64, "code_b")
-        + ","
-        + _adc_cbook("a", 0)
-        + ","
-        + _adc_cbook("b", 32)
-        + f"""
+    # parameterized by probe budget so the recall frontier composes the
+    # SAME SQL once per n_probe value (no string-replace derivations —
+    # the ADVICE r9 tick-feed lesson)
+    def _ipq_sql(n_probe: int, k: int = 10) -> str:
+        return (
+            "WITH "
+            + _pq_half("a", 1, 32, "code_a")
+            + ","
+            + _pq_half("b", 33, 64, "code_b")
+            + ","
+            + _adc_cbook("a", 0)
+            + ","
+            + _adc_cbook("b", 32)
+            + f"""
 , cd64 AS (
   SELECT label AS cell, i AS dim,
          CAST(SUM(CAST(floor(CAST(embedding[i + 1] AS DOUBLE)
@@ -4538,7 +4543,7 @@ probed AS (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                  ORDER BY cell_cos DESC, cell ASC) AS cr
     FROM qcells64
-  ) WHERE cr <= 3
+  ) WHERE cr <= {n_probe}
 ),
 cand AS (
   SELECT pr.query_id, p.vec_id, p.code_a, p.code_b
@@ -4560,9 +4565,60 @@ FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                ORDER BY score DESC, vec_id ASC) AS rn
   FROM ipqscored
-) WHERE rn <= 10
+) WHERE rn <= {k}
 """
+        )
+
+    d["ivfpq_search"] = _ipq_sql(3)
+
+    # IVF-PQ recall frontier: the exact arm ranks the SAME candidate
+    # universe (vec_id >= 4) by the decimal-dot cosine key; each probe
+    # budget composes the parameterized IVF-PQ SQL verbatim
+    # each arm over-fetches an ADC top-50 RERANK WINDOW (the production
+    # two-stage pattern); recall counts exact top-10 members inside it
+    _ipq_arm = "\nUNION ALL\n".join(
+        f"SELECT {p} AS n_probe, query_id, vec_id AS neighbor_id"
+        f" FROM ({_ipq_sql(p, 50)}) ipq{p}"
+        for p in (1, 2, 3)
     )
+    d["ivfpq_recall_frontier"] = f"""
+WITH qx AS (SELECT vec_id AS query_id, embedding AS q
+            FROM embeddings WHERE vec_id < 4),
+cx AS (SELECT vec_id AS neighbor_id, embedding AS c
+       FROM embeddings WHERE vec_id >= 4),
+sx AS (
+  SELECT query_id, neighbor_id,
+         {dot64.format(a='q', b='c')} AS dot
+  FROM cx, qx
+), exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY dot DESC, neighbor_id ASC) AS rank
+    FROM sx
+  ) WHERE rank <= 10
+), ann AS (
+{_ipq_arm}
+), ek AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS k_exact
+  FROM exact GROUP BY 1
+), h AS (
+  SELECT a.n_probe, e.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM exact e JOIN ann a ON e.query_id = a.query_id
+                         AND e.neighbor_id = a.neighbor_id
+  GROUP BY 1, 2
+), grid AS (
+  SELECT p.n_probe, ek.query_id, ek.k_exact
+  FROM (SELECT CAST(unnest([1, 2, 3]) AS BIGINT) AS n_probe) p
+  CROSS JOIN ek
+)
+SELECT g.n_probe, g.query_id, g.k_exact,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(COALESCE(h.n_hits, 0) * 1000 // g.k_exact AS BIGINT)
+         AS recall_millis
+FROM grid g LEFT JOIN h ON g.n_probe = h.n_probe
+                       AND g.query_id = h.query_id
+"""
 
     # anti-entropy replica diff: same BIGINT-fold checksum as
     # table_checksum, replica corruption derived arithmetically

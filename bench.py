@@ -338,6 +338,7 @@ HEADLINE = [
     "kendall_tau_b_daily",
     "perplexity_bucket_report",
     "priority_sample_per_source",
+    "ivfpq_recall_frontier",
 ]
 
 

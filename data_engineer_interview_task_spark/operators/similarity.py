@@ -1461,3 +1461,100 @@ def pq_distortion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_dist_fp"),
         )
     )
+
+
+def ivfpq_recall_frontier(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 4,
+    k: int = 10,
+    rerank_k: int = 50,
+    probes: tuple = (1, 2, 3),
+) -> DataFrame:
+    """IVF-PQ TUNING FRONTIER — recall of the full IVF-PQ path
+    (:func:`ivfpq_search`) as a function of ``n_probe``, per query: the
+    curve an ANN deployment reads to pick its probe budget (probe more
+    cells → higher recall, more posting-list I/O). Each arm over-fetches
+    an ADC top-``rerank_k`` RERANK WINDOW (the production two-stage
+    retrieve-then-rerank pattern — coarse ADC candidates, exact rescoring
+    of a small window) and the report counts how many of the exact
+    top-``k`` land inside it: one row per (n_probe, query) with
+    ``recall_millis = hits * 1000 DIV k_exact``.
+
+    The exact reference arm ranks the SAME candidate universe the PQ
+    path searches (``vec_id >= n_queries`` — query vectors are not
+    candidates) by the EXACT decimal INNER PRODUCT — the metric the ADC
+    score approximates (``ipa + ipb`` reconstructs q·centroid(code)),
+    so recall is apples-to-apples; the oracle composes the
+    parameterized IVF-PQ SQL once per probe value. NOTE the curve need
+    NOT be monotone in ``n_probe``: a wider probe can only ADD
+    candidates, but an added candidate with a HIGHER approximate score
+    than a true neighbor can push that neighbor out of the fixed-k ADC
+    list — quantization noise, exactly what this report measures
+    (pinned by test: the candidate sets are nested, the hit counts are
+    free to dip).
+
+    Scale shape: each arm is the attested partition-pruned IVF-PQ plan
+    (probe cells → PartitionFilters on the codes artifact — query-time
+    I/O is n_probe directories of 8-byte codes); the exact arm is one
+    broadcast-queries scan of the embedding table; the fusion joins are
+    (probes × queries × k)-row metadata frames."""
+    from functools import reduce
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q"),
+    )
+    cands = emb.filter(F.col("vec_id") >= n_queries).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c"),
+    )
+    # exact max-inner-product: the DECIMAL dot is the ordering key
+    # directly (no floats anywhere in the reference arm)
+    scored = cands.crossJoin(F.broadcast(queries)).withColumn(
+        "ord_key", dot_decimal_expr(F.col("q"), F.col("c"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("ord_key").desc(), F.col("neighbor_id").asc()
+    )
+    exact = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id")
+    )
+    ek = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("k_exact")
+    )
+    arms = [
+        ivfpq_search(spark, sf_dir, n_queries, rerank_k, p).select(
+            F.lit(p).cast("long").alias("n_probe"),
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+        )
+        for p in probes
+    ]
+    ann = reduce(lambda a, b: a.unionByName(b), arms)
+    hits = (
+        exact.join(ann, ["query_id", "neighbor_id"])
+        .groupBy("n_probe", "query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    grid = spark.createDataFrame(
+        [(int(p),) for p in probes], "n_probe long"
+    ).crossJoin(ek)
+    return (
+        grid.join(hits, ["n_probe", "query_id"], "left_outer")
+        .select(
+            "n_probe",
+            "query_id",
+            "k_exact",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias(
+                "n_hits"
+            ),
+        )
+        .withColumn(
+            "recall_millis",
+            F.expr("n_hits * 1000 DIV k_exact").cast("long"),
+        )
+    )
