@@ -593,6 +593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_bucket_report": text.perplexity_bucket_report,  # CCNet head/middle/tail buckets per source on the exact surprisal score, two-phase grouped rank
         "priority_sample_per_source": sampling.priority_sample_per_source,  # stratified weighted sampling w/o replacement: per-source k smallest priority keys, WindowGroupLimit plan
         "ivfpq_recall_frontier": similarity.ivfpq_recall_frontier,  # recall@k vs n_probe curve for the full IVF-PQ path against the exact arm over the same candidate universe
+        "multimodal_audio_metadata": multimodal.multimodal_audio_metadata,  # header-only RIFF/WAVE manifest scan: fmt/fact/data headers of PCM, ADPCM, mu-law, A-law — zero sample decode
         # --- ROUND-9 attestation front (all green in CORRECTNESS_r09) ---
         "multimodal_progressive_ac_refine_decode": multimodal.multimodal_progressive_ac_refine_decode,  # AC-band successive approximation: the G.1.2.3 correction-bit interleave (VERDICT r8 item 2)
         "dedup_family_agreement": dedup.dedup_family_agreement,  # cross-family pair-set agreement matrix: |A|,|B|,common,union,ppm per family pair
@@ -7971,6 +7972,41 @@ FROM n
 UNION ALL
 SELECT doc_id, 'bmp', CAST(5 + n6 AS BIGINT),
        CAST(3 + n7 % 8 AS BIGINT), CAST(8 AS BIGINT), CAST(1 AS BIGINT)
+FROM n
+"""
+
+    # header-only AUDIO metadata scan: every field closed-form in the
+    # md5 nibbles (the image-metadata convention); adpcm data bytes =
+    # 4-byte block header + one nibble per sample after the first
+    d["multimodal_audio_metadata"] = f"""
+WITH m AS (SELECT doc_id, md5(text) AS m FROM documents),
+n AS (
+  SELECT doc_id,
+         {_nib(9)} AS n8, {_nib(10)} AS n9, {_nib(11)} AS n10,
+         {_nib(12)} AS n11, {_nib(13)} AS n12, {_nib(14)} AS n13
+  FROM m
+)
+SELECT doc_id, 'pcm' AS codec, CAST(1 AS BIGINT) AS fmt_tag,
+       CAST(1 + n8 % 2 AS BIGINT) AS n_channels,
+       CAST(8000 + 100 * n9 AS BIGINT) AS sample_rate,
+       CAST(8 AS BIGINT) AS bits_per_sample,
+       CAST((40 + n10) * (1 + n8 % 2) AS BIGINT) AS data_bytes,
+       CAST(40 + n10 AS BIGINT) AS n_samples
+FROM n
+UNION ALL
+SELECT doc_id, 'adpcm', CAST(17 AS BIGINT), CAST(1 AS BIGINT),
+       CAST(8000 AS BIGINT), CAST(4 AS BIGINT),
+       CAST(4 + (30 + n11) // 2 AS BIGINT), CAST(30 + n11 AS BIGINT)
+FROM n
+UNION ALL
+SELECT doc_id, 'ulaw', CAST(7 AS BIGINT), CAST(1 AS BIGINT),
+       CAST(8000 AS BIGINT), CAST(8 AS BIGINT),
+       CAST(20 + n12 AS BIGINT), CAST(20 + n12 AS BIGINT)
+FROM n
+UNION ALL
+SELECT doc_id, 'alaw', CAST(6 AS BIGINT), CAST(1 AS BIGINT),
+       CAST(8000 AS BIGINT), CAST(8 AS BIGINT),
+       CAST(20 + n13 AS BIGINT), CAST(20 + n13 AS BIGINT)
 FROM n
 """
 

@@ -339,6 +339,7 @@ HEADLINE = [
     "perplexity_bucket_report",
     "priority_sample_per_source",
     "ivfpq_recall_frontier",
+    "multimodal_audio_metadata",
 ]
 
 

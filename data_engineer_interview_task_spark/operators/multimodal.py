@@ -2472,3 +2472,90 @@ def multimodal_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield _pd.DataFrame(out)
 
     return docs.mapInPandas(_scan, schema=schema)
+
+
+def multimodal_audio_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEADER-ONLY audio metadata scan — the audio half of the manifest
+    family (:func:`multimodal_image_metadata` is the image half): every
+    document is encoded into four REAL RIFF/WAVE containers (8-bit PCM,
+    IMA ADPCM, G.711 µ-law, G.711 A-law) with md5-VARYING shape, and a
+    second stage parses codec tag / channels / sample rate / bit depth /
+    data size / frame count from the CHUNK HEADERS alone
+    (``functions/audio_meta.py`` — the fmt and fact chunks plus the data
+    chunk's size field; no sample byte is ever decoded or companded).
+
+    Shapes derive from md5(text) nibbles: PCM ``ch = 1 + n8 % 2``,
+    ``rate = 8000 + 100·n9``, ``n = 40 + n10`` frames; ADPCM
+    ``n = 30 + n11`` samples (data bytes = 4 + n DIV 2, the single-block
+    layout); µ-law ``n = 20 + n12``; A-law ``n = 20 + n13`` — every
+    field is closed-form in md5(text), so the DuckDB oracle recomputes
+    all rows arithmetically and any mis-parsed header byte breaks the
+    hash. Dims vary per document (the non-vacancy rule).
+
+    Scale shape: two narrow Arrow-batched stages (encode fan-out 1→4,
+    then the header parse), no shuffle; at 100 TB the scan reads ~60
+    bytes of headers per blob where the decode family reads all
+    samples."""
+    from ..functions.adpcm_codec import adpcm_encode_wav
+    from ..functions.audio_meta import parse_audio_header
+    from ..functions.g711_codec import alaw_encode_wav, mulaw_encode_wav
+    from ..functions.wav_codec import wav_encode
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("codec", StringType()),
+            StructField("fmt_tag", LongType()),
+            StructField("n_channels", LongType()),
+            StructField("sample_rate", LongType()),
+            StructField("bits_per_sample", LongType()),
+            StructField("data_bytes", LongType()),
+            StructField("n_samples", LongType()),
+        ]
+    )
+    docs = _spread_docs(
+        spark, read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+    def _scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # self-contained closure: encoders + parser captured by value
+        import hashlib as _h
+
+        import pandas as _pd
+
+        p_enc, a_enc = wav_encode, adpcm_encode_wav
+        m_enc, l_enc, meta = mulaw_encode_wav, alaw_encode_wav, (
+            parse_audio_header
+        )
+        cols = (
+            "doc_id", "codec", "fmt_tag", "n_channels", "sample_rate",
+            "bits_per_sample", "data_bytes", "n_samples",
+        )
+        for pdf in batches:
+            out = {c: [] for c in cols}
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                d = _h.md5(t.encode()).digest()
+                nv = [int(c, 16) for c in d.hex()]
+                s16 = [((d[i % 16] << 8) - 32768 + i) for i in range(46)]
+                ch = 1 + nv[8] % 2
+                rate = 8000 + 100 * nv[9]
+                n = 40 + nv[10]
+                arms = [
+                    ("pcm", p_enc((d * 20)[: n * ch], rate, ch)),
+                    ("adpcm", a_enc(s16[: 30 + nv[11]])),
+                    ("ulaw", m_enc(s16[: 20 + nv[12]])),
+                    ("alaw", l_enc(s16[: 20 + nv[13]])),
+                ]
+                for codec, pay in arms:
+                    tag, nch, sr, bits, nbytes, ns = meta(pay)
+                    out["doc_id"].append(doc_id)
+                    out["codec"].append(codec)
+                    out["fmt_tag"].append(tag)
+                    out["n_channels"].append(nch)
+                    out["sample_rate"].append(sr)
+                    out["bits_per_sample"].append(bits)
+                    out["data_bytes"].append(nbytes)
+                    out["n_samples"].append(ns)
+            yield _pd.DataFrame(out)
+
+    return docs.mapInPandas(_scan, schema=schema)

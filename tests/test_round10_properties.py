@@ -434,3 +434,36 @@ def test_ivfpq_recall_frontier_shape_and_candidate_nesting(spark, sf_dir):
             worst2[r.query_id] = key
     for (q, v), s in a1.items():
         assert (q, v) in a2 or (s, -v) < worst2[q], (q, v, s)
+
+
+def test_audio_header_parser_and_varying_shapes(spark, sf_dir):
+    """Parser unit facts (error paths + the PCM no-fact fallback) plus
+    operator non-vacancy: shapes must VARY across docs for every codec
+    arm."""
+    import pytest as _pytest
+
+    from data_engineer_interview_task_spark.functions.audio_meta import (
+        parse_audio_header,
+    )
+    from data_engineer_interview_task_spark.functions.wav_codec import (
+        wav_encode,
+    )
+    from data_engineer_interview_task_spark.operators import multimodal
+
+    # stereo PCM: no fact chunk -> frames from data_bytes // block_align
+    assert parse_audio_header(wav_encode(b"\x00" * 10, 44100, 2)) == (
+        1, 2, 44100, 8, 10, 5,
+    )
+    for bad in (b"", b"RIFFxxxxWAV?", b"not audio at all"):
+        with _pytest.raises(ValueError):
+            parse_audio_header(bad)
+    rows = multimodal.multimodal_audio_metadata(spark, sf_dir).collect()
+    assert len(rows) == 4 * len({r.doc_id for r in rows})
+    shapes = {}
+    for r in rows:
+        shapes.setdefault(r.codec, set()).add(
+            (r.n_channels, r.sample_rate, r.n_samples)
+        )
+    assert set(shapes) == {"pcm", "adpcm", "ulaw", "alaw"}
+    for codec, s in shapes.items():
+        assert len(s) > 1, f"{codec} shapes constant — vacuous fixture"
