@@ -594,6 +594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_sample_per_source": sampling.priority_sample_per_source,  # stratified weighted sampling w/o replacement: per-source k smallest priority keys, WindowGroupLimit plan
         "ivfpq_recall_frontier": similarity.ivfpq_recall_frontier,  # recall@k vs n_probe curve for the full IVF-PQ path against the exact arm over the same candidate universe
         "multimodal_audio_metadata": multimodal.multimodal_audio_metadata,  # header-only RIFF/WAVE manifest scan: fmt/fact/data headers of PCM, ADPCM, mu-law, A-law — zero sample decode
+        "copurchase_edge_jaccard": graph.copurchase_edge_jaccard,  # per-edge neighborhood Jaccard over the sparsified co-purchase graph, exact ppm, top-k
         # --- ROUND-9 attestation front (all green in CORRECTNESS_r09) ---
         "multimodal_progressive_ac_refine_decode": multimodal.multimodal_progressive_ac_refine_decode,  # AC-band successive approximation: the G.1.2.3 correction-bit interleave (VERDICT r8 item 2)
         "dedup_family_agreement": dedup.dedup_family_agreement,  # cross-family pair-set agreement matrix: |A|,|B|,common,union,ppm per family pair
@@ -4745,6 +4746,39 @@ cn AS (
 SELECT e.u, e.v, COALESCE(cn.support, 0) AS support
 FROM e LEFT JOIN cn ON e.u = cn.u AND e.v = cn.v
 ORDER BY support DESC, e.u ASC, e.v ASC LIMIT 100
+"""
+
+    # per-edge neighborhood Jaccard: the edge-support CTEs + symmetric
+    # degrees; |N(u) u N(v)| = deg_u + deg_v - support, exact ppm
+    d["copurchase_edge_jaccard"] = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+), und AS (
+  SELECT a.l_suppkey AS src, b.l_suppkey AS dst
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 5
+), e AS (SELECT src AS u, dst AS v FROM und WHERE src < dst),
+cn AS (
+  SELECT e.u, e.v, CAST(COUNT(*) AS BIGINT) AS support
+  FROM e JOIN und n1 ON n1.src = e.u
+         JOIN und n2 ON n2.src = e.v AND n2.dst = n1.dst
+  GROUP BY e.u, e.v
+), deg AS (
+  SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM und GROUP BY src
+), scored AS (
+  SELECT e.u, e.v,
+         CAST(COALESCE(cn.support, 0) AS BIGINT) AS support,
+         du.deg AS deg_u, dv.deg AS deg_v,
+         CAST(COALESCE(cn.support, 0) * 1000000
+              // (du.deg + dv.deg - COALESCE(cn.support, 0))
+              AS BIGINT) AS jaccard_ppm
+  FROM e LEFT JOIN cn ON e.u = cn.u AND e.v = cn.v
+         JOIN deg du ON du.src = e.u
+         JOIN deg dv ON dv.src = e.v
+)
+SELECT u, v, support, deg_u, deg_v, jaccard_ppm
+FROM scored ORDER BY jaccard_ppm DESC, u ASC, v ASC LIMIT 100
 """
 
     # exact order-statistic percentiles: rank probe ceil(p*n/100)

@@ -340,6 +340,7 @@ HEADLINE = [
     "priority_sample_per_source",
     "ivfpq_recall_frontier",
     "multimodal_audio_metadata",
+    "copurchase_edge_jaccard",
 ]
 
 

@@ -705,3 +705,66 @@ def supplier_ktruss_profile(
         cur = _support(keep, sym).localCheckpoint()
         out = out.unionAll(_stats(r, cur))
     return out
+
+
+def copurchase_edge_jaccard(
+    spark: SparkSession, sf_dir: str, min_support: int = 5, k: int = 100
+) -> DataFrame:
+    """Per-EDGE neighborhood JACCARD — the structural-similarity score
+    ``|N(u) ∩ N(v)| / |N(u) ∪ N(v)|`` over the sparsified co-purchase
+    graph: the edge feature link-prediction and role-equivalence
+    analyses read (two suppliers whose neighborhoods coincide serve the
+    same market niche; :func:`copurchase_edge_support` reports the raw
+    intersection, this normalizes it by the union). Top-``k`` edges
+    under the total (jaccard_ppm DESC, u, v) order.
+
+    Exactness: support and degrees are exact counts on the same edge
+    artifact; ``|N(u) ∪ N(v)| = deg(u) + deg(v) − support`` (open
+    neighborhoods — u ∉ N(u)); the score is the exact integer
+    ``support · 10^6 DIV union`` (never a float). The denominator is
+    ≥ 1 whenever the edge exists (v ∈ N(u)).
+
+    Plan: the common-neighbor join is the edge-support shape (edge
+    artifact scanned, never the fact table); degrees are one
+    aggregate-sized frame broadcast back; final top-k is
+    TakeOrderedAndProject."""
+    ed = _cached_edges(spark, sf_dir, min_support)
+    und = (
+        ed.filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    )
+    n1 = ed.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    n2 = ed.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    cn = (
+        und.join(n1, "u")
+        .join(n2, ["v", "w"])
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    deg = ed.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    scored = (
+        und.join(cn, ["u", "v"], "left_outer")
+        .join(F.broadcast(deg.withColumnRenamed("src", "u")
+                          .withColumnRenamed("deg", "deg_u")), "u")
+        .join(F.broadcast(deg.withColumnRenamed("src", "v")
+                          .withColumnRenamed("deg", "deg_v")), "v")
+        .select(
+            "u",
+            "v",
+            F.coalesce(F.col("support"), F.lit(0))
+            .cast("long")
+            .alias("support"),
+            F.col("deg_u").cast("long").alias("deg_u"),
+            F.col("deg_v").cast("long").alias("deg_v"),
+        )
+        .withColumn(
+            "jaccard_ppm",
+            F.expr(
+                "CAST(support * 1000000 DIV (deg_u + deg_v - support)"
+                " AS BIGINT)"
+            ),
+        )
+    )
+    return scored.orderBy(
+        F.col("jaccard_ppm").desc(), F.col("u").asc(), F.col("v").asc()
+    ).limit(k)
