@@ -595,6 +595,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_recall_frontier": similarity.ivfpq_recall_frontier,  # recall@k vs n_probe curve for the full IVF-PQ path against the exact arm over the same candidate universe
         "multimodal_audio_metadata": multimodal.multimodal_audio_metadata,  # header-only RIFF/WAVE manifest scan: fmt/fact/data headers of PCM, ADPCM, mu-law, A-law — zero sample decode
         "copurchase_edge_jaccard": graph.copurchase_edge_jaccard,  # per-edge neighborhood Jaccard over the sparsified co-purchase graph, exact ppm, top-k
+        "wilcoxon_signed_rank_daily": cleaning.wilcoxon_signed_rank_daily,  # paired signed-rank test on day-matched revenue: doubled midranks, zeros dropped
+        "incremental_bitmap_distinct_merge": relational.incremental_bitmap_distinct_merge,  # exact-distinct IVM: weekly bitmap state OR delta == full COUNT(DISTINCT) recompute
         # --- ROUND-9 attestation front (all green in CORRECTNESS_r09) ---
         "multimodal_progressive_ac_refine_decode": multimodal.multimodal_progressive_ac_refine_decode,  # AC-band successive approximation: the G.1.2.3 correction-bit interleave (VERDICT r8 item 2)
         "dedup_family_agreement": dedup.dedup_family_agreement,  # cross-family pair-set agreement matrix: |A|,|B|,common,union,ppm per family pair
@@ -4197,6 +4199,11 @@ SELECT CAST(date_trunc('week', ts) AS DATE) AS week_start,
 FROM events GROUP BY 1
 """
 
+    # bitmap IVM: popcount(state OR delta) must equal the full distinct
+    # recompute — the oracle IS the identity (incremental_rollup_merge
+    # convention); same SQL as the one-shot bitmap query by design
+    d["incremental_bitmap_distinct_merge"] = d["bitmap_weekly_users"]
+
     # CUSUM change-point: |N*S_k - k*S_N| in cleared-denominator integer
     # form; HUGEINT products, BIGINT transport (headroom to ~sf10000)
     d["revenue_cusum_max"] = """
@@ -7419,6 +7426,35 @@ SELECT nc, nd, n0, n1, n2,
                   * sqrt(CAST(n0 AS DOUBLE) - CAST(n2 AS DOUBLE)), 0.0)
          AS tau_b
 FROM pairs CROSS JOIN t1 CROSS JOIN t2
+"""
+
+    # Wilcoxon signed-rank: per-day paired cent differences, zeros
+    # dropped (the standard convention), doubled |d| midranks
+    d["wilcoxon_signed_rank_daily"] = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  ELSE 0 END)
+         - SUM(CASE WHEN event_type = 'click'
+                    THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    ELSE 0 END) AS d
+  FROM events WHERE event_type IN ('purchase', 'click') GROUP BY 1
+), nz AS (
+  SELECT abs(d) AS ad, CASE WHEN d > 0 THEN 1 ELSE 0 END AS pos
+  FROM daily WHERE d <> 0
+), ranked AS (
+  SELECT pos,
+         2 * RANK() OVER (ORDER BY ad)
+           + COUNT(*) OVER (PARTITION BY ad) - 1 AS dr
+  FROM nz
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_nonzero,
+       CAST(SUM(CASE WHEN pos = 1 THEN dr ELSE 0 END) AS BIGINT)
+         AS w2x_pos,
+       CAST(SUM(CASE WHEN pos = 0 THEN dr ELSE 0 END) AS BIGINT)
+         AS w2x_neg
+FROM ranked
 """
 
     # expanding-window CV: integer day-boundary arithmetic both engines

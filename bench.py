@@ -341,6 +341,8 @@ HEADLINE = [
     "ivfpq_recall_frontier",
     "multimodal_audio_metadata",
     "copurchase_edge_jaccard",
+    "wilcoxon_signed_rank_daily",
+    "incremental_bitmap_distinct_merge",
 ]
 
 

@@ -1300,3 +1300,58 @@ def kendall_tau_b_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("tau_b"),
     )
+
+
+def wilcoxon_signed_rank_daily(
+    spark: SparkSession,
+    sf_dir: str,
+    type_a: str = "purchase",
+    type_b: str = "click",
+) -> DataFrame:
+    """WILCOXON SIGNED-RANK statistic between two event types' daily
+    revenue, PAIRED BY DAY — the paired companion of the unpaired
+    :func:`mann_whitney_u` (matched-pairs location test: does type A
+    systematically out-earn type B on the same calendar day?). Exact
+    integers end to end: per-day cent differences, zero differences
+    DROPPED (the standard Wilcoxon convention), |d| midranks doubled to
+    stay integral (``2·midrank = 2·RANK + t − 1``), and the emitted
+    ``w2x_pos`` / ``w2x_neg`` are 2·W⁺ / 2·W⁻ — the invariant
+    ``w2x_pos + w2x_neg = n(n+1)`` is a free integrity check.
+
+    Scale shape: one corpus scan to the day-grain frame; the |d| rank
+    window runs over that CALENDAR-BOUNDED frame (the documented
+    acceptable window class). Ties in |d| get identical doubled
+    midranks on both engines."""
+    events = read_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    daily = events.filter(
+        F.col("event_type").isin(type_a, type_b)
+    ).groupBy(F.to_date("ts").alias("day")).agg(
+        (
+            F.sum(F.when(F.col("event_type") == type_a, cents).otherwise(0))
+            - F.sum(
+                F.when(F.col("event_type") == type_b, cents).otherwise(0)
+            )
+        ).alias("d")
+    )
+    nz = daily.filter(F.col("d") != 0).select(
+        F.abs(F.col("d")).alias("ad"),
+        (F.col("d") > 0).cast("long").alias("pos"),
+    )
+    ranked = nz.select(
+        "pos",
+        (
+            2 * F.rank().over(Window.orderBy("ad"))
+            + F.count(F.lit(1)).over(Window.partitionBy("ad"))
+            - 1
+        ).alias("dr"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nonzero"),
+        F.sum(F.when(F.col("pos") == 1, F.col("dr")).otherwise(0))
+        .cast("long")
+        .alias("w2x_pos"),
+        F.sum(F.when(F.col("pos") == 0, F.col("dr")).otherwise(0))
+        .cast("long")
+        .alias("w2x_neg"),
+    )

@@ -467,3 +467,39 @@ def test_audio_header_parser_and_varying_shapes(spark, sf_dir):
     assert set(shapes) == {"pcm", "adpcm", "ulaw", "alaw"}
     for codec, s in shapes.items():
         assert len(s) > 1, f"{codec} shapes constant — vacuous fixture"
+
+
+def test_bitmap_ivm_merge_is_nondegenerate_and_exact(spark, sf_dir):
+    """Both cutoff sides must be non-empty, at least one week must
+    straddle the cutoff (so the OR-merge genuinely dedups a user seen
+    on both sides), and the merged popcounts must equal the full
+    recompute."""
+    from data_engineer_interview_task_spark.operators import relational
+    from data_engineer_interview_task_spark.sources import read_table
+
+    events = read_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15").cast("timestamp")
+    pre = events.filter(F.col("ts") < cutoff)
+    post = events.filter(F.col("ts") >= cutoff)
+    assert pre.count() > 0 and post.count() > 0
+    straddle = (
+        pre.select(F.date_trunc("week", "ts").alias("w"))
+        .intersect(post.select(F.date_trunc("week", "ts").alias("w")))
+        .count()
+    )
+    assert straddle > 0, "no straddling week — the merge is vacuous"
+    got = {
+        r.week_start: r.n_users
+        for r in relational.incremental_bitmap_distinct_merge(
+            spark, sf_dir
+        ).collect()
+    }
+    full = {
+        r.week_start: r.n
+        for r in events.groupBy(
+            F.to_date(F.date_trunc("week", "ts")).alias("week_start")
+        )
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == full
