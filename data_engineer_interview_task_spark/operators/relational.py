@@ -712,16 +712,20 @@ def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Count and decimal SUM are commutative monoids, so
     ``re-aggregate(state ∪ partial(delta)) == full recompute`` EXACTLY
-    (the oracle is the full rollup). The cutoff 2024-01-15 falls mid-span
-    of the events table (2024-01-01..2024-01-30 at every SF), so BOTH the
-    state and the delta side are non-empty and the merge is exercised for
-    real — tests/test_sinks_streaming.py asserts the non-degeneracy so
+    (the oracle is the full rollup). The cutoff 2024-01-17 falls mid-span
+    of the events table (2024-01-01..2024-01-30 at every SF) and MIDWEEK
+    (a Monday cutoff leaves the weekly group keys disjoint across sides),
+    so both sides are non-empty and the merge genuinely sums across them — tests/test_sinks_streaming.py asserts the non-degeneracy so
     regenerated testdata can't silently re-trivialize it (ADVICE r3). In
     production the state side is the stored rollup table. SCALE: the
     merge shuffle carries |weeks × types| + |delta weeks × types| rows —
     aggregate-sized, not event-sized."""
     events = read_table(spark, sf_dir, "events")
-    cutoff = F.lit("2024-01-15").cast("timestamp")
+    # midweek Wednesday: a Monday cutoff (2024-01-15) would align with
+    # the week boundary and leave state/delta week keys DISJOINT — the
+    # merge would concatenate, never sum across sides (round-10 fix;
+    # output is identical for any cutoff, that's the IVM identity)
+    cutoff = F.lit("2024-01-17").cast("timestamp")
 
     def rollup(df: DataFrame) -> DataFrame:
         return df.groupBy(
@@ -2024,13 +2028,15 @@ def incremental_bitmap_distinct_merge(
     sides of the cutoff is counted once (the case plain count-merging
     gets wrong and the reason warehouses store bitmap/HLL state).
 
-    The cutoff 2024-01-15 falls mid-span at every SF (the
-    ``incremental_rollup_merge`` convention), so both sides are
-    non-empty and straddling weeks genuinely merge. SCALE: merge traffic
+    The cutoff 2024-01-17 falls mid-span AND midweek at every SF
+    (2024-01-15 is a Monday — a week-boundary cutoff makes the weekly
+    merge vacuous: disjoint week keys, nothing ever ORed across sides),
+    so both sides are non-empty and the straddling week genuinely
+    merges (test-pinned). SCALE: merge traffic
     is |weeks × user_words| bitmap rows — sketch-sized, never
     event-sized; the state side would be a stored table in production."""
     events = read_table(spark, sf_dir, "events")
-    cutoff = F.lit("2024-01-15").cast("timestamp")
+    cutoff = F.lit("2024-01-17").cast("timestamp")
 
     def words(df: DataFrame) -> DataFrame:
         return df.select(

@@ -478,7 +478,7 @@ def test_bitmap_ivm_merge_is_nondegenerate_and_exact(spark, sf_dir):
     from data_engineer_interview_task_spark.sources import read_table
 
     events = read_table(spark, sf_dir, "events")
-    cutoff = F.lit("2024-01-15").cast("timestamp")
+    cutoff = F.lit("2024-01-17").cast("timestamp")
     pre = events.filter(F.col("ts") < cutoff)
     post = events.filter(F.col("ts") >= cutoff)
     assert pre.count() > 0 and post.count() > 0
