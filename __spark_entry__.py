@@ -597,6 +597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_edge_jaccard": graph.copurchase_edge_jaccard,  # per-edge neighborhood Jaccard over the sparsified co-purchase graph, exact ppm, top-k
         "wilcoxon_signed_rank_daily": cleaning.wilcoxon_signed_rank_daily,  # paired signed-rank test on day-matched revenue: doubled midranks, zeros dropped
         "incremental_bitmap_distinct_merge": relational.incremental_bitmap_distinct_merge,  # exact-distinct IVM: weekly bitmap state OR delta == full COUNT(DISTINCT) recompute
+        "pipe_syntax_revenue_profile": extended.pipe_syntax_revenue_profile,  # Spark 4 SQL |> pipe-chain dialect (FROM |> WHERE |> EXTEND |> AGGREGATE |> ORDER BY); oracle = the ANSI equivalent
         # --- ROUND-9 attestation front (all green in CORRECTNESS_r09) ---
         "multimodal_progressive_ac_refine_decode": multimodal.multimodal_progressive_ac_refine_decode,  # AC-band successive approximation: the G.1.2.3 correction-bit interleave (VERDICT r8 item 2)
         "dedup_family_agreement": dedup.dedup_family_agreement,  # cross-family pair-set agreement matrix: |A|,|B|,common,union,ppm per family pair
@@ -7455,6 +7456,21 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_nonzero,
        CAST(SUM(CASE WHEN pos = 0 THEN dr ELSE 0 END) AS BIGINT)
          AS w2x_neg
 FROM ranked
+"""
+
+    # pipe-syntax twin: the plain ANSI form of the |> chain
+    d["pipe_syntax_revenue_profile"] = """
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(cents) AS BIGINT) AS rev_cents,
+       CAST(SUM(cents) // COUNT(*) AS BIGINT) AS avg_cents
+FROM (
+  SELECT l_returnflag, l_linestatus,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS cents
+  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+)
+GROUP BY 1, 2 ORDER BY 1, 2
 """
 
     # expanding-window CV: integer day-boundary arithmetic both engines

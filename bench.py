@@ -343,6 +343,7 @@ HEADLINE = [
     "copurchase_edge_jaccard",
     "wilcoxon_signed_rank_daily",
     "incremental_bitmap_distinct_merge",
+    "pipe_syntax_revenue_profile",
 ]
 
 

@@ -1846,3 +1846,33 @@ def hhi_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (d38(F.col("total_cents")) * d38(F.col("total_cents"))).cast("double")
         ).alias("hhi"),
     )
+
+
+def pipe_syntax_revenue_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARK 4 SQL PIPE SYNTAX — the |> operator-chain dialect
+    (SQL:2023-style pipeline queries, new API surface in Spark 4): a
+    shipped-revenue profile written ENTIRELY as a pipe chain — FROM |>
+    WHERE |> EXTEND |> AGGREGATE … GROUP BY |> ORDER BY — proving the
+    declarative pipeline form compiles to the same Catalyst plan class
+    as the classic SELECT (the oracle is the plain ANSI equivalent, so
+    the hash compare pins semantic equivalence, not just shape).
+
+    Exactness: integer cents through SUM, the mean is the exact
+    ``SUM DIV COUNT`` floor (operands nonnegative on both engines).
+    One scan, one map-side-combined aggregate at (returnflag,
+    linestatus) grain."""
+    li = read_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_pipe_v")
+    return spark.sql(
+        """
+FROM lineitem_pipe_v
+|> WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+|> EXTEND CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+     AS cents
+|> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n_items,
+             CAST(SUM(cents) AS BIGINT) AS rev_cents,
+             CAST(SUM(cents) DIV COUNT(*) AS BIGINT) AS avg_cents
+   GROUP BY l_returnflag, l_linestatus
+|> ORDER BY l_returnflag ASC, l_linestatus ASC
+"""
+    )
