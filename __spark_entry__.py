@@ -598,6 +598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wilcoxon_signed_rank_daily": cleaning.wilcoxon_signed_rank_daily,  # paired signed-rank test on day-matched revenue: doubled midranks, zeros dropped
         "incremental_bitmap_distinct_merge": relational.incremental_bitmap_distinct_merge,  # exact-distinct IVM: weekly bitmap state OR delta == full COUNT(DISTINCT) recompute
         "pipe_syntax_revenue_profile": extended.pipe_syntax_revenue_profile,  # Spark 4 SQL |> pipe-chain dialect (FROM |> WHERE |> EXTEND |> AGGREGATE |> ORDER BY); oracle = the ANSI equivalent
+        "cliffs_delta_daily": cleaning.cliffs_delta_daily,  # Cliff's delta effect size from the rank-sum identity 2U_a = u2x_a, exact signed ppm
         # --- ROUND-9 attestation front (all green in CORRECTNESS_r09) ---
         "multimodal_progressive_ac_refine_decode": multimodal.multimodal_progressive_ac_refine_decode,  # AC-band successive approximation: the G.1.2.3 correction-bit interleave (VERDICT r8 item 2)
         "dedup_family_agreement": dedup.dedup_family_agreement,  # cross-family pair-set agreement matrix: |A|,|B|,common,union,ppm per family pair
@@ -4256,6 +4257,23 @@ SELECT n_a, n_b,
        CAST(two_r_a - n_a * (n_a + 1) AS BIGINT) AS u2x_a,
        CAST(two_r_b - n_b * (n_b + 1) AS BIGINT) AS u2x_b
 FROM s
+"""
+
+    # Cliff's delta: the MWU oracle composed verbatim, one arithmetic
+    # map (2U_a - n_a n_b over n_a n_b) in sign-split exact ppm
+    d["cliffs_delta_daily"] = f"""
+WITH u AS (SELECT * FROM ({d["mann_whitney_u"]}) m)
+SELECT n_a, n_b, u2x_a,
+       CAST(CASE WHEN CAST(u2x_a AS HUGEINT)
+                      - CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT) >= 0
+            THEN (1000000 * (CAST(u2x_a AS HUGEINT)
+                             - CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT)))
+                 // (CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT))
+            ELSE -((1000000 * (CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT)
+                               - CAST(u2x_a AS HUGEINT)))
+                   // (CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT)))
+            END AS BIGINT) AS delta_ppm
+FROM u
 """
 
     # one-pass column profile: native-type min/max stringified through

@@ -344,6 +344,7 @@ HEADLINE = [
     "wilcoxon_signed_rank_daily",
     "incremental_bitmap_distinct_merge",
     "pipe_syntax_revenue_profile",
+    "cliffs_delta_daily",
 ]
 
 

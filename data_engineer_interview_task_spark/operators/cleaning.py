@@ -1355,3 +1355,39 @@ def wilcoxon_signed_rank_daily(
         .cast("long")
         .alias("w2x_neg"),
     )
+
+
+def cliffs_delta_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLIFF'S DELTA effect size between the two event types'
+    value distributions — the magnitude companion to the
+    :func:`mann_whitney_u` SIGNIFICANCE statistic (a drift monitor
+    needs both: U says "the shift is real", δ says "how big"):
+    ``δ = (#(a>b) − #(a<b)) / (n_a·n_b)``, computed EXACTLY from the
+    rank-sum identity ``2·U_a = u2x_a`` ⇒ ``δ = (u2x_a − n_a·n_b) /
+    (n_a·n_b)`` (ties cancel). Emitted in signed ppm with the
+    sign-split floor division (both engines truncate toward zero), and
+    the DECIMAL(38,0) product guards n_a·n_b past ~3e9 rows per side.
+
+    Plan: ONE extra projection over the :func:`mann_whitney_u`
+    lineage — the composition is the point (the oracle composes the
+    MWU SQL verbatim)."""
+    u = mann_whitney_u(spark, sf_dir)
+    return u.select(
+        "n_a",
+        "n_b",
+        "u2x_a",
+        F.expr(
+            "CAST(CASE WHEN CAST(u2x_a AS DECIMAL(38,0))"
+            " - CAST(n_a AS DECIMAL(38,0)) * CAST(n_b AS DECIMAL(38,0))"
+            " >= 0 THEN"
+            " (1000000 * (CAST(u2x_a AS DECIMAL(38,0))"
+            "  - CAST(n_a AS DECIMAL(38,0)) * CAST(n_b AS DECIMAL(38,0))))"
+            " DIV (CAST(n_a AS DECIMAL(38,0)) * CAST(n_b AS DECIMAL(38,0)))"
+            " ELSE"
+            " -((1000000 * (CAST(n_a AS DECIMAL(38,0))"
+            "   * CAST(n_b AS DECIMAL(38,0))"
+            "   - CAST(u2x_a AS DECIMAL(38,0))))"
+            " DIV (CAST(n_a AS DECIMAL(38,0)) * CAST(n_b AS DECIMAL(38,0))))"
+            " END AS BIGINT)"
+        ).alias("delta_ppm"),
+    )
