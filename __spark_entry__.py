@@ -599,6 +599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_bitmap_distinct_merge": relational.incremental_bitmap_distinct_merge,  # exact-distinct IVM: weekly bitmap state OR delta == full COUNT(DISTINCT) recompute
         "pipe_syntax_revenue_profile": extended.pipe_syntax_revenue_profile,  # Spark 4 SQL |> pipe-chain dialect (FROM |> WHERE |> EXTEND |> AGGREGATE |> ORDER BY); oracle = the ANSI equivalent
         "cliffs_delta_daily": cleaning.cliffs_delta_daily,  # Cliff's delta effect size from the rank-sum identity 2U_a = u2x_a, exact signed ppm
+        "doc_length_percentile_ladder": sampling.doc_length_percentile_ladder,  # per-source exact order-statistic token-length percentiles, grouped two-phase rank
         # --- ROUND-9 attestation front (all green in CORRECTNESS_r09) ---
         "multimodal_progressive_ac_refine_decode": multimodal.multimodal_progressive_ac_refine_decode,  # AC-band successive approximation: the G.1.2.3 correction-bit interleave (VERDICT r8 item 2)
         "dedup_family_agreement": dedup.dedup_family_agreement,  # cross-family pair-set agreement matrix: |A|,|B|,common,union,ppm per family pair
@@ -7445,6 +7446,25 @@ SELECT nc, nd, n0, n1, n2,
                   * sqrt(CAST(n0 AS DOUBLE) - CAST(n2 AS DOUBLE)), 0.0)
          AS tau_b
 FROM pairs CROSS JOIN t1 CROSS JOIN t2
+"""
+
+    # per-source token-length percentile ladder: exact rank probes
+    # ceil(p*n/100), no interpolation (orders_percentile_ladder pattern)
+    d["doc_length_percentile_ladder"] = """
+WITH docs AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+  FROM documents
+), ranked AS (
+  SELECT source, n_toks,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_toks ASC, doc_id ASC) AS rk,
+         COUNT(*) OVER (PARTITION BY source) AS n_docs
+  FROM docs
+), ps AS (SELECT CAST(unnest([25, 50, 75, 90, 99]) AS BIGINT) AS p)
+SELECT source, p, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_toks AS BIGINT) AS p_tokens
+FROM ranked JOIN ps ON rk = (p * n_docs + 99) // 100
 """
 
     # Wilcoxon signed-rank: per-day paired cent differences, zeros

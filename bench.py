@@ -345,6 +345,7 @@ HEADLINE = [
     "incremental_bitmap_distinct_merge",
     "pipe_syntax_revenue_profile",
     "cliffs_delta_daily",
+    "doc_length_percentile_ladder",
 ]
 
 

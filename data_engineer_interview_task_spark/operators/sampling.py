@@ -1162,3 +1162,50 @@ def priority_sample_per_source(
         .filter(F.col("rk") <= k)
         .select("doc_id", "source", "w", "rk")
     )
+
+
+def doc_length_percentile_ladder(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source token-length PERCENTILE LADDER (p25/p50/p75/p90/p99)
+    as EXACT order statistics — the length profile a curation recipe
+    reads before setting chunking/packing parameters (interpolated
+    percentiles diverge across engines; the rank-probe
+    ``ceil(p·n/100)`` = ``(p·n + 99) DIV 100`` does not — the
+    ``orders_percentile_ladder`` convention at document grain).
+
+    Scale shape: the per-source rank runs through
+    :func:`relational.two_phase_cumsum` with ``part_cols=("source",)``
+    (range-partitioned — a mega-source never becomes one sort task);
+    per-source counts ride the same materialized frame (``totals=``);
+    the 5-probe join is against an aggregate-sized ladder frame."""
+    from .relational import two_phase_cumsum
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_toks"),
+    )
+    ranked = two_phase_cumsum(
+        docs,
+        [F.col("n_toks").asc(), F.col("doc_id").asc()],
+        F.lit(1),
+        "rk",
+        part_cols=("source",),
+        totals=((F.count(F.lit(1)).cast("long"), "n_docs"),),
+    )
+    ps = spark.createDataFrame(
+        [(25,), (50,), (75,), (90,), (99,)], "p long"
+    )
+    return (
+        ranked.join(
+            F.broadcast(ps),
+            F.col("rk") == F.expr("(p * n_docs + 99) DIV 100"),
+        )
+        .select(
+            "source",
+            "p",
+            F.col("n_docs").alias("n_docs"),
+            F.col("n_toks").alias("p_tokens"),
+        )
+    )
