@@ -31,6 +31,8 @@ def _build_audio_meta():
             (ln,) = struct.unpack_from("<I", payload, pos + 4)
             if cid == b"fmt ":
                 body = payload[pos + 8 : pos + 8 + ln]
+                if len(body) < 16:
+                    raise ValueError("truncated fmt chunk body")
                 tag, ch, rate, _br, align, bits = struct.unpack_from(
                     "<HHIIHH", body, 0
                 )
@@ -43,6 +45,8 @@ def _build_audio_meta():
         if fmt is None or data_len is None:
             raise ValueError("RIFF stream missing fmt or data chunk")
         tag, ch, rate, align, bits = fmt
+        if fact_n is None and align <= 0:
+            raise ValueError("fmt chunk has block_align 0 and no fact chunk")
         n_samples = fact_n if fact_n is not None else data_len // align
         return (tag, ch, rate, bits, data_len, n_samples)
 

@@ -40,7 +40,15 @@ def _build_image_meta():
         """Sniff the container by magic and return
         ``(fmt, width, height, bit_depth, n_components)`` reading ONLY
         header bytes. Raises ``ValueError`` on unknown or truncated
-        containers."""
+        containers — truncation that would otherwise surface as
+        ``struct.error`` (short unpack slice) or ``IndexError`` (fill
+        run ending at EOF) is folded into the documented contract."""
+        try:
+            return _parse_image_header(payload)
+        except (struct.error, IndexError) as exc:
+            raise ValueError(f"truncated image container: {exc}") from exc
+
+    def _parse_image_header(payload: bytes):
         if payload[:8] == b"\x89PNG\r\n\x1a\n":
             if payload[12:16] != b"IHDR" or len(payload) < 26:
                 raise ValueError("PNG without leading IHDR chunk")

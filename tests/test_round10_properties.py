@@ -212,7 +212,20 @@ def test_image_header_parser_all_containers_and_errors():
     assert parse_image_header(bmp_encode_rle8(rows, 6, 4, pal)) == (
         "bmp", 6, 4, 8, 1,
     )
-    for bad in (b"", b"not an image", b"\xff\xd8\xff", b"BM\x00\x01"):
+    # truncation paths that internally hit struct.error / IndexError
+    # must still surface as the documented ValueError (ADVICE r10):
+    # short seg_len slice, short SOF prefix, fill-byte run ending at
+    # EOF, GIF cut after the magic, short BMP.
+    for bad in (
+        b"",
+        b"not an image",
+        b"\xff\xd8\xff",
+        b"BM\x00\x01",
+        b"\xff\xd8\xff\xe0\x00",                      # 1-byte seg_len slice
+        b"\xff\xd8\xff\xc0\x00\x08\x08\x00\x10",      # short SOF prefix
+        b"\xff\xd8\xff\xff\xff\xff",                  # fill run to EOF
+        b"GIF89a\x07\x00",                            # short screen desc
+    ):
         with _pytest.raises(ValueError):
             parse_image_header(bad)
 
@@ -454,7 +467,22 @@ def test_audio_header_parser_and_varying_shapes(spark, sf_dir):
     assert parse_audio_header(wav_encode(b"\x00" * 10, 44100, 2)) == (
         1, 2, 44100, 8, 10, 5,
     )
-    for bad in (b"", b"RIFFxxxxWAV?", b"not audio at all"):
+    # malformed-chunk paths must surface as ValueError (ADVICE r10):
+    # fmt body shorter than 16 bytes; PCM block_align 0 with no fact.
+    short_fmt = (
+        b"RIFF\x28\x00\x00\x00WAVE"
+        + b"fmt \x08\x00\x00\x00" + b"\x01\x00\x02\x00\x44\xac\x00\x00"
+        + b"data\x04\x00\x00\x00" + b"\x00" * 4
+    )
+    zero_align = (
+        b"RIFF\x30\x00\x00\x00WAVE"
+        + b"fmt \x10\x00\x00\x00"
+        + b"\x01\x00\x02\x00\x44\xac\x00\x00\x10\xb1\x02\x00\x00\x00\x08\x00"
+        + b"data\x04\x00\x00\x00" + b"\x00" * 4
+    )
+    for bad in (
+        b"", b"RIFFxxxxWAV?", b"not audio at all", short_fmt, zero_align,
+    ):
         with _pytest.raises(ValueError):
             parse_audio_header(bad)
     rows = multimodal.multimodal_audio_metadata(spark, sf_dir).collect()

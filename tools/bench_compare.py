@@ -66,7 +66,16 @@ def main() -> int:
         print("bench_compare: empty history — nothing to compare")
         return 0
     latest = runs[-1]
-    prior = [r for r in runs[:-1] if r.get("sf") == latest.get("sf")]
+    # rows marked exclude_from_baseline are adjudicated ambient-skewed
+    # records (e.g. the three r10 runs captured under a ~1.4x host
+    # slowdown — VERDICT r10 advisory 2): kept in the file as history,
+    # never used as a comparison baseline
+    prior = [
+        r
+        for r in runs[:-1]
+        if r.get("sf") == latest.get("sf")
+        and not r.get("exclude_from_baseline")
+    ]
     if not prior:
         print(
             f"bench_compare: first recorded run at sf={latest.get('sf')} "
