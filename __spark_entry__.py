@@ -583,10 +583,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never attested (r5's ORACLE_DEFERRED_TO_NEXT_ROUND set); then
         # round-6 additions fill the window as they land. Everything after
         # the window is attested green by the union of r01..r05 records.
-        # --- ROUND-10 attestation front. The r9 window closed with all
-        # 21 entries green in CORRECTNESS_r09, so the r10 window opens
-        # empty; new round-10 entries fill it from the top. Everything
-        # below is attested by the r01..r09 driver-record union. ---
+        # --- ROUND-11 attestation front. The r10 window closed with all
+        # 13 entries green in CORRECTNESS_r10 (the r1-r10 union attests
+        # every registered query), so the r11 window opens empty; new
+        # round-11 entries fill it from the top. ---
+        "image_dhash_near_dup_pairs": multimodal.image_dhash_near_dup_pairs,  # perceptual near-dup IMAGE pairs: real decode + pinned resize -> 64-bit dHash -> 4x16-bit banded join (complete by pigeonhole for hamming<=3) -> bit_count verify; aHash hamming rides along
+        "image_perceptual_hashes": multimodal.image_perceptual_hashes,  # per-doc dHash/aHash over the REAL decoded raster, SimHash 64-bit packing convention
+        "image_histogram_equalization": multimodal.image_histogram_equalization,  # real decode -> integer CDF remap -> sha256(hex) of the equalized raster; closed-form md5 oracle
+        "cramers_v_event_dow": cleaning.cramers_v_event_dow,  # association effect size for event_type x ISO dow: per-cell floor chi2*N ladder, all-integer v2_ppm
+        "isotonic_calibration_per_source": cleaning.isotonic_calibration_per_source,  # per-source PAV calibration fit via the fixed-point minimax identity at partitionBy(source) grain
+        "hard_negative_mining": similarity.hard_negative_mining,  # contrastive hard negatives: exact-decimal top-k most-similar WRONG-label candidates per query, WindowGroupLimit shape
+        "multimodal_audio_quality_report": multimodal.multimodal_audio_quality_report,  # clipping/silence/DC-offset scan over REAL decoded 8-bit PCM, exact ppm facts
+        "image_text_dedup_agreement": multimodal.image_text_dedup_agreement,  # cross-MODAL pair-set agreement: prefix-fingerprint text pairs vs dHash image pairs, exact Jaccard ppm
+        "lateral_topk_orders_per_customer": extended.lateral_topk_orders_per_customer,  # SQL:2023 LATERAL correlated derived table with ORDER BY/LIMIT; oracle runs the SAME LATERAL shape in DuckDB
+        "sql_udf_discounted_revenue": extended.sql_udf_discounted_revenue,  # Spark 4 SQL scalar UDF (CREATE FUNCTION ... RETURN) — Catalyst-inlined, zero serialization; oracle inlines the expression
+        "token_budget_mixture_plan": sampling.token_budget_mixture_plan,  # recipe-weighted token-budget allocation with largest-remainder conservation + per-source epoch factors
+        # --- ROUND-10 attestation front (all 13 green in
+        # CORRECTNESS_r10). ---
         "multimodal_image_metadata": multimodal.multimodal_image_metadata,  # header-only manifest scan: PNG IHDR / JPEG SOFn walk / GIF screen descriptor / BMP info header, md5-varying dims, zero decode
         "spearman_daily_correlation": cleaning.spearman_daily_correlation,  # rank correlation between daily series: doubled midranks, exact moments, IEEE sqrt tail
         "kendall_tau_b_daily": cleaning.kendall_tau_b_daily,  # tie-corrected concordance between daily series: exact nc/nd/tie counts, IEEE tail
@@ -1291,6 +1304,93 @@ v AS (
   FROM hh GROUP BY doc_id
 ),
 sig AS (SELECT doc_id, CAST({packed} AS BIGINT) AS simhash FROM v)
+"""
+
+
+def _phash_sig_sql() -> str:
+    """CTE chain producing ``psig(doc_id, dhash, ahash)`` — bit-exact twin
+    of ``multimodal.image_perceptual_hashes``: the fixture raster is the
+    md5 CHAIN of the first-20-token prefix (8 digests = 256 hex-char
+    bytes) perturbed at ``P = int(md5(text)[:2], 16)`` with byte 122; the
+    9×8 / 8×8 grids replay :func:`resize_image`'s pinned floor resample
+    ``src = (r*16 DIV out_h, c*16 DIV out_w)``; dHash bit (r,c) compares
+    horizontally adjacent resized pixels, aHash bit i compares against
+    the floor-mean of the 64 resized pixels; bits pack LSB-first into a
+    two's-complement BIGINT (bit 63's weight is long MIN — the SimHash
+    convention). One wrong raster byte, resample index, or comparison
+    anywhere breaks the downstream pair hashes."""
+    return """
+pbase AS (
+  SELECT doc_id,
+         array_to_string(list_slice(string_split(text, ' '), 1, 20), ' ')
+           AS pfx,
+         md5(text) AS mt
+  FROM documents
+),
+prep AS (
+  SELECT doc_id,
+         md5(pfx || ':0') || md5(pfx || ':1') || md5(pfx || ':2')
+         || md5(pfx || ':3') || md5(pfx || ':4') || md5(pfx || ':5')
+         || md5(pfx || ':6') || md5(pfx || ':7') AS r256,
+         (strpos('0123456789abcdef', substring(mt, 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substring(mt, 2, 1)) - 1) AS p
+  FROM pbase
+),
+pg9 AS (
+  SELECT doc_id, r256, p, rr.r AS r, cc.c AS c,
+         (2 * rr.r) * 16 + (16 * cc.c) // 9 AS idx
+  FROM prep, (SELECT unnest(range(8))::INT AS r) rr,
+             (SELECT unnest(range(9))::INT AS c) cc
+),
+pg9v AS (
+  SELECT doc_id, r, c,
+         CASE WHEN idx = p THEN 122
+              ELSE ascii(substring(r256, idx + 1, 1)) END AS v
+  FROM pg9
+),
+pdbits AS (
+  SELECT a.doc_id, a.r, a.c,
+         CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+  FROM pg9v a
+  JOIN pg9v b ON b.doc_id = a.doc_id AND b.r = a.r AND b.c = a.c + 1
+  WHERE a.c < 8
+),
+pdsig AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN r = 7 AND c = 7
+                       THEN bit * (-9223372036854775807 - 1)
+                       ELSE bit * (1::BIGINT << (r * 8 + c)) END)
+              AS BIGINT) AS dhash
+  FROM pdbits GROUP BY doc_id
+),
+pg8 AS (
+  SELECT doc_id, r256, p, rr.r AS r, cc.c AS c,
+         (2 * rr.r) * 16 + 2 * cc.c AS idx
+  FROM prep, (SELECT unnest(range(8))::INT AS r) rr,
+             (SELECT unnest(range(8))::INT AS c) cc
+),
+pg8v AS (
+  SELECT doc_id, r, c,
+         CASE WHEN idx = p THEN 122
+              ELSE ascii(substring(r256, idx + 1, 1)) END AS v
+  FROM pg8
+),
+pmeans AS (SELECT doc_id, SUM(v) // 64 AS mean FROM pg8v GROUP BY doc_id),
+pasig AS (
+  SELECT g.doc_id,
+         CAST(SUM(CASE WHEN g.r = 7 AND g.c = 7
+                       THEN (CASE WHEN g.v > m.mean THEN 1 ELSE 0 END)
+                            * (-9223372036854775807 - 1)
+                       ELSE (CASE WHEN g.v > m.mean THEN 1 ELSE 0 END)
+                            * (1::BIGINT << (g.r * 8 + g.c)) END)
+              AS BIGINT) AS ahash
+  FROM pg8v g JOIN pmeans m ON m.doc_id = g.doc_id
+  GROUP BY g.doc_id
+),
+psig AS (
+  SELECT d.doc_id, d.dhash, a.ahash
+  FROM pdsig d JOIN pasig a USING (doc_id)
+)
 """
 
 
@@ -8374,6 +8474,353 @@ SELECT p.event_type, nd.n_days,
        p.t_day AS change_day
 FROM picked p JOIN nd USING (event_type)
 WHERE p.rn = 1
+"""
+
+    # ------------------------------------------------------------------
+    # round 11: perceptual image hashing family — the sig CTE chain is
+    # shared between the per-doc hash table and the banded pair join
+    # (prototype-verified bit-equal to the python reference on all 500
+    # sf0.001 docs before registration)
+    # ------------------------------------------------------------------
+    d["image_perceptual_hashes"] = (
+        "WITH " + _phash_sig_sql() + """
+SELECT doc_id, dhash, ahash FROM psig
+"""
+    )
+
+    d["image_dhash_near_dup_pairs"] = (
+        "WITH " + _phash_sig_sql() + """,
+pbanded AS (
+  SELECT doc_id, dhash, ahash, t, (dhash >> (16 * t)) & 65535 AS band_val
+  FROM psig, (SELECT unnest(range(4))::INT AS t) bands
+),
+pcand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.dhash AS da, b.dhash AS db, a.ahash AS aa, b.ahash AS ab
+  FROM pbanded a
+  JOIN pbanded b ON a.t = b.t AND a.band_val = b.band_val
+                AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(da, db)) AS INTEGER) AS dhash_hamming,
+       CAST(bit_count(xor(aa, ab)) AS INTEGER) AS ahash_hamming
+FROM pcand
+WHERE bit_count(xor(da, db)) <= 3
+"""
+    )
+
+    # histogram equalization: the fixture raster is repeat(md5(text), 8),
+    # so per-char counts x8 give the histogram and the integer CDF remap
+    # is closed-form; sha256 over the lowercase-hex transport (the r6
+    # JPEG convention — equalized bytes aren't valid UTF-8)
+    d["image_histogram_equalization"] = """
+WITH m AS (SELECT doc_id, md5(text) AS m FROM documents),
+ch AS (
+  SELECT doc_id, i.i AS i, ascii(substring(m, (i.i % 32) + 1, 1)) AS v
+  FROM m, (SELECT unnest(range(256))::INT AS i) i
+),
+hist AS (SELECT doc_id, v, COUNT(*) AS cnt FROM ch GROUP BY doc_id, v),
+cdf AS (
+  SELECT doc_id, v, cnt,
+         SUM(cnt) OVER (PARTITION BY doc_id ORDER BY v) AS cdf
+  FROM hist
+),
+mins AS (SELECT doc_id, MIN(cdf) AS cdf_min FROM cdf GROUP BY doc_id),
+lut AS (
+  SELECT c.doc_id, c.v,
+         CAST(CASE WHEN 256 - mi.cdf_min > 0
+              THEN (c.cdf - mi.cdf_min) * 255 // (256 - mi.cdf_min)
+              ELSE 0 END AS BIGINT) AS ev
+  FROM cdf c JOIN mins mi ON mi.doc_id = c.doc_id
+),
+eq AS (
+  SELECT ch.doc_id, ch.i, l.ev
+  FROM ch JOIN lut l ON l.doc_id = ch.doc_id AND l.v = ch.v
+),
+hexes AS (
+  SELECT doc_id,
+         string_agg(lpad(lower(to_hex(ev)), 2, '0'), '' ORDER BY i) AS hx
+  FROM eq GROUP BY doc_id
+),
+stats AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_levels_in,
+         CAST(COUNT(DISTINCT ev) AS BIGINT) AS n_levels_out,
+         CAST(MIN(ev) AS BIGINT) AS eq_min,
+         CAST(MAX(ev) AS BIGINT) AS eq_max
+  FROM lut GROUP BY doc_id
+)
+SELECT s.doc_id, s.n_levels_in, s.n_levels_out, s.eq_min, s.eq_max,
+       sha256(h.hx) AS eq_sha
+FROM stats s JOIN hexes h ON h.doc_id = s.doc_id
+"""
+
+    # Cramér's V: per-cell floored chi2*N ladder (HUGEINT == the Spark
+    # DECIMAL(38,0) chain within the documented N <= ~3e9 domain)
+    d["cramers_v_event_dow"] = """
+WITH cells AS (
+  SELECT event_type, CAST(isodow(ts) AS BIGINT) AS iso_dow,
+         CAST(COUNT(*) AS BIGINT) AS o
+  FROM events GROUP BY 1, 2
+), r AS (SELECT event_type, SUM(o) AS r FROM cells GROUP BY 1),
+c AS (SELECT iso_dow, SUM(o) AS c FROM cells GROUP BY 1),
+n AS (
+  SELECT SUM(o) AS n, COUNT(DISTINCT event_type) AS n_rows,
+         COUNT(DISTINCT iso_dow) AS n_cols
+  FROM cells
+), summed AS (
+  SELECT n.n, n.n_rows, n.n_cols,
+         SUM((CAST(n.n AS HUGEINT) * cells.o - CAST(r.r AS HUGEINT) * c.c)
+             * (CAST(n.n AS HUGEINT) * cells.o - CAST(r.r AS HUGEINT) * c.c)
+             // (CAST(r.r AS HUGEINT) * c.c)) AS chi2n_floor
+  FROM cells
+  JOIN r ON cells.event_type = r.event_type
+  JOIN c ON cells.iso_dow = c.iso_dow
+  CROSS JOIN n
+  GROUP BY n.n, n.n_rows, n.n_cols
+)
+SELECT CAST(n AS BIGINT) AS n_events,
+       CAST(n_rows AS BIGINT) AS n_levels_row,
+       CAST(n_cols AS BIGINT) AS n_levels_col,
+       CAST(chi2n_floor AS BIGINT) AS chi2n_floor,
+       CASE WHEN least(n_rows, n_cols) - 1 > 0
+            THEN CAST(CAST(chi2n_floor AS HUGEINT) * 1000000
+                 // (CAST(n AS HUGEINT) * n * (least(n_rows, n_cols) - 1))
+                 AS BIGINT)
+            ELSE 0 END AS v2_ppm
+FROM summed
+"""
+
+    # hard-negative mining: the ivfpq exact-arm ranking restricted to
+    # label-mismatched candidates; score = the one-time double cast of
+    # the exact DECIMAL(28,14) dot (decimal-sum→double convention)
+    d["hard_negative_mining"] = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q, label AS query_label
+  FROM embeddings WHERE vec_id < 4
+), c AS (
+  SELECT vec_id AS neighbor_id, embedding AS c, label AS neighbor_label
+  FROM embeddings WHERE vec_id >= 4
+), s AS (
+  SELECT query_id, query_label, neighbor_id, neighbor_label,
+         {dot64.format(a='q', b='c')} AS ord_key
+  FROM c, q
+  WHERE neighbor_label <> query_label
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY ord_key DESC, neighbor_id ASC) AS rank
+  FROM s
+)
+SELECT query_id, query_label, CAST(rank AS BIGINT) AS rank,
+       neighbor_id, neighbor_label
+FROM r WHERE rank <= 10
+"""
+
+    # token-budget mixture plan: integer weights from the SAME
+    # source_weights() recipe the Spark side broadcasts; largest
+    # remainder ranked (rem DESC, source ASC)
+    _mix_weights = ", ".join(
+        f"('{s}', {int(h, 16)})" for s, h in sampling.source_weights()
+    )
+    d["token_budget_mixture_plan"] = f"""
+WITH w(source, weight_64k) AS (VALUES {_mix_weights}),
+avail AS (
+  SELECT source,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS avail_tokens
+  FROM documents GROUP BY source
+),
+frame AS (
+  SELECT a.source, a.avail_tokens, w.weight_64k
+  FROM avail a JOIN w ON w.source = a.source
+),
+tot AS (
+  SELECT SUM(avail_tokens) AS t_total, SUM(weight_64k) AS w_total
+  FROM frame
+),
+j AS (
+  SELECT f.source, f.avail_tokens, f.weight_64k, t.w_total,
+         CAST(CAST(t.t_total AS HUGEINT) * 500000 // 1000000 AS BIGINT)
+           AS budget
+  FROM frame f CROSS JOIN tot t
+),
+k AS (
+  SELECT *,
+         CAST(CAST(budget AS HUGEINT) * weight_64k // w_total AS BIGINT)
+           AS base,
+         CAST(CAST(budget AS HUGEINT) * weight_64k % w_total AS BIGINT)
+           AS rem
+  FROM j
+),
+r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC) AS rem_rank,
+         SUM(base) OVER () AS base_sum
+  FROM k
+),
+fin AS (
+  SELECT source, avail_tokens, weight_64k,
+         CAST(base + CASE WHEN rem_rank <= budget - base_sum
+                          THEN 1 ELSE 0 END AS BIGINT) AS target_tokens
+  FROM r
+)
+SELECT source, avail_tokens, CAST(weight_64k AS BIGINT) AS weight_64k,
+       target_tokens,
+       CAST(target_tokens * 1000000 // avail_tokens AS BIGINT)
+         AS epochs_ppm
+FROM fin
+"""
+
+    # LATERAL correlated derived table: DuckDB runs the SAME SQL shape
+    # (only the view names differ), so the hash compare pins Catalyst's
+    # decorrelation against DuckDB's direct evaluation
+    d["lateral_topk_orders_per_customer"] = """
+SELECT c.c_custkey, o.o_orderkey,
+       CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         AS price_cents
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey ASC
+  LIMIT 3
+) o
+WHERE c.c_nationkey = 3
+"""
+
+    # SQL scalar UDF: the oracle inlines the function body (exact cents
+    # minus the floored discount product — floor, never a scale-0 CAST,
+    # whose rounding mode differs between the engines)
+    d["sql_udf_discounted_revenue"] = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                - CAST(floor(CAST(l_extendedprice AS DECIMAL(18,2))
+                             * CAST(l_discount AS DECIMAL(18,2)) * 100)
+                       AS BIGINT))
+            AS BIGINT) AS disc_rev_cents
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+GROUP BY l_returnflag
+"""
+
+    # cross-modal dedup agreement: the text side is the split_leakage
+    # prefix fingerprint at pair grain; the image side composes the
+    # phash pair chain verbatim
+    d["image_text_dedup_agreement"] = (
+        "WITH " + _phash_sig_sql() + """,
+pbanded AS (
+  SELECT doc_id, dhash, t, (dhash >> (16 * t)) & 65535 AS band_val
+  FROM psig, (SELECT unnest(range(4))::INT AS t) bands
+),
+ipairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pbanded a
+  JOIN pbanded b ON a.t = b.t AND a.band_val = b.band_val
+                AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+),
+fps AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(string_split(text, ' '), 1, 20),
+                             ' ')) AS fp
+  FROM documents
+),
+tpairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+),
+j AS (
+  SELECT COALESCE(t.doc_a, i.doc_a) AS doc_a,
+         COALESCE(t.doc_b, i.doc_b) AS doc_b,
+         CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_t,
+         CASE WHEN i.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_i
+  FROM tpairs t
+  FULL OUTER JOIN ipairs i
+    ON t.doc_a = i.doc_a AND t.doc_b = i.doc_b
+),
+agg AS (
+  SELECT CAST(SUM(in_t) AS BIGINT) AS n_text_pairs,
+         CAST(SUM(in_i) AS BIGINT) AS n_image_pairs,
+         CAST(SUM(in_t * in_i) AS BIGINT) AS n_both
+  FROM j
+)
+SELECT n_text_pairs, n_image_pairs, n_both,
+       CAST(CASE WHEN n_text_pairs + n_image_pairs - n_both > 0
+            THEN n_both * 1000000
+                 // (n_text_pairs + n_image_pairs - n_both)
+            ELSE 0 END AS BIGINT) AS agreement_ppm
+FROM agg
+"""
+    )
+
+    # audio quality manifest: the fixture waveform is md5 digest bytes
+    # x16, so every fact replays from the 16 digest bytes (counts x16,
+    # peak = byte max, dc x16); ppm floors run on nonneg operands
+    d["multimodal_audio_quality_report"] = f"""
+WITH base AS (SELECT doc_id, md5(text) AS m FROM documents),
+b AS (
+  SELECT doc_id, g.i AS i, {_cjb('g.i')} - 128 AS d
+  FROM base, (SELECT unnest(range(16)) AS i) g
+),
+agg AS (
+  SELECT doc_id,
+         CAST(256 AS BIGINT) AS n_samples,
+         CAST(16 * SUM(CASE WHEN ABS(d) >= 96 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_clipped,
+         CAST(16 * SUM(CASE WHEN ABS(d) <= 8 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_silent,
+         CAST(MAX(ABS(d)) AS BIGINT) AS peak_dev,
+         CAST(16 * SUM(d) AS BIGINT) AS dc_offset
+  FROM b GROUP BY doc_id
+)
+SELECT doc_id, n_samples, n_clipped, n_silent, peak_dev, dc_offset,
+       CAST(n_clipped * 1000000 // 256 AS BIGINT) AS clip_ppm,
+       CAST(n_silent * 1000000 // 256 AS BIGINT) AS silence_ppm
+FROM agg
+"""
+
+    # per-source isotonic calibration: the revenue-curve minimax oracle
+    # with source added to every key (windows partition by source; the
+    # minimax joins carry the source equality)
+    d["isotonic_calibration_per_source"] = """
+WITH scored AS (
+  SELECT source,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS nd,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+         CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS pos
+  FROM documents
+), lev AS (
+  SELECT source, least(9, (10 * nd) // nt) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS w, CAST(SUM(pos) AS BIGINT) AS s
+  FROM scored GROUP BY 1, 2
+), idx AS (
+  SELECT source, bin, w, s,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY bin ASC) AS i,
+         SUM(w) OVER (PARTITION BY source ORDER BY bin ASC) AS cw,
+         SUM(s) OVER (PARTITION BY source ORDER BY bin ASC) AS cs
+  FROM lev
+), pairs AS (
+  SELECT l.source, l.j, r.k,
+         CAST(CAST(r.sk - l.sp AS HUGEINT) * 1000000
+              // (r.ck - l.wp) AS BIGINT) AS afp
+  FROM (SELECT source, i AS j, cw - w AS wp, cs - s AS sp FROM idx) l
+  JOIN (SELECT source, i AS k, cw AS ck, cs AS sk FROM idx) r
+    ON l.source = r.source AND l.j <= r.k
+), inner_min AS (
+  SELECT p.source, p.j, c.i, MIN(p.afp) AS mn
+  FROM pairs p
+  JOIN (SELECT source, i FROM idx) c
+    ON p.source = c.source AND p.j <= c.i AND p.k >= c.i
+  GROUP BY p.source, p.j, c.i
+), fit AS (
+  SELECT source, i, MAX(mn) AS iso_fit_ppm FROM inner_min GROUP BY source, i
+)
+SELECT idx.source,
+       CAST(idx.bin AS BIGINT) AS bin,
+       CAST(idx.w AS BIGINT) AS n_docs,
+       CAST(idx.s AS BIGINT) AS n_pos,
+       CAST(fit.iso_fit_ppm AS BIGINT) AS iso_fit_ppm
+FROM idx JOIN fit ON idx.source = fit.source AND idx.i = fit.i
 """
 
     return d

@@ -346,6 +346,18 @@ HEADLINE = [
     "pipe_syntax_revenue_profile",
     "cliffs_delta_daily",
     "doc_length_percentile_ladder",
+    # --- round 11 ---
+    "image_dhash_near_dup_pairs",
+    "image_perceptual_hashes",
+    "image_histogram_equalization",
+    "cramers_v_event_dow",
+    "isotonic_calibration_per_source",
+    "hard_negative_mining",
+    "multimodal_audio_quality_report",
+    "image_text_dedup_agreement",
+    "lateral_topk_orders_per_customer",
+    "sql_udf_discounted_revenue",
+    "token_budget_mixture_plan",
 ]
 
 

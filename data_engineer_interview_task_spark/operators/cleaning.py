@@ -1391,3 +1391,178 @@ def cliffs_delta_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             " END AS BIGINT)"
         ).alias("delta_ppm"),
     )
+
+
+def cramers_v_event_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRAMÉR'S V association strength for the event_type × ISO-weekday
+    contingency table (VERDICT r10 item 4) — the normalized companion of
+    :func:`event_dow_chi2`: V² = χ² / (N·(min(R,C)−1)) ∈ [0,1], the
+    effect size the χ² cell report can't give (χ² grows with N even for
+    a fixed association).
+
+    ALL-INTEGER cross-engine arithmetic (the cleared-denominator
+    explosion the r10 vetting feared never happens because the division
+    ladder floors PER CELL first): each cell contributes
+    ``(N·o − r·c)² DIV (r·c)`` — exact DECIMAL(38,0)/HUGEINT products,
+    one truncating division on nonnegative operands — and the sum
+    ``chi2n_floor`` (= floor-of-cell χ²·N, within R·C of exact) feeds
+    ``v2_ppm = (chi2n_floor · 10⁶) DIV (N²·(min(R,C)−1))``. Both engines
+    evaluate the identical floor chain, so the output hashes exactly.
+    Numeric domain: (N·o − r·c)² ≤ N⁴ must fit DECIMAL(38,0) → exact to
+    N ≈ 3·10⁹ events; past that the products need the double-fold
+    convention of ``event_dow_chi2`` (documented trade — at 100 TB run
+    the contingency per partition-week and merge the integer cell
+    counts first, which this formulation supports since cells are
+    additive).
+
+    Shape: one map-side-combined groupBy to the |types|×7 cell frame;
+    marginals derive from the CELL frame (never a corpus re-scan) and
+    broadcast back; one aggregate row out."""
+    events = read_table(spark, sf_dir, "events")
+    cells = events.groupBy(
+        "event_type", (F.weekday("ts") + 1).cast("long").alias("iso_dow")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    cells = cells.localCheckpoint()  # tiny; feeds four aggregates below
+    r = cells.groupBy("event_type").agg(F.sum("o").alias("r"))
+    c = cells.groupBy("iso_dow").agg(F.sum("o").alias("c"))
+    n = cells.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("event_type").alias("n_rows"),
+        F.countDistinct("iso_dow").alias("n_cols"),
+    )
+    j = (
+        cells.join(F.broadcast(r), "event_type")
+        .join(F.broadcast(c), "iso_dow")
+        .crossJoin(F.broadcast(n))
+    )
+    summed = (
+        j.select(
+            "n",
+            "n_rows",
+            "n_cols",
+            F.expr(
+                "(CAST(n AS DECIMAL(38,0)) * CAST(o AS DECIMAL(38,0))"
+                " - CAST(r AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0)))"
+                " * (CAST(n AS DECIMAL(38,0)) * CAST(o AS DECIMAL(38,0))"
+                " - CAST(r AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0)))"
+                " DIV (CAST(r AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0)))"
+            ).alias("cell_floor"),
+        )
+        .groupBy("n", "n_rows", "n_cols")
+        .agg(F.sum("cell_floor").alias("chi2n_floor"))
+    )
+    k1 = F.expr("least(n_rows, n_cols) - 1")
+    return summed.select(
+        F.col("n").cast("long").alias("n_events"),
+        F.col("n_rows").cast("long").alias("n_levels_row"),
+        F.col("n_cols").cast("long").alias("n_levels_col"),
+        F.col("chi2n_floor").cast("long").alias("chi2n_floor"),
+        F.when(k1 > 0, F.expr(
+            "CAST(chi2n_floor AS DECIMAL(38,0)) * 1000000"
+            " DIV (CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))"
+            " * (least(n_rows, n_cols) - 1))"
+        ).cast("long")).otherwise(F.lit(0).cast("long")).alias("v2_ppm"),
+    )
+
+
+def isotonic_calibration_per_source(
+    spark: SparkSession, sf_dir: str, n_bins: int = 10
+) -> DataFrame:
+    """PER-GROUP isotonic regression (VERDICT r10 item 5): fit, for EACH
+    document source independently, the best NON-DECREASING positive-rate
+    curve over the quality-confidence bins of
+    :func:`quality_calibration_report` — the per-source calibration map
+    a mixture-aware curation filter actually deploys (one global curve
+    hides per-source miscalibration; the isotonic constraint is what
+    makes the calibrated score a valid threshold).
+
+    Same exactness argument as :func:`isotonic_revenue_curve`, now at
+    ``partitionBy(source)`` grain: both engines evaluate the minimax
+    identity ``fit(i) = max_{j<=i} min_{k>=i} mean(level_j..level_k)``
+    in ppm fixed point (``(interval n_pos) * 10⁶ DIV (interval
+    n_docs)`` — nonneg operands, floor == DIV), and floor∘scale is
+    monotone so the fixed-point minimax IS the fixed-point image of the
+    rational PAV fit, per source (pinned against a per-group
+    Fraction-PAV replay in tests).
+
+    SCALE SHAPE: the only corpus-sized work is the binning groupBy
+    (map-side combined) to the (source, bin) frame — |sources| × ≤
+    ``n_bins`` rows at any corpus size. Windows partition by source over
+    that bounded frame; the O(L³) minimax join runs per source on ≤
+    ``n_bins`` levels. No global window, no corpus re-scan."""
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "toks", F.split(F.col("text"), " ")
+    )
+    scored = docs.select(
+        "source",
+        F.size(F.array_distinct("toks")).cast("long").alias("nd"),
+        F.size("toks").cast("long").alias("nt"),
+        (F.col("n_chars") >= 300).cast("long").alias("pos"),
+    )
+    lev = (
+        scored.select(
+            "source",
+            F.least(
+                F.lit(n_bins - 1), F.expr(f"({n_bins} * nd) DIV nt")
+            ).alias("bin"),
+            "pos",
+        )
+        .groupBy("source", "bin")
+        .agg(F.count(F.lit(1)).alias("w"), F.sum("pos").alias("s"))
+    )
+    wl = Window.partitionBy("source").orderBy(F.col("bin").asc())
+    wcum = wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    idx = lev.select(
+        "source",
+        "bin",
+        "w",
+        "s",
+        F.row_number().over(wl).alias("i"),
+        F.sum("w").over(wcum).alias("cw"),
+        F.sum("s").over(wcum).alias("cs"),
+    ).localCheckpoint()  # (source, bin) grain; reused by three consumers
+    left = idx.select(
+        F.col("source").alias("src_j"),
+        F.col("i").alias("j"),
+        (F.col("cw") - F.col("w")).alias("wp"),
+        (F.col("cs") - F.col("s")).alias("sp"),
+    )
+    right = idx.select(
+        F.col("source").alias("src_k"),
+        F.col("i").alias("k"),
+        F.col("cw").alias("ck"),
+        F.col("cs").alias("sk"),
+    )
+    pairs = left.join(
+        right,
+        (F.col("src_j") == F.col("src_k")) & (F.col("j") <= F.col("k")),
+    ).select(
+        F.col("src_j").alias("source"),
+        "j",
+        "k",
+        # interval counts stay far below 2^63 even at 100 TB (n_pos * 1e6
+        # per source); BIGINT arithmetic suffices here, unlike the cents
+        # sums of the revenue twin
+        F.expr("(sk - sp) * 1000000 DIV (ck - wp)").alias("afp"),
+    )
+    centers = idx.select(
+        F.col("source").alias("src_i"), F.col("i").alias("i")
+    )
+    inner = (
+        pairs.join(
+            centers,
+            (F.col("source") == F.col("src_i"))
+            & (F.col("j") <= F.col("i"))
+            & (F.col("k") >= F.col("i")),
+        )
+        .groupBy("source", "j", "i")
+        .agg(F.min("afp").alias("mn"))
+    )
+    fit = inner.groupBy("source", "i").agg(F.max("mn").alias("iso_fit_ppm"))
+    return idx.join(fit, ["source", "i"]).select(
+        "source",
+        F.col("bin").cast("long").alias("bin"),
+        F.col("w").cast("long").alias("n_docs"),
+        F.col("s").cast("long").alias("n_pos"),
+        F.col("iso_fit_ppm").cast("long").alias("iso_fit_ppm"),
+    )

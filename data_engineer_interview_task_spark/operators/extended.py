@@ -1876,3 +1876,81 @@ FROM lineitem_pipe_v
 |> ORDER BY l_returnflag ASC, l_linestatus ASC
 """
     )
+
+
+def lateral_topk_orders_per_customer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SQL LATERAL correlated subquery (Spark 4 / SQL:2023 API surface,
+    the `pipe_syntax` family): per customer of one nation, the top-3
+    orders by price via a correlated ``LATERAL (… ORDER BY … LIMIT 3)``
+    derived table — the per-row-subquery form analysts write; Catalyst
+    decorrelates it into the same rank-filter plan the window form
+    compiles to, which is exactly what the entry demonstrates (the
+    DuckDB oracle runs the SAME LATERAL shape, so the hash compare pins
+    cross-engine semantics of the decorrelation, not just one engine's
+    reading).
+
+    Exactness: price transported as integer cents; the per-customer
+    order is total (``o_totalprice DESC, o_orderkey ASC``). Scale shape:
+    the nation filter prunes the outer side before the join; the
+    decorrelated inner is one scan + per-customer group-limit — never a
+    per-row re-scan."""
+    read_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer_lat_v"
+    )
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_lat_v"
+    )
+    return spark.sql(
+        """
+SELECT c.c_custkey, o.o_orderkey,
+       CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         AS price_cents
+FROM customer_lat_v c, LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders_lat_v
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey ASC
+  LIMIT 3
+) o
+WHERE c.c_nationkey = 3
+"""
+    )
+
+
+def sql_udf_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL SCALAR UDF (Spark 4 ``CREATE FUNCTION … RETURN expr`` — the
+    declarative UDF surface that stays INSIDE Catalyst, unlike Python
+    UDFs): registers an exact integer-cents discounted-price function
+    and aggregates shipped revenue through it per return flag — the Q6
+    arithmetic routed through the new API surface. The function body is
+    inlined by the analyzer (zero serialization boundary, full
+    whole-stage codegen), which is the entire point versus a Python UDF;
+    the oracle computes the same expression inline, so the hash compare
+    pins that the UDF indirection is semantics-free.
+
+    Exactness: ``cents − floor(price·disc·100)`` per item, BIGINT sums."""
+    read_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_udf_v"
+    )
+    spark.sql(
+        """
+CREATE OR REPLACE TEMPORARY FUNCTION disc_rev_cents(
+    p DECIMAL(18,2), d DECIMAL(18,2)) RETURNS BIGINT
+RETURN CAST(p * 100 AS BIGINT)
+       - CAST(floor(p * d * 100) AS BIGINT)
+"""
+    )
+    return spark.sql(
+        """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(disc_rev_cents(CAST(l_extendedprice AS DECIMAL(18,2)),
+                               CAST(l_discount AS DECIMAL(18,2))))
+            AS BIGINT) AS disc_rev_cents
+FROM lineitem_udf_v
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+GROUP BY l_returnflag
+"""
+    )

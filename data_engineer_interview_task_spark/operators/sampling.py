@@ -1209,3 +1209,97 @@ def doc_length_percentile_ladder(
             F.col("n_toks").alias("p_tokens"),
         )
     )
+
+
+def token_budget_mixture_plan(
+    spark: SparkSession, sf_dir: str, budget_ppm: int = 500_000
+) -> DataFrame:
+    """DATA-MIXTURE PLAN under a token budget — the allocation sheet a
+    training run derives from its recipe: given the per-source available
+    token mass and the recipe's mixing weights (``source_weights()`` —
+    the SAME config ``weighted_source_mix`` enforces), split a total
+    budget of ``budget_ppm`` of the corpus across sources by weight with
+    LARGEST-REMAINDER rounding (targets sum to the budget EXACTLY — the
+    ``order_revenue_allocation`` conservation discipline), and report the
+    per-source epoch factor ``epochs_ppm = target·10⁶ DIV available``
+    (> 10⁶ means the source repeats — the up-sampling a low-resource
+    source pays under a high weight).
+
+    All-integer: budget ``B = T·budget_ppm DIV 10⁶``, base share
+    ``(B·w) DIV W``, remainders ranked by ``(B·w) mod W`` (total
+    tie-break by source), +1 to the top ``B − Σbase``. Products run in
+    DECIMAL(38,0)/HUGEINT (B·w brushes 2⁶³ at 100 TB token masses).
+
+    Scale shape: ONE map-side-combined groupBy to the |sources| frame;
+    every window after runs on that ≤|recipe| row frame (the documented
+    bounded-grain class — the 6-row profile-frame precedent), and the
+    weights join is a literal broadcast."""
+    docs = read_table(spark, sf_dir, "documents")
+    avail = (
+        docs.select(
+            "source", F.size(F.split("text", " ")).cast("long").alias("nt")
+        )
+        .groupBy("source")
+        .agg(F.sum("nt").alias("avail_tokens"))
+    )
+    weights = spark.createDataFrame(
+        [(s, int(h, 16)) for s, h in source_weights()],
+        "source string, weight_64k long",
+    )
+    frame = avail.join(F.broadcast(weights), "source").localCheckpoint()
+    totals = frame.agg(
+        F.sum("avail_tokens").alias("t_total"),
+        F.sum("weight_64k").alias("w_total"),
+    )
+    j = frame.crossJoin(F.broadcast(totals)).withColumn(
+        "budget",
+        F.expr(
+            f"CAST(CAST(t_total AS DECIMAL(38,0)) * {budget_ppm}"
+            " DIV 1000000 AS BIGINT)"
+        ),
+    )
+    j = j.withColumn(
+        "base",
+        F.expr(
+            "CAST(CAST(budget AS DECIMAL(38,0)) * weight_64k"
+            " DIV w_total AS BIGINT)"
+        ),
+    ).withColumn(
+        "rem",
+        F.expr(
+            "CAST(CAST(budget AS DECIMAL(38,0)) * weight_64k"
+            " % w_total AS BIGINT)"
+        ),
+    )
+    # bounded-grain windows: the frame is |sources| rows (<= the recipe
+    # size) at ANY corpus scale — the documented acceptable window class
+    wrem = Window.orderBy(F.col("rem").desc(), F.col("source").asc())
+    j = (
+        j.withColumn("rem_rank", F.row_number().over(wrem))
+        .withColumn(
+            "base_sum",
+            F.sum("base").over(
+                Window.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+        .withColumn(
+            "target_tokens",
+            (
+                F.col("base")
+                + (
+                    F.col("rem_rank") <= F.col("budget") - F.col("base_sum")
+                ).cast("long")
+            ).cast("long"),
+        )
+    )
+    return j.select(
+        "source",
+        F.col("avail_tokens").cast("long").alias("avail_tokens"),
+        F.col("weight_64k").cast("long").alias("weight_64k"),
+        "target_tokens",
+        F.expr("target_tokens * 1000000 DIV avail_tokens")
+        .cast("long")
+        .alias("epochs_ppm"),
+    )

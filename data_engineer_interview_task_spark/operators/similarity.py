@@ -1498,7 +1498,14 @@ def ivfpq_recall_frontier(
     (probe cells → PartitionFilters on the codes artifact — query-time
     I/O is n_probe directories of 8-byte codes); the exact arm is one
     broadcast-queries scan of the embedding table; the fusion joins are
-    (probes × queries × k)-row metadata frames."""
+    (probes × queries × k)-row metadata frames.
+
+    ORACLE-CHECKED PARAMETERIZATION: only the DEFAULT arguments
+    (``n_queries=4, k=10, rerank_k=50, probes=(1, 2, 3)``) are pinned by
+    the registered DuckDB oracle — the oracle SQL hardcodes the query
+    universe cutoff, the rerank window, top-k and the probe set (the
+    same convention as the other parameterized-entry oracles in this
+    repo). Non-default calls run fine but are covered by tests only."""
     from functools import reduce
 
     emb = read_table(spark, sf_dir, "embeddings")
@@ -1556,5 +1563,65 @@ def ivfpq_recall_frontier(
         .withColumn(
             "recall_millis",
             F.expr("n_hits * 1000 DIV k_exact").cast("long"),
+        )
+    )
+
+
+def hard_negative_mining(
+    spark: SparkSession, sf_dir: str, n_queries: int = 4, k: int = 10
+) -> DataFrame:
+    """HARD-NEGATIVE MINING for contrastive training: for each query
+    vector, the top-``k`` most-similar candidates with a DIFFERENT label
+    — the highest-scoring wrong answers, exactly the negatives a
+    contrastive/embedding fine-tune wants in its batch (random negatives
+    are too easy; these sit closest to the decision boundary).
+
+    Scoring is the exact DECIMAL inner product (``dot_decimal_expr`` —
+    one rounding per element product, exact accumulation) used as the
+    ORDER KEY ONLY, never emitted (the ``similarity_topk`` convention:
+    the two engines' double→DECIMAL(28,14) element roundings can differ
+    in the last place — HALF_UP vs round-half-even — so the raw score
+    is not hash-transportable, while the RANKING it induces is stable;
+    measured at sf0.001 registration: one 1-ulp score divergence, zero
+    rank divergences). Rank is total-ordered by
+    ``(score DESC, neighbor_id)``.
+
+    Scale shape: ``n_queries`` is bounded (the query batch), so the plan
+    is a broadcast of the query rows against one linear candidate scan;
+    the ``row_number <= k`` filter compiles to the map-side
+    WindowGroupLimit top-k before any shuffle — the same attested shape
+    as the ivfpq exact arm. The label-mismatch filter is pushed into the
+    scan side of the broadcast join.
+
+    ORACLE-CHECKED PARAMETERIZATION: defaults only (``n_queries=4,
+    k=10``) — the oracle hardcodes both (repo convention)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q"),
+        F.col("label").alias("query_label"),
+    )
+    cands = emb.filter(F.col("vec_id") >= n_queries).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c"),
+        F.col("label").alias("neighbor_label"),
+    )
+    scored = (
+        cands.crossJoin(F.broadcast(queries))
+        .filter(F.col("neighbor_label") != F.col("query_label"))
+        .withColumn("ord_key", dot_decimal_expr(F.col("q"), F.col("c")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("ord_key").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "query_label",
+            F.col("rank").cast("long").alias("rank"),
+            "neighbor_id",
+            "neighbor_label",
         )
     )
