@@ -598,6 +598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lateral_topk_orders_per_customer": extended.lateral_topk_orders_per_customer,  # SQL:2023 LATERAL correlated derived table with ORDER BY/LIMIT; oracle runs the SAME LATERAL shape in DuckDB
         "sql_udf_discounted_revenue": extended.sql_udf_discounted_revenue,  # Spark 4 SQL scalar UDF (CREATE FUNCTION ... RETURN) — Catalyst-inlined, zero serialization; oracle inlines the expression
         "token_budget_mixture_plan": sampling.token_budget_mixture_plan,  # recipe-weighted token-budget allocation with largest-remainder conservation + per-source epoch factors
+        "image_dhash_resize_robustness": multimodal.image_dhash_resize_robustness,  # perceptual-hash robustness audit under the pinned 12x12 resample — honest worst case on white-noise rasters
         # --- ROUND-10 attestation front (all 13 green in
         # CORRECTNESS_r10). ---
         "multimodal_image_metadata": multimodal.multimodal_image_metadata,  # header-only manifest scan: PNG IHDR / JPEG SOFn walk / GIF screen descriptor / BMP info header, md5-varying dims, zero decode
@@ -8614,6 +8615,68 @@ WITH q AS (
 SELECT query_id, query_label, CAST(rank AS BIGINT) AS rank,
        neighbor_id, neighbor_label
 FROM r WHERE rank <= 10
+"""
+
+    # dHash resize-robustness audit: both hash grids replay as pure
+    # compositions of the pinned floor resample (the 12x12 branch is
+    # idx = ((r*12 DIV 8)*16 DIV 12)*16 + ((c*12 DIV 9)*16 DIV 12));
+    # prototype-verified bit-equal on all 500 sf0.001 docs
+    d["image_dhash_resize_robustness"] = """
+WITH pbase AS (
+  SELECT doc_id,
+         array_to_string(list_slice(string_split(text, ' '), 1, 20), ' ')
+           AS pfx,
+         md5(text) AS mt
+  FROM documents
+),
+prep AS (
+  SELECT doc_id,
+         md5(pfx || ':0') || md5(pfx || ':1') || md5(pfx || ':2')
+         || md5(pfx || ':3') || md5(pfx || ':4') || md5(pfx || ':5')
+         || md5(pfx || ':6') || md5(pfx || ':7') AS r256,
+         (strpos('0123456789abcdef', substring(mt, 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substring(mt, 2, 1)) - 1) AS p
+  FROM pbase
+),
+grids AS (
+  SELECT doc_id, r256, p, rr.r AS r, cc.c AS c,
+         (2 * rr.r) * 16 + (16 * cc.c) // 9 AS idx_a,
+         (((rr.r * 12 // 8) * 16) // 12) * 16
+           + (((cc.c * 12 // 9) * 16) // 12) AS idx_b
+  FROM prep, (SELECT unnest(range(8))::INT AS r) rr,
+             (SELECT unnest(range(9))::INT AS c) cc
+),
+vals AS (
+  SELECT doc_id, r, c,
+         CASE WHEN idx_a = p THEN 122
+              ELSE ascii(substring(r256, idx_a + 1, 1)) END AS va,
+         CASE WHEN idx_b = p THEN 122
+              ELSE ascii(substring(r256, idx_b + 1, 1)) END AS vb
+  FROM grids
+),
+bits AS (
+  SELECT a.doc_id, a.r, a.c,
+         CASE WHEN b.va > a.va THEN 1 ELSE 0 END AS bit_a,
+         CASE WHEN b.vb > a.vb THEN 1 ELSE 0 END AS bit_b
+  FROM vals a
+  JOIN vals b ON b.doc_id = a.doc_id AND b.r = a.r AND b.c = a.c + 1
+  WHERE a.c < 8
+),
+sigs AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN r = 7 AND c = 7
+                       THEN bit_a * (-9223372036854775807 - 1)
+                       ELSE bit_a * (1::BIGINT << (r * 8 + c)) END)
+              AS BIGINT) AS da,
+         CAST(SUM(CASE WHEN r = 7 AND c = 7
+                       THEN bit_b * (-9223372036854775807 - 1)
+                       ELSE bit_b * (1::BIGINT << (r * 8 + c)) END)
+              AS BIGINT) AS db
+  FROM bits GROUP BY doc_id
+)
+SELECT doc_id, da AS dhash_orig, db AS dhash_resized,
+       CAST(bit_count(xor(da, db)) AS BIGINT) AS hamming
+FROM sigs
 """
 
     # token-budget mixture plan: integer weights from the SAME

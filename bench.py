@@ -358,6 +358,7 @@ HEADLINE = [
     "lateral_topk_orders_per_customer",
     "sql_udf_discounted_revenue",
     "token_budget_mixture_plan",
+    "image_dhash_resize_robustness",
 ]
 
 

