@@ -599,6 +599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_udf_discounted_revenue": extended.sql_udf_discounted_revenue,  # Spark 4 SQL scalar UDF (CREATE FUNCTION ... RETURN) — Catalyst-inlined, zero serialization; oracle inlines the expression
         "token_budget_mixture_plan": sampling.token_budget_mixture_plan,  # recipe-weighted token-budget allocation with largest-remainder conservation + per-source epoch factors
         "image_dhash_resize_robustness": multimodal.image_dhash_resize_robustness,  # perceptual-hash robustness audit under the pinned 12x12 resample — honest worst case on white-noise rasters
+        "image_dhash_index_dedup_batch": multimodal.image_dhash_index_dedup_batch,  # incremental image dedup: batch dHashes vs the PERSISTED corpus hash index, banded join, batch-sized codec cost
         # --- ROUND-10 attestation front (all 13 green in
         # CORRECTNESS_r10). ---
         "multimodal_image_metadata": multimodal.multimodal_image_metadata,  # header-only manifest scan: PNG IHDR / JPEG SOFn walk / GIF screen descriptor / BMP info header, md5-varying dims, zero decode
@@ -8678,6 +8679,36 @@ SELECT doc_id, da AS dhash_orig, db AS dhash_resized,
        CAST(bit_count(xor(da, db)) AS BIGINT) AS hamming
 FROM sigs
 """
+
+    # incremental dHash index dedup: the phash sig chain split at
+    # doc_id % 10 (batch vs indexed corpus), banded join across the
+    # split — the same definition the persisted-index Spark path applies
+    d["image_dhash_index_dedup_batch"] = (
+        "WITH " + _phash_sig_sql() + """,
+corpus AS (
+  SELECT doc_id AS corpus_doc, dhash AS dc FROM psig WHERE doc_id % 10 <> 0
+),
+batch AS (
+  SELECT doc_id AS batch_doc, dhash AS db FROM psig WHERE doc_id % 10 = 0
+),
+cband AS (
+  SELECT corpus_doc, dc, t, (dc >> (16 * t)) & 65535 AS band_val
+  FROM corpus, (SELECT unnest(range(4))::INT AS t) bands
+),
+bband AS (
+  SELECT batch_doc, db, t, (db >> (16 * t)) & 65535 AS band_val
+  FROM batch, (SELECT unnest(range(4))::INT AS t) bands
+),
+cand AS (
+  SELECT DISTINCT b.batch_doc, c.corpus_doc, b.db, c.dc
+  FROM cband c JOIN bband b ON c.t = b.t AND c.band_val = b.band_val
+)
+SELECT batch_doc, corpus_doc,
+       CAST(bit_count(xor(db, dc)) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(xor(db, dc)) <= 3
+"""
+    )
 
     # token-budget mixture plan: integer weights from the SAME
     # source_weights() recipe the Spark side broadcasts; largest

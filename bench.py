@@ -359,6 +359,7 @@ HEADLINE = [
     "sql_udf_discounted_revenue",
     "token_budget_mixture_plan",
     "image_dhash_resize_robustness",
+    "image_dhash_index_dedup_batch",
 ]
 
 

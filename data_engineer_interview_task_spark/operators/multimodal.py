@@ -2570,7 +2570,9 @@ def multimodal_audio_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def attach_phash_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+def attach_phash_payload(
+    spark: SparkSession, sf_dir: str, where: str | None = None
+) -> DataFrame:
     """Manufacture the perceptual-hash fixture: a 16×16 grayscale PNG per
     document whose raster is the md5 CHAIN of the document's FIRST-20-TOKEN
     PREFIX (``md5(prefix + ':0') || ... || md5(prefix + ':7')`` — 8
@@ -2595,9 +2597,12 @@ def attach_phash_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
             StructField("payload", BinaryType()),
         ]
     )
-    docs = _spread_docs(
-        spark, read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    )
+    base = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    if where is not None:
+        # filter BEFORE the codec stage: an incremental caller hashing a
+        # batch must pay batch-sized encode CPU, not corpus-sized
+        base = base.filter(where)
+    docs = _spread_docs(spark, base)
     from ..functions.png_codec import png_encode
 
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -2625,7 +2630,9 @@ def attach_phash_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(_encode, schema=schema)
 
 
-def image_perceptual_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+def image_perceptual_hashes(
+    spark: SparkSession, sf_dir: str, where: str | None = None
+) -> DataFrame:
     """Per-document perceptual hashes over the REAL decoded raster:
 
     - ``dhash``: decode + pinned integer resize to 9×8
@@ -2648,7 +2655,7 @@ def image_perceptual_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
             StructField("ahash", _Long()),
         ]
     )
-    payloads = attach_phash_payload(spark, sf_dir)
+    payloads = attach_phash_payload(spark, sf_dir, where=where)
 
     def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # self-contained closure: resize_image captured by value
@@ -3056,3 +3063,64 @@ def image_dhash_resize_robustness(
             yield _pd.DataFrame(out)
 
     return payloads.mapInPandas(_audit, schema=schema)
+
+
+def image_dhash_index_dedup_batch(
+    spark: SparkSession, sf_dir: str, max_hamming: int = 3
+) -> DataFrame:
+    """INCREMENTAL image dedup against a PERSISTED dHash index — the
+    image twin of ``minhash_dedup_batch`` and the shape a continuous
+    crawl actually runs: hash the corpus ONCE into a parquet artifact
+    (``plans.artifacts.materialized`` — rename-published, fingerprint-
+    keyed, reused across calls and processes), then dedup each incoming
+    batch against the STORED signatures with the banded equi-join; the
+    corpus pays codec CPU once, every batch pays batch-sized work plus
+    O(matching candidates) index I/O.
+
+    Fixture split: doc_id % 10 == 0 is the incoming batch, the rest is
+    the indexed corpus (both arms filter BEFORE the codec stage, so the
+    batch arm's encode cost is genuinely batch-sized). Output one row
+    per (batch_doc, corpus_doc) within Hamming ≤ ``max_hamming`` — the
+    batch rows to drop before appending the remainder to the index.
+    Blocking is the attested 4×16-bit band join (pigeonhole-complete
+    for Hamming ≤ 3; the oracle applies the identical definition
+    across the same split)."""
+    from ..plans.artifacts import materialized
+
+    idx = materialized(
+        spark,
+        ("dhash_index", sf_dir),
+        "dhash_idx_",
+        lambda: image_perceptual_hashes(
+            spark, sf_dir, where="doc_id % 10 != 0"
+        ).select("doc_id", "dhash"),
+        inputs=(f"{sf_dir}/documents.parquet",),
+    )
+    batch = (
+        image_perceptual_hashes(spark, sf_dir, where="doc_id % 10 = 0")
+        .select(
+            F.col("doc_id").alias("batch_doc"), F.col("dhash").alias("db")
+        )
+        .localCheckpoint()  # batch-sized; feeds the band explode twice
+    )
+    bands = F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band")
+    idx_banded = idx.select(
+        F.col("doc_id").alias("corpus_doc"), F.col("dhash").alias("dc"), bands
+    ).withColumn("band_val", F.expr("shiftright(dc, band * 16) & 65535"))
+    batch_banded = batch.select("batch_doc", "db", bands).withColumn(
+        "band_val", F.expr("shiftright(db, band * 16) & 65535")
+    )
+    cand = (
+        idx_banded.join(
+            F.broadcast(batch_banded), ["band", "band_val"]
+        )
+        .select("batch_doc", "corpus_doc", "db", "dc")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.expr("bit_count(db ^ dc)").cast("int")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("batch_doc", "corpus_doc", "hamming")
+    )

@@ -257,3 +257,32 @@ def test_dhash_resize_robustness_distribution(spark, sf_dir):
         ).count("1")
         assert 0 <= r.hamming < 64
     assert len({r.hamming for r in rows}) > 5
+
+
+def test_dhash_index_batch_matches_brute_force_split(spark, sf_dir):
+    """The persisted-index batch dedup must equal the brute-force
+    cross-split scan at hamming <= 3 (index staleness or a wrong band
+    layout on the stored side would diverge), and the fixture split
+    must be non-vacuous."""
+    sigs = {
+        r.doc_id: r.dhash
+        for r in multimodal.image_perceptual_hashes(spark, sf_dir).collect()
+    }
+    expected = set()
+    for b, sb in sigs.items():
+        if b % 10:
+            continue
+        for c, sc in sigs.items():
+            if c % 10 == 0:
+                continue
+            h = bin(_u64(sb ^ sc)).count("1")
+            if h <= 3:
+                expected.add((b, c, h))
+    got = {
+        (r.batch_doc, r.corpus_doc, r.hamming)
+        for r in multimodal.image_dhash_index_dedup_batch(
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == expected
+    assert expected, "split produced zero cross matches — vacuous"
