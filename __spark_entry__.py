@@ -275,6 +275,25 @@ def _streaming_tick_restart_continuity(
     )
 
 
+def _streaming_dhash_index_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Crawl-shaped image-dedup index maintenance (VERDICT r11 item 4):
+    stream the corpus in 3 micro-batches; foreachBatch hashes ONLY its
+    batch and appends the signatures to the persisted index via the
+    deterministic-per-batch-directory exactly-once recipe. The returned
+    index must equal a one-shot batch rebuild — the oracle replays every
+    doc's dHash closed-form, so a dropped, duplicated, or wrongly-hashed
+    batch hash-mismatches."""
+    from data_engineer_interview_task_spark.streaming import (
+        run_dhash_index_maintenance_once,
+    )
+
+    return run_dhash_index_maintenance_once(
+        spark, sf_dir, _work_dir("stream_dhash_idx", sf_dir)
+    )
+
+
 def _streaming_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact-distinct via mergeable bitmap state (bit_or of
     62-bit words), popcount-rolled after the drain. Fully oracle-checked
@@ -583,10 +602,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never attested (r5's ORACLE_DEFERRED_TO_NEXT_ROUND set); then
         # round-6 additions fill the window as they land. Everything after
         # the window is attested green by the union of r01..r05 records.
-        # --- ROUND-11 attestation front. The r10 window closed with all
-        # 13 entries green in CORRECTNESS_r10 (the r1-r10 union attests
-        # every registered query), so the r11 window opens empty; new
-        # round-11 entries fill it from the top. ---
+        # --- ROUND-12 attestation front. The r11 window closed with all
+        # 13 entries green in CORRECTNESS_r11 (the r1-r11 union attests
+        # every registered query), so the r12 window opens empty; new
+        # round-12 entries fill it from the top. ---
+        "image_dhash_dihedral": multimodal.image_dhash_dihedral,  # orientation-INVARIANT perceptual hash: min unsigned dHash over the 8 D4 orientations (exact by group closure), argmin orientation rides along
+        "theil_sen_monthly_nation_revenue": cleaning.theil_sen_monthly_nation_revenue,  # per-GROUP Theil-Sen at nation grain: robust monthly-revenue slope per customer nation, micro-cents/month fixed-point key
+        "winnowing_fingerprint_profile": dedup.winnowing_fingerprint_profile,  # MOSS winnowing selection per doc: k-gram window-min fingerprints, density ppm vs the 2/(w+1) theory
+        "winnowing_dup_candidates": dedup.winnowing_dup_candidates,  # winnowing candidate pairs: >=3 shared df-capped fingerprints — catches every shared run of >= w+k-1 tokens, never all-pairs
+        "sq8_recall_report": similarity.sq8_recall_report,  # SQ8 scalar-quantization recall vs the exact inner-product top-k: all-integer quantize/reconstruct rank key, per-query recall millis
+        "streaming_dhash_index_maintenance": _streaming_dhash_index_maintenance,  # foreachBatch dHash index append (deterministic per-batch dir = replay-idempotent); index == batch rebuild, oracle-checked
+        "rendezvous_shard_plan": maintenance.rendezvous_shard_plan,  # consistent-hashing HRW shard layout 8 vs 9 shards: per-shard counts + moved-in — the no-move theorem for old shards test-pinned
+        "variant_event_props_rollup": relational.variant_event_props_rollup,  # Spark 4 VARIANT type: parse_json + typed variant_get over flat/nested/array/missing paths, prototype-verified DuckDB parity
+        "bloom_fpr_curve": maintenance.bloom_fpr_curve,  # Bloom sizing sheet: k=1..4 filters built in ONE pass, exact fill + false-positive ppm per k
+        "image_quadrant_dup_pairs": multimodal.image_quadrant_dup_pairs,  # tile-level partial-dup pairs: per-quadrant 56-bit gradient signatures, equi-join on (quadrant, sig), >=2 agreement
+        "good_turing_vocab_report": text.good_turing_vocab_report,  # Good-Turing frequency-of-frequencies over trigrams: exact-ppm smoothed counts r* = (r+1)N_{r+1}/N_r
+        "heaps_law_curve": text.heaps_law_curve,  # Heaps'-law vocabulary growth at power-of-2 doc-prefix checkpoints via first-occurrence attribution
+        # --- ROUND-11 attestation front (all 13 green in
+        # CORRECTNESS_r11). ---
         "image_dhash_near_dup_pairs": multimodal.image_dhash_near_dup_pairs,  # perceptual near-dup IMAGE pairs: real decode + pinned resize -> 64-bit dHash -> 4x16-bit banded join (complete by pigeonhole for hamming<=3) -> bit_count verify; aHash hamming rides along
         "image_perceptual_hashes": multimodal.image_perceptual_hashes,  # per-doc dHash/aHash over the REAL decoded raster, SimHash 64-bit packing convention
         "image_histogram_equalization": multimodal.image_histogram_equalization,  # real decode -> integer CDF remap -> sha256(hex) of the equalized raster; closed-form md5 oracle
@@ -996,6 +1029,20 @@ def _hex_u32(expr: str, start: int) -> str:
         f"(strpos('0123456789abcdef', substring({expr}, {start + i}, 1)) - 1)"
         f" * {16 ** (7 - i)}"
         for i in range(8)
+    )
+    return f"({terms})"
+
+
+def _hex_u60(expr: str, start: int = 1) -> str:
+    """Nonnegative 60-bit fold of 15 hex digits of ``expr`` starting at
+    1-based ``start`` — the same strpos digit arithmetic as
+    :func:`_hex_u32` (max value 16^15−1 < 2^60, BIGINT-safe on both
+    engines). Twin of Spark's ``conv(substring(md5(g), 1, 15), 16, 10)``
+    (the winnowing fingerprint hash)."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substring({expr}, {start + i}, 1)) - 1)"
+        f" * {16 ** (14 - i)}"
+        for i in range(15)
     )
     return f"({terms})"
 
@@ -8436,6 +8483,48 @@ WHERE rn = (n_slopes + 1) // 2 OR rn = n_slopes // 2 + 1
 GROUP BY event_type
 """
 
+    # per-group Theil-Sen at nation grain: monthly revenue cents per
+    # customer nation, micro-cents/month fixed-point slope key (the r9
+    # collision-freedom argument re-derived for the ~100-month span)
+    d["theil_sen_monthly_nation_revenue"] = """
+WITH monthly AS (
+  SELECT n.n_name,
+         CAST(EXTRACT(year FROM o.o_orderdate) * 12
+              + EXTRACT(month FROM o.o_orderdate) - 1 AS BIGINT) AS m,
+         SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+           AS y
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT a.n_name, a.m AS m_i, b.m AS m_j,
+         b.y - a.y AS dy, b.m - a.m AS dx
+  FROM monthly a JOIN monthly b
+    ON a.n_name = b.n_name AND a.m < b.m
+), keyed AS (
+  SELECT n_name, m_i, m_j,
+         CAST(CASE WHEN dy >= 0 THEN
+                (1000000 * CAST(dy AS HUGEINT)) // dx
+              ELSE -((1000000 * CAST(-dy AS HUGEINT)) // dx)
+              END AS BIGINT) AS slope_micros
+  FROM pairs
+), ranked AS (
+  SELECT n_name, slope_micros,
+         ROW_NUMBER() OVER (PARTITION BY n_name
+           ORDER BY slope_micros ASC, m_i ASC, m_j ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY n_name) AS n_slopes
+  FROM keyed
+)
+SELECT n_name,
+       CAST(MAX(n_slopes) AS BIGINT) AS n_slopes,
+       CAST(MIN(slope_micros) AS BIGINT) AS sen_lo_micros,
+       CAST(MAX(slope_micros) AS BIGINT) AS sen_hi_micros
+FROM ranked
+WHERE rn = (n_slopes + 1) // 2 OR rn = n_slopes // 2 + 1
+GROUP BY n_name
+"""
+
     # Pettitt: U_t via the bounded pairs x thresholds band join; first
     # day attaining max |U_t| (tie-break day ASC), all-integer
     d["pettitt_change_point"] = """
@@ -8560,10 +8649,17 @@ FROM stats s JOIN hexes h ON h.doc_id = s.doc_id
     # Cramér's V: per-cell floored chi2*N ladder (HUGEINT == the Spark
     # DECIMAL(38,0) chain within the documented N <= ~3e9 domain)
     d["cramers_v_event_dow"] = """
-WITH cells AS (
+WITH obs AS (
   SELECT event_type, CAST(isodow(ts) AS BIGINT) AS iso_dow,
          CAST(COUNT(*) AS BIGINT) AS o
   FROM events GROUP BY 1, 2
+), rl AS (SELECT DISTINCT event_type FROM obs),
+cl AS (SELECT DISTINCT iso_dow FROM obs),
+cells AS (
+  SELECT rl.event_type, cl.iso_dow, COALESCE(o0.o, 0) AS o
+  FROM rl CROSS JOIN cl
+  LEFT JOIN obs o0
+    ON o0.event_type = rl.event_type AND o0.iso_dow = cl.iso_dow
 ), r AS (SELECT event_type, SUM(o) AS r FROM cells GROUP BY 1),
 c AS (SELECT iso_dow, SUM(o) AS c FROM cells GROUP BY 1),
 n AS (
@@ -8680,6 +8776,261 @@ SELECT doc_id, da AS dhash_orig, db AS dhash_resized,
 FROM sigs
 """
 
+    # Good-Turing frequency-of-frequencies over trigrams: exact-ppm
+    # smoothed counts via the r -> r+1 self-join on the N_r frame
+    d["good_turing_vocab_report"] = """
+WITH docs AS (SELECT string_split(text, ' ') AS toks FROM documents),
+grams AS (
+  SELECT unnest(list_transform(range(1, len(toks) - 1),
+           i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS gram
+  FROM docs
+),
+g3 AS (
+  SELECT gram FROM grams WHERE len(string_split(gram, ' ')) = 3
+),
+counts AS (SELECT gram, COUNT(*) AS r FROM g3 GROUP BY gram),
+nr AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS n_r FROM counts GROUP BY r)
+SELECT CAST(a.r AS BIGINT) AS r, a.n_r,
+       CAST(COALESCE((a.r + 1) * b.n_r * 1000000 // a.n_r, 0) AS BIGINT)
+         AS r_star_ppm
+FROM nr a LEFT JOIN nr b ON b.r = a.r + 1
+"""
+
+    # Heaps'-law curve: first-occurrence attribution x power-of-2
+    # doc-prefix checkpoints (checkpoint list generated from the corpus
+    # row count — shared arithmetic with the Spark driver loop)
+    d["heaps_law_curve"] = """
+WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+cps AS (
+  SELECT DISTINCT cp FROM (
+    SELECT LEAST(1::BIGINT << CAST(j AS INT), n_docs) AS cp
+    FROM n, (SELECT unnest(range(40))::BIGINT AS j) jj
+    WHERE (1::BIGINT << CAST(j AS INT)) < 2 * n_docs
+  )
+),
+graw AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(string_split(text, ' ')) - 1),
+           i -> array_to_string(
+                  list_slice(string_split(text, ' '), i, i + 2), ' ')))
+           AS gram
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, gram FROM graw WHERE len(string_split(gram, ' ')) = 3
+),
+first_occ AS (SELECT gram, MIN(doc_id) AS first_doc FROM grams GROUP BY gram),
+vocab AS (
+  SELECT cp, CAST(COUNT(*) AS BIGINT) AS vocab_size
+  FROM first_occ, cps WHERE first_doc < cp GROUP BY cp
+),
+lens AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nt FROM grams GROUP BY doc_id
+),
+mass AS (
+  SELECT cp, CAST(SUM(nt) AS BIGINT) AS n_gram_instances
+  FROM lens, cps WHERE doc_id < cp GROUP BY cp
+)
+SELECT v.cp AS n_docs_prefix, m.n_gram_instances, v.vocab_size,
+       CAST(v.vocab_size * 1000000 // m.n_gram_instances AS BIGINT)
+         AS vocab_per_gram_ppm
+FROM vocab v JOIN mass m ON v.cp = m.cp
+"""
+
+    # quadrant-hash crop pairs: per-quadrant 56-bit gradient signatures
+    # replayed from the md5-chain raster; equi-join on (q, sig)
+    d["image_quadrant_dup_pairs"] = """
+WITH pbase AS (
+  SELECT doc_id,
+         array_to_string(list_slice(string_split(text, ' '), 1, 20), ' ')
+           AS pfx,
+         md5(text) AS mt
+  FROM documents
+),
+prep AS (
+  SELECT doc_id,
+         md5(pfx || ':0') || md5(pfx || ':1') || md5(pfx || ':2')
+         || md5(pfx || ':3') || md5(pfx || ':4') || md5(pfx || ':5')
+         || md5(pfx || ':6') || md5(pfx || ':7') AS r256,
+         (strpos('0123456789abcdef', substring(mt, 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substring(mt, 2, 1)) - 1) AS p
+  FROM pbase
+),
+qgrid AS (
+  SELECT doc_id, r256, p, qq.q AS q, rr.r AS r, cc.c AS c,
+         (8 * (qq.q // 2) + rr.r) * 16 + 8 * (qq.q % 2) + cc.c AS idx
+  FROM prep, (SELECT unnest(range(4))::INT AS q) qq,
+             (SELECT unnest(range(8))::INT AS r) rr,
+             (SELECT unnest(range(8))::INT AS c) cc
+),
+qvals AS (
+  SELECT doc_id, q, r, c,
+         CASE WHEN idx = p THEN 122
+              ELSE ascii(substring(r256, idx + 1, 1)) END AS v
+  FROM qgrid
+),
+qbits AS (
+  SELECT a.doc_id, a.q, a.r, a.c,
+         CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+  FROM qvals a JOIN qvals b
+    ON b.doc_id = a.doc_id AND b.q = a.q AND b.r = a.r AND b.c = a.c + 1
+  WHERE a.c < 7
+),
+qsigs AS (
+  SELECT doc_id, q,
+         CAST(SUM(bit * (1::BIGINT << (r * 7 + c))) AS BIGINT) AS qsig
+  FROM qbits GROUP BY 1, 2
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_quadrants_match
+FROM qsigs a JOIN qsigs b
+  ON a.q = b.q AND a.qsig = b.qsig AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+"""
+
+    # Bloom FPR curve: the k=1..4 filter family rebuilt arithmetically
+    # (generic md5 digit fold with an expression start offset)
+    _bloom_fold = " + ".join(
+        "(strpos('0123456789abcdef',"
+        f" substring(md, 1 + 8 * i + {j}, 1)) - 1) * {16 ** (7 - j)}"
+        for j in range(8)
+    )
+    d["bloom_fpr_curve"] = f"""
+WITH members AS (
+  SELECT c_custkey AS key FROM customer WHERE c_acctbal < 0
+),
+probes AS (SELECT DISTINCT o_custkey AS key FROM orders),
+kg AS (SELECT unnest(range(1, 5))::BIGINT AS k),
+ii AS (SELECT unnest(range(4))::INT AS i),
+sizing AS (
+  SELECT 62 * ((COUNT(1) * 9 + 61) // 62) AS m_bits FROM members
+),
+marms AS (
+  SELECT kg.k, t.key, ({_bloom_fold}) % s.m_bits AS pos
+  FROM (SELECT key, md5(CAST(key AS VARCHAR)) AS md FROM members) t,
+       ii, kg, sizing s
+  WHERE ii.i < kg.k
+),
+words AS (
+  SELECT k, pos // 62 AS word_idx,
+         bit_or(1::BIGINT << CAST(pos % 62 AS INT)) AS word
+  FROM marms GROUP BY 1, 2
+),
+parms AS (
+  SELECT kg.k, t.key, ({_bloom_fold}) % s.m_bits AS pos
+  FROM (SELECT key, md5(CAST(key AS VARCHAR)) AS md FROM probes) t,
+       ii, kg, sizing s
+  WHERE ii.i < kg.k
+),
+checked AS (
+  SELECT p.k, p.key,
+         CASE WHEN (COALESCE(w.word, 0) >> CAST(p.pos % 62 AS INT)) & 1 = 1
+              THEN 1 ELSE 0 END AS hit
+  FROM parms p
+  LEFT JOIN words w ON w.k = p.k AND w.word_idx = p.pos // 62
+),
+verdicts AS (SELECT k, key, MIN(hit) AS all_hit FROM checked GROUP BY 1, 2),
+labeled AS (
+  SELECT v.k, v.all_hit,
+         CASE WHEN m.key IS NULL THEN 0 ELSE 1 END AS is_member
+  FROM verdicts v LEFT JOIN members m ON v.key = m.key
+),
+fill AS (
+  SELECT k, CAST(SUM(bit_count(word)) AS BIGINT) AS n_bits_set
+  FROM words GROUP BY 1
+),
+agg AS (
+  SELECT k,
+         CAST(COUNT(*) AS BIGINT) AS n_probes,
+         CAST(SUM(1 - is_member) AS BIGINT) AS n_nonmembers,
+         CAST(SUM(CASE WHEN all_hit = 1 AND is_member = 0 THEN 1 ELSE 0
+                  END) AS BIGINT) AS n_false_positives
+  FROM labeled GROUP BY 1
+)
+SELECT agg.k, agg.n_probes, agg.n_nonmembers, agg.n_false_positives,
+       fill.n_bits_set,
+       CAST(agg.n_false_positives * 1000000 // agg.n_nonmembers AS BIGINT)
+         AS fpr_ppm
+FROM agg JOIN fill ON agg.k = fill.k
+"""
+
+    # Spark 4 VARIANT parity: the same constructed nested document
+    # extracted via DuckDB JSON paths (prototype-verified exact MATCH)
+    d["variant_event_props_rollup"] = """
+WITH j AS (
+  SELECT event_type,
+         '{"meta": {"type": "' || event_type || '", "vals": ['
+         || CAST(CAST(user_id % 7 AS BIGINT) AS VARCHAR) || ', '
+         || json_extract_string(props, '$.k')
+         || ']}, "k": ' || json_extract_string(props, '$.k') || '}' AS v
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(json_extract_string(v, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       CAST(SUM(CAST(json_extract_string(v, '$.meta.vals[0]') AS BIGINT))
+            AS BIGINT) AS sum_val0,
+       CAST(SUM(CAST(json_extract_string(v, '$.meta.vals[1]') AS BIGINT))
+            AS BIGINT) AS sum_val1,
+       CAST(SUM(CASE WHEN json_extract_string(v, '$.meta.type')
+                          = event_type THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_type_match,
+       CAST(SUM(CASE WHEN json_extract_string(v, '$.missing') IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_null
+FROM j
+GROUP BY event_type
+"""
+
+    # rendezvous sharding: HRW argmax over md5 hex strings (VARCHAR
+    # lexicographic order — identical on every engine); both layouts
+    # recomputed independently, the HRW no-move theorem checked by test
+    d["rendezvous_shard_plan"] = """
+WITH docs AS (SELECT doc_id FROM documents),
+old_a AS (
+  SELECT doc_id, arg_max(s, m) AS shard_old FROM (
+    SELECT doc_id, ss.s AS s,
+           md5(CAST(doc_id AS VARCHAR) || ':' || CAST(ss.s AS VARCHAR))
+             AS m
+    FROM docs, (SELECT unnest(range(8))::BIGINT AS s) ss
+  ) GROUP BY doc_id
+),
+new_a AS (
+  SELECT doc_id, arg_max(s, m) AS shard_new FROM (
+    SELECT doc_id, ss.s AS s,
+           md5(CAST(doc_id AS VARCHAR) || ':' || CAST(ss.s AS VARCHAR))
+             AS m
+    FROM docs, (SELECT unnest(range(9))::BIGINT AS s) ss
+  ) GROUP BY doc_id
+),
+a AS (
+  SELECT o.doc_id, o.shard_old, n.shard_new
+  FROM old_a o JOIN new_a n ON o.doc_id = n.doc_id
+),
+co AS (SELECT shard_old AS shard, COUNT(*) AS n_at_old FROM a GROUP BY 1),
+cn AS (SELECT shard_new AS shard, COUNT(*) AS n_at_new FROM a GROUP BY 1),
+mv AS (
+  SELECT shard_new AS shard, COUNT(*) AS n_moved_in
+  FROM a WHERE shard_old <> shard_new GROUP BY 1
+)
+SELECT cn.shard,
+       CAST(COALESCE(co.n_at_old, 0) AS BIGINT) AS n_at_old,
+       CAST(cn.n_at_new AS BIGINT) AS n_at_new,
+       CAST(COALESCE(mv.n_moved_in, 0) AS BIGINT) AS n_moved_in
+FROM cn
+LEFT JOIN co ON cn.shard = co.shard
+LEFT JOIN mv ON cn.shard = mv.shard
+"""
+
+    # streaming dHash index maintenance: after the stream drains the
+    # index must equal the batch rebuild — the closed-form psig replay
+    d["streaming_dhash_index_maintenance"] = (
+        "WITH " + _phash_sig_sql() + """
+SELECT doc_id, dhash FROM psig
+"""
+    )
+
     # incremental dHash index dedup: the phash sig chain split at
     # doc_id % 10 (batch vs indexed corpus), banded join across the
     # split — the same definition the persisted-index Spark path applies
@@ -8709,6 +9060,199 @@ FROM cand
 WHERE bit_count(xor(db, dc)) <= 3
 """
     )
+
+    # SQ8 recall: all-integer scalar quantization against per-dim
+    # min/max of the floor(x*1e9) elements; the 255x reconstruction is
+    # the rank key (HUGEINT products), exact arm = the dot64 convention
+    d["sq8_recall_report"] = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q FROM embeddings
+  WHERE vec_id < 4
+), c AS (
+  SELECT vec_id AS neighbor_id, embedding AS c FROM embeddings
+  WHERE vec_id >= 4
+), cd AS (
+  SELECT neighbor_id, dd.dim AS dim,
+         CAST(floor(CAST(c[dd.dim + 1] AS DOUBLE) * 1e9) AS BIGINT) AS v
+  FROM c, (SELECT unnest(range(64))::INT AS dim) dd
+), stats AS (
+  SELECT dim, MIN(v) AS lo, MAX(v) AS hi FROM cd GROUP BY dim
+), recon AS (
+  SELECT neighbor_id, cd.dim AS dim,
+         CASE WHEN hi > lo
+              THEN 255 * lo + ((v - lo) * 255 // (hi - lo)) * (hi - lo)
+              ELSE 255 * lo END AS r
+  FROM cd JOIN stats ON cd.dim = stats.dim
+), qd AS (
+  SELECT query_id, dd.dim AS dim,
+         CAST(floor(CAST(q[dd.dim + 1] AS DOUBLE) * 1e9) AS BIGINT) AS qv
+  FROM q, (SELECT unnest(range(64))::INT AS dim) dd
+), approx AS (
+  SELECT query_id, neighbor_id, SUM(CAST(r AS HUGEINT) * qv) AS s
+  FROM recon JOIN qd USING (dim)
+  GROUP BY 1, 2
+), ann AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY s DESC, neighbor_id ASC) AS rn
+    FROM approx
+  ) WHERE rn <= 10
+), exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY {dot64.format(a='q', b='c')} DESC,
+                      neighbor_id ASC) AS rn
+    FROM c, q
+  ) WHERE rn <= 10
+), ek AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS k_exact
+  FROM exact GROUP BY 1
+), hits AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM exact JOIN ann USING (query_id, neighbor_id)
+  GROUP BY 1
+)
+SELECT ek.query_id, ek.k_exact,
+       CAST(COALESCE(hits.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(COALESCE(hits.n_hits, 0) * 1000 // ek.k_exact AS BIGINT)
+         AS recall_millis
+FROM ek LEFT JOIN hits ON ek.query_id = hits.query_id
+"""
+
+    # winnowing fingerprints: shared k-gram/window-min CTE chain, the
+    # Spark selection replayed verbatim (k=3, w=4, 60-bit md5 fold)
+    _winnow_ctes = f"""
+wdocs AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  WHERE len(string_split(text, ' ')) >= 6
+),
+wgrams AS (
+  SELECT doc_id, CAST(len(toks) - 2 AS BIGINT) AS n_grams,
+         unnest(list_transform(range(1, len(toks) - 1),
+           i -> {{'pos': i - 1,
+                 'gram': array_to_string(list_slice(toks, i, i + 2), ' ')}}))
+           AS g
+  FROM wdocs
+),
+whashed AS (
+  SELECT doc_id, n_grams, g.pos AS pos,
+         {_hex_u60("md5(g.gram)")} AS h
+  FROM wgrams
+),
+wmins AS (
+  SELECT doc_id, n_grams, pos,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+  FROM whashed
+),
+wsel AS (
+  SELECT doc_id, n_grams, pos, wmin FROM wmins WHERE pos <= n_grams - 4
+)"""
+
+    d["winnowing_fingerprint_profile"] = (
+        "WITH " + _winnow_ctes + """
+SELECT doc_id, n_grams,
+       CAST(n_grams - 3 AS BIGINT) AS n_windows,
+       CAST(COUNT(DISTINCT wmin) AS BIGINT) AS n_fingerprints,
+       CAST(COUNT(DISTINCT wmin) * 1000000 // (n_grams - 3) AS BIGINT)
+         AS density_ppm,
+       CAST(MIN(wmin) AS BIGINT) AS fp_min,
+       CAST(MAX(wmin) AS BIGINT) AS fp_max
+FROM wsel
+GROUP BY doc_id, n_grams
+"""
+    )
+
+    d["winnowing_dup_candidates"] = (
+        "WITH " + _winnow_ctes + """,
+winc AS (SELECT DISTINCT doc_id, wmin FROM wsel),
+wok AS (
+  SELECT wmin FROM winc GROUP BY wmin HAVING COUNT(*) <= 20
+),
+wcap AS (SELECT i.doc_id, i.wmin FROM winc i JOIN wok USING (wmin))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM wcap a JOIN wcap b
+  ON a.wmin = b.wmin AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= 3
+"""
+    )
+
+    # dihedral-canonical dHash: replay all 8 D4 orientations closed-form
+    # (transformed[R][C] = source[m_o(R,C)] composed with the pinned
+    # 9x8 floor resample), pack each with the SimHash bit-63 convention,
+    # take the UNSIGNED min per doc = signed order with negatives LAST
+    # (two's-complement identity), smallest-orientation tie-break
+    d["image_dhash_dihedral"] = """
+WITH pbase AS (
+  SELECT doc_id,
+         array_to_string(list_slice(string_split(text, ' '), 1, 20), ' ')
+           AS pfx,
+         md5(text) AS mt
+  FROM documents
+),
+prep AS (
+  SELECT doc_id,
+         md5(pfx || ':0') || md5(pfx || ':1') || md5(pfx || ':2')
+         || md5(pfx || ':3') || md5(pfx || ':4') || md5(pfx || ':5')
+         || md5(pfx || ':6') || md5(pfx || ':7') AS r256,
+         (strpos('0123456789abcdef', substring(mt, 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substring(mt, 2, 1)) - 1) AS p
+  FROM pbase
+),
+grid AS (
+  SELECT doc_id, r256, p, oo.o AS o, rr.r AS r, cc.c AS c,
+         2 * rr.r AS sr, (16 * cc.c) // 9 AS sc
+  FROM prep, (SELECT unnest(range(8))::INT AS o) oo,
+             (SELECT unnest(range(8))::INT AS r) rr,
+             (SELECT unnest(range(9))::INT AS c) cc
+),
+gidx AS (
+  SELECT doc_id, r256, p, o, r, c,
+         CASE o WHEN 0 THEN sr * 16 + sc
+                WHEN 1 THEN (15 - sc) * 16 + sr
+                WHEN 2 THEN (15 - sr) * 16 + (15 - sc)
+                WHEN 3 THEN sc * 16 + (15 - sr)
+                WHEN 4 THEN sr * 16 + (15 - sc)
+                WHEN 5 THEN (15 - sr) * 16 + sc
+                WHEN 6 THEN sc * 16 + sr
+                ELSE (15 - sc) * 16 + (15 - sr) END AS idx
+  FROM grid
+),
+vals AS (
+  SELECT doc_id, o, r, c,
+         CASE WHEN idx = p THEN 122
+              ELSE ascii(substring(r256, idx + 1, 1)) END AS v
+  FROM gidx
+),
+bits AS (
+  SELECT a.doc_id, a.o, a.r, a.c,
+         CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+  FROM vals a
+  JOIN vals b ON b.doc_id = a.doc_id AND b.o = a.o
+             AND b.r = a.r AND b.c = a.c + 1
+  WHERE a.c < 8
+),
+sigs AS (
+  SELECT doc_id, o,
+         CAST(SUM(CASE WHEN r = 7 AND c = 7
+                       THEN bit * (-9223372036854775807 - 1)
+                       ELSE bit * (1::BIGINT << (r * 8 + c)) END)
+              AS BIGINT) AS sig
+  FROM bits GROUP BY doc_id, o
+),
+ranked AS (
+  SELECT doc_id, sig, o,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+           ORDER BY CASE WHEN sig < 0 THEN 1 ELSE 0 END, sig, o) AS rn
+  FROM sigs
+)
+SELECT doc_id, sig AS dhash_canon, CAST(o AS BIGINT) AS orientation
+FROM ranked WHERE rn = 1
+"""
 
     # token-budget mixture plan: integer weights from the SAME
     # source_weights() recipe the Spark side broadcasts; largest
@@ -8759,7 +9303,8 @@ fin AS (
 )
 SELECT source, avail_tokens, CAST(weight_64k AS BIGINT) AS weight_64k,
        target_tokens,
-       CAST(target_tokens * 1000000 // avail_tokens AS BIGINT)
+       CAST(CAST(target_tokens AS HUGEINT) * 1000000 // avail_tokens
+            AS BIGINT)
          AS epochs_ppm
 FROM fin
 """

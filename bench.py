@@ -360,6 +360,18 @@ HEADLINE = [
     "token_budget_mixture_plan",
     "image_dhash_resize_robustness",
     "image_dhash_index_dedup_batch",
+    "image_dhash_dihedral",
+    "theil_sen_monthly_nation_revenue",
+    "winnowing_fingerprint_profile",
+    "winnowing_dup_candidates",
+    "sq8_recall_report",
+    "streaming_dhash_index_maintenance",
+    "rendezvous_shard_plan",
+    "variant_event_props_rollup",
+    "bloom_fpr_curve",
+    "image_quadrant_dup_pairs",
+    "good_turing_vocab_report",
+    "heaps_law_curve",
 ]
 
 

@@ -1415,14 +1415,32 @@ def cramers_v_event_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts first, which this formulation supports since cells are
     additive).
 
-    Shape: one map-side-combined groupBy to the |types|×7 cell frame;
+    Shape: one map-side-combined groupBy to the |types|×7 cell frame,
+    then a broadcast level-cross DENSIFICATION (zero-count cells
+    contribute r·c each — ADVICE r11; both engines densify identically);
     marginals derive from the CELL frame (never a corpus re-scan) and
     broadcast back; one aggregate row out."""
     events = read_table(spark, sf_dir, "events")
-    cells = events.groupBy(
+    obs = events.groupBy(
         "event_type", (F.weekday("ts") + 1).cast("long").alias("iso_dow")
     ).agg(F.count(F.lit(1)).alias("o"))
-    cells = cells.localCheckpoint()  # tiny; feeds four aggregates below
+    obs = obs.localCheckpoint()  # tiny; feeds the densify + aggregates
+    # DENSIFY (ADVICE r11): a zero-count (type, dow) cell still
+    # contributes (0 - r*c)^2 DIV (r*c) = r*c to chi2*N — GROUP BY output
+    # alone understates V the day a level misses a weekday. Cross the
+    # observed levels (|types| x 7 rows, both broadcast) and fill o=0.
+    cells = (
+        obs.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(obs.select("iso_dow").distinct()))
+        .join(F.broadcast(obs), ["event_type", "iso_dow"], "left")
+        .select(
+            "event_type",
+            "iso_dow",
+            F.coalesce("o", F.lit(0)).cast("long").alias("o"),
+        )
+        .localCheckpoint()
+    )
     r = cells.groupBy("event_type").agg(F.sum("o").alias("r"))
     c = cells.groupBy("iso_dow").agg(F.sum("o").alias("c"))
     n = cells.agg(
@@ -1565,4 +1583,98 @@ def isotonic_calibration_per_source(
         F.col("w").cast("long").alias("n_docs"),
         F.col("s").cast("long").alias("n_pos"),
         F.col("iso_fit_ppm").cast("long").alias("iso_fit_ppm"),
+    )
+
+
+def theil_sen_monthly_nation_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PER-GROUP Theil-Sen at a genuinely multi-group grain (VERDICT r11
+    item 7 — the last vetted trend-battery member): the robust median
+    pairwise slope of MONTHLY order revenue per CUSTOMER NATION (25
+    groups over the orders⋈customer⋈nation star, vs
+    :func:`theil_sen_slope`'s handful of event types over days) — the
+    per-market growth estimate a revenue review reads next to the raw
+    monthly curve.
+
+    Same exactness recipe as the r9 single-series entry, re-derived for
+    this grain: x = month index ``year·12 + month − 1`` (integer), y =
+    monthly revenue cents, slope key = ``trunc(1e6·dy/dx)``
+    MICRO-cents/month (sign-split nonneg floor divisions; DECIMAL(38,0)
+    product). Collision-freedom: distinct pairwise slopes differ by at
+    least ``1/(dx_a·dx_b)`` ≥ 1/span² cents/month; the month span is
+    calendar-bounded (~100 at any SF), so slope gaps ≥ 1e-4 ≫ the 1e-6
+    key granularity — the key median IS the rational median. Key
+    domain: |dy|·1e6 runs in DECIMAL; the BIGINT key needs |dy/dx| <
+    9.2e12 cents/month — five orders past a 100 TB month. Both middle
+    order statistics emitted (lower/upper median); a nation observed in
+    one month has no pairs and is DROPPED, identically on both engines
+    (the ``mann_kendall_trend`` convention).
+
+    Scale shape: one orders scan to the (nation, month) frame — the
+    customer/nation dims broadcast — then the pair join and rank window
+    run on a frame bounded by 25·span rows (data-model-bounded grain,
+    the documented acceptable window class)."""
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    monthly = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            "n_name",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+            .cast("long")
+            .alias("m"),
+        )
+        .agg(F.sum(cents).alias("y"))
+        .localCheckpoint()
+    )
+    a, b = monthly.alias("a"), monthly.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.n_name") == F.col("b.n_name"))
+        & (F.col("a.m") < F.col("b.m")),
+    ).select(
+        F.col("a.n_name").alias("n_name"),
+        F.col("a.m").alias("m_i"),
+        F.col("b.m").alias("m_j"),
+        (F.col("b.y") - F.col("a.y")).alias("dy"),
+        (F.col("b.m") - F.col("a.m")).alias("dx"),
+    )
+    keyed = pairs.select(
+        "n_name",
+        "m_i",
+        "m_j",
+        F.expr(
+            "CAST(CASE WHEN dy >= 0 THEN"
+            " (1000000 * CAST(dy AS DECIMAL(38,0))) DIV dx"
+            " ELSE -((1000000 * CAST(-dy AS DECIMAL(38,0))) DIV dx)"
+            " END AS BIGINT)"
+        ).alias("slope_micros"),
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("slope_micros").asc(), F.col("m_i").asc(), F.col("m_j").asc()
+    )
+    ranked = keyed.withColumn("rn", F.row_number().over(w))
+    cnt = keyed.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_slopes")
+    )
+    j = ranked.join(F.broadcast(cnt), "n_name")
+    return (
+        j.filter(
+            (F.col("rn") == F.expr("(n_slopes + 1) DIV 2"))
+            | (F.col("rn") == F.expr("n_slopes DIV 2 + 1"))
+        )
+        .groupBy("n_name")
+        .agg(
+            F.max("n_slopes").alias("n_slopes"),
+            F.min("slope_micros").cast("long").alias("sen_lo_micros"),
+            F.max("slope_micros").cast("long").alias("sen_hi_micros"),
+        )
     )

@@ -1525,3 +1525,141 @@ def dedup_family_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("r")
     )
     return rows.select("r.*")
+
+
+def _winnow_selected(
+    spark: SparkSession, sf_dir: str, k: int, w: int
+) -> DataFrame:
+    """(doc_id, n_grams, pos, wmin) — the WINNOWING fingerprint selection
+    (Schleimer/Wilkerson/Aiken, the MOSS local fingerprinting scheme)
+    over token k-grams: hash every k-gram (60-bit nonneg fold of the
+    first 15 md5 hex digits — identical arithmetic in DuckDB, and
+    nonnegative so MIN agrees across signed/unsigned domains), then per
+    window of ``w`` consecutive gram hashes keep the window MIN. The
+    guarantee that makes winnowing the dedup-pipeline primitive: any
+    shared token run of length ≥ w+k−1 between two documents forces at
+    least one SHARED selected fingerprint value, while the selected set
+    stays a ~2/(w+1) density sample of the grams.
+
+    Docs shorter than w+k−1 tokens have no window and are dropped,
+    identically on both engines. The window is partitioned per doc
+    (doc-length-bounded grain); the frame is computed over ALL gram
+    positions and the trailing w−1 starts are filtered AFTER (a filter
+    before the frame would truncate the following rows)."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    docs = docs.filter(F.size("toks") >= k + w - 1).select(
+        "doc_id",
+        (F.size("toks") - (k - 1)).cast("long").alias("n_grams"),
+        F.expr(
+            f"transform(sequence(1, size(toks) - {k - 1}),"
+            f" i -> concat_ws(' ', slice(toks, i, {k})))"
+        ).alias("grams"),
+    )
+    hashed = docs.select(
+        "doc_id",
+        "n_grams",
+        F.posexplode("grams").alias("pos", "gram"),
+    ).select(
+        "doc_id",
+        "n_grams",
+        "pos",
+        F.expr("CAST(conv(substring(md5(gram), 1, 15), 16, 10) AS BIGINT)")
+        .alias("h"),
+    )
+    frame = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    return hashed.withColumn("wmin", F.min("h").over(frame)).filter(
+        F.col("pos") <= F.col("n_grams") - w
+    )
+
+
+def winnowing_fingerprint_profile(
+    spark: SparkSession, sf_dir: str, k: int = 3, w: int = 4
+) -> DataFrame:
+    """Per-document WINNOWING fingerprint profile — the selection audit a
+    fingerprint-index deployment reads before sizing storage: gram and
+    window counts, the DISTINCT selected fingerprint count, its density
+    in ppm of the window count (theory: distinct window mins ≈ 2/(w+1)
+    of positions; value-distinct collapses repeated grams further), and
+    the min/max selected values as an end-to-end spot check of the hash
+    fold. Scale shape: one corpus scan, a doc-partitioned running-min
+    window, one map-side-combined groupBy to doc grain."""
+    sel = _winnow_selected(spark, sf_dir, k, w)
+    return (
+        sel.groupBy("doc_id", "n_grams")
+        .agg(
+            F.countDistinct("wmin").cast("long").alias("n_fingerprints"),
+            F.min("wmin").cast("long").alias("fp_min"),
+            F.max("wmin").cast("long").alias("fp_max"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            (F.col("n_grams") - (w - 1)).cast("long").alias("n_windows"),
+            "n_fingerprints",
+            F.expr(f"n_fingerprints * 1000000 DIV (n_grams - {w - 1})")
+            .cast("long")
+            .alias("density_ppm"),
+            "fp_min",
+            "fp_max",
+        )
+    )
+
+
+def winnowing_dup_candidates(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 3,
+    w: int = 4,
+    max_fp_df: int = 20,
+    min_shared: int = 3,
+) -> DataFrame:
+    """Document pairs sharing ≥ ``min_shared`` DISTINCT winnowing
+    fingerprints — the MOSS candidate-pair stage: by the winnowing
+    guarantee every pair sharing a token run of ≥ w+k−1 tokens (this
+    corpus's 20-token near-dup prefixes, 4× over) surfaces here, without
+    ever comparing documents pairwise. Fingerprints whose document
+    frequency exceeds ``max_fp_df`` are dropped BEFORE pairing (the
+    ``max_band_df`` hot-key remedy — on a ~31-token vocabulary some
+    3-grams are corpus-wide stopword runs; a df-capped fingerprint can
+    at worst HIDE a candidate pair, never invent one, and the cap is
+    part of the cross-engine contract — the oracle applies the same
+    cap). Output (doc_a, doc_b, n_shared).
+
+    Scale shape: distinct (fingerprint, doc) incidence → df-cap
+    semi-filter → equi-join on fingerprint (bounded fan-out ≤ max_fp_df
+    per key) → pair aggregate. Never all-pairs."""
+    sel = (
+        _winnow_selected(spark, sf_dir, k, w)
+        .select("doc_id", "wmin")
+        .distinct()
+        .localCheckpoint()  # feeds df-cap AND both join sides
+    )
+    ok = (
+        sel.groupBy("wmin")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_fp_df)
+        .select("wmin")
+    )
+    # NO broadcast hint: the distinct-fingerprint frame scales with the
+    # corpus (≈ grams/2.5 at 100 TB) — AQE picks the strategy per run
+    capped = sel.join(ok, "wmin")
+    pairs = (
+        capped.alias("a")
+        .join(
+            capped.alias("b"),
+            (F.col("a.wmin") == F.col("b.wmin"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    return pairs.filter(F.col("n_shared") >= min_shared)

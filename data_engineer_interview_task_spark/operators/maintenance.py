@@ -1467,3 +1467,187 @@ def compaction_plan_report(
         F.expr("CAST(1000000 * SUM(n_rows) DIV MAX(target_rows) AS BIGINT)")
         .alias("fill_ppm"),
     )
+
+
+def rendezvous_shard_plan(
+    spark: SparkSession, sf_dir: str, n_old: int = 8
+) -> DataFrame:
+    """RENDEZVOUS (highest-random-weight) shard assignment plan — the
+    consistent-hashing layout a 100 TB corpus uses so that ADDING a shard
+    reshuffles only ~1/(N+1) of documents instead of rehash-everything:
+    each doc's shard is ``argmax over s of md5(doc_id || ':' || s)``
+    (the md5 hex STRING is the weight — lexicographic comparison of
+    lowercase hex is a total order identical on every engine, and ties
+    would need an md5 collision). The report compares the ``n_old``-shard
+    layout with the grown ``n_old+1``-shard layout, per shard: document
+    counts under both, plus how many docs MOVED IN when the shard was
+    added.
+
+    The HRW theorem is the built-in audit: growing N→N+1 can only move a
+    doc whose new argmax IS the new shard (old shards' pairwise argmax
+    order is untouched), so ``n_moved_in`` MUST be 0 for every old shard
+    — the oracle recomputes both layouts independently and the test pins
+    the theorem. Scale shape: one ×(2N+1) literal explode of doc keys,
+    one ``max_by`` groupBy per layout (map-side combined), a broadcast-
+    size shard-grain report out."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    assigned = None
+    for n, col in ((n_old, "shard_old"), (n_old + 1, "shard_new")):
+        a = (
+            docs.select(
+                "doc_id",
+                F.explode(
+                    F.sequence(F.lit(0), F.lit(n - 1))
+                ).alias("s"),
+            )
+            .withColumn(
+                "m", F.md5(F.concat_ws(":", F.col("doc_id"), F.col("s")))
+            )
+            .groupBy("doc_id")
+            .agg(F.max_by("s", "m").cast("long").alias(col))
+        )
+        assigned = a if assigned is None else assigned.join(a, "doc_id")
+    counts_old = assigned.groupBy(
+        F.col("shard_old").alias("shard")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_at_old"))
+    counts_new = assigned.groupBy(
+        F.col("shard_new").alias("shard")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_at_new"))
+    moved = (
+        assigned.filter(F.col("shard_old") != F.col("shard_new"))
+        .groupBy(F.col("shard_new").alias("shard"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_moved_in"))
+    )
+    return (
+        counts_new.join(counts_old, "shard", "left_outer")
+        .join(moved, "shard", "left_outer")
+        .select(
+            "shard",
+            F.coalesce("n_at_old", F.lit(0)).cast("long").alias("n_at_old"),
+            "n_at_new",
+            F.coalesce("n_moved_in", F.lit(0))
+            .cast("long")
+            .alias("n_moved_in"),
+        )
+    )
+
+
+def bloom_fpr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM-FILTER SIZING CURVE — the k-sweep a deployment reads before
+    picking its hash count: build the :func:`bloom_membership_audit`
+    filter family (negative-balance-customer member set) at k = 1..4
+    md5-derived positions per key, probe each with the ordering
+    customers, and report per k the exact fill and false-positive facts.
+    Because every position is md5 arithmetic, the classically
+    probabilistic curve (fill rises with k, FPR = (fill ratio)^k trades
+    against it) is an exact cross-engine fact here — the audit measures,
+    the theory only explains.
+
+    The filter is SIZED FROM THE DATA — ``m_bits = 62·ceil(9·n/62)``
+    (~9 bits/key, the same ratio at any corpus scale), because a fixed
+    size is vacuous at one end or saturated at the other: with 9
+    bits/key the fill ratio after k inserts/key is ~1−e^(−k/9), so the
+    curve genuinely trades fill against per-probe tests at EVERY SF
+    (textbook optimum k = (m/n)·ln2 ≈ 6.2 — the measured curve falls
+    toward it across k=1..4).
+
+    One pass builds ALL FOUR filters: member keys explode to (k, position)
+    arms with ``i < k`` (an arm i belongs to every filter with k > i), a
+    single groupBy((k, word)) ``bit_or`` makes the four word tables,
+    and probes join the broadcast word tables per k. Scale shape: the
+    filters stay member-count-sized (never corpus-sized); probes are one
+    distinct + one broadcast join, no corpus shuffle."""
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    kgrid = F.explode(F.sequence(F.lit(1), F.lit(4))).alias("k")
+    members = customer.filter(F.col("c_acctbal") < 0).select("c_custkey")
+    sizing = members.agg(
+        F.expr("62 * ((COUNT(1) * 9 + 61) DIV 62)").alias("m_bits")
+    )
+
+    def arms(frame, key):
+        md = F.md5(F.col(key).cast("string"))
+        raw = F.array(
+            *[
+                F.conv(F.substring(md, 1 + 8 * i, 8), 16, 10).cast("long")
+                for i in range(4)
+            ]
+        )
+        return (
+            frame.select(F.col(key).alias("key"), F.posexplode(raw).alias("i", "raw"))
+            .crossJoin(F.broadcast(sizing))
+            .select(
+                "key",
+                "i",
+                (F.col("raw") % F.col("m_bits")).alias("pos"),
+                kgrid,
+            )
+            .filter(F.col("i") < F.col("k"))
+        )
+    words = (
+        arms(members, "c_custkey")
+        .select(
+            "k",
+            F.expr("pos DIV 62").alias("word_idx"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pos % 62 AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("k", "word_idx")
+        .agg(F.bit_or("bit").alias("word"))
+        .localCheckpoint()  # 4x64 rows; feeds the probe join AND the fill
+    )
+    probes = orders.select(F.col("o_custkey").alias("o_key")).distinct()
+    probe_arms = arms(probes, "o_key").select(
+        "key",
+        "k",
+        F.expr("pos DIV 62").alias("word_idx"),
+        (F.col("pos") % 62).cast("int").alias("bit_idx"),
+    )
+    checked = probe_arms.join(
+        F.broadcast(words), ["k", "word_idx"], "left"
+    ).select(
+        "key",
+        "k",
+        F.when(F.expr("(word >> bit_idx) & 1") == 1, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("hit"),
+    )
+    verdicts = checked.groupBy("k", "key").agg(F.min("hit").alias("all_hit"))
+    labeled = verdicts.join(
+        F.broadcast(
+            members.select(F.col("c_custkey").alias("key"), F.lit(1).alias("is_member"))
+        ),
+        "key",
+        "left",
+    ).select(
+        "k", "all_hit", F.coalesce("is_member", F.lit(0)).alias("is_member")
+    )
+    fill = words.groupBy("k").agg(
+        F.sum(F.bit_count("word")).cast("long").alias("n_bits_set")
+    )
+    return (
+        labeled.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_probes"),
+            F.sum(F.expr("1 - is_member")).cast("long").alias("n_nonmembers"),
+            F.sum(
+                F.when((F.col("all_hit") == 1) & (F.col("is_member") == 0), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_false_positives"),
+        )
+        .join(F.broadcast(fill), "k")
+        .select(
+            F.col("k").cast("long").alias("k"),
+            "n_probes",
+            "n_nonmembers",
+            "n_false_positives",
+            "n_bits_set",
+            F.expr("n_false_positives * 1000000 DIV n_nonmembers")
+            .cast("long")
+            .alias("fpr_ppm"),
+        )
+    )
+

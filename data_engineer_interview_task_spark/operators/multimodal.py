@@ -2591,17 +2591,26 @@ def attach_phash_payload(
     per-doc perturbation pixels, while unrelated documents get
     independent rasters (expected dHash Hamming ≈ 32). Everything is
     md5-arithmetic, so a DuckDB oracle reconstructs every raster byte."""
+    base = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    if where is not None:
+        # filter BEFORE the codec stage: an incremental caller hashing a
+        # batch must pay batch-sized encode CPU, not corpus-sized
+        base = base.filter(where)
+    return _phash_payload_frame(spark, base)
+
+
+def _phash_payload_frame(spark: SparkSession, base: DataFrame) -> DataFrame:
+    """Frame-level core of :func:`attach_phash_payload`: encode the
+    perceptual-hash PNG fixture for an arbitrary ``(doc_id, text)``
+    DataFrame — shared by the corpus/batch readers above and the
+    STREAMING index maintenance (each micro-batch hashes only its own
+    rows, so codec CPU is batch-sized by construction)."""
     schema = StructType(
         [
             StructField("doc_id", LongType()),
             StructField("payload", BinaryType()),
         ]
     )
-    base = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    if where is not None:
-        # filter BEFORE the codec stage: an incremental caller hashing a
-        # batch must pay batch-sized encode CPU, not corpus-sized
-        base = base.filter(where)
     docs = _spread_docs(spark, base)
     from ..functions.png_codec import png_encode
 
@@ -2646,6 +2655,16 @@ def image_perceptual_hashes(
     is long MIN — the SimHash packing convention, so the banded join and
     the DuckDB oracle share the established bit arithmetic). Two narrow
     Arrow-batched stages, no shuffle; the result frame is doc-grain."""
+    base = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    if where is not None:
+        base = base.filter(where)
+    return _phash_sigs_frame(spark, base)
+
+
+def _phash_sigs_frame(spark: SparkSession, base: DataFrame) -> DataFrame:
+    """Frame-level core of :func:`image_perceptual_hashes`: dHash/aHash
+    signatures for an arbitrary ``(doc_id, text)`` DataFrame — shared
+    with the streaming dHash index maintenance (micro-batch grain)."""
     from pyspark.sql.types import LongType as _Long
 
     schema = StructType(
@@ -2655,7 +2674,7 @@ def image_perceptual_hashes(
             StructField("ahash", _Long()),
         ]
     )
-    payloads = attach_phash_payload(spark, sf_dir, where=where)
+    payloads = _phash_payload_frame(spark, base)
 
     def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # self-contained closure: resize_image captured by value
@@ -3124,3 +3143,194 @@ def image_dhash_index_dedup_batch(
         .filter(F.col("hamming") <= max_hamming)
         .select("batch_doc", "corpus_doc", "hamming")
     )
+
+
+def _build_dihedral_dhash():
+    """Builder for the dihedral-canonical dHash (VERDICT r11 item 3).
+    BUILDER-SCOPED like :func:`_build_resize` so the returned function
+    (and the PNG decoder in its closure cells) pickles BY VALUE into
+    python workers that never import this package."""
+    from ..functions.png_codec import png_decode
+
+    p_dec = png_decode
+
+    def dihedral_dhash_unsigned(payload: bytes) -> tuple[int, int]:
+        """Canonical perceptual hash = MIN over the 8 dihedral-group
+        orientations (rotations + reflections of the SQUARE source
+        raster) of the unsigned 64-bit dHash — the orientation
+        invariance plain dHash lacks (the resize-robustness audit's
+        honest negative): hashing ``T_g(x)`` walks the same D4 orbit
+        ``{dhash(T_o(T_g(x)))} = {dhash(T_h(x))}``, so the min is
+        IDENTICAL for every rotated/flipped copy of an image, by group
+        closure — not approximately, exactly.
+
+        Returns ``(canonical_unsigned_hash, argmin_orientation)`` with
+        ties broken by the smallest orientation index. Orientation maps
+        (transformed[R][C] = source[m_o(R, C)], n = size-1):
+        0 identity, 1 rot90cw (n-C, R), 2 rot180 (n-R, n-C),
+        3 rot270 (C, n-R), 4 flip-h (R, n-C), 5 flip-v (n-R, C),
+        6 transpose (C, R), 7 anti-transpose (n-C, n-R). The dHash per
+        orientation reads the pinned :func:`resize_image` floor resample
+        of the TRANSFORMED raster (src = (2r, 16c DIV 9) for the 9x8
+        grid) — pure index arithmetic, so the DuckDB oracle replays
+        every orientation closed-form."""
+        px, w, h, _ct = p_dec(payload)
+        if w != h:
+            raise ValueError(
+                "dihedral canonicalization needs a square raster; "
+                f"got {w}x{h}"
+            )
+        n = w - 1
+        maps = (
+            lambda R, C: (R, C),
+            lambda R, C: (n - C, R),
+            lambda R, C: (n - R, n - C),
+            lambda R, C: (C, n - R),
+            lambda R, C: (R, n - C),
+            lambda R, C: (n - R, C),
+            lambda R, C: (C, R),
+            lambda R, C: (n - C, n - R),
+        )
+        best = -1
+        best_o = 0
+        for o, m in enumerate(maps):
+            grid = []
+            for r in range(8):
+                sr = r * h // 8
+                for c in range(9):
+                    R, C = m(sr, c * w // 9)
+                    grid.append(px[R * w + C])
+            sig = 0
+            for r in range(8):
+                for c in range(8):
+                    if grid[r * 9 + c + 1] > grid[r * 9 + c]:
+                        sig |= 1 << (r * 8 + c)
+            if best < 0 or sig < best:
+                best, best_o = sig, o
+        return best, best_o
+
+    return dihedral_dhash_unsigned
+
+
+dihedral_dhash_unsigned = _build_dihedral_dhash()
+
+
+def image_dhash_dihedral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIHEDRAL-CANONICAL dHash per document (VERDICT r11 item 3): the
+    orientation-invariant perceptual hash production image dedup needs —
+    a rotated or mirrored copy of an image lands at Hamming 0 from its
+    original BY CONSTRUCTION (min over the D4 orbit; see
+    :func:`dihedral_dhash_unsigned` — the invariance is exact group
+    closure, pinned by a constructed-rotation test), closing the
+    orientation gap the ``image_dhash_resize_robustness`` audit exposed.
+
+    Output per doc: ``dhash_canon`` (the canonical hash in the
+    established two's-complement BIGINT transport) and ``orientation``
+    (the argmin orientation index 0-7, smallest-index tie-break — on
+    both engines the UNSIGNED min is computed as the signed order with
+    negatives LAST, the two's-complement identity). Scale shape: the
+    same two narrow Arrow-batched stages as ``image_perceptual_hashes``
+    — 8 fixed orientations multiply per-image CPU by a constant, never
+    the row count; zero shuffle, doc-grain out."""
+    from pyspark.sql.types import LongType as _Long
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("dhash_canon", _Long()),
+            StructField("orientation", _Long()),
+        ]
+    )
+    payloads = attach_phash_payload(spark, sf_dir)
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # self-contained closure: dihedral_dhash_unsigned captured by
+        # value (builder-scoped, pickles with its codec cells)
+        import pandas as _pd
+
+        dd = dihedral_dhash_unsigned
+        for pdf in batches:
+            out = {"doc_id": [], "dhash_canon": [], "orientation": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                u, o = dd(bytes(payload))
+                out["doc_id"].append(doc_id)
+                out["dhash_canon"].append(
+                    u - (1 << 64) if u >= 1 << 63 else u
+                )
+                out["orientation"].append(o)
+            yield _pd.DataFrame(out)
+
+    return payloads.mapInPandas(_hash, schema=schema)
+
+
+def image_quadrant_dup_pairs(
+    spark: SparkSession, sf_dir: str, min_match: int = 2
+) -> DataFrame:
+    """PARTIAL-duplicate (crop/region) image pairs — the tile-level dedup
+    production image pipelines run NEXT TO whole-image hashing: split
+    each decoded 16×16 raster into its four 8×8 quadrants, gradient-hash
+    each quadrant independently (56 bits: ``px[r][c+1] > px[r][c]`` over
+    the quadrant, packed LSB-first — nonneg BIGINT, no bit-63 case), and
+    report pairs agreeing on ≥ ``min_match`` quadrants with the exact
+    agreement count. A whole-image near-dup whose difference is confined
+    to one region still matches on the untouched quadrants (this
+    corpus's single-perturbed-pixel near-dups agree on ≥3), while the
+    64-bit-entropy quadrant signatures of unrelated rasters never
+    collide — so the equi-join on (quadrant, signature) is the complete
+    candidate set, never all-pairs.
+
+    Scale shape: one codec mapInPandas to 4 rows/doc, one equi-join on
+    8-byte keys, one pair-grain aggregate. The signature frame is
+    localCheckpoint'd (feeds both join sides — without it the codec
+    chain runs twice, the dHash-pairs lesson)."""
+    from pyspark.sql.types import LongType as _Long
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("q", _Long()),
+            StructField("qsig", _Long()),
+        ]
+    )
+    payloads = attach_phash_payload(spark, sf_dir)
+
+    def _qhash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # self-contained closure: resize_image captured by value (its
+        # 16x16 identity resample IS the decoded raster)
+        import pandas as _pd
+
+        rz = resize_image
+
+        for pdf in batches:
+            out = {"doc_id": [], "q": [], "qsig": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = rz(bytes(payload), 16, 16)  # identity resample = raster
+                for q in range(4):
+                    qr, qc = q // 2, q % 2
+                    sig = 0
+                    for r in range(8):
+                        base = (8 * qr + r) * 16 + 8 * qc
+                        for c in range(7):
+                            if px[base + c + 1] > px[base + c]:
+                                sig |= 1 << (r * 7 + c)
+                    out["doc_id"].append(doc_id)
+                    out["q"].append(q)
+                    out["qsig"].append(sig)
+            yield _pd.DataFrame(out)
+
+    sigs = payloads.mapInPandas(_qhash, schema=schema).localCheckpoint()
+    pairs = (
+        sigs.alias("a")
+        .join(
+            sigs.alias("b"),
+            (F.col("a.q") == F.col("b.q"))
+            & (F.col("a.qsig") == F.col("b.qsig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_quadrants_match"))
+    )
+    return pairs.filter(F.col("n_quadrants_match") >= min_match)

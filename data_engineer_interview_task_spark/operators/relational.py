@@ -2059,3 +2059,66 @@ def incremental_bitmap_distinct_merge(
     return merged.groupBy("week_start").agg(
         F.sum(F.bit_count("word")).cast("long").alias("n_users")
     )
+
+
+def variant_event_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT-type surface (VERDICT r11 item 2 — prototyped for
+    engine parity BEFORE registering; ``tools/prototype_variant.py``
+    measured an exact MATCH): build a NESTED json document per event from
+    existing columns (object + array — identical string on both engines),
+    parse it into a true VARIANT with ``parse_json``, and extract typed
+    values through every path shape the type supports — a flat key
+    (``$.k`` as long), a nested object key (``$.meta.type`` as string),
+    array indexing (``$.meta.vals[0]``/``[1]``), and a MISSING path via
+    ``try_variant_get`` (NULL, not an error). Aggregated per event type so
+    one wrong extraction anywhere moves a sum.
+
+    VARIANT is the typed successor of ``get_json_object`` string-pulling
+    (``json_value_histogram`` pins that older surface): the binary
+    encoding is parsed ONCE and every ``variant_get`` is a typed
+    traversal, not a re-parse — at 100 TB that's the difference between
+    one parse per row and one per extracted path. The DuckDB oracle runs
+    the same extractions with ``json_extract_string`` over the identical
+    constructed document; the ``$.k`` integer text is engine-parity-safe
+    by construction (it is itself extracted from ``props`` — the
+    ``json_value_histogram`` guard class). Scale shape: one narrow
+    projection + one map-side-combined groupBy of |event_type| keys."""
+    events = read_table(spark, sf_dir, "events")
+    j = events.select(
+        "event_type",
+        F.expr(
+            "parse_json(concat("
+            "'{\"meta\": {\"type\": \"', event_type,"
+            "'\", \"vals\": [', CAST(user_id % 7 AS STRING), ', ',"
+            "get_json_object(props, '$.k'),"
+            "']}, \"k\": ', get_json_object(props, '$.k'), '}'))"
+        ).alias("v"),
+    )
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.expr("variant_get(v, '$.k', 'long')"))
+        .cast("long")
+        .alias("sum_k"),
+        F.sum(F.expr("variant_get(v, '$.meta.vals[0]', 'long')"))
+        .cast("long")
+        .alias("sum_val0"),
+        F.sum(F.expr("variant_get(v, '$.meta.vals[1]', 'long')"))
+        .cast("long")
+        .alias("sum_val1"),
+        F.sum(
+            F.expr(
+                "CASE WHEN variant_get(v, '$.meta.type', 'string')"
+                " = event_type THEN 1 ELSE 0 END"
+            )
+        )
+        .cast("long")
+        .alias("n_type_match"),
+        F.sum(
+            F.expr(
+                "CASE WHEN try_variant_get(v, '$.missing', 'long')"
+                " IS NULL THEN 1 ELSE 0 END"
+            )
+        )
+        .cast("long")
+        .alias("n_missing_null"),
+    )

@@ -1228,7 +1228,8 @@ def token_budget_mixture_plan(
     All-integer: budget ``B = T·budget_ppm DIV 10⁶``, base share
     ``(B·w) DIV W``, remainders ranked by ``(B·w) mod W`` (total
     tie-break by source), +1 to the top ``B − Σbase``. Products run in
-    DECIMAL(38,0)/HUGEINT (B·w brushes 2⁶³ at 100 TB token masses).
+    DECIMAL(38,0)/HUGEINT (B·w AND target·10⁶ brush 2⁶³ at 100 TB token
+    masses — the epochs_ppm product rides the same ladder, ADVICE r11).
 
     Scale shape: ONE map-side-combined groupBy to the |sources| frame;
     every window after runs on that ≤|recipe| row frame (the documented
@@ -1299,7 +1300,11 @@ def token_budget_mixture_plan(
         F.col("avail_tokens").cast("long").alias("avail_tokens"),
         F.col("weight_64k").cast("long").alias("weight_64k"),
         "target_tokens",
-        F.expr("target_tokens * 1000000 DIV avail_tokens")
-        .cast("long")
-        .alias("epochs_ppm"),
+        # DECIMAL(38,0) route (ADVICE r11): a plain BIGINT product wraps
+        # silently past target_tokens ~9.2e12 — exactly the 100TB token
+        # masses the base/rem ladder already guards against
+        F.expr(
+            "CAST(CAST(target_tokens AS DECIMAL(38,0)) * 1000000"
+            " DIV avail_tokens AS BIGINT)"
+        ).alias("epochs_ppm"),
     )

@@ -1625,3 +1625,112 @@ def hard_negative_mining(
             "neighbor_label",
         )
     )
+
+
+def sq8_recall_report(
+    spark: SparkSession, sf_dir: str, n_queries: int = 4, k: int = 10
+) -> DataFrame:
+    """SCALAR-QUANTIZATION (SQ8) recall audit — the third compression
+    point on the ANN frontier next to PQ-ADC and IVF-PQ: quantize every
+    candidate dimension to 8 bits against the corpus per-dim min/max
+    (``q_d = (v_d − lo_d)·255 DIV (hi_d − lo_d)`` on the established
+    ``floor(x·1e9)`` fixed-point elements), score queries against the
+    INTEGER reconstruction ``255·x̂_d = 255·lo_d + q_d·(hi_d − lo_d)``
+    (the uniform 255× scaling is rank-neutral), and report per query how
+    many of the exact top-``k`` inner-product neighbors the SQ8 top-``k``
+    retains — the memory-vs-recall trade sheet (SQ8 stores 64 bytes/vec
+    vs 256 float bytes; PQ stores 2).
+
+    Exactness: the SQ8 score chain is ALL-INTEGER (BIGINT quantize, one
+    nonneg floor division; DECIMAL(38,0)/HUGEINT score products — recon
+    ≤ ~2³⁰ fixed-point × element 2³⁰ × 64 dims ≈ 2⁶⁶ needs the wide
+    accumulator) and is an ORDER KEY ONLY (the ``hard_negative_mining``
+    rank-only convention); the exact arm is the attested
+    ``dot_decimal_expr`` ranking. Ties break by neighbor_id on both
+    engines.
+
+    Scale shape: per-dim stats are one map-side-combined groupBy to a
+    64-row broadcast frame; quantization + scoring is ONE pass over the
+    exploded candidates joined to the broadcast (queries × dims) frame —
+    linear in corpus size, never all-pairs; the rank filter is a
+    per-query WindowGroupLimit over k·|queries| rows.
+
+    ORACLE-CHECKED PARAMETERIZATION: defaults only (``n_queries=4,
+    k=10``) — the oracle hardcodes both (the ivfpq_recall_frontier
+    convention)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    e9 = "transform({c}, x -> CAST(floor(CAST(x AS DOUBLE) * 1e9) AS BIGINT))"
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    cands = emb.filter(F.col("vec_id") >= n_queries).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c")
+    )
+    cd = cands.select(
+        "neighbor_id",
+        F.posexplode(F.expr(e9.format(c="c"))).alias("dim", "v"),
+    )
+    stats = cd.groupBy("dim").agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi")
+    )
+    recon = cd.join(F.broadcast(stats), "dim").select(
+        "neighbor_id",
+        "dim",
+        F.expr(
+            "CASE WHEN hi > lo"
+            " THEN 255 * lo + ((v - lo) * 255 DIV (hi - lo)) * (hi - lo)"
+            " ELSE 255 * lo END"
+        ).alias("r"),
+    )
+    qd = queries.select(
+        "query_id",
+        F.posexplode(F.expr(e9.format(c="q"))).alias("dim", "qv"),
+    )
+    approx = (
+        recon.join(F.broadcast(qd), "dim")
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.sum(F.expr("CAST(r AS DECIMAL(38,0)) * qv")).alias("s")
+        )
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("s").desc(), F.col("neighbor_id").asc()
+    )
+    ann = (
+        approx.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id")
+    )
+    scored = cands.crossJoin(F.broadcast(queries)).withColumn(
+        "ord_key", dot_decimal_expr(F.col("q"), F.col("c"))
+    )
+    we = Window.partitionBy("query_id").orderBy(
+        F.col("ord_key").desc(), F.col("neighbor_id").asc()
+    )
+    exact = (
+        scored.withColumn("rank", F.row_number().over(we))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id")
+    )
+    ek = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("k_exact")
+    )
+    hits = (
+        exact.join(ann, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    return (
+        ek.join(hits, "query_id", "left_outer")
+        .select(
+            "query_id",
+            "k_exact",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias(
+                "n_hits"
+            ),
+        )
+        .withColumn(
+            "recall_millis",
+            F.expr("n_hits * 1000 DIV k_exact").cast("long"),
+        )
+    )
