@@ -616,6 +616,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variant_event_props_rollup": relational.variant_event_props_rollup,  # Spark 4 VARIANT type: parse_json + typed variant_get over flat/nested/array/missing paths, prototype-verified DuckDB parity
         "bloom_fpr_curve": maintenance.bloom_fpr_curve,  # Bloom sizing sheet: k=1..4 filters built in ONE pass, exact fill + false-positive ppm per k
         "image_quadrant_dup_pairs": multimodal.image_quadrant_dup_pairs,  # tile-level partial-dup pairs: per-quadrant 56-bit gradient signatures, equi-join on (quadrant, sig), >=2 agreement
+        "copurchase_degree_assortativity": graph.copurchase_degree_assortativity,  # degree-mixing summary: symmetric-marginal Pearson as an exact integer ratio, sign-split ppm, no sqrt
+        "cross_source_dup_matrix": dedup.cross_source_dup_matrix,  # which sources copy from which: prefix-fingerprint dup pairs rolled up to normalized source-pair cells, df-capped
+        "group_by_all_revenue": extended.group_by_all_revenue,  # Spark 4 GROUP BY ALL / ORDER BY ALL dialect: the SAME SQL text runs on both engines
         "good_turing_vocab_report": text.good_turing_vocab_report,  # Good-Turing frequency-of-frequencies over trigrams: exact-ppm smoothed counts r* = (r+1)N_{r+1}/N_r
         "heaps_law_curve": text.heaps_law_curve,  # Heaps'-law vocabulary growth at power-of-2 doc-prefix checkpoints via first-occurrence attribution
         # --- ROUND-11 attestation front (all 13 green in
@@ -8774,6 +8777,77 @@ sigs AS (
 SELECT doc_id, da AS dhash_orig, db AS dhash_resized,
        CAST(bit_count(xor(da, db)) AS BIGINT) AS hamming
 FROM sigs
+"""
+
+    # degree assortativity: symmetric-marginal Pearson collapses the
+    # sqrt — pure integer ratio in sign-split ppm over the same edge CTE
+    d["copurchase_degree_assortativity"] = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+und AS (
+  SELECT a.l_suppkey AS src, b.l_suppkey AS dst
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 5
+),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM und GROUP BY src),
+scored AS (
+  SELECT du.deg AS deg_u, dv.deg AS deg_v
+  FROM und e JOIN deg du ON du.src = e.src JOIN deg dv ON dv.src = e.dst
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m_edges,
+         CAST(SUM(deg_u) AS BIGINT) AS sum_deg,
+         SUM(CAST(deg_u AS HUGEINT) * deg_u) AS sx2,
+         SUM(CAST(deg_u AS HUGEINT) * deg_v) AS sxy
+  FROM scored
+)
+SELECT m_edges, sum_deg,
+       CAST(sx2 AS BIGINT) AS sum_deg_sq,
+       CAST(sxy AS BIGINT) AS sum_deg_prod,
+       CAST(CASE
+         WHEN m_edges * sx2 - CAST(sum_deg AS HUGEINT) * sum_deg = 0 THEN 0
+         WHEN m_edges * sxy - CAST(sum_deg AS HUGEINT) * sum_deg >= 0 THEN
+           (m_edges * sxy - CAST(sum_deg AS HUGEINT) * sum_deg) * 1000000
+           // (m_edges * sx2 - CAST(sum_deg AS HUGEINT) * sum_deg)
+         ELSE -((CAST(sum_deg AS HUGEINT) * sum_deg - m_edges * sxy)
+           * 1000000
+           // (m_edges * sx2 - CAST(sum_deg AS HUGEINT) * sum_deg))
+       END AS BIGINT) AS assortativity_ppm
+FROM m
+"""
+
+    # cross-source dup matrix: prefix-fingerprint incidence, df cap,
+    # normalized source-pair rollup
+    d["cross_source_dup_matrix"] = """
+WITH inc AS (
+  SELECT md5(array_to_string(
+           list_slice(string_split(text, ' '), 1, 20), ' ')) AS fingerprint,
+         doc_id, source
+  FROM documents
+),
+ok AS (
+  SELECT fingerprint FROM inc GROUP BY fingerprint HAVING COUNT(*) <= 50
+),
+capped AS (SELECT i.* FROM inc i JOIN ok USING (fingerprint))
+SELECT LEAST(a.source, b.source) AS source_a,
+       GREATEST(a.source, b.source) AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT a.fingerprint) AS BIGINT) AS n_fingerprints
+FROM capped a JOIN capped b
+  ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+    # GROUP BY ALL / ORDER BY ALL: the SAME SQL text on both engines
+    d["group_by_all_revenue"] = """
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_price
+FROM lineitem
+GROUP BY ALL
+ORDER BY ALL
 """
 
     # Good-Turing frequency-of-frequencies over trigrams: exact-ppm

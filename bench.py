@@ -372,6 +372,9 @@ HEADLINE = [
     "image_quadrant_dup_pairs",
     "good_turing_vocab_report",
     "heaps_law_curve",
+    "copurchase_degree_assortativity",
+    "cross_source_dup_matrix",
+    "group_by_all_revenue",
 ]
 
 

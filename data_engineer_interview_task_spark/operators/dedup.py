@@ -1663,3 +1663,55 @@ def winnowing_dup_candidates(
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
     )
     return pairs.filter(F.col("n_shared") >= min_shared)
+
+
+def cross_source_dup_matrix(
+    spark: SparkSession, sf_dir: str, max_fp_df: int = 50
+) -> DataFrame:
+    """CROSS-SOURCE duplication flow matrix — which sources copy from
+    which: every pair of documents sharing the canonical 20-token PREFIX
+    fingerprint (the ``split_leakage_check`` family definition), rolled
+    up to normalized (source_a ≤ source_b) cells with pair and
+    fingerprint counts. The report a corpus-mixing review reads before
+    weighting sources: heavy off-diagonal mass means two feeds syndicate
+    the same content and their weights double-count it; diagonal mass is
+    within-source boilerplate.
+
+    Fingerprints with more than ``max_fp_df`` copies are dropped before
+    pairing (the ``max_band_df`` hot-key remedy, applied identically by
+    the oracle — a capped fingerprint can only HIDE pairs, never invent
+    one). Scale shape: one corpus scan to the 16-byte fingerprint
+    incidence, a bounded-fan-out self-join on fingerprint (≤ max_fp_df
+    per key), one |sources|²-cell aggregate out."""
+    docs = read_table(spark, sf_dir, "documents")
+    fp = F.md5(F.array_join(F.slice(F.split("text", " "), 1, 20), " "))
+    inc = docs.select(
+        fp.alias("fingerprint"), "doc_id", "source"
+    ).localCheckpoint()  # feeds the df cap AND both join sides
+    ok = (
+        inc.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_fp_df)
+        .select("fingerprint")
+    )
+    # no broadcast hint: the fingerprint frame scales with the corpus
+    capped = inc.join(ok, "fingerprint")
+    pairs = (
+        capped.alias("a")
+        .join(
+            capped.alias("b"),
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.least(F.col("a.source"), F.col("b.source")).alias("source_a"),
+            F.greatest(F.col("a.source"), F.col("b.source")).alias(
+                "source_b"
+            ),
+            F.col("a.fingerprint").alias("fingerprint"),
+        )
+    )
+    return pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.countDistinct("fingerprint").cast("long").alias("n_fingerprints"),
+    )

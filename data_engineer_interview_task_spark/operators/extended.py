@@ -1954,3 +1954,28 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
 GROUP BY l_returnflag
 """
     )
+
+
+def group_by_all_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 `GROUP BY ALL` / `ORDER BY ALL` SQL dialect surface — the
+    SAME SQL text runs on both engines (DuckDB originated the syntax;
+    Spark adopted it), so the hash compare pins the two engines'
+    interpretation of "all non-aggregate select items" and "all output
+    columns" against each other — the ``lateral_topk`` same-text
+    convention. The query itself is the pricing-summary shape with the
+    grouping keys inferred."""
+    read_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_gba_v"
+    )
+    return spark.sql(
+        """
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_price
+FROM lineitem_gba_v
+GROUP BY ALL
+ORDER BY ALL
+"""
+    )

@@ -386,3 +386,82 @@ def test_quadrant_pairs_contain_dhash_near_dups(spark, sf_dir):
     for pair in nd:
         assert pair in qp, f"near-dup {pair} missing from quadrant pairs"
         assert qp[pair] >= 2
+
+
+# --- batch-3 entries ---------------------------------------------------------
+
+
+def test_assortativity_matches_python_replay(spark, sf_dir):
+    from data_engineer_interview_task_spark.operators import graph
+
+    edges = [
+        (r.src, r.dst)
+        for r in graph.co_purchase_edges(spark, sf_dir, 5).collect()
+    ]
+    deg: dict = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    m = len(edges)
+    sx = sum(deg[s] for s, _ in edges)
+    sx2 = sum(deg[s] ** 2 for s, _ in edges)
+    sxy = sum(deg[s] * deg[d] for s, d in edges)
+    num = m * sxy - sx * sx
+    den = m * sx2 - sx * sx
+    want = (
+        0
+        if den == 0
+        else (num * 1_000_000 // den if num >= 0 else -((-num) * 1_000_000 // den))
+    )
+    row = graph.copurchase_degree_assortativity(spark, sf_dir).collect()[0]
+    assert row.m_edges == m
+    assert row.sum_deg == sx
+    assert row.sum_deg_sq == sx2
+    assert row.sum_deg_prod == sxy
+    assert row.assortativity_ppm == want
+
+
+def test_cross_source_matrix_conserves_pairs(spark, sf_dir):
+    from data_engineer_interview_task_spark.operators import dedup
+    from data_engineer_interview_task_spark.sources import read_table
+    import hashlib
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    ).collect()
+    fams: dict = {}
+    for r in docs:
+        fp = hashlib.md5(
+            " ".join(r.text.split(" ")[:20]).encode()
+        ).hexdigest()
+        fams.setdefault(fp, []).append(r)
+    want_pairs = sum(
+        len(v) * (len(v) - 1) // 2 for v in fams.values() if len(v) <= 50
+    )
+    rows = dedup.cross_source_dup_matrix(spark, sf_dir).collect()
+    assert sum(r.n_pairs for r in rows) == want_pairs
+    assert want_pairs > 0, "vacuous fixture — no prefix dup pairs"
+    for r in rows:
+        assert r.source_a <= r.source_b
+
+
+def test_group_by_all_equals_explicit(spark, sf_dir):
+    from data_engineer_interview_task_spark.operators import extended
+    from data_engineer_interview_task_spark.sources import read_table
+    from pyspark.sql import functions as F
+
+    got = {
+        (r.l_returnflag, r.l_linestatus): (r.n_items, r.sum_qty, r.sum_price)
+        for r in extended.group_by_all_revenue(spark, sf_dir).collect()
+    }
+    li = read_table(spark, sf_dir, "lineitem")
+    want = {
+        (r.l_returnflag, r.l_linestatus): (r.n, float(r.q), float(r.p))
+        for r in li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("p"),
+        )
+        .collect()
+    }
+    assert got == want
