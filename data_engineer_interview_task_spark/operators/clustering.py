@@ -128,9 +128,17 @@ def kcenter_diversity_sample(
     from ..functions.vector import dot_decimal_expr, sq_norm_decimal_expr
 
     emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    base = emb.withColumn(
+    # r12 opt: LAZY localCheckpoint — the argmax collect that follows
+    # materializes the frame in the SAME job (the seed row's first
+    # collect, then each round's farthest-point fetch), halving the
+    # per-round job count; lineage truncation and values are unchanged
+    # ...and the one-split embeddings scan is spread first so each
+    # round's 2000-row decimal-dot projection runs across the session's
+    # cores instead of on one task (round-robin repartition is safe:
+    # every downstream op is per-row + a total-tie-break global argmax)
+    base = emb.repartition(spark.sparkContext.defaultParallelism).withColumn(
         "nsq", sq_norm_decimal_expr(F.col("embedding")).cast("double")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
     first = base.orderBy(F.col("vec_id").asc()).limit(1).collect()[0]
     chosen = [(0, first.vec_id)]
@@ -146,7 +154,7 @@ def kcenter_diversity_sample(
         md = d_new if cur is None else F.least(F.col("md"), d_new)
         cur = src.select(
             "vec_id", "embedding", "nsq", md.alias("md")
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         far = (
             cur.orderBy(F.col("md").desc(), F.col("vec_id").asc())
             .limit(1)

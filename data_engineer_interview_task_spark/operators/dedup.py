@@ -615,7 +615,15 @@ def near_dup_clusters(
         )
 
     def _ckpt(df: DataFrame) -> DataFrame:
-        return df.checkpoint() if reliable_checkpoint else df.localCheckpoint()
+        # r12 opt: LAZY checkpoints — the convergence count that follows
+        # each iteration materializes the new label frame in the SAME
+        # job (halving the per-iteration job count); lineage truncation
+        # and values are unchanged
+        return (
+            df.checkpoint(eager=False)
+            if reliable_checkpoint
+            else df.localCheckpoint(eager=False)
+        )
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id")
     # undirected edge list (both directions) — checkpoint keeps the

@@ -61,7 +61,14 @@ def brute_force_topk(
         F.col("embedding").alias("q"),
         norm_of(F.col("embedding")).alias("qn"),
     )
-    cands = emb.select(
+    # spread the candidate side before the pair fan-out: the embeddings
+    # file is one split, and a broadcast cross-join over a one-split scan
+    # runs the whole interpreted-lambda pair projection on ONE task (the
+    # SCALE.md one-task trap — AQE cannot see output blow-up, and a
+    # keyed repartition without an explicit width gets coalesced back to
+    # one partition by AQE at this input size) (r12 opt, guide §2.5)
+    par = spark.sparkContext.defaultParallelism
+    cands = emb.repartition(par, "vec_id").select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c"),
         norm_of(F.col("embedding")).alias("cn"),
@@ -76,7 +83,16 @@ def brute_force_topk(
         dot = dot_decimal_expr(F.col("q"), F.col("c")).cast("double")
     else:
         dot = dot_expr(F.col("q"), F.col("c"))
-    scored = joined.withColumn("ord_key", dot * F.abs(dot) / (F.col("qn") * F.col("cn")))
+    # materialize the dot ONCE: Spark performs no common-subexpression
+    # elimination on interpreted lambda aggregates, so `dot * abs(dot)`
+    # inside one projection runs the whole 64-element fold twice
+    # (measured exactly 2x at sf0.1); the extra Project survives the
+    # optimizer because CollapseProject refuses to inline a non-cheap
+    # alias referenced more than once (r12 opt, guide §4)
+    scored = joined.withColumn("dot", dot).withColumn(
+        "ord_key",
+        F.col("dot") * F.abs(F.col("dot")) / (F.col("qn") * F.col("cn")),
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("ord_key").desc(), F.col("neighbor_id").asc()
     )
@@ -173,22 +189,47 @@ def srp_lsh_topk(
     """
     emb = read_table(spark, sf_dir, "embeddings")
     buckets = _srp_bucket_df(spark, emb, n_planes, n_tables, dim)
-    bucketed = emb.join(buckets, "vec_id").select("vec_id", "embedding", "t", "bucket")
+    # r12 opt: the L2 norm is folded once per VECTOR (before the x8
+    # table fan-out) and carried — `cosine_expr` inline would re-fold
+    # both norms per candidate pair (interpreted lambdas, no CSE); the
+    # rerank divides the identical doubles in the identical order
+    bucketed = (
+        emb.withColumn("nrm", norm_expr(F.col("embedding")))
+        .join(buckets, "vec_id")
+        .select("vec_id", "embedding", "nrm", "t", "bucket")
+    )
     queries = bucketed.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q"), "t", "bucket"
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q"),
+        F.col("nrm").alias("qnrm"),
+        "t",
+        "bucket",
     )
     cands = bucketed.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c"), "t", "bucket"
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c"),
+        F.col("nrm").alias("cnrm"),
+        "t",
+        "bucket",
     )
     pairs = (
         cands.join(F.broadcast(queries), ["t", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         # a pair can collide in several tables — dedupe before re-ranking
         .groupBy("query_id", "neighbor_id")
-        .agg(F.first("q").alias("q"), F.first("c").alias("c"))
+        .agg(
+            F.first("q").alias("q"),
+            F.first("c").alias("c"),
+            F.first("qnrm").alias("qnrm"),
+            F.first("cnrm").alias("cnrm"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
-        cosine_expr(F.col("q"), F.col("c")).desc(), F.col("neighbor_id").asc()
+        (
+            dot_expr(F.col("q"), F.col("c"))
+            / (F.col("qnrm") * F.col("cnrm"))
+        ).desc(),
+        F.col("neighbor_id").asc(),
     )
     return (
         pairs.withColumn("rank", F.row_number().over(w))
@@ -243,33 +284,50 @@ def ivf_topk(
     """
     emb = read_table(spark, sf_dir, "embeddings")
     cents = _ivf_centroids(emb)
-    # distance of each query to each cell centroid -> top n_probe cells
+    # distance of each query to each cell centroid -> top n_probe cells.
+    # r12 opt: the query norm is computed ONCE per query and carried —
+    # `cosine_expr` inline would re-fold norm(q) per candidate row in
+    # the rerank (interpreted lambdas, no CSE); dot/(qn*cn) multiplies
+    # and divides the identical doubles, so every value is bit-unchanged
     queries = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q"),
+        norm_expr(F.col("embedding")).alias("qnrm"),
     )
     qcells = queries.crossJoin(F.broadcast(cents)).select(
         "query_id",
         "q",
+        "qnrm",
         "cell",
-        cosine_expr(F.col("q"), F.col("centroid")).alias("cell_cos"),
+        (
+            dot_expr(F.col("q"), F.col("centroid"))
+            / (F.col("qnrm") * norm_expr(F.col("centroid")))
+        ).alias("cell_cos"),
     )
     w_cells = Window.partitionBy("query_id").orderBy(
         F.col("cell_cos").desc(), F.col("cell").asc()
     )
     probed = qcells.withColumn("cr", F.row_number().over(w_cells)).filter(
         F.col("cr") <= n_probe
-    ).select("query_id", "q", "cell")
-    # probe: candidates only from the chosen cells (equi-join on cell)
+    ).select("query_id", "q", "qnrm", "cell")
+    # probe: candidates only from the chosen cells (equi-join on cell);
+    # candidate norms are per-VECTOR folds (one per row of emb), not
+    # per-pair folds
     cands = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c"),
+        norm_expr(F.col("embedding")).alias("cnrm"),
         F.col("label").alias("cell"),
     )
     pairs = cands.join(F.broadcast(probed), "cell").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
     w = Window.partitionBy("query_id").orderBy(
-        cosine_expr(F.col("q"), F.col("c")).desc(), F.col("neighbor_id").asc()
+        (
+            dot_expr(F.col("q"), F.col("c"))
+            / (F.col("qnrm") * F.col("cnrm"))
+        ).desc(),
+        F.col("neighbor_id").asc(),
     )
     return (
         pairs.withColumn("rank", F.row_number().over(w))
@@ -448,14 +506,23 @@ def ivf_topk_prebuilt(
         index_dir = _cached_ivf_index(spark, sf_dir)
     cents = spark.read.parquet(f"{index_dir}/centroids")
     emb = read_table(spark, sf_dir, "embeddings")
+    # r12 opt: per-vector norms carried as columns instead of per-pair
+    # `cosine_expr` re-folds (interpreted lambdas, no CSE); identical
+    # doubles in the identical order, so every value is bit-unchanged
     queries = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q"),
+        norm_expr(F.col("embedding")).alias("qnrm"),
     )
     qcells = queries.crossJoin(F.broadcast(cents)).select(
         "query_id",
         "q",
+        "qnrm",
         "cell",
-        cosine_expr(F.col("q"), F.col("centroid")).alias("cell_cos"),
+        (
+            dot_expr(F.col("q"), F.col("centroid"))
+            / (F.col("qnrm") * norm_expr(F.col("centroid")))
+        ).alias("cell_cos"),
     )
     w_cells = Window.partitionBy("query_id").orderBy(
         F.col("cell_cos").desc(), F.col("cell").asc()
@@ -463,7 +530,7 @@ def ivf_topk_prebuilt(
     probed = (
         qcells.withColumn("cr", F.row_number().over(w_cells))
         .filter(F.col("cr") <= n_probe)
-        .select("query_id", "q", "cell")
+        .select("query_id", "q", "qnrm", "cell")
     )
     # index metadata, not data: the probed cell ids (<= n_queries*n_probe
     # values) come to the driver to become a partition-pruning predicate
@@ -474,6 +541,7 @@ def ivf_topk_prebuilt(
         .select(
             F.col("vec_id").alias("neighbor_id"),
             F.col("embedding").alias("c"),
+            norm_expr(F.col("embedding")).alias("cnrm"),
             "cell",
         )
     )
@@ -481,7 +549,11 @@ def ivf_topk_prebuilt(
         F.col("query_id") != F.col("neighbor_id")
     )
     w = Window.partitionBy("query_id").orderBy(
-        cosine_expr(F.col("q"), F.col("c")).desc(), F.col("neighbor_id").asc()
+        (
+            dot_expr(F.col("q"), F.col("c"))
+            / (F.col("qnrm") * F.col("cnrm"))
+        ).desc(),
+        F.col("neighbor_id").asc(),
     )
     return (
         pairs.withColumn("rank", F.row_number().over(w))
@@ -654,8 +726,12 @@ def knn_label_vote(
         # the broadcast cross-join multiplies each candidate row by
         # n_queries decimal-dot evaluations; a one-split embeddings file
         # would run ALL of them on one task (the SCALE.md one-task trap —
-        # AQE can't see output blow-up), so spread candidates first
-        .repartition("vec_id")
+        # AQE can't see output blow-up), so spread candidates first.
+        # The width is EXPLICIT: a bare repartition("vec_id") is an
+        # AQE-optimizable shuffle that gets coalesced back to one
+        # partition at this input size, re-serializing the lambda work
+        # (r12 opt, measured single-task stage in the before-plan)
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
         .select(
             F.col("vec_id").alias("neighbor_id"),
             F.col("label").alias("cand_label"),
@@ -665,8 +741,12 @@ def knn_label_vote(
     )
     joined = cands.crossJoin(F.broadcast(queries))
     dot = dot_decimal_expr(F.col("q"), F.col("c")).cast("double")
-    scored = joined.withColumn(
-        "ord_key", dot * F.abs(dot) / (F.col("qn") * F.col("cn"))
+    # dot materialized once — interpreted lambda aggregates are not
+    # subexpression-eliminated, so `dot * abs(dot)` in one projection
+    # would run the 64-element fold twice (r12 opt, guide §4)
+    scored = joined.withColumn("dot", dot).withColumn(
+        "ord_key",
+        F.col("dot") * F.abs(F.col("dot")) / (F.col("qn") * F.col("cn")),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("ord_key").desc(), F.col("neighbor_id").asc()
@@ -722,17 +802,26 @@ def knn_label_vote_ivf(
         index_dir = _cached_ivf_index(spark, sf_dir)
     cents = spark.read.parquet(f"{index_dir}/centroids")
     emb = read_table(spark, sf_dir, "embeddings")
+    # r12 opt: query/candidate norms are per-VECTOR folds carried as
+    # columns — `cosine_expr` inline re-folds both norms per PAIR row
+    # (interpreted lambdas, no CSE); dot/(qn*cn) over the identical
+    # doubles is bit-unchanged
     queries = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("true_label"),
         F.col("embedding").alias("q"),
+        norm_expr(F.col("embedding")).alias("qnrm"),
     )
     qcells = queries.crossJoin(F.broadcast(cents)).select(
         "query_id",
         "true_label",
         "q",
+        "qnrm",
         "cell",
-        cosine_expr(F.col("q"), F.col("centroid")).alias("cell_cos"),
+        (
+            dot_expr(F.col("q"), F.col("centroid"))
+            / (F.col("qnrm") * norm_expr(F.col("centroid")))
+        ).alias("cell_cos"),
     )
     w_cells = Window.partitionBy("query_id").orderBy(
         F.col("cell_cos").desc(), F.col("cell").asc()
@@ -740,7 +829,7 @@ def knn_label_vote_ivf(
     probed = (
         qcells.withColumn("cr", F.row_number().over(w_cells))
         .filter(F.col("cr") <= n_probe)
-        .select("query_id", "true_label", "q", "cell")
+        .select("query_id", "true_label", "q", "qnrm", "cell")
     )
     # index metadata, not data: probed cell ids (<= n_queries*n_probe
     # values) come to the driver to become a partition-pruning predicate
@@ -752,12 +841,17 @@ def knn_label_vote_ivf(
         .select(
             F.col("vec_id").alias("neighbor_id"),
             F.col("embedding").alias("c"),
+            norm_expr(F.col("embedding")).alias("cnrm"),
             "cell",
         )
     )
     pairs = vectors.join(F.broadcast(probed), "cell")
     w = Window.partitionBy("query_id").orderBy(
-        cosine_expr(F.col("q"), F.col("c")).desc(), F.col("neighbor_id").asc()
+        (
+            dot_expr(F.col("q"), F.col("c"))
+            / (F.col("qnrm") * F.col("cnrm"))
+        ).desc(),
+        F.col("neighbor_id").asc(),
     )
     top = pairs.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
@@ -804,10 +898,27 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice("embedding", 1 + 32 * half, 32).alias("embedding"),
         )
         cents = _ivf_centroids(sub)
-        scored = sub.crossJoin(F.broadcast(cents)).select(
-            "vec_id",
-            "cell",
-            cosine_expr(F.col("embedding"), F.col("centroid")).alias("cos"),
+        # r12 opt: vector norm folded once per vector and the centroid
+        # norm once per (tiny, broadcast) centroid row — `cosine_expr`
+        # inline would re-fold both per (vector, cell) row; the division
+        # runs over the identical doubles in the identical order
+        scored = (
+            sub.withColumn("vnrm", norm_expr(F.col("embedding")))
+            .crossJoin(
+                F.broadcast(
+                    cents.withColumn(
+                        "cnrm", norm_expr(F.col("centroid"))
+                    )
+                )
+            )
+            .select(
+                "vec_id",
+                "cell",
+                (
+                    dot_expr(F.col("embedding"), F.col("centroid"))
+                    / (F.col("vnrm") * F.col("cnrm"))
+                ).alias("cos"),
+            )
         )
         w = Window.partitionBy("vec_id").orderBy(
             F.col("cos").desc(), F.col("cell").asc()
@@ -1220,11 +1331,6 @@ def matryoshka_rank_agreement(
     anywhere; the corpus is scanned, never sorted whole (plan-tested:
     zero Window operators, TakeOrderedAndProject present)."""
     emb = read_table(spark, sf_dir, "embeddings")
-    key_of = lambda q, c, qn, cn: (  # noqa: E731
-        dot_decimal_expr(q, c).cast("double")
-        * F.abs(dot_decimal_expr(q, c).cast("double"))
-        / (qn * cn)
-    )
     h = lambda col: F.slice(col, 1, 32)  # noqa: E731 — first-half view
     queries = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
@@ -1234,7 +1340,11 @@ def matryoshka_rank_agreement(
         .cast("double")
         .alias("qn32"),
     )
-    cands = emb.filter(F.col("vec_id") >= n_queries).select(
+    # spread the one-split candidate scan before the pair fan-out (the
+    # SCALE.md one-task trap, explicit width — r12 opt)
+    cands = emb.filter(F.col("vec_id") >= n_queries).repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    ).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c"),
         sq_norm_decimal_expr(F.col("embedding")).cast("double").alias("cn"),
@@ -1242,15 +1352,42 @@ def matryoshka_rank_agreement(
         .cast("double")
         .alias("cn32"),
     )
-    joined = cands.crossJoin(F.broadcast(queries)).select(
-        "query_id",
-        "neighbor_id",
-        key_of(F.col("q"), F.col("c"), F.col("qn"), F.col("cn")).alias(
-            "k64"
-        ),
-        key_of(
-            h(F.col("q")), h(F.col("c")), F.col("qn32"), F.col("cn32")
-        ).alias("k32"),
+    # r12 opt: (a) each decimal dot is materialized ONCE per pair —
+    # interpreted lambda aggregates are not subexpression-eliminated,
+    # so the old `key_of` (dot * abs(dot) inline) folded each pair's
+    # arrays FOUR times; (b) the scored frame is localCheckpoint'd: it
+    # feeds five consumers (n_queries TakeOrdered tops + the rank
+    # aggregate), each of which would otherwise re-execute the whole
+    # cross-join + dot projection (no exchange underneath to reuse).
+    # Identical values — the same deterministic FP expressions computed
+    # once and reused (guide §4, §5 localCheckpoint-to-truncate).
+    d64 = dot_decimal_expr(F.col("q"), F.col("c")).cast("double")
+    d32 = dot_decimal_expr(h(F.col("q")), h(F.col("c"))).cast("double")
+    joined = (
+        cands.crossJoin(F.broadcast(queries))
+        .select(
+            "query_id",
+            "neighbor_id",
+            d64.alias("d64"),
+            d32.alias("d32"),
+            "qn",
+            "cn",
+            "qn32",
+            "cn32",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                F.col("d64") * F.abs(F.col("d64"))
+                / (F.col("qn") * F.col("cn"))
+            ).alias("k64"),
+            (
+                F.col("d32") * F.abs(F.col("d32"))
+                / (F.col("qn32") * F.col("cn32"))
+            ).alias("k32"),
+        )
+        .localCheckpoint()
     )
     tops = None
     for qid in range(n_queries):
@@ -1494,7 +1631,21 @@ def ivfpq_recall_frontier(
     (pinned by test: the candidate sets are nested, the hit counts are
     free to dip).
 
-    Scale shape: each arm is the attested partition-pruned IVF-PQ plan
+    Scale shape (r12 opt — the three arms SHARE one pass): probe
+    ranking runs once at ``max(probes)`` and each candidate carries its
+    cell's probe rank ``cr``; a candidate belongs to every arm
+    ``p >= cr`` (probe sets are nested by construction — the same
+    nesting the shape test pins), so one partition-pruned scan of the
+    codes artifact + ONE broadcast ADC-table build scores every arm,
+    and the per-arm rerank window is a single
+    ``row_number over (n_probe, query)`` pass. The pre-r12 form
+    composed :func:`ivfpq_search` once per probe value: three probe
+    rankings, three driver collects, three codes scans and three ADC
+    table builds for byte-identical intermediate results (measured
+    ~8.1s → see OPTIMIZATION_r12.md). Per-arm output is unchanged:
+    candidates with ``cr <= p`` ranked by the identical
+    (score DESC, vec_id ASC) order is exactly what each
+    ``ivfpq_search(p)`` computed.
     (probe cells → PartitionFilters on the codes artifact — query-time
     I/O is n_probe directories of 8-byte codes); the exact arm is one
     broadcast-queries scan of the embedding table; the fusion joins are
@@ -1506,14 +1657,16 @@ def ivfpq_recall_frontier(
     universe cutoff, the rerank window, top-k and the probe set (the
     same convention as the other parameterized-entry oracles in this
     repo). Non-default calls run fine but are covered by tests only."""
-    from functools import reduce
-
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q"),
     )
-    cands = emb.filter(F.col("vec_id") >= n_queries).select(
+    # spread the one-split candidate scan before the pair fan-out (the
+    # SCALE.md one-task trap, explicit width — r12 opt)
+    cands = emb.filter(F.col("vec_id") >= n_queries).repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    ).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c"),
     )
@@ -1533,15 +1686,75 @@ def ivfpq_recall_frontier(
     ek = exact.groupBy("query_id").agg(
         F.count(F.lit(1)).cast("long").alias("k_exact")
     )
-    arms = [
-        ivfpq_search(spark, sf_dir, n_queries, rerank_k, p).select(
-            F.lit(p).cast("long").alias("n_probe"),
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
+    # ---- shared IVF-PQ pass over all probe arms (see docstring) ----
+    p_max = max(int(p) for p in probes)
+    index_dir = _cached_ivf_index(spark, sf_dir)
+    cents = spark.read.parquet(f"{index_dir}/centroids")
+    aq = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q"),
+        norm_expr(F.col("embedding")).alias("qnrm"),
+    )
+    qcells = aq.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "cell",
+        (
+            dot_expr(F.col("q"), F.col("centroid"))
+            / (F.col("qnrm") * norm_expr(F.col("centroid")))
+        ).alias("cell_cos"),
+    )
+    w_cells = Window.partitionBy("query_id").orderBy(
+        F.col("cell_cos").desc(), F.col("cell").asc()
+    )
+    probed = (
+        qcells.withColumn("cr", F.row_number().over(w_cells))
+        .filter(F.col("cr") <= p_max)
+        .select(
+            "query_id", F.col("cell").cast("long").alias("cell"), "cr"
         )
-        for p in probes
-    ]
-    ann = reduce(lambda a, b: a.unionByName(b), arms)
+    )
+    cells = sorted({r.cell for r in probed.select("cell").distinct().collect()})
+    candidates = (
+        pq_codes_artifact(spark, sf_dir)
+        .filter(F.col("cell").isin(cells))
+        .filter(F.col("vec_id") >= n_queries)
+        .join(F.broadcast(probed), "cell")
+        .select("query_id", "vec_id", "code_a", "code_b", "cr")
+    )
+    dtabs = _adc_distance_tables(emb, n_queries)
+    adc = (
+        candidates.join(
+            F.broadcast(dtabs[0]),
+            (F.col("code_a") == F.col("cell_ip_a"))
+            & (candidates["query_id"] == dtabs[0]["query_id"]),
+        )
+        .join(
+            F.broadcast(dtabs[1]),
+            (F.col("code_b") == F.col("cell_ip_b"))
+            & (dtabs[0]["query_id"] == dtabs[1]["query_id"]),
+        )
+        .select(
+            dtabs[0]["query_id"].alias("query_id"),
+            "vec_id",
+            "cr",
+            (F.col("ip_a") + F.col("ip_b")).alias("score"),
+        )
+    )
+    # a candidate whose best probed cell has rank cr belongs to every
+    # arm p >= cr — the nested-candidate-set theorem the shape test pins
+    arms_arr = F.array(*[F.lit(int(p)).cast("long") for p in probes])
+    armed = adc.withColumn(
+        "n_probe",
+        F.explode(F.filter(arms_arr, lambda p: p >= F.col("cr"))),
+    )
+    w_arm = Window.partitionBy("n_probe", "query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    ann = (
+        armed.withColumn("rank", F.row_number().over(w_arm))
+        .filter(F.col("rank") <= rerank_k)
+        .select("n_probe", "query_id", F.col("vec_id").alias("neighbor_id"))
+    )
     hits = (
         exact.join(ann, ["query_id", "neighbor_id"])
         .groupBy("n_probe", "query_id")

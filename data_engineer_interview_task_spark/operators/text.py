@@ -1126,9 +1126,13 @@ def _bpe_loop(words: DataFrame, n_merges: int):
     """The shared BPE training loop: returns (final vocab frame with
     (word, s, freq) where ``s`` is the wrapped-symbol string after all
     merges, merge list [(step, l, r, cnt)])."""
+    # r12 opt: LAZY localCheckpoint — the next round's argmax collect
+    # materializes the round's vocab in the SAME job, halving the
+    # per-round job count of the training loop (lineage truncation is
+    # identical; values are unchanged)
     cur = words.select(
         "word", F.regexp_replace("word", "(.)", "/$1/").alias("s"), "freq"
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     out: list[tuple[int, str, str, int]] = []
     for step in range(1, n_merges + 1):
         pairs = (
@@ -1167,7 +1171,7 @@ def _bpe_loop(words: DataFrame, n_merges: int):
                 F.col("s"), F.lit(f"/{l}//{r}/"), F.lit(f"/{l}{r}/")
             ).alias("s"),
             "freq",
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     return cur, out
 
 
@@ -1413,7 +1417,7 @@ def bpe_train_merges_bytelevel(
         "word",
         F.regexp_replace(F.hex(F.col("word")), "(..)", "/$1/").alias("s"),
         "freq",
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     out: list[tuple[int, int, str, str, int]] = []
     for rnd in range(1, n_rounds + 1):
         pairs = (
@@ -1449,7 +1453,9 @@ def bpe_train_merges_bytelevel(
             s_expr = F.replace(
                 s_expr, F.lit(f"/{l}//{r}/"), F.lit(f"/{l}{r}/")
             )
-        cur = cur.select("word", s_expr.alias("s"), "freq").localCheckpoint()
+        # r12 opt: lazy — materialized by the next round's top-4096
+        # collect in the same job (see _bpe_loop)
+        cur = cur.select("word", s_expr.alias("s"), "freq").localCheckpoint(eager=False)
     return spark.createDataFrame(
         out, "round long, rk long, left string, right string, pair_count long"
     )

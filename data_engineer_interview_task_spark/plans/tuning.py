@@ -53,14 +53,31 @@ _SESSION_CONFS: dict[str, str] = {
 }
 
 
+#: r12 opt: sessions already prepped — each conf.set is a py4j
+#: round-trip and prep_session runs on EVERY read_table call (2-5x per
+#: query); applying the identical dozen values repeatedly is pure
+#: driver overhead. Weak so a stopped session's entry is collected.
+_PREPPED: "weakref.WeakSet[SparkSession]" = None  # type: ignore[assignment]
+
+
 def prep_session(spark: SparkSession) -> SparkSession:
-    """Apply deterministic/tuning confs to an externally-provided session."""
+    """Apply deterministic/tuning confs to an externally-provided session
+    (idempotent; applied once per session per process — the values are
+    constants, so re-application could only ever write the same bytes)."""
+    global _PREPPED
+    if _PREPPED is None:
+        import weakref
+
+        _PREPPED = weakref.WeakSet()
+    if spark in _PREPPED:
+        return spark
     for k, v in _SESSION_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             # Non-runtime conf on this build: keep going, defaults are sane.
             pass
+    _PREPPED.add(spark)
     return spark
 
 

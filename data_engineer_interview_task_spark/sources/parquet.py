@@ -9,10 +9,25 @@ lazy DataFrames so Catalyst can push filters/projections into the scan
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans import prep_session
+
+#: r12 opt: per-session memo of the LAZY table plan. ``spark.read
+#: .parquet`` re-lists the path and re-reads the footer schema on every
+#: call, and the ntz-normalization probe (``df.dtypes``) re-runs
+#: analysis — pure plan-construction overhead paid 2-5x per query, ~50ms
+#: per read at sf0.1 (measured). The memo holds an UNEXECUTED DataFrame
+#: (no rows, no results — Catalyst plans are immutable), keyed weakly by
+#: session so a stopped session's entries are collected. The testdata
+#: contract is an immutable directory per sf_dir, so a cached plan can
+#: never go stale within a process.
+_PLAN_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
 
 #: Every driver-provided table (TESTDATA.md / FIXTURES.md §2).
 TABLES: tuple[str, ...] = (
@@ -46,12 +61,17 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     see ONE timestamp type regardless of writer vintage.
     """
     prep_session(spark)
+    per_session = _PLAN_CACHE.setdefault(spark, {})
+    cached = per_session.get((sf_dir, name))
+    if cached is not None:
+        return cached
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     for col, dtype in df.dtypes:
         if dtype == "timestamp_ntz":
             df = df.withColumn(col, F.col(col).cast("timestamp"))
+    per_session[(sf_dir, name)] = df
     return df
 
 
