@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..plans import prep_session
 from .weekly import EVENTS_SCHEMA
-from .util import drain_memory_sink
+from .util import STATE_PARTITIONS, drain_memory_sink
 
 
 def first_events_stream(
@@ -166,14 +166,23 @@ def run_dedup_then_rollup_once(
     src = f"{work_dir}/events_src"
     read_table(spark, sf_dir, "events").write.mode("overwrite").parquet(src)
     sink = f"mem_ddrl_{uuid.uuid4().hex[:8]}"
-    q = (
-        dedup_then_rollup_stream(spark, src)
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .option("checkpointLocation", f"{work_dir}/ckpt_{sink}")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # r12 opt: state-store partition conf window (shared
+    # util.STATE_PARTITIONS; measured A/B in OPTIMIZATION_r12.md) —
+    # opens AFTER the last read_table, checkpoint created inside it
+    conf_key = "spark.sql.shuffle.partitions"
+    prior = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, STATE_PARTITIONS)
+    try:
+        q = (
+            dedup_then_rollup_stream(spark, src)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", f"{work_dir}/ckpt_{sink}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(conf_key, prior)
     return drain_memory_sink(spark, sink)

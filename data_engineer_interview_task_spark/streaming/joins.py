@@ -13,7 +13,12 @@ from pyspark.sql import functions as F
 
 from ..plans import prep_session
 from .weekly import EVENTS_SCHEMA
-from .util import bump_new_files_mtime, drain_memory_sink, snapshot_parquet_files
+from .util import (
+    STATE_PARTITIONS,
+    bump_new_files_mtime,
+    drain_memory_sink,
+    snapshot_parquet_files,
+)
 
 
 def click_purchase_stream_join(
@@ -149,11 +154,13 @@ def click_purchase_left_join(
 #: pays each instance's snapshot/commit regardless of row count — at the
 #: session's 32 shuffle partitions that is 128 commits per batch, ~3.5s
 #: of fixed cost (measured at sf0.1: batches with FOUR input rows cost
-#: the same as the 200k-row bulk batch). 8 partitions keep 100k-row
-#: batches trivially in memory while quartering the fixed cost; a real
+#: the same as the 200k-row bulk batch). The shared util.STATE_PARTITIONS
+#: (default 2, env-overridable) keeps 100k-row batches trivially in
+#: memory while cutting the fixed cost 16x vs the session's 32; a real
 #: deployment sizes this to state volume, not to the batch side's CPU
-#: (VERDICT r5 item 6 profile — see SCALE.md streaming block).
-_OUTER_JOIN_STATE_PARTITIONS = "8"
+#: (VERDICT r5 item 6 profile — see SCALE.md streaming block; r12 opt
+#: A/B in util.py).
+_OUTER_JOIN_STATE_PARTITIONS = STATE_PARTITIONS
 
 
 def _run_outer_join_once(spark, sf_dir, work_dir, builder, prefix) -> DataFrame:

@@ -18,6 +18,19 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+#: State-store partition count for the availableNow harnesses (r12 opt,
+#: guide §2 scale-adaptive partitioning). Every micro-batch pays a
+#: snapshot/commit per state-store INSTANCE regardless of row count (a
+#: stream-stream join keeps four instances per partition), so the right
+#: count follows state VOLUME, not core count. Measured at sf0.1 on the
+#: chained join→rollup harness (same-session A/B, 3 batches): 8
+#: partitions → addBatch [1342, 1117, 964] ms; 2 partitions →
+#: [825, 747, 622] ms — ~1.5-2s saved per invocation, identical rows.
+#: The env override is the production dial: a deployment holding GBs of
+#: state raises it to spread store size, exactly as the old in-line "8"
+#: documented; the bench contract (master/core count) is untouched.
+STATE_PARTITIONS = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "2")
+
 
 def snapshot_parquet_files(src: str) -> set[str]:
     """Names of the parquet part files currently in ``src`` — take before

@@ -23,7 +23,7 @@ from pyspark.sql.types import (
 )
 
 from ..plans import prep_session
-from .util import drain_memory_sink
+from .util import STATE_PARTITIONS, drain_memory_sink
 
 #: events schema with ts already as a proper timestamp (the ns->micros
 #: conversion happens on the batch prep path; streaming reads the converted
@@ -118,16 +118,25 @@ def run_sliding_rollup_once(
     src = f"{work_dir}/events_src"
     read_table(spark, sf_dir, "events").write.mode("overwrite").parquet(src)
     sink = f"mem_sliding_{uuid.uuid4().hex[:8]}"
-    q = (
-        sliding_rollup_stream(spark, src)
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .option("checkpointLocation", f"{work_dir}/ckpt_{sink}")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # r12 opt: state-store partition conf window (shared
+    # util.STATE_PARTITIONS; measured A/B in OPTIMIZATION_r12.md) —
+    # opens AFTER the last read_table, checkpoint created inside it
+    conf_key = "spark.sql.shuffle.partitions"
+    prior = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, STATE_PARTITIONS)
+    try:
+        q = (
+            sliding_rollup_stream(spark, src)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", f"{work_dir}/ckpt_{sink}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(conf_key, prior)
     return drain_memory_sink(spark, sink)
 
 
@@ -145,16 +154,25 @@ def run_weekly_rollup_once(
     src = f"{work_dir}/events_src"
     read_table(spark, sf_dir, "events").write.mode("overwrite").parquet(src)
     sink = f"mem_weekly_{uuid.uuid4().hex[:8]}"
-    q = (
-        weekly_rollup_stream(spark, src)
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .option("checkpointLocation", f"{work_dir}/ckpt_{sink}")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # r12 opt: state-store partition conf window (shared
+    # util.STATE_PARTITIONS; measured A/B in OPTIMIZATION_r12.md) —
+    # opens AFTER the last read_table, checkpoint created inside it
+    conf_key = "spark.sql.shuffle.partitions"
+    prior = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, STATE_PARTITIONS)
+    try:
+        q = (
+            weekly_rollup_stream(spark, src)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", f"{work_dir}/ckpt_{sink}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(conf_key, prior)
     return drain_memory_sink(spark, sink)
 
 
@@ -203,16 +221,25 @@ def run_bitmap_distinct_once(
     src = f"{work_dir}/events_src"
     read_table(spark, sf_dir, "events").write.mode("overwrite").parquet(src)
     sink = f"mem_bitmap_{uuid.uuid4().hex[:8]}"
-    q = (
-        bitmap_distinct_stream(spark, src)
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .option("checkpointLocation", f"{work_dir}/ckpt_{sink}")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # r12 opt: state-store partition conf window (shared
+    # util.STATE_PARTITIONS; measured A/B in OPTIMIZATION_r12.md) —
+    # opens AFTER the last read_table, checkpoint created inside it
+    conf_key = "spark.sql.shuffle.partitions"
+    prior = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, STATE_PARTITIONS)
+    try:
+        q = (
+            bitmap_distinct_stream(spark, src)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", f"{work_dir}/ckpt_{sink}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(conf_key, prior)
     sketch = drain_memory_sink(spark, sink)
     return (
         sketch.groupBy("week_start")
