@@ -1256,7 +1256,12 @@ def two_phase_cumsum(
     consumes only probe rows, whose tie groups are all-probe and
     contribute zero.
 
-    The ``_pid`` frame is MATERIALIZED (localCheckpoint):
+    The ``_pid`` frame is pinned to ONE RDD (localCheckpoint; LAZY since
+    r12 — the checkpoint RDD is created here exactly once, so the sampled
+    range boundaries are fixed for every consumer, and the first consumer
+    action materializes it in the same job instead of paying a separate
+    build-time pass; values and the boundary-pinning guarantee are
+    unchanged):
     ``repartitionByRange`` SAMPLES its boundaries, and two evaluations
     over a multi-file input can draw different boundaries, silently
     misaligning offsets against local running sums (the documented
@@ -1276,7 +1281,7 @@ def two_phase_cumsum(
     parts = (
         df.repartitionByRange(n_parts, *(part_cols + order_cols))
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     w_in = (
         Window.partitionBy("_pid", *part_cols)
@@ -1344,7 +1349,7 @@ def _two_phase_ntile(
     + 1`` after (bit-identical to both engines' NTILE; pinned by a
     property test against ``F.ntile`` over constructed frames).
 
-    The pid frame is MATERIALIZED (localCheckpoint) because
+    The pid frame is pinned to one RDD (lazy localCheckpoint, r12) because
     repartitionByRange samples its boundaries — two evaluations can
     split differently and misalign offsets against local ranks (the
     documented ``global_row_numbers`` lesson, caught at sf1).
@@ -1356,7 +1361,7 @@ def _two_phase_ntile(
     parts = (
         df.repartitionByRange(n_parts, *order_cols)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     in_part = Window.partitionBy("_pid").orderBy(*order_cols)
     numbered = parts.withColumn("_rn", F.row_number().over(in_part))
