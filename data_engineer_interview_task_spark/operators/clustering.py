@@ -57,7 +57,13 @@ def _assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     """Nearest-centroid assignment: broadcast the k centroids, one
     squared-distance fold per (vector, centroid), argmin per vector with a
     total tie-break. Map-side except the k-way row_number window."""
-    paired = emb.crossJoin(F.broadcast(centroids))
+    # r12 opt: spread the one-split embeddings scan before the k-way
+    # fan-out — the per-(vector, centroid) distance fold is an
+    # interpreted lambda, and a broadcast cross-join over a one-split
+    # scan runs every fold on ONE task (SCALE.md one-task trap)
+    paired = emb.repartition(
+        emb.sparkSession.sparkContext.defaultParallelism, "vec_id"
+    ).crossJoin(F.broadcast(centroids))
     diff_sq = F.zip_with(
         "embedding",
         "cent",
