@@ -1586,6 +1586,34 @@ def _winnow_selected(
     )
 
 
+def _winnow_fingerprints(
+    spark: SparkSession, sf_dir: str, k: int, w: int
+) -> DataFrame:
+    """DISTINCT selected winnowing fingerprints per document —
+    ``(doc_id, n_grams, wmin)`` — MATERIALIZED to parquet at most once
+    per (sf_dir, k, w) per process (VERDICT r12 next-round item 2: the
+    profile and the candidate-pair query each re-ran the full
+    md5 + window-min selection, ~5M gram hashes per call). The distinct
+    VALUE grain is the one both consumers aggregate from: the profile's
+    ``countDistinct(wmin)`` per doc equals ``count(*)`` here, and the
+    pair stage's first step was exactly this distinct. ``n_grams`` is
+    functionally dependent on ``doc_id``, so carrying it adds no rows.
+    A fingerprint INDEX is precisely what a MOSS deployment persists;
+    the artifact is keyed on the documents input fingerprint, so a
+    mutated corpus rebuilds instead of serving stale selections."""
+    from ..plans.artifacts import materialized
+
+    return materialized(
+        spark,
+        ("winnow_fingerprints", sf_dir, k, w),
+        "winnow_fp_",
+        lambda: _winnow_selected(spark, sf_dir, k, w)
+        .select("doc_id", "n_grams", "wmin")
+        .distinct(),
+        inputs=(f"{sf_dir}/documents.parquet",),
+    )
+
+
 def winnowing_fingerprint_profile(
     spark: SparkSession, sf_dir: str, k: int = 3, w: int = 4
 ) -> DataFrame:
@@ -1595,13 +1623,14 @@ def winnowing_fingerprint_profile(
     in ppm of the window count (theory: distinct window mins ≈ 2/(w+1)
     of positions; value-distinct collapses repeated grams further), and
     the min/max selected values as an end-to-end spot check of the hash
-    fold. Scale shape: one corpus scan, a doc-partitioned running-min
-    window, one map-side-combined groupBy to doc grain."""
-    sel = _winnow_selected(spark, sf_dir, k, w)
+    fold. Scale shape: one scan of the shared fingerprint artifact
+    (``_winnow_fingerprints`` — already value-distinct per doc, so the
+    count is plain), one map-side-combined groupBy to doc grain."""
+    sel = _winnow_fingerprints(spark, sf_dir, k, w)
     return (
         sel.groupBy("doc_id", "n_grams")
         .agg(
-            F.countDistinct("wmin").cast("long").alias("n_fingerprints"),
+            F.count(F.lit(1)).cast("long").alias("n_fingerprints"),
             F.min("wmin").cast("long").alias("fp_min"),
             F.max("wmin").cast("long").alias("fp_max"),
         )
@@ -1639,15 +1668,13 @@ def winnowing_dup_candidates(
     part of the cross-engine contract — the oracle applies the same
     cap). Output (doc_a, doc_b, n_shared).
 
-    Scale shape: distinct (fingerprint, doc) incidence → df-cap
-    semi-filter → equi-join on fingerprint (bounded fan-out ≤ max_fp_df
-    per key) → pair aggregate. Never all-pairs."""
-    sel = (
-        _winnow_selected(spark, sf_dir, k, w)
-        .select("doc_id", "wmin")
-        .distinct()
-        .localCheckpoint()  # feeds df-cap AND both join sides
-    )
+    Scale shape: distinct (fingerprint, doc) incidence (the shared
+    ``_winnow_fingerprints`` artifact — scanned for the df cap and both
+    join sides; a parquet scan replaces the old localCheckpoint, giving
+    column pruning per consumer) → df-cap semi-filter → equi-join on
+    fingerprint (bounded fan-out ≤ max_fp_df per key) → pair aggregate.
+    Never all-pairs."""
+    sel = _winnow_fingerprints(spark, sf_dir, k, w).select("doc_id", "wmin")
     ok = (
         sel.groupBy("wmin")
         .agg(F.count(F.lit(1)).alias("df"))

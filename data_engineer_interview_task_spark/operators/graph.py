@@ -541,10 +541,24 @@ def copurchase_edges_capped(
     co-occurrence builds the classic skew bomb at 100 TB (one
     1M-item order would otherwise emit 10¹² pairs).
 
-    Same narrow basket-explode shape as the exact build; the slice
-    happens at basket grain BEFORE any fan-out, so the cap also bounds
-    the explode output per row. Emits the capped edge list with its
-    per-pair shared-order support."""
+    Since r13 this scans the capped-edge ARTIFACT (the exact-build
+    ``_cached_edges`` pattern, VERDICT r12 next-round item 1): the
+    build runs at most once per (sf_dir, cap) per process through
+    ``plans/artifacts.py::materialized`` and every consumer — this
+    registered query plus the k-truss peel's four support rounds —
+    scans the persisted table. Output is row-identical to the direct
+    build (a deterministic function of the data)."""
+    return _cached_edges_capped(spark, sf_dir, cap)
+
+
+def _build_edges_capped(
+    spark: SparkSession, sf_dir: str, cap: int = 4
+) -> DataFrame:
+    """The direct capped-edge build (see :func:`copurchase_edges_capped`
+    for semantics). Same narrow basket-explode shape as the exact build;
+    the slice happens at basket grain BEFORE any fan-out, so the cap also
+    bounds the explode output per row. Emits the capped edge list with
+    its per-pair shared-order support."""
     baskets = (
         read_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_suppkey")
@@ -562,6 +576,30 @@ def copurchase_edges_capped(
     )
     return pairs.groupBy("src", "dst").agg(
         F.count(F.lit(1)).cast("long").alias("support")
+    )
+
+
+def _cached_edges_capped(
+    spark: SparkSession, sf_dir: str, cap: int = 4
+) -> DataFrame:
+    """The capped co-purchase edge list, MATERIALIZED to parquet at most
+    once per (sf_dir, cap) per process (the ``_cached_edges`` store,
+    extended to the capped build — VERDICT r12 next-round item 1: the
+    k-truss profile was the most expensive non-structural query left,
+    and its four support rounds plus the registered capped-edge query
+    each re-ran the lineitem basket build). A production deployment
+    persists the capped graph as a warehouse table exactly like the
+    exact graph; the artifact is keyed on the lineitem input
+    fingerprint, so a mutated corpus rebuilds instead of serving stale
+    edges."""
+    from ..plans.artifacts import materialized
+
+    return materialized(
+        spark,
+        ("copurchase_edges_capped", sf_dir, cap),
+        "copurchase_edges_capped_",
+        lambda: _build_edges_capped(spark, sf_dir, cap),
+        inputs=(f"{sf_dir}/lineitem.parquet",),
     )
 
 
