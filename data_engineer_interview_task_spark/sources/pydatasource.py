@@ -153,13 +153,13 @@ def run_tick_stream_rollup_once(spark: SparkSession, work_dir: str):
 
     from pyspark.sql import functions as F
 
-    from ..streaming.util import STATE_PARTITIONS, drain_memory_sink
+    from ..streaming.util import drain_memory_sink, state_partitions
 
     register_tick_stream_source(spark)
     sink = f"mem_ticks_{uuid.uuid4().hex[:8]}"
     conf_key = "spark.sql.shuffle.partitions"
     prior = spark.conf.get(conf_key)
-    spark.conf.set(conf_key, STATE_PARTITIONS)
+    spark.conf.set(conf_key, state_partitions(spark))
     try:
         stream = spark.readStream.format("tick_stream").load()
         agg = stream.groupBy("page").agg(
@@ -200,14 +200,14 @@ def run_tick_stream_restart_once(spark: SparkSession, work_dir: str):
     hash-mismatches, not just row-counts."""
     from pyspark.sql import functions as F
 
-    from ..streaming.util import STATE_PARTITIONS
+    from ..streaming.util import state_partitions
 
     register_tick_stream_source(spark)
     out = f"{work_dir}/out"
     ckpt = f"{work_dir}/ckpt"
     conf_key = "spark.sql.shuffle.partitions"
     prior = spark.conf.get(conf_key)
-    spark.conf.set(conf_key, STATE_PARTITIONS)
+    spark.conf.set(conf_key, state_partitions(spark))
     try:
         for pages in (3, 6):
             q = (

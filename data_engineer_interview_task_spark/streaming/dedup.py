@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..plans import prep_session
 from .weekly import EVENTS_SCHEMA
-from .util import STATE_PARTITIONS, drain_memory_sink
+from .util import drain_memory_sink, staged_events, state_partitions
 
 
 def first_events_stream(
@@ -44,22 +44,27 @@ def run_first_events_once(
     """availableNow harness: stream the events table through the dedup and
     return the emitted keys as a batch DataFrame (same pattern as
     ``run_weekly_rollup_once``)."""
-    from ..sources import read_table
-
     prep_session(spark)
-    src = f"{work_dir}/events_src"
-    read_table(spark, sf_dir, "events").write.mode("overwrite").parquet(src)
+    src = staged_events(spark, sf_dir, "plain")
     sink = f"mem_firstev_{uuid.uuid4().hex[:8]}"
-    q = (
-        first_events_stream(spark, src)
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .option("checkpointLocation", f"{work_dir}/ckpt_{sink}")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # r13: volume-derived state-store partition window (A/B at sf0.1:
+    # 1.9s at the session's 32 partitions -> 0.8s, identical rows)
+    conf_key = "spark.sql.shuffle.partitions"
+    prior = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, state_partitions(spark, src))
+    try:
+        q = (
+            first_events_stream(spark, src)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", f"{work_dir}/ckpt_{sink}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(conf_key, prior)
     return drain_memory_sink(spark, sink)
 
 
@@ -94,22 +99,27 @@ def run_first_events_bounded_once(
 ) -> DataFrame:
     """availableNow harness for the bounded-state dedup (same pattern as
     ``run_first_events_once``)."""
-    from ..sources import read_table
-
     prep_session(spark)
-    src = f"{work_dir}/events_src"
-    read_table(spark, sf_dir, "events").write.mode("overwrite").parquet(src)
+    src = staged_events(spark, sf_dir, "plain")
     sink = f"mem_firstev_wm_{uuid.uuid4().hex[:8]}"
-    q = (
-        first_events_stream_bounded(spark, src, watermark)
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .option("checkpointLocation", f"{work_dir}/ckpt_{sink}")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # r13: volume-derived state-store partition window (the
+    # run_first_events_once A/B applies — same single-store shape)
+    conf_key = "spark.sql.shuffle.partitions"
+    prior = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, state_partitions(spark, src))
+    try:
+        q = (
+            first_events_stream_bounded(spark, src, watermark)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", f"{work_dir}/ckpt_{sink}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(conf_key, prior)
     return drain_memory_sink(spark, sink)
 
 
@@ -160,18 +170,15 @@ def run_dedup_then_rollup_once(
     spark: SparkSession, sf_dir: str, work_dir: str
 ) -> DataFrame:
     """availableNow harness (complete mode -> every window emitted)."""
-    from ..sources import read_table
-
     prep_session(spark)
-    src = f"{work_dir}/events_src"
-    read_table(spark, sf_dir, "events").write.mode("overwrite").parquet(src)
+    src = staged_events(spark, sf_dir, "plain")
     sink = f"mem_ddrl_{uuid.uuid4().hex[:8]}"
     # r12 opt: state-store partition conf window (shared
-    # util.STATE_PARTITIONS; measured A/B in OPTIMIZATION_r12.md) —
+    # util.state_partitions — volume-derived, r13; r12 A/B in OPTIMIZATION_r12.md) —
     # opens AFTER the last read_table, checkpoint created inside it
     conf_key = "spark.sql.shuffle.partitions"
     prior = spark.conf.get(conf_key)
-    spark.conf.set(conf_key, STATE_PARTITIONS)
+    spark.conf.set(conf_key, state_partitions(spark, src))
     try:
         q = (
             dedup_then_rollup_stream(spark, src)

@@ -14,10 +14,9 @@ from pyspark.sql import functions as F
 from ..plans import prep_session
 from .weekly import EVENTS_SCHEMA
 from .util import (
-    STATE_PARTITIONS,
-    bump_new_files_mtime,
     drain_memory_sink,
-    snapshot_parquet_files,
+    staged_events,
+    state_partitions,
 )
 
 
@@ -72,23 +71,31 @@ def click_purchase_stream_join(
 def run_click_purchase_join_once(
     spark: SparkSession, sf_dir: str, work_dir: str
 ) -> DataFrame:
-    """availableNow harness for the stream-stream join."""
-    from ..sources import read_table
-
+    """availableNow harness for the stream-stream join. Runs under the
+    volume-derived state-store partition count (r13 — the inner join
+    keeps the same four state instances per partition as the outer
+    forms, so it pays the identical per-partition commit cost the r12
+    profile measured; A/B at sf0.1: 7.9s at the session's 32
+    partitions → 2.2s sized to state volume, identical rows)."""
     prep_session(spark)
-    src = f"{work_dir}/events_src"
-    read_table(spark, sf_dir, "events").write.mode("overwrite").parquet(src)
+    src = staged_events(spark, sf_dir, "plain")
     sink = f"mem_ssj_{uuid.uuid4().hex[:8]}"
-    q = (
-        click_purchase_stream_join(spark, src)
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .option("checkpointLocation", f"{work_dir}/ckpt_{sink}")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    conf_key = "spark.sql.shuffle.partitions"
+    prior = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, state_partitions(spark, src))
+    try:
+        q = (
+            click_purchase_stream_join(spark, src)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", f"{work_dir}/ckpt_{sink}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(conf_key, prior)
     return drain_memory_sink(spark, sink)
 
 
@@ -148,19 +155,18 @@ def click_purchase_left_join(
     )
 
 
-#: state-store partition count for the OUTER-join harnesses. An outer
-#: stream-stream join maintains FOUR state stores per shuffle partition
-#: (keyToNumValues + keyWithIndexToValue per side), and every micro-batch
-#: pays each instance's snapshot/commit regardless of row count — at the
-#: session's 32 shuffle partitions that is 128 commits per batch, ~3.5s
-#: of fixed cost (measured at sf0.1: batches with FOUR input rows cost
-#: the same as the 200k-row bulk batch). The shared util.STATE_PARTITIONS
-#: (default 2, env-overridable) keeps 100k-row batches trivially in
-#: memory while cutting the fixed cost 16x vs the session's 32; a real
-#: deployment sizes this to state volume, not to the batch side's CPU
-#: (VERDICT r5 item 6 profile — see SCALE.md streaming block; r12 opt
-#: A/B in util.py).
-_OUTER_JOIN_STATE_PARTITIONS = STATE_PARTITIONS
+# State-store partition sizing for the join harnesses: an outer
+# stream-stream join maintains FOUR state stores per shuffle partition
+# (keyToNumValues + keyWithIndexToValue per side), and every micro-batch
+# pays each instance's snapshot/commit regardless of row count — at the
+# session's 32 shuffle partitions that is 128 commits per batch, ~3.5s
+# of fixed cost (measured at sf0.1: batches with FOUR input rows cost
+# the same as the 200k-row bulk batch). util.state_partitions derives
+# the count from the staged source volume (floor 2 at bench scale,
+# env-overridable, scaling with input at production volumes) — sized to
+# state volume, never to the batch side's CPU (VERDICT r5 item 6
+# profile; SCALE.md streaming block; r12 opt A/B in util.py; r13
+# volume-derived default per VERDICT r12 item 1).
 
 
 def _run_outer_join_once(spark, sf_dir, work_dir, builder, prefix) -> DataFrame:
@@ -186,29 +192,14 @@ def _run_outer_join_once(spark, sf_dir, work_dir, builder, prefix) -> DataFrame:
     the second only re-flushed the first file's own sentinels, which are
     filtered anyway — one file + the no-data batch emits the identical
     real-row set with one fewer micro-batch and one fewer tiny write."""
-    from ..sources import read_table
-
     prep_session(spark)
-    events = read_table(spark, sf_dir, "events")
-    src = f"{work_dir}/events_src"
-    events.repartition(1).write.mode("overwrite").parquet(src)
-    max_ts = events.agg(F.max("ts")).collect()[0][0]
-    before = snapshot_parquet_files(src)
-    flush = spark.createDataFrame(
-        [
-            (-1, max_ts, -1, "click", 0.0, "{}"),
-            (-2, max_ts, -1, "purchase", 0.0, "{}"),
-        ],
-        schema=EVENTS_SCHEMA,
-    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 10 DAYS"))
-    flush.coalesce(1).write.mode("append").parquet(src)
-    bump_new_files_mtime(src, before)
+    src = staged_events(spark, sf_dir, "flushed")
     sink = f"{prefix}_{uuid.uuid4().hex[:8]}"
     # conf window AFTER the last read_table: the checkpoint is created
     # fresh each run, so the reduced partition count binds this query only
     conf_key = "spark.sql.shuffle.partitions"
     prior = spark.conf.get(conf_key)
-    spark.conf.set(conf_key, _OUTER_JOIN_STATE_PARTITIONS)
+    spark.conf.set(conf_key, state_partitions(spark, src))
     try:
         q = (
             builder(spark, src, max_files_per_trigger=1)
@@ -296,27 +287,12 @@ def run_click_purchase_join_rollup_once(
     ``user_id >= 0`` filter would be pushed through the join to both
     scans and footer-stats-prune the sentinel file, stranding the
     watermark: the documented lesson)."""
-    from ..sources import read_table
-
     prep_session(spark)
-    events = read_table(spark, sf_dir, "events")
-    src = f"{work_dir}/events_src_jr"
-    events.repartition(1).write.mode("overwrite").parquet(src)
-    max_ts = events.agg(F.max("ts")).collect()[0][0]
-    before = snapshot_parquet_files(src)
-    flush = spark.createDataFrame(
-        [
-            (-1, max_ts, -1, "click", 0.0, "{}"),
-            (-2, max_ts, -1, "purchase", 0.0, "{}"),
-        ],
-        schema=EVENTS_SCHEMA,
-    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 10 DAYS"))
-    flush.coalesce(1).write.mode("append").parquet(src)
-    bump_new_files_mtime(src, before)
+    src = staged_events(spark, sf_dir, "flushed")
     sink = f"mem_ssjr_{uuid.uuid4().hex[:8]}"
     conf_key = "spark.sql.shuffle.partitions"
     prior = spark.conf.get(conf_key)
-    spark.conf.set(conf_key, _OUTER_JOIN_STATE_PARTITIONS)
+    spark.conf.set(conf_key, state_partitions(spark, src))
     try:
         q = (
             click_purchase_join_rollup(spark, src, max_files_per_trigger=1)
@@ -463,11 +439,8 @@ def run_stream_static_enrich_once(
 ) -> DataFrame:
     """availableNow harness: emitted rows == the batch left join, exactly
     (stateless — every stream row passes through once)."""
-    from ..sources import read_table
-
     prep_session(spark)
-    src = f"{work_dir}/events_src"
-    read_table(spark, sf_dir, "events").write.mode("overwrite").parquet(src)
+    src = staged_events(spark, sf_dir, "plain")
     sink = f"mem_sse_{uuid.uuid4().hex[:8]}"
     q = (
         stream_static_enrich(spark, src, sf_dir)
@@ -532,21 +505,18 @@ def run_click_purchase_semi_join_once(
 ) -> DataFrame:
     """availableNow harness for the stream-stream LEFT SEMI join. Runs
     under the same reduced state-store partition count as the outer-join
-    harnesses (``_OUTER_JOIN_STATE_PARTITIONS``): a stream-stream join
+    harnesses (``util.state_partitions``): a stream-stream join
     pays per-partition state snapshot/commit cost on EVERY micro-batch
     regardless of row count, and the semi join keeps the same four
     instances per partition as the inner join — the conf window opens
     AFTER the last ``read_table`` (whose ``prep_session`` would reset
     it) and before the checkpoint is created."""
-    from ..sources import read_table
-
     prep_session(spark)
-    src = f"{work_dir}/events_src"
-    read_table(spark, sf_dir, "events").write.mode("overwrite").parquet(src)
+    src = staged_events(spark, sf_dir, "plain")
     sink = f"mem_sssj_{uuid.uuid4().hex[:8]}"
     conf_key = "spark.sql.shuffle.partitions"
     prior = spark.conf.get(conf_key)
-    spark.conf.set(conf_key, _OUTER_JOIN_STATE_PARTITIONS)
+    spark.conf.set(conf_key, state_partitions(spark, src))
     try:
         q = (
             click_purchase_semi_join(spark, src)

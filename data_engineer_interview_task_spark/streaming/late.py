@@ -53,7 +53,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans import prep_session
-from .util import STATE_PARTITIONS, bump_new_files_mtime, drain_memory_sink, snapshot_parquet_files
+from .util import bump_new_files_mtime, drain_memory_sink, snapshot_parquet_files, state_partitions
 from .weekly import EVENTS_SCHEMA
 
 #: calendar split: events at/after this land first (on-time), earlier
@@ -151,7 +151,7 @@ def run_late_data_audit_once(
     # created fresh inside it, so the reduced count binds this query only.
     conf_key = "spark.sql.shuffle.partitions"
     prior = spark.conf.get(conf_key)
-    spark.conf.set(conf_key, STATE_PARTITIONS)
+    spark.conf.set(conf_key, state_partitions(spark, src))
     try:
         q = (
             daily_counts_stream(spark, src)
@@ -288,7 +288,7 @@ def run_incremental_late_audit(
     out = f"{work_dir}/out_inc_{_uuid.uuid4().hex[:8]}"
     conf_key = "spark.sql.shuffle.partitions"
     prior = spark.conf.get(conf_key)
-    spark.conf.set(conf_key, STATE_PARTITIONS)
+    spark.conf.set(conf_key, state_partitions(spark, src))
     try:
         # run 1: on-time, spacer, late tranche A
         _copy_tranches(stage, src, ("t0", "t1", "t2"), 0)
@@ -394,7 +394,7 @@ def run_update_mode_rollup_once(
     sink = f"mem_upd_{uuid.uuid4().hex[:8]}"
     conf_key = "spark.sql.shuffle.partitions"
     prior = spark.conf.get(conf_key)
-    spark.conf.set(conf_key, STATE_PARTITIONS)
+    spark.conf.set(conf_key, state_partitions(spark, src))
     try:
         q = (
             counts.writeStream.format("memory")

@@ -39,7 +39,7 @@ from pyspark.sql.types import (
 
 from ..plans import prep_session
 from .weekly import EVENTS_SCHEMA
-from .util import drain_memory_sink
+from .util import drain_memory_sink, staged_events
 
 SESSION_SCHEMA = StructType(
     [
@@ -224,11 +224,8 @@ def run_sessionize_once(
 ) -> DataFrame:
     """availableNow harness: run the stateful sessionizer over the events
     table once and return the emitted (closed) sessions as a batch frame."""
-    from ..sources import read_table
-
     prep_session(spark)
-    src = f"{work_dir}/events_src"
-    read_table(spark, sf_dir, "events").write.mode("overwrite").parquet(src)
+    src = staged_events(spark, sf_dir, "plain")
     sink = f"mem_sessions_{uuid.uuid4().hex[:8]}"
     q = (
         sessionize_stream(spark, src, gap_minutes)
@@ -291,11 +288,8 @@ def run_session_window_once(
     (complete output mode -> every session appears, making the emitted
     set batch-deterministic and therefore oracle-checkable; the 31-day
     watermark exceeds the fixture's 30-day span so no event is late)."""
-    from ..sources import read_table
-
     prep_session(spark)
-    src = f"{work_dir}/events_src"
-    read_table(spark, sf_dir, "events").write.mode("overwrite").parquet(src)
+    src = staged_events(spark, sf_dir, "plain")
     sink = f"mem_swin_{uuid.uuid4().hex[:8]}"
     q = (
         session_window_stream(spark, src, gap_minutes)

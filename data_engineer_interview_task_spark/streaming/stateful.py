@@ -208,15 +208,22 @@ def run_running_user_stats_once(
     from ..sources import read_table
 
     prep_session(spark)
-    events = read_table(spark, sf_dir, "events").select("user_id", "value", "ts")
-    src = f"{work_dir}/events_src"
-    cutoff = F.lit("2024-01-15").cast("timestamp")
-    events.filter(F.col("ts") < cutoff).drop("ts").coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(src)
-    events.filter(F.col("ts") >= cutoff).drop("ts").coalesce(1).write.mode(
-        "append"
-    ).parquet(src)
+
+    def _build(path: str) -> None:
+        events = read_table(spark, sf_dir, "events").select(
+            "user_id", "value", "ts"
+        )
+        cutoff = F.lit("2024-01-15").cast("timestamp")
+        events.filter(F.col("ts") < cutoff).drop("ts").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(path)
+        events.filter(F.col("ts") >= cutoff).drop("ts").coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+
+    from .util import staged_custom
+
+    src = staged_custom(spark, sf_dir, "events_split_running", _build)
     stream_fn = (
         running_user_stats_stream
         if use_transform_with_state
@@ -324,25 +331,31 @@ def run_user_ewma_once(
     from ..sources import read_table
 
     prep_session(spark)
-    events = read_table(spark, sf_dir, "events").select(
-        "user_id", "event_id", "ts", "value"
-    )
-    src = f"{work_dir}/events_src"
-    cutoff = F.lit("2024-01-15").cast("timestamp")
-    events.filter(F.col("ts") < cutoff).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(src)
-    # FileStreamSource orders micro-batches by file MODIFICATION TIME; two
-    # back-to-back writes can land with equal mtimes, leaving the order —
-    # and hence the order-sensitive EWMA recurrence — undefined (ADVICE
-    # r4). Force the second split strictly newer.
-    from .util import bump_new_files_mtime, snapshot_parquet_files
 
-    before = snapshot_parquet_files(src)
-    events.filter(F.col("ts") >= cutoff).coalesce(1).write.mode(
-        "append"
-    ).parquet(src)
-    bump_new_files_mtime(src, before)
+    def _build(path: str) -> None:
+        events = read_table(spark, sf_dir, "events").select(
+            "user_id", "event_id", "ts", "value"
+        )
+        cutoff = F.lit("2024-01-15").cast("timestamp")
+        events.filter(F.col("ts") < cutoff).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(path)
+        # FileStreamSource orders micro-batches by file MODIFICATION
+        # TIME; two back-to-back writes can land with equal mtimes,
+        # leaving the order — and hence the order-sensitive EWMA
+        # recurrence — undefined (ADVICE r4). Force the second split
+        # strictly newer.
+        from .util import bump_new_files_mtime, snapshot_parquet_files
+
+        before = snapshot_parquet_files(path)
+        events.filter(F.col("ts") >= cutoff).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+        bump_new_files_mtime(path, before)
+
+    from .util import staged_custom
+
+    src = staged_custom(spark, sf_dir, "events_split_ewma", _build)
     sink = f"mem_ewma_{uuid.uuid4().hex[:8]}"
     q = (
         user_ewma_stream_gs(spark, src)

@@ -23,7 +23,7 @@ from pyspark.sql.types import (
 )
 
 from ..plans import prep_session
-from .util import STATE_PARTITIONS, drain_memory_sink
+from .util import drain_memory_sink, staged_events, state_partitions
 
 #: events schema with ts already as a proper timestamp (the ns->micros
 #: conversion happens on the batch prep path; streaming reads the converted
@@ -112,18 +112,15 @@ def run_sliding_rollup_once(
     """availableNow harness for the sliding rollup (complete output mode →
     every window appears, making the emitted set batch-deterministic and
     therefore oracle-checkable)."""
-    from ..sources import read_table
-
     prep_session(spark)
-    src = f"{work_dir}/events_src"
-    read_table(spark, sf_dir, "events").write.mode("overwrite").parquet(src)
+    src = staged_events(spark, sf_dir, "plain")
     sink = f"mem_sliding_{uuid.uuid4().hex[:8]}"
     # r12 opt: state-store partition conf window (shared
-    # util.STATE_PARTITIONS; measured A/B in OPTIMIZATION_r12.md) —
+    # util.state_partitions — volume-derived, r13; r12 A/B in OPTIMIZATION_r12.md) —
     # opens AFTER the last read_table, checkpoint created inside it
     conf_key = "spark.sql.shuffle.partitions"
     prior = spark.conf.get(conf_key)
-    spark.conf.set(conf_key, STATE_PARTITIONS)
+    spark.conf.set(conf_key, state_partitions(spark, src))
     try:
         q = (
             sliding_rollup_stream(spark, src)
@@ -148,18 +145,15 @@ def run_weekly_rollup_once(
     sink, returning the batch result — the deterministic test harness for
     the streaming path. ``work_dir`` holds the micro-batch source files and
     checkpoint."""
-    from ..sources import read_table
-
     prep_session(spark)
-    src = f"{work_dir}/events_src"
-    read_table(spark, sf_dir, "events").write.mode("overwrite").parquet(src)
+    src = staged_events(spark, sf_dir, "plain")
     sink = f"mem_weekly_{uuid.uuid4().hex[:8]}"
     # r12 opt: state-store partition conf window (shared
-    # util.STATE_PARTITIONS; measured A/B in OPTIMIZATION_r12.md) —
+    # util.state_partitions — volume-derived, r13; r12 A/B in OPTIMIZATION_r12.md) —
     # opens AFTER the last read_table, checkpoint created inside it
     conf_key = "spark.sql.shuffle.partitions"
     prior = spark.conf.get(conf_key)
-    spark.conf.set(conf_key, STATE_PARTITIONS)
+    spark.conf.set(conf_key, state_partitions(spark, src))
     try:
         q = (
             weekly_rollup_stream(spark, src)
@@ -215,18 +209,15 @@ def run_bitmap_distinct_once(
     NOTE: the week grain here is the stream's epoch-aligned 7-day
     tumbling window (same as ``weekly_rollup_stream``), not ISO weeks —
     the oracle mirrors the epoch arithmetic."""
-    from ..sources import read_table
-
     prep_session(spark)
-    src = f"{work_dir}/events_src"
-    read_table(spark, sf_dir, "events").write.mode("overwrite").parquet(src)
+    src = staged_events(spark, sf_dir, "plain")
     sink = f"mem_bitmap_{uuid.uuid4().hex[:8]}"
     # r12 opt: state-store partition conf window (shared
-    # util.STATE_PARTITIONS; measured A/B in OPTIMIZATION_r12.md) —
+    # util.state_partitions — volume-derived, r13; r12 A/B in OPTIMIZATION_r12.md) —
     # opens AFTER the last read_table, checkpoint created inside it
     conf_key = "spark.sql.shuffle.partitions"
     prior = spark.conf.get(conf_key)
-    spark.conf.set(conf_key, STATE_PARTITIONS)
+    spark.conf.set(conf_key, state_partitions(spark, src))
     try:
         q = (
             bitmap_distinct_stream(spark, src)
