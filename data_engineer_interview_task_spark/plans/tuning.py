@@ -9,6 +9,8 @@ parquet handling, AQE for runtime re-planning at scale).
 from __future__ import annotations
 
 import io
+import threading
+import weakref
 from contextlib import redirect_stdout
 
 from pyspark.sql import DataFrame, SparkSession
@@ -53,31 +55,47 @@ _SESSION_CONFS: dict[str, str] = {
 }
 
 
+#: Determinism-critical subset, RE-ASSERTED on every prep_session call
+#: (ADVICE r12): the documented contract is that every query entry point
+#: re-establishes hash parity regardless of ambient config mutations
+#: between queries — memoizing these three would let an external driver
+#: that flips timezone/ansi/nanos mid-session silently break oracle
+#: parity where the old per-call application self-healed. Three py4j
+#: set-roundtrips (~1ms) per call is the price of the contract; only
+#: the tuning-only confs ride the once-per-session memo.
+_DETERMINISM_CONFS: tuple[str, ...] = (
+    "spark.sql.session.timeZone",
+    "spark.sql.ansi.enabled",
+    "spark.sql.legacy.parquet.nanosAsLong",
+)
+
 #: r12 opt: sessions already prepped — each conf.set is a py4j
 #: round-trip and prep_session runs on EVERY read_table call (2-5x per
-#: query); applying the identical dozen values repeatedly is pure
-#: driver overhead. Weak so a stopped session's entry is collected.
-_PREPPED: "weakref.WeakSet[SparkSession]" = None  # type: ignore[assignment]
+#: query); applying the identical TUNING values repeatedly is pure
+#: driver overhead. Weak so a stopped session's entry is collected;
+#: lock-guarded (ADVICE r12 — WeakSet is not thread-safe under GC
+#: callbacks and the repo documents concurrent sessions).
+_PREPPED: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
+_PREP_LOCK = threading.Lock()
 
 
 def prep_session(spark: SparkSession) -> SparkSession:
-    """Apply deterministic/tuning confs to an externally-provided session
-    (idempotent; applied once per session per process — the values are
-    constants, so re-application could only ever write the same bytes)."""
-    global _PREPPED
-    if _PREPPED is None:
-        import weakref
-
-        _PREPPED = weakref.WeakSet()
-    if spark in _PREPPED:
-        return spark
-    for k, v in _SESSION_CONFS.items():
+    """Apply deterministic/tuning confs to an externally-provided session.
+    Tuning confs are applied once per session per process (the values are
+    constants, so re-application could only ever write the same bytes);
+    the determinism-critical trio (timezone/ansi/nanos) is re-asserted on
+    EVERY call — see ``_DETERMINISM_CONFS``."""
+    with _PREP_LOCK:
+        seen = spark in _PREPPED
+        if not seen:
+            _PREPPED.add(spark)
+    keys = _SESSION_CONFS if not seen else _DETERMINISM_CONFS
+    for k in keys:
         try:
-            spark.conf.set(k, v)
+            spark.conf.set(k, _SESSION_CONFS[k])
         except Exception:
             # Non-runtime conf on this build: keep going, defaults are sane.
             pass
-    _PREPPED.add(spark)
     return spark
 
 

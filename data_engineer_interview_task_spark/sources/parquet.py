@@ -9,6 +9,7 @@ lazy DataFrames so Catalyst can push filters/projections into the scan
 
 from __future__ import annotations
 
+import threading
 import weakref
 
 from pyspark.sql import DataFrame, SparkSession
@@ -22,12 +23,17 @@ from ..plans import prep_session
 #: analysis — pure plan-construction overhead paid 2-5x per query, ~50ms
 #: per read at sf0.1 (measured). The memo holds an UNEXECUTED DataFrame
 #: (no rows, no results — Catalyst plans are immutable), keyed weakly by
-#: session so a stopped session's entries are collected. The testdata
-#: contract is an immutable directory per sf_dir, so a cached plan can
-#: never go stale within a process.
+#: session so a stopped session's entries are collected. r13 (ADVICE
+#: r12): the key also carries a cheap DIRECTORY SIGNATURE (file count /
+#: bytes / max mtime — ``plans.artifacts.input_fingerprint``, ~0.1ms on
+#: a table dir), so a table regenerated or appended mid-session (the r3
+#: precedent) gets a fresh plan instead of a stale file listing; and the
+#: memo is lock-guarded (WeakKeyDictionary is not thread-safe under GC
+#: callbacks — the repo's concurrent-session pattern).
 _PLAN_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
     weakref.WeakKeyDictionary()
 )
+_PLAN_LOCK = threading.Lock()
 
 #: Every driver-provided table (TESTDATA.md / FIXTURES.md §2).
 TABLES: tuple[str, ...] = (
@@ -60,18 +66,24 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     operate on the standard type either way. Downstream operators therefore
     see ONE timestamp type regardless of writer vintage.
     """
+    from ..plans.artifacts import input_fingerprint
+
     prep_session(spark)
-    per_session = _PLAN_CACHE.setdefault(spark, {})
-    cached = per_session.get((sf_dir, name))
+    path = f"{sf_dir}/{name}.parquet"
+    key = (sf_dir, name, input_fingerprint(path))
+    with _PLAN_LOCK:
+        per_session = _PLAN_CACHE.setdefault(spark, {})
+        cached = per_session.get(key)
     if cached is not None:
         return cached
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     for col, dtype in df.dtypes:
         if dtype == "timestamp_ntz":
             df = df.withColumn(col, F.col(col).cast("timestamp"))
-    per_session[(sf_dir, name)] = df
+    with _PLAN_LOCK:
+        per_session[key] = df
     return df
 
 
