@@ -76,6 +76,34 @@ def test_winnow_fingerprint_artifact_matches_selection(spark):
     assert direct == art and len(art) > 0
 
 
+# ------------------------------------------------------------------ bpe
+
+
+def test_bpe_trained_artifact_matches_direct_loop(spark):
+    from data_engineer_interview_task_spark.operators.text import (
+        _bpe_loop,
+        _bpe_trained,
+        _char_words,
+        _bytelevel_train,
+        bpe_train_merges_bytelevel,
+    )
+
+    cur, out = _bpe_loop(_char_words(spark, SF_DIR), 8)
+    vocab, merges = _bpe_trained(spark, SF_DIR, 8)
+    direct_vocab = {(r.word, r.s, r.freq) for r in cur.collect()}
+    art_vocab = {(r.word, r.s, r.freq) for r in vocab.collect()}
+    assert direct_vocab == art_vocab and len(art_vocab) > 0
+    assert sorted(map(tuple, merges.collect())) == sorted(out)
+
+    bl_direct = sorted(
+        map(tuple, _bytelevel_train(spark, SF_DIR, 16, 4).collect())
+    )
+    bl_art = sorted(
+        map(tuple, bpe_train_merges_bytelevel(spark, SF_DIR).collect())
+    )
+    assert bl_direct == bl_art and len(bl_art) > 0
+
+
 # ------------------------------------------------- streaming staging memo
 
 
